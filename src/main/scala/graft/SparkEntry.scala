@@ -1,13 +1,649 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Bm25, TextFunctions, VectorFunctions}
+import graft.operators._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-equivalent oracle in [[oracleSql]].
+  *
+  * Conventions shared by every query/oracle pair (the driver hash-
+  * compares values after sorting columns by name):
+  *  - every computed double is `round(x, n)` with the same n on both
+  *    sides, and all math is done in double precision;
+  *  - every result has a deterministic total order (score desc with id
+  *    tiebreak, or plain key order) applied consistently on both sides;
+  *  - integer-ish outputs are cast to BIGINT on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  import Tables.load
+
+  private val QueryTerms = Seq("spark", "query")
+
+  /** Flagship: hybrid find on sf0.001 — BM25 keyword list + dense-vector
+    * semantic list, fused with RRF (k=60), hydrated with document text.
+    * The Spark shape of `POST /kb/{kbid}/find` (SURVEY.md §3.1).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val docs = load(spark, dir, "documents")
+    val emb = load(spark, dir, "embeddings")
+    val kw = Bm25.score(docs, "doc_id", "text", QueryTerms)
+      .withColumn("score", round(col("score"), 4))
+    val sem = semanticList(emb, qid = 0)
+    RankFusion.rrf(Seq(("keyword", kw, 1.0), ("semantic", sem, 1.0)), "doc_id", "score")
+      .withColumn("rrf", round(col("rrf_score"), 6))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(10)
+      .join(docs.select("doc_id", "text", "lang"), "doc_id")
+      .select("doc_id", "rrf", "lang", "text")
+  }
+
+  /** Semantic list: cosine of every embedding against query vector
+    * `qid`, ids mapped to doc ids (vec_id ≡ doc_id in the testdata).
+    */
+  private def semanticList(emb: DataFrame, qid: Int): DataFrame = {
+    import VectorFunctions._
+    val q = emb.where(col("vec_id") === qid).select(col("embedding").as("__qv"))
+    emb.crossJoin(broadcast(q))
+      .withColumn("score", round(cosine(asDouble(col("embedding")), asDouble(col("__qv"))), 6))
+      .select(col("vec_id").as("doc_id"), col("score"))
+  }
+
+  // ---------------------------------------------------------------- //
+  //  queries — (name → (spark, sfDir) => DataFrame)                  //
+  // ---------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.4 aggregations — catalog-style grouped aggregation
+    "q01_pricing_summary" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("2000-01-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // §2.5 top-k by score (TakeOrderedAndProject)
+    "q02_topk_orders" -> ((s, dir) =>
+      TopK.topK(
+        load(s, dir, "orders")
+          .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total")),
+        "total", "o_orderkey", 20)),
+
+    // §2.2 FilterExpression tree: date range + status equality
+    "q03_filter_daterange" -> ((s, dir) => {
+      val f = FilterExpr.And(Seq(
+        FilterExpr.DateRange("o_orderdate", Some("1996-01-01 00:00:00"), Some("1996-12-31 00:00:00")),
+        FilterExpr.Eq("o_orderstatus", "F")))
+      load(s, dir, "orders")
+        .where(FilterExpr.compile(f))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.7 hydration: top-k then broadcast-join dimension tables
+    "q04_hydration_join" -> ((s, dir) => {
+      val top = TopK.topK(
+        load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("total")),
+        "total", "o_orderkey", 20)
+      top
+        .join(broadcast(load(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(load(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(load(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select("o_orderkey", "total", "c_name", "n_name", "r_name")
+        .orderBy(col("total").desc, col("o_orderkey").asc)
+    }),
+
+    // §2.4 facet counting (explode + hash agg)
+    "q05_facet_counts" -> ((s, dir) =>
+      Facets.facetCounts(Tables.documentsWithLabels(s, dir), "labels", Seq("/s/p", "/u/s"))
+        .orderBy("facet")),
+
+    // §2.4 hierarchical facet rollup (grouping sets)
+    "q06_facet_rollup" -> ((s, dir) =>
+      Facets.rollupCounts(load(s, dir, "part"), Seq("p_brand", "p_type"))
+        .select(coalesce(col("p_brand"), lit("ALL")).as("brand"),
+          coalesce(col("p_type"), lit("ALL")).as("ptype"), col("n"))
+        .orderBy("brand", "ptype")),
+
+    // §2.5 search_after keyset pagination: page 3, k=15
+    "q07_search_after" -> ((s, dir) =>
+      TopK.page(
+        load(s, dir, "orders")
+          .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total")),
+        "total", "o_orderkey", k = 15, page = 3)),
+
+    // §2.5 index-side sort by created/modified date
+    "q08_sort_orders_date" -> ((s, dir) =>
+      load(s, dir, "orders")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .limit(20)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))),
+
+    // §2.3 BM25 fulltext search (join-based corpus stats)
+    "q09_bm25_search" -> ((s, dir) =>
+      Bm25.search(load(s, dir, "documents"), "doc_id", "text", QueryTerms, 10)),
+
+    // §2.2 FilterExpression over facets/keyword/numeric range
+    "q10_filter_expr" -> ((s, dir) => {
+      val f = FilterExpr.And(Seq(
+        FilterExpr.Facet("/s/p/en"),
+        FilterExpr.Keyword("filter"),
+        FilterExpr.Not(FilterExpr.Keyword("slow")),
+        FilterExpr.NumRange("n_chars", Some(100), Some(450))))
+      Tables.documentsWithLabels(s, dir)
+        .where(FilterExpr.compile(f))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // §2.3 fuzzy (Levenshtein≤1) search against the term dictionary
+    "q11_fuzzy_search" -> ((s, dir) =>
+      Bm25.tokenStream(load(s, dir, "documents"), "doc_id", "text")
+        .distinct()
+        .where(levenshtein(col("term"), lit("querry")) <= 1)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_terms"))
+        .orderBy("doc_id")),
+
+    // §2.5 suggest: prefix top-k over the term-frequency dictionary
+    "q12_suggest_prefix" -> ((s, dir) => {
+      val termFreq = Bm25.tokenStream(load(s, dir, "documents"), "doc_id", "text")
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+      TopK.suggestPrefix(termFreq, "term", "freq", "s", 10)
+    }),
+
+    // §2.4 counters / shard stats
+    "q13_counters" -> ((s, dir) =>
+      Facets.counters(load(s, dir, "documents"), Some("n_chars"), Some("lang"))),
+
+    // training-data ops: heuristic quality scoring
+    "q14_quality_score" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+      docs.select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          round(TextFunctions.qualityScore(col("toks")), 4).as("quality"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // training-data ops: token-count statistics per language
+    "q15_token_stats" -> ((s, dir) => {
+      val tok = load(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+      tok.groupBy("lang").agg(
+          count(lit(1)).as("total_tokens"),
+          countDistinct(col("term")).as("distinct_terms"),
+          round(count(lit(1)) / countDistinct(col("doc_id")).cast("double"), 4)
+            .as("avg_tokens_per_doc"))
+        .orderBy("lang")
+    }),
+
+    // training-data ops: exact dedup via content fingerprint
+    "q16_exact_dedup" -> ((s, dir) =>
+      Dedup.exactStats(load(s, dir, "documents"), "doc_id", "text")),
+
+    // training-data ops: n-gram Jaccard near-dup pairs
+    "q17_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(load(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.08)
+        .orderBy("a", "b")),
+
+    // training-data ops: MinHash + LSH near-dup candidates
+    "q18_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLsh(load(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, numHashes = 8, bandSize = 2, minEstJaccard = 0.25)
+        .orderBy("a", "b")),
+
+    // §2.3 vector ANN: brute-force cosine top-k (the correctness oracle)
+    "q19_ann_cosine" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      VectorSearch.bruteForceTopK(
+        emb.where(col("vec_id") =!= 0), "vec_id", "embedding",
+        emb.where(col("vec_id") === 0), "embedding", k = 20)
+    }),
+
+    // similarity search: batched kNN join (queries × corpus, windowed)
+    "q20_knn_join" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      VectorSearch.knnJoin(queries, "qid", "qv",
+          emb.where(col("vec_id") >= 5), "vec_id", "embedding", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    }),
+
+    // §2.3 multi-vector MaxSim (ColBERT-style) over label groups
+    "q21_maxsim" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      VectorSearch.maxSim(queries, "qid", "qv",
+          emb.where(col("vec_id") >= 3), "label", "embedding")
+        .orderBy("label")
+    }),
+
+    // similarity search at scale: IVF cluster assignment
+    "q22_ivf_assign" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      VectorSearch.ivfAssign(
+          emb.where(col("vec_id") >= 10), "vec_id", "embedding",
+          emb.where(col("vec_id") < 10), "vec_id", "embedding")
+        .groupBy("centroid_id").agg(count(lit(1)).as("n"))
+        .orderBy("centroid_id")
+    }),
+
+    // training-data ops: embedding-cosine near-duplicate pairs
+    "q23_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDups(load(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.45)
+        .orderBy("a", "b")),
+
+    // §2.9 streaming analog: event-time tumbling window aggregation
+    "q24_event_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(date_format(col("win"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("hour", "event_type")),
+
+    // §2.2 JSON attribute predicate (json index analog)
+    "q25_json_filter" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .where(FilterExpr.compile(
+          FilterExpr.JsonNumRange("props", "k", Some(10), Some(50))))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("event_type")),
+
+    // §2.4/§2.5 grouped top-k
+    "q26_topk_users" -> ((s, dir) =>
+      TopK.topK(
+        Tables.events(s, dir).groupBy("user_id")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total")),
+        "total", "user_id", 20)),
+
+    // §2.3 graph: undirected 1-hop neighbors (supplier↔part via lineitem)
+    "q27_graph_neighbors" -> ((s, dir) =>
+      GraphOps.neighbors(
+          load(s, dir, "lineitem").select("l_suppkey", "l_partkey"),
+          "l_suppkey", "l_partkey", node = 1L)
+        .orderBy("dir", "node")),
+
+    // §2.3 graph: 2-hop path + top-unique-N (supplier → order → customer)
+    "q28_graph_2hop" -> ((s, dir) =>
+      GraphOps.twoHop(
+        load(s, dir, "lineitem"), "l_suppkey", "l_orderkey",
+        load(s, dir, "orders"), "o_orderkey", "o_custkey",
+        start = 1L, k = 50)),
+
+    // §2.3 graph: entity prefix search (suggest)
+    "q29_prefix_search" -> ((s, dir) =>
+      GraphOps.prefixSearch(load(s, dir, "part"), "p_name", "red", 10)),
+
+    // §2.6 Reciprocal Rank Fusion of keyword + semantic lists
+    "q30_rrf_fusion" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val kw = Bm25.score(docs, "doc_id", "text", QueryTerms)
+        .withColumn("score", round(col("score"), 4))
+      val sem = semanticList(load(s, dir, "embeddings"), qid = 0)
+      RankFusion.rrf(Seq(("keyword", kw, 1.0), ("semantic", sem, 1.0)),
+          "doc_id", "score")
+        .select(col("doc_id"), round(col("rrf_score"), 6).as("rrf"),
+          col("n_sources"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // §2.6 WeightedCombSum fusion (min-max normalized)
+    "q31_combsum_fusion" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val kw = Bm25.score(docs, "doc_id", "text", QueryTerms)
+        .withColumn("score", round(col("score"), 4))
+      val sem = semanticList(load(s, dir, "embeddings"), qid = 0)
+      RankFusion.weightedCombSum(Seq(("keyword", kw, 0.7), ("semantic", sem, 0.3)),
+          "doc_id", "score")
+        .select(col("doc_id"), round(col("fused_score"), 6).as("fused"),
+          col("n_sources"))
+        .orderBy(col("fused").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // §2.7 highlighting of query terms in hydrated text
+    "q32_highlight" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      Bm25.search(docs, "doc_id", "text", QueryTerms, 5)
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(col("doc_id"),
+          TextFunctions.highlight(col("text"), QueryTerms).as("marked"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ---------------------------------------------------------------- //
+  //  oracleSql — DuckDB-equivalent SQL per query                      //
+  // ---------------------------------------------------------------- //
+
+  /** Tokenizer fragment shared by all text oracles — must match
+    * [[TextFunctions.tokens]] exactly. */
+  private val Tok =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+  private val TokCte =
+    s"tok AS (SELECT doc_id, unnest($Tok) AS term FROM documents)"
+  private val InQueryTerms = QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+  private val StopList = TextFunctions.StopWords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** BM25 scored-list CTE chain (k1=1.2, b=0.75, Lucene idf). */
+  private val Bm25Ctes =
+    s"""$TokCte,
+       |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+       |       WHERE term IN $InQueryTerms GROUP BY doc_id, term),
+       |idf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+       |bm25 AS (
+       |  SELECT tf.doc_id,
+       |         round(sum(ln(1 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+       |               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 4) AS score
+       |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       |  GROUP BY tf.doc_id)""".stripMargin
+
+  /** doc shingle CTE (3-gram word shingles, distinct per doc). */
+  private val ShingleCtes =
+    s"""toks AS (SELECT doc_id, $Tok AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       |       FROM toks CROSS JOIN (SELECT unnest(range(1, 2000)) AS i) ix
+       |       WHERE i <= len(t) - 2)""".stripMargin
+
+  /** cosine over DOUBLE[] lists (shared by vector oracles). */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_topk_orders" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders
+        |ORDER BY total DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q03_filter_daterange" ->
+      """SELECT o_orderkey, o_orderstatus, strftime(o_orderdate, '%Y-%m-%d') AS odate
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <= TIMESTAMP '1996-12-31 00:00:00'
+        |  AND o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q04_hydration_join" ->
+      """WITH top AS (
+        |  SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+        |  FROM orders ORDER BY total DESC, o_orderkey LIMIT 20)
+        |SELECT t.o_orderkey, t.total, c.c_name, n.n_name, r.r_name
+        |FROM top t
+        |JOIN customer c ON t.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY t.total DESC, t.o_orderkey""".stripMargin,
+
+    "q05_facet_counts" ->
+      """SELECT facet, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT '/s/p/' || lang AS facet FROM documents
+        |  UNION ALL
+        |  SELECT '/u/s/' || source AS facet FROM documents)
+        |GROUP BY facet ORDER BY facet""".stripMargin,
+
+    "q06_facet_rollup" ->
+      """SELECT COALESCE(p_brand, 'ALL') AS brand, COALESCE(p_type, 'ALL') AS ptype,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM part GROUP BY ROLLUP (p_brand, p_type)
+        |ORDER BY brand, ptype""".stripMargin,
+
+    "q07_search_after" ->
+      """WITH ranked AS (
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS total,
+        |         row_number() OVER (ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderkey, total FROM ranked
+        |WHERE rn BETWEEN 31 AND 45
+        |ORDER BY total DESC, o_orderkey""".stripMargin,
+
+    "q08_sort_orders_date" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate FROM orders
+        |ORDER BY o_orderdate, o_orderkey LIMIT 20""".stripMargin,
+
+    "q09_bm25_search" ->
+      s"""WITH $Bm25Ctes
+         |SELECT doc_id, score FROM bm25
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q10_filter_expr" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE lang = 'en'
+         |  AND list_contains($Tok, 'filter')
+         |  AND NOT list_contains($Tok, 'slow')
+         |  AND n_chars BETWEEN 100 AND 450
+         |ORDER BY doc_id""".stripMargin,
+
+    "q11_fuzzy_search" ->
+      s"""WITH tokset AS (SELECT DISTINCT doc_id, term
+         |  FROM (SELECT doc_id, unnest($Tok) AS term FROM documents))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms FROM tokset
+         |WHERE levenshtein(term, 'querry') <= 1
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q12_suggest_prefix" ->
+      s"""WITH $TokCte,
+         |tfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term)
+         |SELECT term, freq FROM tfreq WHERE term LIKE 's%'
+         |ORDER BY freq DESC, term LIMIT 10""".stripMargin,
+
+    "q13_counters" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+        |  round(avg(n_chars), 4) AS avg_n_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS distinct_lang
+        |FROM documents""".stripMargin,
+
+    "q14_quality_score" ->
+      s"""WITH $TokCte,
+         |st AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n,
+         |              CAST(count(DISTINCT term) AS DOUBLE) AS uniq,
+         |              CAST(sum(CASE WHEN term IN $StopList THEN 1 ELSE 0 END) AS DOUBLE) AS stop
+         |       FROM tok GROUP BY doc_id)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  round((uniq / n) * ln(1.0 + n) - 0.5 * (stop / n), 4) AS quality
+         |FROM st ORDER BY quality DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q15_token_stats" ->
+      s"""WITH tok AS (SELECT lang, doc_id, unnest($Tok) AS term FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS total_tokens,
+         |  CAST(count(DISTINCT term) AS BIGINT) AS distinct_terms,
+         |  round(count(*) / CAST(count(DISTINCT doc_id) AS DOUBLE), 4) AS avg_tokens_per_doc
+         |FROM tok GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q16_exact_dedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS BIGINT) AS n_unique
+        |FROM documents""".stripMargin,
+
+    "q17_ngram_jaccard" ->
+      s"""WITH $ShingleCtes,
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS i
+         |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |          GROUP BY x.doc_id, y.doc_id)
+         |SELECT a, b, round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 4) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a
+         |JOIN sizes sb ON sb.doc_id = b
+         |WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.08
+         |ORDER BY a, b""".stripMargin,
+
+    "q18_minhash_lsh" ->
+      s"""WITH $ShingleCtes,
+         |mh AS (SELECT doc_id, i,
+         |              min(md5(CAST(i AS VARCHAR) || '|' || shingle)) AS h
+         |       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i) hx
+         |       GROUP BY doc_id, i),
+         |bands AS (SELECT x.doc_id, x.i // 2 AS band, x.h || y.h AS bv
+         |          FROM mh x JOIN mh y ON x.doc_id = y.doc_id AND y.i = x.i + 1
+         |          WHERE x.i % 2 = 0),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv
+         |              AND x.doc_id < y.doc_id),
+         |est AS (SELECT c.a, c.b,
+         |               round(sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / 8.0, 4) AS est_jaccard
+         |        FROM cand c
+         |        JOIN mh ha ON ha.doc_id = c.a
+         |        JOIN mh hb ON hb.doc_id = c.b AND hb.i = ha.i
+         |        GROUP BY c.a, c.b)
+         |SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.25
+         |ORDER BY a, b""".stripMargin,
+
+    "q19_ann_cosine" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, round(${cosSql("e.v", "q.qv")}, 6) AS score
+         |FROM e CROSS JOIN q WHERE e.vec_id <> 0
+         |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin,
+
+    "q20_knn_join" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id, round(${cosSql("e.v", "q.qv")}, 6) AS score
+         |  FROM e CROSS JOIN q WHERE e.vec_id >= 5),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+         |           FROM scored)
+         |SELECT qid, vec_id, score, CAST(rank AS BIGINT) AS rank FROM ranked
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q21_maxsim" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+         |best AS (
+         |  SELECT e.label, q.qid, max(${cosSql("e.v", "q.qv")}) AS best
+         |  FROM e CROSS JOIN q WHERE e.vec_id >= 3
+         |  GROUP BY e.label, q.qid)
+         |SELECT label, round(sum(best), 4) AS maxsim_score FROM best
+         |GROUP BY label ORDER BY label""".stripMargin,
+
+    "q22_ivf_assign" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT e.vec_id, cent.cid, round(${cosSql("e.v", "cent.cv")}, 6) AS score
+         |  FROM e CROSS JOIN cent WHERE e.vec_id >= 10),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+         |           FROM scored)
+         |SELECT cid AS centroid_id, CAST(count(*) AS BIGINT) AS n FROM ranked
+         |WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin,
+
+    "q23_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT x.vec_id AS a, y.vec_id AS b, round(${cosSql("x.v", "y.v")}, 6) AS score
+         |FROM e x JOIN e y ON x.vec_id < y.vec_id
+         |WHERE round(${cosSql("x.v", "y.v")}, 6) >= 0.45
+         |ORDER BY a, b""".stripMargin,
+
+    "q24_event_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q25_json_filter" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+        |FROM events
+        |WHERE CAST(props ->> '$.k' AS DOUBLE) BETWEEN 10 AND 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q26_topk_users" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY user_id
+        |ORDER BY total DESC, user_id LIMIT 20""".stripMargin,
+
+    "q27_graph_neighbors" ->
+      """SELECT DISTINCT 'out' AS dir, l_partkey AS node FROM lineitem WHERE l_suppkey = 1
+        |UNION ALL
+        |SELECT DISTINCT 'in' AS dir, l_suppkey AS node FROM lineitem WHERE l_partkey = 1
+        |ORDER BY dir, node""".stripMargin,
+
+    "q28_graph_2hop" ->
+      """SELECT DISTINCT o.o_custkey AS node
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_suppkey = 1
+        |ORDER BY node LIMIT 50""".stripMargin,
+
+    "q29_prefix_search" ->
+      """SELECT DISTINCT p_name AS value FROM part WHERE p_name LIKE 'red%'
+        |ORDER BY value LIMIT 10""".stripMargin,
+
+    "q30_rrf_fusion" ->
+      s"""WITH $Bm25Ctes,
+         |kr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm25),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |sem AS (SELECT e.vec_id AS doc_id, round(${cosSql("e.v", "q.qv")}, 6) AS score
+         |        FROM e CROSS JOIN q),
+         |sr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sem),
+         |u AS (SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM kr
+         |      UNION ALL
+         |      SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM sr)
+         |SELECT doc_id, round(sum(contrib), 6) AS rrf, CAST(count(*) AS BIGINT) AS n_sources
+         |FROM u GROUP BY doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q31_combsum_fusion" ->
+      s"""WITH $Bm25Ctes,
+         |kn AS (SELECT doc_id,
+         |         CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
+         |              ELSE (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ()) END
+         |         * 0.7 AS contrib FROM bm25),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |sem AS (SELECT e.vec_id AS doc_id, round(${cosSql("e.v", "q.qv")}, 6) AS score
+         |        FROM e CROSS JOIN q),
+         |sn AS (SELECT doc_id,
+         |         CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
+         |              ELSE (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ()) END
+         |         * 0.3 AS contrib FROM sem),
+         |u AS (SELECT * FROM kn UNION ALL SELECT * FROM sn)
+         |SELECT doc_id, round(sum(contrib), 6) AS fused, CAST(count(*) AS BIGINT) AS n_sources
+         |FROM u GROUP BY doc_id
+         |ORDER BY fused DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q32_highlight" ->
+      s"""WITH $Bm25Ctes,
+         |top AS (SELECT doc_id FROM bm25 ORDER BY score DESC, doc_id LIMIT 5)
+         |SELECT t.doc_id,
+         |  regexp_replace(d.text, '(${QueryTerms.mkString("|")})', '<mark>\\1</mark>', 'g') AS marked
+         |FROM top t JOIN documents d USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Test-table loaders and shared oracle-parity SQL fragments.
+  *
+  * All engine queries read the driver-generated parquet tables under a
+  * scale-factor directory (TESTDATA.md). Loading stays lazy: Parquet
+  * scans get column pruning + predicate pushdown from Catalyst, so each
+  * query only reads what it projects/filters.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events table with `ts` normalized to TimestampType.
+    *
+    * The driver writes `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * only reads with `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+    * Verify/Bench sessions) — as nanos-since-epoch longs. Convert with
+    * integral division (a double round-trip would lose precision above
+    * 2^53 ns).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
+
+  /** documents with the nucliadb-style facet labels column attached:
+    * `/s/p/{lang}` (language facet) and `/u/s/{source}` (origin facet) —
+    * the taxonomy shape from docs/internal/SEARCH.md.
+    */
+  def documentsWithLabels(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents").withColumn("labels",
+      array(concat(lit("/s/p/"), col("lang")),
+        concat(lit("/u/s/"), col("source"))))
+}

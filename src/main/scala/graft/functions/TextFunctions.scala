@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text/tokenization scalar surface of the engine.
+  *
+  * The reference keeps its scalar functions in tokenizer/normalizer code
+  * rather than a SQL function library (see
+  * `nidx/nidx_paragraph/src/query_parser/tokenizer.rs`,
+  * `nidx_relation/src/schema.rs:123-137` normalize/normalize_words).
+  * Here every function is a composition of codegen'd Spark built-ins —
+  * no UDFs — so the whole text pipeline stays inside WholeStageCodegen
+  * and pushes down through Catalyst.
+  */
+object TextFunctions {
+
+  /** Tokenizer regex: split on any non-alphanumeric run. Mirrors the
+    * reference's lowercase+split tokenizer
+    * (`nidx_paragraph/src/query_parser/tokenizer.rs`).
+    */
+  val TokenPattern = "[^a-z0-9]+"
+
+  /** English stop words — analog of
+    * `nidx_paragraph/src/query_parser/stop_words.rs` (trimmed list; the
+    * engine only needs determinism, not linguistic completeness).
+    */
+  val StopWords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "at", "by", "be")
+
+  /** lower + split + drop empties. Pure built-ins → codegen friendly. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), TokenPattern), t => t =!= "")
+
+  /** Unicode-ish normalization for graph node matching
+    * (`nidx_relation/src/schema.rs:123-137`): lowercase + collapse
+    * whitespace. (Accent stripping would use `translate`.)
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Count of tokens that are stop words. */
+  def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => t.isInCollection(StopWords)))
+
+  /** Word n-gram shingles over a token array (1-based slice).
+    * Returns an empty array when the doc is shorter than n.
+    * Used by the dedup family (MinHash / Jaccard), see
+    * [[graft.operators.Dedup]].
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Highlight query terms with <mark>…</mark> — analog of the find
+    * endpoint's highlighting (`search/search/paragraphs.py`). Terms are
+    * regex-escaped by the caller being sane (alnum terms only here).
+    */
+  def highlight(text: Column, terms: Seq[String]): Column =
+    regexp_replace(text, "(" + terms.mkString("|") + ")", "<mark>$1</mark>")
+
+  /** Deterministic document fingerprint: md5 of normalized text.
+    * Exact-dedup key (content hash).
+    */
+  def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
+
+  /** Heuristic quality score for training-data filtering:
+    * lexical diversity (unique/total tokens) scaled by log doc length,
+    * penalized by stop word ratio. Deterministic, built-ins only.
+    */
+  def qualityScore(toks: Column): Column = {
+    val n = size(toks).cast("double")
+    val uniq = size(array_distinct(toks)).cast("double")
+    val stop = stopwordCount(toks).cast("double")
+    (uniq / n) * log(lit(1.0) + n) - lit(0.5) * (stop / n)
+  }
+}

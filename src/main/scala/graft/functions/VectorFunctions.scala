@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector scalar functions over `array<float>` / `array<double>`
+  * columns.
+  *
+  * The reference stores embeddings as packed little-endian f32 blobs and
+  * scores them with dot or cosine similarity
+  * (`nidx/nidx_vector/src/vector_types/dense_f32.rs`, selection at
+  * `nidx_vector/src/config.rs:163-168`). Spark-side we model a vector as
+  * `ArrayType(FloatType)` and compute similarity with higher-order
+  * built-ins (`zip_with` + `aggregate`), keeping everything in the SQL
+  * engine (no UDF serialization). All math is done in double precision —
+  * cast first with [[asDouble]] — so results are reproducible across
+  * engines (important for the DuckDB oracle parity checks).
+  */
+object VectorFunctions {
+
+  /** Cast array<float> → array<double> (promotes each product/sum to
+    * exact double arithmetic; f32×f32 is exact in f64).
+    */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential left-to-right fold — deterministic summation order. */
+  private def sum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    sum(zip_with(a, b, (x, y) => x * y))
+
+  def l2Norm(a: Column): Column = sqrt(sum(transform(a, x => x * x)))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** L2-normalize a vector (reference normalizes on config,
+    * `nidx_vector/src/utils.rs` normalize_vector).
+    */
+  def normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    transform(a, x => x / n)
+  }
+
+  /** Matryoshka dimension truncation
+    * (`search/search/query_parser/fetcher.py:375-395`): keep the first
+    * `dim` components.
+    */
+  def truncateDim(a: Column, dim: Int): Column = slice(a, 1, dim)
+
+  /** 1-bit signature (sign of each component) packed into a bit string —
+    * the RaBitQ-style cheap pre-score companion
+    * (`nidx_vector/src/vector_types/rabitq.rs`): hamming distance over
+    * signatures approximates angular distance; callers rerank the top
+    * candidates with the full-precision [[cosine]].
+    */
+  def signBits(a: Column): Column =
+    concat_ws("", transform(a, x => when(x >= 0, lit("1")).otherwise(lit("0"))))
+}

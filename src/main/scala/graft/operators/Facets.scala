@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Facet counting & hierarchical rollup.
+  *
+  * Reference: tantivy FacetCollector per index
+  * (`nidx/nidx_text/src/reader.rs:389-413`) and the catalog's SQL facet
+  * aggregation with hierarchical child→grandparent rollup
+  * (`nucliadb/src/nucliadb/common/catalog/pg.py:124-138,269-359`).
+  * Spark form: explode the label array, hash-aggregate counts; rollup
+  * via `rollup`/grouping sets. Map-side partial aggregation keeps the
+  * shuffle proportional to |distinct facets|, not |rows|.
+  */
+object Facets {
+
+  /** Count facets under the requested prefixes — explode + filter +
+    * groupBy. `labelsCol` is an `array<string>` of `/a/b/c` paths.
+    */
+  def facetCounts(df: DataFrame, labelsCol: String, prefixes: Seq[String]): DataFrame = {
+    val exploded = df.select(explode(col(labelsCol)).as("facet"))
+    val filtered =
+      if (prefixes.isEmpty) exploded
+      else exploded.where(prefixes.map(p => col("facet").startsWith(p + "/"))
+        .reduce(_ || _))
+    filtered.groupBy("facet").agg(count(lit(1)).as("n"))
+  }
+
+  /** Hierarchical facet rollup over N path levels (grouping-set
+    * aggregation): one pass produces counts at every ancestor depth.
+    */
+  def rollupCounts(df: DataFrame, levelCols: Seq[String]): DataFrame =
+    df.rollup(levelCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-table counters — the `/counters` endpoint analog
+    * (`search/api/v1/knowledgebox.py:77-93`).
+    */
+  def counters(df: DataFrame, sumCol: Option[String], distinctCol: Option[String]): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++
+      sumCol.map(c => sum(col(c)).cast("long").as("sum_" + c)) ++
+      sumCol.map(c => round(avg(col(c)), 4).as("avg_" + c)) ++
+      distinctCol.map(c => countDistinct(col(c)).as("distinct_" + c))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Top-k / pagination operators.
+  *
+  * `orderBy(...).limit(k)` compiles to TakeOrderedAndProject: per-
+  * partition heaps + a driver-side k-way merge — exactly the shape of
+  * the reference's per-segment TopDocs + multi-shard merge
+  * (`nidx_text/src/reader.rs:386-387`,
+  * `nidx/src/searcher/shard_merge.rs:54-100`), with partitions playing
+  * the role of shards. No full sort, no extra shuffle.
+  */
+object TopK {
+
+  /** Deterministic top-k by score with id tiebreak. */
+  def topK(df: DataFrame, scoreCol: String, idCol: String, k: Int): DataFrame =
+    df.orderBy(col(scoreCol).desc, col(idCol).asc).limit(k)
+
+  /** Keyset cursor for deep pagination: strictly-after position in the
+    * (score desc, id asc) total order.
+    */
+  final case class Cursor(score: Double, id: Long)
+
+  /** search_after — keyset pagination
+    * (`nodereader.proto:382-386`, `search/search/search_after.py`).
+    * The reference's cursor is (score, shard_id, docaddr); ours is
+    * (score, stable row key), deterministic across partitions. Unlike
+    * OFFSET pagination this stays O(k) per page at any depth: the
+    * predicate pushes into the scan and the top-k heap never holds more
+    * than k rows.
+    */
+  def searchAfter(
+      df: DataFrame,
+      scoreCol: String,
+      idCol: String,
+      cursor: Cursor,
+      k: Int): DataFrame =
+    topK(
+      df.where(col(scoreCol) < cursor.score ||
+        (col(scoreCol) === cursor.score && col(idCol) > cursor.id)),
+      scoreCol, idCol, k)
+
+  /** Fetch page `page` (1-based) by walking cursors — the driver-side
+    * loop a paginating client performs. Each hop is an O(k) top-k job.
+    */
+  def page(df: DataFrame, scoreCol: String, idCol: String, k: Int, page: Int): DataFrame = {
+    var cur: Option[Cursor] = None
+    var result = topK(df, scoreCol, idCol, k)
+    var p = 1
+    while (p < page) {
+      val last = result.select(col(scoreCol), col(idCol)).collect().lastOption
+      last match {
+        case Some(row) =>
+          cur = Some(Cursor(row.getDouble(0), row.getLong(1)))
+          result = searchAfter(df, scoreCol, idCol, cur.get, k)
+        case None => result = result.limit(0)
+      }
+      p += 1
+    }
+    result
+  }
+
+  /** Suggest: exact-prefix matches ranked by frequency — analog of the
+    * paragraph suggest path (`nidx_paragraph/src/reader.rs:58-90`,
+    * default k=10). `termFreq` is a (term, freq) dictionary table.
+    */
+  def suggestPrefix(termFreq: DataFrame, termCol: String, freqCol: String,
+      prefix: String, k: Int = 10): DataFrame =
+    termFreq.where(col(termCol).startsWith(prefix))
+      .orderBy(col(freqCol).desc, col(termCol).asc)
+      .limit(k)
+
+  /** Exact-then-fuzzy fallback (reference reruns with Levenshtein
+    * automaton distance 1 only when the exact pass is empty,
+    * `nidx_paragraph/src/reader.rs:104-139`). Driver-side adaptive
+    * branch, mirroring the reference's two-pass design.
+    */
+  def suggestWithFuzzyFallback(termFreq: DataFrame, termCol: String,
+      freqCol: String, query: String, k: Int = 10): DataFrame = {
+    val exact = suggestPrefix(termFreq, termCol, freqCol, query, k)
+    if (!exact.isEmpty) exact
+    else termFreq
+      .where(levenshtein(col(termCol), lit(query)) <= 1)
+      .orderBy(col(freqCol).desc, col(termCol).asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Dense-vector retrieval operators.
+  *
+  * The reference's vector index is per-segment HNSW with a brute-force
+  * fallback chosen by a cost model
+  * (`nidx/nidx_vector/src/segment.rs:477-660`). The Spark-first
+  * re-expression: brute-force scoring IS the correctness oracle (and is
+  * embarrassingly parallel — each partition scores its slice, the top-k
+  * merge is TakeOrderedAndProject); the scale path prunes candidates
+  * with IVF-style cluster assignment ([[ivfAssign]]/[[ivfSearch]]) or a
+  * 1-bit signature pre-score ([[signaturePrescore]], RaBitQ analog) —
+  * both reduce the scanned fraction, the same duality the reference's
+  * `use_hnsw` cost model expresses.
+  *
+  * All scores are computed in double precision on broadcast query
+  * vectors; corpus-side data never shuffles for a search — only the
+  * per-partition top-k survivors move.
+  */
+object VectorSearch {
+
+  /** Brute-force top-k cosine for a single query vector (broadcast).
+    * `queries` must be 1 row: (qid, vector). Deterministic cut:
+    * rounded score desc, id asc.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame,
+      queryVecCol: String,
+      k: Int,
+      minScore: Double = -1.0): DataFrame =
+    corpus.crossJoin(broadcast(query.select(col(queryVecCol).as("__qv"))))
+      .withColumn("score",
+        round(cosine(asDouble(col(vecCol)), asDouble(col("__qv"))), 6))
+      .where(col("score") >= minScore)
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Batch kNN join: top-k corpus neighbors per query row.
+    * Broadcast the (small) query set; rank per-query with a window.
+    */
+  def knnJoin(
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(
+        broadcast(queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"))))
+      .withColumn("score",
+        round(cosine(asDouble(col(vecCol)), asDouble(col("__qv"))), 6))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__qid").as(qidCol), col(idCol), col("score"), col("rank"))
+  }
+
+  /** Multi-vector MaxSim (ColBERT-style,
+    * `nidx_vector/src/searcher.rs:345-394`, `multivector.rs`):
+    * score(group) = Σ_q max_{v∈group} cos(q, v). `groupCol` identifies
+    * the multi-vector document.
+    */
+  def maxSim(
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      corpus: DataFrame,
+      groupCol: String,
+      vecCol: String): DataFrame =
+    corpus.crossJoin(
+        broadcast(queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"))))
+      .withColumn("score", cosine(asDouble(col(vecCol)), asDouble(col("__qv"))))
+      .groupBy(col(groupCol), col("__qid"))
+      .agg(max(col("score")).as("best"))
+      .groupBy(col(groupCol))
+      .agg(round(sum(col("best")), 4).as("maxsim_score"))
+
+  /** IVF cluster assignment: nearest centroid per vector (argmax cosine,
+    * centroid-id tiebreak). At scale this becomes the partitioning
+    * column — searches then scan only the `nprobe` nearest clusters.
+    */
+  def ivfAssign(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      cidCol: String,
+      cvecCol: String): DataFrame = {
+    val scored = corpus.crossJoin(
+        broadcast(centroids.select(col(cidCol).as("__cid"), col(cvecCol).as("__cv"))))
+      .withColumn("score",
+        round(cosine(asDouble(col(vecCol)), asDouble(col("__cv"))), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("__cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") === 1)
+      .select(col(idCol), col("__cid").as("centroid_id"), col("score"))
+  }
+
+  /** RaBitQ-style two-pass: cheap 1-bit signature hamming pre-score over
+    * everything, full-precision rerank of the top `rerank` candidates
+    * (`nidx_vector/src/vector_types/rabitq.rs:25-40`, rerank factor 100,
+    * limit 2000).
+    */
+  def signaturePrescore(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame,
+      queryVecCol: String,
+      k: Int,
+      rerank: Int = 2000): DataFrame = {
+    val withSig = corpus.withColumn("__sig", signBits(col(vecCol)))
+    val q = broadcast(query.select(
+      col(queryVecCol).as("__qv"),
+      signBits(col(queryVecCol)).as("__qsig")))
+    val candidates = withSig.crossJoin(q)
+      .withColumn("__ham",
+        size(filter(zip_with(split(col("__sig"), ""), split(col("__qsig"), ""),
+          (a, b) => a =!= b), x => x)))
+      .orderBy(col("__ham").asc, col(idCol).asc)
+      .limit(rerank)
+    candidates
+      .withColumn("score",
+        round(cosine(asDouble(col(vecCol)), asDouble(col("__qv"))), 6))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+}
