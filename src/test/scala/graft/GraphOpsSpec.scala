@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraphOps
+
+/** Mirrors the reference's people_and_places graph fixture semantics
+  * (FIXTURES.md; `nidx/tests/integration/search_relations.rs`).
+  */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val edges = Seq(
+    ("Anastasia", "LIVE_IN", "Barcelona"),
+    ("Anna", "LIVE_IN", "Berlin"),
+    ("Apollo", "BORN_IN", "Olympus"),
+    ("Anna", "IS_FRIEND", "Anastasia"),
+    ("Rosa Parks", "BORN_IN", "Tuskegee"))
+    .toDF("src", "rel", "dst")
+
+  test("neighbors returns both directions tagged") {
+    val got = GraphOps.neighbors(edges, "src", "dst", "Anastasia")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("out", "Barcelona"), ("in", "Anna")))
+  }
+
+  test("fuzzy node match at distance 1-2 (Anastas ~ Anastasia at 2)") {
+    val nodes = edges.select(col("src").as("v")).distinct()
+    assert(nodes.where(GraphOps.fuzzyMatch(col("v"), "Anastas", 2))
+      .collect().map(_.getString(0)).toSet == Set("Anastasia"))
+    assert(nodes.where(GraphOps.fuzzyMatch(col("v"), "Ana", 1))
+      .collect().map(_.getString(0)).toSet == Set("Anna"))
+  }
+
+  test("prefix and words match") {
+    val nodes = edges.select(col("src").as("v")).distinct()
+    assert(nodes.where(GraphOps.prefixMatch(col("v"), "An"))
+      .collect().map(_.getString(0)).toSet == Set("Anastasia", "Anna"))
+    assert(nodes.where(GraphOps.wordsMatch(col("v"), "parks"))
+      .collect().map(_.getString(0)).toSet == Set("Rosa Parks"))
+  }
+
+  test("twoHop traverses via bridge with dedup and limit") {
+    val e1 = Seq(("s1", "o1"), ("s1", "o2")).toDF("src", "dst")
+    val e2 = Seq(("o1", "c1"), ("o2", "c1"), ("o2", "c2")).toDF("src", "dst")
+    val got = GraphOps.twoHop(e1, "src", "dst", e2, "src", "dst", "s1", 10)
+      .collect().map(_.getString(0))
+    assert(got.sameElements(Array("c1", "c2")))
+  }
+}

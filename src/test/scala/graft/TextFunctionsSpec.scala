@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens lowercases, splits on non-alnum, drops empties") {
+    val out = Seq("The quick, brown FOX!  ").toDF("text")
+      .select(tokens(col("text"))).as[Seq[String]].head()
+    assert(out == Seq("the", "quick", "brown", "fox"))
+  }
+
+  test("shingles produce n-grams; short docs yield empty") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(shingles(tokens(col("text")), 3)).as[Seq[String]].collect()
+    assert(df(0) == Seq("a b c", "b c d"))
+    assert(df(1).isEmpty)
+  }
+
+  test("normalize collapses whitespace and lowercases") {
+    val out = Seq("  Foo   BAR\tbaz ").toDF("t")
+      .select(normalize(col("t"))).as[String].head()
+    assert(out == "foo bar baz")
+  }
+
+  test("highlight wraps terms in <mark>") {
+    val out = Seq("spark runs a query fast").toDF("t")
+      .select(highlight(col("t"), Seq("spark", "query"))).as[String].head()
+    assert(out == "<mark>spark</mark> runs a <mark>query</mark> fast")
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val fps = Seq("Hello  World", "hello world", "hello worlds").toDF("t")
+      .select(fingerprint(col("t"))).as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("quality score favors diverse non-stopword text") {
+    val rows = Seq(
+      ("diverse", "alpha beta gamma delta epsilon zeta"),
+      ("repetitive", "alpha alpha alpha alpha alpha alpha"),
+      ("stopwordy", "the a an and or of the a an and")).toDF("id", "text")
+    val scored = rows.select(col("id"),
+        qualityScore(tokens(col("text"))).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scored("diverse") > scored("repetitive"))
+    assert(scored("diverse") > scored("stopwordy"))
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.TopK
+
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = (1L to 100L).map(i => (i, (i % 10).toDouble)).toDF("id", "score")
+
+  test("searchAfter pages are disjoint and union to the global top-N") {
+    val p1 = TopK.topK(df, "score", "id", 10).collect()
+    val last = p1.last
+    val p2 = TopK.searchAfter(df, "score", "id",
+      TopK.Cursor(last.getDouble(1), last.getLong(0)), 10).collect()
+    val all = (p1 ++ p2).map(_.getLong(0))
+    assert(all.distinct.length == 20)
+    // identical to a single top-20
+    val top20 = TopK.topK(df, "score", "id", 20).collect().map(_.getLong(0))
+    assert(all.sameElements(top20))
+  }
+
+  test("page walks cursors to the requested page") {
+    val p3 = TopK.page(df, "score", "id", k = 10, page = 3).collect().map(_.getLong(0))
+    val top30 = TopK.topK(df, "score", "id", 30).collect().map(_.getLong(0))
+    assert(p3.sameElements(top30.drop(20)))
+  }
+
+  test("suggest falls back to fuzzy when exact prefix is empty") {
+    val terms = Seq(("spark", 10L), ("spars", 4L), ("flink", 2L)).toDF("term", "freq")
+    val exact = TopK.suggestWithFuzzyFallback(terms, "term", "freq", "spar", 5)
+      .collect().map(_.getString(0))
+    assert(exact.sameElements(Array("spark", "spars"))) // prefix hit
+    val fuzzy = TopK.suggestWithFuzzyFallback(terms, "term", "freq", "spurk", 5)
+      .collect().map(_.getString(0))
+    assert(fuzzy.sameElements(Array("spark"))) // levenshtein 1
+  }
+}
