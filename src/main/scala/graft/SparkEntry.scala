@@ -332,6 +332,108 @@ object SparkEntry {
         .select(col("doc_id"),
           TextFunctions.highlight(col("text"), QueryTerms).as("marked"))
         .orderBy("doc_id")
+    }),
+
+    // §2.1 ingest: paragraph splitting (brain_v2 analog)
+    "q33_paragraph_split" -> ((s, dir) =>
+      graft.sources.Ingest.splitParagraphs(
+          load(s, dir, "documents").where(col("doc_id") < 50), "doc_id", "text")
+        .select("paragraph_id", "n_tokens")
+        .orderBy("paragraph_id")),
+
+    // §2.3 keyword paragraph search (retrieval unit = paragraph)
+    "q34_paragraph_search" -> ((s, dir) => {
+      val par = graft.sources.Ingest.splitParagraphs(
+        load(s, dir, "documents"), "doc_id", "text")
+      par.withColumn("score",
+          size(filter(TextFunctions.tokens(col("p_text")),
+            t => t.isInCollection(QueryTerms))).cast("long"))
+        .where(col("score") > 0)
+        .select("paragraph_id", "score")
+        .orderBy(col("score").desc, col("paragraph_id").asc)
+        .limit(20)
+    }),
+
+    // §2.2 prefilter: field-level filter pushed into paragraph search
+    "q35_prefilter_find" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val allowed = docs.where(FilterExpr.compile(FilterExpr.And(Seq(
+        FilterExpr.Eq("lang", "en"),
+        FilterExpr.NumRange("n_chars", Some(200), Some(500))))))
+      val par = graft.sources.Ingest.splitParagraphs(docs, "doc_id", "text")
+      Prefilter.semiJoin(par, "doc_id", allowed)
+        .where(array_contains(TextFunctions.tokens(col("p_text")), "vector"))
+        .select("paragraph_id")
+        .orderBy("paragraph_id")
+    }),
+
+    // §2.2 security filter: public OR overlapping access groups
+    "q36_security_filter" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").withColumn("security_groups",
+        when(col("source").isin("src0", "src1", "src2"), array(lit("restricted")))
+          .when(col("source").isin("src3", "src4", "src5"), array(lit("internal")))
+          .otherwise(array().cast("array<string>")))
+      docs.where(FilterExpr.compile(FilterExpr.Security(Seq("restricted"))))
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+
+    // §2.9 incremental semantics: gap-based sessionization (batch mirror)
+    "q37_sessionize" -> ((s, dir) =>
+      Sessions.sessionCounts(
+          Tables.events(s, dir).where(col("user_id") < 50),
+          "user_id", "ts", "event_id", gapSeconds = 1800)
+        .orderBy("user_id")),
+
+    // training-data ops: SimHash near-dup pairs (32-bit signatures;
+    // scoped to a doc subset — the shared synthetic vocabulary makes
+    // whole-corpus signatures collapse)
+    "q38_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(
+          load(s, dir, "documents").where(col("doc_id") < 100),
+          "doc_id", "text", bits = 32, maxDist = 1)
+        .orderBy("a", "b")),
+
+    // training-data ops: heuristic language identification
+    "q39_langid" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .withColumn("predicted", TextFunctions.langId(TextFunctions.tokens(col("text"))))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")),
+
+    // §2.8 synonym query expansion (query-side rewrite)
+    "q40_synonyms" -> ((s, dir) => {
+      val expanded = Synonyms.expand(Seq("fast"),
+        Map("fast" -> Seq("quick", "rapid")))
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(filter(TextFunctions.tokens(col("text")),
+            t => t.isInCollection(expanded))).cast("long").as("score"))
+        .where(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // §2.8 matryoshka truncation: ANN on the first 16 dimensions
+    "q41_matryoshka" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+        .withColumn("v16", VectorFunctions.truncateDim(col("embedding"), 16))
+      VectorSearch.bruteForceTopK(
+        emb.where(col("vec_id") =!= 0), "vec_id", "v16",
+        emb.where(col("vec_id") === 0), "v16", k = 10)
+    }),
+
+    // §2.3 semantic search with min_score threshold (full-corpus cut)
+    "q42_semantic_minscore" -> ((s, dir) => {
+      import VectorFunctions._
+      val emb = load(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding").as("__qv"))
+      emb.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("score",
+          round(cosine(asDouble(col("embedding")), asDouble(col("__qv"))), 6))
+        .where(col("score") >= 0.35)
+        .agg(count(lit(1)).as("n"), round(avg("score"), 6).as("avg_score"))
     })
   )
 
@@ -369,6 +471,28 @@ object SparkEntry {
        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
        |       FROM toks CROSS JOIN (SELECT unnest(range(1, 2000)) AS i) ix
        |       WHERE i <= len(t) - 2)""".stripMargin
+
+  /** Paragraph-split CTE chain (20-token windows, reference id format) —
+    * must match [[graft.sources.Ingest.splitParagraphs]]. */
+  private val ParCtes =
+    s"""toksd AS (SELECT doc_id, $Tok AS t FROM documents),
+       |chunks AS (SELECT doc_id, t, i AS c
+       |           FROM toksd CROSS JOIN (SELECT unnest(range(200)) AS i) ix
+       |           WHERE len(t) > 0 AND i < ceil(len(t) / 20.0)),
+       |par AS (SELECT doc_id, t, c * 20 AS s, least(len(t), c * 20 + 20) AS e,
+       |        CAST(doc_id AS VARCHAR) || '/t/body/' || CAST(c * 20 AS VARCHAR) || '-' ||
+       |          CAST(least(len(t), c * 20 + 20) AS VARCHAR) AS paragraph_id
+       |        FROM chunks)""".stripMargin
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val LangCases = {
+    val Seq(en, es, de) = TextFunctions.LangProfiles.map(p => sqlList(p._2))
+    s"""sc AS (SELECT doc_id, lang,
+       |  len(list_filter($Tok, x -> list_contains($en, x))) AS s_en,
+       |  len(list_filter($Tok, x -> list_contains($es, x))) AS s_es,
+       |  len(list_filter($Tok, x -> list_contains($de, x))) AS s_de
+       |  FROM documents)""".stripMargin
+  }
 
   /** cosine over DOUBLE[] lists (shared by vector oracles). */
   private def cosSql(a: String, b: String): String =
@@ -644,6 +768,97 @@ object SparkEntry {
          |SELECT t.doc_id,
          |  regexp_replace(d.text, '(${QueryTerms.mkString("|")})', '<mark>\\1</mark>', 'g') AS marked
          |FROM top t JOIN documents d USING (doc_id)
-         |ORDER BY t.doc_id""".stripMargin
+         |ORDER BY t.doc_id""".stripMargin,
+
+    "q33_paragraph_split" ->
+      s"""WITH $ParCtes
+         |SELECT paragraph_id, CAST(e - s AS BIGINT) AS n_tokens FROM par
+         |WHERE doc_id < 50 ORDER BY paragraph_id""".stripMargin,
+
+    "q34_paragraph_search" ->
+      s"""WITH $ParCtes
+         |SELECT paragraph_id,
+         |  CAST(len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) AS BIGINT) AS score
+         |FROM par
+         |WHERE len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) > 0
+         |ORDER BY score DESC, paragraph_id LIMIT 20""".stripMargin,
+
+    "q35_prefilter_find" ->
+      s"""WITH $ParCtes
+         |SELECT paragraph_id FROM par
+         |WHERE doc_id IN (SELECT doc_id FROM documents
+         |                 WHERE lang = 'en' AND n_chars BETWEEN 200 AND 500)
+         |  AND list_contains(t[s+1:e], 'vector')
+         |ORDER BY paragraph_id""".stripMargin,
+
+    "q36_security_filter" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+        |WHERE source NOT IN ('src3', 'src4', 'src5')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q37_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE user_id < 50),
+        |n AS (SELECT user_id,
+        |        CASE WHEN prev IS NULL
+        |               OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+        |             THEN 1 ELSE 0 END AS nw
+        |      FROM o)
+        |SELECT user_id, CAST(sum(nw) AS BIGINT) AS n_sessions,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM n GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q38_simhash" ->
+      s"""WITH terms AS (SELECT DISTINCT doc_id, term
+         |  FROM (SELECT doc_id, unnest($Tok) AS term FROM documents WHERE doc_id < 100)),
+         |th AS (SELECT doc_id, md5(term) AS h FROM terms),
+         |votes AS (SELECT doc_id, b,
+         |            sum(CASE WHEN substring(h, b, 1) IN ('8','9','a','b','c','d','e','f')
+         |                     THEN 1 ELSE -1 END) AS s
+         |          FROM th CROSS JOIN (SELECT unnest(range(1, 33)) AS b) pos
+         |          GROUP BY doc_id, b),
+         |sig AS (SELECT doc_id,
+         |          string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+         |        FROM votes GROUP BY doc_id),
+         |ham AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |          sum(CASE WHEN substring(x.simhash, p, 1) <> substring(y.simhash, p, 1)
+         |                   THEN 1 ELSE 0 END) AS hamming
+         |        FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+         |        CROSS JOIN (SELECT unnest(range(1, 33)) AS p) ps
+         |        GROUP BY x.doc_id, y.doc_id)
+         |SELECT a, b, CAST(hamming AS BIGINT) AS hamming FROM ham
+         |WHERE hamming <= 1 ORDER BY a, b""".stripMargin,
+
+    "q39_langid" ->
+      s"""WITH $LangCases
+         |SELECT lang,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+         |       WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS predicted,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q40_synonyms" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter($Tok, x -> list_contains(['fast', 'quick', 'rapid'], x))) AS BIGINT) AS score
+         |FROM documents
+         |WHERE len(list_filter($Tok, x -> list_contains(['fast', 'quick', 'rapid'], x))) > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q41_matryoshka" ->
+      s"""WITH e AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, round(${cosSql("e.v", "q.qv")}, 6) AS score
+         |FROM e CROSS JOIN q WHERE e.vec_id <> 0
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "q42_semantic_minscore" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |scored AS (SELECT e.vec_id, round(${cosSql("e.v", "q.qv")}, 6) AS score
+         |           FROM e CROSS JOIN q WHERE e.vec_id <> 0)
+         |SELECT CAST(count(*) AS BIGINT) AS n, round(avg(score), 6) AS avg_score
+         |FROM scored WHERE score >= 0.35""".stripMargin
   )
 }

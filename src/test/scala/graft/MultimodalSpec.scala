@@ -1,0 +1,30 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.MediaRow
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val media = Seq(
+    MediaRow("r1", "image/png", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10)),
+    MediaRow("r2", "audio/wav", Array.fill[Byte](100)(42))).toDS()
+
+  test("featurize preserves schema and emits fixed-width embeddings deterministically") {
+    val out = Multimodal.featurize(media).collect().sortBy(_.rid)
+    assert(out.map(_.rid).sameElements(Array("r1", "r2")))
+    assert(out.forall(_.embedding.length == Multimodal.FakeDecoder.Dim))
+    assert(out(0).n_bytes == 10 && out(1).n_bytes == 100)
+    // deterministic: same input → same embedding
+    val again = Multimodal.featurize(media).collect().sortBy(_.rid)
+    assert(out(0).embedding.sameElements(again(0).embedding))
+  }
+
+  test("sampleFrames emits n evenly-spaced frames with stable indices") {
+    val frames = Multimodal.sampleFrames(media, 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getAs[Array[Byte]](2)))
+    val r2 = frames.filter(_._1 == "r2")
+    assert(r2.map(_._2).sorted.sameElements(Array(0, 1, 2, 3)))
+    assert(r2.forall(_._3.length == 25)) // 100 bytes / 4 frames
+  }
+}
