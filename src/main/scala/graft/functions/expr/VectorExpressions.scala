@@ -1,0 +1,82 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst dot product over `array<float|double>` columns.
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(...))`)
+  * is interpreted per element — measured ~20× slower on the pairwise
+  * near-dup scan. This expression participates in whole-stage codegen:
+  * the generated Java is a tight primitive loop over the two
+  * `ArrayData` buffers (no per-element lambda dispatch, no intermediate
+  * array). Float inputs are widened to double inside the loop (f32×f32
+  * is exact in f64), and summation is sequential left-to-right — the
+  * same order as the HOF fold and the DuckDB oracle, so scores stay
+  * bit-identical.
+  *
+  * Null handling: null array → null (nullIntolerant); null *elements*
+  * are not supported (embeddings are dense by construction).
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left).isDefined && elemType(right).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> inputs, got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+  @inline private def getD(a: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType => a.getFloat(i).toDouble
+    case _ => a.getDouble(i)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (lt, rt) = (elemType(left).get, elemType(right).get)
+    val n = math.min(a.numElements(), b.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) { sum += getD(a, i, lt) * getD(b, i, rt); i += 1 }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      def getter(v: String, i: String, t: DataType) = t match {
+        case FloatType => s"(double) $v.getFloat($i)"
+        case _ => s"$v.getDouble($i)"
+      }
+      val (lt, rt) = (elemType(left).get, elemType(right).get)
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += ${getter(a, i, lt)} * ${getter(b, i, rt)};
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}

@@ -38,18 +38,19 @@ object Dedup {
     docs.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signature rows: (docId, i, h) for i in 0..numHashes-1 where
-    * h = min over shingles of md5(i || '|' || shingle) (hex string;
-    * lexicographic min is a valid uniform minhash order).
+  /** MinHash signature table: one row per doc with `numHashes` columns
+    * h0..h{n-1}, where h_i = min over shingles of md5(i || '|' ||
+    * shingle) (hex string; lexicographic min is a valid uniform minhash
+    * order). All hash functions are evaluated in ONE pass over the
+    * shingle rows (wide projection + single hash aggregation) — no
+    * numHashes-fold row blowup, one shuffle keyed by doc id.
     */
-  def minHashes(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    val hashIdx = broadcast(
-      shingles.sparkSession.range(numHashes).select(col("id").cast("int").as("i")))
-    shingles.crossJoin(hashIdx)
-      .withColumn("h",
-        md5(concat(col("i").cast("string"), lit("|"), col("shingle")).cast("binary")))
-      .groupBy(col(idCol), col("i"))
-      .agg(min(col("h")).as("h"))
+  def minHashSignatures(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val hashed = shingles.select(
+      col(idCol) +: (0 until numHashes).map(i =>
+        md5(concat(lit(s"$i|"), col("shingle")).cast("binary")).as(s"h$i")): _*)
+    val aggs = (0 until numHashes).map(i => min(col(s"h$i")).as(s"h$i"))
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Candidate pairs sharing ≥1 LSH band (band = concat of `bandSize`
@@ -66,24 +67,31 @@ object Dedup {
       bandSize: Int = 2,
       minEstJaccard: Double = 0.5): DataFrame = {
     val sh = shingleSet(docs, idCol, textCol, shingleSize)
-    val mh = minHashes(sh, idCol, numHashes).cache()
-    // band value: concat of the hashes in each band, in i order
-    val bands = mh.withColumn("band", floor(col("i") / bandSize))
-      .groupBy(col(idCol), col("band"))
-      .agg(concat_ws("", sort_array(collect_list(struct(col("i"), col("h"))))
-        .getField("h")).as("bv"))
-    val a = bands.select(col(idCol).as("a"), col("band"), col("bv"))
-    val b = bands.select(col(idCol).as("b"), col("band"), col("bv"))
-    val candidates = a.join(b, Seq("band", "bv")).where(col("a") < col("b"))
+    val sig = minHashSignatures(sh, idCol, numHashes).cache()
+    // explode signature into (id, band, bv) rows; bucket-join on band value
+    val nBands = numHashes / bandSize
+    val bandCols = (0 until nBands).map { bi =>
+      struct(lit(bi).as("band"),
+        concat((0 until bandSize).map(j => col(s"h${bi * bandSize + j}")): _*).as("bv"))
+    }
+    val bands = sig.select(col(idCol), explode(array(bandCols: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.bv").as("bv"))
+    val candidates = bands.select(col(idCol).as("a"), col("band"), col("bv"))
+      .join(bands.select(col(idCol).as("b"), col("band"), col("bv")), Seq("band", "bv"))
+      .where(col("a") < col("b"))
       .select("a", "b").distinct()
-    // estimate: fraction of matching signature components
-    val ha = mh.select(col(idCol).as("a"), col("i"), col("h").as("ha"))
-    val hb = mh.select(col(idCol).as("b"), col("i"), col("h").as("hb"))
-    candidates.join(ha, "a").join(hb, Seq("b", "i"))
-      .groupBy("a", "b")
-      .agg(round(sum(when(col("ha") === col("hb"), 1).otherwise(0)) /
-        lit(numHashes.toDouble), 4).as("est_jaccard"))
+    // estimate from the signature columns directly (two narrow joins)
+    val sa = sig.select(col(idCol).as("a") +:
+      (0 until numHashes).map(i => col(s"h$i").as(s"a_h$i")): _*)
+    val sb = sig.select(col(idCol).as("b") +:
+      (0 until numHashes).map(i => col(s"h$i").as(s"b_h$i")): _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    candidates.join(sa, "a").join(sb, "b")
+      .withColumn("est_jaccard", round(matches / lit(numHashes.toDouble), 4))
       .where(col("est_jaccard") >= minEstJaccard)
+      .select("a", "b", "est_jaccard")
   }
 
   /** Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle
@@ -168,7 +176,7 @@ object Dedup {
     val a = vectors.select(col(idCol).as("a"), col(vecCol).as("va"))
     val b = vectors.select(col(idCol).as("b"), col(vecCol).as("vb"))
     a.crossJoin(b).where(col("a") < col("b"))
-      .withColumn("score", round(cosine(asDouble(col("va")), asDouble(col("vb"))), 6))
+      .withColumn("score", round(cosine(col("va"), col("vb")), 6))
       .where(col("score") >= threshold)
       .select("a", "b", "score")
   }

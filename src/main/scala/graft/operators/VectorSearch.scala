@@ -39,7 +39,7 @@ object VectorSearch {
       minScore: Double = -1.0): DataFrame =
     corpus.crossJoin(broadcast(query.select(col(queryVecCol).as("__qv"))))
       .withColumn("score",
-        round(cosine(asDouble(col(vecCol)), asDouble(col("__qv"))), 6))
+        round(cosine(col(vecCol), col("__qv")), 6))
       .where(col("score") >= minScore)
       .select(col(idCol), col("score"))
       .orderBy(col("score").desc, col(idCol).asc)
@@ -59,7 +59,7 @@ object VectorSearch {
     val scored = corpus.crossJoin(
         broadcast(queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"))))
       .withColumn("score",
-        round(cosine(asDouble(col(vecCol)), asDouble(col("__qv"))), 6))
+        round(cosine(col(vecCol), col("__qv")), 6))
     val w = Window.partitionBy(col("__qid"))
       .orderBy(col("score").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))
@@ -81,7 +81,7 @@ object VectorSearch {
       vecCol: String): DataFrame =
     corpus.crossJoin(
         broadcast(queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"))))
-      .withColumn("score", cosine(asDouble(col(vecCol)), asDouble(col("__qv"))))
+      .withColumn("score", cosine(col(vecCol), col("__qv")))
       .groupBy(col(groupCol), col("__qid"))
       .agg(max(col("score")).as("best"))
       .groupBy(col(groupCol))
@@ -101,7 +101,7 @@ object VectorSearch {
     val scored = corpus.crossJoin(
         broadcast(centroids.select(col(cidCol).as("__cid"), col(cvecCol).as("__cv"))))
       .withColumn("score",
-        round(cosine(asDouble(col(vecCol)), asDouble(col("__cv"))), 6))
+        round(cosine(col(vecCol), col("__cv")), 6))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("__cid").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -134,7 +134,7 @@ object VectorSearch {
       .limit(rerank)
     candidates
       .withColumn("score",
-        round(cosine(asDouble(col(vecCol)), asDouble(col("__qv"))), 6))
+        round(cosine(col(vecCol), col("__qv")), 6))
       .select(col(idCol), col("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
