@@ -423,6 +423,55 @@ object SparkEntry {
         emb.where(col("vec_id") === 0), "v16", k = 10)
     }),
 
+    // §2.5 suggest with exact-then-fuzzy fallback (adaptive two-pass)
+    "q43_suggest_fuzzy" -> ((s, dir) => {
+      val termFreq = Bm25.tokenStream(load(s, dir, "documents"), "doc_id", "text")
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+      TopK.suggestWithFuzzyFallback(termFreq, "term", "freq", "windoq", 10)
+    }),
+
+    // §2.6 drop identical vectors (with_duplicates=false analog)
+    "q44_vector_dedup" -> ((s, dir) =>
+      load(s, dir, "embeddings")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("embedding")).as("n_distinct"))),
+
+    // §2.7 PredictReranker shape: fuse → window → model re-score → cut
+    "q45_rerank" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val kw = Bm25.score(docs, "doc_id", "text", QueryTerms)
+        .withColumn("score", round(col("score"), 4))
+      val sem = semanticList(load(s, dir, "embeddings"), qid = 0)
+      val fused = RankFusion.rrf(Seq(("keyword", kw, 1.0), ("semantic", sem, 1.0)),
+          "doc_id", "score")
+        .select(col("doc_id"), round(col("rrf_score"), 6).as("fscore"))
+      Rerankers.predict(fused, "fscore", "doc_id", docs, "text", QueryTerms, topK = 20)
+    }),
+
+    // §2.3 graph semantic node match: vector top-k → node set → edges
+    "q46_graph_semantic" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      val topNodes = VectorSearch.bruteForceTopK(
+        emb.where(col("vec_id") > 0 && col("vec_id") < 10), "vec_id", "embedding",
+        emb.where(col("vec_id") === 0), "embedding", k = 3)
+      load(s, dir, "lineitem")
+        .join(broadcast(topNodes.select(col("vec_id").as("l_suppkey"))), "l_suppkey")
+        .select(col("l_suppkey"), col("l_partkey")).distinct()
+        .orderBy("l_suppkey", "l_partkey")
+        .limit(100)
+    }),
+
+    // §2.3 relation BFS with NOT-clause exclusions (anti-join)
+    "q47_graph_bfs_excl" -> ((s, dir) => {
+      val li = load(s, dir, "lineitem")
+      val hop = GraphOps.neighbors(li.select("l_suppkey", "l_partkey"),
+        "l_suppkey", "l_partkey", node = 1L).where(col("dir") === "out")
+      val excluded = li.where(col("l_suppkey") === 2)
+        .select(col("l_partkey").as("node"))
+      Prefilter.antiJoin(hop, "node", excluded)
+        .select("node").orderBy("node")
+    }),
+
     // §2.3 semantic search with min_score threshold (full-corpus cut)
     "q42_semantic_minscore" -> ((s, dir) => {
       import VectorFunctions._
@@ -852,6 +901,52 @@ object SparkEntry {
          |SELECT e.vec_id, round(${cosSql("e.v", "q.qv")}, 6) AS score
          |FROM e CROSS JOIN q WHERE e.vec_id <> 0
          |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "q43_suggest_fuzzy" ->
+      s"""WITH $TokCte,
+         |tfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term)
+         |SELECT term, freq FROM tfreq WHERE levenshtein(term, 'windoq') <= 1
+         |ORDER BY freq DESC, term LIMIT 10""".stripMargin,
+
+    "q44_vector_dedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT embedding) AS BIGINT) AS n_distinct
+        |FROM embeddings""".stripMargin,
+
+    "q45_rerank" ->
+      s"""WITH $Bm25Ctes,
+         |kr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm25),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |sem AS (SELECT e.vec_id AS doc_id, round(${cosSql("e.v", "q.qv")}, 6) AS score
+         |        FROM e CROSS JOIN q),
+         |sr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sem),
+         |u AS (SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM kr
+         |      UNION ALL SELECT doc_id, 1.0 / (60 + rank) FROM sr),
+         |fused AS (SELECT doc_id, round(sum(contrib), 6) AS fscore FROM u GROUP BY doc_id),
+         |win AS (SELECT doc_id FROM fused ORDER BY fscore DESC, doc_id LIMIT 40),
+         |scored AS (SELECT w.doc_id,
+         |             len(list_filter(list_distinct($Tok), x -> list_contains(${sqlList(QueryTerms)}, x))) AS inter,
+         |             len(list_distinct($Tok)) AS uniq
+         |           FROM win w JOIN documents d ON w.doc_id = d.doc_id)
+         |SELECT doc_id, round(inter / CAST(${QueryTerms.size} + uniq - inter AS DOUBLE), 6) AS rerank_score
+         |FROM scored ORDER BY rerank_score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q46_graph_semantic" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |topn AS (SELECT e.vec_id, round(${cosSql("e.v", "q.qv")}, 6) AS score
+         |         FROM e CROSS JOIN q WHERE e.vec_id > 0 AND e.vec_id < 10
+         |         ORDER BY score DESC, e.vec_id LIMIT 3)
+         |SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+         |WHERE l_suppkey IN (SELECT vec_id FROM topn)
+         |ORDER BY l_suppkey, l_partkey LIMIT 100""".stripMargin,
+
+    "q47_graph_bfs_excl" ->
+      """SELECT node FROM (
+        |  SELECT DISTINCT l_partkey AS node FROM lineitem WHERE l_suppkey = 1)
+        |WHERE node NOT IN (SELECT DISTINCT l_partkey FROM lineitem WHERE l_suppkey = 2)
+        |ORDER BY node""".stripMargin,
 
     "q42_semantic_minscore" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -61,6 +61,17 @@ object Ingest {
   def exportTrainset(df: DataFrame, outDir: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(outDir)
 
+  /** Streaming full-index scan in fixed batches — the BatchProducer
+    * analog (`nidx_text/src/reader.rs:657-707`, batch size 1000). The
+    * DataFrame is consumed incrementally partition-by-partition
+    * (`toLocalIterator` never materializes the full result on the
+    * driver).
+    */
+  def streamScan(df: DataFrame, batchSize: Int = 1000): Iterator[Seq[org.apache.spark.sql.Row]] = {
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala.grouped(batchSize)
+  }
+
   /** Segment compaction (`nidx/src/scheduler.rs`/`worker.rs` analog):
     * rewrite a table directory into `numFiles` right-sized files.
     */

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.Ingest
+import graft.operators.Rerankers
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, (1 to 45).map(i => s"w$i").mkString(" ")), // 45 tokens → 3 paragraphs
+    (2L, "just five little words here"),
+    (3L, "")) // empty → no paragraphs
+    .toDF("doc_id", "text")
+
+  test("splitParagraphs chunks by token windows with reference-style ids") {
+    val par = Ingest.splitParagraphs(docs, "doc_id", "text", parTokens = 20)
+      .collect().map(r => (r.getString(1), r.getLong(4)))
+    val ids = par.map(_._1).sorted
+    assert(ids.sameElements(Array(
+      "1/t/body/0-20", "1/t/body/20-40", "1/t/body/40-45", "2/t/body/0-5")))
+    assert(par.toMap.apply("1/t/body/40-45") == 5)
+  }
+
+  test("paragraph text is the exact token slice") {
+    val p = Ingest.splitParagraphs(docs, "doc_id", "text", parTokens = 20)
+      .where(col("paragraph_id") === "1/t/body/20-40")
+      .select("p_text").as[String].head()
+    assert(p == (21 to 40).map(i => s"w$i").mkString(" "))
+  }
+
+  test("termPostings aggregates tf per (term, doc)") {
+    val tp = Ingest.termPostings(Seq((1L, "a b a")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(tp == Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("trainset export writes hive-partitioned parquet; compact resizes files") {
+    val out = Files.createTempDirectory("graft-train").toString
+    Ingest.exportTrainset(
+      docs.withColumn("task", lit("field_classification")), out, "task")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3 && back.columns.contains("task"))
+
+    val compacted = Files.createTempDirectory("graft-compact").toString
+    Ingest.compact(spark, out, compacted, numFiles = 1)
+    assert(spark.read.parquet(compacted).count() == 3)
+    val files = new java.io.File(compacted).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1)
+  }
+
+  test("predict reranker rescales the fused window by model score") {
+    val fused = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7)).toDF("id", "fscore")
+    val corpus = Seq((1L, "nothing relevant here"), (2L, "spark query spark"),
+      (3L, "query only")).toDF("id", "text")
+    val got = Rerankers.predict(fused, "fscore", "id", corpus, "text",
+        Seq("spark", "query"), topK = 3)
+      .collect().map(_.getLong(0))
+    // doc2 contains both terms → highest overlap; doc1 none → last
+    assert(got.sameElements(Array(2L, 3L, 1L)))
+  }
+}
