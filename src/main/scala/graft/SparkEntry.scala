@@ -472,6 +472,21 @@ object SparkEntry {
         .select("node").orderBy("node")
     }),
 
+    // catalog browse: filter + offset pagination + total (pg.py analog)
+    "q48_catalog" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val filtered = Tables.documentsWithLabels(s, dir)
+        .where(FilterExpr.compile(FilterExpr.Facet("/s/p/en")))
+        .select("doc_id", "n_chars")
+      val ranked = filtered
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .withColumn("total", count(lit(1)).over(Window.partitionBy()))
+      ranked.where(col("rn").between(11, 20))
+        .select(col("doc_id"), col("n_chars"), col("total"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+    }),
+
     // §2.3 semantic search with min_score threshold (full-corpus cut)
     "q42_semantic_minscore" -> ((s, dir) => {
       import VectorFunctions._
@@ -947,6 +962,16 @@ object SparkEntry {
         |  SELECT DISTINCT l_partkey AS node FROM lineitem WHERE l_suppkey = 1)
         |WHERE node NOT IN (SELECT DISTINCT l_partkey FROM lineitem WHERE l_suppkey = 2)
         |ORDER BY node""".stripMargin,
+
+    "q48_catalog" ->
+      """WITH f AS (SELECT doc_id, n_chars FROM documents WHERE lang = 'en'),
+        |r AS (SELECT doc_id, n_chars,
+        |        row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn,
+        |        count(*) OVER () AS total
+        |      FROM f)
+        |SELECT doc_id, n_chars, CAST(total AS BIGINT) AS total FROM r
+        |WHERE rn BETWEEN 11 AND 20
+        |ORDER BY n_chars DESC, doc_id""".stripMargin,
 
     "q42_semantic_minscore" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

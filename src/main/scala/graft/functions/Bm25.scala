@@ -67,6 +67,49 @@ object Bm25 {
       .agg(sum(col("term_score")).as("score"))
   }
 
+  /** BM25 over a precomputed posting table — the production path.
+    *
+    * `postings` is the ingest-time inverted index
+    * ([[graft.sources.Ingest.termPostings]]: term, id, tf) and
+    * `docLengths` the per-doc token counts; both are plain tables (the
+    * tantivy-segment analog). At query time the `term IN (...)`
+    * predicate pushes into the parquet scan — the engine reads only the
+    * matching posting rows, never re-tokenizes the corpus. Score math is
+    * identical to [[score]].
+    */
+  def scoreFromPostings(
+      postings: DataFrame,
+      docLengths: DataFrame,
+      idCol: String,
+      queryTerms: Seq[String],
+      params: Params = Params()): DataFrame = {
+    val stats = docLengths.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = postings.where(col("term").isInCollection(queryTerms))
+      .select(col(idCol), col("term"), col("tf").cast("double").as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+
+    val k1 = lit(params.k1)
+    val b = lit(params.b)
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfn = (col("tf") * (k1 + lit(1.0))) /
+      (col("tf") + k1 * (lit(1.0) - b + b * col("dl") / col("avgdl")))
+
+    tf.join(broadcast(df), "term")
+      .join(docLengths, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", idf * tfn)
+      .groupBy(idCol)
+      .agg(sum(col("term_score")).as("score"))
+  }
+
+  /** Per-doc token counts (id, dl) — companion table for
+    * [[scoreFromPostings]], built once at ingest. */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenStream(docs, idCol, textCol).groupBy(idCol).agg(count(lit(1)).as("dl"))
+
   /** Top-k BM25 search: deterministic order (rounded score desc, id asc)
     * so ties cut identically across engines. Spark executes the
     * order+limit as TakeOrderedAndProject — the distributed analog of the

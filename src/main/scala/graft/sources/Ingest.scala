@@ -61,6 +61,26 @@ object Ingest {
   def exportTrainset(df: DataFrame, outDir: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(outDir)
 
+  /** Ingest-time embedding generation with MLlib (HashingTF → IDF →
+    * L2 normalize), producing `array<float>` columns compatible with
+    * the vector operators. The reference gets embeddings from an
+    * external Predict API; a self-contained TF-IDF vectorizer stands in
+    * for local/CI runs, and the column contract (`array<float>`, fixed
+    * dim) is what the rest of the engine depends on.
+    */
+  def tfidfVectors(docs: DataFrame, idCol: String, textCol: String, dim: Int = 64): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, IDF, Normalizer}
+    import org.apache.spark.ml.functions.vector_to_array
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val tf = new HashingTF().setInputCol("toks").setOutputCol("tf")
+      .setNumFeatures(dim).transform(toks)
+    val idf = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(tf).transform(tf)
+    val normed = new Normalizer().setInputCol("tfidf").setOutputCol("vec").setP(2.0)
+      .transform(idf)
+    normed.select(col(idCol), vector_to_array(col("vec"), "float32").as("embedding"))
+  }
+
   /** Streaming full-index scan in fixed batches — the BatchProducer
     * analog (`nidx_text/src/reader.rs:657-707`, batch size 1000). The
     * DataFrame is consumed incrementally partition-by-partition

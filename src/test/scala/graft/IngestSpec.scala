@@ -51,6 +51,17 @@ class IngestSpec extends SparkSpec {
     assert(files == 1)
   }
 
+  test("tfidfVectors emits deterministic L2-normalized float embeddings") {
+    val emb = Ingest.tfidfVectors(docs.where(col("doc_id") < 3), "doc_id", "text", dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(emb.values.forall(_.length == 16))
+    val norm = math.sqrt(emb(1L).map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    val again = Ingest.tfidfVectors(docs.where(col("doc_id") < 3), "doc_id", "text", dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(emb(1L) == again(1L))
+  }
+
   test("predict reranker rescales the fused window by model score") {
     val fused = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7)).toDF("id", "fscore")
     val corpus = Seq((1L, "nothing relevant here"), (2L, "spark query spark"),

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.functions.Bm25
+import graft.sources.Ingest
+
+/** Physical-plan assertions: the properties that make the operators
+  * survive a 100× scale-up — pushdown, pruning, broadcast, co-located
+  * bucket joins. These inspect the executed plan, not just results.
+  */
+class ScaleDesignSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private val docs = Seq(
+    (1L, "spark engine spark", "en"), (2L, "query planner", "en"),
+    (3L, "fast spark query", "fr"), (4L, "slow table scan", "fr"))
+    .toDF("doc_id", "text", "lang")
+
+  test("posting-table BM25: term predicate reaches the parquet scan; scores match tokenizing path") {
+    val dir = Files.createTempDirectory("graft-post").toString
+    Ingest.termPostings(docs, "doc_id", "text").write.parquet(s"$dir/postings")
+    Bm25.docLengths(docs, "doc_id", "text").write.parquet(s"$dir/dl")
+    val postings = spark.read.parquet(s"$dir/postings")
+    val dl = spark.read.parquet(s"$dir/dl")
+
+    val scored = Bm25.scoreFromPostings(postings, dl, "doc_id", Seq("spark", "query"))
+    assert(plan(scored).contains("PushedFilters: [In(term"),
+      "term IN filter must push into the postings scan")
+
+    val direct = Bm25.score(docs, "doc_id", "text", Seq("spark", "query"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaPostings = scored.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(direct.keySet == viaPostings.keySet)
+    direct.foreach { case (k, v) => assert(math.abs(viaPostings(k) - v) < 1e-12) }
+  }
+
+  test("partitioned table: facet filter prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-part").toString + "/t"
+    docs.write.partitionBy("lang").parquet(dir)
+    val pruned = spark.read.parquet(dir).where(col("lang") === "en")
+    val p = plan(pruned)
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      s"expected partition filter on lang in:\n$p")
+    // the filter is partition-only: nothing remains as a data filter
+    assert(p.contains("PushedFilters: []"),
+      "lang predicate must be consumed by pruning, not row filtering")
+    assert(pruned.count() == 2)
+  }
+
+  test("dimension hydration uses broadcast hash join, not shuffle") {
+    val facts = (1L to 1000L).map(i => (i, i % 10)).toDF("id", "dim_id")
+    val dims = (0L to 9L).map(i => (i, s"d$i")).toDF("dim_id", "name")
+    val joined = facts.join(broadcast(dims), "dim_id")
+    assert(plan(joined).contains("BroadcastHashJoin"))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "va")
+        .write.bucketBy(4, "k").sortBy("k").mode("overwrite").saveAsTable("ta")
+      (1L to 100L).map(i => (i, s"w$i")).toDF("k", "vb")
+        .write.bucketBy(4, "k").sortBy("k").mode("overwrite").saveAsTable("tb")
+      val joined = spark.table("ta").join(spark.table("tb"), "k")
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$p")
+      assert(joined.count() == 100)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+}
