@@ -23,23 +23,22 @@ object SparkEntry {
 
   private val QueryTerms = Seq("spark", "query")
 
-  /** Flagship: hybrid find on sf0.001 — BM25 keyword list + dense-vector
-    * semantic list, fused with RRF (k=60), hydrated with document text.
-    * The Spark shape of `POST /kb/{kbid}/find` (SURVEY.md §3.1).
+  /** Flagship: hybrid find on sf0.001 through the [[graft.api.Find]]
+    * pipeline — parsed keyword query + dense-vector semantic list,
+    * prefilter, RRF fusion (k=60), hydration. The Spark shape of
+    * `POST /kb/{kbid}/find` (SURVEY.md §3.1).
     */
   def entry(spark: SparkSession): DataFrame = {
+    import graft.api.Find
     val dir = "/root/testdata/sf0.001"
     val docs = load(spark, dir, "documents")
     val emb = load(spark, dir, "embeddings")
-    val kw = Bm25.score(docs, "doc_id", "text", QueryTerms)
-      .withColumn("score", round(col("score"), 4))
-    val sem = semanticList(emb, qid = 0)
-    RankFusion.rrf(Seq(("keyword", kw, 1.0), ("semantic", sem, 1.0)), "doc_id", "score")
-      .withColumn("rrf", round(col("rrf_score"), 6))
-      .orderBy(col("rrf").desc, col("doc_id").asc)
-      .limit(10)
-      .join(docs.select("doc_id", "text", "lang"), "doc_id")
-      .select("doc_id", "rrf", "lang", "text")
+    val qv = emb.where(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0)
+    Find.find(
+      Find.Corpus(docs, "doc_id", "text", Some(emb)),
+      Find.FindRequest(query = QueryTerms.mkString(" "),
+        queryVector = Some(qv), topK = 10))
   }
 
   /** Semantic list: cosine of every embedding against query vector

@@ -1,0 +1,126 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Bm25, TextFunctions, VectorFunctions}
+import graft.operators._
+
+/** The `/find` hybrid-retrieval pipeline as one composable call —
+  * the engine's flagship API (SURVEY.md §3.1).
+  *
+  * Stages, mirroring the reference lifecycle:
+  *  1. parse keyword query (phrases / exclusions / stop words);
+  *  2. prefilter: the request filter compiles to a `Column` on the doc
+  *     table; surviving doc ids push into both retrieval lists as a
+  *     left-semi join (Catalyst broadcasts the small id set; an empty
+  *     prefilter empties every downstream list — the
+  *     `PrefilterResult::None` shortcut for free);
+  *  3. keyword list: BM25 over matching docs, phrase containment and
+  *     exclusions applied as predicates;
+  *  4. semantic list: cosine against the (literal, broadcast) query
+  *     vector with min_score cut;
+  *  5. reciprocal-rank fusion (k=60, per-source weights);
+  *  6. optional predict-rerank of the top window;
+  *  7. hydration join back to the doc table; deterministic top-k.
+  *
+  * Every stage is declarative DataFrame work — Catalyst fuses the
+  * filters into the scans, and nothing materializes on the driver.
+  */
+object Find {
+
+  /** Table bindings for a searchable corpus. */
+  final case class Corpus(
+      docs: DataFrame,
+      docId: String,
+      text: String,
+      vectors: Option[DataFrame] = None,
+      vecId: String = "vec_id",
+      vecCol: String = "embedding")
+
+  final case class FindRequest(
+      query: String = "",
+      queryVector: Option[Seq[Float]] = None,
+      filter: Option[FilterExpr] = None,
+      topK: Int = 20,
+      semanticMinScore: Double = -1.0,
+      keywordWeight: Double = 1.0,
+      semanticWeight: Double = 1.0,
+      fusionK: Int = RankFusion.DefaultK,
+      rerank: Boolean = false,
+      synonyms: Map[String, Seq[String]] = Map.empty)
+
+  /** Run the pipeline; returns (docId, score, n_sources) + hydrated
+    * text, ordered (score desc, id asc), limited to topK.
+    */
+  def find(corpus: Corpus, req: FindRequest): DataFrame = {
+    val parsed = QueryParser.parse(req.query)
+    val terms = Synonyms.expand(parsed.terms, req.synonyms)
+
+    // 2. prefilter
+    val base = req.filter match {
+      case Some(f) => corpus.docs.where(FilterExpr.compile(f))
+      case None => corpus.docs
+    }
+
+    // 3. keyword list (phrases + exclusions as predicates on the doc)
+    val keywordList: Option[DataFrame] =
+      if (parsed.isEmpty && terms.isEmpty) None
+      else {
+        val phrasePred = parsed.phrases
+          .map(p => lower(col(corpus.text)).contains(p))
+          .foldLeft(lit(true))(_ && _)
+        val exclPred = parsed.excluded
+          .map(t => !array_contains(TextFunctions.tokens(col(corpus.text)), t))
+          .foldLeft(lit(true))(_ && _)
+        val candidates = base.where(phrasePred && exclPred)
+        val scored =
+          if (terms.nonEmpty)
+            Bm25.score(candidates, corpus.docId, corpus.text, terms)
+          else // phrase-only query: uniform score, id order
+            candidates.select(col(corpus.docId), lit(1.0).as("score"))
+        Some(scored.withColumn("score", round(col("score"), 4)))
+      }
+
+    // 4. semantic list, prefiltered by the same doc set
+    val semanticList: Option[DataFrame] = for {
+      vecs <- corpus.vectors
+      qv <- req.queryVector
+    } yield {
+      val allowed = base.select(col(corpus.docId).as(corpus.vecId))
+      Prefilter.semiJoin(vecs, corpus.vecId, allowed)
+        .withColumn("score",
+          round(VectorFunctions.cosine(col(corpus.vecCol), typedlit(qv)), 6))
+        .where(col("score") >= req.semanticMinScore)
+        .select(col(corpus.vecId).as(corpus.docId), col("score"))
+    }
+
+    // 5. fusion
+    val lists = Seq(
+      keywordList.map(("keyword", _, req.keywordWeight)),
+      semanticList.map(("semantic", _, req.semanticWeight))).flatten
+    require(lists.nonEmpty, "find needs a keyword query or a query vector")
+    val fused =
+      if (lists.size == 1)
+        lists.head._2.withColumn("n_sources", lit(1L))
+          .withColumnRenamed("score", "fused")
+      else
+        RankFusion.rrf(lists, corpus.docId, "score", req.fusionK)
+          .select(col(corpus.docId), round(col("rrf_score"), 6).as("fused"),
+            col("n_sources"))
+
+    // 6. optional rerank of the top window
+    val ranked =
+      if (req.rerank && terms.nonEmpty)
+        Rerankers.predict(fused, "fused", corpus.docId,
+            corpus.docs, corpus.text, terms, req.topK)
+          .withColumnRenamed("rerank_score", "fused")
+          .withColumn("n_sources", lit(lists.size.toLong))
+      else TopK.topK(fused, "fused", corpus.docId, req.topK)
+
+    // 7. hydration
+    ranked
+      .join(corpus.docs.select(col(corpus.docId), col(corpus.text)), corpus.docId)
+      .orderBy(col("fused").desc, col(corpus.docId).asc)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.api.{Find, QueryParser}
+import graft.api.Find.{Corpus, FindRequest}
+import graft.operators.FilterExpr
+
+/** Behavior-parity tests for the /find pipeline on the reference's own
+  * fixture corpora (FIXTURES.md: little_prince, thus_spoke_zarathustra;
+  * sentence vector pinned to [0.5, 0.5, 0.5] exactly like
+  * `nidx/nidx_tests/src/lib.rs:105-125`).
+  */
+class FindSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    ("lp", "The little prince is a novella about a young prince who visits planets", Seq("/s/p/en", "/l/genre/fiction")),
+    ("zar", "Thus spoke Zarathustra is a philosophical novel by Nietzsche", Seq("/s/p/de", "/l/genre/philosophy")),
+    ("misc", "An unrelated document about database engines", Seq("/s/p/en")))
+    .toDF("rid", "text", "labels")
+
+  private val vectors = Seq(
+    ("lp", Seq(0.5f, 0.5f, 0.5f)),
+    ("zar", Seq(1.0f, 0.0f, 0.0f)),
+    ("misc", Seq(0.0f, 1.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  private val corpus = Corpus(docs, "rid", "text", Some(vectors))
+
+  private def ids(req: FindRequest): Seq[String] =
+    Find.find(corpus, req).collect().map(_.getString(0)).toSeq
+
+  test("query grammar: phrases, exclusions, stop words") {
+    val p = QueryParser.parse("""the "little prince" -fox planets""")
+    assert(p.terms == Seq("planets")) // "the" is a stop word
+    assert(p.phrases == Seq("little prince"))
+    assert(p.excluded == Seq("fox"))
+  }
+
+  test("keyword find ranks the matching document first") {
+    assert(ids(FindRequest(query = "prince")) == Seq("lp"))
+    assert(ids(FindRequest(query = "nietzsche")) == Seq("zar"))
+  }
+
+  test("quoted phrase requires exact containment") {
+    assert(ids(FindRequest(query = "\"little prince\"")) == Seq("lp"))
+    assert(ids(FindRequest(query = "\"prince little\"")).isEmpty)
+  }
+
+  test("excluded terms drop matches") {
+    assert(ids(FindRequest(query = "novella prince -planets")).isEmpty)
+    assert(ids(FindRequest(query = "prince -unrelated")) == Seq("lp"))
+  }
+
+  test("semantic find with min_score 0.7 (reference default)") {
+    val got = Find.find(corpus, FindRequest(
+        queryVector = Some(Seq(0.5f, 0.5f, 0.5f)), semanticMinScore = 0.7))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set("lp")) // cos=1.0; others ≈0.577 < 0.7
+    assert(math.abs(got("lp") - 1.0) < 1e-9)
+  }
+
+  test("hybrid find fuses keyword + semantic; doc in both lists leads") {
+    val rows = Find.find(corpus, FindRequest(
+        query = "prince",
+        queryVector = Some(Seq(0.5f, 0.5f, 0.5f)),
+        semanticMinScore = 0.0))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(rows.head._1 == "lp" && rows.head._2 == 2) // both sources
+  }
+
+  test("label prefilter pushes into both lists; empty prefilter empties the result") {
+    assert(ids(FindRequest(query = "prince nietzsche database",
+      filter = Some(FilterExpr.Facet("/s/p/de")))) == Seq("zar"))
+    assert(ids(FindRequest(query = "prince",
+      filter = Some(FilterExpr.Facet("/s/p/fr")))).isEmpty)
+    // semantic list honors the prefilter too (lp is filtered out)
+    assert(ids(FindRequest(queryVector = Some(Seq(0.5f, 0.5f, 0.5f)),
+      semanticMinScore = 0.0,
+      filter = Some(FilterExpr.Facet("/l/genre/philosophy")))) == Seq("zar"))
+  }
+
+  test("degenerate requests: empty query rejected; stopword-only query rejected") {
+    intercept[IllegalArgumentException] { Find.find(corpus, FindRequest()) }
+    // "the a an" parses to zero terms → same as empty
+    intercept[IllegalArgumentException] {
+      Find.find(corpus, FindRequest(query = "the a an"))
+    }
+    // vector-only request is fine
+    assert(ids(FindRequest(query = "the a an",
+      queryVector = Some(Seq(0.5f, 0.5f, 0.5f)), semanticMinScore = 0.9)) == Seq("lp"))
+  }
+
+  test("rerank reorders the fused window by model overlap") {
+    val rows = Find.find(corpus, FindRequest(
+        query = "prince planets database", rerank = true))
+      .collect().map(_.getString(0))
+    assert(rows.head == "lp") // two query terms vs one for misc
+  }
+}

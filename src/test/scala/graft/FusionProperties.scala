@@ -1,0 +1,72 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.api.QueryParser
+import graft.operators.{RankFusion, TopK}
+
+/** Property tests for the scoring/fusion math (SURVEY §5 port
+  * strategy). Spark-backed properties run few cases; the pure parser
+  * property runs the full default set.
+  */
+object FusionProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  property("queryParser.neverThrows.noStopwordsOrEmpties") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val p = QueryParser.parse(s)
+      p.terms.forall(t => t.nonEmpty &&
+        !graft.functions.TextFunctions.StopWords.contains(t)) &&
+        p.excluded.forall(_.nonEmpty)
+    }
+
+  private lazy val spark = SparkSpec.session
+  private val scoredList: Gen[List[(Long, Double)]] = for {
+    n <- Gen.choose(1, 12)
+    ids <- Gen.pick(n, 1L to 40L)
+    scores <- Gen.listOfN(n, Gen.choose(0.0, 10.0))
+  } yield ids.toList.zip(scores)
+
+  /** Reference RRF model in plain Scala (the spec the DataFrame version
+    * must match): rank by (score desc, id asc), contribute w/(k+rank). */
+  private def rrfModel(lists: Seq[(Seq[(Long, Double)], Double)], k: Int): Map[Long, (Double, Long)] = {
+    val contribs = lists.flatMap { case (list, w) =>
+      list.sortBy { case (id, s) => (-s, id) }.zipWithIndex
+        .map { case ((id, _), i) => id -> w / (k + i + 1) }
+    }
+    contribs.groupBy(_._1).map { case (id, cs) =>
+      id -> (cs.map(_._2).sum, cs.size.toLong)
+    }
+  }
+
+  property("rrf.matchesReferenceModel") =
+    forAll(scoredList, scoredList) { (a, b) =>
+      import spark.implicits._
+      val dfa = a.toDF("id", "score")
+      val dfb = b.toDF("id", "score")
+      val got = RankFusion.rrf(Seq(("a", dfa, 1.0), ("b", dfb, 0.5)), "id", "score")
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      val want = rrfModel(Seq((a, 1.0), (b, 0.5)), RankFusion.DefaultK)
+      got.keySet == want.keySet && got.forall { case (id, (s, n)) =>
+        math.abs(s - want(id)._1) < 1e-12 && n == want(id)._2
+      }
+    }
+
+  property("searchAfter.pagesPartitionTheTopN") =
+    forAll(scoredList) { data =>
+      import spark.implicits._
+      val df = data.toDF("id", "score")
+      val k = math.max(1, data.size / 3)
+      val p1 = TopK.topK(df, "score", "id", k).collect()
+      val rest = p1.lastOption.map { last =>
+        TopK.searchAfter(df, "score", "id",
+          TopK.Cursor(last.getDouble(1), last.getLong(0)), data.size).collect()
+      }.getOrElse(Array.empty)
+      val all = (p1 ++ rest).map(_.getLong(0)).toSeq
+      val expected = data.sortBy { case (id, s) => (-s, id) }.map(_._1)
+      all == expected // disjoint, complete, in global order
+    }
+}
