@@ -486,6 +486,22 @@ object SparkEntry {
         .orderBy(col("n_chars").desc, col("doc_id").asc)
     }),
 
+    // §2.3 graph path query ADT (OR of exact-source / prefix-dest)
+    "q49_graph_path" -> ((s, dir) => {
+      import graft.api.GraphSearch
+      import graft.api.GraphSearch.{EdgeTable, NodeMatch, PathQuery}
+      val edges = load(s, dir, "lineitem")
+        .select(concat(lit("S"), col("l_suppkey").cast("string")).as("src"),
+          lit("SUPPLIES").as("rel"),
+          concat(lit("P"), col("l_partkey").cast("string")).as("dst"))
+        .distinct()
+      GraphSearch.search(EdgeTable(edges, "src", "rel", "dst"),
+        PathQuery.Or(Seq(
+          PathQuery.Path(src = NodeMatch.Exact("S1")),
+          PathQuery.Path(dst = NodeMatch.Prefix("P99")))),
+        topK = 50)
+    }),
+
     // §2.3 semantic search with min_score threshold (full-corpus cut)
     "q42_semantic_minscore" -> ((s, dir) => {
       import VectorFunctions._
@@ -971,6 +987,15 @@ object SparkEntry {
         |SELECT doc_id, n_chars, CAST(total AS BIGINT) AS total FROM r
         |WHERE rn BETWEEN 11 AND 20
         |ORDER BY n_chars DESC, doc_id""".stripMargin,
+
+    "q49_graph_path" ->
+      """WITH e AS (SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS source,
+        |                  'SUPPLIES' AS relation,
+        |                  'P' || CAST(l_partkey AS VARCHAR) AS destination
+        |           FROM lineitem)
+        |SELECT source, relation, destination FROM e
+        |WHERE source = 'S1' OR destination LIKE 'P99%'
+        |ORDER BY source, relation, destination LIMIT 50""".stripMargin,
 
     "q42_semantic_minscore" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

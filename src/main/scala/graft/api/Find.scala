@@ -29,14 +29,18 @@ import graft.operators._
   */
 object Find {
 
-  /** Table bindings for a searchable corpus. */
+  /** Table bindings for a searchable corpus. `vectorsetCol` names the
+    * vectorset partition column when the vectors table holds multiple
+    * named embedding models (reference vectorsets,
+    * `nidx_vector/src/config.rs:102-124`). */
   final case class Corpus(
       docs: DataFrame,
       docId: String,
       text: String,
       vectors: Option[DataFrame] = None,
       vecId: String = "vec_id",
-      vecCol: String = "embedding")
+      vecCol: String = "embedding",
+      vectorsetCol: Option[String] = None)
 
   final case class FindRequest(
       query: String = "",
@@ -48,7 +52,8 @@ object Find {
       semanticWeight: Double = 1.0,
       fusionK: Int = RankFusion.DefaultK,
       rerank: Boolean = false,
-      synonyms: Map[String, Seq[String]] = Map.empty)
+      synonyms: Map[String, Seq[String]] = Map.empty,
+      vectorset: Option[String] = None)
 
   /** Run the pipeline; returns (docId, score, n_sources) + hydrated
     * text, ordered (score desc, id asc), limited to topK.
@@ -84,9 +89,14 @@ object Find {
 
     // 4. semantic list, prefiltered by the same doc set
     val semanticList: Option[DataFrame] = for {
-      vecs <- corpus.vectors
+      vecs0 <- corpus.vectors
       qv <- req.queryVector
     } yield {
+      // vectorset selection = partition pruning on the vectorset column
+      val vecs = (corpus.vectorsetCol, req.vectorset) match {
+        case (Some(c), Some(vs)) => vecs0.where(col(c) === vs)
+        case _ => vecs0
+      }
       val allowed = base.select(col(corpus.docId).as(corpus.vecId))
       Prefilter.semiJoin(vecs, corpus.vecId, allowed)
         .withColumn("score",

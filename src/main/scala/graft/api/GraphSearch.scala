@@ -1,0 +1,75 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphOps
+
+/** Graph path search API — `POST /kb/{kbid}/graph` (SURVEY §3.3).
+  *
+  * The reference parses a PathQuery tree (OR/NOT over
+  * (source)-[relation]->(destination) triplet constraints, node match
+  * by exact/prefix/words/fuzzy, undirected = both orientations) into
+  * tantivy boolean queries (`nidx_relation/src/graph_query_parser.rs`).
+  * Here the same tree compiles to a `Column` predicate over the edges
+  * DataFrame — Catalyst folds it into the scan. Top-k unique paths
+  * mirror `top_unique_n.rs` as distinct + orderBy + limit.
+  */
+object GraphSearch {
+
+  /** Node match constraint family (graph_query_parser.rs node queries). */
+  sealed trait NodeMatch
+  object NodeMatch {
+    case object Any extends NodeMatch
+    final case class Exact(value: String) extends NodeMatch
+    final case class Prefix(prefix: String) extends NodeMatch
+    final case class Words(word: String) extends NodeMatch
+    final case class Fuzzy(value: String, distance: Int = 1) extends NodeMatch
+
+    def compile(m: NodeMatch, c: Column): Column = m match {
+      case Any => lit(true)
+      case Exact(v) => GraphOps.exactMatch(c, v)
+      case Prefix(p) => GraphOps.prefixMatch(c, p)
+      case Words(w) => GraphOps.wordsMatch(c, w)
+      case Fuzzy(v, d) => GraphOps.fuzzyMatch(c, v, d)
+    }
+  }
+
+  /** Path query tree: triplet constraints composed with OR/NOT
+    * (the reference deliberately has no AND at the path level,
+    * `graph_query_parser.rs:66-81`). */
+  sealed trait PathQuery
+  object PathQuery {
+    final case class Path(
+        src: NodeMatch = NodeMatch.Any,
+        rel: Option[String] = None,
+        dst: NodeMatch = NodeMatch.Any,
+        undirected: Boolean = false) extends PathQuery
+    final case class Or(ops: Seq[PathQuery]) extends PathQuery
+    final case class Not(op: PathQuery) extends PathQuery
+  }
+
+  final case class EdgeTable(edges: DataFrame, srcCol: String, relCol: String, dstCol: String)
+
+  def compile(q: PathQuery, t: EdgeTable): Column = q match {
+    case PathQuery.Or(ops) => ops.map(compile(_, t)).reduce(_ || _)
+    case PathQuery.Not(op) => !compile(op, t)
+    case PathQuery.Path(src, rel, dst, undirected) =>
+      val relPred = rel.map(col(t.relCol) === _).getOrElse(lit(true))
+      val fwd = NodeMatch.compile(src, col(t.srcCol)) &&
+        NodeMatch.compile(dst, col(t.dstCol)) && relPred
+      if (!undirected) fwd
+      else fwd || (NodeMatch.compile(src, col(t.dstCol)) &&
+        NodeMatch.compile(dst, col(t.srcCol)) && relPred)
+  }
+
+  /** Run a path query: matching triplets, deduplicated, top-k in
+    * deterministic (src, rel, dst) order. */
+  def search(t: EdgeTable, q: PathQuery, topK: Int = 50): DataFrame =
+    t.edges.where(compile(q, t))
+      .select(col(t.srcCol).as("source"), col(t.relCol).as("relation"),
+        col(t.dstCol).as("destination"))
+      .distinct()
+      .orderBy("source", "relation", "destination")
+      .limit(topK)
+}

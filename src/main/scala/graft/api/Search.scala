@@ -1,0 +1,67 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bm25
+import graft.operators.{Facets, FilterExpr, TopK}
+
+/** Classic `/search` endpoint analog (SURVEY §3.2): unlike find, the
+  * fulltext (document) and keyword (paragraph) features return
+  * SEPARATE ranked lists — no fusion — plus facet distributions and an
+  * index-side sort option; `only_faceted` skips result lists entirely.
+  */
+object Search {
+
+  final case class SearchRequest(
+      query: String = "",
+      filter: Option[FilterExpr] = None,
+      faceted: Seq[String] = Nil,
+      topK: Int = 20,
+      onlyFaceted: Boolean = false)
+
+  /** The multi-part response: independent lists + facet counts, each a
+    * lazily-evaluated DataFrame (callers materialize what they need —
+    * the only_faceted fast path is simply not evaluating `documents`).
+    */
+  final case class SearchResponse(
+      documents: Option[DataFrame],
+      paragraphs: Option[DataFrame],
+      facets: Option[DataFrame])
+
+  def search(
+      docs: DataFrame, docId: String, textCol: String, labelsCol: String,
+      paragraphs: Option[(DataFrame, String, String)], // (table, pid, ptext)
+      req: SearchRequest): SearchResponse = {
+    val parsed = QueryParser.parse(req.query)
+    val base = req.filter.map(f => docs.where(FilterExpr.compile(f))).getOrElse(docs)
+
+    val facetDf =
+      if (req.faceted.isEmpty) None
+      else Some(Facets.facetCounts(base, labelsCol, req.faceted).orderBy("facet"))
+
+    if (req.onlyFaceted) return SearchResponse(None, None, facetDf)
+
+    val docList =
+      if (parsed.terms.isEmpty) None
+      else Some(TopK.topK(
+        Bm25.score(base, docId, textCol, parsed.terms)
+          .withColumn("score", round(col("score"), 4)),
+        "score", docId, req.topK))
+
+    val parList = paragraphs.flatMap { case (par, pid, ptext) =>
+      if (parsed.terms.isEmpty) None
+      else Some(par
+        .join(base.select(docId), docId) // prefilter
+        .withColumn("score",
+          size(filter(graft.functions.TextFunctions.tokens(col(ptext)),
+            t => t.isInCollection(parsed.terms))).cast("double"))
+        .where(col("score") > 0)
+        .select(col(pid), col("score"))
+        .orderBy(col("score").desc, col(pid).asc)
+        .limit(req.topK))
+    }
+
+    SearchResponse(docList, parList, facetDf)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.api.{Find, GraphSearch, Search, Suggest}
+import graft.api.GraphSearch.{EdgeTable, NodeMatch, PathQuery}
+import graft.api.Search.SearchRequest
+
+/** Endpoint-level parity tests: /graph path queries on the
+  * people_and_places fixture (`search_relations.rs` cases), /search
+  * multi-list responses, /suggest exact→fuzzy, and vectorset selection.
+  */
+class ApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val edges = Seq(
+    ("Anastasia", "LIVE_IN", "Barcelona"),
+    ("Anna", "LIVE_IN", "Berlin"),
+    ("Anna", "IS_FRIEND", "Anastasia"),
+    ("Apollo", "BORN_IN", "Olympus"),
+    ("Rosa Parks", "BORN_IN", "Tuskegee"))
+    .toDF("src", "rel", "dst")
+  private val table = EdgeTable(edges, "src", "rel", "dst")
+
+  private def paths(q: PathQuery): Seq[(String, String, String)] =
+    GraphSearch.search(table, q).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+
+  test("graph: exact node + relation filter") {
+    assert(paths(PathQuery.Path(src = NodeMatch.Exact("Anna"), rel = Some("LIVE_IN")))
+      == Seq(("Anna", "LIVE_IN", "Berlin")))
+  }
+
+  test("graph: prefix matches several nodes; fuzzy distance 2 hits Anastasia") {
+    assert(paths(PathQuery.Path(src = NodeMatch.Prefix("An"))).map(_._1).toSet
+      == Set("Anastasia", "Anna"))
+    assert(paths(PathQuery.Path(src = NodeMatch.Fuzzy("Anastas", 2))).map(_._1).toSet
+      == Set("Anastasia"))
+  }
+
+  test("graph: words match and undirected orientation") {
+    assert(paths(PathQuery.Path(src = NodeMatch.Words("parks")))
+      == Seq(("Rosa Parks", "BORN_IN", "Tuskegee")))
+    // directed: Anastasia only as source of LIVE_IN; undirected also
+    // finds her as destination of IS_FRIEND
+    assert(paths(PathQuery.Path(src = NodeMatch.Exact("Anastasia"))).size == 1)
+    assert(paths(PathQuery.Path(src = NodeMatch.Exact("Anastasia"), undirected = true))
+      .toSet == Set(("Anastasia", "LIVE_IN", "Barcelona"), ("Anna", "IS_FRIEND", "Anastasia")))
+  }
+
+  test("graph: OR and NOT compose") {
+    val q = PathQuery.Or(Seq(
+      PathQuery.Path(rel = Some("BORN_IN")),
+      PathQuery.Path(src = NodeMatch.Exact("Anna"), rel = Some("IS_FRIEND"))))
+    assert(paths(q).map(_._2).toSet == Set("BORN_IN", "IS_FRIEND"))
+    val notQ = PathQuery.Not(PathQuery.Path(rel = Some("LIVE_IN")))
+    assert(paths(notQ).map(_._2).toSet == Set("BORN_IN", "IS_FRIEND"))
+  }
+
+  private val docs = Seq(
+    (1L, "spark engine spark runs fast", Seq("/s/p/en")),
+    (2L, "query planner for spark", Seq("/s/p/en")),
+    (3L, "langsamer tabellen scan", Seq("/s/p/de")))
+    .toDF("doc_id", "text", "labels")
+
+  test("search: separate document list + facets; only_faceted fast path") {
+    val resp = Search.search(docs, "doc_id", "text", "labels", None,
+      SearchRequest(query = "spark", faceted = Seq("/s/p")))
+    val docList = resp.documents.get.collect().map(_.getLong(0))
+    assert(docList.sameElements(Array(1L, 2L))) // doc1 tf=2 ranks first
+    assert(resp.facets.get.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      == Map("/s/p/en" -> 2L, "/s/p/de" -> 1L))
+    val fo = Search.search(docs, "doc_id", "text", "labels", None,
+      SearchRequest(query = "spark", faceted = Seq("/s/p"), onlyFaceted = true))
+    assert(fo.documents.isEmpty && fo.facets.nonEmpty)
+  }
+
+  test("suggest: exact prefix first, fuzzy fill when empty, entity prefix list") {
+    val tf = Seq(("spark", 10L), ("spars", 3L), ("scan", 5L)).toDF("term", "freq")
+    val nodes = edges.select($"src".as("value"))
+    val exact = Suggest.suggest(tf, "term", "freq", Some((nodes, "value")), "spar")
+    assert(exact.terms.collect().map(_.getString(0)).sameElements(Array("spark", "spars")))
+    assert(exact.entities.get.collect().map(_.getString(0)).isEmpty) // no 'spar' entities
+    val fuzzy = Suggest.suggest(tf, "term", "freq", Some((nodes, "value")), "spurk")
+    assert(fuzzy.terms.collect().map(_.getString(0)).sameElements(Array("spark")))
+  }
+
+  test("find: vectorset selection picks the right embedding space") {
+    val vecs = Seq(
+      (1L, "en-small", Seq(1.0f, 0.0f)), (2L, "en-small", Seq(0.0f, 1.0f)),
+      (1L, "multi", Seq(0.0f, 1.0f)), (2L, "multi", Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "vectorset", "embedding")
+    val corpus = Find.Corpus(docs.where($"doc_id" < 3), "doc_id", "text",
+      Some(vecs), vectorsetCol = Some("vectorset"))
+    def top(vs: String) = Find.find(corpus, Find.FindRequest(
+        queryVector = Some(Seq(1.0f, 0.0f)), vectorset = Some(vs),
+        semanticMinScore = 0.9)).collect().map(_.getLong(0)).toSeq
+    assert(top("en-small") == Seq(1L))
+    assert(top("multi") == Seq(2L)) // same query, different space
+  }
+}
