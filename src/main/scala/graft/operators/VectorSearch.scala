@@ -109,6 +109,35 @@ object VectorSearch {
       .select(col(idCol), col("__cid").as("centroid_id"), col("score"))
   }
 
+  /** IVF probe search: rank centroids against the query, keep the
+    * `nprobe` nearest, and brute-force only vectors assigned to those
+    * clusters. At scale `assignments` is precomputed at ingest and the
+    * corpus is partitioned by centroid id, so the probe is partition
+    * pruning; here the assignment join expresses the same plan.
+    * Approximate by construction — recall vs [[bruteForceTopK]] is
+    * measured in AnnRecallSpec.
+    */
+  def ivfSearch(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      assignments: DataFrame, // (idCol, centroid_id) from ivfAssign
+      centroids: DataFrame,
+      cidCol: String,
+      cvecCol: String,
+      query: DataFrame,
+      queryVecCol: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val probes = bruteForceTopK(centroids, cidCol, cvecCol, query, queryVecCol, nprobe)
+      .select(col(cidCol).as("centroid_id"))
+    val candidateIds = assignments
+      .join(broadcast(probes), "centroid_id")
+      .select(idCol)
+    val candidates = corpus.join(candidateIds, Seq(idCol), "left_semi")
+    bruteForceTopK(candidates, idCol, vecCol, query, queryVecCol, k)
+  }
+
   /** RaBitQ-style two-pass: cheap 1-bit signature hamming pre-score over
     * everything, full-precision rerank of the top `rerank` candidates
     * (`nidx_vector/src/vector_types/rabitq.rs:25-40`, rerank factor 100,

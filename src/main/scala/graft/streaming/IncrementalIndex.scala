@@ -21,17 +21,23 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object IncrementalIndex {
 
-  /** Latest-wins merge: one row per `keyCol` with the highest `seqCol`,
+  /** Latest-wins merge: one row per key with the highest `seqCol`,
     * tombstones (`deleted = true`) removed. Deterministic tiebreak on
-    * seq only — the log guarantees unique seq per key.
+    * seq only — the log guarantees unique seq per key. Composite keys
+    * support the conversation-split case: keyed by (field, split),
+    * appending a split adds a row, re-sending one replaces it
+    * (`ingest/orm/brain_v2.py:266-307` append_splits).
     */
-  def mergeLatest(updates: DataFrame, keyCol: String, seqCol: String): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+  def mergeLatest(updates: DataFrame, keyCols: Seq[String], seqCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
     updates.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .drop("__rn")
       .where(!col("deleted"))
   }
+
+  def mergeLatest(updates: DataFrame, keyCol: String, seqCol: String): DataFrame =
+    mergeLatest(updates, Seq(keyCol), seqCol)
 
   /** Start the incremental index maintenance query: each micro-batch is
     * merged with the current table state (read back from `tablePath`)

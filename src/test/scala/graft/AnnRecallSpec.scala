@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.VectorSearch
+
+/** Recall of the approximate ANN paths against the exact brute-force
+  * oracle on the real test embeddings — the measurement SURVEY §7.4
+  * demands ("pruning must be measured against exact top-k", mirroring
+  * the reference's own brute-vs-HNSW duality).
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+  private lazy val corpus = emb.where(col("vec_id") >= 10)
+  private lazy val query = emb.where(col("vec_id") === 0)
+
+  private def recallOf(approx: Array[Long], exact: Array[Long]): Double =
+    approx.toSet.intersect(exact.toSet).size.toDouble / exact.length
+
+  private lazy val exactTop10: Array[Long] =
+    VectorSearch.bruteForceTopK(corpus, "vec_id", "embedding", query, "embedding", 10)
+      .collect().map(_.getLong(0))
+
+  test("signature prescore (RaBitQ analog) reaches high recall with a 100-candidate rerank") {
+    val approx = VectorSearch.signaturePrescore(
+        corpus, "vec_id", "embedding", query, "embedding", k = 10, rerank = 100)
+      .collect().map(_.getLong(0))
+    val r = recallOf(approx, exactTop10)
+    info(f"signature prescore recall@10 (rerank=100/490): $r%.2f")
+    assert(r >= 0.5, s"recall $r too low")
+  }
+
+  test("IVF probe search trades recall for scanned fraction") {
+    val centroids = emb.where(col("vec_id") < 10)
+    val assignments = VectorSearch.ivfAssign(
+      corpus, "vec_id", "embedding", centroids, "vec_id", "embedding")
+      .select(col("vec_id"), col("centroid_id")).cache()
+    def run(nprobe: Int) = {
+      val approx = VectorSearch.ivfSearch(corpus, "vec_id", "embedding",
+          assignments, centroids, "vec_id", "embedding",
+          query, "embedding", k = 10, nprobe = nprobe)
+        .collect().map(_.getLong(0))
+      recallOf(approx, exactTop10)
+    }
+    val r3 = run(3)
+    val r10 = run(10)
+    info(f"ivf recall@10: nprobe=3 → $r3%.2f, nprobe=10 → $r10%.2f")
+    assert(r10 == 1.0, "probing every cluster must equal brute force")
+    assert(r3 <= r10)
+  }
+}

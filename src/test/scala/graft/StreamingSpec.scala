@@ -21,6 +21,22 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map("r1" -> "v3"))
   }
 
+  test("conversation split append: composite key adds new splits, replaces re-sent ones") {
+    val existing = Seq(
+      ("conv1", "s1", 1L, "hello", false),
+      ("conv1", "s2", 1L, "how are you", false))
+      .toDF("field", "split", "seq", "text", "deleted")
+    val incoming = Seq(
+      ("conv1", "s3", 2L, "new message", false),       // append
+      ("conv1", "s2", 2L, "how are you, edited", false)) // replace
+      .toDF("field", "split", "seq", "text", "deleted")
+    val got = IncrementalIndex.mergeLatest(
+        existing.unionByName(incoming), Seq("field", "split"), "seq")
+      .collect().map(r => r.getString(1) -> r.getString(3)).toMap
+    assert(got == Map("s1" -> "hello", "s2" -> "how are you, edited",
+      "s3" -> "new message"))
+  }
+
   test("incremental upsert stream is idempotent and latest-wins across batches") {
     implicit val sqlCtx = spark.sqlContext
     val tableDir = Files.createTempDirectory("graft-inc").toString + "/table"
