@@ -502,6 +502,13 @@ object SparkEntry {
         topK = 50)
     }),
 
+    // §2.3 BM25 with AND-default semantics (all terms required)
+    "q50_bm25_and" -> ((s, dir) =>
+      Bm25.scoreAll(load(s, dir, "documents"), "doc_id", "text", QueryTerms)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)),
+
     // §2.3 semantic search with min_score threshold (full-corpus cut)
     "q42_semantic_minscore" -> ((s, dir) => {
       import VectorFunctions._
@@ -996,6 +1003,13 @@ object SparkEntry {
         |SELECT source, relation, destination FROM e
         |WHERE source = 'S1' OR destination LIKE 'P99%'
         |ORDER BY source, relation, destination LIMIT 50""".stripMargin,
+
+    "q50_bm25_and" ->
+      s"""WITH $Bm25Ctes,
+         |allm AS (SELECT doc_id FROM tf GROUP BY doc_id
+         |         HAVING count(DISTINCT term) = ${QueryTerms.distinct.size})
+         |SELECT b.doc_id, b.score FROM bm25 b JOIN allm USING (doc_id)
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     "q42_semantic_minscore" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -110,6 +110,28 @@ object Bm25 {
   def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     tokenStream(docs, idCol, textCol).groupBy(idCol).agg(count(lit(1)).as("dl"))
 
+  /** AND-default scoring (tantivy's QueryParser default,
+    * `nidx_text/src/search_query.rs:92-126`): only documents containing
+    * EVERY query term are scored. Expressed as a semi-join against the
+    * all-terms-matched id set — the conjunctive filter composes with the
+    * same scoring plan.
+    */
+  def scoreAll(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      params: Params = Params()): DataFrame = {
+    val allMatched = tokenStream(docs, idCol, textCol)
+      .where(col("term").isInCollection(queryTerms))
+      .groupBy(idCol)
+      .agg(countDistinct(col("term")).as("nt"))
+      .where(col("nt") === queryTerms.distinct.size)
+      .select(idCol)
+    score(docs, idCol, textCol, queryTerms, params)
+      .join(allMatched, Seq(idCol), "left_semi")
+  }
+
   /** Top-k BM25 search: deterministic order (rounded score desc, id asc)
     * so ties cut identically across engines. Spark executes the
     * order+limit as TakeOrderedAndProject — the distributed analog of the

@@ -80,3 +80,77 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 }
+
+/** Single-pass cosine similarity: one loop accumulates dot product and
+  * both squared norms (vs three [[DotProduct]] evaluations when
+  * composed as dot/(‖a‖·‖b‖)). Each accumulator sums sequentially, so
+  * results are bit-identical to the composed form — and to the DuckDB
+  * oracle. Zero-norm input yields the IEEE result of x/0 (±Inf/NaN),
+  * same as the composed expression.
+  */
+case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left).isDefined && elemType(right).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> inputs, got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+  @inline private def getD(a: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType => a.getFloat(i).toDouble
+    case _ => a.getDouble(i)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (lt, rt) = (elemType(left).get, elemType(right).get)
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = getD(a, i, lt); val y = getD(b, i, rt)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      def getter(v: String, i: String, t: DataType) = t match {
+        case FloatType => s"(double) $v.getFloat($i)"
+        case _ => s"$v.getDouble($i)"
+      }
+      val (lt, rt) = (elemType(left).get, elemType(right).get)
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${getter(a, i, lt)};
+         |  double $y = ${getter(b, i, rt)};
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
