@@ -71,6 +71,16 @@ object IncrementalIndex {
       }
       .start()
 
+  /** Streaming exact-dedup for ingest pipelines: drop rows whose key
+    * was already seen, with state bounded by the watermark (duplicates
+    * arriving later than `watermark` after their original may pass —
+    * the standard state/completeness trade).
+    */
+  def streamingDedup(updates: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    updates.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Event-time windowed aggregation with a watermark — the streaming
     * counter path (counts per tumbling window and type). Late data
     * beyond the watermark is dropped, state is bounded.

@@ -56,6 +56,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup drops cross-batch duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val out = IncrementalIndex.streamingDedup(
+      input.toDF().toDF("ts", "key"), "ts", Seq("key"))
+    val q = out.writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    try {
+      input.addData((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:00:01"), "a"))
+      q.processAllAvailable()
+      input.addData((java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "a"),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "b"))
+      q.processAllAvailable()
+      val keys = spark.sql("SELECT key FROM dd").collect().map(_.getString(0)).sorted
+      assert(keys.sameElements(Array("a", "b"))) // 'a' deduped across batches
+    } finally q.stop()
+  }
+
   test("windowedCounts aggregates per tumbling window with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
