@@ -509,6 +509,20 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(10)),
 
+    // §2.7 find response tree: paragraph hits grouped under resources
+    "q51_find_grouped" -> ((s, dir) => {
+      val par = graft.sources.Ingest.splitParagraphs(
+        load(s, dir, "documents"), "doc_id", "text")
+      val hits = par.withColumn("score",
+          size(filter(TextFunctions.tokens(col("p_text")),
+            t => t.isInCollection(QueryTerms))).cast("double"))
+        .where(col("score") > 0)
+      graft.api.Find.composeResources(hits, "doc_id", "paragraph_id", "score")
+        .withColumn("hits", concat_ws(",", col("hits")))
+        .orderBy(col("best_score").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
     // §2.3 semantic search with min_score threshold (full-corpus cut)
     "q42_semantic_minscore" -> ((s, dir) => {
       import VectorFunctions._
@@ -1010,6 +1024,18 @@ object SparkEntry {
          |         HAVING count(DISTINCT term) = ${QueryTerms.distinct.size})
          |SELECT b.doc_id, b.score FROM bm25 b JOIN allm USING (doc_id)
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q51_find_grouped" ->
+      s"""WITH $ParCtes,
+         |hits AS (SELECT doc_id, paragraph_id,
+         |           CAST(len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) AS DOUBLE) AS score
+         |         FROM par
+         |         WHERE len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) > 0)
+         |SELECT doc_id, round(max(score), 6) AS best_score,
+         |  CAST(count(*) AS BIGINT) AS n_hits,
+         |  string_agg(paragraph_id, ',' ORDER BY score DESC, paragraph_id) AS hits
+         |FROM hits GROUP BY doc_id
+         |ORDER BY best_score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q42_semantic_minscore" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -48,6 +48,7 @@ object Find {
       filter: Option[FilterExpr] = None,
       topK: Int = 20,
       semanticMinScore: Double = -1.0,
+      keywordMinScore: Double = 0.0,
       keywordWeight: Double = 1.0,
       semanticWeight: Double = 1.0,
       fusionK: Int = RankFusion.DefaultK,
@@ -84,7 +85,8 @@ object Find {
             Bm25.score(candidates, corpus.docId, corpus.text, terms)
           else // phrase-only query: uniform score, id order
             candidates.select(col(corpus.docId), lit(1.0).as("score"))
-        Some(scored.withColumn("score", round(col("score"), 4)))
+        Some(scored.withColumn("score", round(col("score"), 4))
+          .where(col("score") >= req.keywordMinScore))
       }
 
     // 4. semantic list, prefiltered by the same doc set
@@ -133,4 +135,25 @@ object Find {
       .join(corpus.docs.select(col(corpus.docId), col(corpus.text)), corpus.docId)
       .orderBy(col("fused").desc, col(corpus.docId).asc)
   }
+
+  /** Compose the find response tree: group scored text-block hits under
+    * their resource, hits sorted by (score desc, id asc) inside each
+    * group — `find_merge.py:296-325` compose_find_resources. One hash
+    * aggregation; group arrays are bounded by the top-k window, so the
+    * collect_list never grows past driver-safe sizes.
+    */
+  def composeResources(
+      hits: DataFrame,
+      docIdCol: String,
+      itemIdCol: String,
+      scoreCol: String): DataFrame =
+    hits.groupBy(col(docIdCol))
+      .agg(
+        round(max(col(scoreCol)), 6).as("best_score"),
+        count(lit(1)).as("n_hits"),
+        transform(
+          sort_array(collect_list(struct(
+            (-col(scoreCol)).as("negscore"), col(itemIdCol).as("id")))),
+          s => s.getField("id")).as("hits"))
+      .orderBy(col("best_score").desc, col(docIdCol).asc)
 }

@@ -79,6 +79,27 @@ class FindSpec extends SparkSpec {
       filter = Some(FilterExpr.Facet("/l/genre/philosophy")))) == Seq("zar"))
   }
 
+  test("composeResources groups hits under resources, sorted by score with id tiebreak") {
+    val hits = Seq(
+      ("lp", "lp/t/body/0-20", 0.9), ("lp", "lp/t/body/20-40", 0.9),
+      ("lp", "lp/t/body/40-60", 0.5), ("zar", "zar/t/body/0-20", 0.7))
+      .toDF("rid", "pid", "score")
+    val rows = Find.composeResources(hits, "rid", "pid", "score").collect()
+    assert(rows.map(_.getString(0)).sameElements(Array("lp", "zar")))
+    val lp = rows(0)
+    assert(lp.getDouble(1) == 0.9 && lp.getLong(2) == 3)
+    assert(lp.getSeq[String](3) == Seq("lp/t/body/0-20", "lp/t/body/20-40", "lp/t/body/40-60"))
+  }
+
+  test("keyword min_score cuts low-scoring matches") {
+    val all = Find.find(corpus, FindRequest(query = "prince novella unrelated"))
+      .collect().map(_.getString(0))
+    assert(all.toSet == Set("lp", "misc"))
+    val cut = Find.find(corpus, FindRequest(query = "prince novella unrelated",
+        keywordMinScore = 2.0)).collect().map(_.getString(0))
+    assert(cut.toSeq == Seq("lp")) // misc's single weak term falls below
+  }
+
   test("degenerate requests: empty query rejected; stopword-only query rejected") {
     intercept[IllegalArgumentException] { Find.find(corpus, FindRequest()) }
     // "the a an" parses to zero terms → same as empty
