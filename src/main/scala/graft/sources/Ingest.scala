@@ -61,6 +61,30 @@ object Ingest {
   def exportTrainset(df: DataFrame, outDir: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(outDir)
 
+  /** End-to-end index build — the broker-message → index ETL
+    * (`ingest/orm/index_message.py` IndexMessageBuilder): one pass over
+    * the source documents materializes every index table the retrieval
+    * operators read. Each table is an independent narrow pipeline off
+    * the same scan; at scale they run as one job with shared input and
+    * land partitioned by their own access key (DESIGN.md).
+    */
+  def buildIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      parTokens: Int = 20,
+      embeddingDim: Int = 64): Unit = {
+    splitParagraphs(docs, idCol, textCol, parTokens = parTokens)
+      .write.mode("overwrite").parquet(s"$outDir/paragraphs")
+    termPostings(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$outDir/postings")
+    graft.functions.Bm25.docLengths(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$outDir/doclengths")
+    tfidfVectors(docs, idCol, textCol, embeddingDim)
+      .write.mode("overwrite").parquet(s"$outDir/vectors")
+  }
+
   /** Ingest-time embedding generation with MLlib (HashingTF → IDF →
     * L2 normalize), producing `array<float>` columns compatible with
     * the vector operators. The reference gets embeddings from an

@@ -62,6 +62,37 @@ class IngestSpec extends SparkSpec {
     assert(emb(1L) == again(1L))
   }
 
+  test("buildIndex → search round trip: postings BM25 and self-vector search work off the built tables") {
+    val corpus = Seq(
+      (1L, "spark is a fast engine for spark jobs"),
+      (2L, "query planners rewrite query trees"),
+      (3L, "storage formats and table scans")).toDF("doc_id", "text")
+    val out = Files.createTempDirectory("graft-index").toString + "/idx"
+    Ingest.buildIndex(corpus, "doc_id", "text", out, embeddingDim = 16)
+
+    // keyword search over the built postings (production BM25 path)
+    val postings = spark.read.parquet(s"$out/postings")
+    val dl = spark.read.parquet(s"$out/doclengths")
+    val kw = graft.functions.Bm25
+      .scoreFromPostings(postings, dl, "doc_id", Seq("spark"))
+      .collect().map(_.getLong(0))
+    assert(kw.sameElements(Array(1L)))
+
+    // vector search over the built tf-idf vectors: each doc's own
+    // vector must be its top-1 neighbor
+    val vecs = spark.read.parquet(s"$out/vectors")
+    val q = vecs.where(col("doc_id") === 2).select("embedding")
+    val top = graft.operators.VectorSearch
+      .bruteForceTopK(vecs, "doc_id", "embedding", q, "embedding", k = 1)
+      .collect().head
+    assert(top.getLong(0) == 2L && top.getDouble(1) == 1.0)
+
+    // paragraph table carries reference-format ids
+    val pids = spark.read.parquet(s"$out/paragraphs")
+      .select("paragraph_id").as[String].collect()
+    assert(pids.forall(_.matches("\\d+/t/body/\\d+-\\d+")))
+  }
+
   test("predict reranker rescales the fused window by model score") {
     val fused = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7)).toDF("id", "fscore")
     val corpus = Seq((1L, "nothing relevant here"), (2L, "spark query spark"),
