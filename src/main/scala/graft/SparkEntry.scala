@@ -523,6 +523,19 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // §2.3 positional phrase search (index-level quoted-exact matching)
+    "q52_phrase_search" -> ((s, dir) =>
+      PhraseSearch.phraseOccurrences(
+          load(s, dir, "documents"), "doc_id", "text", QueryTerms)
+        .orderBy(col("n_occurrences").desc, col("doc_id").asc)),
+
+    // training-data ops: winnowing (rolling-hash) fingerprint overlap
+    "q53_winnowing" -> ((s, dir) =>
+      Dedup.winnowPairs(
+          load(s, dir, "documents").where(col("doc_id") < 100),
+          "doc_id", "text", k = 3, w = 4, minShared = 1)
+        .orderBy("a", "b")),
+
     // §2.3 semantic search with min_score threshold (full-corpus cut)
     "q42_semantic_minscore" -> ((s, dir) => {
       import VectorFunctions._
@@ -1036,6 +1049,30 @@ object SparkEntry {
          |  string_agg(paragraph_id, ',' ORDER BY score DESC, paragraph_id) AS hits
          |FROM hits GROUP BY doc_id
          |ORDER BY best_score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q52_phrase_search" ->
+      s"""WITH toksd AS (SELECT doc_id, $Tok AS t FROM documents),
+         |posi AS (SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos FROM toksd)
+         |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+         |FROM posi a JOIN posi b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |WHERE a.term = '${QueryTerms.head}' AND b.term = '${QueryTerms(1)}'
+         |GROUP BY a.doc_id
+         |ORDER BY n_occurrences DESC, a.doc_id""".stripMargin,
+
+    "q53_winnowing" ->
+      s"""WITH toksd AS (SELECT doc_id, $Tok AS t FROM documents WHERE doc_id < 100),
+         |sh AS (SELECT doc_id, i AS pos, md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
+         |       FROM toksd CROSS JOIN (SELECT unnest(range(1, 2000)) AS i) ix
+         |       WHERE i <= len(t) - 2),
+         |fp AS (SELECT DISTINCT doc_id,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |       FROM sh)
+         |SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM fp x JOIN fp y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |GROUP BY x.doc_id, y.doc_id
+         |HAVING count(*) >= 1
+         |ORDER BY a, b""".stripMargin,
 
     "q42_semantic_minscore" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

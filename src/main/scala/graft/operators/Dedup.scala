@@ -163,6 +163,39 @@ object Dedup {
       .select("a", "b", "hamming")
   }
 
+  /** Winnowing fingerprints (rolling-hash document fingerprinting, the
+    * MOSS scheme): hash every word `k`-gram, slide a window of `w`
+    * consecutive hashes, keep each window's minimum — a position-robust
+    * fingerprint set whose overlap survives local edits. Hashes are md5
+    * strings (engine-portable); the window min is a sliding window
+    * function, so the whole computation is one narrow pass + one
+    * distinct.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col(idCol),
+      posexplode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), k))
+        .as(Seq("pos", "shingle")))
+      .withColumn("h", md5(col("shingle").cast("binary")))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    sh.withColumn("fp", min(col("h")).over(win))
+      .select(col(idCol), col("fp")).distinct()
+  }
+
+  /** Near-dup pairs by shared winnowing fingerprints (≥ minShared). */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 2): DataFrame = {
+    val fp = winnowFingerprints(docs, idCol, textCol, k, w)
+    fp.select(col(idCol).as("a"), col("fp"))
+      .join(fp.select(col(idCol).as("b"), col("fp")), "fp")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold. Exact all-pairs at
     * test scale; at 100 TB the same call composes with
     * [[VectorSearch.ivfAssign]] to block by cluster first.
