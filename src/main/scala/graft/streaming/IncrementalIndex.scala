@@ -71,6 +71,39 @@ object IncrementalIndex {
       }
       .start()
 
+  /** Per-user session state for [[streamingSessionCounts]]. */
+  final case class SessionState(lastEventMs: Long, nSessions: Long, nEvents: Long)
+  /** One input event: (user, event-time millis). */
+  final case class UserEvent(user: Long, tsMs: Long)
+  /** Per-user running summary emitted each update. */
+  final case class UserSessions(user: Long, n_sessions: Long, n_events: Long)
+
+  /** Custom-state streaming sessionization with
+    * `mapGroupsWithState` — the KeyValueGroupedDataset stateful path
+    * (batch mirror: [[graft.operators.Sessions]]). State per user is
+    * three longs, independent of history length; a production variant
+    * adds a state timeout to retire idle users.
+    */
+  def streamingSessionCounts(
+      events: org.apache.spark.sql.Dataset[UserEvent],
+      gapSeconds: Long): org.apache.spark.sql.Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.groupByKey(_.user)
+      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[UserEvent], state: GroupState[SessionState]) =>
+          var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          batch.toSeq.sortBy(_.tsMs).foreach { e =>
+            val newSession = s.lastEventMs == Long.MinValue ||
+              e.tsMs - s.lastEventMs > gapSeconds * 1000
+            s = SessionState(e.tsMs,
+              s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1)
+          }
+          state.update(s)
+          UserSessions(user, s.nSessions, s.nEvents)
+      }
+  }
+
   /** Streaming exact-dedup for ingest pipelines: drop rows whose key
     * was already seen, with state bounded by the watermark (duplicates
     * arriving later than `watermark` after their original may pass —

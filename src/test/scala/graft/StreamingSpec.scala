@@ -75,6 +75,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSessionCounts keeps per-user state across batches (mapGroupsWithState)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.IncrementalIndex.{UserEvent, UserSessions}
+    val input = MemoryStream[UserEvent]
+    val out = IncrementalIndex.streamingSessionCounts(input.toDS(), gapSeconds = 60)
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 1 has two events 10s apart → one session
+      input.addData(UserEvent(1L, 0L), UserEvent(1L, 10000L))
+      q.processAllAvailable()
+      // batch 2: user 1 returns 5 min later (new session); user 2 appears
+      input.addData(UserEvent(1L, 310000L), UserEvent(2L, 0L))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user, max(n_sessions), max(n_events) FROM sess GROUP BY user")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == Map(1L -> (2L, 3L), 2L -> (1L, 1L)))
+    } finally q.stop()
+  }
+
   test("windowedCounts aggregates per tumbling window with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
