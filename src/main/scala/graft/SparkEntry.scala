@@ -536,6 +536,19 @@ object SparkEntry {
           "doc_id", "text", k = 3, w = 4, minShared = 1)
         .orderBy("a", "b")),
 
+    // /ask context build: pack best text blocks into a token budget
+    "q54_context_budget" -> ((s, dir) => {
+      val par = graft.sources.Ingest.splitParagraphs(
+        load(s, dir, "documents"), "doc_id", "text")
+      val hits = par.withColumn("score",
+          size(filter(TextFunctions.tokens(col("p_text")),
+            t => t.isInCollection(QueryTerms))).cast("long"))
+        .where(col("score") > 0)
+        .select("paragraph_id", "score", "n_tokens")
+      graft.api.ContextBuilder.pack(hits, "paragraph_id", "score", "n_tokens",
+        budget = 300)
+    }),
+
     // §2.3 semantic search with min_score threshold (full-corpus cut)
     "q42_semantic_minscore" -> ((s, dir) => {
       import VectorFunctions._
@@ -1073,6 +1086,21 @@ object SparkEntry {
          |GROUP BY x.doc_id, y.doc_id
          |HAVING count(*) >= 1
          |ORDER BY a, b""".stripMargin,
+
+    "q54_context_budget" ->
+      s"""WITH $ParCtes,
+         |hits AS (SELECT paragraph_id,
+         |           CAST(len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) AS BIGINT) AS score,
+         |           CAST(e - s AS BIGINT) AS n_tokens
+         |         FROM par
+         |         WHERE len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) > 0),
+         |packed AS (SELECT paragraph_id, score, n_tokens,
+         |             sum(n_tokens) OVER (ORDER BY score DESC, paragraph_id
+         |               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |           FROM hits)
+         |SELECT paragraph_id, score, n_tokens, cum_tokens FROM packed
+         |WHERE cum_tokens <= 300
+         |ORDER BY score DESC, paragraph_id""".stripMargin,
 
     "q42_semantic_minscore" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
