@@ -49,7 +49,20 @@ object GraphSearch {
     final case class Not(op: PathQuery) extends PathQuery
   }
 
-  final case class EdgeTable(edges: DataFrame, srcCol: String, relCol: String, dstCol: String)
+  /** `facetsCol` (optional `array<string>`) carries edge provenance
+    * facets like `/g` generated-by (`noderesources.proto:201-205`). */
+  final case class EdgeTable(edges: DataFrame, srcCol: String, relCol: String,
+      dstCol: String, facetsCol: Option[String] = None)
+
+  /** Facet filter on edges (include/exclude provenance facets). */
+  def facetFilter(t: EdgeTable, include: Seq[String], exclude: Seq[String] = Nil): Column =
+    t.facetsCol match {
+      case None => lit(true)
+      case Some(c) =>
+        val inc = include.map(f => array_contains(col(c), f)).foldLeft(lit(true))(_ && _)
+        val exc = exclude.map(f => !array_contains(col(c), f)).foldLeft(lit(true))(_ && _)
+        inc && exc
+    }
 
   def compile(q: PathQuery, t: EdgeTable): Column = q match {
     case PathQuery.Or(ops) => ops.map(compile(_, t)).reduce(_ || _)

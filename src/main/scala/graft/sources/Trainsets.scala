@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Trainset generators — task-shaped projections of the index tables
+  * for ML export (`nucliadb_protos/dataset.proto:9-17` task types,
+  * `nucliadb/src/nucliadb/train/generators/`). Each generator is a
+  * pure projection/explode over the already-materialized tables; export
+  * is `Ingest.exportTrainset` (partitioned parquet ≈ the Arrow batch
+  * stream).
+  */
+object Trainsets {
+
+  /** FIELD_CLASSIFICATION: (text, labels) per field/document. */
+  def fieldClassification(docs: DataFrame, idCol: String, textCol: String,
+      labelsCol: String): DataFrame =
+    docs.select(col(idCol).as("field_id"), col(textCol).as("text"),
+      col(labelsCol).as("labels"))
+
+  /** PARAGRAPH_CLASSIFICATION: (paragraph_id, text, labels) — one row
+    * per paragraph, labels inherited from the parent document. */
+  def paragraphClassification(paragraphs: DataFrame, docs: DataFrame,
+      idCol: String, labelsCol: String): DataFrame =
+    paragraphs.select(col(idCol), col("paragraph_id"), col("p_text").as("text"))
+      .join(docs.select(col(idCol), col(labelsCol).as("labels")), idCol)
+      .select("paragraph_id", "text", "labels")
+
+  /** TOKEN_CLASSIFICATION: (paragraph_id, tokens, tags) — token arrays
+    * with an (entity-less) O tag per token; a NER pipeline overwrites
+    * `tags`. The shape (aligned arrays) is the contract. */
+  def tokenClassification(paragraphs: DataFrame): DataFrame = {
+    val toks = TextFunctions.tokens(col("p_text"))
+    paragraphs.select(col("paragraph_id"), toks.as("tokens"),
+      transform(toks, _ => lit("O")).as("tags"))
+  }
+
+  /** SENTENCE_CLASSIFICATION / QA pairs: (question, answer) rows from
+    * consecutive paragraph pairs — the self-supervised stand-in the
+    * reference generates from field streams. */
+  def adjacentPairs(paragraphs: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("start"))
+    paragraphs
+      .withColumn("next_text", lead(col("p_text"), 1).over(w))
+      .where(col("next_text").isNotNull)
+      .select(col(idCol), col("p_text").as("question"),
+        col("next_text").as("answer"))
+  }
+}

@@ -83,6 +83,33 @@ class ApiSpec extends SparkSpec {
     assert(fuzzy.terms.collect().map(_.getString(0)).sameElements(Array("spark")))
   }
 
+  test("graph: edge facet filter excludes generated relations") {
+    import org.apache.spark.sql.functions.col
+    val withFacets = Seq(
+      ("Anna", "LIVE_IN", "Berlin", Seq("/g")),       // machine-generated
+      ("Anna", "IS_FRIEND", "Anastasia", Seq.empty[String]))
+      .toDF("src", "rel", "dst", "facets")
+    val t = EdgeTable(withFacets, "src", "rel", "dst", Some("facets"))
+    val kept = withFacets
+      .where(GraphSearch.compile(PathQuery.Path(src = NodeMatch.Exact("Anna")), t) &&
+        GraphSearch.facetFilter(t, include = Nil, exclude = Seq("/g")))
+      .collect().map(_.getString(1))
+    assert(kept.sameElements(Array("IS_FRIEND")))
+  }
+
+  test("trainset generators produce task-shaped projections") {
+    import graft.sources.{Ingest, Trainsets}
+    val d = Seq((1L, (1 to 45).map(i => s"w$i").mkString(" "), Seq("/l/a/b")))
+      .toDF("doc_id", "text", "labels")
+    val par = Ingest.splitParagraphs(d, "doc_id", "text")
+    val pc = Trainsets.paragraphClassification(par, d, "doc_id", "labels").collect()
+    assert(pc.length == 3 && pc.forall(_.getSeq[String](2) == Seq("/l/a/b")))
+    val tc = Trainsets.tokenClassification(par).collect()
+    assert(tc.forall(r => r.getSeq[String](1).size == r.getSeq[String](2).size))
+    val qa = Trainsets.adjacentPairs(par, "doc_id").collect()
+    assert(qa.length == 2) // 3 paragraphs → 2 adjacent pairs
+  }
+
   test("find: vectorset selection picks the right embedding space") {
     val vecs = Seq(
       (1L, "en-small", Seq(1.0f, 0.0f)), (2L, "en-small", Seq(0.0f, 1.0f)),
