@@ -59,6 +59,16 @@ class ScaleDesignSpec extends SparkSpec {
     assert(plan(joined).contains("BroadcastHashJoin"))
   }
 
+  test("approx_count_distinct tracks exact distinct within rsd on real data") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tok = graft.functions.Bm25.tokenStream(docs, "doc_id", "text")
+    val exact = tok.select(countDistinct(col("term"))).collect().head.getLong(0)
+    val approx = tok.select(approx_count_distinct(col("term"), 0.02))
+      .collect().head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx $approx vs exact $exact")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
