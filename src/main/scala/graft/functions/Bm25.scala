@@ -40,17 +40,25 @@ object Bm25 {
       textCol: String,
       queryTerms: Seq[String],
       params: Params = Params()): DataFrame = {
+    val terms = queryTerms.distinct
     val tok = tokenStream(docs, idCol, textCol)
-    val dl = tok.groupBy(idCol).agg(count(lit(1)).as("dl"))
-    // 1-row corpus stats, broadcast to every partition.
-    val stats = dl.agg(
+    // ONE aggregation pass computes per-doc length AND the per-term tf
+    // columns (conditional counts) — the corpus is tokenized and
+    // shuffled once, not once for dl and again for matches.
+    val perDoc = tok.groupBy(idCol).agg(
+      count(lit(1)).as("dl"),
+      terms.map(t =>
+        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"__tf_$t")): _*)
+    val stats = perDoc.agg(
       count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
-    // Restrict to query terms FIRST: the filter pushes into the token
-    // scan; everything downstream is proportional to matches only.
-    val qtok = tok.where(col("term").isInCollection(queryTerms))
-    val tf = qtok.groupBy(idCol, "term").agg(count(lit(1)).cast("double").as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    // long form: (id, dl, term, tf) for matching terms only
+    val tfEntries = terms.flatMap(t => Seq(lit(t), col(s"__tf_$t")))
+    val longForm = perDoc.select(col(idCol), col("dl"),
+        explode(map(tfEntries: _*)).as(Seq("term", "tf")))
+      .where(col("tf") > 0)
+      .withColumn("tf", col("tf").cast("double"))
+    val df = longForm.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
 
     val k1 = lit(params.k1)
     val b = lit(params.b)
@@ -59,8 +67,7 @@ object Bm25 {
     val tfn = (col("tf") * (k1 + lit(1.0))) /
       (col("tf") + k1 * (lit(1.0) - b + b * col("dl") / col("avgdl")))
 
-    tf.join(broadcast(df), "term")
-      .join(dl, idCol)
+    longForm.join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
       .withColumn("term_score", idf * tfn)
       .groupBy(idCol)
