@@ -62,6 +62,14 @@ object VectorFunctions {
     */
   def truncateDim(a: Column, dim: Int): Column = slice(a, 1, dim)
 
+  /** Hamming distance between signature strings via the codegen
+    * expression ([[graft.functions.expr.HammingDistance]]). */
+  def hamming(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expr.HammingDistance(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
   /** 1-bit signature (sign of each component) packed into a bit string —
     * the RaBitQ-style cheap pre-score companion
     * (`nidx_vector/src/vector_types/rabitq.rs`): hamming distance over

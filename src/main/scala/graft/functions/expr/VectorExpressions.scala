@@ -154,3 +154,55 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
 }
+
+/** Hamming distance between two ASCII strings (signature bit strings
+  * from [[graft.functions.VectorFunctions.signBits]] /
+  * [[graft.operators.Dedup.simHash]]). Byte-wise comparison in a single
+  * codegen loop — replaces the interpreted
+  * `size(filter(zip_with(split(a,""), split(b,""), _ =!= _), x => x))`
+  * chain, which allocated three arrays per row. Length difference
+  * counts as distance (signatures are fixed-length in practice).
+  */
+case class HammingDistance(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hamming_distance"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string inputs, got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val b = r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val n = math.min(a.numBytes(), b.numBytes())
+    var d = math.abs(a.numBytes() - b.numBytes())
+    var i = 0
+    while (i < n) { if (a.getByte(i) != b.getByte(i)) d += 1; i += 1 }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numBytes(), $b.numBytes());
+         |int $d = java.lang.Math.abs($a.numBytes() - $b.numBytes());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getByte($i) != $b.getByte($i)) $d++;
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDistance =
+    copy(left = newLeft, right = newRight)
+}

@@ -157,8 +157,7 @@ object Dedup {
     val b = sig.select(col(idCol).as("b"), col("simhash").as("sb"))
     a.crossJoin(b).where(col("a") < col("b"))
       .withColumn("hamming",
-        size(filter(zip_with(split(col("sa"), ""), split(col("sb"), ""),
-          (x, y) => x =!= y), v => v)).cast("long"))
+        graft.functions.VectorFunctions.hamming(col("sa"), col("sb")).cast("long"))
       .where(col("hamming") <= maxDist)
       .select("a", "b", "hamming")
   }

@@ -138,6 +138,35 @@ object VectorSearch {
     bruteForceTopK(candidates, idCol, vecCol, query, queryVecCol, k)
   }
 
+  /** Multi-probe LSH bucket search: bucket = first `prefixBits` of the
+    * sign signature; probe the query's bucket plus every hamming-1
+    * neighbor bucket, then brute-force only those buckets' vectors. At
+    * scale the bucket is a partition column, so each probe is a pruned
+    * partition read; the probe list (prefixBits+1 buckets) is computed
+    * from the single query row driver-side.
+    */
+  def lshBucketSearch(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame,
+      queryVecCol: String,
+      k: Int,
+      prefixBits: Int): DataFrame = {
+    val bucketed = corpus.withColumn("__bucket",
+      substring(signBits(col(vecCol)), 1, prefixBits))
+    val qBucket = query.select(
+      substring(signBits(col(queryVecCol)), 1, prefixBits).as("b"))
+      .collect().head.getString(0)
+    val probes = qBucket +: (0 until prefixBits).map { i =>
+      val flipped = if (qBucket.charAt(i) == '1') '0' else '1'
+      qBucket.updated(i, flipped)
+    }
+    bruteForceTopK(
+      bucketed.where(col("__bucket").isInCollection(probes)),
+      idCol, vecCol, query, queryVecCol, k)
+  }
+
   /** RaBitQ-style two-pass: cheap 1-bit signature hamming pre-score over
     * everything, full-precision rerank of the top `rerank` candidates
     * (`nidx_vector/src/vector_types/rabitq.rs:25-40`, rerank factor 100,
@@ -156,9 +185,7 @@ object VectorSearch {
       col(queryVecCol).as("__qv"),
       signBits(col(queryVecCol)).as("__qsig")))
     val candidates = withSig.crossJoin(q)
-      .withColumn("__ham",
-        size(filter(zip_with(split(col("__sig"), ""), split(col("__qsig"), ""),
-          (a, b) => a =!= b), x => x)))
+      .withColumn("__ham", hamming(col("__sig"), col("__qsig")))
       .orderBy(col("__ham").asc, col(idCol).asc)
       .limit(rerank)
     candidates

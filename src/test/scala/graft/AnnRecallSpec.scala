@@ -31,6 +31,15 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.5, s"recall $r too low")
   }
 
+  test("multi-probe LSH bucket search recall") {
+    val approx = VectorSearch.lshBucketSearch(
+        corpus, "vec_id", "embedding", query, "embedding", k = 10, prefixBits = 4)
+      .collect().map(_.getLong(0))
+    val r = recallOf(approx, exactTop10)
+    info(f"multi-probe LSH recall@10 (prefix=4 bits, 5 probes/16 buckets): $r%.2f")
+    assert(r >= 0.5, s"recall $r too low")
+  }
+
   test("IVF probe search trades recall for scanned fraction") {
     val centroids = emb.where(col("vec_id") < 10)
     val assignments = VectorSearch.ivfAssign(
