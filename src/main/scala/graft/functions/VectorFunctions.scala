@@ -24,6 +24,13 @@ object VectorFunctions {
     */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Wrap a binary Catalyst expression constructor as a Column op. */
+  private def binaryExpr(f: (Expression, Expression) => Expression)(a: Column, b: Column): Column =
+    ColumnBridge.column(f(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Dot product via the native codegen expression
     * ([[graft.functions.expr.DotProduct]]): a tight primitive loop
     * inside whole-stage codegen, ~20× the interpreted higher-order
@@ -31,10 +38,7 @@ object VectorFunctions {
     * accumulates in double, sequential order (oracle-stable).
     */
   def dot(a: Column, b: Column): Column =
-    org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.functions.expr.DotProduct(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+    binaryExpr(graft.functions.expr.DotProduct.apply)(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -43,10 +47,7 @@ object VectorFunctions {
     * three dot products; bit-identical results.
     */
   def cosine(a: Column, b: Column): Column =
-    org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.functions.expr.CosineSimilarity(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+    binaryExpr(graft.functions.expr.CosineSimilarity.apply)(a, b)
 
   /** L2-normalize a vector (reference normalizes on config,
     * `nidx_vector/src/utils.rs` normalize_vector).
@@ -63,12 +64,13 @@ object VectorFunctions {
   def truncateDim(a: Column, dim: Int): Column = slice(a, 1, dim)
 
   /** Hamming distance between signature strings via the codegen
-    * expression ([[graft.functions.expr.HammingDistance]]). */
+    * expression ([[graft.functions.expr.HammingDistance]]).
+    * Byte-wise semantics: intended for fixed-length ASCII signatures
+    * (signBits / simHash output); a length difference counts toward
+    * the distance, and multi-byte characters compare per byte.
+    */
   def hamming(a: Column, b: Column): Column =
-    org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.functions.expr.HammingDistance(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+    binaryExpr(graft.functions.expr.HammingDistance.apply)(a, b)
 
   /** 1-bit signature (sign of each component) packed into a bit string —
     * the RaBitQ-style cheap pre-score companion

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -153,18 +153,26 @@ object VectorSearch {
       queryVecCol: String,
       k: Int,
       prefixBits: Int): DataFrame = {
-    val bucketed = corpus.withColumn("__bucket",
-      substring(signBits(col(vecCol)), 1, prefixBits))
-    val qBucket = query.select(
-      substring(signBits(col(queryVecCol)), 1, prefixBits).as("b"))
-      .collect().head.getString(0)
-    val probes = qBucket +: (0 until prefixBits).map { i =>
-      val flipped = if (qBucket.charAt(i) == '1') '0' else '1'
-      qBucket.updated(i, flipped)
+    // sign only the prefix components — no full-dim signature per row
+    def bucketOf(v: Column) = signBits(slice(v, 1, prefixBits))
+    val qBucketOpt = query
+      .select(bucketOf(col(queryVecCol)).as("b"))
+      .collect().headOption.map(_.getString(0)).filter(_ != null)
+    qBucketOpt match {
+      case None => // empty/null query → empty result, like the siblings
+        corpus.select(col(idCol), lit(0.0).as("score")).limit(0)
+      case Some(qBucket) =>
+        // short vectors yield short buckets; probe only existing bits
+        val bits = math.min(prefixBits, qBucket.length)
+        val probes = qBucket +: (0 until bits).map { i =>
+          val flipped = if (qBucket.charAt(i) == '1') '0' else '1'
+          qBucket.updated(i, flipped)
+        }
+        val bucketed = corpus.withColumn("__bucket", bucketOf(col(vecCol)))
+        bruteForceTopK(
+          bucketed.where(col("__bucket").isInCollection(probes)),
+          idCol, vecCol, query, queryVecCol, k)
     }
-    bruteForceTopK(
-      bucketed.where(col("__bucket").isInCollection(probes)),
-      idCol, vecCol, query, queryVecCol, k)
   }
 
   /** RaBitQ-style two-pass: cheap 1-bit signature hamming pre-score over

@@ -40,6 +40,19 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.5, s"recall $r too low")
   }
 
+  test("lshBucketSearch degenerate inputs: empty query → empty; prefixBits beyond dim → clamped") {
+    val empty = VectorSearch.lshBucketSearch(
+      corpus, "vec_id", "embedding", query.limit(0), "embedding", k = 5, prefixBits = 4)
+    assert(empty.collect().isEmpty)
+    // 64-dim vectors, prefixBits far beyond dim: clamped, must not
+    // throw (a full-dim bucket rarely has hamming-1 neighbors, so the
+    // result may legitimately be empty)
+    val clamped = VectorSearch.lshBucketSearch(
+      corpus, "vec_id", "embedding", query, "embedding", k = 5, prefixBits = 200)
+    assert(clamped.columns.toSeq == Seq("vec_id", "score"))
+    clamped.collect() // no exception is the assertion
+  }
+
   test("IVF probe search trades recall for scanned fraction") {
     val centroids = emb.where(col("vec_id") < 10)
     val assignments = VectorSearch.ivfAssign(
