@@ -549,6 +549,22 @@ object SparkEntry {
         budget = 300)
     }),
 
+    // event-sequence funnel: users whose first signup precedes a purchase
+    "q55_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val firstSignup = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("signup_ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("user_id", "ts")
+      val converted = firstSignup.join(purchases, "user_id")
+        .where(col("ts") > col("signup_ts"))
+        .select("user_id").distinct()
+      firstSignup.agg(count(lit(1)).as("n_signup_users"))
+        .crossJoin(converted.agg(count(lit(1)).as("n_converted")))
+        .withColumn("conversion",
+          round(col("n_converted") / col("n_signup_users").cast("double"), 4))
+    }),
+
     // §2.3 semantic search with min_score threshold (full-corpus cut)
     "q42_semantic_minscore" -> ((s, dir) => {
       import VectorFunctions._
@@ -1101,6 +1117,17 @@ object SparkEntry {
          |SELECT paragraph_id, score, n_tokens, cum_tokens FROM packed
          |WHERE cum_tokens <= 300
          |ORDER BY score DESC, paragraph_id""".stripMargin,
+
+    "q55_funnel" ->
+      """WITH fs AS (SELECT user_id, min(ts) AS signup_ts FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (SELECT DISTINCT fs.user_id FROM fs
+        |         JOIN events p ON p.user_id = fs.user_id
+        |         WHERE p.event_type = 'purchase' AND p.ts > fs.signup_ts)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM fs) AS n_signup_users,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM conv) AS n_converted,
+        |       round((SELECT count(*) FROM conv) /
+        |             CAST((SELECT count(*) FROM fs) AS DOUBLE), 4) AS conversion""".stripMargin,
 
     "q42_semantic_minscore" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
