@@ -18,6 +18,15 @@ object QueryParser {
 
   private val PhraseRe = "\"([^\"]*)\"".r
 
+  /** Parse with a language-specific stop-word list (defaults to en). */
+  def parse(query: String, lang: String): ParsedQuery = {
+    val stop = TextFunctions.stopWordsFor(lang)
+    val p = parse(query)
+    // base parse removes en stop words from bare terms; additionally
+    // drop the target language's stop words
+    p.copy(terms = p.terms.filterNot(stop.contains))
+  }
+
   def parse(query: String): ParsedQuery = {
     val phrases = PhraseRe.findAllMatchIn(query).map(_.group(1).trim.toLowerCase)
       .filter(_.nonEmpty).toSeq

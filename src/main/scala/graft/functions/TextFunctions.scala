@@ -35,10 +35,38 @@ object TextFunctions {
 
   /** Unicode-ish normalization for graph node matching
     * (`nidx_relation/src/schema.rs:123-137`): lowercase + collapse
-    * whitespace. (Accent stripping would use `translate`.)
+    * whitespace. Accent-sensitive; compose with [[foldAccents]] for the
+    * reference's accent-folding node matching.
     */
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
+
+  private val AccentFrom = "àáâãäåāæçćčèéêëēėęìíîïīįñńòóôõöøōœšùúûüūýÿžß"
+  private val AccentTo = "aaaaaaaaccceeeeeeeiiiiiinnoooooooosuuuuuyyzs"
+
+  /** Latin accent folding via `translate` (codegen'd, no UDF) —
+    * `normalize_words` analog for accented entity names
+    * ("José" matches "jose"). Note æ/œ/ß fold to single letters.
+    */
+  def foldAccents(text: Column): Column =
+    translate(lower(text), AccentFrom, AccentTo)
+
+  /** Per-language stop-word sets (reference keeps multi-language lists,
+    * `nidx_paragraph/src/query_parser/stop_words.rs`). `en` is
+    * [[StopWords]]; unknown languages fall back to en.
+    */
+  val StopWordsByLang: Map[String, Seq[String]] = Map(
+    "en" -> StopWords,
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "que", "en", "un", "una", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "zu", "in", "ist", "von"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "en", "est", "du"))
+
+  def stopWordsFor(lang: String): Seq[String] =
+    StopWordsByLang.getOrElse(lang, StopWords)
+
+  /** Remove a language's stop words from a token array. */
+  def removeStopwords(toks: Column, lang: String): Column =
+    array_except(toks, lit(stopWordsFor(lang).toArray))
 
   /** Count of tokens that are stop words. */
   def stopwordCount(toks: Column): Column =

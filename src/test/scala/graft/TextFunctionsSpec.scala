@@ -38,6 +38,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("foldAccents folds latin accents for entity matching") {
+    val out = Seq("Café MÜLLER in Ångström's Grüße").toDF("t")
+      .select(foldAccents(col("t"))).as[String].head()
+    assert(out == "cafe muller in angstrom's gruse") // ß folds to single s (translate is 1:1)
+  }
+
+  test("per-language stopword removal") {
+    val toks = Seq(Seq("der", "schnelle", "fuchs", "und", "der", "hund")).toDF("t")
+    val out = toks.select(removeStopwords(col("t"), "de")).as[Seq[String]].head()
+    assert(out == Seq("schnelle", "fuchs", "hund"))
+    // unknown language falls back to en
+    val en = toks.select(removeStopwords(col("t"), "xx")).as[Seq[String]].head()
+    assert(en.contains("der") && en.contains("und"))
+  }
+
+  test("language-aware query parse drops that language's stop words") {
+    val p = graft.api.QueryParser.parse("el motor de busqueda es rapido", "es")
+    assert(p.terms == Seq("motor", "busqueda", "rapido"))
+  }
+
   test("quality score favors diverse non-stopword text") {
     val rows = Seq(
       ("diverse", "alpha beta gamma delta epsilon zeta"),
