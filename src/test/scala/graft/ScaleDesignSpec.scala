@@ -59,6 +59,22 @@ class ScaleDesignSpec extends SparkSpec {
     assert(plan(joined).contains("BroadcastHashJoin"))
   }
 
+  test("search_after stays deterministic across partitions under duplicate scores at sf0.1") {
+    import graft.operators.TopK
+    // 150k orders; rounded totals collide heavily → the cursor's id
+    // tiebreak is what keeps pages stable across 32-way parallelism
+    val orders = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 0).as("total"))
+    val pages = (1 to 3).map(p =>
+      TopK.page(orders, "total", "o_orderkey", k = 15, page = p)
+        .collect().map(_.getLong(0)))
+    val walked = pages.flatten
+    assert(walked.distinct.length == 45, "pages must be disjoint")
+    val top45 = TopK.topK(orders, "total", "o_orderkey", 45)
+      .collect().map(_.getLong(0))
+    assert(walked.sameElements(top45), "cursor walk must equal the global top-45")
+  }
+
   test("approx_count_distinct tracks exact distinct within rsd on real data") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val tok = graft.functions.Bm25.tokenStream(docs, "doc_id", "text")
