@@ -1111,8 +1111,8 @@ object SparkEntry {
          |         FROM par
          |         WHERE len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) > 0),
          |packed AS (SELECT paragraph_id, score, n_tokens,
-         |             sum(n_tokens) OVER (ORDER BY score DESC, paragraph_id
-         |               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |             CAST(sum(n_tokens) OVER (ORDER BY score DESC, paragraph_id
+         |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
          |           FROM hits)
          |SELECT paragraph_id, score, n_tokens, cum_tokens FROM packed
          |WHERE cum_tokens <= 300

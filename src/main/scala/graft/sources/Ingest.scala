@@ -32,18 +32,25 @@ object Ingest {
       .withColumn("__toks", TextFunctions.tokens(col(textCol)))
       .withColumn("__n", size(col("__toks")))
       .where(col("__n") > 0)
-      .withColumn("__chunk",
-        explode(sequence(lit(0),
-          ceil(col("__n").cast("double") / parTokens).cast("int") - 1)))
-      .withColumn("start", (col("__chunk") * parTokens).cast("int"))
-      .withColumn("end", least(col("__n"), col("start") + parTokens).cast("int"))
-      .withColumn("paragraph_id",
+      // Build all chunk structs per doc inside ONE transform, then explode
+      // the struct array: the exploded rows carry only their ~parTokens of
+      // text, and Catalyst prunes the full __toks array right after the
+      // generate — O(text) total instead of O(chunks × text).
+      .withColumn("__par", explode(transform(
+        sequence(lit(0), ceil(col("__n").cast("double") / parTokens).cast("int") - 1),
+        c => {
+          val s = (c * parTokens).cast("int")
+          val e = least(col("__n"), s + parTokens).cast("int")
+          struct(s.as("start"), e.as("end"),
+            concat_ws(" ", slice(col("__toks"), s + 1, e - s)).as("p_text"))
+        })))
+      .select(col(idCol),
         concat(col(idCol).cast("string"), lit(s"/t/$fieldName/"),
-          col("start").cast("string"), lit("-"), col("end").cast("string")))
-      .withColumn("p_text",
-        concat_ws(" ", slice(col("__toks"), col("start") + 1, col("end") - col("start"))))
-      .select(col(idCol), col("paragraph_id"), col("start"), col("end"),
-        (col("end") - col("start")).cast("long").as("n_tokens"), col("p_text"))
+          col("__par.start").cast("string"), lit("-"),
+          col("__par.end").cast("string")).as("paragraph_id"),
+        col("__par.start").as("start"), col("__par.end").as("end"),
+        (col("__par.end") - col("__par.start")).cast("long").as("n_tokens"),
+        col("__par.p_text").as("p_text"))
 
   /** Posting/term-frequency table (term, docId, tf) — the analog of a
     * tantivy segment's inverted index, precomputed once at ingest so

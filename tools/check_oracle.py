@@ -45,9 +45,15 @@ for name, sql in sorted(oracle.items()):
     diff = []
     for c in spark_df.columns:
         a, b = spark_df[c].values, duck_df[c].values
-        if np.issubdtype(spark_df[c].dtype, np.floating) or np.issubdtype(duck_df[c].dtype, np.floating):
-            eq = np.allclose(a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True)
-            exact = eq
+        # Driver hashes stringified values, so int64 vs float64 ("300" vs
+        # "300.0") is a real mismatch even when numerically equal.
+        a_f = np.issubdtype(spark_df[c].dtype, np.floating)
+        b_f = np.issubdtype(duck_df[c].dtype, np.floating)
+        if a_f != b_f:
+            print(f"   dtype drift col {c}: spark={spark_df[c].dtype} duck={duck_df[c].dtype}")
+            diff.append(c); continue
+        if a_f or b_f:
+            exact = np.allclose(a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True)
         else:
             exact = (a == b).all()
         if not exact:
