@@ -246,11 +246,17 @@ object SparkEntry {
         .orderBy("centroid_id")
     }),
 
-    // training-data ops: embedding-cosine near-duplicate pairs
-    "q23_embedding_neardup" -> ((s, dir) =>
-      Dedup.embeddingNearDups(load(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.45)
-        .orderBy("a", "b")),
+    // training-data ops: embedding-cosine near-duplicate pairs,
+    // IVF-cluster blocked (first 32 vectors as centroids, top-3 assign)
+    // + exact cosine verify — the 100 TB shape; recall vs the exact
+    // all-pairs scan is measured in DedupSpec
+    "q23_embedding_neardup" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      Dedup.embeddingNearDups(emb, "vec_id", "embedding", threshold = 0.45,
+          centroids = emb.where(col("vec_id") < 32), "vec_id", "embedding",
+          multiAssign = 3)
+        .orderBy("a", "b")
+    }),
 
     // §2.9 streaming analog: event-time tumbling window aggregation
     "q24_event_window" -> ((s, dir) =>
@@ -471,17 +477,23 @@ object SparkEntry {
         .select("node").orderBy("node")
     }),
 
-    // catalog browse: filter + offset pagination + total (pg.py analog)
+    // catalog browse: filter + offset pagination + total (pg.py analog).
+    // Scale shape: the page is a TakeOrderedAndProject over offset+k
+    // rows (per-partition heaps, no global window over the filtered
+    // set), the total is an independent parallel count aggregate, and
+    // the only window runs over the 20 already-cut rows.
     "q48_catalog" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val filtered = Tables.documentsWithLabels(s, dir)
         .where(FilterExpr.compile(FilterExpr.Facet("/s/p/en")))
         .select("doc_id", "n_chars")
-      val ranked = filtered
+      val (offset, k) = (10, 10)
+      val total = filtered.agg(count(lit(1)).as("total"))
+      val page = TopK.topK(filtered, "n_chars", "doc_id", offset + k)
         .withColumn("rn", row_number().over(
-          Window.orderBy(col("n_chars").desc, col("doc_id").asc)))
-        .withColumn("total", count(lit(1)).over(Window.partitionBy()))
-      ranked.where(col("rn").between(11, 20))
+          Window.partitionBy(lit(0)).orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .where(col("rn") > offset)
+      page.crossJoin(broadcast(total))
         .select(col("doc_id"), col("n_chars"), col("total"))
         .orderBy(col("n_chars").desc, col("doc_id").asc)
     }),
@@ -832,10 +844,18 @@ object SparkEntry {
          |WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin,
 
     "q23_embedding_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-         |SELECT x.vec_id AS a, y.vec_id AS b, round(${cosSql("x.v", "y.v")}, 6) AS score
-         |FROM e x JOIN e y ON x.vec_id < y.vec_id
-         |WHERE round(${cosSql("x.v", "y.v")}, 6) >= 0.45
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 32),
+         |scored AS (SELECT e.vec_id, cent.cid, round(${cosSql("e.v", "cent.cv")}, 6) AS score
+         |           FROM e CROSS JOIN cent),
+         |assign AS (SELECT vec_id, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+         |  FROM scored) WHERE rn <= 3),
+         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |         FROM assign x JOIN assign y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+         |SELECT a, b, round(${cosSql("ea.v", "eb.v")}, 6) AS score
+         |FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
+         |WHERE round(${cosSql("ea.v", "eb.v")}, 6) >= 0.45
          |ORDER BY a, b""".stripMargin,
 
     "q24_event_window" ->
@@ -872,12 +892,16 @@ object SparkEntry {
 
     "q30_rrf_fusion" ->
       s"""WITH $Bm25Ctes,
-         |kr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm25),
+         |kr AS (SELECT doc_id, rank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm25)
+         |  WHERE rank <= 500),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
          |sem AS (SELECT e.vec_id AS doc_id, round(${cosSql("e.v", "q.qv")}, 6) AS score
          |        FROM e CROSS JOIN q),
-         |sr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sem),
+         |sr AS (SELECT doc_id, rank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sem)
+         |  WHERE rank <= 500),
          |u AS (SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM kr
          |      UNION ALL
          |      SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM sr)
@@ -887,18 +911,24 @@ object SparkEntry {
 
     "q31_combsum_fusion" ->
       s"""WITH $Bm25Ctes,
+         |kb AS (SELECT doc_id, score FROM (
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM bm25)
+         |  WHERE rn <= 500),
          |kn AS (SELECT doc_id,
          |         CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
          |              ELSE (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ()) END
-         |         * 0.7 AS contrib FROM bm25),
+         |         * 0.7 AS contrib FROM kb),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
          |sem AS (SELECT e.vec_id AS doc_id, round(${cosSql("e.v", "q.qv")}, 6) AS score
          |        FROM e CROSS JOIN q),
+         |sb AS (SELECT doc_id, score FROM (
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM sem)
+         |  WHERE rn <= 500),
          |sn AS (SELECT doc_id,
          |         CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
          |              ELSE (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ()) END
-         |         * 0.3 AS contrib FROM sem),
+         |         * 0.3 AS contrib FROM sb),
          |u AS (SELECT * FROM kn UNION ALL SELECT * FROM sn)
          |SELECT doc_id, round(sum(contrib), 6) AS fused, CAST(count(*) AS BIGINT) AS n_sources
          |FROM u GROUP BY doc_id
@@ -1008,12 +1038,16 @@ object SparkEntry {
 
     "q45_rerank" ->
       s"""WITH $Bm25Ctes,
-         |kr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm25),
+         |kr AS (SELECT doc_id, rank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm25)
+         |  WHERE rank <= 500),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
          |sem AS (SELECT e.vec_id AS doc_id, round(${cosSql("e.v", "q.qv")}, 6) AS score
          |        FROM e CROSS JOIN q),
-         |sr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sem),
+         |sr AS (SELECT doc_id, rank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sem)
+         |  WHERE rank <= 500),
          |u AS (SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM kr
          |      UNION ALL SELECT doc_id, 1.0 / (60 + rank) FROM sr),
          |fused AS (SELECT doc_id, round(sum(contrib), 6) AS fscore FROM u GROUP BY doc_id),

@@ -129,12 +129,10 @@ object Dedup {
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
     val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val pos = broadcast(docs.sparkSession.range(1, bits + 1)
-      .select(col("id").cast("int").as("b")))
     docs.select(col(idCol),
         explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
       .withColumn("h", md5(col("term").cast("binary")))
-      .crossJoin(pos)
+      .withColumn("b", explode(lit((1 to bits).toArray)))
       .withColumn("vote",
         when(expr("substring(h, b, 1)").isin(highHex: _*), 1).otherwise(-1))
       .groupBy(col(idCol), col("b"))
@@ -145,19 +143,37 @@ object Dedup {
         .getField("bit")).as("simhash"))
   }
 
-  /** Candidate near-dup pairs with Hamming distance ≤ maxDist between
-    * SimHash signatures. All-pairs at test scale; the scale path blocks
-    * on signature bands (split the bit string, join on band equality)
-    * exactly like MinHash-LSH.
+  /** Near-dup pairs with Hamming distance ≤ maxDist between SimHash
+    * signatures, found by LOSSLESS band blocking: the signature is split
+    * into `maxDist + 1` contiguous bands and candidates are pairs equal
+    * in ≥1 band. Pigeonhole guarantees completeness — `maxDist`
+    * differing bits can dirty at most `maxDist` of the `maxDist + 1`
+    * bands, so every qualifying pair shares a clean band. The result is
+    * IDENTICAL to the all-pairs scan, but the pair generation is a
+    * bucket equi-join (|bucket|² per band value, not |corpus|²) — the
+    * same sub-quadratic shape the reference's segmented index gives its
+    * candidate scans (`nidx/nidx_vector/src/segment.rs:626-660`).
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 16, maxDist: Int = 3): DataFrame = {
     val sig = simHash(docs, idCol, textCol, bits)
-    val a = sig.select(col(idCol).as("a"), col("simhash").as("sa"))
-    val b = sig.select(col(idCol).as("b"), col("simhash").as("sb"))
-    a.crossJoin(b).where(col("a") < col("b"))
+    val nBands = maxDist + 1
+    val starts = (0 to nBands).map(i => i * bits / nBands)
+    val bandCols = (0 until nBands).map { i =>
+      struct(lit(i).as("band"),
+        substring(col("simhash"), starts(i) + 1, starts(i + 1) - starts(i)).as("bv"))
+    }
+    val bands = sig.select(col(idCol), explode(array(bandCols: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.bv").as("bv"))
+    val cand = bands.select(col(idCol).as("a"), col("band"), col("bv"))
+      .join(bands.select(col(idCol).as("b"), col("band"), col("bv")), Seq("band", "bv"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sa = sig.select(col(idCol).as("a"), col("simhash").as("__sa"))
+    val sb = sig.select(col(idCol).as("b"), col("simhash").as("__sb"))
+    cand.join(sa, "a").join(sb, "b")
       .withColumn("hamming",
-        graft.functions.VectorFunctions.hamming(col("sa"), col("sb")).cast("long"))
+        graft.functions.VectorFunctions.hamming(col("__sa"), col("__sb")).cast("long"))
       .where(col("hamming") <= maxDist)
       .select("a", "b", "hamming")
   }
@@ -195,11 +211,62 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
-  /** Embedding near-dup pairs: cosine ≥ threshold. Exact all-pairs at
-    * test scale; at 100 TB the same call composes with
-    * [[VectorSearch.ivfAssign]] to block by cluster first.
+  /** Embedding near-dup pairs with IVF-cluster blocking: each vector is
+    * assigned to its `multiAssign` nearest centroids (rounded cosine
+    * desc, centroid-id tiebreak — deterministic and engine-portable),
+    * candidates are pairs sharing ≥1 assigned cluster, and candidates
+    * are verified with the exact cosine ≥ threshold.
+    *
+    * Scale shape: the centroid set is driver-scale (like a query
+    * vector), so assignment is pure codegen'd array math on a broadcast
+    * literal — no join, no corpus shuffle; pair generation is a bucket
+    * equi-join on cluster id (Σ|cluster|² work, not |corpus|²). This is
+    * the blocked-candidates duality of the reference's per-segment scan
+    * (`nidx/nidx_vector/src/segment.rs:626-660`): recall is governed by
+    * `multiAssign`/centroid count exactly as nprobe governs IVF search
+    * recall, and is measured against [[embeddingNearDupsExact]] in
+    * DedupSpec.
     */
   def embeddingNearDups(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      centroids: DataFrame,
+      cidCol: String,
+      cvecCol: String,
+      multiAssign: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val cents: Seq[(Int, Seq[Float])] = centroids
+      .select(col(cidCol).cast("int"), col(cvecCol))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    // per-row top-m clusters: score the literal centroid array in one
+    // codegen'd pass, sort by (-score, cid), slice m
+    val scoredCents = transform(typedlit(cents), c =>
+      struct((-round(cosine(col(vecCol), c.getField("_2")), 6)).as("neg"),
+        c.getField("_1").as("cid")))
+    val topM = slice(sort_array(scoredCents), 1, multiAssign)
+    // carry the vector through the cluster join: score candidates in the
+    // same pass and dedup only the (few) surviving pairs — no second
+    // join back to the corpus, no distinct over the candidate set
+    val assign = vectors.select(col(idCol), col(vecCol),
+      explode(topM.getField("cid")).as("__cid"))
+    val a = assign.select(col(idCol).as("a"), col(vecCol).as("__va"), col("__cid"))
+    val b = assign.select(col(idCol).as("b"), col(vecCol).as("__vb"), col("__cid"))
+    a.join(b, "__cid")
+      .where(col("a") < col("b"))
+      .withColumn("score", round(cosine(col("__va"), col("__vb")), 6))
+      .where(col("score") >= threshold)
+      .select("a", "b", "score").distinct()
+  }
+
+  /** Exact all-pairs embedding near-dup — the correctness oracle for
+    * [[embeddingNearDups]] at test scale (O(n²); never run this on a
+    * full corpus).
+    */
+  def embeddingNearDupsExact(
       vectors: DataFrame,
       idCol: String,
       vecCol: String,

@@ -11,19 +11,33 @@ import org.apache.spark.sql.functions._
   * `nucliadb/src/nucliadb/search/search/rank_fusion.py:106-254`;
   * RRF constant k=60, per-source boost weights, dedup by paragraph id.
   *
-  * Scale design: each input list is already a top-window (≤500 rows,
-  * MAX_RANK_FUSION_WINDOW) so fusion operates on tiny data regardless of
-  * corpus size; ranks are computed per-source with a window function and
-  * the fuse is a hash aggregation on the id.
+  * Scale design: every input list is CUT to the fusion window
+  * (≤ MAX_RANK_FUSION_WINDOW = 500 rows, enforced here — the reference
+  * clamps identically, `nucliadb_models/src/nucliadb_models/search.py:352`)
+  * with a TakeOrderedAndProject top-k BEFORE any window function runs,
+  * so fusion operates on tiny data regardless of corpus size. The
+  * rank window partitions on a constant: its input is already bounded
+  * by the cut, so single-partition execution is by construction safe.
   */
 object RankFusion {
 
   val DefaultK = 60
 
-  /** Deterministic rank within one list: score desc, id asc tiebreak. */
-  private def ranked(df: DataFrame, idCol: String, scoreCol: String): DataFrame =
-    df.withColumn("rank",
-      row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol).asc)))
+  /** Hard cap on per-list fusion input (reference
+    * MAX_RANK_FUSION_WINDOW). Cutting a list to the top `window` rows
+    * in (score desc, id asc) order leaves the ranks of surviving rows
+    * unchanged — identical to ranking the full list and keeping
+    * rank ≤ window. */
+  val MaxWindow = 500
+
+  /** Deterministic rank within one already-bounded list: score desc,
+    * id asc tiebreak. The constant partition key keeps the plan an
+    * explicit (bounded) single-partition window. */
+  private def ranked(df: DataFrame, idCol: String, scoreCol: String, window: Int): DataFrame =
+    TopK.topK(df, scoreCol, idCol, window)
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy(lit(0)).orderBy(col(scoreCol).desc, col(idCol).asc)))
 
   /** Reciprocal Rank Fusion: score(d) = Σ_lists w_l / (k + rank_l(d)).
     *
@@ -34,9 +48,10 @@ object RankFusion {
       lists: Seq[(String, DataFrame, Double)],
       idCol: String,
       scoreCol: String,
-      k: Int = DefaultK): DataFrame = {
+      k: Int = DefaultK,
+      window: Int = MaxWindow): DataFrame = {
     val contributions = lists.map { case (_, df, w) =>
-      ranked(df, idCol, scoreCol)
+      ranked(df, idCol, scoreCol, window)
         .select(col(idCol),
           (lit(w) / (lit(k.toDouble) + col("rank"))).as("contrib"))
     }
@@ -53,12 +68,14 @@ object RankFusion {
   def weightedCombSum(
       lists: Seq[(String, DataFrame, Double)],
       idCol: String,
-      scoreCol: String): DataFrame = {
+      scoreCol: String,
+      window: Int = MaxWindow): DataFrame = {
     val normalized = lists.map { case (_, df, w) =>
-      val win = Window.partitionBy()
+      val cut = TopK.topK(df, scoreCol, idCol, window)
+      val win = Window.partitionBy(lit(0))
       val mn = min(col(scoreCol)).over(win)
       val mx = max(col(scoreCol)).over(win)
-      df.select(col(idCol),
+      cut.select(col(idCol),
         when(mx === mn, lit(1.0))
           .otherwise((col(scoreCol) - mn) / (mx - mn))
           .multiply(lit(w)).as("contrib"))

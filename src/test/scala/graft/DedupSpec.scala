@@ -33,6 +33,68 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("simHashPairs band blocking is lossless vs all-pairs hamming") {
+    // pigeonhole: maxDist+1 bands guarantee every pair with hamming <=
+    // maxDist shares a band — band-join result must equal brute force
+    import org.apache.spark.sql.functions._
+    val corpus = docs
+    for (maxDist <- Seq(1, 3)) {
+      val banded = Dedup.simHashPairs(corpus, "doc_id", "text",
+          bits = 16, maxDist = maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val sig = Dedup.simHash(corpus, "doc_id", "text", bits = 16)
+      val brute = sig.select(col("doc_id").as("a"), col("simhash").as("sa"))
+        .crossJoin(sig.select(col("doc_id").as("b"), col("simhash").as("sb")))
+        .where(col("a") < col("b"))
+        .withColumn("hamming",
+          graft.functions.VectorFunctions.hamming(col("sa"), col("sb")).cast("long"))
+        .where(col("hamming") <= maxDist)
+        .select("a", "b", "hamming")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(banded == brute, s"maxDist=$maxDist")
+    }
+  }
+
+  test("simHashPairs plan has no cartesian product") {
+    val plan = Dedup.simHashPairs(docs, "doc_id", "text", bits = 16, maxDist = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.linesIterator.take(20).mkString("\n"))
+  }
+
+  test("embeddingNearDups blocked finds constructed near-dups with full recall") {
+    // genuine near-dup structure: v and v+tiny noise (cosine ~0.999) —
+    // the regime the operator targets; blocking must not lose them
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map(_ => Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      val jittered = v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong * 2, v.toSeq), (i.toLong * 2 + 1, jittered.toSeq))
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    import org.apache.spark.sql.functions.col
+    val blocked = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", 0.98,
+        centroids = vecs.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        multiAssign = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.embeddingNearDupsExact(vecs, "vec_id", "embedding", 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && blocked == exact,
+      s"recall ${blocked.size}/${exact.size}")
+  }
+
+  test("embeddingNearDups plan has no cartesian product over the corpus") {
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 50).map(i => (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    import org.apache.spark.sql.functions.col
+    val plan = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", 0.5,
+        vecs.where(col("vec_id") < 8), "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.linesIterator.take(20).mkString("\n"))
+  }
+
   test("ngramJaccardPairs computes exact jaccard") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.1)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -55,6 +55,38 @@ object FusionProperties extends Properties("graft") {
       }
     }
 
+  /** The MaxWindow cut is exact for surviving rows: fusing lists cut to
+    * the top `w` (score desc, id asc) equals the reference model run on
+    * the same cut lists — and when w ≥ |list| (the verify-scale case)
+    * the previous property already shows it equals the full-list model,
+    * i.e. the cut cannot change a top-k result. */
+  property("rrf.windowCut.matchesCutListModel") =
+    forAll(scoredList, scoredList, Gen.choose(1, 15)) { (a, b, w) =>
+      import spark.implicits._
+      val dfa = a.toDF("id", "score")
+      val dfb = b.toDF("id", "score")
+      val got = RankFusion.rrf(Seq(("a", dfa, 1.0), ("b", dfb, 0.5)),
+          "id", "score", window = w)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      def cut(l: List[(Long, Double)]) =
+        l.sortBy { case (id, s) => (-s, id) }.take(w)
+      val want = rrfModel(Seq((cut(a), 1.0), (cut(b), 0.5)), RankFusion.DefaultK)
+      got.keySet == want.keySet && got.forall { case (id, (s, n)) =>
+        math.abs(s - want(id)._1) < 1e-12 && n == want(id)._2
+      }
+    }
+
+  property("rrf.everyWindowIsPartitioned") =
+    forAll(scoredList) { a =>
+      import spark.implicits._
+      val df = a.toDF("id", "score")
+      val plan = RankFusion.rrf(Seq(("a", df, 1.0), ("b", df, 0.5)), "id", "score")
+        .queryExecution.executedPlan
+      plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec
+      }.forall(_.nonEmpty)
+    }
+
   property("searchAfter.pagesPartitionTheTopN") =
     forAll(scoredList) { data =>
       import spark.implicits._
