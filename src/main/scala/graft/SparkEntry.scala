@@ -577,6 +577,32 @@ object SparkEntry {
           round(col("n_converted") / col("n_signup_users").cast("double"), 4))
     }),
 
+    // §2.2 typed JSON predicates: text-eq + bool leaves in one tree,
+    // each a single-parse native expression (search.rs:29-56 analog)
+    "q56_json_text" -> ((s, dir) => {
+      val withMeta = load(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"),
+          col("source").as("src"), (col("n_chars") >= 300).as("big"))))
+      val f = FilterExpr.And(Seq(
+        FilterExpr.JsonText("meta", "lang", "en"),
+        FilterExpr.JsonBool("meta", "big", value = true),
+        FilterExpr.Not(FilterExpr.JsonText("meta", "src", "src0"))))
+      withMeta.where(FilterExpr.compile(f))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // §2.2 JSON ISO-date range leaf (lexicographic = chronological)
+    "q57_json_date" -> ((s, dir) => {
+      val withMeta = load(s, dir, "orders")
+        .withColumn("meta", to_json(struct(
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))))
+      withMeta.where(FilterExpr.compile(
+          FilterExpr.JsonDateRange("meta", "d", Some("1996-01-01"), Some("1996-06-30"))))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
     // §2.3 semantic search with min_score threshold (full-corpus cut)
     "q42_semantic_minscore" -> ((s, dir) => {
       import VectorFunctions._
@@ -1162,6 +1188,24 @@ object SparkEntry {
         |       (SELECT CAST(count(*) AS BIGINT) FROM conv) AS n_converted,
         |       round((SELECT count(*) FROM conv) /
         |             CAST((SELECT count(*) FROM fs) AS DOUBLE), 4) AS conversion""".stripMargin,
+
+    "q56_json_text" ->
+      """WITH m AS (SELECT doc_id,
+        |  to_json(struct_pack(lang := lang, src := source, big := n_chars >= 300)) AS meta
+        |  FROM documents)
+        |SELECT doc_id FROM m
+        |WHERE meta ->> '$.lang' = 'en'
+        |  AND CAST(meta ->> '$.big' AS BOOLEAN)
+        |  AND NOT (meta ->> '$.src' = 'src0')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q57_json_date" ->
+      """WITH m AS (SELECT o_orderstatus,
+        |  to_json(struct_pack(d := strftime(o_orderdate, '%Y-%m-%d'))) AS meta
+        |  FROM orders)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n FROM m
+        |WHERE (meta ->> '$.d') >= '1996-01-01' AND (meta ->> '$.d') <= '1996-06-30'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q42_semantic_minscore" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

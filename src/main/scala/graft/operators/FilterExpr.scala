@@ -35,10 +35,21 @@ object FilterExpr {
   /** Security: row is public (no groups) or shares ≥1 access group
     * (`nidx_text/src/search_query.rs:66-90`). */
   final case class Security(userGroups: Seq[String]) extends FilterExpr
-  /** JSON path predicate on a string JSON column
-    * (`nidx/nidx_json/src/search.rs:23-59`): compare the value at
-    * `$.path` (cast to double) against an inclusive range. */
+  /** JSON path predicates on a string JSON column — the typed leaf set
+    * of the reference's JSON index (`nidx/nidx_json/src/search.rs:29-56`:
+    * Text/Boolean/Int/IntRange/Float/FloatRange/Date/DateRange inside
+    * the same And/Or/Not tree). Each compiles to a single-parse native
+    * expression ([[graft.functions.expr.JsonScan]]) — extraction and
+    * comparison in ONE scan of the JSON text per row, immune to the
+    * optimizer's per-reference re-inlining of `get_json_object`. */
   final case class JsonNumRange(column: String, path: String, lo: Option[Double], hi: Option[Double]) extends FilterExpr
+  /** Decoded-string equality at `$.path` (reference Text leaf). */
+  final case class JsonText(column: String, path: String, value: String) extends FilterExpr
+  /** Boolean equality at `$.path` (reference Boolean leaf). */
+  final case class JsonBool(column: String, path: String, value: Boolean) extends FilterExpr
+  /** ISO-date range at `$.path`, lexicographic = chronological
+    * (reference Date/DateRange leaves); either bound optional. */
+  final case class JsonDateRange(column: String, path: String, from: Option[String], to: Option[String]) extends FilterExpr
 
   /** Column-name bindings for the schema the filter runs against. */
   final case class Bindings(
@@ -65,8 +76,21 @@ object FilterExpr {
       size(col(b.securityCol)) === 0 ||
         arrays_overlap(col(b.securityCol), lit(groups.toArray))
     case JsonNumRange(c, path, lo, hi) =>
-      range(get_json_object(col(c), "$." + path).cast("double"),
-        lo.map(lit), hi.map(lit))
+      jsonPred(graft.functions.expr.JsonNumBetween(_, path, lo, hi), c)
+    case JsonText(c, path, v) =>
+      jsonPred(graft.functions.expr.JsonStrEq(_, path, v), c)
+    case JsonBool(c, path, v) =>
+      jsonPred(graft.functions.expr.JsonBoolEq(_, path, v), c)
+    case JsonDateRange(c, path, from, to) =>
+      jsonPred(graft.functions.expr.JsonStrBetween(_, path, from, to), c)
+  }
+
+  private def jsonPred(
+      f: org.apache.spark.sql.catalyst.expressions.Expression =>
+        org.apache.spark.sql.catalyst.expressions.Expression,
+      column: String): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(f(ColumnBridge.expression(col(column))))
   }
 
   private def range(c: Column, lo: Option[Column], hi: Option[Column]): Column =

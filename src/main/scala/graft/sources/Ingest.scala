@@ -92,6 +92,33 @@ object Ingest {
       .write.mode("overwrite").parquet(s"$outDir/vectors")
   }
 
+  /** Materialized `json_fields`: parse a JSON string column ONCE per
+    * row (a single `from_json` with the merged field schema) into typed
+    * top-level columns named `<jsonCol>_<field>`. The reference indexes
+    * JSON attributes exactly once at ingest
+    * (`nidx/nidx_json/src/lib.rs:144-147`) and serves every later
+    * predicate from the index; the parquet analog is a typed column —
+    * after [[buildJsonIndex]] writes it, filters compile to plain
+    * column comparisons that push into the parquet scan
+    * (`PushedFilters`), with zero JSON parsing at query time.
+    *
+    * @param fields field name → Spark SQL type string ("double",
+    *               "string", "boolean", "timestamp"…)
+    */
+  def jsonFields(df: DataFrame, jsonCol: String, fields: Seq[(String, String)]): DataFrame = {
+    val schema = fields.map { case (f, t) => s"`$f` $t" }.mkString(", ")
+    val parsed = df.withColumn("__parsed", from_json(col(jsonCol), lit(schema)))
+    fields.foldLeft(parsed) { case (d, (f, _)) =>
+      d.withColumn(s"${jsonCol}_$f", col(s"__parsed.`$f`"))
+    }.drop("__parsed")
+  }
+
+  /** Write the typed json_fields table — the index-build step whose
+    * output makes JSON predicates parquet-pushable. */
+  def buildJsonIndex(df: DataFrame, jsonCol: String,
+      fields: Seq[(String, String)], outDir: String): Unit =
+    jsonFields(df, jsonCol, fields).write.mode("overwrite").parquet(outDir)
+
   /** Ingest-time embedding generation with MLlib (HashingTF → IDF →
     * L2 normalize), producing `array<float>` columns compatible with
     * the vector operators. The reference gets embeddings from an

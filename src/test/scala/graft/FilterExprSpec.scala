@@ -40,4 +40,59 @@ class FilterExprSpec extends SparkSpec {
     assert(ids(JsonNumRange("json_value", "price", Some(10), Some(50))) == Set(1L))
     assert(ids(JsonNumRange("json_value", "price", None, Some(50))) == Set(1L, 2L))
   }
+
+  private val jdocs = Seq(
+    (1L, """{"tag": "news", "ok": true, "d": "2024-01-15", "nested": {"x": 5}}"""),
+    (2L, """{"tag": "blog", "ok": false, "d": "2024-06-01", "nested": {"x": 9}}"""),
+    (3L, """{"tag": "es\"caped", "d": "2023-12-31", "extra": [1, {"a": 2}]}"""))
+    .toDF("rid", "j")
+
+  private def jids(f: FilterExpr): Set[Long] =
+    jdocs.where(FilterExpr.compile(f)).select("rid").as[Long].collect().toSet
+
+  test("json text / bool / date leaves — single-parse expressions") {
+    assert(jids(JsonText("j", "tag", "news")) == Set(1L))
+    assert(jids(JsonText("j", "tag", "es\"caped")) == Set(3L)) // unescaping
+    assert(jids(JsonBool("j", "ok", value = true)) == Set(1L))
+    assert(jids(JsonBool("j", "ok", value = false)) == Set(2L))
+    assert(jids(JsonDateRange("j", "d", Some("2024-01-01"), Some("2024-12-31"))) == Set(1L, 2L))
+    assert(jids(JsonDateRange("j", "d", None, Some("2024-01-31"))) == Set(1L, 3L))
+    assert(jids(JsonText("j", "nested.x", "5")) == Set(1L)) // dotted path
+    assert(jids(JsonText("j", "missing", "x")) == Set.empty) // absent key → false
+  }
+
+  test("json tree composes typed leaves") {
+    val f = And(Seq(
+      JsonDateRange("j", "d", Some("2024-01-01"), None),
+      Or(Seq(JsonText("j", "tag", "news"), JsonBool("j", "ok", value = false)))))
+    assert(jids(f) == Set(1L, 2L))
+  }
+
+  test("json predicate plan parses once: single expression, codegen'd") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonplan").toString
+    jdocs.write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).where(FilterExpr.compile(
+      JsonNumRange("j", "price", Some(1), Some(2))))
+    val plan = df.queryExecution.executedPlan.toString
+    // the whole range is ONE expression instance — no duplicated
+    // extraction like get_json_object >= lo AND get_json_object <= hi
+    assert(plan.contains("json_num_between"))
+    assert(!plan.contains("get_json_object"))
+    // "*(n)" node prefix = inside a WholeStageCodegen stage
+    assert(plan.linesIterator.next().trim.startsWith("*("), plan)
+  }
+
+  test("materialized json_fields pushes predicates into the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonidx").toString
+    graft.sources.Ingest.buildJsonIndex(jdocs, "j",
+      Seq("tag" -> "string", "d" -> "string"), dir)
+    val indexed = spark.read.parquet(dir)
+    val q = indexed.where(org.apache.spark.sql.functions.col("j_tag") === "news")
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metadata("PushedFilters").contains("EqualTo(j_tag,news)"),
+      scan.metadata("PushedFilters"))
+    assert(q.select("rid").as[Long].collect().toSet == Set(1L))
+  }
 }
