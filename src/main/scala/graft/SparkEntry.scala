@@ -603,6 +603,34 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // §2.2 legacy filter-string surface: alias translation + label /
+    // keyword filters through the old_filters parser → FilterExpr tree
+    "q58_old_filters" -> ((s, dir) => {
+      import graft.api.OldFilters
+      val (fieldExpr, parExpr) = OldFilters.parse(OldFilters.Params(
+        labelFilters = Seq(
+          OldFilters.Lit("/metadata.language/en"),
+          OldFilters.NoneOf(Seq("/origin.source-id/src0", "/origin.source-id/src1"))),
+        keywordFilters = Seq(OldFilters.Lit("filter"))))
+      assert(parExpr.isEmpty) // no paragraph labelsets registered
+      Tables.documentsWithLabels(s, dir)
+        .where(FilterExpr.compile(fieldExpr.get))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // §2.5 suggest: typo-tolerant last-term fuzzy PREFIX completion
+    "q59_suggest_fuzzy_prefix" -> ((s, dir) => {
+      val termFreq = Bm25.tokenStream(load(s, dir, "documents"), "doc_id", "text")
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+      TopK.suggestFuzzyPrefix(termFreq, "term", "freq", "qindo", 10)
+    }),
+
+    // §2.4 hierarchical facet PATH rollup: child counts roll into
+    // parent + grandparent in one pass (catalog pg.py:314-359 analog)
+    "q60_facet_path_rollup" -> ((s, dir) =>
+      Facets.pathRollup(Tables.documentsWithLabels(s, dir), "labels")
+        .orderBy("facet")),
+
     // §2.3 semantic search with min_score threshold (full-corpus cut)
     "q42_semantic_minscore" -> ((s, dir) => {
       import VectorFunctions._
@@ -1206,6 +1234,33 @@ object SparkEntry {
         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n FROM m
         |WHERE (meta ->> '$.d') >= '1996-01-01' AND (meta ->> '$.d') <= '1996-06-30'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q58_old_filters" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE lang = 'en'
+         |  AND source <> 'src0' AND source <> 'src1'
+         |  AND list_contains($Tok, 'filter')
+         |ORDER BY doc_id""".stripMargin,
+
+    "q59_suggest_fuzzy_prefix" ->
+      s"""WITH $TokCte,
+         |tfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term)
+         |SELECT term, freq FROM tfreq
+         |WHERE levenshtein(substring(term, 1, 4), 'qindo') <= 1
+         |   OR levenshtein(substring(term, 1, 5), 'qindo') <= 1
+         |   OR levenshtein(substring(term, 1, 6), 'qindo') <= 1
+         |ORDER BY freq DESC, term LIMIT 10""".stripMargin,
+
+    "q60_facet_path_rollup" ->
+      """WITH lab AS (
+        |  SELECT '/s/p/' || lang AS label FROM documents
+        |  UNION ALL
+        |  SELECT '/u/s/' || source AS label FROM documents),
+        |anc AS (SELECT array_to_string((string_split(label, '/'))[1:d], '/') AS facet
+        |        FROM lab CROSS JOIN (SELECT unnest(range(2, 12)) AS d) ds
+        |        WHERE d <= len(string_split(label, '/')))
+        |SELECT facet, CAST(count(*) AS BIGINT) AS n FROM anc
+        |GROUP BY facet ORDER BY facet""".stripMargin,
 
     "q42_semantic_minscore" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -97,19 +97,32 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle
     * (inverted-index join — sub-quadratic when shingles are selective).
     * Returns (a, b, jaccard) with a < b, jaccard ≥ threshold.
+    *
+    * Stop-shingle hot buckets (a shingle present in a large fraction of
+    * the corpus) concentrate the join on one reducer; `saltFactor > 1`
+    * routes buckets larger than `hotThreshold` through
+    * [[Skew.saltedPairCounts]] — identical result, skew spread over
+    * `saltFactor` reducers.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      saltFactor: Int = 1,
+      hotThreshold: Long = 1000): DataFrame = {
     val sh = shingleSet(docs, idCol, textCol, n).cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val x = sh.select(col(idCol).as("a"), col("shingle"))
-    val y = sh.select(col(idCol).as("b"), col("shingle"))
-    val inter = x.join(y, "shingle").where(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    val inter =
+      if (saltFactor > 1)
+        Skew.saltedPairCounts(sh, idCol, "shingle", saltFactor, hotThreshold)
+      else {
+        val x = sh.select(col(idCol).as("a"), col("shingle"))
+        val y = sh.select(col(idCol).as("b"), col("shingle"))
+        x.join(y, "shingle").where(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      }
     inter
       .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), "a")
       .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), "b")

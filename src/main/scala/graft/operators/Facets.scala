@@ -34,6 +34,25 @@ object Facets {
     df.rollup(levelCols.map(col): _*)
       .agg(count(lit(1)).as("n"))
 
+  /** Hierarchical PATH rollup over `/a/b/c` label strings: every label
+    * contributes one count to each of its ancestors (`/a`, `/a/b`,
+    * `/a/b/c`), so child counts roll into parent and grandparent in one
+    * explode + hash aggregation — the set-based form of the reference
+    * catalog's per-row parent/grandparent accumulation loop
+    * (`nucliadb/src/nucliadb/common/catalog/pg.py:314-359`). Shuffle
+    * size is |distinct ancestor paths| after map-side partial
+    * aggregation, independent of row count.
+    */
+  def pathRollup(df: DataFrame, labelsCol: String): DataFrame = {
+    val parts = split(col("label"), "/")
+    val ancestors = transform(
+      sequence(lit(2), size(parts)),
+      d => array_join(slice(parts, lit(1), d), "/"))
+    df.select(explode(col(labelsCol)).as("label"))
+      .select(explode(ancestors).as("facet"))
+      .groupBy("facet").agg(count(lit(1)).as("n"))
+  }
+
   /** Per-table counters — the `/counters` endpoint analog
     * (`search/api/v1/knowledgebox.py:77-93`).
     */

@@ -72,6 +72,29 @@ object TopK {
       .orderBy(col(freqCol).desc, col(termCol).asc)
       .limit(k)
 
+  /** Fuzzy-PREFIX suggest — the reference's last-term treatment: the
+    * final query term runs as a fuzzy prefix automaton, so a typo'd
+    * stem still completes ("qindow" → "window", "windows";
+    * `nidx_paragraph/src/fuzzy_query.rs:55-120`,
+    * `query_parser/fuzzy_parser.rs:41-42`). A term matches when some
+    * prefix of it is within `maxDist` edits of the query stem; since an
+    * edit changes length by at most one, checking prefix lengths
+    * |q|−d … |q|+d is exhaustive. The predicate is a pure codegen'd
+    * expression over the term dictionary — no joins, no shuffle beyond
+    * the top-k cut.
+    */
+  def suggestFuzzyPrefix(termFreq: DataFrame, termCol: String,
+      freqCol: String, query: String, k: Int = 10, maxDist: Int = 1): DataFrame = {
+    val q = query.toLowerCase
+    val lens = (q.length - maxDist to q.length + maxDist).filter(_ > 0).distinct
+    val pred = lens.map(l =>
+        levenshtein(substring(col(termCol), 1, l), lit(q)) <= maxDist)
+      .reduce(_ || _)
+    termFreq.where(pred)
+      .orderBy(col(freqCol).desc, col(termCol).asc)
+      .limit(k)
+  }
+
   /** Exact-then-fuzzy fallback (reference reruns with Levenshtein
     * automaton distance 1 only when the exact pass is empty,
     * `nidx_paragraph/src/reader.rs:104-139`). Driver-side adaptive

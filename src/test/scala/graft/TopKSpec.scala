@@ -34,4 +34,18 @@ class TopKSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(fuzzy.sameElements(Array("spark"))) // levenshtein 1
   }
+
+  test("fuzzy-prefix suggest completes a typo'd stem") {
+    val terms = Seq(("window", 10L), ("windows", 6L), ("windowing", 3L),
+      ("widow", 2L), ("wind", 9L), ("summer", 5L)).toDF("term", "freq")
+    // "qindow" (substituted first char) still completes the window
+    // family — the whole point of prefix (not whole-term) fuzziness
+    val got = TopK.suggestFuzzyPrefix(terms, "term", "freq", "qindow", 5)
+      .collect().map(_.getString(0))
+    assert(got.toSet == Set("window", "windows", "windowing"))
+    // exact prefix is distance 0 — subsumed
+    val exact = TopK.suggestFuzzyPrefix(terms, "term", "freq", "window", 5)
+      .collect().map(_.getString(0))
+    assert(exact.contains("window") && exact.contains("windows"))
+  }
 }
