@@ -491,7 +491,8 @@ object SparkEntry {
       val total = filtered.agg(count(lit(1)).as("total"))
       val page = TopK.topK(filtered, "n_chars", "doc_id", offset + k)
         .withColumn("rn", row_number().over(
-          Window.partitionBy(lit(0)).orderBy(col("n_chars").desc, col("doc_id").asc)))
+          Window.partitionBy(TopK.constPartitionKey(col("doc_id")))
+            .orderBy(col("n_chars").desc, col("doc_id").asc)))
         .where(col("rn") > offset)
       page.crossJoin(broadcast(total))
         .select(col("doc_id"), col("n_chars"), col("total"))

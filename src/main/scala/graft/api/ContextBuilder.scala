@@ -32,7 +32,7 @@ object ContextBuilder {
     require(window >= budget,
       s"packing window $window must cover the token budget $budget")
     val bounded = graft.operators.TopK.topK(hits, scoreCol, idCol, window)
-    val w = Window.partitionBy(lit(0))
+    val w = Window.partitionBy(graft.operators.TopK.constPartitionKey(col(idCol)))
       .orderBy(col(scoreCol).desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bounded.withColumn("cum_tokens", sum(col(tokensCol)).over(w))

@@ -37,7 +37,8 @@ object RankFusion {
     TopK.topK(df, scoreCol, idCol, window)
       .withColumn("rank",
         row_number().over(
-          Window.partitionBy(lit(0)).orderBy(col(scoreCol).desc, col(idCol).asc)))
+          Window.partitionBy(TopK.constPartitionKey(col(idCol)))
+            .orderBy(col(scoreCol).desc, col(idCol).asc)))
 
   /** Reciprocal Rank Fusion: score(d) = Σ_lists w_l / (k + rank_l(d)).
     *
@@ -72,7 +73,7 @@ object RankFusion {
       window: Int = MaxWindow): DataFrame = {
     val normalized = lists.map { case (_, df, w) =>
       val cut = TopK.topK(df, scoreCol, idCol, window)
-      val win = Window.partitionBy(lit(0))
+      val win = Window.partitionBy(TopK.constPartitionKey(col(idCol)))
       val mn = min(col(scoreCol)).over(win)
       val mx = max(col(scoreCol)).over(win)
       cut.select(col(idCol),

