@@ -632,6 +632,42 @@ object SparkEntry {
       Facets.pathRollup(Tables.documentsWithLabels(s, dir), "labels")
         .orderBy("facet")),
 
+    // §2.5 search_after with the shown-paragraph skip set: pages stay
+    // disjoint even when already-shown items re-qualify after the
+    // cursor (find.py:95-126)
+    "q61_search_after_skip" -> ((s, dir) => {
+      val scored = load(s, dir, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))
+      // cursor = end of page 1 (k=10); two items of the next page were
+      // already shown to the client (score-shift simulation)
+      val top13 = TopK.topK(scored, "total", "o_orderkey", 13).collect()
+      val cur = TopK.Cursor(top13(9).getDouble(1), top13(9).getLong(0))
+      val skip = Seq(top13(10).getLong(0), top13(12).getLong(0))
+      TopK.searchAfterWithSkips(scored, "total", "o_orderkey", cur, skip, k = 15)
+    }),
+
+    // §2.3 RaBitQ ANN with the ε error-bound adaptive rerank window
+    "q62_rabitq" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      VectorSearch.rabitqSearch(
+        emb.where(col("vec_id") =!= 0), "vec_id", "embedding",
+        emb.where(col("vec_id") === 0), "embedding", k = 10)
+    }),
+
+    // §2.3 iterative ranked graph expansion (graph RAG strategy loop)
+    "q63_graph_expand" -> ((s, dir) => {
+      import s.implicits._
+      val edges = load(s, dir, "lineitem")
+        .select(concat(lit("S"), col("l_suppkey").cast("string")).as("src"),
+          lit("SUPPLIES").as("rel"),
+          concat(lit("P"), col("l_partkey").cast("string")).as("dst"))
+      val seeds = Seq("S1").toDF("node")
+      GraphOps.iterativeExpand(edges, "src", "rel", "dst", seeds, "node",
+          hops = 2, topPerHop = 10)
+        .withColumn("hop", col("hop").cast("long"))
+        .orderBy(col("hop").asc, col("support").desc, col("node").asc, col("nbr").asc)
+    }),
+
     // §2.3 semantic search with min_score threshold (full-corpus cut)
     "q42_semantic_minscore" -> ((s, dir) => {
       import VectorFunctions._
@@ -1262,6 +1298,56 @@ object SparkEntry {
         |        WHERE d <= len(string_split(label, '/')))
         |SELECT facet, CAST(count(*) AS BIGINT) AS n FROM anc
         |GROUP BY facet ORDER BY facet""".stripMargin,
+
+    "q61_search_after_skip" ->
+      """WITH ranked AS (
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS total,
+        |         row_number() OVER (ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS rn
+        |  FROM orders),
+        |c AS (SELECT total, o_orderkey FROM ranked WHERE rn = 10)
+        |SELECT r.o_orderkey, r.total FROM ranked r, c
+        |WHERE (r.total < c.total OR (r.total = c.total AND r.o_orderkey > c.o_orderkey))
+        |  AND r.rn NOT IN (11, 13)
+        |ORDER BY r.total DESC, r.o_orderkey LIMIT 15""".stripMargin,
+
+    "q62_rabitq" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |est AS (
+         |  SELECT e.vec_id, e.v, q.qv,
+         |    round(list_dot_product(q.qv, sg) / sqrt(list_dot_product(q.qv, q.qv))
+         |      * sqrt(list_dot_product(e.v, e.v)) / list_dot_product(e.v, sg), 6) AS est,
+         |    round(sqrt((1.0 - d * d) / (d * d)) * 1.9 / sqrt(64.0), 6) AS err
+         |  FROM (SELECT *,
+         |          list_transform(v, x -> CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END) AS sg,
+         |          list_dot_product(v, list_transform(v, x -> CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END))
+         |            / (sqrt(list_dot_product(v, v)) * sqrt(64.0)) AS d
+         |        FROM e WHERE vec_id <> 0) e CROSS JOIN q),
+         |kth AS (SELECT min(lower) AS kth_lower FROM (
+         |  SELECT est - err AS lower FROM est
+         |  ORDER BY est - err DESC, vec_id LIMIT 10))
+         |SELECT vec_id, round(${cosSql("est.v", "est.qv")}, 6) AS score
+         |FROM est, kth
+         |WHERE est + err >= kth.kth_lower
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q63_graph_expand" ->
+      """WITH e AS (SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS src, 'SUPPLIES' AS rel,
+        |                  'P' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+        |und AS (SELECT src AS node, rel, dst AS nbr FROM e
+        |        UNION ALL SELECT dst, rel, src FROM e),
+        |h1 AS (SELECT 1 AS hop, node, rel, nbr, CAST(count(*) AS BIGINT) AS support
+        |       FROM und WHERE node = 'S1' AND nbr <> 'S1'
+        |       GROUP BY node, rel, nbr
+        |       ORDER BY support DESC, node, nbr, rel LIMIT 10),
+        |h2 AS (SELECT 2 AS hop, u.node, u.rel, u.nbr, CAST(count(*) AS BIGINT) AS support
+        |       FROM und u JOIN (SELECT DISTINCT nbr FROM h1) f ON u.node = f.nbr
+        |       WHERE u.nbr <> 'S1' AND u.nbr NOT IN (SELECT nbr FROM h1)
+        |       GROUP BY u.node, u.rel, u.nbr
+        |       ORDER BY support DESC, u.node, u.nbr, u.rel LIMIT 10)
+        |SELECT CAST(hop AS BIGINT) AS hop, node, rel, nbr, support
+        |FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+        |ORDER BY hop, support DESC, node, nbr""".stripMargin,
 
     "q42_semantic_minscore" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -57,6 +57,57 @@ object GraphOps {
   def fuzzyMatch(c: Column, v: String, dist: Int): Column =
     levenshtein(lower(c), lit(v.toLowerCase)) <= dist
 
+  /** Iterative ranked neighbor expansion — the graph RAG strategy loop
+    * (`nucliadb/src/nucliadb/search/search/graph_strategy.py:315-460`):
+    * hop 0 starts from query-matched seed entities; each hop finds the
+    * undirected neighbors of the frontier excluding already-explored
+    * nodes (`find_graph_neighbours`, `graph_strategy.py:931-977`),
+    * ranks the discovered relations (the reference scores them with an
+    * external reranker/generative model — here the deterministic
+    * stand-in is edge support count, the [[graft.operators.Rerankers]]
+    * Scorer pattern), keeps the `topPerHop` best, and the surviving
+    * NEW nodes become the next frontier.
+    *
+    * Scale shape: the loop is driver-side over `hops` (2–3 in
+    * practice) but every set lives distributed — frontier and explored
+    * are DataFrames carried via broadcast semi/anti joins, each hop is
+    * one equi-join + hash aggregate + top-k, and nothing corpus-sized
+    * ever reaches the driver.
+    *
+    * @return (hop, node, rel, neighbor, support) — the kept relations
+    *         per hop, support = distinct edge occurrences
+    */
+  def iterativeExpand(
+      edges: DataFrame, srcCol: String, relCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String,
+      hops: Int, topPerHop: Int): DataFrame = {
+    val undirected = edges
+      .select(col(srcCol).as("node"), col(relCol).as("rel"), col(dstCol).as("nbr"))
+      .unionByName(edges
+        .select(col(dstCol).as("node"), col(relCol).as("rel"), col(srcCol).as("nbr")))
+    var frontier = seeds.select(col(seedCol).as("node")).distinct()
+    var explored = frontier
+    var acc: Option[DataFrame] = None
+    var hop = 0
+    while (hop < hops) {
+      val hopRels = undirected
+        .join(broadcast(frontier), "node")
+        .join(broadcast(explored.select(col("node").as("nbr"))), Seq("nbr"), "left_anti")
+        .groupBy("node", "rel", "nbr")
+        .agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("node").asc, col("nbr").asc, col("rel").asc)
+        .limit(topPerHop)
+        .withColumn("hop", lit(hop + 1))
+        .select("hop", "node", "rel", "nbr", "support")
+      acc = Some(acc.map(_.unionByName(hopRels)).getOrElse(hopRels))
+      val newNodes = hopRels.select(col("nbr").as("node")).distinct()
+      explored = explored.unionByName(newNodes).distinct()
+      frontier = newNodes
+      hop += 1
+    }
+    acc.get
+  }
+
   /** Entity prefix search for suggest
     * (`nidx_relation/src/reader.rs` prefix search): distinct node values
     * with the prefix, alphabetical, top-k.

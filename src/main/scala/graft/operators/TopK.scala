@@ -50,6 +50,31 @@ object TopK {
         (col(scoreCol) === cursor.score && col(idCol) > cursor.id)),
       scoreCol, idCol, k)
 
+  /** search_after with a shown-item skip set — the find endpoint's
+    * cross-page dedup (`nucliadb/src/nucliadb/search/search/find.py:95-126`):
+    * the cursor token carries the ids already shown to the client, the
+    * engine widens the retrieval window by |skip| (`top_k += len(skip)`),
+    * fetches strictly after the cursor, removes the already-shown ids,
+    * and cuts back to k. This keeps pages disjoint even when scores
+    * shift between requests and an already-shown item re-qualifies
+    * after the cursor — the keyset predicate alone cannot. The skip set
+    * is driver-scale (≤ items already shown) and compiles to a literal
+    * NOT IN predicate in the scan.
+    */
+  def searchAfterWithSkips(
+      df: DataFrame,
+      scoreCol: String,
+      idCol: String,
+      cursor: Cursor,
+      skip: Seq[Long],
+      k: Int): DataFrame = {
+    val widened = searchAfter(df, scoreCol, idCol, cursor, k + skip.size)
+    val kept =
+      if (skip.isEmpty) widened
+      else widened.where(!col(idCol).isInCollection(skip))
+    kept.orderBy(col(scoreCol).desc, col(idCol).asc).limit(k)
+  }
+
   /** Fetch page `page` (1-based) by walking cursors — the driver-side
     * loop a paginating client performs. Each hop is an O(k) top-k job.
     */

@@ -175,6 +175,63 @@ object VectorSearch {
     }
   }
 
+  /** RaBitQ search with the ε error-bound candidate window
+    * (`nidx_vector/src/vector_types/rabitq.rs:26-48,202-243`): per
+    * vector, a 1-bit quantization yields a cheap cosine ESTIMATE plus a
+    * per-vector error bound err = sqrt((1−d²)/d²)·ε/√D where d is the
+    * cosine between the vector and its own binary representation; the
+    * reference reranks a candidate exactly only while its upper bound
+    * (est + err) can still beat the current k-th best. The set-level
+    * form of that early-termination heap: let kthLower = k-th largest
+    * (est − err); every vector with est + err < kthLower can never
+    * enter the top-k, so the exact rerank set is {est + err ≥ kthLower}
+    * — an ADAPTIVE window replacing a fixed rerank count, with
+    * guaranteed recall whenever the error bound holds (ε=1.9 ≈ the
+    * paper's recommendation).
+    *
+    * Estimator math (normalized q, v; repr(v) = sign(v)/√D):
+    * est = (q·repr)/(v̂·repr) = dot(q̂, sign(v))·‖v‖/L1(v), and
+    * d = v̂·repr = L1(v)/(‖v‖·√D). Cheap pass = two codegen'd dot
+    * products per row, no raw-vector rerank work; only the bounded
+    * candidate set pays full cosines. Both passes are scans — the
+    * kth-lower threshold is a broadcast 1-row aggregate.
+    */
+  def rabitqSearch(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame,
+      queryVecCol: String,
+      k: Int,
+      epsilon: Double = 1.9): DataFrame = {
+    val q = broadcast(query.select(col(queryVecCol).as("__qv")))
+    val signv = transform(col(vecCol), x => when(x > 0, 1.0).otherwise(-1.0))
+    val dim = size(col(vecCol)).cast("double")
+    val l1 = dot(col(vecCol), signv) // Σ|v_i|
+    val l2 = sqrt(dot(col(vecCol), col(vecCol)))
+    val qn = col("__qv") // q normalized inside cosine-style ratio below
+    // est = dot(q, sign(v)) / ‖q‖ · ‖v‖ / L1(v); d = L1/(‖v‖·√D)
+    val estimated = corpus.crossJoin(q)
+      .withColumn("__est",
+        round(dot(qn, signv) / sqrt(dot(qn, qn)) * l2 / l1, 6))
+      .withColumn("__d", l1 / (l2 * sqrt(dim)))
+      .withColumn("__err",
+        round(sqrt((lit(1.0) - col("__d") * col("__d")) /
+          (col("__d") * col("__d"))) * lit(epsilon) / sqrt(dim), 6))
+    val kthLower = estimated
+      .select((col("__est") - col("__err")).as("__lower"), col(idCol))
+      .orderBy(col("__lower").desc, col(idCol).asc)
+      .limit(k)
+      .agg(min("__lower").as("__kth_lower"))
+    val candidates = estimated.crossJoin(broadcast(kthLower))
+      .where(col("__est") + col("__err") >= col("__kth_lower"))
+    candidates
+      .withColumn("score", round(cosine(col(vecCol), col("__qv")), 6))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** RaBitQ-style two-pass: cheap 1-bit signature hamming pre-score over
     * everything, full-precision rerank of the top `rerank` candidates
     * (`nidx_vector/src/vector_types/rabitq.rs:25-40`, rerank factor 100,

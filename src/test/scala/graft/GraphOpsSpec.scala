@@ -46,4 +46,33 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(got.sameElements(Array("c1", "c2")))
   }
+
+  test("iterativeExpand walks ranked hops without revisiting explored nodes") {
+    // A -[x2]- B, A - C, B - D, C - D, D - E; seeds = {A}
+    val g = Seq(
+      ("A", "r", "B"), ("A", "r", "B"), ("A", "r", "C"),
+      ("B", "r", "D"), ("C", "r", "D"), ("D", "r", "E"))
+      .toDF("src", "rel", "dst")
+    val seeds = Seq("A").toDF("node")
+    val got = GraphOps.iterativeExpand(g, "src", "rel", "dst", seeds, "node",
+        hops = 2, topPerHop = 10)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(3), r.getLong(4)))
+      .toSet
+    // hop 1: A's neighbors (B support 2, C support 1); hop 2: from B and
+    // C to D (two distinct relations), never back to explored A/B/C
+    assert(got == Set(
+      (1, "A", "B", 2L), (1, "A", "C", 1L),
+      (2, "B", "D", 1L), (2, "C", "D", 1L)))
+  }
+
+  test("iterativeExpand hop-2 frontier reaches farther when topPerHop allows") {
+    val g = Seq(("A", "r", "B"), ("B", "r", "C"), ("C", "r", "D"))
+      .toDF("src", "rel", "dst")
+    val seeds = Seq("A").toDF("node")
+    val hops3 = GraphOps.iterativeExpand(g, "src", "rel", "dst", seeds, "node",
+        hops = 3, topPerHop = 5)
+      .collect().map(r => (r.getInt(0), r.getString(3))).toSet
+    assert(hops3 == Set((1, "B"), (2, "C"), (3, "D")))
+  }
 }

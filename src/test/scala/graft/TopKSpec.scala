@@ -35,6 +35,21 @@ class TopKSpec extends SparkSpec {
     assert(fuzzy.sameElements(Array("spark"))) // levenshtein 1
   }
 
+  test("searchAfterWithSkips removes already-shown ids and keeps the page full") {
+    val data = (1L to 40L).map(i => (i, (100 - i).toDouble)).toDF("id", "score")
+    // cursor at global rank 10 (id 10); ids 12 and 14 already shown
+    val cur = TopK.Cursor(90.0, 10L)
+    val got = TopK.searchAfterWithSkips(data, "score", "id", cur,
+        skip = Seq(12L, 14L), k = 10)
+      .collect().map(_.getLong(0))
+    // rows after the cursor minus the skips, still k rows deep
+    assert(got.sameElements(Array(11L, 13L, 15L, 16L, 17L, 18L, 19L, 20L, 21L, 22L)))
+    // empty skip degrades to plain searchAfter
+    val plain = TopK.searchAfterWithSkips(data, "score", "id", cur, Nil, 5)
+      .collect().map(_.getLong(0))
+    assert(plain.sameElements(Array(11L, 12L, 13L, 14L, 15L)))
+  }
+
   test("fuzzy-prefix suggest completes a typo'd stem") {
     val terms = Seq(("window", 10L), ("windows", 6L), ("windowing", 3L),
       ("widow", 2L), ("wind", 9L), ("summer", 5L)).toDF("term", "freq")

@@ -64,4 +64,19 @@ class VectorSearchSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(brute == pre)
   }
+
+  test("rabitqSearch matches brute force top-k under the ε bound") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (1 to 200).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat))).toDF("id", "v")
+    val q = Seq(Tuple1(Seq.fill(64)(rnd.nextGaussian().toFloat))).toDF("qv")
+    val brute = VectorSearch.bruteForceTopK(corpus, "id", "v", q, "qv", 10)
+      .collect().map(_.getLong(0)).toSeq
+    val rq = VectorSearch.rabitqSearch(corpus, "id", "v", q, "qv", 10)
+      .collect().map(_.getLong(0)).toSeq
+    // ε=1.9 (≈2σ of the estimator error) — recall should be total on
+    // this fixture; the adaptive window is the point, not approximation
+    val recall = rq.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall: rabitq=$rq brute=$brute")
+  }
 }
