@@ -33,6 +33,19 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(text), TokenPattern), t => t =!= "")
 
+  /** Multilingual tokenization: the latin/digit word tokens of
+    * [[tokens]] PLUS character unigrams for unsegmented CJK scripts
+    * (Han, Hiragana, Katakana, Hangul) — the tantivy-style fallback the
+    * reference relies on for languages without whitespace word
+    * boundaries. Pure built-ins (`regexp_extract_all`), codegen
+    * friendly; latin-only text is unchanged, so existing tokenization
+    * oracles keep their semantics.
+    */
+  def tokensMultilingual(text: Column): Column =
+    concat(tokens(text),
+      regexp_extract_all(text,
+        lit("[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}]"), lit(0)))
+
   /** Unicode-ish normalization for graph node matching
     * (`nidx_relation/src/schema.rs:123-137`): lowercase + collapse
     * whitespace. Accent-sensitive; compose with [[foldAccents]] for the

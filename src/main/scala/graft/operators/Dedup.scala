@@ -112,7 +112,15 @@ object Dedup {
       threshold: Double,
       saltFactor: Int = 1,
       hotThreshold: Long = 1000): DataFrame = {
-    val sh = shingleSet(docs, idCol, textCol, n).cache()
+    // 8-byte hashed shingle keys: the distinct + inverted-index join
+    // shuffle fixed-width longs instead of ~25-byte strings (Jaccard
+    // only needs set membership, not the text — same counts barring a
+    // 64-bit collision, ~1e-7 for 10⁶ distinct shingles, and any
+    // collision fails the exact oracle loudly rather than silently)
+    val sh = docs.select(col(idCol),
+        explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("s"))
+      .select(col(idCol), xxhash64(col("s")).as("shingle"))
+      .distinct().cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter =
       if (saltFactor > 1)

@@ -95,6 +95,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState sessionization matches the mapGroupsWithState semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.IncrementalIndex.UserEvent
+    // transformWithState requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[UserEvent]
+      val out = IncrementalIndex.streamingSessionCountsTws(input.toDS(), gapSeconds = 60)
+      val q = out.writeStream.format("memory").queryName("sess_tws")
+        .outputMode("update").start()
+      try {
+        input.addData(UserEvent(1L, 0L), UserEvent(1L, 10000L))
+        q.processAllAvailable()
+        input.addData(UserEvent(1L, 310000L), UserEvent(2L, 0L))
+        q.processAllAvailable()
+        val got = spark.sql(
+            "SELECT user, max(n_sessions), max(n_events) FROM sess_tws GROUP BY user")
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        assert(got == Map(1L -> (2L, 3L), 2L -> (1L, 1L)))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("windowedCounts aggregates per tumbling window with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]

@@ -58,6 +58,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(p.terms == Seq("motor", "busqueda", "rapido"))
   }
 
+  test("multilingual tokens add CJK char-unigrams; latin text unchanged") {
+    val rows = Seq(
+      ("mixed", "Spark 处理数据 fast"),
+      ("kana", "データベース"),
+      ("hangul", "데이터 engine"),
+      ("latin", "plain latin text 42")).toDF("id", "text")
+    val toks = rows.select(col("id"), tokensMultilingual(col("text")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(toks("mixed") == Seq("spark", "fast", "处", "理", "数", "据"))
+    // chōonpu 'ー' is script=Common, not Katakana — correctly dropped
+    assert(toks("kana") == Seq("デ", "タ", "ベ", "ス"))
+    assert(toks("hangul").contains("데") && toks("hangul").contains("engine"))
+    // latin-only input identical to the plain tokenizer
+    val plain = rows.where(col("id") === "latin")
+      .select(tokens(col("text"))).collect().head.getSeq[String](0)
+    assert(toks("latin") == plain)
+  }
+
   test("quality score favors diverse non-stopword text") {
     val rows = Seq(
       ("diverse", "alpha beta gamma delta epsilon zeta"),
