@@ -668,6 +668,42 @@ object SparkEntry {
         .orderBy(col("hop").asc, col("support").desc, col("node").asc, col("nbr").asc)
     }),
 
+    // training-data ops: Gopher-style quality-rule filter — pass/fail
+    // counts per language for (min tokens, mean-word-length band)
+    "q64_gopher_filter" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      load(s, dir, "documents")
+        .select(col("lang"), size(toks).as("n"),
+          round(TextFunctions.meanTokenLen(toks), 4).as("mwl"))
+        .groupBy("lang")
+        .agg(count(when(col("n") >= 30 && col("mwl").between(4.2, 5.0), 1))
+            .as("n_pass"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
+    // training-data ops: repetition detection — top-bigram coverage
+    // (Gopher repetition-rule analog), most repetitive docs first
+    "q65_repetition" -> ((s, dir) => {
+      val bg = load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.shingles(TextFunctions.tokens(col("text")), 2))
+            .as("bigram"))
+      bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(round(max(col("c")).cast("double") / sum(col("c")), 4).as("coverage"))
+        .orderBy(col("coverage").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // training-data ops: deterministic hash sampling (reproducible
+    // trainset cut — membership is a pure function of the id)
+    "q66_hash_sample" -> ((s, dir) =>
+      graft.sources.Trainsets.hashSample(
+          load(s, dir, "documents"), "doc_id", Seq("0", "1"))
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")),
+
     // §2.3 semantic search with min_score threshold (full-corpus cut)
     "q42_semantic_minscore" -> ((s, dir) => {
       import VectorFunctions._
@@ -1348,6 +1384,30 @@ object SparkEntry {
         |SELECT CAST(hop AS BIGINT) AS hop, node, rel, nbr, support
         |FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
         |ORDER BY hop, support DESC, node, nbr""".stripMargin,
+
+    "q64_gopher_filter" ->
+      s"""WITH m AS (SELECT lang, len(toks) AS n,
+         |  round(list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks), 4) AS mwl
+         |  FROM (SELECT lang, $Tok AS toks FROM documents))
+         |SELECT lang,
+         |  CAST(count(*) FILTER (n >= 30 AND mwl BETWEEN 4.2 AND 5.0) AS BIGINT) AS n_pass,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q65_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $Tok AS toks FROM documents),
+         |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+         |       FROM t CROSS JOIN (SELECT unnest(range(1, 2000)) AS i) ix
+         |       WHERE i <= len(toks) - 1),
+         |cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram)
+         |SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS coverage
+         |FROM cnt GROUP BY doc_id
+         |ORDER BY coverage DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q66_hash_sample" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q42_semantic_minscore" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -33,6 +33,14 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(text), TokenPattern), t => t =!= "")
 
+  /** Mean token length — a Gopher-style document-quality signal
+    * (symbol-heavy or fragmentary text falls outside the natural-
+    * language band). Pure built-ins, codegen'd.
+    */
+  def meanTokenLen(toks: Column): Column =
+    aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+      .cast("double") / size(toks)
+
   /** Multilingual tokenization: the latin/digit word tokens of
     * [[tokens]] PLUS character unigrams for unsegmented CJK scripts
     * (Han, Hiragana, Katakana, Hangul) — the tantivy-style fallback the

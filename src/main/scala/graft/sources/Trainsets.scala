@@ -49,4 +49,19 @@ object Trainsets {
       .select(col(idCol), col("p_text").as("question"),
         col("next_text").as("answer"))
   }
+
+  /** Deterministic hash sampling for reproducible trainset cuts: keep
+    * rows whose md5(id) hex digest starts with one of `hexPrefixes`
+    * (each single hex digit ≈ 1/16 of the data; two digits ≈ 1/256).
+    * Unlike RNG-seeded `sample()`, the cut is a pure function of the
+    * id — stable across engines, partitionings, reruns, and incremental
+    * appends (a row's membership never changes), which is what makes
+    * train/eval splits reproducible at 100 TB. The predicate is
+    * codegen'd and pushes no shuffle.
+    */
+  def hashSample(df: DataFrame, idCol: String, hexPrefixes: Seq[String]): DataFrame = {
+    val prefix = substring(md5(col(idCol).cast("string").cast("binary")), 1,
+      hexPrefixes.head.length)
+    df.where(prefix.isInCollection(hexPrefixes))
+  }
 }

@@ -76,6 +76,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(toks("latin") == plain)
   }
 
+  test("hashSample is a pure function of the id: stable and append-invariant") {
+    import graft.sources.Trainsets
+    val a = (1L to 200L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val sampleA = Trainsets.hashSample(a, "id", Seq("0", "1"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    // same rows sampled after appending new data (membership never flips)
+    val b = (1L to 400L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val sampleB = Trainsets.hashSample(b, "id", Seq("0", "1"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(sampleA.nonEmpty && sampleA.subsetOf(sampleB))
+    assert((sampleB -- sampleA).forall(_ > 200L))
+    // ~2/16 of ids expected; loose bounds
+    assert(sampleA.size > 200 * 2 / 16 / 2 && sampleA.size < 200 * 2 / 16 * 2)
+  }
+
+  test("meanTokenLen computes the average token length") {
+    val df = Seq(("a", "ab abcd")).toDF("id", "text")
+    val got = df.select(meanTokenLen(tokens(col("text")))).collect().head.getDouble(0)
+    assert(math.abs(got - 3.0) < 1e-9)
+  }
+
   test("quality score favors diverse non-stopword text") {
     val rows = Seq(
       ("diverse", "alpha beta gamma delta epsilon zeta"),
