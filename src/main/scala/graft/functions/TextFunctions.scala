@@ -98,11 +98,20 @@ object TextFunctions {
     * Used by the dedup family (MinHash / Jaccard), see
     * [[graft.operators.Dedup]].
     */
-  def shingles(toks: Column, n: Int): Column =
+  def shingles(toks: Column, n: Int): Column = {
+    // arrays_zip of n shifted views, concatenated per element. The
+    // naive form — slice(toks, i+1, n) inside a transform lambda —
+    // re-evaluates the WHOLE toks expression per element (the token
+    // split is typically inlined by the optimizer, making shingling
+    // O(len²) per document); here toks is referenced a constant number
+    // of times per row and each zip element touches only its own slice.
+    val m = size(toks) - (n - 1)
+    val shifted = (0 until n).map(i => slice(toks, lit(i + 1), m).as(s"w$i"))
     when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      transform(arrays_zip(shifted: _*),
+        s => concat_ws(" ", (0 until n).map(i => s.getField(s"w$i")): _*)))
       .otherwise(array().cast("array<string>"))
+  }
 
   /** Highlight query terms with <mark>…</mark> — analog of the find
     * endpoint's highlighting (`search/search/paragraphs.py`). Terms are
