@@ -69,10 +69,13 @@ object GraphOps {
     * NEW nodes become the next frontier.
     *
     * Scale shape: the loop is driver-side over `hops` (2–3 in
-    * practice) but every set lives distributed — frontier and explored
-    * are DataFrames carried via broadcast semi/anti joins, each hop is
-    * one equi-join + hash aggregate + top-k, and nothing corpus-sized
-    * ever reaches the driver.
+    * practice) and the frontier/explored sets are DRIVER-scale by
+    * construction (≤ seeds + hops·topPerHop node values — the
+    * reference carries the same lists in `entities_to_explore` /
+    * `explored_entities`), so they compile into literal IN predicates
+    * that push into the edge scan; each hop is one pushed-filter scan +
+    * hash aggregate + top-k, and the corpus-sized edge table never
+    * shuffles beyond the aggregation.
     *
     * @return (hop, node, rel, neighbor, support) — the kept relations
     *         per hop, support = distinct edge occurrences
@@ -85,14 +88,15 @@ object GraphOps {
       .select(col(srcCol).as("node"), col(relCol).as("rel"), col(dstCol).as("nbr"))
       .unionByName(edges
         .select(col(dstCol).as("node"), col(relCol).as("rel"), col(srcCol).as("nbr")))
-    var frontier = seeds.select(col(seedCol).as("node")).distinct()
-    var explored = frontier
+    var frontier: Seq[Any] = seeds.select(col(seedCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    var explored: Seq[Any] = frontier
     var acc: Option[DataFrame] = None
     var hop = 0
-    while (hop < hops) {
+    while (hop < hops && frontier.nonEmpty) {
       val hopRels = undirected
-        .join(broadcast(frontier), "node")
-        .join(broadcast(explored.select(col("node").as("nbr"))), Seq("nbr"), "left_anti")
+        .where(col("node").isInCollection(frontier) &&
+          !col("nbr").isInCollection(explored))
         .groupBy("node", "rel", "nbr")
         .agg(count(lit(1)).as("support"))
         .orderBy(col("support").desc, col("node").asc, col("nbr").asc, col("rel").asc)
@@ -100,12 +104,14 @@ object GraphOps {
         .withColumn("hop", lit(hop + 1))
         .select("hop", "node", "rel", "nbr", "support")
       acc = Some(acc.map(_.unionByName(hopRels)).getOrElse(hopRels))
-      val newNodes = hopRels.select(col("nbr").as("node")).distinct()
-      explored = explored.unionByName(newNodes).distinct()
+      // topPerHop rows — driver-scale cursor state, like a page cut
+      val newNodes = hopRels.select("nbr").collect().map(_.get(0)).distinct.toSeq
+      explored = (explored ++ newNodes).distinct
       frontier = newNodes
       hop += 1
     }
-    acc.get
+    acc.getOrElse(undirected.select(lit(0).as("hop"), col("node"), col("rel"),
+      col("nbr"), lit(0L).as("support")).limit(0))
   }
 
   /** Entity prefix search for suggest
