@@ -75,6 +75,33 @@ class ScaleDesignSpec extends SparkSpec {
     assert(walked.sameElements(top45), "cursor walk must equal the global top-45")
   }
 
+  test("catalog page plan: TakeOrderedAndProject + no unpartitioned window") {
+    val page = SparkEntry.queries("q48_catalog")(spark, "/root/testdata/sf0.001")
+    val p = page.queryExecution.executedPlan
+    assert(p.toString.contains("TakeOrderedAndProject"),
+      "offset page must come from a top-k, not a global sort/window")
+    val unpartitioned = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, "no window may run without a partition spec")
+  }
+
+  test("json predicate is one expression in the scan filter (no duplicated parse)") {
+    val q25 = SparkEntry.queries("q25_json_filter")(spark, "/root/testdata/sf0.001")
+    val p = plan(q25)
+    assert(p.contains("json_num_between"), p.linesIterator.take(12).mkString("\n"))
+    assert(!p.contains("get_json_object"))
+    assert("json_num_between".r.findAllIn(p).size <= 2, // filter + its scan echo
+      "the range must not be split into two extractions")
+  }
+
+  test("blocked near-dup plan has no cartesian product at bench shape") {
+    val q23 = SparkEntry.queries("q23_embedding_neardup")(spark, "/root/testdata/sf0.001")
+    val p = plan(q23)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.take(15).mkString("\n"))
+  }
+
   test("approx_count_distinct tracks exact distinct within rsd on real data") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val tok = graft.functions.Bm25.tokenStream(docs, "doc_id", "text")
