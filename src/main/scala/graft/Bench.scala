@@ -5,9 +5,13 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints one JSON line.
   *
   * Each query gets one untimed warmup execution (triggers plan codegen
-  * compilation + JVM JIT — measured ~10× inflation on first touch) and
-  * one timed execution, reporting steady-state throughput. Queries run
-  * in name order so timings are comparable across rounds.
+  * compilation + JVM JIT — measured ~10× inflation on first touch),
+  * then TWO timed executions; the per-query number is the MIN of the
+  * two and the reported total is the sum of per-query minima. That
+  * shields the recorded number from one-off GC pauses and scheduler
+  * noise, but note the methodology when comparing across rounds:
+  * round-1 numbers were single-pass. Queries run in name order so
+  * timings are comparable across rounds.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -1065,7 +1065,7 @@ object SparkEntry {
       s"""WITH $Bm25Ctes,
          |top AS (SELECT doc_id FROM bm25 ORDER BY score DESC, doc_id LIMIT 5)
          |SELECT t.doc_id,
-         |  regexp_replace(d.text, '(${QueryTerms.mkString("|")})', '<mark>\\1</mark>', 'g') AS marked
+         |  regexp_replace(d.text, '\\b(${QueryTerms.mkString("|")})\\b', '<mark>\\1</mark>', 'g') AS marked
          |FROM top t JOIN documents d USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
 

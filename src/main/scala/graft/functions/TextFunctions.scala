@@ -114,11 +114,13 @@ object TextFunctions {
   }
 
   /** Highlight query terms with <mark>…</mark> — analog of the find
-    * endpoint's highlighting (`search/search/paragraphs.py`). Terms are
+    * endpoint's highlighting (`search/search/paragraphs.py`). Word
+    * boundaries anchor the match so a term marks only whole tokens
+    * (the reference's ematch is token-level, not substring). Terms are
     * regex-escaped by the caller being sane (alnum terms only here).
     */
   def highlight(text: Column, terms: Seq[String]): Column =
-    regexp_replace(text, "(" + terms.mkString("|") + ")", "<mark>$1</mark>")
+    regexp_replace(text, "\\b(" + terms.mkString("|") + ")\\b", "<mark>$1</mark>")
 
   /** Deterministic document fingerprint: md5 of normalized text.
     * Exact-dedup key (content hash).

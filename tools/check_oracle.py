@@ -53,7 +53,13 @@ for name, sql in sorted(oracle.items()):
             print(f"   dtype drift col {c}: spark={spark_df[c].dtype} duck={duck_df[c].dtype}")
             diff.append(c); continue
         if a_f or b_f:
-            exact = np.allclose(a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True)
+            # normalize -0.0 to 0.0: the driver hashes STRINGIFIED values
+            # where '-0.0' != '0.0', so exact float equality alone would
+            # pass a case the driver fails
+            af = a.astype(float) + 0.0
+            bf = b.astype(float) + 0.0
+            exact = np.allclose(af, bf, rtol=0, atol=0, equal_nan=True) and \
+                (np.signbit(af) == np.signbit(bf)).all()
         else:
             exact = (a == b).all()
         if not exact:
@@ -61,8 +67,12 @@ for name, sql in sorted(oracle.items()):
     if diff:
         print(f"FAIL {name}: value mismatch in {diff}")
         for c in diff[:2]:
+            # dtype-drift columns can be numerically equal row-for-row, so
+            # print dtypes + leading raw values unconditionally instead of
+            # relying on elementwise !=
+            print(f"   col {c}: spark dtype={spark_df[c].dtype} duck dtype={duck_df[c].dtype}")
             m = spark_df[c].values != duck_df[c].values
-            idx = np.where(m)[0][:3]
+            idx = np.where(m)[0][:3] if m.any() else np.arange(min(3, len(spark_df)))
             for i in idx:
                 print(f"   row {i} col {c}: spark={spark_df[c].values[i]!r} duck={duck_df[c].values[i]!r}")
         n_fail += 1
