@@ -119,6 +119,48 @@ object Ingest {
       fields: Seq[(String, String)], outDir: String): Unit =
     jsonFields(df, jsonCol, fields).write.mode("overwrite").parquet(outDir)
 
+  /** KB snapshot export — the export/import surface
+    * (`nucliadb/src/nucliadb/export_import/`): every index table as
+    * parquet plus a self-describing manifest (table → DDL schema + row
+    * count). The reference streams a tagged protobuf sequence; the
+    * Spark-native equivalent is a columnar snapshot whose manifest
+    * carries the same integrity data — schema to validate against on
+    * import, counts to detect truncation. Distributed end to end: the
+    * only driver-side data is the manifest itself.
+    */
+  def exportSnapshot(tables: Map[String, DataFrame], outDir: String): Unit = {
+    val entries = tables.toSeq.sortBy(_._1).map { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+      // record the AS-WRITTEN schema (parquet does not persist
+      // nullability flags) so import validates against what it reads
+      val back = df.sparkSession.read.parquet(s"$outDir/$name")
+      val count = back.count()
+      s"""{"table": "${name}", "schema": "${back.schema.toDDL.replace("\"", "\\\"")}", "rows": $count}"""
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/manifest.json"),
+      entries.mkString("[\n", ",\n", "\n]"))
+  }
+
+  /** Import a snapshot: load every manifest table, validating schema
+    * and row count against the manifest (throws on mismatch — a
+    * truncated or drifted snapshot must not import silently). */
+  def importSnapshot(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, DataFrame] = {
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/manifest.json"))
+    val entry = """\{"table": "([^"]+)", "schema": "((?:[^"\\]|\\.)*)", "rows": (\d+)\}""".r
+    entry.findAllMatchIn(manifest).map { m =>
+      val (name, ddl, rows) = (m.group(1), m.group(2).replace("\\\"", "\""), m.group(3).toLong)
+      val df = spark.read.parquet(s"$dir/$name")
+      require(df.schema.toDDL == ddl,
+        s"snapshot table $name schema drift: ${df.schema.toDDL} != $ddl")
+      require(df.count() == rows,
+        s"snapshot table $name truncated: ${df.count()} != $rows rows")
+      name -> df
+    }.toMap
+  }
+
   /** Ingest-time embedding generation with MLlib (HashingTF → IDF →
     * L2 normalize), producing `array<float>` columns compatible with
     * the vector operators. The reference gets embeddings from an

@@ -31,6 +31,15 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.5, s"recall $r too low")
   }
 
+  test("rabitq ε-bound window reaches full recall on real embeddings") {
+    val approx = VectorSearch.rabitqSearch(
+        corpus, "vec_id", "embedding", query, "embedding", k = 10)
+      .collect().map(_.getLong(0))
+    val r = recallOf(approx, exactTop10)
+    info(f"rabitq ε=1.9 adaptive-window recall@10: $r%.2f")
+    assert(r >= 0.9, s"recall $r too low")
+  }
+
   test("multi-probe LSH bucket search recall") {
     val approx = VectorSearch.lshBucketSearch(
         corpus, "vec_id", "embedding", query, "embedding", k = 10, prefixBits = 4)

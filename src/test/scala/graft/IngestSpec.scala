@@ -62,6 +62,23 @@ class IngestSpec extends SparkSpec {
     assert(emb(1L) == again(1L))
   }
 
+  test("snapshot export/import round-trips with schema and count validation") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val labels = Seq((1L, Seq("/l/a")), (2L, Seq("/l/b"))).toDF("doc_id", "labels")
+    Ingest.exportSnapshot(Map("docs" -> docs, "labels" -> labels), dir)
+    val loaded = Ingest.importSnapshot(spark, dir)
+    assert(loaded.keySet == Set("docs", "labels"))
+    assert(loaded("docs").count() == 2)
+    assert(loaded("docs").schema.map(f => (f.name, f.dataType)) ==
+      docs.schema.map(f => (f.name, f.dataType)))
+    // a truncated snapshot must refuse to import
+    val docsDir = new java.io.File(s"$dir/docs")
+    docs.limit(1).write.mode("overwrite").parquet(docsDir.toString)
+    intercept[IllegalArgumentException](Ingest.importSnapshot(spark, dir))
+  }
+
   test("buildIndex → search round trip: postings BM25 and self-vector search work off the built tables") {
     val corpus = Seq(
       (1L, "spark is a fast engine for spark jobs"),

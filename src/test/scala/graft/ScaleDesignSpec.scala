@@ -102,6 +102,31 @@ class ScaleDesignSpec extends SparkSpec {
       p.linesIterator.take(15).mkString("\n"))
   }
 
+  test("IVF at rest: centroid-partitioned corpus turns the probe into partition pruning") {
+    import graft.operators.VectorSearch
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.where(col("vec_id") >= 10)
+    val cents = emb.where(col("vec_id") < 10)
+    val dir = Files.createTempDirectory("graft-ivf").toString + "/t"
+    // ingest: store each vector under its assigned cluster partition
+    corpus.join(
+        VectorSearch.ivfAssign(corpus, "vec_id", "embedding", cents, "vec_id", "embedding")
+          .select("vec_id", "centroid_id"), "vec_id")
+      .write.partitionBy("centroid_id").parquet(dir)
+    val atRest = spark.read.parquet(dir)
+    // probe = the 2 nearest clusters → a literal partition predicate
+    val probes = VectorSearch.bruteForceTopK(cents, "vec_id", "embedding",
+        emb.where(col("vec_id") === 0), "embedding", 2)
+      .collect().map(_.getLong(0))
+    val probed = atRest.where(col("centroid_id").isInCollection(probes))
+    val p = plan(probed)
+    assert(p.contains("PartitionFilters") && p.contains("centroid_id"),
+      s"probe must prune partitions:\n$p")
+    assert(p.contains("PushedFilters: []"),
+      "centroid predicate must be consumed by pruning, not row filtering")
+    assert(probed.count() > 0)
+  }
+
   test("approx_count_distinct tracks exact distinct within rsd on real data") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val tok = graft.functions.Bm25.tokenStream(docs, "doc_id", "text")
