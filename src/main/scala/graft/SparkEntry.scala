@@ -704,6 +704,31 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("n"))
         .orderBy("lang")),
 
+    // §3.1 paragraph-mode find: prefilter → paragraph split → term
+    // scoring → response tree, end-to-end through the API
+    "q68_find_paragraphs" -> ((s, dir) => {
+      import graft.api.Find
+      val docs = load(s, dir, "documents")
+      Find.findParagraphs(
+          Find.Corpus(docs, "doc_id", "text"),
+          Find.FindRequest(query = QueryTerms.mkString(" "),
+            filter = Some(FilterExpr.Eq("lang", "en")), topK = 20))
+        .withColumn("hits", concat_ws(",", col("hits")))
+        .orderBy(col("best_score").desc, col("doc_id").asc)
+    }),
+
+    // training-data ops: exact length percentiles per language (corpus
+    // profiling before filtering — the distribution a threshold
+    // choice is based on)
+    "q67_length_percentiles" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          round(percentile(col("n_chars"), lit(0.5)), 2).as("p50"),
+          round(percentile(col("n_chars"), lit(0.9)), 2).as("p90"),
+          round(percentile(col("n_chars"), lit(0.99)), 2).as("p99"))
+        .orderBy("lang")),
+
     // §2.3 semantic search with min_score threshold (full-corpus cut)
     "q42_semantic_minscore" -> ((s, dir) => {
       import VectorFunctions._
@@ -1408,6 +1433,26 @@ object SparkEntry {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q68_find_paragraphs" ->
+      s"""WITH $ParCtes,
+         |hits AS (SELECT p.doc_id, p.paragraph_id,
+         |           CAST(len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) AS DOUBLE) AS score
+         |         FROM par p JOIN documents d ON p.doc_id = d.doc_id
+         |         WHERE d.lang = 'en'
+         |           AND len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) > 0)
+         |SELECT doc_id, round(max(score), 6) AS best_score,
+         |  CAST(count(*) AS BIGINT) AS n_hits,
+         |  string_agg(paragraph_id, ',' ORDER BY score DESC, paragraph_id) AS hits
+         |FROM hits GROUP BY doc_id
+         |ORDER BY best_score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q67_length_percentiles" ->
+      """SELECT lang,
+        |  round(quantile_cont(n_chars, 0.5), 2) AS p50,
+        |  round(quantile_cont(n_chars, 0.9), 2) AS p90,
+        |  round(quantile_cont(n_chars, 0.99), 2) AS p99
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q42_semantic_minscore" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

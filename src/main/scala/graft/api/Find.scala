@@ -136,6 +136,37 @@ object Find {
       .orderBy(col("fused").desc, col(corpus.docId).asc)
   }
 
+  /** Paragraph-mode find — the reference's actual retrieval unit
+    * (`/find` returns paragraphs grouped under resources,
+    * `search/search/find_merge.py`): parse the query, prefilter docs,
+    * split surviving docs into paragraphs, score paragraphs by matched
+    * query terms (exclusions as predicates), and compose the response
+    * tree. Every stage is the same declarative shape as [[find]]; the
+    * paragraph table is what a production deployment materializes at
+    * ingest ([[graft.sources.Ingest.buildIndex]]), so the split here
+    * stands in for a pre-built paragraph index scan.
+    */
+  def findParagraphs(corpus: Corpus, req: FindRequest): DataFrame = {
+    val parsed = QueryParser.parse(req.query)
+    val terms = Synonyms.expand(parsed.terms, req.synonyms)
+    require(terms.nonEmpty, "paragraph find needs keyword terms")
+    val base = req.filter match {
+      case Some(f) => corpus.docs.where(FilterExpr.compile(f))
+      case None => corpus.docs
+    }
+    val excl = parsed.excluded
+      .map(t => !array_contains(TextFunctions.tokens(col("p_text")), t))
+      .foldLeft(lit(true))(_ && _)
+    val par = graft.sources.Ingest.splitParagraphs(base, corpus.docId, corpus.text)
+    val hits = par.where(excl)
+      .withColumn("score",
+        size(filter(TextFunctions.tokens(col("p_text")),
+          t => t.isInCollection(terms))).cast("double"))
+      .where(col("score") > 0)
+    composeResources(hits, corpus.docId, "paragraph_id", "score")
+      .limit(req.topK)
+  }
+
   /** Compose the find response tree: group scored text-block hits under
     * their resource, hits sorted by (score desc, id asc) inside each
     * group — `find_merge.py:296-325` compose_find_resources. One hash

@@ -117,4 +117,21 @@ class FindSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(rows.head == "lp") // two query terms vs one for misc
   }
+
+  test("paragraph-mode find groups paragraph hits under resources with prefilter") {
+    val res = Find.findParagraphs(corpus, FindRequest(
+        query = "prince planets",
+        filter = Some(FilterExpr.Facet("/s/p/en"))))
+      .collect()
+    val byDoc = res.map(r => r.getString(0) ->
+      (r.getDouble(1), r.getLong(2))).toMap
+    assert(byDoc.contains("lp") && !byDoc.contains("zar")) // filtered to /s/p/en
+    assert(!byDoc.contains("misc")) // no matching terms
+    val (best, nHits) = byDoc("lp")
+    assert(best >= 1.0 && nHits >= 1)
+    // exclusions drop paragraphs containing the excluded term
+    val excl = Find.findParagraphs(corpus, FindRequest(query = "prince -planets"))
+      .collect().map(_.getString(0))
+    assert(excl.isEmpty || !excl.contains("misc"))
+  }
 }
