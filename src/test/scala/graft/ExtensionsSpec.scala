@@ -30,6 +30,17 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT dot_product(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS d")
         .collect().head.getDouble(0)
       assert(f == 3.0)
+      val c = spark.sql(
+        "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+        .collect().head.getDouble(0)
+      assert(math.abs(c - 1.0) < 1e-12)
+      val h = spark.sql("SELECT hamming('1010', '1001') AS h")
+        .collect().head.getInt(0)
+      assert(h == 2)
+      val j = spark.sql(
+        """SELECT json_str_eq('{"tag": "news"}', 'tag', 'news') AS m""")
+        .collect().head.getBoolean(0)
+      assert(j)
     } finally {
       SparkSession.clearActiveSession()
       prev.foreach(SparkSession.setDefaultSession)
