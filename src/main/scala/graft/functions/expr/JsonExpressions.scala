@@ -31,6 +31,12 @@ object JsonScan {
     * numbers/booleans return their literal text); objects/arrays return
     * their raw JSON slice (enables dotted-path recursion). Returns null
     * for absent keys, JSON null, or malformed input.
+    *
+    * Numeric scalars keep their LITERAL form ("-2.5e3" stays "-2.5e3"
+    * where `get_json_object` would normalize to "-2500.0") — numeric
+    * predicates parse either form identically; string-equality belongs
+    * on text attributes only, mirroring the reference's typed JSON
+    * leaves (`nidx_json/src/search.rs:29-56`).
     */
   def extract(json: UTF8String, path: UTF8String): UTF8String = {
     if (json == null || path == null) return null

@@ -82,6 +82,53 @@ class FilterExprSpec extends SparkSpec {
     assert(plan.linesIterator.next().trim.startsWith("*("), plan)
   }
 
+  test("JsonScan.extract agrees with get_json_object on tricky shapes") {
+    import graft.functions.expr.JsonScan
+    import org.apache.spark.unsafe.types.UTF8String
+    // NOTE: no float-literal fixture — get_json_object (and DuckDB ->>)
+    // NORMALIZE numeric scalars ("-2.5e3" → "-2500.0") while JsonScan
+    // preserves the literal text. Numeric predicates are unaffected
+    // (JsonNumBetween parses either form); text equality on numeric
+    // attributes is a type error in the reference's typed JSON index
+    // (Text leaves apply to text fields, Number leaves to numbers).
+    val fixtures = Seq(
+      ("""{"k": 1}""", "k"),
+      ("""{"k": "plain"}""", "k"),
+      ("""{"k": "es\"ca\\ped"}""", "k"),
+      ("""{"k": "uniécode"}""", "k"),
+      ("""{"a": {"b": 7}, "k": true}""", "k"),
+      ("""{"a": [1, {"k": "inner"}], "k": false}""", "k"),
+      ("""{ "spaced" : "v" , "k" : "last" }""", "k"),
+      ("""{"k": null}""", "k"),
+      ("""{"other": 1}""", "k"),
+      ("""{"k": "tab\tnewline\n"}""", "k"),
+      ("""{"nested": {"k": 5}}""", "nested.k"))
+    val df = fixtures.toDF("j", "p")
+    val viaSpark = df.selectExpr("get_json_object(j, concat('$.', p))")
+      .collect().map(r => Option(r.getString(0)))
+    val viaScan = fixtures.map { case (j, p) =>
+      Option(JsonScan.extract(UTF8String.fromString(j), UTF8String.fromString(p)))
+        .map(_.toString)
+    }
+    fixtures.zip(viaSpark.zip(viaScan)).foreach { case ((j, p), (s, g)) =>
+      assert(s == g, s"disagree on $j / $p: spark=$s scan=$g")
+    }
+  }
+
+  test("JsonScan never throws on garbage input") {
+    import graft.functions.expr.JsonScan
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(13)
+    val alphabet = """{}[]"\:,.0123456789ektrue falsnu"""
+    (1 to 2000).foreach { _ =>
+      val s = (0 until rnd.nextInt(40))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      JsonScan.extract(UTF8String.fromString(s), UTF8String.fromString("k"))
+      JsonScan.numBetween(UTF8String.fromString(s), UTF8String.fromString("k"),
+        0.0, 1.0, true, true)
+    }
+  }
+
   test("materialized json_fields pushes predicates into the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonidx").toString
     graft.sources.Ingest.buildJsonIndex(jdocs, "j",
