@@ -729,6 +729,13 @@ object SparkEntry {
           round(percentile(col("n_chars"), lit(0.99)), 2).as("p99"))
         .orderBy("lang")),
 
+    // training-data ops: deterministic train/val/test split counts
+    "q69_hash_split" -> ((s, dir) =>
+      graft.sources.Trainsets.hashSplit(load(s, dir, "documents"), "doc_id",
+          Seq("train" -> 12, "val" -> 2, "test" -> 2))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split")),
+
     // §2.3 semantic search with min_score threshold (full-corpus cut)
     "q42_semantic_minscore" -> ((s, dir) => {
       import VectorFunctions._
@@ -1453,6 +1460,13 @@ object SparkEntry {
         |  round(quantile_cont(n_chars, 0.9), 2) AS p90,
         |  round(quantile_cont(n_chars, 0.99), 2) AS p99
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q69_hash_split" ->
+      """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'e' THEN 'test'
+        |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c' THEN 'val'
+        |            ELSE 'train' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q42_semantic_minscore" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -42,6 +42,65 @@ object Rerankers {
   def noop(fused: DataFrame, scoreCol: String, idCol: String, topK: Int): DataFrame =
     TopK.topK(fused, scoreCol, idCol, topK)
 
+  /** Executor-side BATCH scorer — the real cross-encoder call shape:
+    * an inference service scores (query, text) pairs in fixed-size
+    * batches. Implementations hold per-partition state (a client, a
+    * loaded model) initialized once per partition in
+    * [[predictBatched]]. */
+  trait BatchScorer extends Serializable {
+    def scoreBatch(queryTerms: Seq[String], texts: Seq[String]): Seq[Double]
+  }
+
+  /** Deterministic batch stand-in computing exactly [[TokenOverlap]]'s
+    * math in Scala — rankings match the column version bit-for-bit. */
+  object TokenOverlapBatch extends BatchScorer {
+    def scoreBatch(queryTerms: Seq[String], texts: Seq[String]): Seq[Double] =
+      texts.map { t =>
+        val toks = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+        val inter = toks.count(queryTerms.contains)
+        val raw = inter.toDouble / (queryTerms.size + toks.length - inter)
+        // HALF_UP to match Spark's round() exactly
+        BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+  }
+
+  /** [[predict]] with a batched executor-side model call: the top
+    * window hydrates, then `mapPartitions` groups rows into
+    * `batchSize` chunks and calls the scorer once per chunk — the
+    * inference-service pattern (N rows per RPC, client init once per
+    * partition), same shape as the multimodal decoder. Only the
+    * bounded window ever reaches the model; results are identical to
+    * [[predict]] when the scorers compute the same math (spec-pinned).
+    */
+  def predictBatched(
+      fused: DataFrame,
+      scoreCol: String,
+      idCol: String,
+      docs: DataFrame,
+      textCol: String,
+      queryTerms: Seq[String],
+      topK: Int,
+      scorer: BatchScorer = TokenOverlapBatch,
+      batchSize: Int = 32): DataFrame = {
+    val spark = fused.sparkSession
+    import spark.implicits._
+    val window = math.min(2 * topK, MaxWindow)
+    val hydrated = TopK.topK(fused, scoreCol, idCol, window)
+      .join(docs.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+    val scored = hydrated.mapPartitions { rows =>
+      // per-partition client/model init goes here (once, not per row)
+      rows.grouped(batchSize).flatMap { batch =>
+        val scores = scorer.scoreBatch(queryTerms, batch.map(_._2))
+        batch.map(_._1).zip(scores)
+      }
+    }.toDF(idCol, "rerank_score")
+    scored
+      .orderBy(col("rerank_score").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** PredictReranker shape: take the top `min(2·topK, 200)` fused rows,
     * hydrate text, re-score with the model, re-sort by model score
     * (id tiebreak), cut to topK.

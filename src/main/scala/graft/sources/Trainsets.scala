@@ -64,4 +64,25 @@ object Trainsets {
       hexPrefixes.head.length)
     df.where(prefix.isInCollection(hexPrefixes))
   }
+
+  /** Deterministic train/val/test split: the first hex digit of
+    * md5(id) buckets each row into one of 16 slots; `splits` assigns
+    * slot COUNTS to named splits in order (e.g. train→12, val→2,
+    * test→2 ≈ 75/12.5/12.5). Membership is a pure function of the id —
+    * a row never migrates between splits across reruns or appends, the
+    * property a reproducible 100 TB pipeline needs and seeded
+    * `randomSplit` cannot give (its assignment depends on
+    * partitioning). Adds a `split` column.
+    */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.map(_._2).sum == 16, "split slot counts must sum to 16")
+    val digit = substring(md5(col(idCol).cast("string").cast("binary")), 1, 1)
+    val hex = "0123456789abcdef"
+    val bounds = splits.scanLeft(0) { case (acc, (_, n)) => acc + n }
+    val expr0 = splits.zip(bounds).foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, _), lo)) =>
+        when(digit >= lit(hex(lo).toString), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr0)
+  }
 }

@@ -120,4 +120,21 @@ class IngestSpec extends SparkSpec {
     // doc2 contains both terms → highest overlap; doc1 none → last
     assert(got.sameElements(Array(2L, 3L, 1L)))
   }
+
+  test("batched reranker matches the column scorer exactly") {
+    val rnd = new scala.util.Random(5)
+    val vocab = Seq("spark", "query", "table", "fast", "scan", "row", "agg")
+    val corpus = (1L to 60L).map(i =>
+      (i, Seq.fill(8)(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+      .toDF("id", "text")
+    val fused = (1L to 60L).map(i => (i, rnd.nextDouble())).toDF("id", "fscore")
+    val terms = Seq("spark", "query")
+    val columnar = Rerankers.predict(fused, "fscore", "id", corpus, "text",
+        terms, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val batched = Rerankers.predictBatched(fused, "fscore", "id", corpus, "text",
+        terms, topK = 10, batchSize = 7)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(batched.sameElements(columnar))
+  }
 }
