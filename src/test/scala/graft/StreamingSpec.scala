@@ -125,6 +125,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-batch parity: windowed counts equal the batch aggregation over the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(21)
+    val events = (1 to 300).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 ${rnd.nextInt(6)}%02d:${rnd.nextInt(60)}%02d:00"),
+        Seq("click", "view", "buy")(rnd.nextInt(3)))
+    }
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val out = IncrementalIndex.windowedCounts(
+      input.toDF().toDF("ts", "etype"), "ts", "etype")
+    val q = out.writeStream.format("memory").queryName("sbp")
+      .outputMode("complete").start()
+    try {
+      // deliver across three micro-batches — same rows, different arrival
+      events.grouped(100).foreach { g => input.addData(g: _*); q.processAllAvailable() }
+      val streamed = spark.sql("SELECT * FROM sbp")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = events.toDF("ts", "etype")
+        .groupBy(window(col("ts"), "1 hour"), col("etype"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start"), col("etype"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("windowedCounts aggregates per tumbling window with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
