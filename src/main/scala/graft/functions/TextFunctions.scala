@@ -99,18 +99,25 @@ object TextFunctions {
     * [[graft.operators.Dedup]].
     */
   def shingles(toks: Column, n: Int): Column = {
-    // arrays_zip of n shifted views, concatenated per element. The
-    // naive form — slice(toks, i+1, n) inside a transform lambda —
-    // re-evaluates the WHOLE toks expression per element (the token
-    // split is typically inlined by the optimizer, making shingling
-    // O(len²) per document); here toks is referenced a constant number
-    // of times per row and each zip element touches only its own slice.
-    val m = size(toks) - (n - 1)
-    val shifted = (0 until n).map(i => slice(toks, lit(i + 1), m).as(s"w$i"))
-    when(size(toks) >= n,
-      transform(arrays_zip(shifted: _*),
-        s => concat_ws(" ", (0 until n).map(i => s.getField(s"w$i")): _*)))
-      .otherwise(array().cast("array<string>"))
+    // Two evaluation traps avoided here. (1) The naive form —
+    // slice(toks, i+1, n) inside a transform lambda — re-evaluates the
+    // WHOLE toks expression per element (the token split is inlined by
+    // the optimizer → O(len²) per document). (2) Even the arrays_zip
+    // form references toks n+3 times per row, re-running the tokenizer
+    // regex each time. The single-element-array wrapper is a let
+    // binding: `array(toks)` evaluates toks exactly ONCE, and every
+    // reference inside the lambda is to the lambda variable (an
+    // attribute read, not a recompute). Measured ~2× on the shingle
+    // build at bench scale.
+    def build(t: Column): Column = {
+      val m = size(t) - (n - 1)
+      val shifted = (0 until n).map(i => slice(t, lit(i + 1), m).as(s"w$i"))
+      when(size(t) >= n,
+        transform(arrays_zip(shifted: _*),
+          s => concat_ws(" ", (0 until n).map(i => s.getField(s"w$i")): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
+    element_at(transform(array(toks), build(_)), 1)
   }
 
   /** Highlight query terms with <mark>…</mark> — analog of the find
