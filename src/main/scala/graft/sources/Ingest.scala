@@ -29,21 +29,26 @@ object Ingest {
       fieldName: String = "body",
       parTokens: Int = 20): DataFrame =
     docs
-      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
-      .withColumn("__n", size(col("__toks")))
-      .where(col("__n") > 0)
-      // Build all chunk structs per doc inside ONE transform, then explode
-      // the struct array: the exploded rows carry only their ~parTokens of
-      // text, and Catalyst prunes the full __toks array right after the
-      // generate — O(text) total instead of O(chunks × text).
-      .withColumn("__par", explode(transform(
-        sequence(lit(0), ceil(col("__n").cast("double") / parTokens).cast("int") - 1),
-        c => {
-          val s = (c * parTokens).cast("int")
-          val e = least(col("__n"), s + parTokens).cast("int")
-          struct(s.as("start"), e.as("end"),
-            concat_ws(" ", slice(col("__toks"), s + 1, e - s)).as("p_text"))
-        })))
+      // Build all chunk structs per doc inside ONE expression, then
+      // explode: rows carry only their ~parTokens of text. The
+      // single-element-array wrapper is a let binding — the projected
+      // __toks column would be re-inlined into every reference by the
+      // optimizer (re-tokenizing once per chunk); `array(tokens)`
+      // evaluates the tokenizer exactly once per row and the lambda
+      // references are attribute reads. Empty docs explode to nothing.
+      .withColumn("__par", explode(element_at(transform(
+        array(TextFunctions.tokens(col(textCol))), t => {
+          val n = size(t)
+          when(n > 0, transform(
+            sequence(lit(0), ceil(n.cast("double") / parTokens).cast("int") - 1),
+            c => {
+              val s = (c * parTokens).cast("int")
+              val e = least(n, s + parTokens).cast("int")
+              struct(s.as("start"), e.as("end"),
+                concat_ws(" ", slice(t, s + 1, e - s)).as("p_text"))
+            }))
+            .otherwise(array().cast("array<struct<start:int,end:int,p_text:string>>"))
+        }), 1)))
       .select(col(idCol),
         concat(col(idCol).cast("string"), lit(s"/t/$fieldName/"),
           col("__par.start").cast("string"), lit("-"),
