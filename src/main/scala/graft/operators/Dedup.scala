@@ -149,19 +149,26 @@ object Dedup {
     * two aggregations; no pairwise work.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    // one ±1 vote ARRAY per (doc, term) row; the native elementwise-sum
+    // aggregate folds them per doc in a single hash aggregation — no
+    // bits-fold row explosion (previously terms × bits rows) and one
+    // shuffle instead of two
+    val votes = transform(sequence(lit(1), lit(bits)), b =>
+      when(col("h").substr(b, lit(1)).isin(highHex: _*), 1).otherwise(-1))
+    val sums = ColumnBridge.column(
+      graft.functions.expr.ElementwiseSum(ColumnBridge.expression(col("votes")))
+        .toAggregateExpression())
     docs.select(col(idCol),
         explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
       .withColumn("h", md5(col("term").cast("binary")))
-      .withColumn("b", explode(lit((1 to bits).toArray)))
-      .withColumn("vote",
-        when(expr("substring(h, b, 1)").isin(highHex: _*), 1).otherwise(-1))
-      .groupBy(col(idCol), col("b"))
-      .agg(sum(col("vote")).as("s"))
-      .withColumn("bit", when(col("s") >= 0, lit("1")).otherwise(lit("0")))
+      .select(col(idCol), votes.as("votes"))
       .groupBy(col(idCol))
-      .agg(concat_ws("", sort_array(collect_list(struct(col("b"), col("bit"))))
-        .getField("bit")).as("simhash"))
+      .agg(sums.as("sums"))
+      .select(col(idCol),
+        concat_ws("", transform(col("sums"),
+          s => when(s >= 0, lit("1")).otherwise(lit("0")))).as("simhash"))
   }
 
   /** Near-dup pairs with Hamming distance ≤ maxDist between SimHash

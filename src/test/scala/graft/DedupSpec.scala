@@ -33,6 +33,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("elementwise_sum native aggregate sums arrays per group across partitions") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val rows = (1 to 100).map(i => (i % 3, Seq(i, -i, 2 * i)))
+    val df = rows.toDF("g", "v").repartition(7) // force partial + merge
+    val agg = ColumnBridge.column(
+      graft.functions.expr.ElementwiseSum(ColumnBridge.expression(col("v")))
+        .toAggregateExpression())
+    val got = df.groupBy("g").agg(agg.as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> Seq(rs.map(_._2(0).toLong).sum, rs.map(_._2(1).toLong).sum, rs.map(_._2(2).toLong).sum)
+    }
+    assert(got == want)
+  }
+
   test("simHashPairs band blocking is lossless vs all-pairs hamming") {
     // pigeonhole: maxDist+1 bands guarantee every pair with hamming <=
     // maxDist shares a band — band-join result must equal brute force
