@@ -109,6 +109,41 @@ object VectorSearch {
       .select(col(idCol), col("__cid").as("centroid_id"), col("score"))
   }
 
+  /** One k-means iteration over the corpus: assign every vector to its
+    * nearest centroid ([[ivfAssign]]) and recompute each centroid as
+    * the member mean — the IVF TRAINING step (the reference sidesteps
+    * training by using HNSW; the Spark-scale path trains coarse
+    * centroids with exactly this loop, typically on a sample).
+    * Per iteration: one scan for assignment (broadcast centroids,
+    * codegen scoring) and ONE hash aggregation whose buffer is the
+    * native [[graft.functions.expr.ElementwiseSumDouble]] — member
+    * vectors combine map-side, so the shuffle carries |centroids|
+    * partial sums per partition, never the corpus. Empty clusters drop
+    * (standard k-means behavior).
+    *
+    * @return (centroid_id, cvec array<double>, n_members)
+    */
+  def kmeansStep(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      cidCol: String,
+      cvecCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids, cidCol, cvecCol)
+      .select(col(idCol), col("centroid_id"))
+    val sumAgg = ColumnBridge.column(
+      graft.functions.expr.ElementwiseSumDouble(ColumnBridge.expression(col(vecCol)))
+        .toAggregateExpression())
+    corpus.join(assigned, idCol)
+      .groupBy(col("centroid_id"))
+      .agg(sumAgg.as("__sum"), count(lit(1)).as("n_members"))
+      .select(col("centroid_id"),
+        transform(col("__sum"), x => x / col("n_members")).as(cvecCol),
+        col("n_members"))
+  }
+
   /** IVF probe search: rank centroids against the query, keep the
     * `nprobe` nearest, and brute-force only vectors assigned to those
     * clusters. At scale `assignments` is precomputed at ingest and the

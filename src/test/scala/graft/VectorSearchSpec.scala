@@ -65,6 +65,35 @@ class VectorSearchSpec extends SparkSpec {
     assert(brute == pre)
   }
 
+  test("kmeansStep recovers planted cluster means and converges assignment") {
+    val rnd = new scala.util.Random(17)
+    // three DIRECTIONALLY separated clusters (assignment is by cosine,
+    // which is scale-invariant — separation must be angular)
+    val trueMeans = Seq(
+      Array(5.0, 0, 0, 0, 1, 0, 0, 0),
+      Array(0.0, 5, 0, 0, 0, 1, 0, 0),
+      Array(0.0, 0, -5, 0, 0, 0, 1, 0))
+    val points = (0 until 120).map { i =>
+      val c = i % 3
+      (i.toLong, c, trueMeans(c).map(m => (m + 0.2 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = points.map(p => (p._1, p._3)).toDF("id", "v")
+    // bad init: three arbitrary corpus points
+    var cents = corpus.where(col("id") < 3)
+      .select(col("id").as("cid"), graft.functions.VectorFunctions.asDouble(col("v")).as("cv"))
+    (1 to 3).foreach { _ =>
+      cents = VectorSearch.kmeansStep(corpus, "id", "v", cents, "cid", "cv")
+        .select(col("centroid_id").as("cid"), col("cv"))
+    }
+    // after convergence: assignment must equal the planted clustering
+    val assign = VectorSearch.ivfAssign(corpus, "id", "v", cents, "cid", "cv")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planted = points.map(p => p._1 -> p._2).toMap
+    val groups = assign.groupBy(_._2).values.map(_.keys.toSet)
+    val plantedGroups = planted.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(groups.toSet == plantedGroups, "clusters must match planted structure")
+  }
+
   test("rabitqSearch matches brute force top-k under the ε bound") {
     val rnd = new scala.util.Random(11)
     val corpus = (1 to 200).map(i =>
