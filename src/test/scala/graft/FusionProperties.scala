@@ -87,6 +87,37 @@ object FusionProperties extends Properties("graft") {
       }.forall(_.nonEmpty)
     }
 
+  /** Arbitrary filter trees compile to a Column and execute — the
+    * ADT→Column compiler must never produce an unresolvable or
+    * throwing expression regardless of nesting shape. */
+  property("filterExpr.arbitraryTreesCompileAndRun") = {
+    import graft.operators.FilterExpr
+    import graft.operators.FilterExpr._
+    val leaf: Gen[FilterExpr] = Gen.oneOf(
+      Gen.alphaLowerStr.map(s => Facet("/l/" + s.take(5))),
+      Gen.alphaLowerStr.map(s => Keyword(s.take(5))),
+      Gen.choose(0, 500).map(n => NumRange("n", Some(n.toDouble), None)),
+      Gen.choose(0, 500).map(n => Eq("n", n.toLong)),
+      Gen.alphaLowerStr.map(s => JsonText("j", "k", s.take(5))),
+      Gen.choose(0.0, 100.0).map(x => JsonNumRange("j", "k", None, Some(x))),
+      Gen.const(Security(Seq("g1"))))
+    def tree(depth: Int): Gen[FilterExpr] =
+      if (depth == 0) leaf
+      else Gen.oneOf(
+        leaf,
+        Gen.listOfN(2, tree(depth - 1)).map(And(_)),
+        Gen.listOfN(2, tree(depth - 1)).map(Or(_)),
+        tree(depth - 1).map(Not(_)))
+    forAll(tree(3)) { f =>
+      import spark.implicits._
+      val df = Seq(
+        (1L, "alpha beta", Seq("/l/a"), Seq("g1"), """{"k": 10}""", 100L),
+        (2L, "gamma", Seq.empty[String], Seq.empty[String], """{"k": "x"}""", 400L))
+        .toDF("rid", "text", "labels", "security_groups", "j", "n")
+      df.where(FilterExpr.compile(f)).count() >= 0
+    }
+  }
+
   property("searchAfter.pagesPartitionTheTopN") =
     forAll(scoredList) { data =>
       import spark.implicits._
