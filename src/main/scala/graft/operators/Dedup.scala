@@ -66,7 +66,12 @@ object Dedup {
       numHashes: Int = 8,
       bandSize: Int = 2,
       minEstJaccard: Double = 0.5): DataFrame = {
-    val sh = shingleSet(docs, idCol, textCol, shingleSize)
+    // no distinct: min over duplicate shingles equals min over the set,
+    // so the signature aggregation absorbs multiset rows in its partial
+    // (map-side) phase — one shuffle keyed by doc instead of two
+    val sh = docs.select(col(idCol),
+      explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize))
+        .as("shingle"))
     val sig = minHashSignatures(sh, idCol, numHashes).cache()
     // explode signature into (id, band, bv) rows; bucket-join on band value
     val nBands = numHashes / bandSize
@@ -112,28 +117,34 @@ object Dedup {
       threshold: Double,
       saltFactor: Int = 1,
       hotThreshold: Long = 1000): DataFrame = {
-    // 8-byte hashed shingle keys: the distinct + inverted-index join
-    // shuffle fixed-width longs instead of ~25-byte strings (Jaccard
-    // only needs set membership, not the text — same counts barring a
-    // 64-bit collision, ~1e-7 for 10⁶ distinct shingles, and any
-    // collision fails the exact oracle loudly rather than silently)
-    val sh = docs.select(col(idCol),
-        explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("s"))
-      .select(col(idCol), xxhash64(col("s")).as("shingle"))
-      .distinct().cache()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    // Set semantics come from array_distinct WITHIN each document — a
+    // narrow map in the scan projection — so no corpus-wide distinct
+    // shuffle is ever paid. 8-byte hashed shingle keys: the inverted-
+    // index join shuffles fixed-width longs instead of ~25-byte strings
+    // (Jaccard only needs set membership, not the text — same counts
+    // barring a 64-bit collision, ~1e-7 for 10⁶ distinct shingles, and
+    // any collision fails the exact oracle loudly rather than silently).
+    // The per-doc set size rides along with each posting row, so the
+    // jaccard denominator needs no join back to a sizes table.
+    val arr = array_distinct(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n))
+    val sh = docs
+      .select(col(idCol), transform(arr, s => xxhash64(s)).as("ss"), size(arr).as("sz"))
+      .select(col(idCol), explode(col("ss")).as("shingle"), col("sz"))
+      .cache()
     val inter =
-      if (saltFactor > 1)
+      if (saltFactor > 1) {
+        val sizes = sh.groupBy(col(idCol)).agg(first(col("sz")).as("sz"))
         Skew.saltedPairCounts(sh, idCol, "shingle", saltFactor, hotThreshold)
-      else {
-        val x = sh.select(col(idCol).as("a"), col("shingle"))
-        val y = sh.select(col(idCol).as("b"), col("shingle"))
+          .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), "a")
+          .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), "b")
+      } else {
+        val x = sh.select(col(idCol).as("a"), col("shingle"), col("sz").as("sza"))
+        val y = sh.select(col(idCol).as("b"), col("shingle"), col("sz").as("szb"))
         x.join(y, "shingle").where(col("a") < col("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+          .groupBy("a", "b").agg(count(lit(1)).as("inter"),
+            first(col("sza")).as("sza"), first(col("szb")).as("szb"))
       }
     inter
-      .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), "a")
-      .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), "b")
       .withColumn("jaccard",
         round(col("inter") / (col("sza") + col("szb") - col("inter")), 4))
       .where(col("jaccard") >= threshold)
