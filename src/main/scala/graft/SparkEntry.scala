@@ -736,6 +736,66 @@ object SparkEntry {
         .groupBy("split").agg(count(lit(1)).as("n"))
         .orderBy("split")),
 
+    // §3.2 /search endpoint: independent document (BM25) and paragraph
+    // (keyword) ranked lists in ONE response — no fusion, unlike /find;
+    // union'd under a `unit` discriminator for the single-DataFrame
+    // driver contract
+    "q70_search_lists" -> ((s, dir) => {
+      import graft.api.Search
+      val docs = load(s, dir, "documents")
+      val pars = graft.sources.Ingest.splitParagraphs(docs, "doc_id", "text")
+      val resp = Search.search(docs, "doc_id", "text", "lang",
+        Some((pars, "paragraph_id", "p_text")),
+        Search.SearchRequest(query = QueryTerms.mkString(" "), topK = 10))
+      resp.documents.get
+        .select(lit("document").as("unit"),
+          col("doc_id").cast("string").as("id"), col("score"))
+        .unionByName(resp.paragraphs.get
+          .select(lit("paragraph").as("unit"),
+            col("paragraph_id").as("id"), col("score")))
+        .orderBy(col("unit"), col("score").desc, col("id"))
+    }),
+
+    // §2.1 trainset export: PARAGRAPH_CLASSIFICATION task projection —
+    // paragraph text with labels inherited from the parent document
+    "q71_trainset_paragraphs" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val pars = graft.sources.Ingest.splitParagraphs(
+        docs.where(col("doc_id") < 50), "doc_id", "text")
+      graft.sources.Trainsets.paragraphClassification(pars, docs, "doc_id", "lang")
+        .orderBy("paragraph_id")
+    }),
+
+    // training-data ops: corpus heavy hitters — most frequent word
+    // bigrams (vocabulary / contamination profiling). Partial-agg
+    // groupBy + TakeOrderedAndProject: the map-side combine absorbs
+    // per-partition repeats, so the shuffle carries one partial count
+    // per (partition, bigram) — the canonical 100 TB heavy-hitter shape
+    "q72_bigram_hitters" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .select(explode(
+          TextFunctions.shingles(TextFunctions.tokens(col("text")), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(25)),
+
+    // §2.3 / training-data ops: product-quantization ADC search — codes
+    // assigned against a deterministic codebook (vectors 1..16, 16
+    // subspaces of 4 dims), query scored from the 16-byte codes alone
+    // via broadcast lookup tables (recall vs exact measured in
+    // AnnRecallSpec: ADC 0.6, +exact-rerank@100 1.0)
+    "q73_pq_adc" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      val cb = emb.where(col("vec_id").between(1, 16))
+        .select(col("vec_id").cast("int"), col("embedding"))
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+      val qv = emb.where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0)
+      VectorSearch.pqAdcSearch(emb.where(col("vec_id") =!= 0),
+        "vec_id", "embedding", qv, cb, m = 16, k = 10)
+    }),
+
     // §2.3 semantic search with min_score threshold (full-corpus cut)
     "q42_semantic_minscore" -> ((s, dir) => {
       import VectorFunctions._
@@ -1467,6 +1527,66 @@ object SparkEntry {
         |            ELSE 'train' END AS split,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q70_search_lists" ->
+      s"""WITH $Bm25Ctes,
+         |$ParCtes,
+         |doclist AS (SELECT 'document' AS unit, CAST(doc_id AS VARCHAR) AS id, score
+         |            FROM bm25 ORDER BY score DESC, doc_id LIMIT 10),
+         |parlist AS (SELECT 'paragraph' AS unit, paragraph_id AS id,
+         |              CAST(len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) AS DOUBLE) AS score
+         |            FROM par
+         |            WHERE len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) > 0
+         |            ORDER BY score DESC, paragraph_id LIMIT 10)
+         |SELECT unit, id, score FROM doclist
+         |UNION ALL SELECT unit, id, score FROM parlist
+         |ORDER BY unit, score DESC, id""".stripMargin,
+
+    "q71_trainset_paragraphs" ->
+      s"""WITH $ParCtes
+         |SELECT paragraph_id, array_to_string(t[s+1:e], ' ') AS text, lang AS labels
+         |FROM par JOIN documents USING (doc_id)
+         |WHERE doc_id < 50 ORDER BY paragraph_id""".stripMargin,
+
+    "q72_bigram_hitters" ->
+      s"""WITH t AS (SELECT $Tok AS toks FROM documents),
+         |bg AS (SELECT toks[i] || ' ' || toks[i+1] AS bigram
+         |       FROM t CROSS JOIN (SELECT unnest(range(1, 2000)) AS i) ix
+         |       WHERE i <= len(toks) - 1)
+         |SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg
+         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25""".stripMargin,
+
+    "q73_pq_adc" -> {
+      // generated for m subspaces of subDim dims, K codewords — mirrors
+      // VectorSearch.pqCodes/pqAdcSearch with identical rounding and
+      // left-associative per-subspace addition order
+      val (m, subDim, kcb) = (16, 4, 16)
+      val partCols = (0 until m)
+        .map(j => s"max(CASE WHEN j = $j THEN a END) AS a$j").mkString(",\n|            ")
+      val estSum = (0 until m).map(j => s"a$j").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |js AS (SELECT unnest(range($m)) AS j),
+         |sub AS (SELECT vec_id, j, v[j*$subDim+1 : j*$subDim+$subDim] AS s FROM e CROSS JOIN js
+         |        WHERE vec_id <> 0),
+         |cb AS (SELECT vec_id AS cid, j, v[j*$subDim+1 : j*$subDim+$subDim] AS cs FROM e CROSS JOIN js
+         |       WHERE vec_id BETWEEN 1 AND $kcb),
+         |d AS (SELECT vec_id, j, cid,
+         |        round(list_dot_product(s, s) - 2.0 * list_dot_product(s, cs)
+         |              + list_dot_product(cs, cs), 6) AS d
+         |      FROM sub JOIN cb USING (j)),
+         |code AS (SELECT vec_id, j, cid FROM (
+         |           SELECT vec_id, j, cid,
+         |             row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+         |           FROM d) WHERE rn = 1),
+         |q AS (SELECT j, v[j*$subDim+1 : j*$subDim+$subDim] AS qs FROM e CROSS JOIN js WHERE vec_id = 0),
+         |adc AS (SELECT j, cid, round(list_dot_product(qs, cs), 6) AS a
+         |        FROM q JOIN cb USING (j)),
+         |parts AS (SELECT vec_id,
+         |            $partCols
+         |          FROM code JOIN adc USING (j, cid) GROUP BY vec_id)
+         |SELECT vec_id, round($estSum, 6) AS est FROM parts
+         |ORDER BY est DESC, vec_id LIMIT 10""".stripMargin
+    },
 
     "q42_semantic_minscore" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -267,6 +267,112 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Product-quantization code assignment: the vector is split into `m`
+    * contiguous subvectors and each is replaced by the id of its nearest
+    * codeword (min squared L2, rounded at 6, codeword-id tiebreak —
+    * deterministic and engine-portable). `codebook` is one shared
+    * codeword list applied per subspace, `(cid, full-dim vector)` with
+    * cids 1..K in order; subspace j uses each codeword's j-th slice.
+    *
+    * Scale shape: the codebook is driver-scale (like IVF centroids), so
+    * assignment is pure codegen'd array math on broadcast literals — one
+    * narrow scan, no shuffle. The m small ints per row replace the full
+    * float vector: 64-dim float32 → 4 bytes is the 64× compression that
+    * makes a 100 TB embedding column scannable; the same
+    * memory-vs-recall dial the reference turns with 1-bit RaBitQ
+    * quantization (`nidx_vector/src/vector_types/rabitq.rs:25-40`),
+    * with PQ sitting between 1-bit codes and raw floats.
+    *
+    * @return (idCol, __c0..__c{m-1}) one codeword id per subspace
+    */
+  def pqCodes(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebook: Seq[(Int, Seq[Float])],
+      m: Int): DataFrame = {
+    val dim = codebook.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    // per-subspace literal: (cid, codeword slice, precomputed ‖cw‖²)
+    def cbLit(j: Int) = typedlit(codebook.map { case (cid, cw) =>
+      val sub = cw.slice(j * subDim, (j + 1) * subDim)
+      (cid, sub, sub.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+    })
+    // ‖sv − cw‖² = sv·sv − 2·sv·cw + ‖cw‖²; the array() wrapper is a let
+    // binding so the subvector slice is evaluated once per row, not once
+    // per codeword
+    def codeFor(j: Int): Column =
+      element_at(transform(array(slice(col(vecCol), j * subDim + 1, subDim)), sv =>
+        element_at(sort_array(transform(cbLit(j), c =>
+          struct(
+            round(dot(sv, sv) - lit(2.0) * dot(sv, c.getField("_2")) + c.getField("_3"), 6)
+              .as("d"),
+            c.getField("_1").as("cid")))), 1).getField("cid")), 1)
+    corpus.select(col(idCol) +: (0 until m).map(j => codeFor(j).as(s"__c$j")): _*)
+  }
+
+  /** PQ search with asymmetric distance computation (ADC): the query
+    * stays full-precision and each corpus vector is scored from its PQ
+    * code alone — score ≈ Σ_j q_subⱼ · codeword(codeⱼ)ⱼ, a per-subspace
+    * table lookup. The m×K lookup table is computed driver-side from the
+    * query and broadcast as a literal, so the scan reads ONLY the code
+    * columns (the raw vector column is never touched — at rest that is
+    * a 64× smaller column scan). Approximate by construction; recall vs
+    * [[bruteForceTopK]] is measured in AnnRecallSpec.
+    */
+  def pqAdcSearch(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryVec: Seq[Float],
+      codebook: Seq[(Int, Seq[Float])],
+      m: Int,
+      k: Int): DataFrame = {
+    val dim = codebook.head._2.length
+    val subDim = dim / m
+    require(codebook.map(_._1) == (1 to codebook.size), "codebook cids must be 1..K in order")
+    // ADC lookup per subspace: adc(j)(cid−1) = q_subⱼ · codeword_subⱼ
+    def adcLit(j: Int) = typedlit(codebook.map { case (_, cw) =>
+      val s = j * subDim
+      val d = (0 until subDim).foldLeft(0.0) { (acc, i) =>
+        acc + queryVec(s + i).toDouble * cw(s + i).toDouble
+      }
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    })
+    val codes = pqCodes(corpus, idCol, vecCol, codebook, m)
+    val est = round(
+      (0 until m).map(j => element_at(adcLit(j), col(s"__c$j"))).reduce(_ + _), 6)
+    codes.withColumn("est", est)
+      .select(col(idCol), col("est"))
+      .orderBy(col("est").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** PQ-ADC prescore + exact rerank (the IVF-PQ production shape): the
+    * cheap code-only ADC pass nominates `rerank` candidates, then only
+    * those read their raw vectors for an exact cosine — the same
+    * two-pass contract as [[signaturePrescore]], with PQ's finer
+    * estimate nominating a far smaller rerank set for equal recall.
+    */
+  def pqSearchReranked(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryVec: Seq[Float],
+      codebook: Seq[(Int, Seq[Float])],
+      m: Int,
+      k: Int,
+      rerank: Int): DataFrame = {
+    val candidates = pqAdcSearch(corpus, idCol, vecCol, queryVec, codebook, m, rerank)
+      .select(col(idCol))
+    corpus.join(candidates, Seq(idCol), "left_semi")
+      .withColumn("score", round(cosine(col(vecCol), typedlit(queryVec)), 6))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** RaBitQ-style two-pass: cheap 1-bit signature hamming pre-score over
     * everything, full-precision rerank of the top `rerank` candidates
     * (`nidx_vector/src/vector_types/rabitq.rs:25-40`, rerank factor 100,

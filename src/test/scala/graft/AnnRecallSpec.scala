@@ -62,6 +62,32 @@ class AnnRecallSpec extends SparkSpec {
     clamped.collect() // no exception is the assertion
   }
 
+  test("PQ-ADC search: codes are deterministic, estimate recall is measured") {
+    val cb = emb.where(col("vec_id").between(1, 16))
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    val qv = query.select("embedding").collect().head.getSeq[Float](0)
+    // codes: one id per subspace, all within the codebook, stable across runs
+    val codes = VectorSearch.pqCodes(corpus, "vec_id", "embedding", cb, m = 16)
+    val row = codes.orderBy("vec_id").limit(1).collect().head
+    (1 to 16).foreach(i => assert((1 to 16).contains(row.getInt(i)), s"code out of range: $row"))
+    assert(codes.orderBy("vec_id").limit(1).collect().head == row) // deterministic
+    val approx = VectorSearch.pqAdcSearch(
+        corpus, "vec_id", "embedding", qv, cb, m = 16, k = 10)
+      .collect().map(_.getLong(0))
+    val r = recallOf(approx, exactTop10)
+    info(f"pq-adc recall@10 (m=16 subspaces, K=16 data-drawn codewords): $r%.2f")
+    assert(r >= 0.5, s"recall $r too low")
+    // the production composition: ADC nominates, raw vectors rerank
+    val reranked = VectorSearch.pqSearchReranked(
+        corpus, "vec_id", "embedding", qv, cb, m = 16, k = 10, rerank = 100)
+      .collect().map(_.getLong(0))
+    val rr = recallOf(reranked, exactTop10)
+    info(f"pq-adc + exact rerank@100 recall@10: $rr%.2f")
+    assert(rr >= r, "rerank must not lose recall")
+    assert(rr >= 0.9, s"reranked recall $rr too low")
+  }
+
   test("IVF probe search trades recall for scanned fraction") {
     val centroids = emb.where(col("vec_id") < 10)
     val assignments = VectorSearch.ivfAssign(
