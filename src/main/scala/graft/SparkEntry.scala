@@ -796,6 +796,36 @@ object SparkEntry {
         "vec_id", "embedding", qv, cb, m = 16, k = 10)
     }),
 
+    // training-data ops: near-dup pairs → transitive dedup clusters
+    // (connected components by min-label propagation; the component
+    // label is the keep-id)
+    "q74_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minHashLsh(load(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 8, bandSize = 2, minEstJaccard = 0.25)
+      Dedup.dedupClusters(pairs, "a", "b")
+        .groupBy("component").agg(count(lit(1)).as("n_docs"))
+        .orderBy("component")
+    }),
+
+    // training-data ops: balanced per-language sampling (deterministic
+    // hash-order cap per key — the data-mixing cut)
+    "q75_balanced_sample" -> ((s, dir) =>
+      graft.sources.Trainsets.balancedSample(
+          load(s, dir, "documents"), "lang", "doc_id", 20)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")),
+
+    // training-data ops: eval-set decontamination — fraction of each
+    // doc's shingles that appear in the benchmark set (docs 0..4)
+    "q76_contamination" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      graft.sources.Trainsets.contaminationScores(
+          docs, "doc_id", "text", docs.where(col("doc_id") < 5), n = 3)
+        .where(col("contamination") > 0)
+        .orderBy(col("contamination").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
     // §2.3 semantic search with min_score threshold (full-corpus cut)
     "q42_semantic_minscore" -> ((s, dir) => {
       import VectorFunctions._
@@ -844,6 +874,29 @@ object SparkEntry {
        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
        |       FROM toks CROSS JOIN (SELECT unnest(range(1, 2000)) AS i) ix
        |       WHERE i <= len(t) - 2)""".stripMargin
+
+  /** MinHash+LSH near-dup pair CTE chain (8 hashes, 4 bands of 2,
+    * est_jaccard ≥ 0.25) — must match [[graft.operators.Dedup.minHashLsh]]
+    * with q18's parameters; ends in a `pairs` CTE. */
+  private val MinHashPairCtes =
+    s"""$ShingleCtes,
+       |mh AS (SELECT doc_id, i,
+       |              min(md5(CAST(i AS VARCHAR) || '|' || shingle)) AS h
+       |       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i) hx
+       |       GROUP BY doc_id, i),
+       |bands AS (SELECT x.doc_id, x.i // 2 AS band, x.h || y.h AS bv
+       |          FROM mh x JOIN mh y ON x.doc_id = y.doc_id AND y.i = x.i + 1
+       |          WHERE x.i % 2 = 0),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |         FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv
+       |              AND x.doc_id < y.doc_id),
+       |est AS (SELECT c.a, c.b,
+       |               round(sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / 8.0, 4) AS est_jaccard
+       |        FROM cand c
+       |        JOIN mh ha ON ha.doc_id = c.a
+       |        JOIN mh hb ON hb.doc_id = c.b AND hb.i = ha.i
+       |        GROUP BY c.a, c.b),
+       |pairs AS (SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.25)""".stripMargin
 
   /** Paragraph-split CTE chain (20-token windows, reference id format) —
     * must match [[graft.sources.Ingest.splitParagraphs]]. */
@@ -1003,25 +1056,8 @@ object SparkEntry {
          |ORDER BY a, b""".stripMargin,
 
     "q18_minhash_lsh" ->
-      s"""WITH $ShingleCtes,
-         |mh AS (SELECT doc_id, i,
-         |              min(md5(CAST(i AS VARCHAR) || '|' || shingle)) AS h
-         |       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i) hx
-         |       GROUP BY doc_id, i),
-         |bands AS (SELECT x.doc_id, x.i // 2 AS band, x.h || y.h AS bv
-         |          FROM mh x JOIN mh y ON x.doc_id = y.doc_id AND y.i = x.i + 1
-         |          WHERE x.i % 2 = 0),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |         FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv
-         |              AND x.doc_id < y.doc_id),
-         |est AS (SELECT c.a, c.b,
-         |               round(sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / 8.0, 4) AS est_jaccard
-         |        FROM cand c
-         |        JOIN mh ha ON ha.doc_id = c.a
-         |        JOIN mh hb ON hb.doc_id = c.b AND hb.i = ha.i
-         |        GROUP BY c.a, c.b)
-         |SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.25
-         |ORDER BY a, b""".stripMargin,
+      s"""WITH $MinHashPairCtes
+         |SELECT a, b, est_jaccard FROM pairs ORDER BY a, b""".stripMargin,
 
     "q19_ann_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1587,6 +1623,37 @@ object SparkEntry {
          |SELECT vec_id, round($estSum, 6) AS est FROM parts
          |ORDER BY est DESC, vec_id LIMIT 10""".stripMargin
     },
+
+    "q74_dedup_clusters" ->
+      s"""WITH RECURSIVE $MinHashPairCtes,
+         |nodes AS (SELECT a AS n FROM pairs UNION SELECT b FROM pairs),
+         |edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT r.src, e.y FROM reach r JOIN edges e ON r.dst = e.x),
+         |comp AS (SELECT src, min(dst) AS component FROM reach GROUP BY src)
+         |SELECT component, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM comp GROUP BY component ORDER BY component""".stripMargin,
+
+    "q75_balanced_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+
+    "q76_contamination" ->
+      s"""WITH $ShingleCtes,
+         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5),
+         |sc AS (SELECT s.doc_id,
+         |         round(CAST(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |               / count(*), 4) AS contamination
+         |       FROM sh s LEFT JOIN ev ON s.shingle = ev.shingle
+         |       GROUP BY s.doc_id)
+         |SELECT doc_id, contamination FROM sc WHERE contamination > 0
+         |ORDER BY contamination DESC, doc_id LIMIT 20""".stripMargin,
 
     "q42_semantic_minscore" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

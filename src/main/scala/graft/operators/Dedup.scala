@@ -250,6 +250,70 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Connected components over near-dup pairs → dedup clusters: the
+    * "keep one per duplicate group" step every near-dup pipeline ends
+    * with (pairs alone don't dedup — transitive groups do). Each round
+    * takes the min over a node's own and its neighbors' labels, then
+    * POINTER-JUMPS (label ← label's label, path halving) — the jump
+    * doubles the propagated distance per round, so convergence is
+    * O(log diameter) rounds, not O(diameter); a chain corpus that
+    * plain propagation walks in hundreds of rounds closes in ~10.
+    * The driver loop stops at the fixpoint (one count per round).
+    *
+    * Scale shape: every round is ONE shuffle (the min-aggregation of
+    * neighbor-contributed labels union own labels) plus broadcast
+    * joins of the label table for the jump and the convergence check;
+    * only docs that appear in a pair participate — a small fraction of
+    * the corpus. `broadcastLabels = false` switches those joins to
+    * shuffles for pathological pair sets too large to broadcast. The
+    * component label is monotone non-increasing and always a reachable
+    * min, so intermediate states are valid and the fixpoint is the
+    * true component minimum = the keep-id. localCheckpoint (eager)
+    * truncates lineage every round — without it the logical plan
+    * doubles per iteration (each round references the previous twice:
+    * step + jump) and Catalyst analysis, not the data, becomes the
+    * bottleneck.
+    *
+    * @return (node, component) — component = min doc id of the group
+    */
+  def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25, broadcastLabels: Boolean = true): DataFrame = {
+    val bc: DataFrame => DataFrame = if (broadcastLabels) broadcast else identity
+    val fwd = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+    // the cache pins partitioning (AQE will not re-coalesce a cached
+    // relation), so right-size it explicitly: near-dup pair sets are
+    // orders of magnitude smaller than the corpus, and every round
+    // rescans this table — spark.sql.shuffle.partitions-many near-empty
+    // tasks per round would dominate the loop
+    val edges = fwd.union(fwd.select(col("y").as("x"), col("x").as("y")))
+      .distinct().coalesce(math.max(1, pairs.sparkSession.sparkContext
+        .defaultParallelism / 8)).cache()
+    var labels = edges.select(col("x").as("node"), col("x").as("component"))
+      .distinct().localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val contrib = edges
+        .join(bc(labels).select(col("node").as("y"), col("component").as("c")), "y")
+        .select(col("x").as("node"), col("c"))
+      val stepped = contrib
+        .union(labels.select(col("node"), col("component").as("c")))
+        .groupBy("node").agg(min("c").as("component"))
+      // path halving: follow the label one more hop in the same round
+      val next = stepped
+        .join(bc(stepped).select(col("node").as("component"), col("component").as("__cc")),
+          Seq("component"), "left")
+        .select(col("node"), coalesce(col("__cc"), col("component")).as("component"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(bc(labels).as("o"), "node")
+        .where(col("n.component") =!= col("o.component")).count()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding near-dup pairs with IVF-cluster blocking: each vector is
     * assigned to its `multiAssign` nearest centroids (rounded cosine
     * desc, centroid-id tiebreak — deterministic and engine-portable),

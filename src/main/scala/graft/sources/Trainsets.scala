@@ -65,6 +65,52 @@ object Trainsets {
     df.where(prefix.isInCollection(hexPrefixes))
   }
 
+  /** Balanced per-key sampling: keep at most `perKey` rows per key,
+    * chosen by deterministic hash order (md5 of the id, id tiebreak) —
+    * the data-mixing step that caps a dominant language/source before
+    * training. Unlike per-key `sample()`, membership is a pure function
+    * of (key, the group's id set): stable across reruns and
+    * partitionings. One shuffle on the key; the per-key window is
+    * bounded by the cap. A pathologically hot key still funnels its
+    * rows through one partition before the cap — pre-thin such keys
+    * with [[hashSample]] (approximate, no shuffle) and use this for
+    * the exact cut.
+    */
+  def balancedSample(df: DataFrame, keyCol: String, idCol: String,
+      perKey: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= perKey).drop("__rn")
+  }
+
+  /** Eval-set contamination score per document: the fraction of the
+    * document's distinct word `n`-gram shingles that also occur in
+    * `evalDocs` (the benchmark/eval corpus a trainset must be
+    * decontaminated against). Eval shingles are a broadcast set — the
+    * corpus side is one narrow pass plus a broadcast left join, no
+    * corpus shuffle; the per-doc denominator rides along with each
+    * shingle row (same trick as the n-gram Jaccard join).
+    *
+    * @return (idCol, contamination ∈ [0,1] rounded at 4)
+    */
+  def contaminationScores(docs: DataFrame, idCol: String, textCol: String,
+      evalDocs: DataFrame, n: Int): DataFrame = {
+    val arr = array_distinct(
+      TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n))
+    // project the shingle array BEFORE exploding: a sibling projection
+    // next to a generator is re-evaluated per exploded row, which would
+    // re-tokenize each document once per shingle
+    val docSh = docs.select(col(idCol), arr.as("__ss"), size(arr).as("sz"))
+      .select(col(idCol), explode(col("__ss")).as("s"), col("sz"))
+    val evalSh = evalDocs.select(explode(arr).as("s")).distinct()
+    docSh.join(broadcast(evalSh.withColumn("__hit", lit(1))), Seq("s"), "left")
+      .groupBy(col(idCol))
+      .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") / first(col("sz")), 4)
+        .as("contamination"))
+  }
+
   /** Deterministic train/val/test split: the first hex digit of
     * md5(id) buckets each row into one of 16 slots; `splits` assigns
     * slot COUNTS to named splits in order (e.g. train→12, val→2,

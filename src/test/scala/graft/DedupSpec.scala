@@ -33,6 +33,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("dedupClusters groups transitive pairs into components labeled by min id") {
+    // chain 1-2, 2-3 plus isolated pair 10-11: components {1,2,3} and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val comp = Dedup.dedupClusters(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a longer chain exercises >1 propagation round (diameter 4)
+    val chain = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)).toDF("a", "b")
+    val c2 = Dedup.dedupClusters(chain, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2.values.toSet == Set(1L) && c2.keySet == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("elementwise_sum native aggregate sums arrays per group across partitions") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graftbridge.ColumnBridge

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Trainsets
+
+/** Trainset-shaping operators: deterministic sampling/balancing and
+  * eval-set decontamination (the cuts a reproducible training-data
+  * pipeline applies between dedup and export).
+  */
+class TrainsetsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = (1 to 200).map(i =>
+    (i.toLong, if (i % 4 == 0) "minor" else "major"))
+  private lazy val df = rows.toDF("id", "key")
+
+  test("balancedSample caps every key and is stable across reruns and partitionings") {
+    val s1 = Trainsets.balancedSample(df, "key", "id", 10)
+    val counts = s1.groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("major" -> 10L, "minor" -> 10L))
+    val ids1 = s1.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Trainsets.balancedSample(df.repartition(13), "key", "id", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2, "membership must not depend on partitioning")
+  }
+
+  test("balancedSample keeps whole groups smaller than the cap") {
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "key")
+    assert(Trainsets.balancedSample(tiny, "key", "id", 10).count() == 3)
+  }
+
+  test("contaminationScores: eval docs score 1.0, disjoint docs 0.0, partial in between") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta nothing shared here at all"),
+      (3L, "utterly unrelated words compose this document body"))
+      .toDF("doc_id", "text")
+    val scores = Trainsets.contaminationScores(
+        docs, "doc_id", "text", docs.where(col("doc_id") === 1), n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) == 1.0)
+    assert(scores(3L) == 0.0)
+    assert(scores(2L) > 0.0 && scores(2L) < 1.0,
+      s"doc 2 shares a prefix but not the tail: ${scores(2L)}")
+  }
+}
