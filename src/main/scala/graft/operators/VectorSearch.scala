@@ -285,31 +285,105 @@ object VectorSearch {
     *
     * @return (idCol, __c0..__c{m-1}) one codeword id per subspace
     */
+  /** Per-subspace nearest-codeword struct (d, cid): the argmin is the
+    * head of the sorted (rounded distance, codeword id) array — shared
+    * by code assignment, training, and distortion measurement.
+    * ‖sv − cw‖² = sv·sv − 2·sv·cw + ‖cw‖²; the array() wrapper is a
+    * let binding so the subvector slice is evaluated once per row, not
+    * once per codeword.
+    */
+  private def pqNearest(vecCol: String, codebook: Seq[(Int, Seq[Float])],
+      m: Int)(j: Int): Column = {
+    val dim = codebook.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    // per-subspace literal: (cid, codeword slice, precomputed ‖cw‖²)
+    val cbLit = typedlit(codebook.map { case (cid, cw) =>
+      val sub = cw.slice(j * subDim, (j + 1) * subDim)
+      (cid, sub, sub.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+    })
+    element_at(transform(array(slice(col(vecCol), j * subDim + 1, subDim)), sv =>
+      element_at(sort_array(transform(cbLit, c =>
+        struct(
+          round(dot(sv, sv) - lit(2.0) * dot(sv, c.getField("_2")) + c.getField("_3"), 6)
+            .as("d"),
+          c.getField("_1").as("cid")))), 1)), 1)
+  }
+
   def pqCodes(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       codebook: Seq[(Int, Seq[Float])],
       m: Int): DataFrame = {
-    val dim = codebook.head._2.length
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val nearest = pqNearest(vecCol, codebook, m) _
+    corpus.select(col(idCol) +:
+      (0 until m).map(j => nearest(j).getField("cid").as(s"__c$j")): _*)
+  }
+
+  /** Mean PQ quantization distortion: avg over vectors of
+    * Σ_j ‖sv_j − nearest codeword_j‖² — the objective Lloyd iterations
+    * ([[pqTrain]]) monotonically decrease. One narrow scan + one global
+    * aggregate.
+    */
+  def pqDistortion(corpus: DataFrame, vecCol: String,
+      codebook: Seq[(Int, Seq[Float])], m: Int): Double = {
+    val nearest = pqNearest(vecCol, codebook, m) _
+    corpus.select(
+        (0 until m).map(j => nearest(j).getField("d")).reduce(_ + _).as("__d"))
+      .agg(avg("__d")).collect().head.getDouble(0)
+  }
+
+  /** PQ codebook training: `iters` Lloyd rounds per subspace, all
+    * subspaces in the same pass. Each round is one scan (assignment is
+    * codegen'd literal-array math, then one explode to (subspace, code,
+    * subvector) rows) and ONE hash aggregation whose buffer is the
+    * native elementwise-sum aggregate — partials combine map-side, so
+    * the shuffle carries m×K partial sums per partition, never the
+    * corpus (the same shape as [[kmeansStep]]). The m×K centroid table
+    * is collected driver-side per round (driver-scale, like the
+    * centroid literals everywhere else). Empty codewords keep their
+    * previous value. Codewords are returned full-dim (slice j is
+    * subspace j's centroid), so the result drops into
+    * [[pqCodes]]/[[pqAdcSearch]] unchanged.
+    */
+  def pqTrain(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      init: Seq[(Int, Seq[Float])],
+      m: Int,
+      iters: Int): Seq[(Int, Seq[Float])] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val dim = init.head._2.length
     val subDim = dim / m
-    // per-subspace literal: (cid, codeword slice, precomputed ‖cw‖²)
-    def cbLit(j: Int) = typedlit(codebook.map { case (cid, cw) =>
-      val sub = cw.slice(j * subDim, (j + 1) * subDim)
-      (cid, sub, sub.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
-    })
-    // ‖sv − cw‖² = sv·sv − 2·sv·cw + ‖cw‖²; the array() wrapper is a let
-    // binding so the subvector slice is evaluated once per row, not once
-    // per codeword
-    def codeFor(j: Int): Column =
-      element_at(transform(array(slice(col(vecCol), j * subDim + 1, subDim)), sv =>
-        element_at(sort_array(transform(cbLit(j), c =>
-          struct(
-            round(dot(sv, sv) - lit(2.0) * dot(sv, c.getField("_2")) + c.getField("_3"), 6)
-              .as("d"),
-            c.getField("_1").as("cid")))), 1).getField("cid")), 1)
-    corpus.select(col(idCol) +: (0 until m).map(j => codeFor(j).as(s"__c$j")): _*)
+    var codebook = init
+    (1 to iters).foreach { _ =>
+      val nearest = pqNearest(vecCol, codebook, m) _
+      val entries = corpus.select(explode(array((0 until m).map { j =>
+          struct(lit(j).as("j"), nearest(j).getField("cid").as("cid"),
+            slice(col(vecCol), j * subDim + 1, subDim).cast("array<double>").as("sv"))
+        }: _*)).as("e"))
+        .select(col("e.j").as("j"), col("e.cid").as("cid"), col("e.sv").as("sv"))
+      val sums = ColumnBridge.column(
+        graft.functions.expr.ElementwiseSumDouble(ColumnBridge.expression(col("sv")))
+          .toAggregateExpression())
+      val centroids = entries.groupBy("j", "cid")
+        .agg(sums.as("__sum"), count(lit(1)).as("n"))
+        .select(col("j"), col("cid"),
+          transform(col("__sum"), x => x / col("n")).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      codebook = codebook.map { case (cid, cw) =>
+        val updated = (0 until m).flatMap { j =>
+          centroids.get((j, cid))
+            .map(_.map(_.toFloat))
+            .getOrElse(cw.slice(j * subDim, (j + 1) * subDim))
+        }
+        (cid, updated)
+      }
+    }
+    codebook
   }
 
   /** PQ search with asymmetric distance computation (ADC): the query

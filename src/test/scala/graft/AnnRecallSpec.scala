@@ -88,6 +88,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(rr >= 0.9, s"reranked recall $rr too low")
   }
 
+  test("pqTrain: Lloyd rounds monotonically decrease quantization distortion") {
+    val init = emb.where(col("vec_id").between(1, 16))
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    val d0 = VectorSearch.pqDistortion(corpus, "embedding", init, m = 16)
+    val t1 = VectorSearch.pqTrain(corpus, "vec_id", "embedding", init, m = 16, iters = 1)
+    val d1 = VectorSearch.pqDistortion(corpus, "embedding", t1, m = 16)
+    val t3 = VectorSearch.pqTrain(corpus, "vec_id", "embedding", t1, m = 16, iters = 2)
+    val d3 = VectorSearch.pqDistortion(corpus, "embedding", t3, m = 16)
+    info(f"pq distortion: init=$d0%.4f 1 round=$d1%.4f 3 rounds=$d3%.4f")
+    assert(d1 <= d0 + 1e-4, s"one Lloyd round must not increase distortion ($d0 -> $d1)")
+    assert(d3 <= d1 + 1e-4, s"further rounds must not increase distortion ($d1 -> $d3)")
+    val qv = query.select("embedding").collect().head.getSeq[Float](0)
+    val trained = VectorSearch.pqAdcSearch(corpus, "vec_id", "embedding", qv, t3, m = 16, k = 10)
+      .collect().map(_.getLong(0))
+    info(f"pq-adc recall@10 with trained codebooks: ${recallOf(trained, exactTop10)}%.2f")
+  }
+
   test("IVF probe search trades recall for scanned fraction") {
     val centroids = emb.where(col("vec_id") < 10)
     val assignments = VectorSearch.ivfAssign(
