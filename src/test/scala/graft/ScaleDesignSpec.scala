@@ -102,6 +102,24 @@ class ScaleDesignSpec extends SparkSpec {
       p.linesIterator.take(15).mkString("\n"))
   }
 
+  test("PQ-ADC plan is a single scan to top-k: no exchange, no join") {
+    val q73 = SparkEntry.queries("q73_pq_adc")(spark, "/root/testdata/sf0.001")
+    val p = plan(q73)
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(10).mkString("\n"))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "code assignment + ADC must be literal-codebook math in the scan projection:\n" +
+        p.linesIterator.take(15).mkString("\n"))
+  }
+
+  test("contamination plan broadcasts the eval set; the corpus side never shuffles before the agg") {
+    val q76 = SparkEntry.queries("q76_contamination")(spark, "/root/testdata/sf0.001")
+    val p = plan(q76)
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(15).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"),
+      "eval set must broadcast, not shuffle-join:\n" +
+        p.linesIterator.take(15).mkString("\n"))
+  }
+
   test("IVF at rest: centroid-partitioned corpus turns the probe into partition pruning") {
     import graft.operators.VectorSearch
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
