@@ -166,6 +166,78 @@ object Ingest {
     }.toMap
   }
 
+  /** KB snapshot as a TYPED RECORD STREAM — the ordered-stream parity
+    * mode of [[exportSnapshot]] (the reference's export endpoint emits
+    * a sequential stream of typed records,
+    * `nucliadb/src/nucliadb/export_import/exporter.py`). Every table
+    * row becomes one envelope record `(record_type, key, payload)`
+    * with the payload as self-describing JSON, written as ONE dataset
+    * range-partitioned and sorted by (record_type, key) — each file is
+    * a sequential chunk of the stream, so a downstream consumer can
+    * iterate it in order without a global sort. The manifest records,
+    * per record type: the payload schema (DDL), the row count, and an
+    * order-insensitive checksum (sum of the first 8 md5 hex digits of
+    * each payload) so [[importStream]] proves integrity before
+    * rebuilding tables.
+    *
+    * @param tables record_type → (table, key column)
+    */
+  def exportStream(tables: Map[String, (DataFrame, String)], outDir: String): Unit = {
+    val spark = tables.head._2._1.sparkSession
+    val stream = tables.toSeq.sortBy(_._1).map { case (name, (df, keyCol)) =>
+      df.select(lit(name).as("record_type"),
+        col(keyCol).cast("string").as("key"),
+        to_json(struct(df.columns.map(col).toSeq: _*)).as("payload"))
+    }.reduce(_ unionByName _)
+    stream.repartitionByRange(col("record_type"), col("key"))
+      .sortWithinPartitions("record_type", "key")
+      .write.mode("overwrite").parquet(s"$outDir/stream")
+    val stats = streamStats(spark, outDir)
+    val entries = tables.toSeq.sortBy(_._1).map { case (name, (df, _)) =>
+      val (n, csum) = stats(name)
+      s"""{"record_type": "$name", "schema": "${df.schema.toDDL.replace("\"", "\\\"")}", "rows": $n, "checksum": $csum}"""
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/stream_manifest.json"),
+      entries.mkString("[\n", ",\n", "\n]"))
+  }
+
+  private def streamStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, (Long, Long)] =
+    spark.read.parquet(s"$dir/stream")
+      .groupBy("record_type")
+      .agg(count(lit(1)).as("n"),
+        sum(conv(substring(md5(col("payload").cast("binary")), 1, 8), 16, 10)
+          .cast("long")).as("csum"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  /** Import a record stream: validate per-type row count AND payload
+    * checksum against the manifest (throws on mismatch — truncated,
+    * duplicated, or tampered payloads must not import silently), then
+    * rebuild each table by parsing payloads with the recorded schema.
+    */
+  def importStream(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, DataFrame] = {
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/stream_manifest.json"))
+    val entry = ("""\{"record_type": "([^"]+)", "schema": "((?:[^"\\]|\\.)*)", """ +
+      """"rows": (\d+), "checksum": (-?\d+)\}""").r
+    val stats = streamStats(spark, dir)
+    val stream = spark.read.parquet(s"$dir/stream")
+    entry.findAllMatchIn(manifest).map { m =>
+      val (name, ddl) = (m.group(1), m.group(2).replace("\\\"", "\""))
+      val (rows, csum) = (m.group(3).toLong, m.group(4).toLong)
+      val (gotRows, gotSum) = stats.getOrElse(name,
+        throw new IllegalArgumentException(s"stream missing record type $name"))
+      require(gotRows == rows, s"stream $name truncated: $gotRows != $rows rows")
+      require(gotSum == csum, s"stream $name payload checksum mismatch")
+      name -> stream.where(col("record_type") === name)
+        .select(from_json(col("payload"),
+          org.apache.spark.sql.types.StructType.fromDDL(ddl)).as("r"))
+        .select("r.*")
+    }.toMap
+  }
+
   /** Ingest-time embedding generation with MLlib (HashingTF → IDF →
     * L2 normalize), producing `array<float>` columns compatible with
     * the vector operators. The reference gets embeddings from an

@@ -79,6 +79,32 @@ class IngestSpec extends SparkSpec {
     intercept[IllegalArgumentException](Ingest.importSnapshot(spark, dir))
   }
 
+  test("record-stream export/import: ordered typed stream round-trips and refuses tampering") {
+    val dir = Files.createTempDirectory("graft-stream").toString + "/snap"
+    val docs = Seq((1L, "alpha text", Seq(0.5f, 1.0f)), (2L, "beta text", Seq(0.25f, 0.0f)))
+      .toDF("doc_id", "text", "vec")
+    val edges = Seq(("a", "b", "rel"), ("b", "c", "rel")).toDF("src", "dst", "kind")
+    Ingest.exportStream(Map("docs" -> (docs, "doc_id"), "edges" -> (edges, "src")), dir)
+
+    // the stream itself is one dataset with the envelope schema
+    val stream = spark.read.parquet(s"$dir/stream")
+    assert(stream.columns.toSeq == Seq("record_type", "key", "payload"))
+
+    val loaded = Ingest.importStream(spark, dir)
+    assert(loaded.keySet == Set("docs", "edges"))
+    // value-level round trip, both directions
+    assert(loaded("docs").exceptAll(docs).count() == 0)
+    assert(docs.exceptAll(loaded("docs")).count() == 0)
+    assert(loaded("edges").exceptAll(edges).count() == 0)
+
+    // a tampered stream (dropped record) must refuse to import
+    stream.where(!(col("record_type") === "docs" && col("key") === "2"))
+      .write.mode("overwrite").parquet(s"$dir/stream2")
+    val f1 = new java.io.File(s"$dir/stream"); val f2 = new java.io.File(s"$dir/stream2")
+    f1.listFiles().foreach(_.delete()); f1.delete(); f2.renameTo(f1)
+    intercept[IllegalArgumentException](Ingest.importStream(spark, dir))
+  }
+
   test("buildIndex → search round trip: postings BM25 and self-vector search work off the built tables") {
     val corpus = Seq(
       (1L, "spark is a fast engine for spark jobs"),
