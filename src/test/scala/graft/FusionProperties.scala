@@ -118,6 +118,36 @@ object FusionProperties extends Properties("graft") {
     }
   }
 
+  /** Driver-side union-find — the spec dedupClusters must match. */
+  private def unionFindModel(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private val pairGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 15)
+    pairs <- Gen.listOfN(n, for {
+      a <- Gen.choose(1L, 20L); b <- Gen.choose(1L, 20L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield pairs.distinct
+
+  property("dedupClusters.matchesUnionFind") =
+    forAll(pairGen) { pairs =>
+      import spark.implicits._
+      val df = pairs.toDF("a", "b")
+      val got = graft.operators.Dedup.dedupClusters(df, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == unionFindModel(pairs)
+    }
+
   property("searchAfter.pagesPartitionTheTopN") =
     forAll(scoredList) { data =>
       import spark.implicits._
