@@ -203,13 +203,17 @@ object Ingest {
   }
 
   private def streamStats(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Map[String, (Long, Long)] =
+      dir: String): Map[String, (Long, String)] =
     spark.read.parquet(s"$dir/stream")
       .groupBy("record_type")
       .agg(count(lit(1)).as("n"),
+        // decimal(38,0) accumulator: a long sum of 32-bit terms would
+        // overflow-throw under ANSI at ~2^31 rows per type
         sum(conv(substring(md5(col("payload").cast("binary")), 1, 8), 16, 10)
-          .cast("long")).as("csum"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+          .cast("decimal(38,0)")).as("csum"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).toBigInteger.toString)).toMap
 
   /** Import a record stream: validate per-type row count AND payload
     * checksum against the manifest (throws on mismatch — truncated,
@@ -221,12 +225,12 @@ object Ingest {
     val manifest = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$dir/stream_manifest.json"))
     val entry = ("""\{"record_type": "([^"]+)", "schema": "((?:[^"\\]|\\.)*)", """ +
-      """"rows": (\d+), "checksum": (-?\d+)\}""").r
+      """"rows": (\d+), "checksum": (\d+)\}""").r
     val stats = streamStats(spark, dir)
     val stream = spark.read.parquet(s"$dir/stream")
     entry.findAllMatchIn(manifest).map { m =>
       val (name, ddl) = (m.group(1), m.group(2).replace("\\\"", "\""))
-      val (rows, csum) = (m.group(3).toLong, m.group(4).toLong)
+      val (rows, csum) = (m.group(3).toLong, m.group(4))
       val (gotRows, gotSum) = stats.getOrElse(name,
         throw new IllegalArgumentException(s"stream missing record type $name"))
       require(gotRows == rows, s"stream $name truncated: $gotRows != $rows rows")
