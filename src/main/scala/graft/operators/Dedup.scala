@@ -21,12 +21,6 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
-  /** (docId, shingle) distinct pairs — word n-gram shingles. */
-  def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol),
-        explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("shingle"))
-      .distinct()
-
   /** Exact-dup summary: total docs vs distinct normalized fingerprints. */
   def exactStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.agg(
@@ -296,15 +290,21 @@ object Dedup {
       val contrib = edges
         .join(bc(labels).select(col("node").as("y"), col("component").as("c")), "y")
         .select(col("x").as("node"), col("c"))
+      // lazy cache: both sides of the path-halving self-join below read
+      // stepped — without it the edges-join + union + min-agg lineage
+      // runs twice per round; the cache fills inside the next
+      // checkpoint's job (no extra eager job)
       val stepped = contrib
         .union(labels.select(col("node"), col("component").as("c")))
         .groupBy("node").agg(min("c").as("component"))
+        .cache()
       // path halving: follow the label one more hop in the same round
       val next = stepped
         .join(bc(stepped).select(col("node").as("component"), col("component").as("__cc")),
           Seq("component"), "left")
         .select(col("node"), coalesce(col("__cc"), col("component")).as("component"))
         .localCheckpoint(true)
+      stepped.unpersist()
       changed = next.as("n").join(bc(labels).as("o"), "node")
         .where(col("n.component") =!= col("o.component")).count()
       labels = next

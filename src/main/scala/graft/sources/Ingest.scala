@@ -194,7 +194,8 @@ object Ingest {
       .write.mode("overwrite").parquet(s"$outDir/stream")
     val stats = streamStats(spark, outDir)
     val entries = tables.toSeq.sortBy(_._1).map { case (name, (df, _)) =>
-      val (n, csum) = stats(name)
+      // empty tables contribute no stream rows: rows 0, checksum 0
+      val (n, csum) = stats.getOrElse(name, (0L, "0"))
       s"""{"record_type": "$name", "schema": "${df.schema.toDDL.replace("\"", "\\\"")}", "rows": $n, "checksum": $csum}"""
     }
     java.nio.file.Files.writeString(
@@ -228,11 +229,16 @@ object Ingest {
       """"rows": (\d+), "checksum": (\d+)\}""").r
     val stats = streamStats(spark, dir)
     val stream = spark.read.parquet(s"$dir/stream")
-    entry.findAllMatchIn(manifest).map { m =>
+    val matches = entry.findAllMatchIn(manifest).toSeq
+    // bidirectional: record types in the stream but not the manifest
+    // are injected data, not just ignorable noise
+    val declared = matches.map(_.group(1)).toSet
+    val foreign = stats.keySet -- declared
+    require(foreign.isEmpty, s"stream contains undeclared record types: $foreign")
+    matches.map { m =>
       val (name, ddl) = (m.group(1), m.group(2).replace("\\\"", "\""))
       val (rows, csum) = (m.group(3).toLong, m.group(4))
-      val (gotRows, gotSum) = stats.getOrElse(name,
-        throw new IllegalArgumentException(s"stream missing record type $name"))
+      val (gotRows, gotSum) = stats.getOrElse(name, (0L, "0"))
       require(gotRows == rows, s"stream $name truncated: $gotRows != $rows rows")
       require(gotSum == csum, s"stream $name payload checksum mismatch")
       name -> stream.where(col("record_type") === name)

@@ -97,6 +97,21 @@ class IngestSpec extends SparkSpec {
     assert(docs.exceptAll(loaded("docs")).count() == 0)
     assert(loaded("edges").exceptAll(edges).count() == 0)
 
+    // an empty table round-trips as rows:0 instead of crashing export
+    val dir2 = Files.createTempDirectory("graft-stream").toString + "/snap2"
+    Ingest.exportStream(
+      Map("docs" -> (docs, "doc_id"), "none" -> (docs.limit(0), "doc_id")), dir2)
+    val loaded2 = Ingest.importStream(spark, dir2)
+    assert(loaded2("none").count() == 0 && loaded2("docs").count() == 2)
+
+    // injected record types not in the manifest must refuse to import
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row("evil", "1", "{}"))),
+        stream.schema)
+      .write.mode("append").parquet(s"$dir2/stream")
+    intercept[IllegalArgumentException](Ingest.importStream(spark, dir2))
+
     // a tampered stream (dropped record) must refuse to import
     stream.where(!(col("record_type") === "docs" && col("key") === "2"))
       .write.mode("overwrite").parquet(s"$dir/stream2")
