@@ -282,8 +282,13 @@ object Dedup {
     val edges = fwd.union(fwd.select(col("y").as("x"), col("x").as("y")))
       .distinct().coalesce(math.max(1, pairs.sparkSession.sparkContext
         .defaultParallelism / 8)).cache()
-    var labels = edges.select(col("x").as("node"), col("x").as("component"))
-      .distinct().localCheckpoint(true)
+    // seed with the first propagation round directly — min(self, min
+    // neighbor) is one aggregation over edges (every node appears as x
+    // since edges carry both orientations), saving a full loop round
+    // with its convergence count
+    var labels = edges.groupBy(col("x")).agg(min(col("y")).as("__m"))
+      .select(col("x").as("node"), least(col("x"), col("__m")).as("component"))
+      .localCheckpoint(true)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
