@@ -685,13 +685,30 @@ object SparkEntry {
     // training-data ops: repetition detection — top-bigram coverage
     // (Gopher repetition-rule analog), most repetitive docs first
     "q65_repetition" -> ((s, dir) => {
-      val bg = load(s, dir, "documents")
+      // per-doc top-bigram coverage computed entirely WITHIN the row:
+      // sort the bigram array and scan for the longest equal run — a
+      // per-document statistic needs no corpus shuffle at all (the old
+      // two-level groupBy shuffled every bigram, then every doc); the
+      // array() wrapper is the usual let binding so the shingle build
+      // runs once per row
+      val bg = TextFunctions.shingles(TextFunctions.tokens(col("text")), 2)
+      val stats = element_at(transform(array(bg), b => {
+        val run = aggregate(sort_array(b),
+          struct(lit("").as("prev"), lit(0).as("cur"), lit(0).as("best")),
+          (acc, x) => {
+            val cur = when(x === acc.getField("prev"), acc.getField("cur") + 1)
+              .otherwise(lit(1))
+            struct(x.as("prev"), cur.as("cur"),
+              greatest(acc.getField("best"), cur).as("best"))
+          },
+          acc => acc.getField("best"))
+        struct(run.as("best"), size(b).as("n"))
+      }), 1)
+      load(s, dir, "documents")
+        .select(col("doc_id"), stats.as("__st"))
+        .where(col("__st.n") > 0)
         .select(col("doc_id"),
-          explode(TextFunctions.shingles(TextFunctions.tokens(col("text")), 2))
-            .as("bigram"))
-      bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(round(max(col("c")).cast("double") / sum(col("c")), 4).as("coverage"))
+          round(col("__st.best").cast("double") / col("__st.n"), 4).as("coverage"))
         .orderBy(col("coverage").desc, col("doc_id").asc)
         .limit(20)
     }),
