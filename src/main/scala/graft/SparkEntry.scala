@@ -843,6 +843,20 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // §2.2 runtime-filter prefilter: Bloom sketch of the allowed key
+    // set applied in the fact scan, exact semi-join removes the false
+    // positives — result is exactly the plain semi-join
+    "q77_bloom_prefilter" -> ((s, dir) => {
+      val hi = load(s, dir, "orders")
+        .where(col("o_totalprice") > 400000)
+        .select(col("o_orderkey").as("l_orderkey"))
+      Prefilter.bloomSemiJoin(load(s, dir, "lineitem"), "l_orderkey", hi)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy("l_returnflag")
+    }),
+
     // §2.3 semantic search with min_score threshold (full-corpus cut)
     "q42_semantic_minscore" -> ((s, dir) => {
       import VectorFunctions._
@@ -1671,6 +1685,13 @@ object SparkEntry {
          |       GROUP BY s.doc_id)
          |SELECT doc_id, contamination FROM sc WHERE contamination > 0
          |ORDER BY contamination DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q77_bloom_prefilter" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q42_semantic_minscore" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Prefilter: evaluate field-level filters once, push the surviving id
   * set into the paragraph/vector/graph searches as a semi-join.
@@ -23,4 +24,42 @@ object Prefilter {
   /** NOT-filter / exclusion analog (deleted entities, hidden ids). */
   def antiJoin(df: DataFrame, keyCol: String, excluded: DataFrame): DataFrame =
     df.join(excluded.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+
+  /** Bloom-prefiltered semi-join — the explicit runtime-filter shape
+    * for a BIG fact side: a Bloom filter built from the allowed key set
+    * (one sketch-sized aggregate, collected like a query vector) is
+    * applied IN THE FACT SCAN via `might_contain`, so the fact side
+    * discards non-matching rows before any join machinery touches
+    * them; the semi-join then removes the Bloom's false positives.
+    * Result is EXACTLY [[semiJoin]] (the bloom pass is a superset
+    * filter, the join is exact — q77's oracle is the plain semi-join),
+    * but at 100 TB the fact-to-join row volume drops by the filter's
+    * selectivity instead of shuffling every row to discover
+    * non-membership.
+    *
+    * @param expectedItems sizing for the sketch (false-positive rate
+    *   degrades, never correctness, if underestimated)
+    */
+  def bloomSemiJoin(df: DataFrame, keyCol: String, allowed: DataFrame,
+      expectedItems: Long = 100000L, numBits: Long = 800000L): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // BloomFilterAggregate/BloomFilterMightContain are what Spark's own
+    // InjectRuntimeFilter rule plants; SQL exposes no public alias, so
+    // bridge the Catalyst expressions directly
+    val keys = allowed.select(col(keyCol)).distinct()
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col(keyCol))),
+        ColumnBridge.expression(lit(expectedItems)),
+        ColumnBridge.expression(lit(numBits))).toAggregateExpression())
+    val bloom = keys.agg(bloomAgg.as("bf")).collect().head.getAs[Array[Byte]](0)
+    if (bloom == null) df.limit(0) // empty allowed set → None shortcut
+    else df
+      .where(ColumnBridge.column(BloomFilterMightContain(
+        ColumnBridge.expression(lit(bloom)),
+        ColumnBridge.expression(xxhash64(col(keyCol))))))
+      .join(keys, Seq(keyCol), "left_semi")
+  }
 }

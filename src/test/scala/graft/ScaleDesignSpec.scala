@@ -102,6 +102,41 @@ class ScaleDesignSpec extends SparkSpec {
       p.linesIterator.take(15).mkString("\n"))
   }
 
+  test("bloomSemiJoin equals the exact semi-join and applies might_contain in the fact scan") {
+    import graft.operators.Prefilter
+    val fact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val allowed = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .where(col("o_totalprice") > 300000)
+      .select(col("o_orderkey").as("l_orderkey"))
+    val bloomed = Prefilter.bloomSemiJoin(fact, "l_orderkey", allowed)
+    val exact = Prefilter.semiJoin(fact, "l_orderkey", allowed)
+    assert(bloomed.count() == exact.count())
+    assert(bloomed.exceptAll(exact).count() == 0)
+    assert(plan(bloomed).contains("might_contain"),
+      "the bloom test must sit in the fact-side filter")
+    // empty allowed set → None shortcut, no bloom to consult
+    assert(Prefilter.bloomSemiJoin(fact, "l_orderkey", allowed.limit(0)).count() == 0)
+  }
+
+  test("selective dimension filter triggers dynamic partition pruning on a partitioned fact") {
+    val dir = Files.createTempDirectory("graft-dpp").toString
+    val fact = (1 to 400).map(i => (i.toLong, s"p${i % 8}", i * 1.5))
+      .toDF("id", "bucket", "v")
+    fact.write.partitionBy("bucket").parquet(s"$dir/fact")
+    // dim must be a real source: a Seq-backed local relation has its
+    // filter folded at optimize time, leaving no selective predicate
+    // for the DPP heuristic to see
+    Seq(("p1", "keep"), ("p2", "keep"), ("p3", "drop"))
+      .toDF("bucket", "tag").write.parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val joined = spark.read.parquet(s"$dir/fact")
+      .join(broadcast(dim.where(col("tag") === "keep")), "bucket")
+    assert(joined.count() == 100)
+    assert(plan(joined).toLowerCase.contains("dynamicpruning"),
+      "partition filter must be derived from the dim side at runtime:\n" +
+        plan(joined).linesIterator.take(12).mkString("\n"))
+  }
+
   test("PQ-ADC plan is a single scan to top-k: no exchange, no join") {
     val q73 = SparkEntry.queries("q73_pq_adc")(spark, "/root/testdata/sf0.001")
     val p = plan(q73)
