@@ -857,6 +857,14 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // training-data ops: corpus-relative quality — unigram log-prob
+    // (KenLM-perplexity stand-in; garbage-token docs score lowest) +
+    // type-token ratio, surfacing the weirdest documents first
+    "q78_unigram_logprob" -> ((s, dir) =>
+      CorpusStats.unigramLogProb(load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("logprob").asc, col("doc_id").asc)
+        .limit(20)),
+
     // §2.3 semantic search with min_score threshold (full-corpus cut)
     "q42_semantic_minscore" -> ((s, dir) => {
       import VectorFunctions._
@@ -1692,6 +1700,15 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q78_unigram_logprob" ->
+      s"""WITH $TokCte,
+         |freq AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok)
+         |SELECT doc_id, round(avg(ln(tf / tot.n)), 4) AS logprob,
+         |  round(CAST(count(DISTINCT term) AS DOUBLE) / count(*), 4) AS ttr
+         |FROM tok JOIN freq USING (term) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY logprob ASC, doc_id LIMIT 20""".stripMargin,
 
     "q42_semantic_minscore" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
