@@ -705,8 +705,11 @@ object SparkEntry {
         struct(run.as("best"), size(b).as("n"))
       }), 1)
       load(s, dir, "documents")
+        // pre-filter with one cheap regex (∃ two alnum runs ⇔ ≥2 tokens
+        // ⇔ ≥1 bigram): filtering on __st.n would be pushed below the
+        // projection and re-evaluate the whole sort+scan tree per row
+        .where(lower(col("text")).rlike("[a-z0-9][^a-z0-9]+[a-z0-9]"))
         .select(col("doc_id"), stats.as("__st"))
-        .where(col("__st.n") > 0)
         .select(col("doc_id"),
           round(col("__st.best").cast("double") / col("__st.n"), 4).as("coverage"))
         .orderBy(col("coverage").desc, col("doc_id").asc)

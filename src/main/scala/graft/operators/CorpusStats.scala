@@ -31,9 +31,10 @@ object CorpusStats {
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
-    val freq = toks.groupBy("term").agg(count(lit(1)).as("tf"))
-    // total token count folds out of the (much smaller) dictionary —
-    // no third pass over the corpus
+    // cache the vocabulary-sized dictionary: without it the total
+    // aggregate re-runs the corpus scan + term aggregation (exchange
+    // reuse does not fire across the re-analyzed branches)
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("tf")).cache()
     val total = freq.agg(sum(col("tf")).cast("double").as("__n"))
     toks
       .join(broadcast(freq), "term")

@@ -45,10 +45,20 @@ object Prefilter {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // xxhash64 is TYPE-sensitive (an int and a long with equal values
+    // hash differently), so a type mismatch between the two key columns
+    // would silently discard true matches in the bloom pass — where the
+    // plain semi-join's implicit cast would keep them. Refuse instead.
+    require(df.schema(keyCol).dataType == allowed.schema(keyCol).dataType,
+      s"bloom key type mismatch: ${df.schema(keyCol).dataType} vs " +
+        s"${allowed.schema(keyCol).dataType} — cast one side first")
     // BloomFilterAggregate/BloomFilterMightContain are what Spark's own
     // InjectRuntimeFilter rule plants; SQL exposes no public alias, so
-    // bridge the Catalyst expressions directly
-    val keys = allowed.select(col(keyCol)).distinct()
+    // bridge the Catalyst expressions directly. NOTE: constructing this
+    // DataFrame runs one eager job (the sketch build collect, like a
+    // centroid fetch); the cached key set serves both the sketch and
+    // the verify join.
+    val keys = allowed.select(col(keyCol)).distinct().cache()
     val bloomAgg = ColumnBridge.column(
       new BloomFilterAggregate(
         ColumnBridge.expression(xxhash64(col(keyCol))),
