@@ -868,6 +868,22 @@ object SparkEntry {
         .orderBy(col("logprob").asc, col("doc_id").asc)
         .limit(20)),
 
+    // §2.4 retention cohorts over the event log: first-seen week per
+    // user (one shuffle on the user key) × activity-week offset →
+    // distinct-user counts; the classic events rollup
+    "q79_retention_cohorts" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      ev.withColumn("cohort", min(col("wk")).over(Window.partitionBy("user_id")))
+        .groupBy(col("cohort"),
+          floor(datediff(col("wk"), col("cohort")) / 7).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("week_offset"), col("n_users"))
+        .orderBy("cohort", "week_offset")
+    }),
+
     // §2.3 semantic search with min_score threshold (full-corpus cut)
     "q42_semantic_minscore" -> ((s, dir) => {
       import VectorFunctions._
@@ -1712,6 +1728,14 @@ object SparkEntry {
          |  round(CAST(count(DISTINCT term) AS DOUBLE) / count(*), 4) AS ttr
          |FROM tok JOIN freq USING (term) CROSS JOIN tot
          |GROUP BY doc_id ORDER BY logprob ASC, doc_id LIMIT 20""".stripMargin,
+
+    "q79_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        |c AS (SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cohort FROM e)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+        |  CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q42_semantic_minscore" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
