@@ -447,6 +447,42 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** IVF-PQ: the canonical billion-scale ANN composition — coarse IVF
+    * probing prunes to `nprobe` clusters' members (at rest: partition
+    * pruning on the centroid-id column), PQ-ADC scores ONLY those
+    * members from their codes (at rest: the pruned scan reads the
+    * m-byte code column, not the raw vectors), and an exact rerank of
+    * the ADC top `rerank` pays full-precision cosines for a bounded
+    * set. Every stage narrows the previous one; the raw vector column
+    * is touched only for `rerank` rows. Recall vs exact brute force is
+    * measured in AnnRecallSpec.
+    */
+  def ivfPqSearch(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      assignments: DataFrame, // (idCol, centroid_id) from ivfAssign
+      centroids: DataFrame,
+      cidCol: String,
+      cvecCol: String,
+      queryVec: Seq[Float],
+      codebook: Seq[(Int, Seq[Float])],
+      m: Int,
+      k: Int,
+      nprobe: Int,
+      rerank: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val query = Seq(Tuple1(queryVec)).toDF("__q")
+    val probes = bruteForceTopK(centroids, cidCol, cvecCol, query, "__q", nprobe)
+      .select(col(cidCol).as("centroid_id"))
+    val candidateIds = assignments
+      .join(broadcast(probes), "centroid_id")
+      .select(idCol)
+    val candidates = corpus.join(candidateIds, Seq(idCol), "left_semi")
+    pqSearchReranked(candidates, idCol, vecCol, queryVec, codebook, m, k, rerank)
+  }
+
   /** RaBitQ-style two-pass: cheap 1-bit signature hamming pre-score over
     * everything, full-precision rerank of the top `rerank` candidates
     * (`nidx_vector/src/vector_types/rabitq.rs:25-40`, rerank factor 100,

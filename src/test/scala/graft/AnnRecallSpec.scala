@@ -106,6 +106,30 @@ class AnnRecallSpec extends SparkSpec {
     info(f"pq-adc recall@10 with trained codebooks: ${recallOf(trained, exactTop10)}%.2f")
   }
 
+  test("IVF-PQ composition: probe -> code-scan -> exact rerank recall") {
+    val centroids = emb.where(col("vec_id") < 10)
+    val assignments = VectorSearch.ivfAssign(
+      corpus, "vec_id", "embedding", centroids, "vec_id", "embedding")
+      .select(col("vec_id"), col("centroid_id"))
+    val cb = emb.where(col("vec_id").between(1, 16))
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    val qv = query.select("embedding").collect().head.getSeq[Float](0)
+    val approx = VectorSearch.ivfPqSearch(corpus, "vec_id", "embedding",
+        assignments, centroids, "vec_id", "embedding",
+        qv, cb, m = 16, k = 10, nprobe = 5, rerank = 60)
+      .collect().map(_.getLong(0))
+    val r = recallOf(approx, exactTop10)
+    info(f"ivf-pq recall@10 (nprobe=5/10 clusters, rerank=60): $r%.2f")
+    assert(r >= 0.5, s"recall $r too low")
+    // full probe + full-width rerank must recover brute force exactly
+    val full = VectorSearch.ivfPqSearch(corpus, "vec_id", "embedding",
+        assignments, centroids, "vec_id", "embedding",
+        qv, cb, m = 16, k = 10, nprobe = 10, rerank = 1000)
+      .collect().map(_.getLong(0))
+    assert(recallOf(full, exactTop10) == 1.0)
+  }
+
   test("IVF probe search trades recall for scanned fraction") {
     val centroids = emb.where(col("vec_id") < 10)
     val assignments = VectorSearch.ivfAssign(
