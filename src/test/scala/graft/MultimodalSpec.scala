@@ -20,6 +20,26 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).embedding.sameElements(again(0).embedding))
   }
 
+  test("end-to-end multimodal retrieval: featurize -> normalize -> ANN finds the near-duplicate payload") {
+    import org.apache.spark.sql.functions._
+    // a corpus where r1 and r1dup share (almost) the same payload and
+    // the rest are distinct — extracted features must retrieve the dup
+    val corpus = Seq(
+      MediaRow("r1", "image/png", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10)),
+      MediaRow("r1dup", "image/png", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 11)),
+      MediaRow("r2", "audio/wav", Array.fill[Byte](100)(42)),
+      MediaRow("r3", "video/mp4", Array.tabulate[Byte](64)(i => (i * 7).toByte))).toDS()
+    val feats = Multimodal.featurize(corpus).toDF()
+      .withColumn("embedding",
+        graft.functions.VectorFunctions.normalize(col("embedding")))
+    val query = feats.where(col("rid") === "r1").select("embedding")
+    val top = graft.operators.VectorSearch.bruteForceTopK(
+        feats.where(col("rid") =!= "r1"), "rid", "embedding", query, "embedding", k = 1)
+      .collect().head
+    assert(top.getString(0) == "r1dup", s"expected the near-dup payload, got $top")
+    assert(top.getDouble(1) > 0.99)
+  }
+
   test("sampleFrames emits n evenly-spaced frames with stable indices") {
     val frames = Multimodal.sampleFrames(media, 4)
       .collect().map(r => (r.getString(0), r.getInt(1), r.getAs[Array[Byte]](2)))
