@@ -884,6 +884,17 @@ object SparkEntry {
         .orderBy("cohort", "week_offset")
     }),
 
+    // training-data ops CAPSTONE: the full curation pipeline — quality
+    // band → exact-dup keep → near-dup cluster keep → decontamination
+    // → deterministic split, every stage one of the tested operators
+    "q80_curation_pipeline" -> ((s, dir) => {
+      // per-language curation (the realistic unit of a curation run)
+      val docs = load(s, dir, "documents").where(col("lang") === "en")
+      graft.sources.Pipeline.curate(docs, "doc_id", "text",
+          evalDocs = docs.where(col("doc_id") < 5))
+        .orderBy("doc_id")
+    }),
+
     // §2.3 semantic search with min_score threshold (full-corpus cut)
     "q42_semantic_minscore" -> ((s, dir) => {
       import VectorFunctions._
@@ -926,18 +937,20 @@ object SparkEntry {
        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
        |  GROUP BY tf.doc_id)""".stripMargin
 
-  /** doc shingle CTE (3-gram word shingles, distinct per doc). */
-  private val ShingleCtes =
-    s"""toks AS (SELECT doc_id, $Tok AS t FROM documents),
+  /** doc shingle CTE (3-gram word shingles, distinct per doc);
+    * `src` lets a query scope the corpus (e.g. one language). */
+  private def shingleCtes(src: String): String =
+    s"""toks AS (SELECT doc_id, $Tok AS t FROM $src),
        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
        |       FROM toks CROSS JOIN (SELECT unnest(range(1, 2000)) AS i) ix
        |       WHERE i <= len(t) - 2)""".stripMargin
+  private val ShingleCtes = shingleCtes("documents")
 
   /** MinHash+LSH near-dup pair CTE chain (8 hashes, 4 bands of 2,
     * est_jaccard ≥ 0.25) — must match [[graft.operators.Dedup.minHashLsh]]
     * with q18's parameters; ends in a `pairs` CTE. */
-  private val MinHashPairCtes =
-    s"""$ShingleCtes,
+  private def minHashPairCtes(src: String): String =
+    s"""${shingleCtes(src)},
        |mh AS (SELECT doc_id, i,
        |              min(md5(CAST(i AS VARCHAR) || '|' || shingle)) AS h
        |       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i) hx
@@ -955,6 +968,7 @@ object SparkEntry {
        |        JOIN mh hb ON hb.doc_id = c.b AND hb.i = ha.i
        |        GROUP BY c.a, c.b),
        |pairs AS (SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.25)""".stripMargin
+  private val MinHashPairCtes = minHashPairCtes("documents")
 
   /** Paragraph-split CTE chain (20-token windows, reference id format) —
     * must match [[graft.sources.Ingest.splitParagraphs]]. */
@@ -1736,6 +1750,44 @@ object SparkEntry {
         |  CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS week_offset,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q80_curation_pipeline" ->
+      s"""WITH RECURSIVE docs_en AS (SELECT * FROM documents WHERE lang = 'en'),
+         |${minHashPairCtes("docs_en")},
+         |q AS (SELECT doc_id FROM (
+         |        SELECT doc_id, len(t) AS n,
+         |          round(list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t), 4) AS mwl
+         |        FROM toks)
+         |      WHERE n >= 30 AND mwl BETWEEN 4.2 AND 5.0),
+         |fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+         |       FROM docs_en),
+         |keep1 AS (SELECT doc_id FROM (
+         |            SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS k FROM fp)
+         |          WHERE doc_id = k),
+         |nodes AS (SELECT a AS nd FROM pairs UNION SELECT b FROM pairs),
+         |edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT nd, nd FROM nodes
+         |  UNION
+         |  SELECT r.src, e.y FROM reach r JOIN edges e ON r.dst = e.x),
+         |comp AS (SELECT src, min(dst) AS component FROM reach GROUP BY src),
+         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5),
+         |cont AS (SELECT s.doc_id,
+         |           round(CAST(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |                 / count(*), 4) AS c
+         |         FROM sh s LEFT JOIN ev ON s.shingle = ev.shingle
+         |         GROUP BY s.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'e' THEN 'test'
+         |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c' THEN 'val'
+         |       ELSE 'train' END AS split
+         |FROM q
+         |JOIN keep1 USING (doc_id)
+         |LEFT JOIN comp ON comp.src = doc_id
+         |LEFT JOIN cont USING (doc_id)
+         |WHERE (comp.component IS NULL OR comp.component = doc_id)
+         |  AND coalesce(cont.c, 0) < 0.5
+         |ORDER BY doc_id""".stripMargin,
 
     "q42_semantic_minscore" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** End-to-end training-data curation: the composition every corpus
+  * pipeline runs between raw documents and a trainset export —
+  * quality band → exact-dup keep → near-dup cluster keep →
+  * eval-set decontamination → deterministic split. Each stage is one
+  * of the already-tested operators; this object only fixes the order
+  * and the keep semantics, so the whole flow stays a single lazy
+  * DataFrame (stages fuse where Catalyst can, and every membership
+  * decision is a pure function of the data — rerunning the pipeline
+  * on an appended corpus never flips a surviving row's split).
+  */
+object Pipeline {
+
+  /** Curate `docs` into (idCol, split) survivors.
+    *
+    * Stage semantics (global statistics are computed over the FULL
+    * corpus, filters apply to the running survivor set — so a
+    * duplicate cluster's keep-id is stable no matter which members
+    * pass the quality band):
+    *  1. quality: ≥ `minTokens` tokens and mean word length within
+    *     [`mwlLo`, `mwlHi`] (the Gopher band, q64 semantics);
+    *  2. exact dedup: survivor iff it is the min doc id of its
+    *     normalized-text fingerprint group;
+    *  3. near-dup dedup: MinHash-LSH pairs → connected components;
+    *     survivor iff unpaired or the component keep-id;
+    *  4. decontamination: shingle contamination against `evalDocs`
+    *     below `contaminationMax` (docs without shingles score 0);
+    *  5. split: deterministic md5 bucket → named splits.
+    */
+  def curate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalDocs: DataFrame,
+      minTokens: Int = 30,
+      mwlLo: Double = 4.2,
+      mwlHi: Double = 5.0,
+      minEstJaccard: Double = 0.25,
+      contaminationMax: Double = 0.5,
+      splits: Seq[(String, Int)] = Seq("train" -> 12, "val" -> 2, "test" -> 2)): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val quality = docs.where(size(toks) >= minTokens &&
+      round(TextFunctions.meanTokenLen(toks), 4).between(mwlLo, mwlHi))
+    val keepExact = quality.join(
+      Dedup.exactKeepList(docs, idCol, textCol).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+    val pairs = Dedup.minHashLsh(docs, idCol, textCol,
+      shingleSize = 3, numHashes = 8, bandSize = 2, minEstJaccard = minEstJaccard)
+    val comp = Dedup.dedupClusters(pairs, "a", "b")
+      .withColumnRenamed("node", idCol)
+    val keepNear = keepExact.join(comp, Seq(idCol), "left")
+      .where(col("component").isNull || col("component") === col(idCol))
+      .drop("component")
+    val cont = Trainsets.contaminationScores(docs, idCol, textCol, evalDocs, n = 3)
+    val clean = keepNear.join(cont, Seq(idCol), "left")
+      .where(coalesce(col("contamination"), lit(0.0)) < contaminationMax)
+      .drop("contamination")
+    Trainsets.hashSplit(clean, idCol, splits).select(col(idCol), col("split"))
+  }
+}
