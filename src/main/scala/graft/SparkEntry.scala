@@ -970,6 +970,18 @@ object SparkEntry {
        |pairs AS (SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.25)""".stripMargin
   private val MinHashPairCtes = minHashPairCtes("documents")
 
+  /** Connected-components chain over a `pairs` CTE → comp(src,
+    * component) — must match [[graft.operators.Dedup.dedupClusters]];
+    * the enclosing WITH must be RECURSIVE. */
+  private val CcCtes =
+    """nodes AS (SELECT a AS nd FROM pairs UNION SELECT b FROM pairs),
+      |edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT nd, nd FROM nodes
+      |  UNION
+      |  SELECT r.src, e.y FROM reach r JOIN edges e ON r.dst = e.x),
+      |comp AS (SELECT src, min(dst) AS component FROM reach GROUP BY src)""".stripMargin
+
   /** Paragraph-split CTE chain (20-token windows, reference id format) —
     * must match [[graft.sources.Ingest.splitParagraphs]]. */
   private val ParCtes =
@@ -1698,13 +1710,7 @@ object SparkEntry {
 
     "q74_dedup_clusters" ->
       s"""WITH RECURSIVE $MinHashPairCtes,
-         |nodes AS (SELECT a AS n FROM pairs UNION SELECT b FROM pairs),
-         |edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT n, n FROM nodes
-         |  UNION
-         |  SELECT r.src, e.y FROM reach r JOIN edges e ON r.dst = e.x),
-         |comp AS (SELECT src, min(dst) AS component FROM reach GROUP BY src)
+         |$CcCtes
          |SELECT component, CAST(count(*) AS BIGINT) AS n_docs
          |FROM comp GROUP BY component ORDER BY component""".stripMargin,
 
@@ -1764,13 +1770,13 @@ object SparkEntry {
          |keep1 AS (SELECT doc_id FROM (
          |            SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS k FROM fp)
          |          WHERE doc_id = k),
-         |nodes AS (SELECT a AS nd FROM pairs UNION SELECT b FROM pairs),
-         |edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT nd, nd FROM nodes
-         |  UNION
-         |  SELECT r.src, e.y FROM reach r JOIN edges e ON r.dst = e.x),
-         |comp AS (SELECT src, min(dst) AS component FROM reach GROUP BY src),
+         |$CcCtes,
+         |surv AS (SELECT doc_id FROM q JOIN keep1 USING (doc_id)),
+         |k2 AS (SELECT doc_id FROM (
+         |         SELECT s.doc_id,
+         |           min(s.doc_id) OVER (PARTITION BY coalesce(comp.component, s.doc_id)) AS k
+         |         FROM surv s LEFT JOIN comp ON comp.src = s.doc_id)
+         |       WHERE doc_id = k),
          |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5),
          |cont AS (SELECT s.doc_id,
          |           round(CAST(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
@@ -1781,12 +1787,9 @@ object SparkEntry {
          |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'e' THEN 'test'
          |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c' THEN 'val'
          |       ELSE 'train' END AS split
-         |FROM q
-         |JOIN keep1 USING (doc_id)
-         |LEFT JOIN comp ON comp.src = doc_id
+         |FROM k2
          |LEFT JOIN cont USING (doc_id)
-         |WHERE (comp.component IS NULL OR comp.component = doc_id)
-         |  AND coalesce(cont.c, 0) < 0.5
+         |WHERE coalesce(cont.c, 0) < 0.5
          |ORDER BY doc_id""".stripMargin,
 
     "q42_semantic_minscore" ->

@@ -164,13 +164,34 @@ object VectorSearch {
       queryVecCol: String,
       k: Int,
       nprobe: Int): DataFrame = {
+    val candidates = ivfCandidates(corpus, idCol, assignments,
+      centroids, cidCol, cvecCol, query, queryVecCol, nprobe)
+    bruteForceTopK(candidates, idCol, vecCol, query, queryVecCol, k)
+  }
+
+  /** Shared coarse-probe step: rank centroids against the query, keep
+    * the `nprobe` nearest, and cut the corpus to their members (a
+    * broadcast of the probe list + one left-semi join ≡ partition
+    * pruning when the corpus is stored by centroid id). Used by both
+    * [[ivfSearch]] and [[ivfPqSearch]] so probe semantics cannot
+    * drift between the two.
+    */
+  private def ivfCandidates(
+      corpus: DataFrame,
+      idCol: String,
+      assignments: DataFrame,
+      centroids: DataFrame,
+      cidCol: String,
+      cvecCol: String,
+      query: DataFrame,
+      queryVecCol: String,
+      nprobe: Int): DataFrame = {
     val probes = bruteForceTopK(centroids, cidCol, cvecCol, query, queryVecCol, nprobe)
       .select(col(cidCol).as("centroid_id"))
     val candidateIds = assignments
       .join(broadcast(probes), "centroid_id")
       .select(idCol)
-    val candidates = corpus.join(candidateIds, Seq(idCol), "left_semi")
-    bruteForceTopK(candidates, idCol, vecCol, query, queryVecCol, k)
+    corpus.join(candidateIds, Seq(idCol), "left_semi")
   }
 
   /** Multi-probe LSH bucket search: bucket = first `prefixBits` of the
@@ -474,12 +495,8 @@ object VectorSearch {
     val spark = corpus.sparkSession
     import spark.implicits._
     val query = Seq(Tuple1(queryVec)).toDF("__q")
-    val probes = bruteForceTopK(centroids, cidCol, cvecCol, query, "__q", nprobe)
-      .select(col(cidCol).as("centroid_id"))
-    val candidateIds = assignments
-      .join(broadcast(probes), "centroid_id")
-      .select(idCol)
-    val candidates = corpus.join(candidateIds, Seq(idCol), "left_semi")
+    val candidates = ivfCandidates(corpus, idCol, assignments,
+      centroids, cidCol, cvecCol, query, "__q", nprobe)
     pqSearchReranked(candidates, idCol, vecCol, queryVec, codebook, m, k, rerank)
   }
 

@@ -20,19 +20,25 @@ object Pipeline {
 
   /** Curate `docs` into (idCol, split) survivors.
     *
-    * Stage semantics (global statistics are computed over the FULL
-    * corpus, filters apply to the running survivor set — so a
-    * duplicate cluster's keep-id is stable no matter which members
-    * pass the quality band):
+    * Stage semantics (global statistics — fingerprint groups, pair
+    * graph, contamination — are computed over the FULL corpus; keeps
+    * apply to the running survivor set):
     *  1. quality: ≥ `minTokens` tokens and mean word length within
     *     [`mwlLo`, `mwlHi`] (the Gopher band, q64 semantics);
     *  2. exact dedup: survivor iff it is the min doc id of its
     *     normalized-text fingerprint group;
     *  3. near-dup dedup: MinHash-LSH pairs → connected components;
-    *     survivor iff unpaired or the component keep-id;
+    *     each component keeps its min SURVIVING member (so a cluster
+    *     whose global min id failed an earlier stage still contributes
+    *     one representative — unique content is thinned, never lost);
     *  4. decontamination: shingle contamination against `evalDocs`
     *     below `contaminationMax` (docs without shingles score 0);
     *  5. split: deterministic md5 bucket → named splits.
+    *
+    * The composition is declared lazily, with two exceptions inherited
+    * from its stages: [[Dedup.dedupClusters]] runs its fixpoint loop
+    * (checkpoint + count jobs) when this method is CALLED, and
+    * [[Dedup.minHashLsh]] caches its signature table for the session.
     */
   def curate(
       docs: DataFrame,
@@ -45,9 +51,13 @@ object Pipeline {
       minEstJaccard: Double = 0.25,
       contaminationMax: Double = 0.5,
       splits: Seq[(String, Int)] = Seq("train" -> 12, "val" -> 2, "test" -> 2)): DataFrame = {
+    // single let-bound predicate: one tokenizer run per row (both the
+    // size and the mean-length reads are lambda-variable reads)
     val toks = TextFunctions.tokens(col(textCol))
-    val quality = docs.where(size(toks) >= minTokens &&
-      round(TextFunctions.meanTokenLen(toks), 4).between(mwlLo, mwlHi))
+    val qualityPred = element_at(transform(array(toks), t =>
+      size(t) >= minTokens &&
+        round(TextFunctions.meanTokenLen(t), 4).between(mwlLo, mwlHi)), 1)
+    val quality = docs.where(qualityPred)
     val keepExact = quality.join(
       Dedup.exactKeepList(docs, idCol, textCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
@@ -55,9 +65,14 @@ object Pipeline {
       shingleSize = 3, numHashes = 8, bandSize = 2, minEstJaccard = minEstJaccard)
     val comp = Dedup.dedupClusters(pairs, "a", "b")
       .withColumnRenamed("node", idCol)
-    val keepNear = keepExact.join(comp, Seq(idCol), "left")
-      .where(col("component").isNull || col("component") === col(idCol))
-      .drop("component")
+    val keepNear = {
+      import org.apache.spark.sql.expressions.Window
+      keepExact.join(comp, Seq(idCol), "left")
+        .withColumn("__grp", coalesce(col("component"), col(idCol)))
+        .withColumn("__keep", min(col(idCol)).over(Window.partitionBy("__grp")))
+        .where(col(idCol) === col("__keep"))
+        .drop("component", "__grp", "__keep")
+    }
     val cont = Trainsets.contaminationScores(docs, idCol, textCol, evalDocs, n = 3)
     val clean = keepNear.join(cont, Seq(idCol), "left")
       .where(coalesce(col("contamination"), lit(0.0)) < contaminationMax)

@@ -19,7 +19,13 @@ class PipelineSpec extends SparkSpec {
     (3L, body(2) + " tail note close"), // near dup of 1 → clustered, dropped
     (4L, body(3)),
     (5L, "short junk"),                 // fails the quality band
-    (6L, body(5)))
+    (6L, body(5)),
+    // cluster {7, 8} whose min id FAILS the quality band: the long
+    // garbage tokens push doc 7's mean word length out of range, so
+    // doc 8 must survive as the cluster's representative (unique
+    // content is thinned, never lost)
+    (7L, body(7) + (1 to 10).map(_ => " superduperextralongtoken").mkString),
+    (8L, body(7) + " tail note"))
     .toDF("doc_id", "text")
 
   test("curate keeps quality, unduplicated, uncontaminated docs and splits deterministically") {
@@ -27,8 +33,9 @@ class PipelineSpec extends SparkSpec {
         evalDocs = docs.where(col("doc_id") === 6), contaminationMax = 0.5)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     // 1 survives (keep-id of the {1,2,3} group), 2 and 3 are dups,
-    // 5 fails quality, 6 is the eval doc itself (contamination 1.0)
-    assert(out.keySet == Set(1L, 4L))
+    // 5 fails quality, 6 is the eval doc itself (contamination 1.0),
+    // 7 fails quality but its near-dup 8 represents the cluster
+    assert(out.keySet == Set(1L, 4L, 8L))
     assert(out.values.forall(Set("train", "val", "test")))
     // determinism under repartitioning — membership and split identical
     val again = Pipeline.curate(docs.repartition(7), "doc_id", "text",
