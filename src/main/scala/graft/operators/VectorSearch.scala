@@ -46,7 +46,16 @@ object VectorSearch {
       .limit(k)
 
   /** Batch kNN join: top-k corpus neighbors per query row.
-    * Broadcast the (small) query set; rank per-query with a window.
+    *
+    * Broadcast the (small) query set, score every (corpus, query) pair
+    * in the scan, then cut to k per query with the bounded-heap
+    * aggregate [[graft.functions.expr.TopKByScore]] rather than a
+    * per-query window: the window shape shuffles all |corpus|×|queries|
+    * scored rows into |queries| reducers (one reducer drains an entire
+    * corpus per query), while the aggregate partial-combines map-side so
+    * the exchange carries only |queries|×partitions buffers of ≤k
+    * entries. Order and tie-breaks (score desc, id asc on rounded
+    * scores) are identical to the window form.
     */
   def knnJoin(
       queries: DataFrame,
@@ -60,11 +69,17 @@ object VectorSearch {
         broadcast(queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"))))
       .withColumn("score",
         round(cosine(col(vecCol), col("__qv")), 6))
-    val w = Window.partitionBy(col("__qid"))
-      .orderBy(col("score").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("__qid").as(qidCol), col(idCol), col("score"), col("rank"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val topk = ColumnBridge.column(
+      graft.functions.expr.TopKByScore(
+          ColumnBridge.expression(col("score")),
+          ColumnBridge.expression(col(idCol)), k)
+        .toAggregateExpression())
+    scored.groupBy(col("__qid"))
+      .agg(topk.as("__top"))
+      .select(col("__qid").as(qidCol), posexplode(col("__top")))
+      .select(col(qidCol), col("col.id").as(idCol),
+        col("col.score").as("score"), (col("pos") + 1).as("rank"))
   }
 
   /** Multi-vector MaxSim (ColBERT-style,

@@ -180,6 +180,18 @@ class ScaleDesignSpec extends SparkSpec {
     assert(probed.count() > 0)
   }
 
+  test("knnJoin cuts to k map-side: partial topk aggregate, no per-query window") {
+    val q20 = SparkEntry.queries("q20_knn_join")(spark, "/root/testdata/sf0.001")
+    q20.collect()
+    val p = plan(q20)
+    assert(p.contains("partial_topk_by_score"),
+      "per-partition cut must partial-aggregate before the exchange:\n" +
+        p.linesIterator.take(15).mkString("\n"))
+    assert(!p.contains("Window"),
+      "no per-query window may rank the full scored corpus:\n" +
+        p.linesIterator.take(15).mkString("\n"))
+  }
+
   test("approx_count_distinct tracks exact distinct within rsd on real data") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val tok = graft.functions.Bm25.tokenStream(docs, "doc_id", "text")
