@@ -89,12 +89,24 @@ object Bm25 {
       docLengths: DataFrame,
       idCol: String,
       queryTerms: Seq[String],
-      params: Params = Params()): DataFrame = {
-    val stats = docLengths.agg(
+      params: Params = Params(),
+      allowed: Option[DataFrame] = None): DataFrame = {
+    // `allowed` restricts the searchable corpus to a prefiltered id set
+    // (the reference's PrefilterResult pushed into the index search).
+    // Both the postings AND the stats tables are restricted, so scores
+    // equal [[score]] run over exactly the allowed documents.
+    val dls = allowed match {
+      case Some(ids) => graft.operators.Prefilter.semiJoin(docLengths, idCol, ids)
+      case None => docLengths
+    }
+    val stats = dls.agg(
       count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
-    val tf = postings.where(col("term").isInCollection(queryTerms))
-      .select(col(idCol), col("term"), col("tf").cast("double").as("tf"))
+    val matched = postings.where(col("term").isInCollection(queryTerms))
+    val tf = (allowed match {
+      case Some(ids) => graft.operators.Prefilter.semiJoin(matched, idCol, ids)
+      case None => matched
+    }).select(col(idCol), col("term"), col("tf").cast("double").as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
 
     val k1 = lit(params.k1)
@@ -105,12 +117,31 @@ object Bm25 {
       (col("tf") + k1 * (lit(1.0) - b + b * col("dl") / col("avgdl")))
 
     tf.join(broadcast(df), "term")
-      .join(docLengths, idCol)
+      .join(dls, idCol)
       .crossJoin(broadcast(stats))
       .withColumn("term_score", idf * tfn)
       .groupBy(idCol)
       .agg(sum(col("term_score")).as("score"))
   }
+
+  /** Top-k BM25 over the at-rest posting index — [[search]] served from
+    * [[graft.sources.Ingest.termPostings]]/[[docLengths]] tables instead
+    * of a query-time tokenize (the reference never tokenizes at search
+    * time: `nidx/nidx_text/src/reader.rs:367-451` serves tantivy
+    * segment postings built at ingest). Same rounding and tie-break as
+    * [[search]].
+    */
+  def searchFromPostings(
+      postings: DataFrame,
+      docLengths: DataFrame,
+      idCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      params: Params = Params()): DataFrame =
+    scoreFromPostings(postings, docLengths, idCol, queryTerms, params)
+      .withColumn("score", round(col("score"), 4))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
 
   /** Per-doc token counts (id, dl) — companion table for
     * [[scoreFromPostings]], built once at ingest. */
