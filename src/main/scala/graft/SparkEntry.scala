@@ -36,9 +36,19 @@ object SparkEntry {
     val qv = emb.where(col("vec_id") === 0)
       .select("embedding").collect().head.getSeq[Float](0)
     Find.find(
-      Find.Corpus(docs, "doc_id", "text", Some(emb)),
+      Find.Corpus(docs, "doc_id", "text", Some(emb),
+        index = Some(graft.sources.IndexStore.tables(spark, dir))),
       Find.FindRequest(query = QueryTerms.mkString(" "),
         queryVector = Some(qv), topK = 10))
+  }
+
+  /** Keyword list for fusion queries: BM25 over the full corpus served
+    * from the at-rest posting index (rounded at 4, the engine-wide
+    * keyword-score contract). */
+  private def keywordList(s: SparkSession, dir: String): DataFrame = {
+    val ix = graft.sources.IndexStore.tables(s, dir)
+    Bm25.scoreFromPostings(ix.postings, ix.docLengths, "doc_id", QueryTerms)
+      .withColumn("score", round(col("score"), 4))
   }
 
   /** Semantic list: cosine of every embedding against query vector
@@ -132,9 +142,14 @@ object SparkEntry {
         .select(col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))),
 
-    // §2.3 BM25 fulltext search (join-based corpus stats)
+    // §2.3 BM25 fulltext search served from the at-rest posting index
+    // (term predicate pushes into the postings scan — no query-time
+    // tokenize, the tantivy-segment serving contract)
     "q09_bm25_search" -> ((s, dir) =>
-      Bm25.search(load(s, dir, "documents"), "doc_id", "text", QueryTerms, 10)),
+      Bm25.searchFromPostings(
+        graft.sources.IndexStore.postings(s, dir),
+        graft.sources.IndexStore.docLengths(s, dir),
+        "doc_id", QueryTerms, 10)),
 
     // §2.2 FilterExpression over facets/keyword/numeric range
     "q10_filter_expr" -> ((s, dir) => {
@@ -303,9 +318,7 @@ object SparkEntry {
 
     // §2.6 Reciprocal Rank Fusion of keyword + semantic lists
     "q30_rrf_fusion" -> ((s, dir) => {
-      val docs = load(s, dir, "documents")
-      val kw = Bm25.score(docs, "doc_id", "text", QueryTerms)
-        .withColumn("score", round(col("score"), 4))
+      val kw = keywordList(s, dir)
       val sem = semanticList(load(s, dir, "embeddings"), qid = 0)
       RankFusion.rrf(Seq(("keyword", kw, 1.0), ("semantic", sem, 1.0)),
           "doc_id", "score")
@@ -317,9 +330,7 @@ object SparkEntry {
 
     // §2.6 WeightedCombSum fusion (min-max normalized)
     "q31_combsum_fusion" -> ((s, dir) => {
-      val docs = load(s, dir, "documents")
-      val kw = Bm25.score(docs, "doc_id", "text", QueryTerms)
-        .withColumn("score", round(col("score"), 4))
+      val kw = keywordList(s, dir)
       val sem = semanticList(load(s, dir, "embeddings"), qid = 0)
       RankFusion.weightedCombSum(Seq(("keyword", kw, 0.7), ("semantic", sem, 0.3)),
           "doc_id", "score")
@@ -332,7 +343,10 @@ object SparkEntry {
     // §2.7 highlighting of query terms in hydrated text
     "q32_highlight" -> ((s, dir) => {
       val docs = load(s, dir, "documents")
-      Bm25.search(docs, "doc_id", "text", QueryTerms, 5)
+      Bm25.searchFromPostings(
+          graft.sources.IndexStore.postings(s, dir),
+          graft.sources.IndexStore.docLengths(s, dir),
+          "doc_id", QueryTerms, 5)
         .join(docs.select("doc_id", "text"), "doc_id")
         .select(col("doc_id"),
           TextFunctions.highlight(col("text"), QueryTerms).as("marked"))
@@ -346,10 +360,10 @@ object SparkEntry {
         .select("paragraph_id", "n_tokens")
         .orderBy("paragraph_id")),
 
-    // §2.3 keyword paragraph search (retrieval unit = paragraph)
+    // §2.3 keyword paragraph search (retrieval unit = paragraph),
+    // scanning the paragraph table materialized at ingest
     "q34_paragraph_search" -> ((s, dir) => {
-      val par = graft.sources.Ingest.splitParagraphs(
-        load(s, dir, "documents"), "doc_id", "text")
+      val par = graft.sources.IndexStore.paragraphs(s, dir)
       par.withColumn("score",
           size(filter(TextFunctions.tokens(col("p_text")),
             t => t.isInCollection(QueryTerms))).cast("long"))
@@ -365,7 +379,7 @@ object SparkEntry {
       val allowed = docs.where(FilterExpr.compile(FilterExpr.And(Seq(
         FilterExpr.Eq("lang", "en"),
         FilterExpr.NumRange("n_chars", Some(200), Some(500))))))
-      val par = graft.sources.Ingest.splitParagraphs(docs, "doc_id", "text")
+      val par = graft.sources.IndexStore.paragraphs(s, dir)
       Prefilter.semiJoin(par, "doc_id", allowed)
         .where(array_contains(TextFunctions.tokens(col("p_text")), "vector"))
         .select("paragraph_id")
@@ -444,8 +458,7 @@ object SparkEntry {
     // §2.7 PredictReranker shape: fuse → window → model re-score → cut
     "q45_rerank" -> ((s, dir) => {
       val docs = load(s, dir, "documents")
-      val kw = Bm25.score(docs, "doc_id", "text", QueryTerms)
-        .withColumn("score", round(col("score"), 4))
+      val kw = keywordList(s, dir)
       val sem = semanticList(load(s, dir, "embeddings"), qid = 0)
       val fused = RankFusion.rrf(Seq(("keyword", kw, 1.0), ("semantic", sem, 1.0)),
           "doc_id", "score")
@@ -515,17 +528,21 @@ object SparkEntry {
         topK = 50)
     }),
 
-    // §2.3 BM25 with AND-default semantics (all terms required)
+    // §2.3 BM25 with AND-default semantics (all terms required),
+    // served from the posting index — the conjunctive id set is a
+    // grouped count over the same pruned postings scan
     "q50_bm25_and" -> ((s, dir) =>
-      Bm25.scoreAll(load(s, dir, "documents"), "doc_id", "text", QueryTerms)
+      Bm25.scoreAllFromPostings(
+          graft.sources.IndexStore.postings(s, dir),
+          graft.sources.IndexStore.docLengths(s, dir),
+          "doc_id", QueryTerms)
         .withColumn("score", round(col("score"), 4))
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(10)),
 
     // §2.7 find response tree: paragraph hits grouped under resources
     "q51_find_grouped" -> ((s, dir) => {
-      val par = graft.sources.Ingest.splitParagraphs(
-        load(s, dir, "documents"), "doc_id", "text")
+      val par = graft.sources.IndexStore.paragraphs(s, dir)
       val hits = par.withColumn("score",
           size(filter(TextFunctions.tokens(col("p_text")),
             t => t.isInCollection(QueryTerms))).cast("double"))
@@ -550,9 +567,9 @@ object SparkEntry {
         .orderBy("a", "b")),
 
     // /ask context build: pack best text blocks into a token budget
+    // (hits come from the at-rest paragraph table, not a query-time split)
     "q54_context_budget" -> ((s, dir) => {
-      val par = graft.sources.Ingest.splitParagraphs(
-        load(s, dir, "documents"), "doc_id", "text")
+      val par = graft.sources.IndexStore.paragraphs(s, dir)
       val hits = par.withColumn("score",
           size(filter(TextFunctions.tokens(col("p_text")),
             t => t.isInCollection(QueryTerms))).cast("long"))
@@ -730,7 +747,8 @@ object SparkEntry {
       import graft.api.Find
       val docs = load(s, dir, "documents")
       Find.findParagraphs(
-          Find.Corpus(docs, "doc_id", "text"),
+          Find.Corpus(docs, "doc_id", "text",
+            index = Some(graft.sources.IndexStore.tables(s, dir))),
           Find.FindRequest(query = QueryTerms.mkString(" "),
             filter = Some(FilterExpr.Eq("lang", "en")), topK = 20))
         .withColumn("hits", concat_ws(",", col("hits")))
@@ -763,10 +781,11 @@ object SparkEntry {
     "q70_search_lists" -> ((s, dir) => {
       import graft.api.Search
       val docs = load(s, dir, "documents")
-      val pars = graft.sources.Ingest.splitParagraphs(docs, "doc_id", "text")
+      val ix = graft.sources.IndexStore.tables(s, dir)
       val resp = Search.search(docs, "doc_id", "text", "lang",
-        Some((pars, "paragraph_id", "p_text")),
-        Search.SearchRequest(query = QueryTerms.mkString(" "), topK = 10))
+        Some((ix.paragraphs, "paragraph_id", "p_text")),
+        Search.SearchRequest(query = QueryTerms.mkString(" "), topK = 10),
+        index = Some(ix))
       resp.documents.get
         .select(lit("document").as("unit"),
           col("doc_id").cast("string").as("id"), col("score"))

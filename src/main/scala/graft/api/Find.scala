@@ -32,7 +32,12 @@ object Find {
   /** Table bindings for a searchable corpus. `vectorsetCol` names the
     * vectorset partition column when the vectors table holds multiple
     * named embedding models (reference vectorsets,
-    * `nidx_vector/src/config.rs:102-124`). */
+    * `nidx_vector/src/config.rs:102-124`). `index` binds the at-rest
+    * index tables built at ingest ([[graft.sources.Ingest.buildIndex]]);
+    * when present, keyword scoring serves postings (no query-time
+    * tokenize — the reference's tantivy-segment contract,
+    * `nidx_text/src/reader.rs:367-451`) and paragraph retrieval scans
+    * the materialized paragraph table. */
   final case class Corpus(
       docs: DataFrame,
       docId: String,
@@ -40,7 +45,8 @@ object Find {
       vectors: Option[DataFrame] = None,
       vecId: String = "vec_id",
       vecCol: String = "embedding",
-      vectorsetCol: Option[String] = None)
+      vectorsetCol: Option[String] = None,
+      index: Option[graft.sources.IndexStore.IndexTables] = None)
 
   final case class FindRequest(
       query: String = "",
@@ -80,11 +86,23 @@ object Find {
           .map(t => !array_contains(TextFunctions.tokens(col(corpus.text)), t))
           .foldLeft(lit(true))(_ && _)
         val candidates = base.where(phrasePred && exclPred)
+        // Is the candidate set the whole corpus? Then the posting path
+        // needs no id restriction at all (pure pruned-scan lookup).
+        val unrestricted = req.filter.isEmpty &&
+          parsed.phrases.isEmpty && parsed.excluded.isEmpty
         val scored =
-          if (terms.nonEmpty)
-            Bm25.score(candidates, corpus.docId, corpus.text, terms)
-          else // phrase-only query: uniform score, id order
+          if (terms.isEmpty) // phrase-only query: uniform score, id order
             candidates.select(col(corpus.docId), lit(1.0).as("score"))
+          else corpus.index match {
+            case Some(ix) => // serve the at-rest posting index
+              Bm25.scoreFromPostings(ix.postings, ix.docLengths,
+                corpus.docId, terms,
+                allowed =
+                  if (unrestricted) None
+                  else Some(candidates.select(corpus.docId)))
+            case None =>
+              Bm25.score(candidates, corpus.docId, corpus.text, terms)
+          }
         Some(scored.withColumn("score", round(col("score"), 4))
           .where(col("score") >= req.keywordMinScore))
       }
@@ -139,12 +157,12 @@ object Find {
   /** Paragraph-mode find — the reference's actual retrieval unit
     * (`/find` returns paragraphs grouped under resources,
     * `search/search/find_merge.py`): parse the query, prefilter docs,
-    * split surviving docs into paragraphs, score paragraphs by matched
-    * query terms (exclusions as predicates), and compose the response
-    * tree. Every stage is the same declarative shape as [[find]]; the
-    * paragraph table is what a production deployment materializes at
-    * ingest ([[graft.sources.Ingest.buildIndex]]), so the split here
-    * stands in for a pre-built paragraph index scan.
+    * score paragraphs by matched query terms (exclusions as
+    * predicates), and compose the response tree. Every stage is the
+    * same declarative shape as [[find]]. With `corpus.index` bound, the
+    * paragraphs come from the table [[graft.sources.Ingest.buildIndex]]
+    * materialized at ingest (the prefilter pushes in as a semi-join on
+    * doc id); without it, the split runs inline as a stand-in.
     */
   def findParagraphs(corpus: Corpus, req: FindRequest): DataFrame = {
     val parsed = QueryParser.parse(req.query)
@@ -157,7 +175,14 @@ object Find {
     val excl = parsed.excluded
       .map(t => !array_contains(TextFunctions.tokens(col("p_text")), t))
       .foldLeft(lit(true))(_ && _)
-    val par = graft.sources.Ingest.splitParagraphs(base, corpus.docId, corpus.text)
+    val par = corpus.index match {
+      case Some(ix) => // at-rest paragraph table, prefilter as semi-join
+        if (req.filter.isEmpty) ix.paragraphs
+        else Prefilter.semiJoin(ix.paragraphs, corpus.docId,
+          base.select(corpus.docId))
+      case None =>
+        graft.sources.Ingest.splitParagraphs(base, corpus.docId, corpus.text)
+    }
     val hits = par.where(excl)
       .withColumn("score",
         size(filter(TextFunctions.tokens(col("p_text")),

@@ -29,10 +29,16 @@ object Search {
       paragraphs: Option[DataFrame],
       facets: Option[DataFrame])
 
+  /** `index` binds the at-rest index tables from ingest
+    * ([[graft.sources.Ingest.buildIndex]]); when present the document
+    * list serves the posting index (term predicate pushed into the
+    * postings scan) instead of tokenizing at query time, with the
+    * request filter flowing in as the prefiltered id set. */
   def search(
       docs: DataFrame, docId: String, textCol: String, labelsCol: String,
       paragraphs: Option[(DataFrame, String, String)], // (table, pid, ptext)
-      req: SearchRequest): SearchResponse = {
+      req: SearchRequest,
+      index: Option[graft.sources.IndexStore.IndexTables] = None): SearchResponse = {
     val parsed = QueryParser.parse(req.query)
     val base = req.filter.map(f => docs.where(FilterExpr.compile(f))).getOrElse(docs)
 
@@ -44,10 +50,17 @@ object Search {
 
     val docList =
       if (parsed.terms.isEmpty) None
-      else Some(TopK.topK(
-        Bm25.score(base, docId, textCol, parsed.terms)
-          .withColumn("score", round(col("score"), 4)),
-        "score", docId, req.topK))
+      else {
+        val scored = index match {
+          case Some(ix) => Bm25.scoreFromPostings(ix.postings, ix.docLengths,
+            docId, parsed.terms,
+            allowed = req.filter.map(_ => base.select(docId)))
+          case None => Bm25.score(base, docId, textCol, parsed.terms)
+        }
+        Some(TopK.topK(
+          scored.withColumn("score", round(col("score"), 4)),
+          "score", docId, req.topK))
+      }
 
     val parList = paragraphs.flatMap { case (par, pid, ptext) =>
       if (parsed.terms.isEmpty) None

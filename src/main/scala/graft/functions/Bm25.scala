@@ -94,7 +94,15 @@ object Bm25 {
     // `allowed` restricts the searchable corpus to a prefiltered id set
     // (the reference's PrefilterResult pushed into the index search).
     // Both the postings AND the stats tables are restricted, so scores
-    // equal [[score]] run over exactly the allowed documents.
+    // equal [[score]] run over exactly the allowed documents — the
+    // engine's filter-then-score contract (every oracle computes BM25
+    // over the filtered corpus). DELIBERATE divergence from the
+    // reference: tantivy keeps segment-GLOBAL statistics and a
+    // prefilter only masks candidate docs (`nidx_text/src/reader.rs`),
+    // so its prefiltered scores reflect the unfiltered df/avgdl. Either
+    // choice is defensible; this one keeps scores self-consistent
+    // within the visible corpus (a doc's score is independent of
+    // documents the caller cannot see).
     val dls = allowed match {
       case Some(ids) => graft.operators.Prefilter.semiJoin(docLengths, idCol, ids)
       case None => docLengths
@@ -142,6 +150,31 @@ object Bm25 {
       .withColumn("score", round(col("score"), 4))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+
+  /** AND-default scoring served from the posting index — [[scoreAll]]
+    * without the query-time tokenize: the all-terms-matched id set is a
+    * grouped count over the SAME pruned posting scan the scorer reads.
+    */
+  def scoreAllFromPostings(
+      postings: DataFrame,
+      docLengths: DataFrame,
+      idCol: String,
+      queryTerms: Seq[String],
+      params: Params = Params(),
+      allowed: Option[DataFrame] = None): DataFrame = {
+    val matched = postings.where(col("term").isInCollection(queryTerms))
+    val restricted = allowed match {
+      case Some(ids) => graft.operators.Prefilter.semiJoin(matched, idCol, ids)
+      case None => matched
+    }
+    val allMatched = restricted
+      .groupBy(idCol)
+      .agg(countDistinct(col("term")).as("nt"))
+      .where(col("nt") === queryTerms.distinct.size)
+      .select(idCol)
+    scoreFromPostings(postings, docLengths, idCol, queryTerms, params, allowed)
+      .join(allMatched, Seq(idCol), "left_semi")
+  }
 
   /** Per-doc token counts (id, dl) — companion table for
     * [[scoreFromPostings]], built once at ingest. */

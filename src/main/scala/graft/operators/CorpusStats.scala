@@ -33,8 +33,9 @@ object CorpusStats {
       explode(TextFunctions.tokens(col(textCol))).as("term"))
     // cache the vocabulary-sized dictionary: without it the total
     // aggregate re-runs the corpus scan + term aggregation (exchange
-    // reuse does not fire across the re-analyzed branches)
-    val freq = toks.groupBy("term").agg(count(lit(1)).as("tf")).cache()
+    // reuse does not fire across the re-analyzed branches); registered
+    // with graft.Caches for release after the query's terminal action
+    val freq = graft.Caches.cache(toks.groupBy("term").agg(count(lit(1)).as("tf")))
     val total = freq.agg(sum(col("tf")).cast("double").as("__n"))
     toks
       .join(broadcast(freq), "term")

@@ -66,7 +66,7 @@ object Dedup {
     val sh = docs.select(col(idCol),
       explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize))
         .as("shingle"))
-    val sig = minHashSignatures(sh, idCol, numHashes).cache()
+    val sig = graft.Caches.cache(minHashSignatures(sh, idCol, numHashes))
     // explode signature into (id, band, bv) rows; bucket-join on band value
     val nBands = numHashes / bandSize
     val bandCols = (0 until nBands).map { bi =>
@@ -121,10 +121,9 @@ object Dedup {
     // The per-doc set size rides along with each posting row, so the
     // jaccard denominator needs no join back to a sizes table.
     val arr = array_distinct(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n))
-    val sh = docs
+    val sh = graft.Caches.cache(docs
       .select(col(idCol), transform(arr, s => xxhash64(s)).as("ss"), size(arr).as("sz"))
-      .select(col(idCol), explode(col("ss")).as("shingle"), col("sz"))
-      .cache()
+      .select(col(idCol), explode(col("ss")).as("shingle"), col("sz")))
     val inter =
       if (saltFactor > 1) {
         val sizes = sh.groupBy(col(idCol)).agg(first(col("sz")).as("sz"))
@@ -289,33 +288,48 @@ object Dedup {
     var labels = edges.groupBy(col("x")).agg(min(col("y")).as("__m"))
       .select(col("x").as("node"), least(col("x"), col("__m")).as("component"))
       .localCheckpoint(true)
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it < maxIter) {
+    // one propagation round: min(own, neighbors') labels + path halving.
+    // The stepped cache is lazy — both sides of the path-halving
+    // self-join read it, and it fills inside the checkpoint's job — and
+    // is handed back for release once the round's output is pinned.
+    def round(lbl: DataFrame): (DataFrame, Seq[DataFrame]) = {
       val contrib = edges
-        .join(bc(labels).select(col("node").as("y"), col("component").as("c")), "y")
+        .join(bc(lbl).select(col("node").as("y"), col("component").as("c")), "y")
         .select(col("x").as("node"), col("c"))
-      // lazy cache: both sides of the path-halving self-join below read
-      // stepped — without it the edges-join + union + min-agg lineage
-      // runs twice per round; the cache fills inside the next
-      // checkpoint's job (no extra eager job)
       val stepped = contrib
-        .union(labels.select(col("node"), col("component").as("c")))
+        .union(lbl.select(col("node"), col("component").as("c")))
         .groupBy("node").agg(min("c").as("component"))
         .cache()
-      // path halving: follow the label one more hop in the same round
-      val next = stepped
+      val halved = stepped
         .join(bc(stepped).select(col("node").as("component"), col("component").as("__cc")),
           Seq("component"), "left")
         .select(col("node"), coalesce(col("__cc"), col("component")).as("component"))
-        .localCheckpoint(true)
-      stepped.unpersist()
-      changed = next.as("n").join(bc(labels).as("o"), "node")
-        .where(col("n.component") =!= col("o.component")).count()
-      labels = next
-      it += 1
+      (halved, Seq(stepped))
     }
-    edges.unpersist()
+    var changed = 1L
+    var it = 0
+    try {
+      while (changed > 0 && it < maxIter) {
+        // TWO propagation rounds per checkpoint + convergence count:
+        // the per-round fixed overhead (an eager checkpoint job and a
+        // count job) dominates the loop at small pair sets, and each
+        // round is O(log d)-convergent on its own — batching halves
+        // the fixed cost without touching the fixpoint (labels are
+        // monotone non-increasing; an extra round past convergence is
+        // a no-op). Round A stays cached (not checkpointed): round B
+        // reads it twice, and its lineage is one bounded round off the
+        // previous checkpoint.
+        val (a0, cachesA) = round(labels)
+        val a = a0.cache()
+        val (b, cachesB) = round(a)
+        val next = b.localCheckpoint(true)
+        (cachesA ++ cachesB :+ a).foreach(_.unpersist())
+        changed = next.as("n").join(bc(labels).as("o"), "node")
+          .where(col("n.component") =!= col("o.component")).count()
+        labels = next
+        it += 1
+      }
+    } finally edges.unpersist()
     labels
   }
 

@@ -58,7 +58,7 @@ object Prefilter {
     // DataFrame runs one eager job (the sketch build collect, like a
     // centroid fetch); the cached key set serves both the sketch and
     // the verify join.
-    val keys = allowed.select(col(keyCol)).distinct().cache()
+    val keys = graft.Caches.cache(allowed.select(col(keyCol)).distinct())
     val bloomAgg = ColumnBridge.column(
       new BloomFilterAggregate(
         ColumnBridge.expression(xxhash64(col(keyCol))),

@@ -56,6 +56,12 @@ object VectorSearch {
     * the exchange carries only |queries|×partitions buffers of ≤k
     * entries. Order and tie-breaks (score desc, id asc on rounded
     * scores) are identical to the window form.
+    *
+    * Null handling: corpus rows with a null id or embedding are
+    * EXCLUDED (filtered explicitly below; the heap aggregate would skip
+    * them anyway) — a null vector has no defined similarity, so it can
+    * never be a neighbor. A query whose id never matches any corpus row
+    * yields no output rows.
     */
   def knnJoin(
       queries: DataFrame,
@@ -65,7 +71,9 @@ object VectorSearch {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val scored = corpus.crossJoin(
+    val scored = corpus
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .crossJoin(
         broadcast(queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"))))
       .withColumn("score",
         round(cosine(col(vecCol), col("__qv")), 6))

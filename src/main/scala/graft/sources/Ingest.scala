@@ -86,15 +86,17 @@ object Ingest {
       textCol: String,
       outDir: String,
       parTokens: Int = 20,
-      embeddingDim: Int = 64): Unit = {
+      embeddingDim: Int = 64,
+      withVectors: Boolean = true): Unit = {
     splitParagraphs(docs, idCol, textCol, parTokens = parTokens)
       .write.mode("overwrite").parquet(s"$outDir/paragraphs")
     termPostings(docs, idCol, textCol)
       .write.mode("overwrite").parquet(s"$outDir/postings")
     graft.functions.Bm25.docLengths(docs, idCol, textCol)
       .write.mode("overwrite").parquet(s"$outDir/doclengths")
-    tfidfVectors(docs, idCol, textCol, embeddingDim)
-      .write.mode("overwrite").parquet(s"$outDir/vectors")
+    if (withVectors)
+      tfidfVectors(docs, idCol, textCol, embeddingDim)
+        .write.mode("overwrite").parquet(s"$outDir/vectors")
   }
 
   /** Materialized `json_fields`: parse a JSON string column ONCE per

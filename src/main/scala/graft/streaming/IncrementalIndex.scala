@@ -64,9 +64,10 @@ object IncrementalIndex {
           if (existing.isEmpty) batch
           else existing.unionByName(batch.select(existing.columns.map(col).toSeq: _*))
         val merged = mergeLatest(all, keyCol, seqCol).cache()
-        merged.count() // materialize before overwriting the input path
-        merged.write.mode("overwrite").parquet(tablePath)
-        merged.unpersist()
+        try {
+          merged.count() // materialize before overwriting the input path
+          merged.write.mode("overwrite").parquet(tablePath)
+        } finally merged.unpersist()
         ()
       }
       .start()

@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.Bm25
+import graft.sources.Ingest
 
 class Bm25Spec extends SparkSpec {
   import spark.implicits._
@@ -39,5 +40,52 @@ class Bm25Spec extends SparkSpec {
     val rows = Bm25.search(corpus, "doc_id", "text", Seq("spark"), 2)
       .collect().map(_.getLong(0))
     assert(rows.sameElements(Array(1L, 2L)))
+  }
+
+  // at-rest index tables for the posting-path parity tests
+  private lazy val postings = Ingest.termPostings(corpus, "doc_id", "text")
+  private lazy val dls = Bm25.docLengths(corpus, "doc_id", "text")
+
+  test("scoreFromPostings(allowed) equals score() over the prefiltered corpus") {
+    val allowedIds = Seq(1L, 3L).toDF("doc_id")
+    val filtered = corpus.where($"doc_id".isin(1L, 3L))
+    val direct = Bm25.score(filtered, "doc_id", "text", Seq("spark", "query"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaPostings = Bm25.scoreFromPostings(postings, dls, "doc_id",
+        Seq("spark", "query"), allowed = Some(allowedIds))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaPostings.keySet == direct.keySet)
+    direct.foreach { case (id, exp) =>
+      assert(math.abs(viaPostings(id) - exp) < 1e-12,
+        s"doc $id: postings ${viaPostings(id)} vs direct $exp")
+    }
+    // the restriction changes df/avgdl, not just the candidate set:
+    // doc 1's score must differ from the unfiltered corpus run
+    val unfiltered = Bm25.score(corpus, "doc_id", "text", Seq("spark", "query"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(viaPostings(1L) - unfiltered(1L)) > 1e-9,
+      "allowed must restrict corpus statistics, not only candidates")
+  }
+
+  test("scoreAllFromPostings equals scoreAll (AND semantics from the pruned posting scan)") {
+    val withBoth = Seq((4L, "spark query engine")).toDF("doc_id", "text")
+      .unionByName(corpus)
+    val p = Ingest.termPostings(withBoth, "doc_id", "text")
+    val d = Bm25.docLengths(withBoth, "doc_id", "text")
+    val direct = Bm25.scoreAll(withBoth, "doc_id", "text", Seq("spark", "query"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val via = Bm25.scoreAllFromPostings(p, d, "doc_id", Seq("spark", "query"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(via.keySet == direct.keySet && via.keySet == Set(4L))
+    direct.foreach { case (id, exp) => assert(math.abs(via(id) - exp) < 1e-12) }
+  }
+
+  test("searchFromPostings equals search (rounding, order, cut)") {
+    val direct = Bm25.search(corpus, "doc_id", "text", Seq("spark", "query"), 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val via = Bm25.searchFromPostings(postings, dls, "doc_id",
+        Seq("spark", "query"), 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(via.sameElements(direct))
   }
 }

@@ -192,6 +192,44 @@ class ScaleDesignSpec extends SparkSpec {
         p.linesIterator.take(15).mkString("\n"))
   }
 
+  test("q09 serves the at-rest posting index: term pushdown, no query-time tokenize") {
+    val q09 = SparkEntry.queries("q09_bm25_search")(spark, "/root/testdata/sf0.001")
+    q09.collect()
+    val p = plan(q09)
+    assert(p.contains("PushedFilters: [In(term"),
+      "term IN predicate must push into the postings parquet scan:\n" +
+        p.linesIterator.take(20).mkString("\n"))
+    // the corpus is not read at all — no query-time tokenize is
+    // possible when the only inputs are the index tables
+    assert(!p.contains("documents.parquet"),
+      "BM25 must be served entirely from postings + doclengths")
+  }
+
+  test("q68 find scans the materialized paragraph table, not a query-time split") {
+    val q68 = SparkEntry.queries("q68_find_paragraphs")(spark, "/root/testdata/sf0.001")
+    q68.collect()
+    val p = plan(q68)
+    assert(p.contains("/paragraphs"),
+      "paragraph hits must come from the at-rest paragraph table:\n" +
+        p.linesIterator.take(20).mkString("\n"))
+    assert(!p.contains("__par"),
+      "no splitParagraphs explode may run at query time:\n" +
+        p.linesIterator.take(20).mkString("\n"))
+  }
+
+  test("cache registry: a multi-query session releases every operator cache") {
+    val dir = "/root/testdata/sf0.001"
+    spark.sharedState.cacheManager.clearCache() // isolate from other suites
+    // run the cache-registering operators the way a serving layer would
+    Seq("q17_ngram_jaccard", "q18_minhash_lsh", "q74_dedup_clusters",
+        "q77_bloom_prefilter", "q78_unigram_logprob").foreach { q =>
+      SparkEntry.queries(q)(spark, dir).count()
+      Caches.releaseAll()
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "no cached plan may outlive its query's release")
+  }
+
   test("approx_count_distinct tracks exact distinct within rsd on real data") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val tok = graft.functions.Bm25.tokenStream(docs, "doc_id", "text")
