@@ -51,6 +51,24 @@ object SparkEntry {
       .withColumn("score", round(col("score"), 4))
   }
 
+  /** At-rest PQ code table for q73: the embeddings (minus the query
+    * vector) packed to one binary code column at "ingest", memoized per
+    * corpus dir for the JVM — the vector-index analog of
+    * [[graft.sources.IndexStore]]. */
+  private val pqCodesDirs = scala.collection.mutable.Map[String, String]()
+  private def pqCodesAtRest(s: SparkSession, dir: String,
+      cb: Seq[(Int, Seq[Float])], m: Int): DataFrame = synchronized {
+    val path = pqCodesDirs.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft-pqcodes-").toString
+      VectorSearch.pqCodesBinary(
+          load(s, dir, "embeddings").where(col("vec_id") =!= 0),
+          "vec_id", "embedding", cb, m)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
   /** Semantic list: cosine of every embedding against query vector
     * `qid`, ids mapped to doc ids (vec_id ≡ doc_id in the testdata).
     */
@@ -818,11 +836,12 @@ object SparkEntry {
         .orderBy(col("n").desc, col("bigram").asc)
         .limit(25)),
 
-    // §2.3 / training-data ops: product-quantization ADC search — codes
-    // assigned against a deterministic codebook (vectors 1..16, 16
-    // subspaces of 4 dims), query scored from the 16-byte codes alone
-    // via broadcast lookup tables (recall vs exact measured in
-    // AnnRecallSpec: ADC 0.6, +exact-rerank@100 1.0)
+    // §2.3 / training-data ops: product-quantization ADC search served
+    // from AT-REST BINARY codes — the ingest step packs each vector's
+    // 16 codeword ids into one 16-byte binary column (vs the 256-byte
+    // raw vector), and the query scores that column alone via broadcast
+    // lookup tables (recall vs exact measured in AnnRecallSpec: ADC
+    // 0.6, +exact-rerank@100 1.0)
     "q73_pq_adc" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
       val cb = emb.where(col("vec_id").between(1, 16))
@@ -831,8 +850,8 @@ object SparkEntry {
         .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
       val qv = emb.where(col("vec_id") === 0)
         .select("embedding").collect().head.getSeq[Float](0)
-      VectorSearch.pqAdcSearch(emb.where(col("vec_id") =!= 0),
-        "vec_id", "embedding", qv, cb, m = 16, k = 10)
+      VectorSearch.pqAdcSearchFromCodes(pqCodesAtRest(s, dir, cb, m = 16),
+        "vec_id", "code", qv, cb, m = 16, k = 10)
     }),
 
     // training-data ops: near-dup pairs → transitive dedup clusters
@@ -925,7 +944,56 @@ object SparkEntry {
           round(cosine(col("embedding"), col("__qv")), 6))
         .where(col("score") >= 0.35)
         .agg(count(lit(1)).as("n"), round(avg("score"), 6).as("avg_score"))
-    })
+    }),
+
+    // §2.3 graph semantic EDGE match (query_planner.rs:96-140
+    // vector_edge_requests): the relation constraint is a vector — the
+    // edge-label vectorset (vec_id 1..20 ≡ relation labels) is searched
+    // with the ×10/[50,200] over-request clamp and edge min_score, and
+    // surviving labels become the relation term set ranking the edges
+    "q81_graph_semantic_edge" -> ((s, dir) => {
+      import graft.api.GraphSearch
+      val emb = load(s, dir, "embeddings")
+      val edges = load(s, dir, "lineitem")
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") % 20 + 1).cast("long").as("rel"),
+          col("l_partkey").cast("long").as("dst"))
+      GraphSearch.semanticEdgeSearch(
+        GraphSearch.EdgeTable(edges, "src", "rel", "dst"),
+        emb.where(col("vec_id").between(1, 20))
+          .select(col("vec_id").cast("long").as("rel_id"), col("embedding")),
+        "rel_id", "embedding",
+        emb.where(col("vec_id") === 0).select("embedding"), "embedding",
+        topK = 50, edgeMinScore = 0.3)
+    }),
+
+    // §3.2 /search with merge-side attribute sort (merge.py:97-168):
+    // the page is cut by BM25 score first, then re-ordered by the
+    // document attribute (title-sort analog on the source column)
+    "q82_search_title_sort" -> ((s, dir) => {
+      import graft.api.Search
+      val docs = load(s, dir, "documents")
+      val resp = Search.search(docs, "doc_id", "text", "lang", None,
+        Search.SearchRequest(query = QueryTerms.mkString(" "), topK = 15,
+          sortField = Some("source")),
+        index = Some(graft.sources.IndexStore.tables(s, dir)))
+      resp.documents.get
+    }),
+
+    // corpus profiling with SKETCHES — the 100 TB first-pass profile:
+    // HyperLogLog++ distinct counts and approximate percentiles give a
+    // bounded-memory, one-pass corpus shape. NO DuckDB oracle (sketch
+    // internals are engine-specific — documented ContractSpec
+    // exemption; driver records rows-only); accuracy vs exact is
+    // asserted in ScaleDesignSpec at rsd/tolerance bounds.
+    "q83_approx_profile" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          approx_count_distinct(col("source"), 0.02).as("nd_source"),
+          percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("p50_chars"),
+          percentile_approx(col("n_chars"), lit(0.9), lit(1000)).as("p90_chars"))
+        .orderBy("lang"))
   )
 
   // ---------------------------------------------------------------- //
@@ -1817,6 +1885,32 @@ object SparkEntry {
          |scored AS (SELECT e.vec_id, round(${cosSql("e.v", "q.qv")}, 6) AS score
          |           FROM e CROSS JOIN q WHERE e.vec_id <> 0)
          |SELECT CAST(count(*) AS BIGINT) AS n, round(avg(score), 6) AS avg_score
-         |FROM scored WHERE score >= 0.35""".stripMargin
+         |FROM scored WHERE score >= 0.35""".stripMargin,
+
+    "q81_graph_semantic_edge" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |toprel AS (SELECT CAST(e.vec_id AS BIGINT) AS relation,
+         |                  round(${cosSql("e.v", "q.qv")}, 6) AS rel_score
+         |           FROM e CROSS JOIN q
+         |           WHERE e.vec_id BETWEEN 1 AND 20
+         |             AND round(${cosSql("e.v", "q.qv")}, 6) >= 0.3
+         |           ORDER BY rel_score DESC, e.vec_id LIMIT 200),
+         |ed AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS source,
+         |              CAST(l_partkey % 20 + 1 AS BIGINT) AS relation,
+         |              CAST(l_partkey AS BIGINT) AS destination
+         |       FROM lineitem)
+         |SELECT source, relation, destination, rel_score
+         |FROM ed JOIN toprel USING (relation)
+         |ORDER BY rel_score DESC, relation, source, destination
+         |LIMIT 50""".stripMargin,
+
+    "q82_search_title_sort" ->
+      s"""WITH $Bm25Ctes,
+         |cut AS (SELECT doc_id, score FROM bm25
+         |        ORDER BY score DESC, doc_id LIMIT 15)
+         |SELECT c.doc_id, c.score, d.source
+         |FROM cut c JOIN documents d USING (doc_id)
+         |ORDER BY d.source, c.doc_id""".stripMargin
   )
 }

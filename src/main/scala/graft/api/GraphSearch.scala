@@ -85,4 +85,50 @@ object GraphSearch {
       .distinct()
       .orderBy("source", "relation", "destination")
       .limit(topK)
+
+  /** Over-request clamp for semantic node/edge matches — relation
+    * labels carry multiple vectors (one per field occurrence), so the
+    * planner asks for topK×10 clamped to [50, 200] to keep duplicates
+    * from crowding out unique labels (`query_planner.rs:44-58`,
+    * GRAPH_VECTOR_OVERREQUEST_FACTOR/_MIN/_MAX). */
+  def vectorOverRequest(topK: Int): Int =
+    math.min(200, math.max(50, topK * 10))
+
+  /** Graph semantic EDGE match — the `vector_edge_requests` side of the
+    * reference's graph planner (`query_planner.rs:96-140`): the
+    * relation constraint is a VECTOR, not a term. The edge-label
+    * vectorset is searched for the [[vectorOverRequest]] nearest labels
+    * above `edgeMinScore`, the surviving labels become the relation
+    * term set (the q46 node variant's dual), and matching edges rank by
+    * their relation's similarity.
+    *
+    * Scale shape: the label search is a broadcast-query brute-force
+    * top-k over the (label-sized, not corpus-sized) vectorset; the
+    * resulting ≤200-row label list broadcasts into the edge scan as an
+    * equi-join — the edge table never shuffles.
+    */
+  def semanticEdgeSearch(
+      t: EdgeTable,
+      relVectors: DataFrame,
+      relIdCol: String,
+      relVecCol: String,
+      query: DataFrame,
+      queryVecCol: String,
+      pathFilter: PathQuery = PathQuery.Path(),
+      topK: Int = 50,
+      edgeMinScore: Double = -1.0): DataFrame = {
+    val topRels = graft.operators.VectorSearch.bruteForceTopK(
+      relVectors, relIdCol, relVecCol, query, queryVecCol,
+      vectorOverRequest(topK), edgeMinScore)
+    t.edges.where(compile(pathFilter, t))
+      .select(col(t.srcCol).as("source"), col(t.relCol).as("relation"),
+        col(t.dstCol).as("destination"))
+      .distinct()
+      .join(broadcast(topRels.select(col(relIdCol).as("relation"),
+        col("score").as("rel_score"))), "relation")
+      .select(col("source"), col("relation"), col("destination"), col("rel_score"))
+      .orderBy(col("rel_score").desc, col("relation"), col("source"),
+        col("destination"))
+      .limit(topK)
+  }
 }

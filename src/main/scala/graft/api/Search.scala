@@ -13,12 +13,18 @@ import graft.operators.{Facets, FilterExpr, TopK}
   */
 object Search {
 
+  /** `sortField` is the merge-side sort option (`merge.py:97-168`
+    * merge_documents_results): the page is cut by score FIRST, then
+    * the cut page is re-ordered by the named document attribute (the
+    * reference's title/created/modified sorts) — "we need to cut first
+    * and then sort, otherwise the page will be wrong". */
   final case class SearchRequest(
       query: String = "",
       filter: Option[FilterExpr] = None,
       faceted: Seq[String] = Nil,
       topK: Int = 20,
-      onlyFaceted: Boolean = false)
+      onlyFaceted: Boolean = false,
+      sortField: Option[String] = None)
 
   /** The multi-part response: independent lists + facet counts, each a
     * lazily-evaluated DataFrame (callers materialize what they need —
@@ -57,9 +63,17 @@ object Search {
             allowed = req.filter.map(_ => base.select(docId)))
           case None => Bm25.score(base, docId, textCol, parsed.terms)
         }
-        Some(TopK.topK(
+        val cut = TopK.topK(
           scored.withColumn("score", round(col("score"), 4)),
-          "score", docId, req.topK))
+          "score", docId, req.topK)
+        // merge-side attribute sort of the ALREADY-CUT page: the
+        // hydration join touches topK rows, never the corpus
+        Some(req.sortField match {
+          case Some(f) => cut
+            .join(docs.select(col(docId), col(f)), docId)
+            .orderBy(col(f).asc, col(docId).asc)
+          case None => cut
+        })
       }
 
     val parList = paragraphs.flatMap { case (par, pid, ptext) =>

@@ -439,6 +439,21 @@ object VectorSearch {
     * a 64× smaller column scan). Approximate by construction; recall vs
     * [[bruteForceTopK]] is measured in AnnRecallSpec.
     */
+  /** ADC lookup table for subspace `j` as an array literal:
+    * adc(j)(cid) = q_subⱼ · codeword(cid)_subⱼ, rounded at 6 so the
+    * estimate is engine-portable. */
+  private def adcLit(queryVec: Seq[Float], codebook: Seq[(Int, Seq[Float])],
+      m: Int)(j: Int): Column = {
+    val subDim = codebook.head._2.length / m
+    typedlit(codebook.map { case (_, cw) =>
+      val s = j * subDim
+      val d = (0 until subDim).foldLeft(0.0) { (acc, i) =>
+        acc + queryVec(s + i).toDouble * cw(s + i).toDouble
+      }
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    })
+  }
+
   def pqAdcSearch(
       corpus: DataFrame,
       idCol: String,
@@ -447,20 +462,59 @@ object VectorSearch {
       codebook: Seq[(Int, Seq[Float])],
       m: Int,
       k: Int): DataFrame = {
-    val dim = codebook.head._2.length
-    val subDim = dim / m
     require(codebook.map(_._1) == (1 to codebook.size), "codebook cids must be 1..K in order")
-    // ADC lookup per subspace: adc(j)(cid−1) = q_subⱼ · codeword_subⱼ
-    def adcLit(j: Int) = typedlit(codebook.map { case (_, cw) =>
-      val s = j * subDim
-      val d = (0 until subDim).foldLeft(0.0) { (acc, i) =>
-        acc + queryVec(s + i).toDouble * cw(s + i).toDouble
-      }
-      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    })
+    val adc = adcLit(queryVec, codebook, m) _
     val codes = pqCodes(corpus, idCol, vecCol, codebook, m)
     val est = round(
-      (0 until m).map(j => element_at(adcLit(j), col(s"__c$j"))).reduce(_ + _), 6)
+      (0 until m).map(j => element_at(adc(j), col(s"__c$j"))).reduce(_ + _), 6)
+    codes.withColumn("est", est)
+      .select(col(idCol), col("est"))
+      .orderBy(col("est").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** PQ codes packed into ONE BinaryType column — the at-rest layout:
+    * byte j of `code` is subspace j's codeword id (1..K ≤ 255), so a
+    * billion-vector corpus stores m bytes per vector and the ADC scan
+    * reads a single fixed-width binary column instead of m int columns
+    * (or the 4·dim-byte raw vector — 64× wider at dim=64, m=16). The
+    * pack is pure codegen'd column work: hex-encode each code, concat,
+    * unhex.
+    */
+  def pqCodesBinary(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebook: Seq[(Int, Seq[Float])],
+      m: Int): DataFrame = {
+    require(codebook.size <= 255, "binary PQ codes hold one byte per subspace")
+    val codes = pqCodes(corpus, idCol, vecCol, codebook, m)
+    codes.select(col(idCol),
+      unhex(concat((0 until m).map(j =>
+        lpad(hex(col(s"__c$j")), 2, "0")): _*)).as("code"))
+  }
+
+  /** ADC search over an at-rest binary code table ([[pqCodesBinary]]'s
+    * output read back from parquet) — the serving-side pair of
+    * [[pqAdcSearch]]: identical estimates and cut, but the scan touches
+    * ONLY (id, code); the raw vector column does not exist in the
+    * table. Byte j decodes with a substring of the hex encoding — all
+    * codegen'd built-ins, no UDF.
+    */
+  def pqAdcSearchFromCodes(
+      codes: DataFrame,
+      idCol: String,
+      codeCol: String,
+      queryVec: Seq[Float],
+      codebook: Seq[(Int, Seq[Float])],
+      m: Int,
+      k: Int): DataFrame = {
+    require(codebook.map(_._1) == (1 to codebook.size), "codebook cids must be 1..K in order")
+    val adc = adcLit(queryVec, codebook, m) _
+    val hexed = hex(col(codeCol))
+    val est = round(
+      (0 until m).map(j => element_at(adc(j),
+        conv(substring(hexed, j * 2 + 1, 2), 16, 10).cast("int"))).reduce(_ + _), 6)
     codes.withColumn("est", est)
       .select(col(idCol), col("est"))
       .orderBy(col("est").desc, col(idCol).asc)

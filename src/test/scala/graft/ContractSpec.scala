@@ -8,18 +8,32 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ContractSpec extends AnyFunSuite {
 
+  /** Queries with NO DuckDB oracle, each with a documented reason —
+    * the driver records a rows-only check for these (allowed by the
+    * contract for non-SQL-expressible ops). Keep this set minimal.
+    *
+    *  - q83_approx_profile: HLL++/percentile sketches have
+    *    engine-specific internals (DuckDB's approx functions produce
+    *    different estimates from Spark's by construction); accuracy vs
+    *    exact is asserted in ScaleDesignSpec within rsd/tolerance.
+    */
+  private val oracleExempt = Set("q83_approx_profile")
+
   test("every query has an oracle and vice versa") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert((q -- o).isEmpty, s"queries without oracle: ${q -- o}")
+    assert((q -- o -- oracleExempt).isEmpty,
+      s"queries without oracle: ${q -- o -- oracleExempt}")
     assert((o -- q).isEmpty, s"oracles without query: ${o -- q}")
+    assert((oracleExempt & o).isEmpty,
+      "an exempted query gained an oracle — remove it from the exempt set")
   }
 
   test("query names are stable and sortable") {
     SparkEntry.queries.keySet.foreach { n =>
       assert(n.matches("q\\d{2}_[a-z0-9_]+"), s"bad query name: $n")
     }
-    assert(SparkEntry.queries.size == 80)
+    assert(SparkEntry.queries.size == 83)
   }
 
   test("oracle SQL contains no tab or CR characters that could break the JSON dump") {

@@ -142,7 +142,61 @@ class ScaleDesignSpec extends SparkSpec {
     val p = plan(q73)
     assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(10).mkString("\n"))
     assert(!p.contains("Exchange") && !p.contains("Join"),
-      "code assignment + ADC must be literal-codebook math in the scan projection:\n" +
+      "ADC must be broadcast-lookup math in the scan projection:\n" +
+        p.linesIterator.take(15).mkString("\n"))
+    // at-rest layout: the scan reads (id, m-byte binary code) ONLY —
+    // the raw embedding column never exists in the served table
+    assert(p.contains("code:binary"),
+      s"codes must be one BinaryType column at rest:\n$p")
+    assert(!p.contains("embedding"),
+      "the ADC scan must never touch raw vectors:\n" +
+        p.linesIterator.take(15).mkString("\n"))
+  }
+
+  test("binary PQ codes round-trip: ADC from the at-rest code column equals the inline path") {
+    import graft.operators.VectorSearch
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = emb.where(col("vec_id").between(1, 16))
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    val qv = emb.where(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val inline = VectorSearch.pqAdcSearch(corpus, "vec_id", "embedding", qv, cb, 16, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val dir = Files.createTempDirectory("graft-pqbin").toString
+    VectorSearch.pqCodesBinary(corpus, "vec_id", "embedding", cb, 16)
+      .write.parquet(s"$dir/codes")
+    val atRest = VectorSearch.pqAdcSearchFromCodes(
+        spark.read.parquet(s"$dir/codes"), "vec_id", "code", qv, cb, 16, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(atRest.sameElements(inline))
+  }
+
+  test("approx_percentile tracks exact percentiles within tolerance on real data") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = docs.agg(
+        percentile(col("n_chars"), lit(0.5)).as("p50"),
+        percentile(col("n_chars"), lit(0.9)).as("p90")).collect().head
+    val approx = docs.agg(
+        percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("p50"),
+        percentile_approx(col("n_chars"), lit(0.9), lit(1000)).as("p90")).collect().head
+    Seq(0, 1).foreach { i =>
+      val (e, a) = (exact.getDouble(i), approx.getLong(i).toDouble)
+      assert(math.abs(a - e) / e < 0.05, s"percentile $i: approx $a vs exact $e")
+    }
+  }
+
+  test("semantic edge match: over-request clamps to [50,200] and label list broadcasts") {
+    import graft.api.GraphSearch
+    assert(GraphSearch.vectorOverRequest(2) == 50)   // 20 → floor 50
+    assert(GraphSearch.vectorOverRequest(8) == 80)   // inside the band
+    assert(GraphSearch.vectorOverRequest(50) == 200) // 500 → ceiling 200
+    val q81 = SparkEntry.queries("q81_graph_semantic_edge")(spark, "/root/testdata/sf0.001")
+    assert(q81.count() > 0)
+    val p = plan(q81)
+    assert(p.contains("BroadcastHashJoin"),
+      "the matched-label set must broadcast into the edge scan:\n" +
         p.linesIterator.take(15).mkString("\n"))
   }
 
