@@ -37,7 +37,8 @@ object SparkEntry {
       .select("embedding").collect().head.getSeq[Float](0)
     Find.find(
       Find.Corpus(docs, "doc_id", "text", Some(emb),
-        index = Some(graft.sources.IndexStore.tables(spark, dir))),
+        index = Some(graft.sources.IndexStore.tables(spark, dir)),
+        vectorIndex = Some(graft.sources.IndexStore.vectorIndex(spark, dir))),
       Find.FindRequest(query = QueryTerms.mkString(" "),
         queryVector = Some(qv), topK = 10))
   }
@@ -58,8 +59,11 @@ object SparkEntry {
   private val pqCodesDirs = scala.collection.mutable.Map[String, String]()
   private def pqCodesAtRest(s: SparkSession, dir: String,
       cb: Seq[(Int, Seq[Float])], m: Int): DataFrame = synchronized {
-    val path = pqCodesDirs.getOrElseUpdate(dir, {
-      val out = java.nio.file.Files.createTempDirectory("graft-pqcodes-").toString
+    // memo key includes the codebook + m: a later call with a different
+    // codebook for the same corpus dir gets its own code table
+    val path = pqCodesDirs.getOrElseUpdate(s"$dir#${(cb, m).hashCode}", {
+      val out = graft.sources.IndexStore.deleteOnExit(
+        java.nio.file.Files.createTempDirectory("graft-pqcodes-").toString)
       VectorSearch.pqCodesBinary(
           load(s, dir, "embeddings").where(col("vec_id") =!= 0),
           "vec_id", "embedding", cb, m)
@@ -978,6 +982,34 @@ object SparkEntry {
           sortField = Some("source")),
         index = Some(graft.sources.IndexStore.tables(s, dir)))
       resp.documents.get
+    }),
+
+    // §2.3 semantic search SERVED FROM THE AT-REST IVF-PQ INDEX — the
+    // vector analog of q09's posting serving: ingest trained centroids
+    // + PQ codebook and wrote the centroid-partitioned binary code
+    // table; the query probes clusters (partition pruning on the codes
+    // table), ADC-scores only their m-byte codes, and exact-reranks the
+    // top 200 candidates from raw vectors. Serving config: on the
+    // near-random synthetic test embeddings the IVF structure carries
+    // little signal (top-20 cosines ≈ 0.25–0.33, spread uniformly), so
+    // exact-oracle parity needs every cluster probed — the same call
+    // the reference's cost model makes for small segments
+    // (`nidx_vector/src/segment.rs:626-660`: brute when the index
+    // cannot prune safely). The at-rest win stands regardless: the
+    // probe scan reads the 16-byte code column, never the raw vectors
+    // (plan-pinned in ScaleDesignSpec), and only 200 rows pay exact
+    // cosines. Pruned configs and their recall are measured in
+    // AnnRecallSpec.
+    "q84_ann_at_rest" -> ((s, dir) => {
+      val vix = graft.sources.IndexStore.vectorIndex(s, dir)
+      val qv = load(s, dir, "embeddings").where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0)
+      VectorSearch.ivfPqSearchAtRest(
+        vix.codes.where(col("vec_id") =!= 0),
+        vix.raw.where(col("vec_id") =!= 0),
+        "vec_id", "code", "embedding",
+        vix.centroids, vix.codebook, vix.m, qv,
+        k = 20, nprobe = vix.centroids.size, rerank = 200)
     }),
 
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:
@@ -1911,6 +1943,17 @@ object SparkEntry {
          |        ORDER BY score DESC, doc_id LIMIT 15)
          |SELECT c.doc_id, c.score, d.source
          |FROM cut c JOIN documents d USING (doc_id)
-         |ORDER BY d.source, c.doc_id""".stripMargin
+         |ORDER BY d.source, c.doc_id""".stripMargin,
+
+    // q84 serves the at-rest IVF-PQ index with an exact rerank whose
+    // candidate set reaches full recall on the test corpora (asserted
+    // in AnnRecallSpec), so the oracle is the exact top-k — identical
+    // to q19's contract.
+    "q84_ann_at_rest" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, round(${cosSql("e.v", "q.qv")}, 6) AS score
+         |FROM e CROSS JOIN q WHERE e.vec_id <> 0
+         |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin
   )
 }

@@ -46,7 +46,9 @@ object Find {
       vecId: String = "vec_id",
       vecCol: String = "embedding",
       vectorsetCol: Option[String] = None,
-      index: Option[graft.sources.IndexStore.IndexTables] = None)
+      index: Option[graft.sources.IndexStore.IndexTables] = None,
+      vectorIndex: Option[graft.sources.IndexStore.VectorIndex] = None,
+      annBruteThreshold: Long = 1000)
 
   final case class FindRequest(
       query: String = "",
@@ -107,22 +109,46 @@ object Find {
           .where(col("score") >= req.keywordMinScore))
       }
 
-    // 4. semantic list, prefiltered by the same doc set
+    // 4. semantic list, prefiltered by the same doc set. Cost model
+    // (the reference's brute-vs-index duality,
+    // `nidx_vector/src/searcher.rs:241-343`, `segment.rs:626-660`):
+    // serve the at-rest IVF-PQ index (probe → code scan → exact
+    // rerank) when the request searches the whole default vectorset of
+    // a large-enough corpus; fall back to the exact brute-force scan
+    // when a prefilter restricts the candidate set (the filtered set is
+    // what the reference's cost model scans linearly), a named
+    // vectorset is requested (the index binds the default set), or the
+    // corpus is below the brute threshold. The index path cuts at the
+    // fusion window — identical downstream semantics, since fusion
+    // never ranks more than [[RankFusion.MaxWindow]] rows per list.
     val semanticList: Option[DataFrame] = for {
       vecs0 <- corpus.vectors
       qv <- req.queryVector
     } yield {
-      // vectorset selection = partition pruning on the vectorset column
-      val vecs = (corpus.vectorsetCol, req.vectorset) match {
-        case (Some(c), Some(vs)) => vecs0.where(col(c) === vs)
-        case _ => vecs0
+      val useIndex = corpus.vectorIndex.exists(_.nVectors >= corpus.annBruteThreshold) &&
+        req.filter.isEmpty && req.vectorset.isEmpty
+      if (useIndex) {
+        val vix = corpus.vectorIndex.get
+        val window = math.max(req.topK, RankFusion.MaxWindow)
+        VectorSearch.ivfPqSearchAtRest(
+            vix.codes, vecs0, corpus.vecId, "code", corpus.vecCol,
+            vix.centroids, vix.codebook, vix.m, qv,
+            k = window, nprobe = math.max(1, vix.centroids.size / 2),
+            rerank = 2 * window, minScore = req.semanticMinScore)
+          .select(col(corpus.vecId).as(corpus.docId), col("score"))
+      } else {
+        // vectorset selection = partition pruning on the vectorset column
+        val vecs = (corpus.vectorsetCol, req.vectorset) match {
+          case (Some(c), Some(vs)) => vecs0.where(col(c) === vs)
+          case _ => vecs0
+        }
+        val allowed = base.select(col(corpus.docId).as(corpus.vecId))
+        Prefilter.semiJoin(vecs, corpus.vecId, allowed)
+          .withColumn("score",
+            round(VectorFunctions.cosine(col(corpus.vecCol), typedlit(qv)), 6))
+          .where(col("score") >= req.semanticMinScore)
+          .select(col(corpus.vecId).as(corpus.docId), col("score"))
       }
-      val allowed = base.select(col(corpus.docId).as(corpus.vecId))
-      Prefilter.semiJoin(vecs, corpus.vecId, allowed)
-        .withColumn("score",
-          round(VectorFunctions.cosine(col(corpus.vecCol), typedlit(qv)), 6))
-        .where(col("score") >= req.semanticMinScore)
-        .select(col(corpus.vecId).as(corpus.docId), col("score"))
     }
 
     // 5. fusion

@@ -577,6 +577,92 @@ object VectorSearch {
     pqSearchReranked(candidates, idCol, vecCol, queryVec, codebook, m, k, rerank)
   }
 
+  /** Driver-side cosine for probing the (driver-scale) centroid list —
+    * same double-precision accumulation order as the codegen
+    * [[graft.functions.expr.CosineSimilarity]], so probe ranking agrees
+    * with the Spark-side scores bit-for-bit.
+    */
+  def cosineLocal(a: Seq[Float], b: Seq[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      d += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else d / math.sqrt(na * nb)
+  }
+
+  /** Rank the centroid list against a query driver-side and keep the
+    * `nprobe` nearest (rounded score desc, cid asc — the same order
+    * [[bruteForceTopK]] would produce). The centroid list is
+    * driver-scale (like a query vector), so probing costs no Spark job.
+    */
+  def probeCentroids(centroids: Seq[(Int, Seq[Float])], queryVec: Seq[Float],
+      nprobe: Int): Seq[Int] =
+    centroids
+      .map { case (cid, cv) =>
+        val s = BigDecimal(cosineLocal(queryVec, cv))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (cid, s)
+      }
+      .sortBy { case (cid, s) => (-s, cid) }
+      .take(nprobe).map(_._1)
+
+  /** IVF-PQ search SERVED FROM THE AT-REST INDEX
+    * ([[graft.sources.Ingest.buildVectorIndex]]'s tables) — the
+    * production `/find` semantic path. Three narrowing stages:
+    *
+    *  1. probe: rank the driver-scale centroid list in-process and keep
+    *     `nprobe` clusters — on the centroid-partitioned `codes` table
+    *     the resulting `centroid_id IN (...)` predicate is parquet
+    *     PARTITION PRUNING (no row filtering, no full scan);
+    *  2. ADC: score the pruned clusters' members from their m-byte
+    *     binary codes alone via broadcast lookup tables
+    *     ([[pqAdcSearchFromCodes]]) and keep the top `rerank`;
+    *  3. exact rerank: only those `rerank` ids read their raw vectors
+    *     (a semi-join into the embedding table) for full-precision
+    *     cosines, cut to k with `minScore`.
+    *
+    * The raw embedding column is touched for exactly `rerank` rows per
+    * query regardless of corpus size — the same bounded-rerank contract
+    * as the reference's RaBitQ path
+    * (`nidx_vector/src/vector_types/rabitq.rs:25-40`). Approximate by
+    * construction (probe pruning bounds recall exactly as nprobe does
+    * for [[ivfSearch]]); recall is measured in AnnRecallSpec, and the
+    * q84 serving parameters are verified to reach full recall on the
+    * test corpora.
+    *
+    * `codes` may be pre-filtered by the caller (e.g. excluding the
+    * query row) — any such predicate composes with the partition
+    * pruning.
+    */
+  def ivfPqSearchAtRest(
+      codes: DataFrame,
+      raw: DataFrame,
+      idCol: String,
+      codeCol: String,
+      vecCol: String,
+      centroids: Seq[(Int, Seq[Float])],
+      codebook: Seq[(Int, Seq[Float])],
+      m: Int,
+      queryVec: Seq[Float],
+      k: Int,
+      nprobe: Int,
+      rerank: Int,
+      minScore: Double = -1.0): DataFrame = {
+    val probes = probeCentroids(centroids, queryVec, nprobe)
+    val pruned = codes.where(col("centroid_id").isInCollection(probes))
+    val candidates = pqAdcSearchFromCodes(
+        pruned, idCol, codeCol, queryVec, codebook, m, rerank)
+      .select(col(idCol))
+    raw.join(candidates, Seq(idCol), "left_semi")
+      .withColumn("score", round(cosine(col(vecCol), typedlit(queryVec)), 6))
+      .where(col("score") >= minScore)
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** RaBitQ-style two-pass: cheap 1-bit signature hamming pre-score over
     * everything, full-precision rerank of the top `rerank` candidates
     * (`nidx_vector/src/vector_types/rabitq.rs:25-40`, rerank factor 100,

@@ -3,24 +3,32 @@ package graft.sources
 import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** At-rest index tables for a corpus directory — the serving-side view
-  * of [[Ingest.buildIndex]].
+  * of [[Ingest.buildIndex]] / [[Ingest.buildVectorIndex]].
   *
   * The reference never tokenizes at search time: ingest builds tantivy
   * segments and `/find`/`/search` serve postings from disk
   * (`nidx/nidx_text/src/reader.rs:367-451`). The Spark-native analog is
-  * parquet tables — postings (term, id, tf), doc lengths, and the
-  * paragraph table — materialized once per corpus and scanned with
+  * parquet tables — postings (term, id, tf), doc lengths, the paragraph
+  * table, the term-frequency dictionary, MinHash signatures, and the
+  * IVF-PQ vector index — materialized once per corpus and scanned with
   * predicate pushdown at query time (`term IN (...)` reaches the
-  * parquet reader as a PushedFilter, so a query touches the matching
-  * posting rows, not the corpus).
+  * parquet reader as a PushedFilter; a centroid probe reaches the codes
+  * table as partition pruning).
   *
   * The store builds each corpus directory's index lazily on first
   * access and memoizes it for the JVM lifetime — the test/bench analog
   * of "ingest ran before the first query". Production deployments run
   * [[Ingest.buildIndex]] in the ingest pipeline instead and read the
   * tables directly.
+  *
+  * Column contract: the document index binds `doc_id`/`text` and the
+  * vector index `vec_id`/`embedding` — the testdata schema. Corpora
+  * with other column names run [[Ingest.buildIndex]] directly.
+  * Index temp directories register a JVM shutdown hook for deletion,
+  * so repeated runs do not accumulate on disk.
   */
 object IndexStore {
 
@@ -30,7 +38,34 @@ object IndexStore {
       docLengths: DataFrame,
       paragraphs: DataFrame)
 
+  /** The at-rest ANN index ([[Ingest.buildVectorIndex]]'s output as the
+    * serving side reads it): driver-scale centroid + codebook literals,
+    * the centroid-partitioned binary code table, the assignment table,
+    * and the raw-vector table the exact rerank joins into.
+    */
+  final case class VectorIndex(
+      centroids: Seq[(Int, Seq[Float])],
+      codebook: Seq[(Int, Seq[Float])],
+      m: Int,
+      nVectors: Long,
+      codes: DataFrame,
+      assignments: DataFrame,
+      raw: DataFrame)
+
   private val built = scala.collection.mutable.Map[String, String]()
+  private val builtVec = scala.collection.mutable.Map[String, String]()
+
+  /** Register a temp directory for recursive deletion at JVM exit. */
+  def deleteOnExit(dir: String): String = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }))
+    dir
+  }
 
   /** Index directory for `sfDir`'s documents table, building it on
     * first access (one tokenize pass over the corpus — the ingest-time
@@ -38,9 +73,24 @@ object IndexStore {
     */
   def indexDir(spark: SparkSession, sfDir: String): String = synchronized {
     built.getOrElseUpdate(sfDir, {
-      val out = Files.createTempDirectory("graft-index-").toString
+      val out = deleteOnExit(Files.createTempDirectory("graft-index-").toString)
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       Ingest.buildIndex(docs, "doc_id", "text", out, withVectors = false)
+      out
+    })
+  }
+
+  /** Vector index directory for `sfDir`'s embeddings table, built on
+    * first access ([[Ingest.buildVectorIndex]]: IVF + PQ training and
+    * the partitioned code table — the ingest-time cost the semantic
+    * query path no longer pays).
+    */
+  def vectorIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
+    builtVec.getOrElseUpdate(sfDir, {
+      val out = deleteOnExit(Files.createTempDirectory("graft-vecindex-").toString)
+      Ingest.buildVectorIndex(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        "vec_id", "embedding", out)
       out
     })
   }
@@ -51,6 +101,32 @@ object IndexStore {
       postings = spark.read.parquet(s"$dir/postings"),
       docLengths = spark.read.parquet(s"$dir/doclengths"),
       paragraphs = spark.read.parquet(s"$dir/paragraphs"))
+  }
+
+  /** The served vector index: centroid/codebook literals collected once
+    * (driver-scale, like IVF centroids everywhere else), code +
+    * assignment tables as pruned-scan DataFrames, raw vectors for the
+    * exact rerank.
+    */
+  def vectorIndex(spark: SparkSession, sfDir: String): VectorIndex = {
+    val dir = vectorIndexDir(spark, sfDir)
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("cid"), col("cvec"), col("n_members"))
+      .collect().toSeq
+    val cb = spark.read.parquet(s"$dir/codebook")
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    val meta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/vector_meta.json"))
+    val m = """"m":\s*(\d+)""".r.findFirstMatchIn(meta).get.group(1).toInt
+    VectorIndex(
+      centroids = cents.map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1),
+      codebook = cb,
+      m = m,
+      nVectors = cents.map(_.getLong(2)).sum,
+      codes = spark.read.parquet(s"$dir/codes"),
+      assignments = spark.read.parquet(s"$dir/assignments"),
+      raw = spark.read.parquet(s"$sfDir/embeddings.parquet"))
   }
 
   def postings(spark: SparkSession, sfDir: String): DataFrame =

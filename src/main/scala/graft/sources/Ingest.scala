@@ -99,6 +99,93 @@ object Ingest {
         .write.mode("overwrite").parquet(s"$outDir/vectors")
   }
 
+  /** Ingest-time VECTOR index build — the at-rest ANN layout the
+    * serving path probes (the vector analog of [[buildIndex]]'s posting
+    * tables; the reference builds a per-segment HNSW at index time,
+    * `nidx/nidx_vector/src/indexer.rs`, and `/find` serves it from
+    * disk). Four tables:
+    *
+    *  - `centroids` (cid, cvec, n_members): IVF coarse centroids,
+    *    trained here with `kmeansIters` Lloyd rounds from a
+    *    deterministic seed (the `numCentroids` lowest-id vectors).
+    *    Driver-scale by construction — the serving side collects it
+    *    once and probes in-process, like a query vector literal.
+    *  - `assignments` (id, centroid_id): nearest-centroid assignment,
+    *    the partition-pruning key.
+    *  - `codebook` (cid, cw): PQ codewords ([[graft.operators.VectorSearch.pqTrain]],
+    *    seeded from the `numCodewords` lowest-id vectors), full-dim;
+    *    driver-scale like the centroids.
+    *  - `codes` (id, code binary, centroid_id) PARTITIONED BY
+    *    centroid_id: each vector's m-byte PQ code stored under its
+    *    cluster directory — a probe is parquet partition pruning and
+    *    the pruned scan reads m bytes per vector, never the raw
+    *    embedding (the 100 TB contract: at dim=64/m=16 the code column
+    *    is 16× narrower than the float vectors).
+    *
+    * Everything is deterministic (rounded scores, id tiebreaks), so
+    * rebuilding the index from the same corpus is byte-stable.
+    */
+  def buildVectorIndex(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      outDir: String,
+      numCentroids: Int = 16,
+      kmeansIters: Int = 2,
+      numCodewords: Int = 16,
+      m: Int = 16,
+      pqIters: Int = 2): Unit = {
+    import graft.operators.VectorSearch
+    val spark = vectors.sparkSession
+    import spark.implicits._
+
+    // --- IVF: deterministic seed → Lloyd rounds → final assignment ---
+    def collectCentroids(df: DataFrame): Seq[(Int, Seq[Float])] =
+      df.collect().toSeq
+        .map(r => (r.getInt(0), r.getSeq[Float](1)))
+        .sortBy(_._1)
+    var cents = collectCentroids(
+      vectors.orderBy(col(idCol)).limit(numCentroids)
+        .select(row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col(idCol))).cast("int").as("cid"),
+          col(vecCol).as("cvec")))
+    (1 to kmeansIters).foreach { _ =>
+      // collect per round: K×dim floats (driver-scale); chaining the
+      // lazy plans instead would double the tree every iteration
+      cents = collectCentroids(
+        VectorSearch.kmeansStep(vectors, idCol, vecCol,
+            cents.toDF("cid", "cvec"), "cid", "cvec")
+          .select(col("centroid_id").cast("int").as("cid"),
+            transform(col("cvec"), _.cast("float")).as("cvec")))
+    }
+    val centDf = cents.toDF("cid", "cvec")
+    val assignments = VectorSearch.ivfAssign(
+        vectors, idCol, vecCol, centDf, "cid", "cvec")
+      .select(col(idCol), col("centroid_id"))
+    assignments.write.mode("overwrite").parquet(s"$outDir/assignments")
+    val members = spark.read.parquet(s"$outDir/assignments")
+      .groupBy("centroid_id").agg(count(lit(1)).as("n_members"))
+      .collect().map(r => r.getAs[Number](0).intValue -> r.getLong(1)).toMap
+    cents.map { case (cid, cv) => (cid, cv, members.getOrElse(cid, 0L)) }
+      .toDF("cid", "cvec", "n_members")
+      .write.mode("overwrite").parquet(s"$outDir/centroids")
+
+    // --- PQ: deterministic seed → Lloyd rounds → binary codes ---
+    val seed = vectors.orderBy(col(idCol)).limit(numCodewords)
+      .select(col(vecCol)).collect().toSeq
+      .zipWithIndex.map { case (r, i) => (i + 1, r.getSeq[Float](0)) }
+    val codebook = VectorSearch.pqTrain(vectors, idCol, vecCol, seed, m, pqIters)
+    codebook.toDF("cid", "cw")
+      .write.mode("overwrite").parquet(s"$outDir/codebook")
+    VectorSearch.pqCodesBinary(vectors, idCol, vecCol, codebook, m)
+      .join(spark.read.parquet(s"$outDir/assignments"), idCol)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$outDir/codes")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/vector_meta.json"),
+      s"""{"m": $m, "id_col": "$idCol"}""")
+  }
+
   /** Materialized `json_fields`: parse a JSON string column ONCE per
     * row (a single `from_json` with the merged field schema) into typed
     * top-level columns named `<jsonCol>_<field>`. The reference indexes

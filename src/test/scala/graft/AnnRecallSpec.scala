@@ -130,6 +130,82 @@ class AnnRecallSpec extends SparkSpec {
     assert(recallOf(full, exactTop10) == 1.0)
   }
 
+  test("q84 at-rest IVF-PQ serving parameters reach full recall on every test corpus") {
+    // the q84 oracle is the EXACT top-20, so the served result must
+    // equal brute force bit-for-bit — on the correctness corpus
+    // (sf0.01) and the bench corpus (sf0.1) alike
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1").foreach { dir =>
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val exact = VectorSearch.bruteForceTopK(
+          e.where(col("vec_id") =!= 0), "vec_id", "embedding",
+          e.where(col("vec_id") === 0), "embedding", 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val served = SparkEntry.queries("q84_ann_at_rest")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(served.sameElements(exact),
+        s"$dir: at-rest serving diverged from exact top-20:\n" +
+          s"served=${served.mkString(",")}\nexact=${exact.mkString(",")}")
+    }
+  }
+
+  test("at-rest probe pruning trades recall for scanned clusters (the nprobe dial)") {
+    // on the near-random test embeddings pruned probes lose tail items
+    // — measured here, which is exactly why q84's serving config
+    // probes all clusters for its exact oracle
+    val dir = "/root/testdata/sf0.1"
+    val vix = graft.sources.IndexStore.vectorIndex(spark, dir)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qv = e.where(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val exact = VectorSearch.bruteForceTopK(
+        e.where(col("vec_id") =!= 0), "vec_id", "embedding",
+        e.where(col("vec_id") === 0), "embedding", 20)
+      .collect().map(_.getLong(0))
+    def run(np: Int) = VectorSearch.ivfPqSearchAtRest(
+        vix.codes.where(col("vec_id") =!= 0),
+        vix.raw.where(col("vec_id") =!= 0),
+        "vec_id", "code", "embedding",
+        vix.centroids, vix.codebook, vix.m, qv,
+        k = 20, nprobe = np, rerank = 200)
+      .collect().map(_.getLong(0))
+    val rs = Seq(4, 8, 16).map(np => np -> recallOf(run(np), exact))
+    info(rs.map { case (np, r) => f"nprobe=$np → recall@20 $r%.2f" }.mkString(", "))
+    assert(rs.last._2 == 1.0, "probing every cluster must equal brute force")
+    assert(rs.map(_._2) == rs.map(_._2).sorted, "recall must not decrease with nprobe")
+  }
+
+  test("Find semantic list served from the index agrees with the brute path on an unfiltered request") {
+    import graft.api.Find
+    val dir = "/root/testdata/sf0.01"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qv = e.where(col("vec_id") === 7)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val req = Find.FindRequest(query = "spark query",
+      queryVector = Some(qv), topK = 10)
+    val ix = graft.sources.IndexStore.tables(spark, dir)
+    val vix = graft.sources.IndexStore.vectorIndex(spark, dir)
+    def run(c: Find.Corpus) = Find.find(c, req)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = run(Find.Corpus(docs, "doc_id", "text", Some(e), index = Some(ix)))
+    // threshold 0 forces the index path regardless of corpus size
+    val indexed = run(Find.Corpus(docs, "doc_id", "text", Some(e),
+      index = Some(ix), vectorIndex = Some(vix), annBruteThreshold = 0))
+    // the index path is approximate by contract (nprobe = K/2 prunes
+    // half the clusters): the fused top-10 must agree strongly with
+    // the exact path, not bit-for-bit
+    val overlap = indexed.map(_._1).toSet.intersect(brute.map(_._1).toSet).size
+    info(s"find index-path top-10 overlap with brute: $overlap/10")
+    assert(overlap >= 8,
+      s"index path diverged:\nindexed=${indexed.mkString(",")}\nbrute=${brute.mkString(",")}")
+    // and at the default threshold the cost model picks brute → exact
+    val auto = run(Find.Corpus(docs, "doc_id", "text", Some(e),
+      index = Some(ix), vectorIndex = Some(vix)))
+    assert(auto.sameElements(brute),
+      "below the brute threshold the cost model must serve the exact path")
+  }
+
   test("IVF probe search trades recall for scanned fraction") {
     val centroids = emb.where(col("vec_id") < 10)
     val assignments = VectorSearch.ivfAssign(

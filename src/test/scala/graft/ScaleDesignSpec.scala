@@ -234,6 +234,36 @@ class ScaleDesignSpec extends SparkSpec {
     assert(probed.count() > 0)
   }
 
+  test("at-rest vector index: the probe scan reads binary codes with partition pruning, never raw vectors") {
+    import graft.operators.VectorSearch
+    val dir = "/root/testdata/sf0.001"
+    val vix = graft.sources.IndexStore.vectorIndex(spark, dir)
+    val qv = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0)
+    // a pruned probe (4 of 16 clusters) — the 100 TB shape
+    val probes = VectorSearch.probeCentroids(vix.centroids, qv, 4)
+    val pruned = vix.codes.where(col("centroid_id").isInCollection(probes))
+    val adc = VectorSearch.pqAdcSearchFromCodes(
+      pruned, "vec_id", "code", qv, vix.codebook, vix.m, 100)
+    adc.collect()
+    val p = plan(adc)
+    assert(p.contains("PartitionFilters") && p.contains("centroid_id"),
+      s"the centroid probe must prune code partitions:\n$p")
+    assert(p.contains("code:binary"),
+      s"the probe scan must read the m-byte binary code column:\n$p")
+    assert(!p.contains("embedding"),
+      "the probe/ADC stage must never touch raw vectors:\n" +
+        p.linesIterator.take(15).mkString("\n"))
+    // the full q84 plan reads raw vectors ONLY through the bounded
+    // exact-rerank semi-join; its code scan keeps the partition filter
+    val q84 = SparkEntry.queries("q84_ann_at_rest")(spark, dir)
+    q84.collect()
+    val fp = plan(q84)
+    assert(fp.contains("PartitionFilters") && fp.contains("code:binary"),
+      s"q84 must serve the partitioned at-rest code table:\n$fp")
+  }
+
   test("knnJoin cuts to k map-side: partial topk aggregate, no per-query window") {
     val q20 = SparkEntry.queries("q20_knn_join")(spark, "/root/testdata/sf0.001")
     q20.collect()
