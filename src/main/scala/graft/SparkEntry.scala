@@ -185,20 +185,23 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
-    // §2.3 fuzzy (Levenshtein≤1) search against the term dictionary
+    // §2.3 fuzzy (Levenshtein≤1) search served from the at-rest
+    // posting index — the term dictionary is the distinct (term, doc)
+    // posting set, so no corpus tokenize runs at query time (the
+    // tantivy-FST serving contract,
+    // `nidx_paragraph/src/fuzzy_query.rs:55-120`)
     "q11_fuzzy_search" -> ((s, dir) =>
-      Bm25.tokenStream(load(s, dir, "documents"), "doc_id", "text")
-        .distinct()
+      graft.sources.IndexStore.postings(s, dir)
         .where(levenshtein(col("term"), lit("querry")) <= 1)
         .groupBy("doc_id").agg(count(lit(1)).as("n_terms"))
         .orderBy("doc_id")),
 
-    // §2.5 suggest: prefix top-k over the term-frequency dictionary
-    "q12_suggest_prefix" -> ((s, dir) => {
-      val termFreq = Bm25.tokenStream(load(s, dir, "documents"), "doc_id", "text")
-        .groupBy("term").agg(count(lit(1)).as("freq"))
-      TopK.suggestPrefix(termFreq, "term", "freq", "s", 10)
-    }),
+    // §2.5 suggest: prefix top-k over the at-rest term-frequency
+    // dictionary (the prefix predicate pushes into the parquet scan as
+    // StringStartsWith)
+    "q12_suggest_prefix" -> ((s, dir) =>
+      TopK.suggestPrefix(
+        graft.sources.IndexStore.termFreq(s, dir), "term", "freq", "s", 10)),
 
     // §2.4 counters / shard stats
     "q13_counters" -> ((s, dir) =>
@@ -238,10 +241,15 @@ object SparkEntry {
           n = 3, threshold = 0.08)
         .orderBy("a", "b")),
 
-    // training-data ops: MinHash + LSH near-dup candidates
+    // training-data ops: MinHash + LSH near-dup candidates, served from
+    // the signature table materialized at ingest (signatures are a pure
+    // per-doc function — the request pays the band join, never the
+    // corpus tokenize; `nidx/src/indexer.rs:254-298` segments-built-once
+    // contract)
     "q18_minhash_lsh" -> ((s, dir) =>
-      Dedup.minHashLsh(load(s, dir, "documents"), "doc_id", "text",
-          shingleSize = 3, numHashes = 8, bandSize = 2, minEstJaccard = 0.25)
+      Dedup.minHashLshFromSignatures(
+          graft.sources.IndexStore.signatures(s, dir), "doc_id",
+          numHashes = 8, bandSize = 2, minEstJaccard = 0.25)
         .orderBy("a", "b")),
 
     // §2.3 vector ANN: brute-force cosine top-k (the correctness oracle)
@@ -465,11 +473,10 @@ object SparkEntry {
     }),
 
     // §2.5 suggest with exact-then-fuzzy fallback (adaptive two-pass)
-    "q43_suggest_fuzzy" -> ((s, dir) => {
-      val termFreq = Bm25.tokenStream(load(s, dir, "documents"), "doc_id", "text")
-        .groupBy("term").agg(count(lit(1)).as("freq"))
-      TopK.suggestWithFuzzyFallback(termFreq, "term", "freq", "windoq", 10)
-    }),
+    // over the at-rest term dictionary
+    "q43_suggest_fuzzy" -> ((s, dir) =>
+      TopK.suggestWithFuzzyFallback(
+        graft.sources.IndexStore.termFreq(s, dir), "term", "freq", "windoq", 10)),
 
     // §2.6 drop identical vectors (with_duplicates=false analog)
     "q44_vector_dedup" -> ((s, dir) =>
@@ -659,11 +666,10 @@ object SparkEntry {
     }),
 
     // §2.5 suggest: typo-tolerant last-term fuzzy PREFIX completion
-    "q59_suggest_fuzzy_prefix" -> ((s, dir) => {
-      val termFreq = Bm25.tokenStream(load(s, dir, "documents"), "doc_id", "text")
-        .groupBy("term").agg(count(lit(1)).as("freq"))
-      TopK.suggestFuzzyPrefix(termFreq, "term", "freq", "qindo", 10)
-    }),
+    // over the at-rest term dictionary
+    "q59_suggest_fuzzy_prefix" -> ((s, dir) =>
+      TopK.suggestFuzzyPrefix(
+        graft.sources.IndexStore.termFreq(s, dir), "term", "freq", "qindo", 10)),
 
     // §2.4 hierarchical facet PATH rollup: child counts roll into
     // parent + grandparent in one pass (catalog pg.py:314-359 analog)
@@ -860,10 +866,12 @@ object SparkEntry {
 
     // training-data ops: near-dup pairs → transitive dedup clusters
     // (connected components by min-label propagation; the component
-    // label is the keep-id)
+    // label is the keep-id). Pairs come from the at-rest signature
+    // table — the request pays the band join + fixpoint only.
     "q74_dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.minHashLsh(load(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 3, numHashes = 8, bandSize = 2, minEstJaccard = 0.25)
+      val pairs = Dedup.minHashLshFromSignatures(
+        graft.sources.IndexStore.signatures(s, dir), "doc_id",
+        numHashes = 8, bandSize = 2, minEstJaccard = 0.25)
       Dedup.dedupClusters(pairs, "a", "b")
         .groupBy("component").agg(count(lit(1)).as("n_docs"))
         .orderBy("component")
@@ -930,10 +938,12 @@ object SparkEntry {
     // band → exact-dup keep → near-dup cluster keep → decontamination
     // → deterministic split, every stage one of the tested operators
     "q80_curation_pipeline" -> ((s, dir) => {
-      // per-language curation (the realistic unit of a curation run)
+      // per-language curation (the realistic unit of a curation run);
+      // near-dup signatures come from the at-rest table
       val docs = load(s, dir, "documents").where(col("lang") === "en")
       graft.sources.Pipeline.curate(docs, "doc_id", "text",
-          evalDocs = docs.where(col("doc_id") < 5))
+          evalDocs = docs.where(col("doc_id") < 5),
+          signatures = Some(graft.sources.IndexStore.signatures(s, dir)))
         .orderBy("doc_id")
     }),
 

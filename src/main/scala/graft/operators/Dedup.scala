@@ -51,6 +51,13 @@ object Dedup {
     * consecutive minhashes), verified by estimated Jaccard = fraction of
     * equal minhash components ≥ `minEstJaccard`.
     * Returns (a, b, est_jaccard) with a < b.
+    *
+    * This is the from-raw-text form (one signature pass per request);
+    * production serves [[minHashLshFromSignatures]] over the signature
+    * table [[graft.sources.Ingest.buildIndex]] materializes at ingest —
+    * signatures are a pure per-document function (no corpus
+    * statistics), so the at-rest table is valid for any corpus subset
+    * via a semi-join.
     */
   def minHashLsh(
       docs: DataFrame,
@@ -67,6 +74,20 @@ object Dedup {
       explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize))
         .as("shingle"))
     val sig = graft.Caches.cache(minHashSignatures(sh, idCol, numHashes))
+    minHashLshFromSignatures(sig, idCol, numHashes, bandSize, minEstJaccard)
+  }
+
+  /** [[minHashLsh]] served from a precomputed signature table
+    * ([[minHashSignatures]]'s schema: idCol, h0..h{n-1}) — the at-rest
+    * path: the per-request cost is the band bucket join and the
+    * signature-estimate joins, never a corpus tokenize.
+    */
+  def minHashLshFromSignatures(
+      sig: DataFrame,
+      idCol: String,
+      numHashes: Int = 8,
+      bandSize: Int = 2,
+      minEstJaccard: Double = 0.5): DataFrame = {
     // explode signature into (id, band, bv) rows; bucket-join on band value
     val nBands = numHashes / bandSize
     val bandCols = (0 until nBands).map { bi =>
@@ -270,7 +291,25 @@ object Dedup {
     * @return (node, component) — component = min doc id of the group
     */
   def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25, broadcastLabels: Boolean = true): DataFrame = {
+      maxIter: Int = 25, broadcastLabels: Boolean = true,
+      roundsPerCheckpoint: Int = 1): DataFrame =
+    dedupClustersWithStats(pairs, aCol, bCol, maxIter, broadcastLabels,
+      roundsPerCheckpoint)._1
+
+  /** [[dedupClusters]] + the number of propagation rounds executed —
+    * the observable the O(log d) convergence assertions measure.
+    * `maxIter` bounds propagation ROUNDS (the seed aggregation counts
+    * as round 1); `roundsPerCheckpoint` controls how many rounds run
+    * between eager checkpoints — measured at sf0.1 pair sets (q74
+    * shape), batching LOST to one-round-per-checkpoint (the extra
+    * cache materializations cost more than the saved checkpoint +
+    * count), so the default is 1; the knob stays for pair graphs with
+    * long chains, where halving the fixed per-checkpoint overhead wins.
+    */
+  def dedupClustersWithStats(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25, broadcastLabels: Boolean = true,
+      roundsPerCheckpoint: Int = 1): (DataFrame, Int) = {
+    require(roundsPerCheckpoint >= 1, "roundsPerCheckpoint must be >= 1")
     val bc: DataFrame => DataFrame = if (broadcastLabels) broadcast else identity
     val fwd = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
     // the cache pins partitioning (AQE will not re-coalesce a cached
@@ -307,30 +346,33 @@ object Dedup {
       (halved, Seq(stepped))
     }
     var changed = 1L
-    var it = 0
+    var rounds = 1 // the seed aggregation above is round 1
     try {
-      while (changed > 0 && it < maxIter) {
-        // TWO propagation rounds per checkpoint + convergence count:
-        // the per-round fixed overhead (an eager checkpoint job and a
-        // count job) dominates the loop at small pair sets, and each
-        // round is O(log d)-convergent on its own — batching halves
-        // the fixed cost without touching the fixpoint (labels are
-        // monotone non-increasing; an extra round past convergence is
-        // a no-op). Round A stays cached (not checkpointed): round B
-        // reads it twice, and its lineage is one bounded round off the
-        // previous checkpoint.
-        val (a0, cachesA) = round(labels)
-        val a = a0.cache()
-        val (b, cachesB) = round(a)
-        val next = b.localCheckpoint(true)
-        (cachesA ++ cachesB :+ a).foreach(_.unpersist())
+      while (changed > 0 && rounds < maxIter) {
+        // `roundsPerCheckpoint` propagation rounds per eager checkpoint
+        // + convergence count. Intermediate rounds stay cached (each is
+        // read twice by the next round's path-halving self-join) and
+        // release once the batch's output is pinned; labels are
+        // monotone non-increasing, so an extra round past convergence
+        // is a no-op and batching never changes the fixpoint.
+        val n = math.min(roundsPerCheckpoint, maxIter - rounds)
+        var cur = labels
+        val toRelease = scala.collection.mutable.Buffer[DataFrame]()
+        (1 to n).foreach { i =>
+          val (stepped, cs) = round(cur)
+          toRelease ++= cs
+          cur = if (i == n) stepped
+            else { val c = stepped.cache(); toRelease += c; c }
+        }
+        val next = cur.localCheckpoint(true)
+        toRelease.foreach(_.unpersist())
         changed = next.as("n").join(bc(labels).as("o"), "node")
           .where(col("n.component") =!= col("o.component")).count()
         labels = next
-        it += 1
+        rounds += n
       }
     } finally edges.unpersist()
-    labels
+    (labels, rounds)
   }
 
   /** Embedding near-dup pairs with IVF-cluster blocking: each vector is

@@ -132,6 +132,15 @@ object IndexStore {
   def postings(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"${indexDir(spark, sfDir)}/postings")
 
+  /** (term, freq) dictionary — the suggest/fuzzy serving table. */
+  def termFreq(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${indexDir(spark, sfDir)}/termfreq")
+
+  /** MinHash signature table (id, h0..h{n-1}) — the near-dup serving
+    * table ([[graft.operators.Dedup.minHashLshFromSignatures]]). */
+  def signatures(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${indexDir(spark, sfDir)}/signatures")
+
   def docLengths(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"${indexDir(spark, sfDir)}/doclengths")
 

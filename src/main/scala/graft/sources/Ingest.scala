@@ -87,17 +87,35 @@ object Ingest {
       outDir: String,
       parTokens: Int = 20,
       embeddingDim: Int = 64,
-      withVectors: Boolean = true): Unit = {
+      withVectors: Boolean = true,
+      shingleSize: Int = 3,
+      numHashes: Int = 8): Unit = {
     splitParagraphs(docs, idCol, textCol, parTokens = parTokens)
       .write.mode("overwrite").parquet(s"$outDir/paragraphs")
     termPostings(docs, idCol, textCol)
       .write.mode("overwrite").parquet(s"$outDir/postings")
     graft.functions.Bm25.docLengths(docs, idCol, textCol)
       .write.mode("overwrite").parquet(s"$outDir/doclengths")
+    // term-frequency dictionary: the suggest/fuzzy serving table — a
+    // pure rollup of the postings (freq = total occurrences), the
+    // tantivy-FST analog (`nidx_paragraph/src/fuzzy_query.rs:55-120`)
+    spark(docs).read.parquet(s"$outDir/postings")
+      .groupBy("term").agg(sum("tf").cast("long").as("freq"))
+      .write.mode("overwrite").parquet(s"$outDir/termfreq")
+    // MinHash signatures: a per-document function of the text (no
+    // corpus statistics), so near-dup requests over any corpus subset
+    // serve this table via semi-join instead of re-tokenizing
+    graft.operators.Dedup.minHashSignatures(
+        docs.select(col(idCol), explode(TextFunctions.shingles(
+          TextFunctions.tokens(col(textCol)), shingleSize)).as("shingle")),
+        idCol, numHashes)
+      .write.mode("overwrite").parquet(s"$outDir/signatures")
     if (withVectors)
       tfidfVectors(docs, idCol, textCol, embeddingDim)
         .write.mode("overwrite").parquet(s"$outDir/vectors")
   }
+
+  private def spark(df: DataFrame) = df.sparkSession
 
   /** Ingest-time VECTOR index build — the at-rest ANN layout the
     * serving path probes (the vector analog of [[buildIndex]]'s posting

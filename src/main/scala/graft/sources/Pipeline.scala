@@ -50,7 +50,8 @@ object Pipeline {
       mwlHi: Double = 5.0,
       minEstJaccard: Double = 0.25,
       contaminationMax: Double = 0.5,
-      splits: Seq[(String, Int)] = Seq("train" -> 12, "val" -> 2, "test" -> 2)): DataFrame = {
+      splits: Seq[(String, Int)] = Seq("train" -> 12, "val" -> 2, "test" -> 2),
+      signatures: Option[DataFrame] = None): DataFrame = {
     // single let-bound predicate: one tokenizer run per row (both the
     // size and the mean-length reads are lambda-variable reads)
     val toks = TextFunctions.tokens(col(textCol))
@@ -61,8 +62,16 @@ object Pipeline {
     val keepExact = quality.join(
       Dedup.exactKeepList(docs, idCol, textCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
-    val pairs = Dedup.minHashLsh(docs, idCol, textCol,
-      shingleSize = 3, numHashes = 8, bandSize = 2, minEstJaccard = minEstJaccard)
+    // near-dup pairs from the at-rest signature table when the caller
+    // has one (signatures are per-document, so the corpus subset is a
+    // semi-join); otherwise one signature pass over the raw text
+    val pairs = signatures match {
+      case Some(sig) => Dedup.minHashLshFromSignatures(
+        sig.join(docs.select(col(idCol)), Seq(idCol), "left_semi"),
+        idCol, numHashes = 8, bandSize = 2, minEstJaccard = minEstJaccard)
+      case None => Dedup.minHashLsh(docs, idCol, textCol,
+        shingleSize = 3, numHashes = 8, bandSize = 2, minEstJaccard = minEstJaccard)
+    }
     val comp = Dedup.dedupClusters(pairs, "a", "b")
       .withColumnRenamed("node", idCol)
     val keepNear = {

@@ -276,6 +276,38 @@ class ScaleDesignSpec extends SparkSpec {
         p.linesIterator.take(15).mkString("\n"))
   }
 
+  test("suggest/fuzzy family serves the at-rest term dictionary: no corpus scan, prefix pushdown") {
+    val dir = "/root/testdata/sf0.001"
+    Seq("q11_fuzzy_search", "q12_suggest_prefix", "q43_suggest_fuzzy",
+        "q59_suggest_fuzzy_prefix").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val p = plan(df)
+      assert(!p.contains("documents.parquet"),
+        s"$q must serve the at-rest term dictionary, not tokenize the corpus:\n" +
+          p.linesIterator.take(15).mkString("\n"))
+    }
+    // the exact-prefix suggest pushes its predicate into the scan
+    val q12 = SparkEntry.queries("q12_suggest_prefix")(spark, dir)
+    assert(plan(q12).contains("StringStartsWith"),
+      "prefix predicate must push into the termfreq parquet scan:\n" + plan(q12))
+  }
+
+  test("near-dup family serves the at-rest signature table: no corpus tokenize at request time") {
+    val dir = "/root/testdata/sf0.001"
+    // q18's lazy plan shows the serving source directly; q74 feeds the
+    // same pairs plan into its (checkpoint-truncated) fixpoint, so the
+    // pairs plan IS q74's request-time scan
+    val q18 = SparkEntry.queries("q18_minhash_lsh")(spark, dir)
+    val p = plan(q18)
+    assert(!p.contains("documents.parquet"),
+      "q18/q74 pairs must serve the at-rest signature table:\n" +
+        p.linesIterator.take(15).mkString("\n"))
+    assert(p.contains("/signatures"),
+      "q18/q74 pairs must read the ingest-built signatures:\n" +
+        p.linesIterator.take(15).mkString("\n"))
+  }
+
   test("q09 serves the at-rest posting index: term pushdown, no query-time tokenize") {
     val q09 = SparkEntry.queries("q09_bm25_search")(spark, "/root/testdata/sf0.001")
     q09.collect()
