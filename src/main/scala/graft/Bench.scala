@@ -71,8 +71,9 @@ object Bench {
     val prevBest: Option[Double] =
       try {
         val txt = java.nio.file.Files.readString(bestPath)
-        s""""$sfKey"\\s*:\\s*([0-9.eE+-]+)""".r.findFirstMatchIn(txt)
-          .map(_.group(1).toDouble)
+        // quote the key: '.' in sf0.1 is a regex metachar otherwise
+        (java.util.regex.Pattern.quote(s""""$sfKey"""") + """\s*:\s*([0-9.eE+-]+)""").r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble)
       } catch { case _: Exception => None }
     var reran = false
     if (prevBest.exists(b => total > 1.3 * b)) {

@@ -18,23 +18,34 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   */
 object Caches {
 
+  // Per-THREAD arena: operators register during plan construction and
+  // the serving layer releases after the terminal action, both on the
+  // request's thread — so concurrent queries in one JVM (each on its
+  // own handler thread) cannot release each other's still-referenced
+  // caches. Child threads inherit the spawning request's arena
+  // (InheritableThreadLocal), matching Spark's session-cloning
+  // convention for request-scoped work.
   private val registered =
-    new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+    new InheritableThreadLocal[java.util.ArrayDeque[Dataset[_]]] {
+      override def initialValue(): java.util.ArrayDeque[Dataset[_]] =
+        new java.util.ArrayDeque[Dataset[_]]()
+    }
 
-  /** Cache `df` and register it for the next [[releaseAll]]. */
+  /** Cache `df` and register it for this thread's next [[releaseAll]]. */
   def cache(df: DataFrame): DataFrame = {
     df.cache()
-    registered.add(df)
+    registered.get().add(df)
     df
   }
 
-  /** Unpersist every cache registered since the last release.
-    * Non-blocking: the executors drop blocks asynchronously. */
+  /** Unpersist every cache registered on this thread since the last
+    * release. Non-blocking: the executors drop blocks asynchronously. */
   def releaseAll(): Unit = {
-    var df = registered.poll()
+    val q = registered.get()
+    var df = q.poll()
     while (df != null) {
       df.unpersist(false)
-      df = registered.poll()
+      df = q.poll()
     }
   }
 }

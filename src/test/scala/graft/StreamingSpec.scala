@@ -56,6 +56,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucketed merge rewrites only touched bucket directories; full-tombstone buckets are removed") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val tableDir = Files.createTempDirectory("graft-bkt").toString + "/table"
+    val nb = 8
+    def bucketOf(key: String): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(key)), lit(nb.toLong))).collect().head.getLong(0)
+    def batch(rows: (String, Long, String, Boolean)*) =
+      rows.toDF("rid", "seq", "value", "deleted")
+    def dirState(): Map[String, Map[String, Long]] =
+      new java.io.File(tableDir).listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toMap
+      }.toMap
+    // pick 4 keys landing in distinct buckets (hash-dependent, so scan)
+    val keys = Iterator.from(1).map(i => s"r$i")
+      .scanLeft((Seq.empty[String], Set.empty[Long])) { case ((ks, bs), k) =>
+        val b = bucketOf(k)
+        if (bs(b)) (ks, bs) else (ks :+ k, bs + b)
+      }
+      .dropWhile(_._1.size < 4).next()._1
+    val bks = keys.map(k => k -> bucketOf(k)).toMap
+    // stable aliases for the roles below
+    val Seq(r1, r2, r3, r4) = keys
+    IncrementalIndex.mergeBatchBucketed(
+      batch(keys.map(k => (k, 1L, s"$k-v1", false)): _*),
+      tableDir, "rid", "seq", nb)
+    val before = dirState()
+    assert(before.keySet == bks.values.map(b => s"__bucket=$b").toSet)
+    // batch 2 touches ONLY r1 (update) and r4 (full tombstone)
+    IncrementalIndex.mergeBatchBucketed(
+      batch((r1, 2L, s"$r1-v2", false), (r4, 2L, "gone", true)),
+      tableDir, "rid", "seq", nb)
+    val after = dirState()
+    // untouched buckets: byte-identical file listings, same mtimes
+    Seq(r2, r3).foreach { k =>
+      val d = s"__bucket=${bks(k)}"
+      assert(after(d) == before(d), s"untouched bucket $d was rewritten")
+    }
+    // touched update bucket rewrote; full-tombstone bucket is gone
+    assert(after(s"__bucket=${bks(r1)}") != before(s"__bucket=${bks(r1)}"))
+    assert(!after.contains(s"__bucket=${bks(r4)}"),
+      "a bucket whose rows are all tombstoned must lose its directory")
+    val got = spark.read.parquet(tableDir)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(got == Map(r1 -> s"$r1-v2", r2 -> s"$r2-v1", r3 -> s"$r3-v1"))
+  }
+
   test("streamingDedup drops cross-batch duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
