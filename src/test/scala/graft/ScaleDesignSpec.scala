@@ -264,6 +264,40 @@ class ScaleDesignSpec extends SparkSpec {
       s"q84 must serve the partitioned at-rest code table:\n$fp")
   }
 
+  test("CC fixpoint is O(log diameter) on an sf1-sized adversarial pair set") {
+    import graft.operators.Dedup
+    // sf1-shaped pair graph (~10k pairs; sf0.1's q74 set is ~900):
+    // a diameter-4095 chain (the propagation worst case), three
+    // 1500-leaf stars (the hot-key worst case), and 1000 isolated
+    // edges. Plain min-label propagation needs O(diameter) rounds on
+    // the chain; path halving must close it in O(log d).
+    val chain = spark.range(4095)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val stars = (0 until 3).map { s =>
+      val base = 10000L + s * 2000L
+      spark.range(1500)
+        .select(lit(base).as("a"), (col("id") + base + 1).as("b"))
+    }.reduce(_ unionByName _)
+    val isolated = spark.range(1000)
+      .select((col("id") * 2 + 20000).as("a"), (col("id") * 2 + 20001).as("b"))
+    val pairs = chain.unionByName(stars).unionByName(isolated)
+    val t0 = System.nanoTime()
+    val (labels, rounds) = Dedup.dedupClustersWithStats(pairs, "a", "b",
+      maxIter = 64)
+    val comps = labels.groupBy("component").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    info(f"rounds=$rounds time=${(System.nanoTime() - t0) / 1e9}%.1fs components=${comps.size}")
+    // correctness: chain collapses to component 0 (4096 nodes), each
+    // star to its center, isolated edges to their even endpoint
+    assert(comps(0L) == 4096L)
+    (0 until 3).foreach(s => assert(comps(10000L + s * 2000L) == 1501L))
+    assert(comps.count { case (c, n) => c >= 20000L && n == 2L } == 1000)
+    // O(log d): diameter 4095 → ~12 doubling rounds; a propagation
+    // design regressing to O(d) would need thousands
+    val bound = 2 * (math.log(4095.0) / math.log(2.0)).ceil.toInt + 4
+    assert(rounds <= bound, s"CC took $rounds rounds (bound $bound) — not O(log d)")
+  }
+
   test("knnJoin cuts to k map-side: partial topk aggregate, no per-query window") {
     val q20 = SparkEntry.queries("q20_knn_join")(spark, "/root/testdata/sf0.001")
     q20.collect()
