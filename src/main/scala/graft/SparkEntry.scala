@@ -1022,6 +1022,22 @@ object SparkEntry {
         k = 20, nprobe = vix.centroids.size, rerank = 200)
     }),
 
+    // §2.3 fuzzy search via the SymSpell deletion-neighborhood table —
+    // same semantics as q11 (levenshtein ≤ 1 against the term
+    // dictionary) but served as an equality LOOKUP: the query's ~|q|+1
+    // deletion variants push into the at-rest (variant, term) table as
+    // an IN predicate, and only the candidates pay a levenshtein
+    // verify. The oracle is q11's levenshtein scan — proving the
+    // deletion join is exactly equivalent.
+    "q85_symspell_fuzzy" -> ((s, dir) => {
+      val matched = TopK.symSpellMatchTerms(
+        graft.sources.IndexStore.deletes(s, dir), "querry")
+      graft.sources.IndexStore.postings(s, dir)
+        .join(matched, "term")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_terms"))
+        .orderBy("doc_id")
+    }),
+
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:
     // HyperLogLog++ distinct counts and approximate percentiles give a
     // bounded-memory, one-pass corpus shape. NO DuckDB oracle (sketch
@@ -1954,6 +1970,16 @@ object SparkEntry {
          |SELECT c.doc_id, c.score, d.source
          |FROM cut c JOIN documents d USING (doc_id)
          |ORDER BY d.source, c.doc_id""".stripMargin,
+
+    // q85 serves the same levenshtein≤1 semantics as q11 through the
+    // deletion-neighborhood lookup, so its oracle IS the levenshtein
+    // dictionary scan.
+    "q85_symspell_fuzzy" ->
+      s"""WITH tokset AS (SELECT DISTINCT doc_id, term
+         |  FROM (SELECT doc_id, unnest($Tok) AS term FROM documents))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms FROM tokset
+         |WHERE levenshtein(term, 'querry') <= 1
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q84 serves the at-rest IVF-PQ index with an exact rerank whose
     // candidate set reaches full recall on the test corpora (asserted

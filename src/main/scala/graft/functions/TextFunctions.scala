@@ -134,6 +134,22 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
 
+  /** The term plus its distance-1 DELETION variants (SymSpell
+    * neighborhood): "abc" → [abc, bc, ac, ab]. Two strings are within
+    * Levenshtein 1 (ins/del/sub) iff their variant sets intersect, so
+    * materializing this over the term dictionary turns fuzzy matching
+    * into an equality lookup — the scalable analog of the reference's
+    * Levenshtein automaton over the tantivy FST
+    * (`nidx_paragraph/src/fuzzy_query.rs:55-120`). The intersection
+    * over-matches at distance 2 (e.g. transposition), so callers verify
+    * survivors with one levenshtein per CANDIDATE.
+    */
+  def deleteVariants(term: Column): Column =
+    array_distinct(concat(array(term),
+      transform(sequence(lit(1), length(term)), i =>
+        concat(term.substr(lit(1), i - lit(1)),
+          term.substr(i + lit(1), length(term))))))
+
   /** Keyword profiles for heuristic language identification. With real
     * corpora these are per-language stop-word/character-n-gram profiles;
     * the mechanism (score per profile, argmax with first-wins tiebreak)

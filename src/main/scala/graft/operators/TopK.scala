@@ -128,6 +128,26 @@ object TopK {
       .limit(k)
   }
 
+  /** SymSpell distance-1 term match against the at-rest deletion-
+    * neighborhood table ([[graft.functions.TextFunctions.deleteVariants]]
+    * materialized over the term dictionary at ingest): the query's own
+    * ≤ |q|+1 deletion variants become a literal `variant IN (...)`
+    * predicate — pushed into the (variant-sorted) deletes scan as a
+    * row-group-pruning lookup — and only the CANDIDATE terms pay a
+    * levenshtein verify (the intersection over-matches at distance 2,
+    * e.g. transpositions). The scalable replacement for scanning the
+    * whole dictionary with a levenshtein predicate: per query the scan
+    * cost is the pruned lookup, the verify cost ≤ |candidates|.
+    */
+  def symSpellMatchTerms(deletes: DataFrame, query: String): DataFrame = {
+    val q = query.toLowerCase
+    val qVariants =
+      (q +: (0 until q.length).map(i => q.substring(0, i) + q.substring(i + 1))).distinct
+    deletes.where(col("variant").isInCollection(qVariants))
+      .select("term").distinct()
+      .where(levenshtein(col("term"), lit(q)) <= 1)
+  }
+
   /** Exact-then-fuzzy fallback (reference reruns with Levenshtein
     * automaton distance 1 only when the exact pass is empty,
     * `nidx_paragraph/src/reader.rs:104-139`). Driver-side adaptive

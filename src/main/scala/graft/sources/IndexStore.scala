@@ -141,6 +141,11 @@ object IndexStore {
   def signatures(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"${indexDir(spark, sfDir)}/signatures")
 
+  /** SymSpell deletion-neighborhood table (variant, term) — the
+    * distance-1 fuzzy lookup ([[graft.operators.TopK.symSpellMatchTerms]]). */
+  def deletes(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${indexDir(spark, sfDir)}/deletes")
+
   def docLengths(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"${indexDir(spark, sfDir)}/doclengths")
 

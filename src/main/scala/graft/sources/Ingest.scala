@@ -102,6 +102,17 @@ object Ingest {
     spark(docs).read.parquet(s"$outDir/postings")
       .groupBy("term").agg(sum("tf").cast("long").as("freq"))
       .write.mode("overwrite").parquet(s"$outDir/termfreq")
+    // SymSpell deletion neighborhood: (variant, term) rows for
+    // distance-1 fuzzy matching as an equality lookup instead of a
+    // Levenshtein dictionary scan ([[graft.functions.TextFunctions.deleteVariants]]).
+    // Sorted by variant so a query's variant IN (...) predicate prunes
+    // row groups via parquet min/max stats.
+    spark(docs).read.parquet(s"$outDir/termfreq")
+      .select(explode(TextFunctions.deleteVariants(col("term"))).as("variant"),
+        col("term"))
+      .repartitionByRange(col("variant"))
+      .sortWithinPartitions("variant")
+      .write.mode("overwrite").parquet(s"$outDir/deletes")
     // MinHash signatures: a per-document function of the text (no
     // corpus statistics), so near-dup requests over any corpus subset
     // serve this table via semi-join instead of re-tokenizing
