@@ -1038,6 +1038,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.7 hydration highlighting with EXACT-MATCH phrase spans: docs
+    // matching the quoted phrase (positional match, q52 semantics) are
+    // hydrated with the phrase marked as ONE span and the loose terms
+    // marked individually outside it — the reference's ematch-offsets
+    // threading (`nodereader.proto:123`) re-expressed as span-aware
+    // highlighting
+    "q86_phrase_highlight" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      PhraseSearch.phraseOccurrences(docs, "doc_id", "text", QueryTerms)
+        .orderBy(col("n_occurrences").desc, col("doc_id").asc).limit(5)
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(col("doc_id"),
+          TextFunctions.highlightWithPhrases(
+            col("text"), Seq(QueryTerms), QueryTerms).as("marked"))
+        .orderBy("doc_id")
+    }),
+
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:
     // HyperLogLog++ distinct counts and approximate percentiles give a
     // bounded-memory, one-pass corpus shape. NO DuckDB oracle (sketch
@@ -1980,6 +1997,22 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms FROM tokset
          |WHERE levenshtein(term, 'querry') <= 1
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q86_phrase_highlight" ->
+      s"""WITH toksd AS (SELECT doc_id, $Tok AS t FROM documents),
+         |posi AS (SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos FROM toksd),
+         |occ AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n
+         |        FROM posi a JOIN posi b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |        WHERE a.term = '${QueryTerms.head}' AND b.term = '${QueryTerms(1)}'
+         |        GROUP BY a.doc_id),
+         |top AS (SELECT doc_id FROM occ ORDER BY n DESC, doc_id LIMIT 5)
+         |SELECT t.doc_id,
+         |  regexp_replace(
+         |    regexp_replace(d.text, '\\b(${QueryTerms.mkString("|")})\\b', '<mark>\\1</mark>', 'g'),
+         |    '<mark>(${QueryTerms.head})</mark>([^a-z0-9<]+)<mark>(${QueryTerms(1)})</mark>',
+         |    '<mark>\\1\\2\\3</mark>', 'g') AS marked
+         |FROM top t JOIN documents d USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
 
     // q84 serves the at-rest IVF-PQ index with an exact rerank whose
     // candidate set reaches full recall on the test corpora (asserted

@@ -129,6 +129,31 @@ object TextFunctions {
   def highlight(text: Column, terms: Seq[String]): Column =
     regexp_replace(text, "\\b(" + terms.mkString("|") + ")\\b", "<mark>$1</mark>")
 
+  /** Highlight with EXACT-MATCH phrase spans: loose terms (plus the
+    * phrase tokens) mark individually first, then each quoted phrase's
+    * adjacent marked tokens MERGE into one `<mark>…</mark>` span —
+    * `<mark>spark</mark>, <mark>query</mark>` becomes
+    * `<mark>spark, query</mark>`. This is the hydration-side threading
+    * of the index's exact-match spans (`nodereader.proto:123` ematches;
+    * the reference carries paragraph ematch offsets into the rendered
+    * text_block). Merge-after-mark keeps every regex RE2-compatible (no
+    * lookaround), so the DuckDB oracle computes the identical marking.
+    * The separator class excludes '<' so a merge can never swallow a
+    * mark tag; phrase tokens separated by another marked token do not
+    * merge (they are not a phrase occurrence).
+    */
+  def highlightWithPhrases(text: Column, phrases: Seq[Seq[String]],
+      terms: Seq[String]): Column = {
+    val termMarked = highlight(text, (terms ++ phrases.flatten).distinct)
+    phrases.filter(_.nonEmpty).foldLeft(termMarked) { (t, p) =>
+      val pattern = p.map(tok => s"<mark>($tok)</mark>")
+        .mkString("([^a-z0-9<]+)")
+      val repl = "<mark>" +
+        (1 to 2 * p.size - 1).map(i => s"$$$i").mkString + "</mark>"
+      regexp_replace(t, pattern, repl)
+    }
+  }
+
   /** Deterministic document fingerprint: md5 of normalized text.
     * Exact-dedup key (content hash).
     */

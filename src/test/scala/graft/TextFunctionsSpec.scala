@@ -31,6 +31,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out == "<mark>spark</mark> runs a <mark>query</mark> fast")
   }
 
+  test("highlightWithPhrases merges adjacent phrase tokens into one span") {
+    val df = Seq("spark query runs; a spark engine, one query, spark,query done")
+      .toDF("t")
+    val out = df.select(highlightWithPhrases(col("t"),
+      Seq(Seq("spark", "query")), Seq("spark", "query"))).as[String].head()
+    assert(out == "<mark>spark query</mark> runs; a <mark>spark</mark> engine, " +
+      "one <mark>query</mark>, <mark>spark,query</mark> done")
+    // adjacent occurrences each merge; non-adjacent tokens stay separate
+    val two = Seq("spark query spark query").toDF("t")
+      .select(highlightWithPhrases(col("t"),
+        Seq(Seq("spark", "query")), Nil)).as[String].head()
+    assert(two == "<mark>spark query</mark> <mark>spark query</mark>")
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val fps = Seq("Hello  World", "hello world", "hello worlds").toDF("t")
       .select(fingerprint(col("t"))).as[String].collect()
