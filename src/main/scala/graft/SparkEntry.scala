@@ -1055,6 +1055,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.1 trainset export: SENTENCE_CLASSIFICATION projection —
+    // sentences split on terminal punctuation, labels inherited from
+    // the document (the fixture corpus is unpunctuated, so each doc
+    // yields one sentence — the split mechanism is oracle-checked
+    // regardless and unit-tested on punctuated text)
+    "q87_trainset_sentences" -> ((s, dir) =>
+      graft.sources.Trainsets.sentenceClassification(
+          load(s, dir, "documents").where(col("doc_id") < 50),
+          "doc_id", "text", "lang")
+        .orderBy("sentence_id")),
+
+    // §2.1 trainset export: QUESTION_ANSWER with retrieval context over
+    // the at-rest paragraph table — question/answer are consecutive
+    // paragraphs, context the two preceding ones
+    "q88_trainset_qa" -> ((s, dir) =>
+      graft.sources.Trainsets.questionAnswerWithContext(
+          graft.sources.IndexStore.paragraphs(s, dir)
+            .where(col("doc_id") < 50), "doc_id")
+        .select(col("question_id"), col("question"), col("answer"),
+          concat_ws(" | ", col("context")).as("context"))
+        .orderBy("question_id")),
+
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:
     // HyperLogLog++ distinct counts and approximate percentiles give a
     // bounded-memory, one-pass corpus shape. NO DuckDB oracle (sketch
@@ -2013,6 +2035,33 @@ object SparkEntry {
          |    '<mark>\\1\\2\\3</mark>', 'g') AS marked
          |FROM top t JOIN documents d USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
+
+    "q87_trainset_sentences" ->
+      """WITH sp AS (SELECT doc_id, lang,
+        |             regexp_split_to_array(text, '[.!?]+\s*') AS parts
+        |           FROM documents WHERE doc_id < 50),
+        |e AS (SELECT doc_id, lang, i - 1 AS i, trim(parts[i]) AS text
+        |      FROM sp CROSS JOIN (SELECT unnest(range(1, 200)) AS i) ix
+        |      WHERE i <= len(parts))
+        |SELECT CAST(doc_id AS VARCHAR) || '/s' || CAST(i AS VARCHAR) AS sentence_id,
+        |  text, lang AS labels
+        |FROM e WHERE length(text) > 0
+        |ORDER BY sentence_id""".stripMargin,
+
+    "q88_trainset_qa" ->
+      s"""WITH $ParCtes,
+         |pt AS (SELECT doc_id, paragraph_id, s,
+         |         array_to_string(t[s+1:e], ' ') AS ptext
+         |       FROM par WHERE doc_id < 50),
+         |qa AS (SELECT paragraph_id AS question_id, ptext AS question, s,
+         |         lead(ptext) OVER (PARTITION BY doc_id ORDER BY s) AS answer,
+         |         array_to_string(array_agg(ptext) OVER (
+         |           PARTITION BY doc_id ORDER BY s
+         |           ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING), ' | ') AS context
+         |       FROM pt)
+         |SELECT question_id, question, answer, COALESCE(context, '') AS context
+         |FROM qa WHERE answer IS NOT NULL
+         |ORDER BY question_id""".stripMargin,
 
     // q84 serves the at-rest IVF-PQ index with an exact rerank whose
     // candidate set reaches full recall on the test corpora (asserted

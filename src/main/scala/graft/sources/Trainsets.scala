@@ -50,6 +50,42 @@ object Trainsets {
         col("next_text").as("answer"))
   }
 
+  /** SENTENCE_CLASSIFICATION: one row per sentence with the parent
+    * document's label (`train/generators/sentence_classifier.py`
+    * analog). Sentences split on terminal punctuation runs; ids follow
+    * the `{parent}/s{i}` suffix convention. A narrow explode — no
+    * shuffle.
+    */
+  def sentenceClassification(docs: DataFrame, idCol: String,
+      textCol: String, labelCol: String): DataFrame =
+    docs.select(col(idCol), col(labelCol).as("labels"),
+        posexplode(split(col(textCol), "[.!?]+\\s*")).as(Seq("i", "text")))
+      .where(length(trim(col("text"))) > 0)
+      .select(
+        concat(col(idCol).cast("string"), lit("/s"), col("i")).as("sentence_id"),
+        trim(col("text")).as("text"), col("labels"))
+
+  /** QUESTION_ANSWER with retrieval context
+    * (`train/generators/question_answer_streaming.py` shape: question,
+    * answer, context paragraphs): the self-supervised projection over
+    * the paragraph table — question = paragraph i, answer = paragraph
+    * i+1, context = up to `contextSize` paragraphs preceding the
+    * question in the same document. One window over the doc key; at
+    * scale the paragraph table is already partitioned by doc.
+    */
+  def questionAnswerWithContext(paragraphs: DataFrame, idCol: String,
+      contextSize: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("start"))
+    paragraphs
+      .withColumn("answer", lead(col("p_text"), 1).over(w))
+      .withColumn("context",
+        collect_list(col("p_text")).over(w.rowsBetween(-contextSize, -1)))
+      .where(col("answer").isNotNull)
+      .select(col(idCol), col("paragraph_id").as("question_id"),
+        col("p_text").as("question"), col("answer"), col("context"))
+  }
+
   /** Deterministic hash sampling for reproducible trainset cuts: keep
     * rows whose md5(id) hex digest starts with one of `hexPrefixes`
     * (each single hex digit ≈ 1/16 of the data; two digits ≈ 1/256).

@@ -15,6 +15,39 @@ class TrainsetsSpec extends SparkSpec {
     (i.toLong, if (i % 4 == 0) "minor" else "major"))
   private lazy val df = rows.toDF("id", "key")
 
+  test("sentenceClassification splits on terminal punctuation and inherits labels") {
+    val docs = Seq(
+      (1L, "First sentence. Second one! A third? ", "en"),
+      (2L, "no punctuation at all", "fr"),
+      (3L, "", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = Trainsets.sentenceClassification(docs, "doc_id", "text", "lang")
+      .orderBy("sentence_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      ("1/s0", "First sentence", "en"),
+      ("1/s1", "Second one", "en"),
+      ("1/s2", "A third", "en"),
+      ("2/s0", "no punctuation at all", "fr")))
+  }
+
+  test("questionAnswerWithContext pairs consecutive paragraphs with bounded preceding context") {
+    val pars = Seq(
+      (1L, "1/t/body/0-2", 0, "p one"),
+      (1L, "1/t/body/2-4", 2, "p two"),
+      (1L, "1/t/body/4-6", 4, "p three"),
+      (1L, "1/t/body/6-8", 6, "p four"),
+      (2L, "2/t/body/0-2", 0, "solo")) // single paragraph → no pair
+      .toDF("doc_id", "paragraph_id", "start", "p_text")
+    val got = Trainsets.questionAnswerWithContext(pars, "doc_id", contextSize = 2)
+      .orderBy("question_id")
+      .collect().map(r => (r.getString(2), r.getString(3), r.getSeq[String](4)))
+    assert(got.toSeq == Seq(
+      ("p one", "p two", Seq()),
+      ("p two", "p three", Seq("p one")),
+      ("p three", "p four", Seq("p one", "p two"))))
+  }
+
   test("balancedSample caps every key and is stable across reruns and partitionings") {
     val s1 = Trainsets.balancedSample(df, "key", "id", 10)
     val counts = s1.groupBy("key").count().collect()
