@@ -1077,6 +1077,22 @@ object SparkEntry {
           concat_ws(" | ", col("context")).as("context"))
         .orderBy("question_id")),
 
+    // training-data ops: language ID from profiles TRAINED AT INGEST —
+    // per-language char-trigram log-prob models built from the labeled
+    // corpus (Ingest.trainLangProfiles → parquet), collected as a
+    // broadcast literal and scored in one codegen pass per doc (argmax,
+    // lang-asc tiebreak). The oracle replays the training AND the
+    // scoring in SQL, proving the whole model round-trip. q39's
+    // keyword-heuristic path stays as-is for comparison.
+    "q89_langid_trained" -> ((s, dir) => {
+      val model = graft.sources.IndexStore.langProfileModel(s, dir)
+      load(s, dir, "documents").where(length(col("text")) >= 3)
+        .withColumn("predicted",
+          TextFunctions.langIdFromProfiles(col("text"), model))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:
     // HyperLogLog++ distinct counts and approximate percentiles give a
     // bounded-memory, one-pass corpus shape. NO DuckDB oracle (sketch
@@ -2062,6 +2078,37 @@ object SparkEntry {
          |SELECT question_id, question, answer, COALESCE(context, '') AS context
          |FROM qa WHERE answer IS NOT NULL
          |ORDER BY question_id""".stripMargin,
+
+    // q89 replays the trigram-LM training (counts → top-50 → ln
+    // weights) and the argmax scoring in SQL — must mirror
+    // Ingest.trainLangProfiles + TextFunctions.langIdFromProfiles
+    // exactly (floor -20.0, round 6 on weights, round 4 on scores).
+    "q89_langid_trained" ->
+      """WITH d AS (SELECT doc_id, lang, lower(text) AS txt FROM documents),
+        |tri AS (SELECT doc_id, lang, substr(txt, i, 3) AS tg
+        |        FROM d CROSS JOIN (SELECT unnest(range(1, 2000)) AS i) ix
+        |        WHERE length(txt) >= 3 AND i <= length(txt) - 2),
+        |cnt AS (SELECT lang AS plang, tg, CAST(count(*) AS DOUBLE) AS c
+        |        FROM tri GROUP BY 1, 2),
+        |tot AS (SELECT plang, sum(c) AS tot FROM cnt GROUP BY 1),
+        |ranked AS (SELECT plang, tg, c,
+        |             row_number() OVER (PARTITION BY plang ORDER BY c DESC, tg) AS rn
+        |           FROM cnt),
+        |prof AS (SELECT r.plang, r.tg, round(ln(r.c / t.tot), 6) AS logp
+        |         FROM ranked r JOIN tot t USING (plang) WHERE rn <= 50),
+        |langs AS (SELECT DISTINCT plang FROM prof),
+        |scored AS (SELECT tri.doc_id, tri.lang, l.plang,
+        |             round(sum(COALESCE(p.logp, -20.0)), 4) AS score
+        |           FROM tri CROSS JOIN langs l
+        |           LEFT JOIN prof p ON p.plang = l.plang AND p.tg = tri.tg
+        |           GROUP BY 1, 2, 3),
+        |pred AS (SELECT doc_id, lang, plang,
+        |           row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY score DESC, plang) AS rn
+        |         FROM scored)
+        |SELECT lang, plang AS predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM pred WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q84 serves the at-rest IVF-PQ index with an exact rerank whose
     // candidate set reaches full recall on the test corpora (asserted

@@ -159,6 +159,39 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
 
+  /** All character trigrams of the lowercased text (multiset, in
+    * order); empty for texts shorter than 3 chars. The array() wrapper
+    * is the usual let binding — the lowercase runs once per row, and
+    * every lambda reference is an attribute read.
+    */
+  def charTrigrams(text: Column): Column =
+    element_at(transform(array(lower(text)), t =>
+      when(length(t) >= 3,
+        transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+        .otherwise(array().cast("array<string>"))), 1)
+
+  /** Language ID against TRAINED char-trigram profiles
+    * ([[graft.sources.Ingest.trainLangProfiles]] read back from
+    * parquet and collected driver-side — the model is a broadcast
+    * literal like IVF centroids): score(lang) = Σ over the text's
+    * trigram OCCURRENCES of the profile's log-probability, `floor` for
+    * unseen trigrams; prediction = argmax with lang-ascending
+    * tiebreak. One codegen'd pass per row — no join, no shuffle; the
+    * serving shape of a real (fastText-style) language identifier with
+    * an honestly small model.
+    */
+  def langIdFromProfiles(text: Column,
+      profiles: Seq[(String, Map[String, Double])],
+      floor: Double = -20.0): Column = {
+    val scored = profiles.map { case (lang, m) =>
+      struct(
+        round(-aggregate(charTrigrams(text), lit(0.0), (acc, tg) =>
+          acc + coalesce(element_at(typedlit(m), tg), lit(floor))), 4).as("ns"),
+        lit(lang).as("lang"))
+    }
+    array_min(array(scored: _*)).getField("lang")
+  }
+
   /** The term plus its distance-1 DELETION variants (SymSpell
     * neighborhood): "abc" → [abc, bc, ac, ab]. Two strings are within
     * Levenshtein 1 (ins/del/sub) iff their variant sets intersect, so

@@ -75,7 +75,8 @@ object IndexStore {
     built.getOrElseUpdate(sfDir, {
       val out = deleteOnExit(Files.createTempDirectory("graft-index-").toString)
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      Ingest.buildIndex(docs, "doc_id", "text", out, withVectors = false)
+      Ingest.buildIndex(docs, "doc_id", "text", out, withVectors = false,
+        langCol = Some("lang"))
       out
     })
   }
@@ -145,6 +146,19 @@ object IndexStore {
     * distance-1 fuzzy lookup ([[graft.operators.TopK.symSpellMatchTerms]]). */
   def deletes(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"${indexDir(spark, sfDir)}/deletes")
+
+  /** Trained language-ID profile table (plang, tg, logp) — driver-scale
+    * model rows ([[graft.functions.TextFunctions.langIdFromProfiles]]). */
+  def langProfiles(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${indexDir(spark, sfDir)}/langprofiles")
+
+  /** [[langProfiles]] collected into the broadcast-literal model shape. */
+  def langProfileModel(spark: SparkSession, sfDir: String): Seq[(String, Map[String, Double])] =
+    langProfiles(spark, sfDir).collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rows) =>
+        l -> rows.map(r => r.getString(1) -> r.getDouble(2)).toMap }
+      .toSeq.sortBy(_._1)
 
   def docLengths(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"${indexDir(spark, sfDir)}/doclengths")

@@ -89,7 +89,8 @@ object Ingest {
       embeddingDim: Int = 64,
       withVectors: Boolean = true,
       shingleSize: Int = 3,
-      numHashes: Int = 8): Unit = {
+      numHashes: Int = 8,
+      langCol: Option[String] = None): Unit = {
     splitParagraphs(docs, idCol, textCol, parTokens = parTokens)
       .write.mode("overwrite").parquet(s"$outDir/paragraphs")
     termPostings(docs, idCol, textCol)
@@ -121,12 +122,47 @@ object Ingest {
           TextFunctions.tokens(col(textCol)), shingleSize)).as("shingle")),
         idCol, numHashes)
       .write.mode("overwrite").parquet(s"$outDir/signatures")
+    // language-ID model: per-language char-trigram profiles trained
+    // from the labeled corpus ([[trainLangProfiles]])
+    langCol.foreach { lc =>
+      trainLangProfiles(docs, textCol, lc)
+        .write.mode("overwrite").parquet(s"$outDir/langprofiles")
+    }
     if (withVectors)
       tfidfVectors(docs, idCol, textCol, embeddingDim)
         .write.mode("overwrite").parquet(s"$outDir/vectors")
   }
 
   private def spark(df: DataFrame) = df.sparkSession
+
+  /** Train per-language char-trigram profiles from a LABELED corpus —
+    * the ingest-time model build behind
+    * [[graft.functions.TextFunctions.langIdFromProfiles]] (a real but
+    * deliberately small classifier, replacing the hand-written keyword
+    * lists; the mechanism matches fastText-style char-n-gram LMs).
+    * Per language: trigram occurrence counts over all its documents,
+    * top-`topK` trigrams kept (count desc, trigram asc), weight =
+    * round(ln(count / total-occurrences), 6) with the total taken
+    * BEFORE the top-K cut (a proper, deficient unigram LM). One
+    * explode + two aggregations; the result is driver-scale
+    * (|langs| × topK rows) and serves as a broadcast literal.
+    *
+    * @return (plang, tg, logp)
+    */
+  def trainLangProfiles(docs: DataFrame, textCol: String, langCol: String,
+      topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tri = docs.select(col(langCol).as("plang"),
+      explode(TextFunctions.charTrigrams(col(textCol))).as("tg"))
+    val counts = tri.groupBy("plang", "tg").agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy("plang").agg(sum("c").as("tot"))
+    val w = Window.partitionBy("plang").orderBy(col("c").desc, col("tg").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topK)
+      .join(tot, "plang")
+      .select(col("plang"), col("tg"),
+        round(log(col("c") / col("tot")), 6).as("logp"))
+  }
 
   /** Ingest-time VECTOR index build — the at-rest ANN layout the
     * serving path probes (the vector analog of [[buildIndex]]'s posting

@@ -48,6 +48,34 @@ class TrainsetsSpec extends SparkSpec {
       ("p three", "p four", Seq("p one", "p two"))))
   }
 
+  test("trained trigram language profiles classify distinctive text correctly") {
+    import graft.functions.TextFunctions
+    import graft.sources.Ingest
+    // distinctive character statistics per "language"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "en"),
+      (2L, "the rain in spain stays mainly in the plain every day", "en"),
+      (3L, "zzz zzyzx zzap jazz fizz buzz pizzazz zigzag zodiac zest", "zz"),
+      (4L, "zany zebras zigzag through dizzy mazes with zeal and buzz", "zz"))
+      .toDF("doc_id", "text", "lang")
+    val profiles = Ingest.trainLangProfiles(corpus, "text", "lang", topK = 50)
+    val model = profiles.collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rows) =>
+        l -> rows.map(r => r.getString(1) -> r.getDouble(2)).toMap }
+      .toSeq.sortBy(_._1)
+    assert(model.map(_._1) == Seq("en", "zz"))
+    val got = Seq("the fox stays in the rain", "fuzzy jazz buzzes zigzag")
+      .toDF("text")
+      .select(TextFunctions.langIdFromProfiles(col("text"), model))
+      .as[String].collect()
+    assert(got.toSeq == Seq("en", "zz"))
+    // model is deterministic: retraining yields identical rows
+    val again = Ingest.trainLangProfiles(corpus, "text", "lang", topK = 50)
+      .collect().toSet
+    assert(again == profiles.collect().toSet)
+  }
+
   test("balancedSample caps every key and is stable across reruns and partitionings") {
     val s1 = Trainsets.balancedSample(df, "key", "id", 10)
     val counts = s1.groupBy("key").count().collect()
