@@ -176,20 +176,20 @@ object TextFunctions {
     * literal like IVF centroids): score(lang) = Σ over the text's
     * trigram OCCURRENCES of the profile's log-probability, `floor` for
     * unseen trigrams; prediction = argmax with lang-ascending
-    * tiebreak. One codegen'd pass per row — no join, no shuffle; the
-    * serving shape of a real (fastText-style) language identifier with
-    * an honestly small model.
+    * tiebreak. One codegen'd pass per row via the native
+    * [[graft.functions.expr.LangIdPredict]] expression — no join, no
+    * shuffle, no interpreted lambdas; the serving shape of a real
+    * (fastText-style) language identifier with an honestly small
+    * model. For models too large to ride as a reference object, the
+    * join-based [[graft.operators.CorpusStats.langIdPredict]] computes
+    * the identical prediction (equality-tested).
     */
   def langIdFromProfiles(text: Column,
       profiles: Seq[(String, Map[String, Double])],
       floor: Double = -20.0): Column = {
-    val scored = profiles.map { case (lang, m) =>
-      struct(
-        round(-aggregate(charTrigrams(text), lit(0.0), (acc, tg) =>
-          acc + coalesce(element_at(typedlit(m), tg), lit(floor))), 4).as("ns"),
-        lit(lang).as("lang"))
-    }
-    array_min(array(scored: _*)).getField("lang")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expr.LangIdPredict(
+      ColumnBridge.expression(text), profiles, floor))
   }
 
   /** The term plus its distance-1 DELETION variants (SymSpell

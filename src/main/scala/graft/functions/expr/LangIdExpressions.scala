@@ -1,0 +1,96 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Whole-model language-ID scoring as ONE codegen'd expression.
+  *
+  * The declarative formulation — per-language `aggregate` over a
+  * `charTrigrams` array with a map-literal lookup — is interpreted per
+  * element (Spark's higher-order lambdas don't codegen): measured ~10 s
+  * over a 5 000-doc corpus at 5 languages. This expression walks the
+  * text once per row inside whole-stage codegen: each trigram looks up
+  * a per-language weight vector in one hash probe, unseen trigrams add
+  * the floor to every language, and the argmax (rounded at 4,
+  * lang-ascending tiebreak) is computed in place. Semantics are
+  * IDENTICAL to [[graft.operators.CorpusStats.langIdPredict]]'s
+  * join-based form (equality-tested) — this is the broadcast-model
+  * serving shape: zero shuffle, model rides along as a reference
+  * object like a query-vector literal.
+  */
+class LangIdModel(profiles: Seq[(String, Map[String, Double])],
+    floor: Double) extends Serializable {
+  private val sorted = profiles.sortBy(_._1)
+  private val n = sorted.length
+  require(n > 0, "language-ID model needs at least one language profile")
+  private val langsU: Array[UTF8String] =
+    sorted.map(p => UTF8String.fromString(p._1)).toArray
+  private val weights = new java.util.HashMap[String, Array[Double]]()
+  sorted.zipWithIndex.foreach { case ((_, m), li) =>
+    m.foreach { case (tg, lp) =>
+      val arr = weights.computeIfAbsent(tg, _ => Array.fill(n)(floor))
+      arr(li) = lp
+    }
+  }
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  def predict(text: UTF8String): UTF8String = {
+    // char semantics match lower(text) + substr: the fixture corpora
+    // are ASCII; ROOT locale keeps the lowercase locale-independent
+    val t = text.toString.toLowerCase(java.util.Locale.ROOT)
+    val sums = new Array[Double](n)
+    var i = 0
+    while (i + 3 <= t.length) {
+      val arr = weights.get(t.substring(i, i + 3))
+      var j = 0
+      if (arr ne null) { while (j < n) { sums(j) += arr(j); j += 1 } }
+      else { while (j < n) { sums(j) += floor; j += 1 } }
+      i += 1
+    }
+    var best = 0
+    var bestScore = round4(sums(0))
+    var j = 1
+    while (j < n) {
+      val s = round4(sums(j))
+      if (s > bestScore) { best = j; bestScore = s } // ties keep lang asc
+      j += 1
+    }
+    langsU(best)
+  }
+}
+
+/** `langid_predict(text)` — argmax language for a text column against
+  * a trained trigram model ([[graft.sources.Ingest.trainLangProfiles]]).
+  */
+case class LangIdPredict(child: Expression,
+    profiles: Seq[(String, Map[String, Double])],
+    floor: Double) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "langid_predict"
+
+  @transient private lazy val model = new LangIdModel(profiles, floor)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(text: Any): Any =
+    model.predict(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val m = ctx.addReferenceObj("model", model,
+        classOf[LangIdModel].getName)
+      s"${ev.value} = $m.predict($t);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): LangIdPredict =
+    copy(child = c)
+}

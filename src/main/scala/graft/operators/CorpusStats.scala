@@ -13,6 +13,50 @@ import graft.functions.TextFunctions
   */
 object CorpusStats {
 
+  /** Language-ID prediction against a trained trigram profile TABLE
+    * ([[graft.sources.Ingest.trainLangProfiles]]) — the join-based
+    * serving shape: explode doc trigrams once, broadcast-join the
+    * (driver-scale) profile rows, and aggregate per (doc, lang) with
+    * map-side combine, so the shuffle carries |docs|×|langs| partial
+    * sums, never the trigram stream. Unseen trigrams contribute
+    * `floor`: Σ_occ coalesce(logp, floor) = Σ_matched (logp − floor) +
+    * floor × n_trigrams, which the inner join + per-doc trigram count
+    * computes without materializing misses. Scores round at 4,
+    * prediction = argmax (lang-asc tiebreak) — identical semantics to
+    * the per-row literal form
+    * ([[graft.functions.TextFunctions.langIdFromProfiles]]), which
+    * suits tiny models in single-row paths; this form is the corpus-
+    * scan path (Spark's higher-order lambdas are interpreted, so at
+    * corpus scale the codegen'd join wins ~10×).
+    *
+    * @return (idCol, predicted, score)
+    */
+  def langIdPredict(docs: DataFrame, idCol: String, textCol: String,
+      profiles: DataFrame, floor: Double = -20.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // cache the trigram arrays: both the match branch and the per-doc
+    // count branch read them, and the (interpreted) higher-order
+    // trigram build is the expensive part of this plan — computed once,
+    // released by the serving layer via graft.Caches
+    val base = graft.Caches.cache(docs
+      .withColumn("__tris", TextFunctions.charTrigrams(col(textCol)))
+      .select(col(idCol), col("__tris"), size(col("__tris")).as("__n")))
+    val tri = base.select(col(idCol), explode(col("__tris")).as("tg"))
+    val matched = tri.join(broadcast(profiles), "tg")
+      .groupBy(col(idCol), col("plang"))
+      .agg(sum(col("logp") - lit(floor)).as("__m"))
+    val langs = profiles.select("plang").distinct()
+    val scored = base.select(col(idCol), col("__n"))
+      .crossJoin(broadcast(langs))
+      .join(matched, Seq(idCol, "plang"), "left")
+      .withColumn("score",
+        round(coalesce(col("__m"), lit(0.0)) + lit(floor) * col("__n"), 4))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("plang").asc)
+    scored.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col(idCol), col("plang").as("predicted"), col("score"))
+  }
+
   /** Unigram log-probability quality score: avg over a document's
     * tokens of ln(corpus probability of the token) — the
     * KenLM-perplexity stand-in every large-scale quality pipeline

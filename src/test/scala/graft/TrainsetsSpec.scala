@@ -74,6 +74,17 @@ class TrainsetsSpec extends SparkSpec {
     val again = Ingest.trainLangProfiles(corpus, "text", "lang", topK = 50)
       .collect().toSet
     assert(again == profiles.collect().toSet)
+    // the join-based corpus-scan form predicts identically to the
+    // per-row literal form
+    val viaJoin = graft.operators.CorpusStats
+      .langIdPredict(corpus, "doc_id", "text", profiles)
+      .orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaLiteral = corpus
+      .select(col("doc_id"),
+        TextFunctions.langIdFromProfiles(col("text"), model).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaJoin == viaLiteral)
   }
 
   test("balancedSample caps every key and is stable across reruns and partitionings") {
