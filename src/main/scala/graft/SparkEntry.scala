@@ -235,10 +235,13 @@ object SparkEntry {
     "q16_exact_dedup" -> ((s, dir) =>
       Dedup.exactStats(load(s, dir, "documents"), "doc_id", "text")),
 
-    // training-data ops: n-gram Jaccard near-dup pairs
+    // training-data ops: n-gram Jaccard near-dup pairs, served from
+    // the hashed-shingle posting table materialized at ingest — the
+    // request pays the inverted-index join only
     "q17_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(load(s, dir, "documents"), "doc_id", "text",
-          n = 3, threshold = 0.08)
+      Dedup.ngramJaccardFromShingles(
+          graft.sources.IndexStore.shingles(s, dir), "doc_id",
+          threshold = 0.08)
         .orderBy("a", "b")),
 
     // training-data ops: MinHash + LSH near-dup candidates, served from

@@ -145,6 +145,23 @@ object Dedup {
     val sh = graft.Caches.cache(docs
       .select(col(idCol), transform(arr, s => xxhash64(s)).as("ss"), size(arr).as("sz"))
       .select(col(idCol), explode(col("ss")).as("shingle"), col("sz")))
+    ngramJaccardFromShingles(sh, idCol, threshold, saltFactor, hotThreshold)
+  }
+
+  /** [[ngramJaccardPairs]] served from a precomputed hashed-shingle
+    * posting table (idCol, shingle: long, sz) — the at-rest path
+    * ([[graft.sources.Ingest.buildIndex]] materializes it): the
+    * per-request cost is the inverted-index join alone, never the
+    * corpus tokenize+shingle pass. Like MinHash signatures, shingle
+    * sets are a pure per-document function, so any corpus subset
+    * serves via semi-join.
+    */
+  def ngramJaccardFromShingles(
+      sh: DataFrame,
+      idCol: String,
+      threshold: Double,
+      saltFactor: Int = 1,
+      hotThreshold: Long = 1000): DataFrame = {
     val inter =
       if (saltFactor > 1) {
         val sizes = sh.groupBy(col(idCol)).agg(first(col("sz")).as("sz"))

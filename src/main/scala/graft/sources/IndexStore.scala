@@ -147,6 +147,11 @@ object IndexStore {
   def deletes(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"${indexDir(spark, sfDir)}/deletes")
 
+  /** Hashed-shingle posting table (id, shingle, sz) — the n-gram
+    * Jaccard serving table ([[graft.operators.Dedup.ngramJaccardFromShingles]]). */
+  def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${indexDir(spark, sfDir)}/shingles")
+
   /** Trained language-ID profile table (plang, tg, logp) — driver-scale
     * model rows ([[graft.functions.TextFunctions.langIdFromProfiles]]). */
   def langProfiles(spark: SparkSession, sfDir: String): DataFrame =

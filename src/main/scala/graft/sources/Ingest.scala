@@ -114,6 +114,16 @@ object Ingest {
       .repartitionByRange(col("variant"))
       .sortWithinPartitions("variant")
       .write.mode("overwrite").parquet(s"$outDir/deletes")
+    // hashed-shingle postings: (id, xxhash64(shingle), set size) — the
+    // n-gram Jaccard serving table ([[graft.operators.Dedup.ngramJaccardFromShingles]]);
+    // like signatures, a pure per-document function valid for any
+    // corpus subset via semi-join
+    val shingleArr = array_distinct(
+      TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize))
+    docs.select(col(idCol),
+        transform(shingleArr, s => xxhash64(s)).as("ss"), size(shingleArr).as("sz"))
+      .select(col(idCol), explode(col("ss")).as("shingle"), col("sz"))
+      .write.mode("overwrite").parquet(s"$outDir/shingles")
     // MinHash signatures: a per-document function of the text (no
     // corpus statistics), so near-dup requests over any corpus subset
     // serve this table via semi-join instead of re-tokenizing

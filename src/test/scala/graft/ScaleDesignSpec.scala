@@ -340,6 +340,11 @@ class ScaleDesignSpec extends SparkSpec {
     assert(p.contains("/signatures"),
       "q18/q74 pairs must read the ingest-built signatures:\n" +
         p.linesIterator.take(15).mkString("\n"))
+    val q17 = SparkEntry.queries("q17_ngram_jaccard")(spark, dir)
+    val p17 = plan(q17)
+    assert(!p17.contains("documents.parquet") && p17.contains("/shingles"),
+      "q17 must serve the at-rest hashed-shingle postings:\n" +
+        p17.linesIterator.take(15).mkString("\n"))
   }
 
   test("SymSpell deletion join equals the levenshtein dictionary scan; variant IN pushes into the deletes scan") {
