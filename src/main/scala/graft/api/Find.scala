@@ -50,6 +50,9 @@ object Find {
       vectorIndex: Option[graft.sources.IndexStore.VectorIndex] = None,
       annBruteThreshold: Long = 1000)
 
+  /** `annNprobe`/`annRerank` tune the at-rest IVF-PQ path (defaults:
+    * half the clusters, 2× the fusion window) — the recall-vs-scan
+    * dial the reference exposes as ef_search. */
   final case class FindRequest(
       query: String = "",
       queryVector: Option[Seq[Float]] = None,
@@ -62,7 +65,9 @@ object Find {
       fusionK: Int = RankFusion.DefaultK,
       rerank: Boolean = false,
       synonyms: Map[String, Seq[String]] = Map.empty,
-      vectorset: Option[String] = None)
+      vectorset: Option[String] = None,
+      annNprobe: Option[Int] = None,
+      annRerank: Option[Int] = None)
 
   /** Run the pipeline; returns (docId, score, n_sources) + hydrated
     * text, ordered (score desc, id asc), limited to topK.
@@ -133,8 +138,10 @@ object Find {
         VectorSearch.ivfPqSearchAtRest(
             vix.codes, vecs0, corpus.vecId, "code", corpus.vecCol,
             vix.centroids, vix.codebook, vix.m, qv,
-            k = window, nprobe = math.max(1, vix.centroids.size / 2),
-            rerank = 2 * window, minScore = req.semanticMinScore)
+            k = window,
+            nprobe = req.annNprobe.getOrElse(math.max(1, vix.centroids.size / 2)),
+            rerank = req.annRerank.getOrElse(2 * window),
+            minScore = req.semanticMinScore)
           .select(col(corpus.vecId).as(corpus.docId), col("score"))
       } else {
         // vectorset selection = partition pruning on the vectorset column

@@ -199,6 +199,22 @@ class AnnRecallSpec extends SparkSpec {
     info(s"find index-path top-10 overlap with brute: $overlap/10")
     assert(overlap >= 8,
       s"index path diverged:\nindexed=${indexed.mkString(",")}\nbrute=${brute.mkString(",")}")
+    // the API plan itself serves the code table, never a raw-vector scan
+    // on the semantic list side (raw vectors appear only in the bounded
+    // rerank semi-join)
+    val apiPlan = Find.find(Find.Corpus(docs, "doc_id", "text", Some(e),
+        index = Some(ix), vectorIndex = Some(vix), annBruteThreshold = 0), req)
+      .queryExecution.executedPlan.toString
+    assert(apiPlan.contains("/codes") && apiPlan.contains("code:binary"),
+      s"Find.find's semantic list must scan the at-rest code table:\n$apiPlan")
+    // a full-probe full-rerank request recovers the brute result exactly
+    val exactReq = req.copy(annNprobe = Some(vix.centroids.size),
+      annRerank = Some(vix.nVectors.toInt))
+    val exactIndexed = Find.find(Find.Corpus(docs, "doc_id", "text", Some(e),
+        index = Some(ix), vectorIndex = Some(vix), annBruteThreshold = 0), exactReq)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(exactIndexed.sameElements(brute),
+      "full-probe + full-rerank index path must equal the brute path")
     // and at the default threshold the cost model picks brute → exact
     val auto = run(Find.Corpus(docs, "doc_id", "text", Some(e),
       index = Some(ix), vectorIndex = Some(vix)))
