@@ -890,14 +890,13 @@ object SparkEntry {
 
     // training-data ops: eval-set decontamination — fraction of each
     // doc's shingles that appear in the benchmark set (docs 0..4)
-    "q76_contamination" -> ((s, dir) => {
-      val docs = load(s, dir, "documents")
-      graft.sources.Trainsets.contaminationScores(
-          docs, "doc_id", "text", docs.where(col("doc_id") < 5), n = 3)
+    "q76_contamination" -> ((s, dir) =>
+      graft.sources.Trainsets.contaminationFromShingles(
+          graft.sources.IndexStore.shingles(s, dir), "doc_id",
+          load(s, dir, "documents").where(col("doc_id") < 5).select("doc_id"))
         .where(col("contamination") > 0)
         .orderBy(col("contamination").desc, col("doc_id").asc)
-        .limit(20)
-    }),
+        .limit(20)),
 
     // §2.2 runtime-filter prefilter: Bloom sketch of the allowed key
     // set applied in the fact scan, exact semi-join removes the false
@@ -946,7 +945,8 @@ object SparkEntry {
       val docs = load(s, dir, "documents").where(col("lang") === "en")
       graft.sources.Pipeline.curate(docs, "doc_id", "text",
           evalDocs = docs.where(col("doc_id") < 5),
-          signatures = Some(graft.sources.IndexStore.signatures(s, dir)))
+          signatures = Some(graft.sources.IndexStore.signatures(s, dir)),
+          shingles = Some(graft.sources.IndexStore.shingles(s, dir)))
         .orderBy("doc_id")
     }),
 

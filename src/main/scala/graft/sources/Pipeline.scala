@@ -51,7 +51,8 @@ object Pipeline {
       minEstJaccard: Double = 0.25,
       contaminationMax: Double = 0.5,
       splits: Seq[(String, Int)] = Seq("train" -> 12, "val" -> 2, "test" -> 2),
-      signatures: Option[DataFrame] = None): DataFrame = {
+      signatures: Option[DataFrame] = None,
+      shingles: Option[DataFrame] = None): DataFrame = {
     // single let-bound predicate: one tokenizer run per row (both the
     // size and the mean-length reads are lambda-variable reads)
     val toks = TextFunctions.tokens(col(textCol))
@@ -82,7 +83,15 @@ object Pipeline {
         .where(col(idCol) === col("__keep"))
         .drop("component", "__grp", "__keep")
     }
-    val cont = Trainsets.contaminationScores(docs, idCol, textCol, evalDocs, n = 3)
+    // decontamination from the at-rest shingle table when available
+    // (both sides semi-join the same table); from raw text otherwise
+    val cont = shingles match {
+      case Some(sh) => Trainsets.contaminationFromShingles(
+        sh.join(docs.select(col(idCol)), Seq(idCol), "left_semi"),
+        idCol, evalDocs.select(col(idCol)))
+      case None =>
+        Trainsets.contaminationScores(docs, idCol, textCol, evalDocs, n = 3)
+    }
     val clean = keepNear.join(cont, Seq(idCol), "left")
       .where(coalesce(col("contamination"), lit(0.0)) < contaminationMax)
       .drop("contamination")

@@ -147,6 +147,24 @@ object Trainsets {
         .as("contamination"))
   }
 
+  /** [[contaminationScores]] served from the at-rest hashed-shingle
+    * posting table ([[Ingest.buildIndex]]'s `shingles`: idCol, shingle,
+    * sz) — both the corpus side and the eval side are semi-joins into
+    * the same table, so a request pays no tokenize/shingle pass at all.
+    * Hashed-shingle membership equals string-set membership barring a
+    * 64-bit collision (the q17 trade, documented there). `evalIds`
+    * is the eval corpus as an id set.
+    */
+  def contaminationFromShingles(sh: DataFrame, idCol: String,
+      evalIds: DataFrame): DataFrame = {
+    val evalSh = sh.join(evalIds.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col("shingle")).distinct()
+    sh.join(broadcast(evalSh.withColumn("__hit", lit(1))), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") / first(col("sz")), 4)
+        .as("contamination"))
+  }
+
   /** Deterministic train/val/test split: the first hex digit of
     * md5(id) buckets each row into one of 16 slots; `splits` assigns
     * slot COUNTS to named splits in order (e.g. train→12, val→2,
