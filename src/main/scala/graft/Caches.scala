@@ -22,13 +22,17 @@ object Caches {
   // the serving layer releases after the terminal action, both on the
   // request's thread — so concurrent queries in one JVM (each on its
   // own handler thread) cannot release each other's still-referenced
-  // caches. Child threads inherit the spawning request's arena
-  // (InheritableThreadLocal), matching Spark's session-cloning
-  // convention for request-scoped work.
+  // caches. Child threads inherit the spawning request's arena BY
+  // REFERENCE (InheritableThreadLocal default), so the container must
+  // itself be thread-safe — ConcurrentLinkedQueue, not a plain deque.
+  // Residual caveat: a POOLED child thread keeps the arena of the
+  // request that created it; registrations made on it during a later
+  // request drain only when the originating arena releases (delayed
+  // release — never corruption, never a cross-request release).
   private val registered =
-    new InheritableThreadLocal[java.util.ArrayDeque[Dataset[_]]] {
-      override def initialValue(): java.util.ArrayDeque[Dataset[_]] =
-        new java.util.ArrayDeque[Dataset[_]]()
+    new InheritableThreadLocal[java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]] {
+      override def initialValue(): java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]] =
+        new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
     }
 
   /** Cache `df` and register it for this thread's next [[releaseAll]]. */

@@ -59,9 +59,11 @@ object SparkEntry {
   private val pqCodesDirs = scala.collection.mutable.Map[String, String]()
   private def pqCodesAtRest(s: SparkSession, dir: String,
       cb: Seq[(Int, Seq[Float])], m: Int): DataFrame = synchronized {
-    // memo key includes the codebook + m: a later call with a different
+    // memo key includes the codebook VALUES + m (structural, not a
+    // 32-bit hashCode — a collision would silently serve codes built
+    // from a different codebook): a later call with a different
     // codebook for the same corpus dir gets its own code table
-    val path = pqCodesDirs.getOrElseUpdate(s"$dir#${(cb, m).hashCode}", {
+    val path = pqCodesDirs.getOrElseUpdate(s"$dir#m=$m#${cb.mkString(";")}", {
       val out = graft.sources.IndexStore.deleteOnExit(
         java.nio.file.Files.createTempDirectory("graft-pqcodes-").toString)
       VectorSearch.pqCodesBinary(

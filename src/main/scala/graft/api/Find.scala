@@ -135,8 +135,15 @@ object Find {
       if (useIndex) {
         val vix = corpus.vectorIndex.get
         val window = math.max(req.topK, RankFusion.MaxWindow)
+        // the exact-rerank side keeps the brute path's docs restriction
+        // (vector ids absent from the doc table can never reach the
+        // response): the semi-join applies to the ≤rerank candidate
+        // rows, not the corpus — out-of-docs candidates waste rerank
+        // slots instead of surfacing and then vanishing at hydration
+        val raw = Prefilter.semiJoin(vecs0, corpus.vecId,
+          base.select(col(corpus.docId).as(corpus.vecId)))
         VectorSearch.ivfPqSearchAtRest(
-            vix.codes, vecs0, corpus.vecId, "code", corpus.vecCol,
+            vix.codes, raw, corpus.vecId, "code", corpus.vecCol,
             vix.centroids, vix.codebook, vix.m, qv,
             k = window,
             nprobe = req.annNprobe.getOrElse(math.max(1, vix.centroids.size / 2)),

@@ -40,13 +40,15 @@ class LangIdModel(profiles: Seq[(String, Map[String, Double])],
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   def predict(text: UTF8String): UTF8String = {
-    // char semantics match lower(text) + substr: the fixture corpora
-    // are ASCII; ROOT locale keeps the lowercase locale-independent
-    val t = text.toString.toLowerCase(java.util.Locale.ROOT)
+    // CODEPOINT windows, matching Spark's substr/length and the DuckDB
+    // oracle (UTF-16 substring would mis-window any non-BMP char);
+    // ROOT locale keeps the lowercase locale-independent
+    val cps = text.toString.toLowerCase(java.util.Locale.ROOT)
+      .codePoints().toArray
     val sums = new Array[Double](n)
     var i = 0
-    while (i + 3 <= t.length) {
-      val arr = weights.get(t.substring(i, i + 3))
+    while (i + 3 <= cps.length) {
+      val arr = weights.get(new String(cps, i, 3))
       var j = 0
       if (arr ne null) { while (j < n) { sums(j) += arr(j); j += 1 } }
       else { while (j < n) { sums(j) += floor; j += 1 } }

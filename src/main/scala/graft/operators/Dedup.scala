@@ -88,6 +88,13 @@ object Dedup {
       numHashes: Int = 8,
       bandSize: Int = 2,
       minEstJaccard: Double = 0.5): DataFrame = {
+    // loud guard against a table built with different parameters: a
+    // width mismatch would silently estimate Jaccard over a subset of
+    // the signature components and change keep/drop decisions
+    val widthOnDisk = sig.columns.count(_.matches("h\\d+"))
+    require(widthOnDisk == numHashes,
+      s"signature table has $widthOnDisk hash columns, caller expects $numHashes " +
+        "— rebuild the index or pass the table's numHashes")
     // explode signature into (id, band, bv) rows; bucket-join on band value
     val nBands = numHashes / bandSize
     val bandCols = (0 until nBands).map { bi =>

@@ -54,6 +54,11 @@ object IndexStore {
 
   private val built = scala.collection.mutable.Map[String, String]()
   private val builtVec = scala.collection.mutable.Map[String, String]()
+  // collected driver-side models memoized per (session, dir): reading
+  // them is two collect jobs — paid once, not per request
+  private val vixCache = scala.collection.mutable.Map[(SparkSession, String), VectorIndex]()
+  private val langCache =
+    scala.collection.mutable.Map[(SparkSession, String), Seq[(String, Map[String, Double])]]()
 
   /** Register a temp directory for recursive deletion at JVM exit. */
   def deleteOnExit(dir: String): String = {
@@ -109,7 +114,11 @@ object IndexStore {
     * assignment tables as pruned-scan DataFrames, raw vectors for the
     * exact rerank.
     */
-  def vectorIndex(spark: SparkSession, sfDir: String): VectorIndex = {
+  def vectorIndex(spark: SparkSession, sfDir: String): VectorIndex = synchronized {
+    vixCache.getOrElseUpdate((spark, sfDir), loadVectorIndex(spark, sfDir))
+  }
+
+  private def loadVectorIndex(spark: SparkSession, sfDir: String): VectorIndex = {
     val dir = vectorIndexDir(spark, sfDir)
     val cents = spark.read.parquet(s"$dir/centroids")
       .select(col("cid"), col("cvec"), col("n_members"))
@@ -157,13 +166,17 @@ object IndexStore {
   def langProfiles(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"${indexDir(spark, sfDir)}/langprofiles")
 
-  /** [[langProfiles]] collected into the broadcast-literal model shape. */
+  /** [[langProfiles]] collected into the broadcast-literal model shape
+    * (memoized per session+dir — one collect, not one per request). */
   def langProfileModel(spark: SparkSession, sfDir: String): Seq[(String, Map[String, Double])] =
-    langProfiles(spark, sfDir).collect()
-      .groupBy(_.getString(0))
-      .map { case (l, rows) =>
-        l -> rows.map(r => r.getString(1) -> r.getDouble(2)).toMap }
-      .toSeq.sortBy(_._1)
+    synchronized {
+      langCache.getOrElseUpdate((spark, sfDir),
+        langProfiles(spark, sfDir).collect()
+          .groupBy(_.getString(0))
+          .map { case (l, rows) =>
+            l -> rows.map(r => r.getString(1) -> r.getDouble(2)).toMap }
+          .toSeq.sortBy(_._1))
+    }
 
   def docLengths(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"${indexDir(spark, sfDir)}/doclengths")

@@ -141,6 +141,13 @@ object Ingest {
     if (withVectors)
       tfidfVectors(docs, idCol, textCol, embeddingDim)
         .write.mode("overwrite").parquet(s"$outDir/vectors")
+    // provenance: the build parameters the serving side must match
+    // (signature width is additionally self-describing — its columns —
+    // and loudly validated in minHashLshFromSignatures; shingle size
+    // is recorded here)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/text_meta.json"),
+      s"""{"shingle_size": $shingleSize, "num_hashes": $numHashes, "par_tokens": $parTokens, "id_col": "$idCol"}""")
   }
 
   private def spark(df: DataFrame) = df.sparkSession

@@ -93,18 +93,18 @@ object IncrementalIndex {
       merged.count() // materialize before overwriting the input path
       val survived = merged.select("__bucket").distinct()
         .collect().map(_.getLong(0)).toSet
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try merged.write.mode("overwrite").partitionBy("__bucket").parquet(tablePath)
-      finally prev match {
-        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-      if (existing.isDefined) touched.filterNot(survived).foreach { bk =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      // per-write option — scoped to this writer, so no race with other
+      // writers on the same session expecting static overwrite
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket").parquet(tablePath)
+      if (existing.isDefined) {
+        // Hadoop FS API: works on local, HDFS, and object stores alike
+        val conf = spark.sparkContext.hadoopConfiguration
+        touched.filterNot(survived).foreach { bk =>
+          val p = new org.apache.hadoop.fs.Path(s"$tablePath/__bucket=$bk")
+          p.getFileSystem(conf).delete(p, true)
         }
-        rm(new java.io.File(s"$tablePath/__bucket=$bk"))
       }
     } finally merged.unpersist()
     ()
