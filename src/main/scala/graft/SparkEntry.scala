@@ -1098,6 +1098,16 @@ object SparkEntry {
         .orderBy("lang", "predicted")
     }),
 
+    // §2.3 BM25-SCORED paragraph search served from the at-rest
+    // paragraph posting index — the nidx_paragraph scoring parity
+    // (tantivy BM25 over paragraph text, not the matched-term count of
+    // q34): same pruned-scan shape as q09, retrieval unit = paragraph
+    "q90_paragraph_bm25" -> ((s, dir) =>
+      Bm25.searchFromPostings(
+        graft.sources.IndexStore.parPostings(s, dir),
+        graft.sources.IndexStore.parDocLengths(s, dir),
+        "paragraph_id", QueryTerms, 15)),
+
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:
     // HyperLogLog++ distinct counts and approximate percentiles give a
     // bounded-memory, one-pass corpus shape. NO DuckDB oracle (sketch
@@ -2114,6 +2124,25 @@ object SparkEntry {
         |SELECT lang, plang AS predicted, CAST(count(*) AS BIGINT) AS n
         |FROM pred WHERE rn = 1
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q90 mirrors Bm25Ctes at the paragraph level: the paragraph token
+    // stream comes straight from the split CTE's token slices.
+    "q90_paragraph_bm25" ->
+      s"""WITH $ParCtes,
+         |ptok AS (SELECT paragraph_id, unnest(t[s+1:e]) AS term FROM par),
+         |dl AS (SELECT paragraph_id, CAST(count(*) AS DOUBLE) AS dl FROM ptok GROUP BY 1),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT paragraph_id, term, CAST(count(*) AS DOUBLE) AS tf FROM ptok
+         |       WHERE term IN $InQueryTerms GROUP BY 1, 2),
+         |idf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |bm25 AS (
+         |  SELECT tf.paragraph_id,
+         |         round(sum(ln(1 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+         |               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 4) AS score
+         |  FROM tf JOIN idf USING (term) JOIN dl USING (paragraph_id) CROSS JOIN stats
+         |  GROUP BY tf.paragraph_id)
+         |SELECT paragraph_id, score FROM bm25
+         |ORDER BY score DESC, paragraph_id LIMIT 15""".stripMargin,
 
     // q84 serves the at-rest IVF-PQ index with an exact rerank whose
     // candidate set reaches full recall on the test corpora (asserted

@@ -183,4 +183,12 @@ object IndexStore {
 
   def paragraphs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"${indexDir(spark, sfDir)}/paragraphs")
+
+  /** Paragraph-level posting/length tables — the nidx_paragraph BM25
+    * serving pair. */
+  def parPostings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${indexDir(spark, sfDir)}/par_postings")
+
+  def parDocLengths(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${indexDir(spark, sfDir)}/par_doclengths")
 }

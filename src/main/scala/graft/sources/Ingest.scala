@@ -97,6 +97,14 @@ object Ingest {
       .write.mode("overwrite").parquet(s"$outDir/postings")
     graft.functions.Bm25.docLengths(docs, idCol, textCol)
       .write.mode("overwrite").parquet(s"$outDir/doclengths")
+    // paragraph-level postings + lengths: the nidx_paragraph analog —
+    // BM25-scored paragraph search serves these instead of scanning
+    // paragraph text at query time
+    val pars = spark(docs).read.parquet(s"$outDir/paragraphs")
+    termPostings(pars, "paragraph_id", "p_text")
+      .write.mode("overwrite").parquet(s"$outDir/par_postings")
+    graft.functions.Bm25.docLengths(pars, "paragraph_id", "p_text")
+      .write.mode("overwrite").parquet(s"$outDir/par_doclengths")
     // term-frequency dictionary: the suggest/fuzzy serving table — a
     // pure rollup of the postings (freq = total occurrences), the
     // tantivy-FST analog (`nidx_paragraph/src/fuzzy_query.rs:55-120`)
