@@ -1108,6 +1108,23 @@ object SparkEntry {
         graft.sources.IndexStore.parDocLengths(s, dir),
         "paragraph_id", QueryTerms, 15)),
 
+    // §3.1 paragraph-mode find with BM25 scoring — the reference's
+    // actual paragraph ranking (tantivy BM25) through the API: doc
+    // prefilter → allowed paragraph set → at-rest paragraph posting
+    // scan → response tree
+    "q91_find_paragraphs_bm25" -> ((s, dir) => {
+      import graft.api.Find
+      val docs = load(s, dir, "documents")
+      Find.findParagraphs(
+          Find.Corpus(docs, "doc_id", "text",
+            index = Some(graft.sources.IndexStore.tables(s, dir))),
+          Find.FindRequest(query = QueryTerms.mkString(" "),
+            filter = Some(FilterExpr.Eq("lang", "en")), topK = 20,
+            paragraphBm25 = true))
+        .withColumn("hits", concat_ws(",", col("hits")))
+        .orderBy(col("best_score").desc, col("doc_id").asc)
+    }),
+
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:
     // HyperLogLog++ distinct counts and approximate percentiles give a
     // bounded-memory, one-pass corpus shape. NO DuckDB oracle (sketch
@@ -2143,6 +2160,34 @@ object SparkEntry {
          |  GROUP BY tf.paragraph_id)
          |SELECT paragraph_id, score FROM bm25
          |ORDER BY score DESC, paragraph_id LIMIT 15""".stripMargin,
+
+    // q91: paragraph BM25 over the lang='en' allowed set (stats over
+    // the allowed corpus — the engine's filter-then-score contract),
+    // composed into the find response tree.
+    "q91_find_paragraphs_bm25" ->
+      s"""WITH $ParCtes,
+         |allowed AS (SELECT p.paragraph_id, p.t, p.s, p.e FROM par p
+         |            JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+         |ptok AS (SELECT paragraph_id, unnest(t[s+1:e]) AS term FROM allowed),
+         |dl AS (SELECT paragraph_id, CAST(count(*) AS DOUBLE) AS dl FROM ptok GROUP BY 1),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT paragraph_id, term, CAST(count(*) AS DOUBLE) AS tf FROM ptok
+         |       WHERE term IN $InQueryTerms GROUP BY 1, 2),
+         |idf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |bm25 AS (
+         |  SELECT tf.paragraph_id,
+         |         round(sum(ln(1 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+         |               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 4) AS score
+         |  FROM tf JOIN idf USING (term) JOIN dl USING (paragraph_id) CROSS JOIN stats
+         |  GROUP BY tf.paragraph_id),
+         |hits AS (SELECT CAST(split_part(paragraph_id, '/', 1) AS BIGINT) AS doc_id,
+         |                paragraph_id, score
+         |         FROM bm25)
+         |SELECT doc_id, round(max(score), 6) AS best_score,
+         |  CAST(count(*) AS BIGINT) AS n_hits,
+         |  string_agg(paragraph_id, ',' ORDER BY score DESC, paragraph_id) AS hits
+         |FROM hits GROUP BY doc_id
+         |ORDER BY best_score DESC, doc_id LIMIT 20""".stripMargin,
 
     // q84 serves the at-rest IVF-PQ index with an exact rerank whose
     // candidate set reaches full recall on the test corpora (asserted

@@ -67,7 +67,8 @@ object Find {
       synonyms: Map[String, Seq[String]] = Map.empty,
       vectorset: Option[String] = None,
       annNprobe: Option[Int] = None,
-      annRerank: Option[Int] = None)
+      annRerank: Option[Int] = None,
+      paragraphBm25: Boolean = false)
 
   /** Run the pipeline; returns (docId, score, n_sources) + hydrated
     * text, ordered (score desc, id asc), limited to topK.
@@ -215,21 +216,51 @@ object Find {
     val excl = parsed.excluded
       .map(t => !array_contains(TextFunctions.tokens(col("p_text")), t))
       .foldLeft(lit(true))(_ && _)
-    val par = corpus.index match {
-      case Some(ix) => // at-rest paragraph table, prefilter as semi-join
-        if (req.filter.isEmpty) ix.paragraphs
-        else Prefilter.semiJoin(ix.paragraphs, corpus.docId,
-          base.select(corpus.docId))
+    // BM25 mode (the reference's actual paragraph scoring — tantivy
+    // BM25 per paragraph): score from the at-rest paragraph posting
+    // index; the prefilter + exclusions compile to an allowed
+    // paragraph-id set (None when unrestricted → pure pruned lookup),
+    // and the doc id comes from the paragraph-id prefix, so the only
+    // joins are the bounded allow-set semi-join and the stats tables.
+    val bm25Index = corpus.index
+      .filter(ix => req.paragraphBm25 && ix.parPostings.isDefined)
+    bm25Index match {
+      case Some(ix) =>
+        val restricted = req.filter.nonEmpty || parsed.excluded.nonEmpty
+        val allowed =
+          if (!restricted) None
+          else {
+            val byDoc =
+              if (req.filter.isEmpty) ix.paragraphs
+              else Prefilter.semiJoin(ix.paragraphs, corpus.docId,
+                base.select(corpus.docId))
+            Some(byDoc.where(excl).select("paragraph_id"))
+          }
+        val docIdType = corpus.docs.schema(corpus.docId).dataType
+        val hits = Bm25.scoreFromPostings(ix.parPostings.get,
+            ix.parDocLengths.get, "paragraph_id", terms, allowed = allowed)
+          .withColumn("score", round(col("score"), 4))
+          .withColumn(corpus.docId,
+            split(col("paragraph_id"), "/").getItem(0).cast(docIdType))
+        composeResources(hits, corpus.docId, "paragraph_id", "score")
+          .limit(req.topK)
       case None =>
-        graft.sources.Ingest.splitParagraphs(base, corpus.docId, corpus.text)
+        val par = corpus.index match {
+          case Some(ix) => // at-rest paragraph table, prefilter as semi-join
+            if (req.filter.isEmpty) ix.paragraphs
+            else Prefilter.semiJoin(ix.paragraphs, corpus.docId,
+              base.select(corpus.docId))
+          case None =>
+            graft.sources.Ingest.splitParagraphs(base, corpus.docId, corpus.text)
+        }
+        val hits = par.where(excl)
+          .withColumn("score",
+            size(filter(TextFunctions.tokens(col("p_text")),
+              t => t.isInCollection(terms))).cast("double"))
+          .where(col("score") > 0)
+        composeResources(hits, corpus.docId, "paragraph_id", "score")
+          .limit(req.topK)
     }
-    val hits = par.where(excl)
-      .withColumn("score",
-        size(filter(TextFunctions.tokens(col("p_text")),
-          t => t.isInCollection(terms))).cast("double"))
-      .where(col("score") > 0)
-    composeResources(hits, corpus.docId, "paragraph_id", "score")
-      .limit(req.topK)
   }
 
   /** Compose the find response tree: group scored text-block hits under

@@ -32,11 +32,15 @@ import org.apache.spark.sql.functions.col
   */
 object IndexStore {
 
-  /** The index tables every query-surface caller consumes. */
+  /** The index tables every query-surface caller consumes. The
+    * paragraph-level posting pair is optional (None for corpora
+    * indexed before it existed); [[tables]] always binds it. */
   final case class IndexTables(
       postings: DataFrame,
       docLengths: DataFrame,
-      paragraphs: DataFrame)
+      paragraphs: DataFrame,
+      parPostings: Option[DataFrame] = None,
+      parDocLengths: Option[DataFrame] = None)
 
   /** The at-rest ANN index ([[Ingest.buildVectorIndex]]'s output as the
     * serving side reads it): driver-scale centroid + codebook literals,
@@ -106,7 +110,9 @@ object IndexStore {
     IndexTables(
       postings = spark.read.parquet(s"$dir/postings"),
       docLengths = spark.read.parquet(s"$dir/doclengths"),
-      paragraphs = spark.read.parquet(s"$dir/paragraphs"))
+      paragraphs = spark.read.parquet(s"$dir/paragraphs"),
+      parPostings = Some(spark.read.parquet(s"$dir/par_postings")),
+      parDocLengths = Some(spark.read.parquet(s"$dir/par_doclengths")))
   }
 
   /** The served vector index: centroid/codebook literals collected once
