@@ -110,6 +110,108 @@ object IncrementalIndex {
     ()
   }
 
+  /** LSM-style incremental INDEX maintenance — the reference indexer's
+    * actual model (`nidx/src/indexer.rs:254-298`: each op batch becomes
+    * a NEW SEGMENT; searchers merge segments applying deletions; a
+    * scheduler compacts). Each micro-batch writes one immutable segment
+    * directory: a doc manifest (id, seq, deleted) plus postings and
+    * doc-lengths FOR THE BATCH'S LIVE DOCS ONLY — ingest cost is
+    * proportional to the batch, nothing existing is rewritten.
+    * [[segmentTables]] serves the union with latest-wins per doc;
+    * [[compactSegments]] is the merge scheduler.
+    */
+  def startIndexSegments(
+      updates: DataFrame,
+      indexRoot: String,
+      checkpointPath: String,
+      idCol: String = "rid",
+      textCol: String = "text",
+      seqCol: String = "seq"): StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        writeSegment(batch, f"$indexRoot/seg_$bid%09d", idCol, textCol, seqCol)
+      }
+      .start()
+
+  /** Write one immutable index segment from an update batch:
+    * latest-wins WITHIN the batch, tombstones recorded in the manifest,
+    * postings/doclengths built only for the batch's live docs (each row
+    * carries its doc's seq so cross-segment latest-wins is a semi-join).
+    */
+  def writeSegment(batch: DataFrame, segDir: String,
+      idCol: String, textCol: String, seqCol: String): Unit = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col(seqCol).desc)
+    val latest = batch.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn").cache()
+    try {
+      latest.select(col(idCol), col(seqCol), col("deleted"))
+        .write.mode("overwrite").parquet(s"$segDir/docs")
+      val live = latest.where(!col("deleted"))
+      graft.sources.Ingest.termPostings(live, idCol, textCol)
+        .join(live.select(col(idCol), col(seqCol)), idCol)
+        .write.mode("overwrite").parquet(s"$segDir/postings")
+      graft.functions.Bm25.docLengths(live, idCol, textCol)
+        .join(live.select(col(idCol), col(seqCol)), idCol)
+        .write.mode("overwrite").parquet(s"$segDir/doclengths")
+    } finally latest.unpersist()
+    ()
+  }
+
+  private def segmentDirs(spark: SparkSession, indexRoot: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(indexRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg_"))
+      .map(_.getPath.toString).sorted
+  }
+
+  /** Serve the segmented index: (postings, docLengths) with
+    * latest-wins-per-doc applied across segments — a doc's winning
+    * (id, seq) pair selects exactly its newest segment's rows, and
+    * tombstoned docs vanish (their winner row is dropped by
+    * [[mergeLatest]]). The winner set is doc-manifest-sized (never
+    * posting-sized), so the semi-join is cheap at any corpus size.
+    */
+  def segmentTables(spark: SparkSession, indexRoot: String,
+      idCol: String = "rid", seqCol: String = "seq"): (DataFrame, DataFrame) = {
+    val dirs = segmentDirs(spark, indexRoot)
+    require(dirs.nonEmpty, s"no segments under $indexRoot")
+    def union(sub: String) =
+      dirs.map(d => spark.read.parquet(s"$d/$sub")).reduce(_ unionByName _)
+    val winners = mergeLatest(union("docs"), idCol, seqCol)
+      .select(col(idCol), col(seqCol))
+    (union("postings").join(winners, Seq(idCol, seqCol), "left_semi"),
+      union("doclengths").join(winners, Seq(idCol, seqCol), "left_semi"))
+  }
+
+  /** Segment compaction (the `nidx/src/scheduler.rs` merge): fold every
+    * segment into one (serving tables written as a fresh segment whose
+    * manifest is the winner set), then delete the inputs. Query results
+    * are identical before and after — asserted in StreamingSpec.
+    */
+  def compactSegments(spark: SparkSession, indexRoot: String,
+      idCol: String = "rid", seqCol: String = "seq"): Unit = {
+    val dirs = segmentDirs(spark, indexRoot)
+    if (dirs.size <= 1) return
+    val (posts, dls) = segmentTables(spark, indexRoot, idCol, seqCol)
+    val winners = mergeLatest(
+      dirs.map(d => spark.read.parquet(s"$d/docs")).reduce(_ unionByName _),
+      idCol, seqCol)
+    val out = s"$indexRoot/compacting"
+    winners.write.mode("overwrite").parquet(s"$out/docs")
+    posts.write.mode("overwrite").parquet(s"$out/postings")
+    dls.write.mode("overwrite").parquet(s"$out/doclengths")
+    val fs = new org.apache.hadoop.fs.Path(indexRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dirs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    fs.rename(new org.apache.hadoop.fs.Path(out),
+      new org.apache.hadoop.fs.Path(s"$indexRoot/seg_000000000"))
+    ()
+  }
+
   /** Per-user session state for [[streamingSessionCounts]]. */
   final case class SessionState(lastEventMs: Long, nSessions: Long, nEvents: Long)
   /** One input event: (user, event-time millis). */

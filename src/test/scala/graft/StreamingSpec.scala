@@ -103,6 +103,46 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(r1 -> s"$r1-v2", r2 -> s"$r2-v1", r3 -> s"$r3-v1"))
   }
 
+  test("segmented index: per-batch segments, latest-wins serving, compaction preserves results") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Bm25
+    val root = Files.createTempDirectory("graft-seg").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft-segck").toString
+    val input = MemoryStream[(String, Long, String, Boolean)]
+    val updates = input.toDF().toDF("rid", "seq", "value", "deleted")
+    val q = IncrementalIndex.startIndexSegments(updates, root, ckpt,
+      idCol = "rid", textCol = "value")
+    try {
+      input.addData(("r1", 1L, "spark engine", false),
+        ("r2", 1L, "query planner", false))
+      q.processAllAvailable()
+      input.addData(("r1", 2L, "spark query spark", false), // update
+        ("r2", 2L, "gone", true),                           // tombstone
+        ("r3", 2L, "fast spark scan", false))               // new
+      q.processAllAvailable()
+
+      def scores(): Map[String, Double] = {
+        val (posts, dls) = IncrementalIndex.segmentTables(spark, root)
+        Bm25.scoreFromPostings(posts, dls, "rid", Seq("spark"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      }
+      // expected = batch-free index over the merged corpus state
+      val merged = Seq(("r1", "spark query spark"), ("r3", "fast spark scan"))
+        .toDF("rid", "value")
+      val expected = Bm25.score(merged, "rid", "value", Seq("spark"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val before = scores()
+      assert(before.keySet == Set("r1", "r3"), s"tombstone/update wrong: $before")
+      expected.foreach { case (k, v) => assert(math.abs(before(k) - v) < 1e-12) }
+      // two segments on disk → compaction folds to one, same results
+      IncrementalIndex.compactSegments(spark, root)
+      val segs = new java.io.File(root).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("seg_"))
+      assert(segs.length == 1, segs.mkString(","))
+      assert(scores() == before)
+    } finally q.stop()
+  }
+
   test("streamingDedup drops cross-batch duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
