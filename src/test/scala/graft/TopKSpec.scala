@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, explode}
 import graft.operators.TopK
 
 class TopKSpec extends SparkSpec {
@@ -62,5 +63,33 @@ class TopKSpec extends SparkSpec {
     val exact = TopK.suggestFuzzyPrefix(terms, "term", "freq", "window", 5)
       .collect().map(_.getString(0))
     assert(exact.contains("window") && exact.contains("windows"))
+  }
+
+  test("symSpellMatchTerms equals the levenshtein scan on a randomized dictionary") {
+    import graft.functions.TextFunctions
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // seeded generator over a tiny alphabet: dense coverage of
+    // ins/del/sub/transpose collisions without flaky randomness
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcde"
+    def word() = (1 to (1 + rnd.nextInt(7)))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val dict = (1 to 300).map(_ => word()).distinct
+    val deletes = dict.toDF("term").select(
+      explode(TextFunctions.deleteVariants(col("term"))).as("variant"),
+      col("term"))
+    (1 to 25).map(_ => word()).distinct.foreach { q =>
+      val expected = dict.filter(t => lev(t, q) <= 1).toSet
+      val sym = TopK.symSpellMatchTerms(deletes, q)
+        .collect().map(_.getString(0)).toSet
+      assert(sym == expected, s"'$q': symspell $sym != levenshtein $expected")
+    }
   }
 }
