@@ -1125,6 +1125,20 @@ object SparkEntry {
         .orderBy(col("best_score").desc, col("doc_id").asc)
     }),
 
+    // §2.8 query entity detection (gazetteer NER stand-in): entity
+    // values found whole-token in the query become graph entry points,
+    // here expanded one hop to their suppliers — the reference's
+    // detect-entities → relations retrieval flow
+    "q92_entity_detection" -> ((s, dir) => {
+      val query = "connect the red widget supply to every blue bolt in stock"
+      val detected = GraphOps.detectEntities(load(s, dir, "part"), "p_name", query)
+      detected.join(load(s, dir, "lineitem"),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy("p_name")
+        .agg(countDistinct("l_suppkey").as("n_suppliers"))
+        .orderBy("p_name")
+    }),
+
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:
     // HyperLogLog++ distinct counts and approximate percentiles give a
     // bounded-memory, one-pass corpus shape. NO DuckDB oracle (sketch
@@ -2188,6 +2202,13 @@ object SparkEntry {
          |  string_agg(paragraph_id, ',' ORDER BY score DESC, paragraph_id) AS hits
          |FROM hits GROUP BY doc_id
          |ORDER BY best_score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q92_entity_detection" ->
+      """SELECT p_name, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE position(' ' || p_name || ' ' IN
+        |  ' connect the red widget supply to every blue bolt in stock ') > 0
+        |GROUP BY p_name ORDER BY p_name""".stripMargin,
 
     // q84 serves the at-rest IVF-PQ index with an exact rerank whose
     // candidate set reaches full recall on the test corpora (asserted

@@ -123,4 +123,20 @@ object GraphOps {
       .select(col(valueCol).as("value")).distinct()
       .orderBy(col("value").asc)
       .limit(k)
+
+  /** Query entity detection against the entity-node table — the
+    * gazetteer form of the reference's Predict-API NER step (detected
+    * entity values become graph entry points,
+    * `search/search/query_parser/parsers/unit_retrieval.py:102-140`;
+    * the external model is isolated behind this same
+    * values-in-the-query contract). Whole-token phrase containment:
+    * the query normalizes to space-delimited tokens driver-side (a
+    * literal) and an entity matches when its value appears
+    * space-bounded — one codegen'd predicate over the entity scan, no
+    * join, no tokenize of anything corpus-sized.
+    */
+  def detectEntities(nodes: DataFrame, valueCol: String, query: String): DataFrame = {
+    val norm = " " + query.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim + " "
+    nodes.where(lit(norm).contains(concat(lit(" "), col(valueCol), lit(" "))))
+  }
 }
