@@ -1139,6 +1139,21 @@ object SparkEntry {
         .orderBy("p_name")
     }),
 
+    // §3.4 /ask prequery retrieval: the main find request fused with a
+    // weighted auxiliary request (RRF with per-query weights over the
+    // topK-bounded lists) — the reference's prequery step feeding the
+    // prompt-context build
+    "q93_ask_prequeries" -> ((s, dir) => {
+      import graft.api.Find
+      val corpus = Find.Corpus(load(s, dir, "documents"), "doc_id", "text",
+        index = Some(graft.sources.IndexStore.tables(s, dir)))
+      Find.findWithPrequeries(corpus,
+          (Find.FindRequest(query = QueryTerms.mkString(" "), topK = 50), 1.0),
+          Seq((Find.FindRequest(query = "fast scan", topK = 50), 0.5)))
+        .orderBy(col("prequery_score").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:
     // HyperLogLog++ distinct counts and approximate percentiles give a
     // bounded-memory, one-pass corpus shape. NO DuckDB oracle (sketch
@@ -1167,6 +1182,21 @@ object SparkEntry {
     s"tok AS (SELECT doc_id, unnest($Tok) AS term FROM documents)"
   private val InQueryTerms = QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
   private val StopList = TextFunctions.StopWords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Parameterized BM25 CTE block for a second scored list in the same
+    * query (shares tok/dl/stats; CTE names prefixed with `p`). */
+  private def bm25CtesFor(terms: Seq[String], p: String): String = {
+    val in = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""${p}tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+       |       WHERE term IN $in GROUP BY doc_id, term),
+       |${p}idf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM ${p}tf GROUP BY term),
+       |${p}bm25 AS (
+       |  SELECT t.doc_id,
+       |         round(sum(ln(1 + (stats.n_docs - i.df + 0.5) / (i.df + 0.5))
+       |               * t.tf * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 4) AS score
+       |  FROM ${p}tf t JOIN ${p}idf i USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       |  GROUP BY t.doc_id)""".stripMargin
+  }
 
   /** BM25 scored-list CTE chain (k1=1.2, b=0.75, Lucene idf). */
   private val Bm25Ctes =
@@ -2209,6 +2239,26 @@ object SparkEntry {
         |WHERE position(' ' || p_name || ' ' IN
         |  ' connect the red widget supply to every blue bolt in stock ') > 0
         |GROUP BY p_name ORDER BY p_name""".stripMargin,
+
+    // q93: two BM25 lists (main terms + prequery terms, shared corpus
+    // stats), each cut to its request topK=50, fused with per-query
+    // RRF weights 1.0 / 0.5.
+    "q93_ask_prequeries" ->
+      s"""WITH $Bm25Ctes,
+         |${bm25CtesFor(Seq("fast", "scan"), "p_")},
+         |ar AS (SELECT doc_id, rank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm25)
+         |  WHERE rank <= 50),
+         |br AS (SELECT doc_id, rank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM p_bm25)
+         |  WHERE rank <= 50),
+         |u AS (SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM ar
+         |      UNION ALL
+         |      SELECT doc_id, 0.5 / (60 + rank) AS contrib FROM br)
+         |SELECT doc_id, round(sum(contrib), 6) AS prequery_score,
+         |  CAST(count(*) AS BIGINT) AS n_sources
+         |FROM u GROUP BY doc_id
+         |ORDER BY prequery_score DESC, doc_id LIMIT 20""".stripMargin,
 
     // q84 serves the at-rest IVF-PQ index with an exact rerank whose
     // candidate set reaches full recall on the test corpora (asserted

@@ -195,6 +195,28 @@ object Find {
       .orderBy(col("fused").desc, col(corpus.docId).asc)
   }
 
+  /** The /ask PREQUERY composition (`chat/ask.py:763-781,1024+`): the
+    * main request plus weighted auxiliary requests each run the full
+    * [[find]] pipeline, and their (already topK-bounded) result lists
+    * fuse with per-query RRF weights — the retrieval step /ask packs
+    * into its prompt context. Every list is driver-window-sized before
+    * fusion, so the composition costs |requests| find plans plus one
+    * bounded fusion aggregate.
+    *
+    * @return (docId, prequery_score, n_sources)
+    */
+  def findWithPrequeries(
+      corpus: Corpus,
+      main: (FindRequest, Double),
+      prequeries: Seq[(FindRequest, Double)]): DataFrame = {
+    val lists = (main +: prequeries).zipWithIndex.map { case ((r, w), i) =>
+      (s"q$i", find(corpus, r).select(col(corpus.docId), col("fused").as("score")), w)
+    }
+    RankFusion.rrf(lists, corpus.docId, "score")
+      .select(col(corpus.docId),
+        round(col("rrf_score"), 6).as("prequery_score"), col("n_sources"))
+  }
+
   /** Paragraph-mode find — the reference's actual retrieval unit
     * (`/find` returns paragraphs grouped under resources,
     * `search/search/find_merge.py`): parse the query, prefilter docs,
