@@ -137,8 +137,11 @@ object IncrementalIndex {
 
   /** Write one immutable index segment from an update batch:
     * latest-wins WITHIN the batch, tombstones recorded in the manifest,
-    * postings/doclengths built only for the batch's live docs (each row
-    * carries its doc's seq so cross-segment latest-wins is a semi-join).
+    * postings/doclengths/paragraphs built only for the batch's live
+    * docs (each row carries its doc's seq so cross-segment latest-wins
+    * is a semi-join) — the same index surface [[graft.sources.Ingest.buildIndex]]
+    * materializes in batch, so the streamed corpus serves the same
+    * query APIs.
     */
   def writeSegment(batch: DataFrame, segDir: String,
       idCol: String, textCol: String, seqCol: String): Unit = {
@@ -149,12 +152,16 @@ object IncrementalIndex {
       latest.select(col(idCol), col(seqCol), col("deleted"))
         .write.mode("overwrite").parquet(s"$segDir/docs")
       val live = latest.where(!col("deleted"))
+      val seqOf = live.select(col(idCol), col(seqCol))
       graft.sources.Ingest.termPostings(live, idCol, textCol)
-        .join(live.select(col(idCol), col(seqCol)), idCol)
+        .join(seqOf, idCol)
         .write.mode("overwrite").parquet(s"$segDir/postings")
       graft.functions.Bm25.docLengths(live, idCol, textCol)
-        .join(live.select(col(idCol), col(seqCol)), idCol)
+        .join(seqOf, idCol)
         .write.mode("overwrite").parquet(s"$segDir/doclengths")
+      graft.sources.Ingest.splitParagraphs(live, idCol, textCol)
+        .join(seqOf, idCol)
+        .write.mode("overwrite").parquet(s"$segDir/paragraphs")
     } finally latest.unpersist()
     ()
   }
@@ -168,23 +175,30 @@ object IncrementalIndex {
       .map(_.getPath.toString).sorted
   }
 
-  /** Serve the segmented index: (postings, docLengths) with
-    * latest-wins-per-doc applied across segments — a doc's winning
+  /** Serve the segmented index as [[graft.sources.IndexStore.IndexTables]]
+    * with latest-wins-per-doc applied across segments — a doc's winning
     * (id, seq) pair selects exactly its newest segment's rows, and
     * tombstoned docs vanish (their winner row is dropped by
     * [[mergeLatest]]). The winner set is doc-manifest-sized (never
     * posting-sized), so the semi-join is cheap at any corpus size.
+    * The result binds directly into [[graft.api.Find.Corpus]] — the
+    * streamed corpus serves the same query surface as batch ingest.
     */
   def segmentTables(spark: SparkSession, indexRoot: String,
-      idCol: String = "rid", seqCol: String = "seq"): (DataFrame, DataFrame) = {
+      idCol: String = "rid",
+      seqCol: String = "seq"): graft.sources.IndexStore.IndexTables = {
     val dirs = segmentDirs(spark, indexRoot)
     require(dirs.nonEmpty, s"no segments under $indexRoot")
     def union(sub: String) =
       dirs.map(d => spark.read.parquet(s"$d/$sub")).reduce(_ unionByName _)
     val winners = mergeLatest(union("docs"), idCol, seqCol)
       .select(col(idCol), col(seqCol))
-    (union("postings").join(winners, Seq(idCol, seqCol), "left_semi"),
-      union("doclengths").join(winners, Seq(idCol, seqCol), "left_semi"))
+    def serve(sub: String) =
+      union(sub).join(winners, Seq(idCol, seqCol), "left_semi")
+    graft.sources.IndexStore.IndexTables(
+      postings = serve("postings"),
+      docLengths = serve("doclengths"),
+      paragraphs = serve("paragraphs"))
   }
 
   /** Segment compaction (the `nidx/src/scheduler.rs` merge): fold every
@@ -196,14 +210,15 @@ object IncrementalIndex {
       idCol: String = "rid", seqCol: String = "seq"): Unit = {
     val dirs = segmentDirs(spark, indexRoot)
     if (dirs.size <= 1) return
-    val (posts, dls) = segmentTables(spark, indexRoot, idCol, seqCol)
+    val tables = segmentTables(spark, indexRoot, idCol, seqCol)
     val winners = mergeLatest(
       dirs.map(d => spark.read.parquet(s"$d/docs")).reduce(_ unionByName _),
       idCol, seqCol)
     val out = s"$indexRoot/compacting"
     winners.write.mode("overwrite").parquet(s"$out/docs")
-    posts.write.mode("overwrite").parquet(s"$out/postings")
-    dls.write.mode("overwrite").parquet(s"$out/doclengths")
+    tables.postings.write.mode("overwrite").parquet(s"$out/postings")
+    tables.docLengths.write.mode("overwrite").parquet(s"$out/doclengths")
+    tables.paragraphs.write.mode("overwrite").parquet(s"$out/paragraphs")
     val fs = new org.apache.hadoop.fs.Path(indexRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     dirs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))

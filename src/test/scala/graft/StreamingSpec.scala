@@ -122,8 +122,8 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
 
       def scores(): Map[String, Double] = {
-        val (posts, dls) = IncrementalIndex.segmentTables(spark, root)
-        Bm25.scoreFromPostings(posts, dls, "rid", Seq("spark"))
+        val ix = IncrementalIndex.segmentTables(spark, root)
+        Bm25.scoreFromPostings(ix.postings, ix.docLengths, "rid", Seq("spark"))
           .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
       }
       // expected = batch-free index over the merged corpus state
@@ -134,6 +134,27 @@ class StreamingSpec extends SparkSpec {
       val before = scores()
       assert(before.keySet == Set("r1", "r3"), s"tombstone/update wrong: $before")
       expected.foreach { case (k, v) => assert(math.abs(before(k) - v) < 1e-12) }
+      // the streamed corpus serves the FIND API: the segment tables
+      // bind straight into Corpus and match a find over the merged
+      // batch corpus with a batch-built index
+      import graft.api.Find
+      def findOver(docs: org.apache.spark.sql.DataFrame,
+          ix: graft.sources.IndexStore.IndexTables) =
+        Find.find(Find.Corpus(docs, "rid", "value", index = Some(ix)),
+            Find.FindRequest(query = "spark", topK = 5))
+          .collect().map(r => (r.getString(0), r.getDouble(1)))
+      val mergedDocs = merged
+      val batchDir = Files.createTempDirectory("graft-segix").toString
+      graft.sources.Ingest.buildIndex(mergedDocs, "rid", "value", batchDir,
+        withVectors = false)
+      val batchIx = graft.sources.IndexStore.IndexTables(
+        spark.read.parquet(s"$batchDir/postings"),
+        spark.read.parquet(s"$batchDir/doclengths"),
+        spark.read.parquet(s"$batchDir/paragraphs"))
+      val viaSegments = findOver(mergedDocs, IncrementalIndex.segmentTables(spark, root))
+      val viaBatch = findOver(mergedDocs, batchIx)
+      assert(viaSegments.sameElements(viaBatch),
+        s"streamed index diverged from batch index:\n$viaSegments\n$viaBatch")
       // two segments on disk → compaction folds to one, same results
       IncrementalIndex.compactSegments(spark, root)
       val segs = new java.io.File(root).listFiles()
