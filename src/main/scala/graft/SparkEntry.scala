@@ -1154,6 +1154,19 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // training-data ops: LLM token budgeting — BPE-style pre-token
+    // counts per language (total tokens, tokens/doc, chars/token: the
+    // numbers a training-mix plan is costed in)
+    "q94_token_budget" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .select(col("lang"), col("n_chars"),
+          TextFunctions.bpePreTokenCount(col("text")).cast("long").as("n_bpe"))
+        .groupBy("lang")
+        .agg(sum("n_bpe").as("total_tokens"),
+          round(avg("n_bpe"), 4).as("tokens_per_doc"),
+          round(sum("n_chars") / sum("n_bpe").cast("double"), 4).as("chars_per_token"))
+        .orderBy("lang")),
+
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:
     // HyperLogLog++ distinct counts and approximate percentiles give a
     // bounded-memory, one-pass corpus shape. NO DuckDB oracle (sketch
@@ -2259,6 +2272,15 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_sources
          |FROM u GROUP BY doc_id
          |ORDER BY prequery_score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q94_token_budget" ->
+      """WITH c AS (SELECT lang, n_chars,
+        |  len(regexp_extract_all(lower(text), ' ?[a-z0-9]+| ?[^a-z0-9\s]+')) AS n_bpe
+        |FROM documents)
+        |SELECT lang, CAST(sum(n_bpe) AS BIGINT) AS total_tokens,
+        |  round(avg(n_bpe), 4) AS tokens_per_doc,
+        |  round(sum(n_chars) / CAST(sum(n_bpe) AS DOUBLE), 4) AS chars_per_token
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
 
     // q84 serves the at-rest IVF-PQ index with an exact rerank whose
     // candidate set reaches full recall on the test corpora (asserted

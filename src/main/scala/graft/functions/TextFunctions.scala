@@ -159,6 +159,18 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
 
+  /** BPE-style PRE-tokenizer count — the unit LLM token budgets are
+    * estimated in (GPT-2-family pre-tokenization splits words, number
+    * runs, and punctuation runs with their leading space; actual BPE
+    * merges only subdivide within pre-tokens, so this upper-bounds and
+    * tracks the real token count). RE2-safe pattern (no lookaround) so
+    * the DuckDB oracle counts identically; one codegen'd
+    * regexp_extract_all per row, no shuffle.
+    */
+  def bpePreTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit(" ?[a-z0-9]+| ?[^a-z0-9\\s]+"), lit(0)))
+
   /** All character trigrams of the lowercased text (multiset, in
     * order); empty for texts shorter than 3 chars. The array() wrapper
     * is the usual let binding — the lowercase runs once per row, and
