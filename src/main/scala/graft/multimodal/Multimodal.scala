@@ -61,6 +61,27 @@ object Multimodal {
     }
   }
 
+  /** Resize plumbing: per-row payload transformation (a real
+    * implementation decodes, resizes, re-encodes; the deterministic
+    * stand-in resamples `targetBytes` evenly-spaced bytes so byte
+    * budgets and schema flow are exercised honestly). Same
+    * mapPartitions shape as [[featurize]] — decoder init per
+    * partition, streaming rows.
+    */
+  def resize(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.bytes.length <= targetBytes) r
+        else {
+          val step = r.bytes.length.toDouble / targetBytes
+          val out = Array.tabulate(targetBytes)(i => r.bytes((i * step).toInt))
+          r.copy(bytes = out)
+        }
+      }
+    }
+  }
+
   /** Frame sampling plumbing: emit `n` evenly-spaced byte-window
     * "frames" per media row (a real implementation samples decoded
     * video frames; the partitioning/explode shape is identical).

@@ -47,4 +47,20 @@ class MultimodalSpec extends SparkSpec {
     assert(r2.map(_._2).sorted.sameElements(Array(0, 1, 2, 3)))
     assert(r2.forall(_._3.length == 25)) // 100 bytes / 4 frames
   }
+
+  test("resize bounds payload size, is deterministic, and leaves small payloads alone") {
+    val resized = Multimodal.resize(media, 16).collect()
+    assert(resized.forall(_.bytes.length <= 16))
+    // rows already under budget pass through byte-identical
+    val small = media.collect().filter(_.bytes.length <= 16).map(_.rid).toSet
+    resized.filter(r => small(r.rid)).foreach { r =>
+      val orig = media.collect().find(_.rid == r.rid).get
+      assert(r.bytes.sameElements(orig.bytes))
+    }
+    // deterministic across runs
+    val again = Multimodal.resize(media, 16).collect()
+    resized.zip(again).foreach { case (a, b) =>
+      assert(a.rid == b.rid && a.bytes.sameElements(b.bytes))
+    }
+  }
 }
