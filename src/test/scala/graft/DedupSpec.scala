@@ -46,6 +46,32 @@ class DedupSpec extends SparkSpec {
     assert(c2.values.toSet == Set(1L) && c2.keySet == Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("dedupClusters equals a union-find oracle on randomized graphs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val n = 120
+      val edges = (1 to 150).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map { v =>
+        // component label = min node id reachable = root under
+        // min-merging union-find restricted to touched nodes
+        v -> find(v.toInt).toLong
+      }.toMap
+      val got = Dedup.dedupClusters(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: CC diverged from union-find")
+    }
+  }
+
   test("elementwise_sum native aggregate sums arrays per group across partitions") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graftbridge.ColumnBridge
