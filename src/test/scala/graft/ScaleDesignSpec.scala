@@ -372,6 +372,25 @@ class ScaleDesignSpec extends SparkSpec {
     info(f"dictionary levenshtein scan $tLev%.3fs vs symspell lookup $tSym%.3fs at sf0.1")
   }
 
+  test("paragraph BM25 serves the at-rest posting pair; the prefilter reads only filter columns") {
+    val dir = "/root/testdata/sf0.001"
+    val q90 = SparkEntry.queries("q90_paragraph_bm25")(spark, dir)
+    q90.collect()
+    val p90 = plan(q90)
+    assert(!p90.contains("documents.parquet"),
+      "q90 must serve par_postings/par_doclengths only:\n" +
+        p90.linesIterator.take(15).mkString("\n"))
+    // through the API with a doc filter: the doc scan reads the filter
+    // column (lang), never the text; paragraph text is never read
+    val q91 = SparkEntry.queries("q91_find_paragraphs_bm25")(spark, dir)
+    q91.collect()
+    val p91 = plan(q91)
+    assert(!p91.contains("text:string") && !p91.contains("p_text"),
+      "q91 must never read a text column — scores come from postings, " +
+        "the prefilter from typed columns:\n" +
+        p91.linesIterator.take(20).mkString("\n"))
+  }
+
   test("q09 serves the at-rest posting index: term pushdown, no query-time tokenize") {
     val q09 = SparkEntry.queries("q09_bm25_search")(spark, "/root/testdata/sf0.001")
     q09.collect()
