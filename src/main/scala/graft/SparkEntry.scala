@@ -1196,6 +1196,24 @@ object SparkEntry {
   private val InQueryTerms = QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
   private val StopList = TextFunctions.StopWords.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** Paragraph-level BM25 CTE chain over a source CTE exposing
+    * (paragraph_id, t, s, e) — stats computed over exactly that
+    * source (the filter-then-score contract). One definition serves
+    * q90 and q91 so the scoring formula cannot drift between oracles. */
+  private def parBm25Ctes(src: String): String =
+    s"""ptok AS (SELECT paragraph_id, unnest(t[s+1:e]) AS term FROM $src),
+       |dl AS (SELECT paragraph_id, CAST(count(*) AS DOUBLE) AS dl FROM ptok GROUP BY 1),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT paragraph_id, term, CAST(count(*) AS DOUBLE) AS tf FROM ptok
+       |       WHERE term IN $InQueryTerms GROUP BY 1, 2),
+       |idf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+       |bm25 AS (
+       |  SELECT tf.paragraph_id,
+       |         round(sum(ln(1 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+       |               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 4) AS score
+       |  FROM tf JOIN idf USING (term) JOIN dl USING (paragraph_id) CROSS JOIN stats
+       |  GROUP BY tf.paragraph_id)""".stripMargin
+
   /** Parameterized BM25 CTE block for a second scored list in the same
     * query (shares tok/dl/stats; CTE names prefixed with `p`). */
   private def bm25CtesFor(terms: Seq[String], p: String): String = {
@@ -2203,18 +2221,7 @@ object SparkEntry {
     // stream comes straight from the split CTE's token slices.
     "q90_paragraph_bm25" ->
       s"""WITH $ParCtes,
-         |ptok AS (SELECT paragraph_id, unnest(t[s+1:e]) AS term FROM par),
-         |dl AS (SELECT paragraph_id, CAST(count(*) AS DOUBLE) AS dl FROM ptok GROUP BY 1),
-         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
-         |tf AS (SELECT paragraph_id, term, CAST(count(*) AS DOUBLE) AS tf FROM ptok
-         |       WHERE term IN $InQueryTerms GROUP BY 1, 2),
-         |idf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-         |bm25 AS (
-         |  SELECT tf.paragraph_id,
-         |         round(sum(ln(1 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
-         |               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 4) AS score
-         |  FROM tf JOIN idf USING (term) JOIN dl USING (paragraph_id) CROSS JOIN stats
-         |  GROUP BY tf.paragraph_id)
+         |${parBm25Ctes("par")}
          |SELECT paragraph_id, score FROM bm25
          |ORDER BY score DESC, paragraph_id LIMIT 15""".stripMargin,
 
@@ -2225,18 +2232,7 @@ object SparkEntry {
       s"""WITH $ParCtes,
          |allowed AS (SELECT p.paragraph_id, p.t, p.s, p.e FROM par p
          |            JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
-         |ptok AS (SELECT paragraph_id, unnest(t[s+1:e]) AS term FROM allowed),
-         |dl AS (SELECT paragraph_id, CAST(count(*) AS DOUBLE) AS dl FROM ptok GROUP BY 1),
-         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
-         |tf AS (SELECT paragraph_id, term, CAST(count(*) AS DOUBLE) AS tf FROM ptok
-         |       WHERE term IN $InQueryTerms GROUP BY 1, 2),
-         |idf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-         |bm25 AS (
-         |  SELECT tf.paragraph_id,
-         |         round(sum(ln(1 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
-         |               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 4) AS score
-         |  FROM tf JOIN idf USING (term) JOIN dl USING (paragraph_id) CROSS JOIN stats
-         |  GROUP BY tf.paragraph_id),
+         |${parBm25Ctes("allowed")},
          |hits AS (SELECT CAST(split_part(paragraph_id, '/', 1) AS BIGINT) AS doc_id,
          |                paragraph_id, score
          |         FROM bm25)
@@ -2275,7 +2271,7 @@ object SparkEntry {
 
     "q94_token_budget" ->
       """WITH c AS (SELECT lang, n_chars,
-        |  len(regexp_extract_all(lower(text), ' ?[a-z0-9]+| ?[^a-z0-9\s]+')) AS n_bpe
+        |  len(regexp_extract_all(lower(text), ' ?[a-z0-9]+| ?[^a-z0-9\x09\x0a\x0c\x0d ]+')) AS n_bpe
         |FROM documents)
         |SELECT lang, CAST(sum(n_bpe) AS BIGINT) AS total_tokens,
         |  round(avg(n_bpe), 4) AS tokens_per_doc,

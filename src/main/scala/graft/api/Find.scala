@@ -244,8 +244,8 @@ object Find {
     // paragraph-id set (None when unrestricted → pure pruned lookup),
     // and the doc id comes from the paragraph-id prefix, so the only
     // joins are the bounded allow-set semi-join and the stats tables.
-    val bm25Index = corpus.index
-      .filter(ix => req.paragraphBm25 && ix.parPostings.isDefined)
+    val bm25Index = corpus.index.filter(ix =>
+      req.paragraphBm25 && ix.parPostings.isDefined && ix.parDocLengths.isDefined)
     bm25Index match {
       case Some(ix) =>
         val restricted = req.filter.nonEmpty || parsed.excluded.nonEmpty

@@ -163,13 +163,15 @@ object TextFunctions {
     * estimated in (GPT-2-family pre-tokenization splits words, number
     * runs, and punctuation runs with their leading space; actual BPE
     * merges only subdivide within pre-tokens, so this upper-bounds and
-    * tracks the real token count). RE2-safe pattern (no lookaround) so
-    * the DuckDB oracle counts identically; one codegen'd
+    * tracks the real token count). The whitespace class is EXPLICIT
+    * (`\\x09\\x0a\\x0c\\x0d` + space) because Java's `\\s` includes
+    * vertical tab while RE2's does not — with the literal class both
+    * engines count identically; no lookaround, one codegen'd
     * regexp_extract_all per row, no shuffle.
     */
   def bpePreTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text),
-      lit(" ?[a-z0-9]+| ?[^a-z0-9\\s]+"), lit(0)))
+      lit(" ?[a-z0-9]+| ?[^a-z0-9\\x09\\x0a\\x0c\\x0d ]+"), lit(0)))
 
   /** All character trigrams of the lowercased text (multiset, in
     * order); empty for texts shorter than 3 chars. The array() wrapper

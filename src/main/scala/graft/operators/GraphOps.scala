@@ -137,6 +137,11 @@ object GraphOps {
     */
   def detectEntities(nodes: DataFrame, valueCol: String, query: String): DataFrame = {
     val norm = " " + query.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim + " "
-    nodes.where(lit(norm).contains(concat(lit(" "), col(valueCol), lit(" "))))
+    // the SAME normalization applies to the entity value column — an
+    // entity stored as "Red Widget" or "blue-bolt" must still match
+    // the normalized query
+    val normValue =
+      trim(regexp_replace(lower(col(valueCol)), "[^a-z0-9]+", " "))
+    nodes.where(lit(norm).contains(concat(lit(" "), normValue, lit(" "))))
   }
 }

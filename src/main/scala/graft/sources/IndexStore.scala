@@ -107,12 +107,18 @@ object IndexStore {
 
   def tables(spark: SparkSession, sfDir: String): IndexTables = {
     val dir = indexDir(spark, sfDir)
+    // the paragraph posting pair may be absent in index dirs built by
+    // an older buildIndex — bind None instead of failing at read time
+    def opt(sub: String): Option[DataFrame] =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/$sub")))
+        Some(spark.read.parquet(s"$dir/$sub"))
+      else None
     IndexTables(
       postings = spark.read.parquet(s"$dir/postings"),
       docLengths = spark.read.parquet(s"$dir/doclengths"),
       paragraphs = spark.read.parquet(s"$dir/paragraphs"),
-      parPostings = Some(spark.read.parquet(s"$dir/par_postings")),
-      parDocLengths = Some(spark.read.parquet(s"$dir/par_doclengths")))
+      parPostings = opt("par_postings"),
+      parDocLengths = opt("par_doclengths"))
   }
 
   /** The served vector index: centroid/codebook literals collected once

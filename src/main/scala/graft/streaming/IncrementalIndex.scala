@@ -166,13 +166,38 @@ object IncrementalIndex {
     ()
   }
 
+  /** Live segment directories: `seg_*` dirs minus any a later compacted
+    * segment declares subsumed (its `subsumed.txt`) — the
+    * manifest-lite that makes compaction crash-safe: a reader never
+    * double-counts a folded segment that has not been deleted yet.
+    */
   private def segmentDirs(spark: SparkSession, indexRoot: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(indexRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
+    if (!fs.exists(root)) return Seq.empty
+    val all = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg_"))
-      .map(_.getPath.toString).sorted
+      .map(_.getPath)
+    val subsumed = all.flatMap { p =>
+      val m = new org.apache.hadoop.fs.Path(p, "subsumed.txt")
+      if (!fs.exists(m)) Seq.empty
+      else {
+        val in = fs.open(m)
+        try scala.io.Source.fromInputStream(in).getLines().toList
+        finally in.close()
+      }
+    }.toSet
+    all.filterNot(p => subsumed(p.getName)).map(_.toString).sorted
+  }
+
+  /** Newest (id, seq) row per doc across segment manifests, TOMBSTONES
+    * INCLUDED — compaction must keep them so a replayed older op
+    * (at-least-once delivery) cannot resurrect a deleted doc.
+    */
+  private def latestDocRows(docs: DataFrame, idCol: String, seqCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col(seqCol).desc)
+    docs.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
   }
 
   /** Serve the segmented index as [[graft.sources.IndexStore.IndexTables]]
@@ -189,6 +214,11 @@ object IncrementalIndex {
       seqCol: String = "seq"): graft.sources.IndexStore.IndexTables = {
     val dirs = segmentDirs(spark, indexRoot)
     require(dirs.nonEmpty, s"no segments under $indexRoot")
+    serveFrom(spark, dirs, idCol, seqCol)
+  }
+
+  private def serveFrom(spark: SparkSession, dirs: Seq[String],
+      idCol: String, seqCol: String): graft.sources.IndexStore.IndexTables = {
     def union(sub: String) =
       dirs.map(d => spark.read.parquet(s"$d/$sub")).reduce(_ unionByName _)
     val winners = mergeLatest(union("docs"), idCol, seqCol)
@@ -201,29 +231,43 @@ object IncrementalIndex {
       paragraphs = serve("paragraphs"))
   }
 
-  /** Segment compaction (the `nidx/src/scheduler.rs` merge): fold every
-    * segment into one (serving tables written as a fresh segment whose
-    * manifest is the winner set), then delete the inputs. Query results
-    * are identical before and after — asserted in StreamingSpec.
+  /** Segment compaction (the `nidx/src/scheduler.rs` merge): fold the
+    * CURRENTLY LISTED segments into one and delete them. Correctness
+    * properties, each asserted in StreamingSpec:
+    *  - the folded manifest keeps newest-row TOMBSTONES, so replayed
+    *    older ops cannot resurrect deleted docs after compaction;
+    *  - the directory listing happens ONCE — a segment the live stream
+    *    writes mid-compaction is neither folded nor deleted;
+    *  - crash safety: the compacted segment carries a `subsumed.txt`
+    *    naming its inputs and renames into place BEFORE the inputs are
+    *    deleted — a reader between rename and delete skips the
+    *    subsumed dirs ([[segmentDirs]]), and a crash at any point
+    *    leaves a readable index (worst case: the inputs survive and
+    *    the next compaction retries the deletes).
     */
   def compactSegments(spark: SparkSession, indexRoot: String,
       idCol: String = "rid", seqCol: String = "seq"): Unit = {
     val dirs = segmentDirs(spark, indexRoot)
     if (dirs.size <= 1) return
-    val tables = segmentTables(spark, indexRoot, idCol, seqCol)
-    val winners = mergeLatest(
+    val tables = serveFrom(spark, dirs, idCol, seqCol)
+    val latest = latestDocRows(
       dirs.map(d => spark.read.parquet(s"$d/docs")).reduce(_ unionByName _),
       idCol, seqCol)
     val out = s"$indexRoot/compacting"
-    winners.write.mode("overwrite").parquet(s"$out/docs")
+    latest.write.mode("overwrite").parquet(s"$out/docs")
     tables.postings.write.mode("overwrite").parquet(s"$out/postings")
     tables.docLengths.write.mode("overwrite").parquet(s"$out/doclengths")
     tables.paragraphs.write.mode("overwrite").parquet(s"$out/paragraphs")
     val fs = new org.apache.hadoop.fs.Path(indexRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    dirs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    val names = dirs.map(d => new org.apache.hadoop.fs.Path(d).getName)
+    val manifest = fs.create(new org.apache.hadoop.fs.Path(s"$out/subsumed.txt"))
+    try manifest.write(names.mkString("\n").getBytes("UTF-8"))
+    finally manifest.close()
+    // commit point: the compacted segment's name sorts after its inputs
     fs.rename(new org.apache.hadoop.fs.Path(out),
-      new org.apache.hadoop.fs.Path(s"$indexRoot/seg_000000000"))
+      new org.apache.hadoop.fs.Path(s"$indexRoot/${names.last}c"))
+    dirs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
     ()
   }
 

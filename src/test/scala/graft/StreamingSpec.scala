@@ -161,6 +161,13 @@ class StreamingSpec extends SparkSpec {
         .filter(f => f.isDirectory && f.getName.startsWith("seg_"))
       assert(segs.length == 1, segs.mkString(","))
       assert(scores() == before)
+      // at-least-once replay of an op OLDER than a compacted tombstone
+      // must not resurrect the deleted doc — the folded manifest keeps
+      // the tombstone row
+      input.addData(("r2", 1L, "query planner", false))
+      q.processAllAvailable()
+      assert(scores().keySet == Set("r1", "r3"),
+        "compaction must keep tombstones so replayed older ops stay dead")
     } finally q.stop()
   }
 
