@@ -587,10 +587,12 @@ object SparkEntry {
         .limit(20)
     }),
 
-    // §2.3 positional phrase search (index-level quoted-exact matching)
+    // §2.3 positional phrase search served from the at-rest positional
+    // posting table (each phrase term is a pruned `term = t` scan —
+    // tantivy's positions-in-postings contract; no query-time tokenize)
     "q52_phrase_search" -> ((s, dir) =>
-      PhraseSearch.phraseOccurrences(
-          load(s, dir, "documents"), "doc_id", "text", QueryTerms)
+      PhraseSearch.phraseOccurrencesFromPositions(
+          graft.sources.IndexStore.positions(s, dir), "doc_id", QueryTerms)
         .orderBy(col("n_occurrences").desc, col("doc_id").asc)),
 
     // training-data ops: winnowing (rolling-hash) fingerprint overlap
@@ -1051,7 +1053,8 @@ object SparkEntry {
     // highlighting
     "q86_phrase_highlight" -> ((s, dir) => {
       val docs = load(s, dir, "documents")
-      PhraseSearch.phraseOccurrences(docs, "doc_id", "text", QueryTerms)
+      PhraseSearch.phraseOccurrencesFromPositions(
+          graft.sources.IndexStore.positions(s, dir), "doc_id", QueryTerms)
         .orderBy(col("n_occurrences").desc, col("doc_id").asc).limit(5)
         .join(docs.select("doc_id", "text"), "doc_id")
         .select(col("doc_id"),

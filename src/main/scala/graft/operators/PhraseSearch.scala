@@ -22,16 +22,29 @@ object PhraseSearch {
     docs.select(col(idCol),
       posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
 
-  /** Count exact phrase occurrences per document. */
+  /** Count exact phrase occurrences per document (from-raw-text form —
+    * production serves [[phraseOccurrencesFromPositions]] over the
+    * positional posting table built at ingest). */
   def phraseOccurrences(
       docs: DataFrame,
       idCol: String,
       textCol: String,
+      phrase: Seq[String]): DataFrame =
+    phraseOccurrencesFromPositions(positions(docs, idCol, textCol), idCol, phrase)
+
+  /** Phrase occurrences served from an at-rest positional posting
+    * table (idCol, pos, term) — the tantivy positions contract: each
+    * join leg is a `term = t` PRUNED scan of the positions table (the
+    * predicate pushes into parquet), so a phrase query reads only its
+    * terms' postings, never the corpus text.
+    */
+  def phraseOccurrencesFromPositions(
+      positions: DataFrame,
+      idCol: String,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
-    val pos = positions(docs, idCol, textCol)
     val aligned = phrase.zipWithIndex.map { case (t, i) =>
-      pos.where(col("term") === t)
+      positions.where(col("term") === t)
         .select(col(idCol), (col("pos") - i).as("start"))
     }
     aligned.reduce((a, b) => a.join(b, Seq(idCol, "start")))

@@ -173,6 +173,11 @@ object IndexStore {
   def shingles(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"${indexDir(spark, sfDir)}/shingles")
 
+  /** Positional posting table (id, pos, term) — the quoted-phrase
+    * serving table ([[graft.operators.PhraseSearch.phraseOccurrencesFromPositions]]). */
+  def positions(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${indexDir(spark, sfDir)}/positions")
+
   /** Trained language-ID profile table (plang, tg, logp) — driver-scale
     * model rows ([[graft.functions.TextFunctions.langIdFromProfiles]]). */
   def langProfiles(spark: SparkSession, sfDir: String): DataFrame =

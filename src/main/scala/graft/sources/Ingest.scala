@@ -97,6 +97,11 @@ object Ingest {
       .write.mode("overwrite").parquet(s"$outDir/postings")
     graft.functions.Bm25.docLengths(docs, idCol, textCol)
       .write.mode("overwrite").parquet(s"$outDir/doclengths")
+    // positional postings: (id, pos, term) — quoted-phrase queries
+    // serve this table with per-term pruned scans instead of
+    // re-tokenizing text (tantivy stores positions in its postings)
+    graft.operators.PhraseSearch.positions(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$outDir/positions")
     // paragraph-level postings + lengths: the nidx_paragraph analog —
     // BM25-scored paragraph search serves these instead of scanning
     // paragraph text at query time

@@ -391,6 +391,18 @@ class ScaleDesignSpec extends SparkSpec {
         p91.linesIterator.take(20).mkString("\n"))
   }
 
+  test("phrase search serves the at-rest positional postings with per-term pushdown") {
+    val dir = "/root/testdata/sf0.001"
+    val q52 = SparkEntry.queries("q52_phrase_search")(spark, dir)
+    q52.collect()
+    val p = plan(q52)
+    assert(!p.contains("documents.parquet"),
+      "q52 must serve the positions table, not tokenize the corpus:\n" +
+        p.linesIterator.take(15).mkString("\n"))
+    assert(p.contains("PushedFilters: [IsNotNull(term), EqualTo(term"),
+      s"each phrase leg must push its term equality into the scan:\n$p")
+  }
+
   test("q09 serves the at-rest posting index: term pushdown, no query-time tokenize") {
     val q09 = SparkEntry.queries("q09_bm25_search")(spark, "/root/testdata/sf0.001")
     q09.collect()
