@@ -41,10 +41,13 @@ class LangIdModel(profiles: Seq[(String, Map[String, Double])],
 
   def predict(text: UTF8String): UTF8String = {
     // CODEPOINT windows, matching Spark's substr/length and the DuckDB
-    // oracle (UTF-16 substring would mis-window any non-BMP char);
-    // ROOT locale keeps the lowercase locale-independent
-    val cps = text.toString.toLowerCase(java.util.Locale.ROOT)
-      .codePoints().toArray
+    // oracle (UTF-16 substring would mis-window any non-BMP char).
+    // Lowercase via UTF8String.toLowerCase — the EXACT code path
+    // Spark's lower() takes during training (charTrigrams), so trained
+    // trigram keys and served trigrams agree on every JVM regardless of
+    // default locale (Locale.ROOT here would diverge from a
+    // default-locale training lowercase on e.g. Turkish I/i)
+    val cps = text.toLowerCase.toString.codePoints().toArray
     val sums = new Array[Double](n)
     var i = 0
     while (i + 3 <= cps.length) {

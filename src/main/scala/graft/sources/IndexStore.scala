@@ -109,10 +109,12 @@ object IndexStore {
     val dir = indexDir(spark, sfDir)
     // the paragraph posting pair may be absent in index dirs built by
     // an older buildIndex — bind None instead of failing at read time
-    def opt(sub: String): Option[DataFrame] =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/$sub")))
+    def opt(sub: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
         Some(spark.read.parquet(s"$dir/$sub"))
       else None
+    }
     IndexTables(
       postings = spark.read.parquet(s"$dir/postings"),
       docLengths = spark.read.parquet(s"$dir/doclengths"),
@@ -138,9 +140,14 @@ object IndexStore {
     val cb = spark.read.parquet(s"$dir/codebook")
       .collect().toSeq
       .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
-    val meta = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$dir/vector_meta.json"))
-    val m = """"m":\s*(\d+)""".r.findFirstMatchIn(meta).get.group(1).toInt
+    // Hadoop FS read (not java.nio): the index dir is distributed
+    // storage in production, and a missing/drifted meta must fail with
+    // a build-bug message, not an opaque NoSuchElementException
+    val meta = Ingest.readText(spark, s"$dir/vector_meta.json")
+    val m = """"m":\s*(\d+)""".r.findFirstMatchIn(meta)
+      .getOrElse(throw new IllegalStateException(
+        s"vector_meta.json at $dir has no \"m\" field: $meta"))
+      .group(1).toInt
     VectorIndex(
       centroids = cents.map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1),
       codebook = cb,

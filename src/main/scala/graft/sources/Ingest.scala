@@ -158,12 +158,37 @@ object Ingest {
     // (signature width is additionally self-describing — its columns —
     // and loudly validated in minHashLshFromSignatures; shingle size
     // is recorded here)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/text_meta.json"),
+    writeText(spark(docs), s"$outDir/text_meta.json",
       s"""{"shingle_size": $shingleSize, "num_hashes": $numHashes, "par_tokens": $parTokens, "id_col": "$idCol"}""")
   }
 
   private def spark(df: DataFrame) = df.sparkSession
+
+  /** Small-text write through the Hadoop FileSystem API — manifests and
+    * meta files live NEXT TO the tables they describe, so they must use
+    * the same storage layer (java.nio would silently break on the
+    * HDFS/S3 paths production ingest writes to). */
+  private[graft] def writeText(spark: org.apache.spark.sql.SparkSession,
+      path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** [[writeText]]'s read side; fails with a descriptive error when the
+    * file is absent (an index dir without its meta is a build bug, not
+    * a NoSuchElementException). */
+  private[graft] def readText(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"missing $path — the index directory was not built by this engine's ingest")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
 
   /** Train per-language char-trigram profiles from a LABELED corpus —
     * the ingest-time model build behind
@@ -276,8 +301,7 @@ object Ingest {
       .join(spark.read.parquet(s"$outDir/assignments"), idCol)
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$outDir/codes")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/vector_meta.json"),
+    writeText(spark, s"$outDir/vector_meta.json",
       s"""{"m": $m, "id_col": "$idCol"}""")
   }
 
@@ -326,8 +350,7 @@ object Ingest {
       val count = back.count()
       s"""{"table": "${name}", "schema": "${back.schema.toDDL.replace("\"", "\\\"")}", "rows": $count}"""
     }
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/manifest.json"),
+    writeText(tables.head._2.sparkSession, s"$outDir/manifest.json",
       entries.mkString("[\n", ",\n", "\n]"))
   }
 
@@ -336,8 +359,7 @@ object Ingest {
     * truncated or drifted snapshot must not import silently). */
   def importSnapshot(spark: org.apache.spark.sql.SparkSession,
       dir: String): Map[String, DataFrame] = {
-    val manifest = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$dir/manifest.json"))
+    val manifest = readText(spark, s"$dir/manifest.json")
     val entry = """\{"table": "([^"]+)", "schema": "((?:[^"\\]|\\.)*)", "rows": (\d+)\}""".r
     entry.findAllMatchIn(manifest).map { m =>
       val (name, ddl, rows) = (m.group(1), m.group(2).replace("\\\"", "\""), m.group(3).toLong)
@@ -382,8 +404,7 @@ object Ingest {
       val (n, csum) = stats.getOrElse(name, (0L, "0"))
       s"""{"record_type": "$name", "schema": "${df.schema.toDDL.replace("\"", "\\\"")}", "rows": $n, "checksum": $csum}"""
     }
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/stream_manifest.json"),
+    writeText(spark, s"$outDir/stream_manifest.json",
       entries.mkString("[\n", ",\n", "\n]"))
   }
 
@@ -407,8 +428,7 @@ object Ingest {
     */
   def importStream(spark: org.apache.spark.sql.SparkSession,
       dir: String): Map[String, DataFrame] = {
-    val manifest = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$dir/stream_manifest.json"))
+    val manifest = readText(spark, s"$dir/stream_manifest.json")
     val entry = ("""\{"record_type": "([^"]+)", "schema": "((?:[^"\\]|\\.)*)", """ +
       """"rows": (\d+), "checksum": (\d+)\}""").r
     val stats = streamStats(spark, dir)

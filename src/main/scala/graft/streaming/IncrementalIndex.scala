@@ -66,11 +66,12 @@ object IncrementalIndex {
 
   /** One micro-batch of the bucketed merge (the [[start]] foreachBatch
     * body, exposed for tests): read ONLY the buckets the batch touches,
-    * merge latest-wins, overwrite ONLY those bucket directories.
-    * A touched bucket whose rows are all tombstoned yields no output
-    * partition — dynamic overwrite leaves absent partitions alone, so
-    * its directory is deleted explicitly (driver-side, bounded by
-    * numBuckets).
+    * keep the newest row per key — TOMBSTONES INCLUDED, the same
+    * delete semantics as the segment path's manifests: an at-least-once
+    * replay of an op OLDER than a delete must find the tombstone row
+    * and lose, not resurrect the doc — and overwrite ONLY those bucket
+    * directories. Serving reads go through [[bucketedTable]], which
+    * filters the tombstones out.
     */
   def mergeBatchBucketed(batch: DataFrame, tablePath: String,
       keyCol: String, seqCol: String, numBuckets: Int): Unit = {
@@ -88,27 +89,25 @@ object IncrementalIndex {
           .unionByName(b.select(e.columns.map(col).toSeq: _*))
       case None => b
     }
-    val merged = mergeLatest(all, keyCol, seqCol).cache()
+    val merged = latestDocRows(all, keyCol, seqCol).cache()
     try {
       merged.count() // materialize before overwriting the input path
-      val survived = merged.select("__bucket").distinct()
-        .collect().map(_.getLong(0)).toSet
       // per-write option — scoped to this writer, so no race with other
       // writers on the same session expecting static overwrite
       merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__bucket").parquet(tablePath)
-      if (existing.isDefined) {
-        // Hadoop FS API: works on local, HDFS, and object stores alike
-        val conf = spark.sparkContext.hadoopConfiguration
-        touched.filterNot(survived).foreach { bk =>
-          val p = new org.apache.hadoop.fs.Path(s"$tablePath/__bucket=$bk")
-          p.getFileSystem(conf).delete(p, true)
-        }
-      }
     } finally merged.unpersist()
     ()
   }
+
+  /** Serve the bucketed merge table: the at-rest rows are newest-per-key
+    * with tombstones kept ([[mergeBatchBucketed]]); reads filter them
+    * here — the same serve-time delete application as [[segmentTables]]
+    * does via its manifests.
+    */
+  def bucketedTable(spark: SparkSession, tablePath: String): DataFrame =
+    spark.read.parquet(tablePath).where(!col("deleted"))
 
   /** LSM-style incremental INDEX maintenance — the reference indexer's
     * actual model (`nidx/src/indexer.rs:254-298`: each op batch becomes
@@ -166,27 +165,37 @@ object IncrementalIndex {
     ()
   }
 
-  /** Live segment directories: `seg_*` dirs minus any a later compacted
-    * segment declares subsumed (its `subsumed.txt`) — the
-    * manifest-lite that makes compaction crash-safe: a reader never
-    * double-counts a folded segment that has not been deleted yet.
+  /** All on-disk `seg_*` dirs plus the set of segment names some
+    * segment's `subsumed.txt` declares folded — the manifest-lite that
+    * makes compaction crash-safe: a reader never double-counts a folded
+    * segment that has not been deleted yet.
     */
-  private def segmentDirs(spark: SparkSession, indexRoot: String): Seq[String] = {
+  private def listSegments(spark: SparkSession,
+      indexRoot: String): (Seq[org.apache.hadoop.fs.Path], Set[String]) = {
     val root = new org.apache.hadoop.fs.Path(indexRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return Seq.empty
+    if (!fs.exists(root)) return (Seq.empty, Set.empty)
     val all = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg_"))
       .map(_.getPath)
-    val subsumed = all.flatMap { p =>
-      val m = new org.apache.hadoop.fs.Path(p, "subsumed.txt")
-      if (!fs.exists(m)) Seq.empty
-      else {
-        val in = fs.open(m)
-        try scala.io.Source.fromInputStream(in).getLines().toList
-        finally in.close()
-      }
-    }.toSet
+    val subsumed = all.flatMap(p => readSubsumed(fs, p)).toSet
+    (all, subsumed)
+  }
+
+  private def readSubsumed(fs: org.apache.hadoop.fs.FileSystem,
+      segDir: org.apache.hadoop.fs.Path): Seq[String] = {
+    val m = new org.apache.hadoop.fs.Path(segDir, "subsumed.txt")
+    if (!fs.exists(m)) Seq.empty
+    else {
+      val in = fs.open(m)
+      try scala.io.Source.fromInputStream(in).getLines().toList
+      finally in.close()
+    }
+  }
+
+  /** Live segment directories: `seg_*` dirs minus the subsumed set. */
+  private def segmentDirs(spark: SparkSession, indexRoot: String): Seq[String] = {
+    val (all, subsumed) = listSegments(spark, indexRoot)
     all.filterNot(p => subsumed(p.getName)).map(_.toString).sorted
   }
 
@@ -239,15 +248,27 @@ object IncrementalIndex {
     *  - the directory listing happens ONCE — a segment the live stream
     *    writes mid-compaction is neither folded nor deleted;
     *  - crash safety: the compacted segment carries a `subsumed.txt`
-    *    naming its inputs and renames into place BEFORE the inputs are
-    *    deleted — a reader between rename and delete skips the
-    *    subsumed dirs ([[segmentDirs]]), and a crash at any point
-    *    leaves a readable index (worst case: the inputs survive and
-    *    the next compaction retries the deletes).
+    *    naming its inputs PLUS everything the inputs' own manifests
+    *    subsumed (the tombstone-chain carry-forward: even if a stale
+    *    folded input outlives the only manifest that masked it, the
+    *    newest manifest still masks it), and renames into place BEFORE
+    *    the inputs are deleted — a reader between rename and delete
+    *    skips the subsumed dirs ([[segmentDirs]]), and a crash at any
+    *    point leaves a readable index: the next compaction first
+    *    deletes any on-disk dirs already marked subsumed (the retry of
+    *    a crashed run's input deletes).
     */
   def compactSegments(spark: SparkSession, indexRoot: String,
       idCol: String = "rid", seqCol: String = "seq"): Unit = {
-    val dirs = segmentDirs(spark, indexRoot)
+    val fs = new org.apache.hadoop.fs.Path(indexRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (allDirs, subsumedSet) = listSegments(spark, indexRoot)
+    // retry a crashed run's pending deletes: anything on disk that a
+    // manifest already marks subsumed is a stale folded input
+    allDirs.filter(p => subsumedSet(p.getName))
+      .foreach(p => fs.delete(p, true))
+    val dirs = allDirs.filterNot(p => subsumedSet(p.getName))
+      .map(_.toString).sorted
     if (dirs.size <= 1) return
     val tables = serveFrom(spark, dirs, idCol, seqCol)
     val latest = latestDocRows(
@@ -258,15 +279,21 @@ object IncrementalIndex {
     tables.postings.write.mode("overwrite").parquet(s"$out/postings")
     tables.docLengths.write.mode("overwrite").parquet(s"$out/doclengths")
     tables.paragraphs.write.mode("overwrite").parquet(s"$out/paragraphs")
-    val fs = new org.apache.hadoop.fs.Path(indexRoot)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val names = dirs.map(d => new org.apache.hadoop.fs.Path(d).getName)
+    // carry forward the inputs' subsumed entries with the input names
+    val folded = (dirs.map(d => readSubsumed(fs,
+      new org.apache.hadoop.fs.Path(d))).flatten ++ names).distinct.sorted
     val manifest = fs.create(new org.apache.hadoop.fs.Path(s"$out/subsumed.txt"))
-    try manifest.write(names.mkString("\n").getBytes("UTF-8"))
+    try manifest.write(folded.mkString("\n").getBytes("UTF-8"))
     finally manifest.close()
-    // commit point: the compacted segment's name sorts after its inputs
-    fs.rename(new org.apache.hadoop.fs.Path(out),
-      new org.apache.hadoop.fs.Path(s"$indexRoot/${names.last}c"))
+    // commit point: the compacted segment's name sorts after its inputs.
+    // rename returning false (dest exists, missing parent, object-store
+    // quirks) must abort BEFORE the input deletes — proceeding would
+    // delete every live segment while the compacted copy is stranded
+    val dst = s"$indexRoot/${names.last}c"
+    require(fs.rename(new org.apache.hadoop.fs.Path(out),
+        new org.apache.hadoop.fs.Path(dst)),
+      s"compaction commit rename failed: $out -> $dst")
     dirs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
     ()
   }

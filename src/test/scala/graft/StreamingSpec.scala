@@ -50,13 +50,23 @@ class StreamingSpec extends SparkSpec {
       input.addData(("r1", 2L, "a2", false), ("r2", 2L, "b2", true),
         ("r1", 1L, "a", false)) // replayed duplicate — at-least-once
       q.processAllAvailable()
-      val got = spark.read.parquet(tableDir)
+      val got = IncrementalIndex.bucketedTable(spark, tableDir)
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
       assert(got == Map("r1" -> (2L, "a2"))) // r2 tombstoned, dup ignored
+      // the tombstone row itself stays AT REST (serve-time filter), so
+      // a replayed op older than the delete finds it and loses
+      val atRest = spark.read.parquet(tableDir)
+        .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+      assert(atRest("r2"), "r2's tombstone row must persist in the table")
+      input.addData(("r2", 1L, "b", false)) // at-least-once replay, pre-delete
+      q.processAllAvailable()
+      assert(IncrementalIndex.bucketedTable(spark, tableDir)
+        .where($"rid" === "r2").isEmpty,
+        "a replayed older op must not resurrect a deleted doc")
     } finally q.stop()
   }
 
-  test("bucketed merge rewrites only touched bucket directories; full-tombstone buckets are removed") {
+  test("bucketed merge rewrites only touched bucket directories; tombstones persist at rest") {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val tableDir = Files.createTempDirectory("graft-bkt").toString + "/table"
     val nb = 8
@@ -94,13 +104,21 @@ class StreamingSpec extends SparkSpec {
       val d = s"__bucket=${bks(k)}"
       assert(after(d) == before(d), s"untouched bucket $d was rewritten")
     }
-    // touched update bucket rewrote; full-tombstone bucket is gone
+    // touched update bucket rewrote; the tombstoned key's bucket keeps
+    // its directory — the tombstone ROW stays at rest so an older
+    // replayed op cannot resurrect the doc (serve-time filter drops it)
     assert(after(s"__bucket=${bks(r1)}") != before(s"__bucket=${bks(r1)}"))
-    assert(!after.contains(s"__bucket=${bks(r4)}"),
-      "a bucket whose rows are all tombstoned must lose its directory")
-    val got = spark.read.parquet(tableDir)
+    assert(after.contains(s"__bucket=${bks(r4)}"),
+      "a tombstoned key's bucket must keep its tombstone row")
+    val got = IncrementalIndex.bucketedTable(spark, tableDir)
       .collect().map(r => r.getString(0) -> r.getString(2)).toMap
     assert(got == Map(r1 -> s"$r1-v2", r2 -> s"$r2-v1", r3 -> s"$r3-v1"))
+    // replay an op OLDER than r4's tombstone: still dead after merge
+    IncrementalIndex.mergeBatchBucketed(
+      batch((r4, 1L, s"$r4-v1", false)), tableDir, "rid", "seq", nb)
+    assert(!IncrementalIndex.bucketedTable(spark, tableDir)
+      .collect().map(_.getString(0)).contains(r4),
+      "replayed pre-delete op must not resurrect the tombstoned key")
   }
 
   test("segmented index: per-batch segments, latest-wins serving, compaction preserves results") {
@@ -169,6 +187,53 @@ class StreamingSpec extends SparkSpec {
       assert(scores().keySet == Set("r1", "r3"),
         "compaction must keep tombstones so replayed older ops stay dead")
     } finally q.stop()
+  }
+
+  test("compaction recovers a crash between commit-rename and input deletes") {
+    import graft.functions.Bm25
+    val root = Files.createTempDirectory("graft-segcrash").toString + "/index"
+    def seg(bid: Long, rows: (String, Long, String, Boolean)*): Unit =
+      IncrementalIndex.writeSegment(
+        rows.toDF("rid", "seq", "value", "deleted"),
+        f"$root/seg_$bid%09d", "rid", "value", "seq")
+    def scores(): Map[String, Double] = {
+      val ix = IncrementalIndex.segmentTables(spark, root)
+      Bm25.scoreFromPostings(ix.postings, ix.docLengths, "rid", Seq("spark"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    seg(0L, ("r1", 1L, "spark engine", false))
+    seg(1L, ("r1", 2L, "spark query spark", false),
+      ("r2", 2L, "fast spark scan", false))
+    IncrementalIndex.compactSegments(spark, root)
+    val expected = scores()
+    // simulate the crash window: a folded input resurfaces on disk
+    // AFTER its covering segment committed (rename done, delete lost).
+    // It holds r1/r2's WINNING (id, seq) rows — the exact shape that
+    // would double postings if it ever re-entered the segment listing
+    seg(1L, ("r1", 2L, "spark query spark", false),
+      ("r2", 2L, "fast spark scan", false))
+    // a reader between crash and the next compaction skips the stale
+    // input (it is named in the covering segment's subsumed.txt)
+    assert(scores() == expected, "stale subsumed input must stay masked")
+    // the next compaction retries the lost delete and carries the
+    // subsumed set forward, so even after the covering segment (whose
+    // manifest was the only mask) is itself folded and deleted, the
+    // stale input's rows never double-count
+    seg(5L, ("r3", 5L, "spark stream", false))
+    IncrementalIndex.compactSegments(spark, root)
+    assert(!new java.io.File(root, "seg_000000001").exists(),
+      "compaction start must delete on-disk dirs already marked subsumed")
+    val after = scores()
+    assert(after.keySet == Set("r1", "r2", "r3"))
+    // r1's BM25 tf must reflect ONE copy of its newest row (df/length
+    // stats shift with r3's arrival, so compare against a fresh oracle)
+    val oracle = Bm25.score(
+      Seq(("r1", "spark query spark"), ("r2", "fast spark scan"),
+        ("r3", "spark stream")).toDF("rid", "value"),
+      "rid", "value", Seq("spark"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    oracle.foreach { case (k, v) => assert(math.abs(after(k) - v) < 1e-12,
+      s"$k: ${after(k)} != $v — duplicated segment rows inflate stats") }
   }
 
   test("streamingDedup drops cross-batch duplicates within the watermark") {
