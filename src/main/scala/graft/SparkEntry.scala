@@ -1170,6 +1170,33 @@ object SparkEntry {
           round(sum("n_chars") / sum("n_bpe").cast("double"), 4).as("chars_per_token"))
         .orderBy("lang")),
 
+    // §2.3 FILTERED semantic search served from the at-rest IVF-PQ
+    // index: the prefilter pushes INTO the index as a semi-join on the
+    // code table (composing with the centroid probe's partition
+    // pruning — `nidx_vector/src/searcher.rs:268-287` passes the
+    // filter bitset into the segment search), and the brute-vs-index
+    // branch is the matching-density cost model (`segment.rs:626-660`):
+    // lang='en' admits ~44% of the corpus — above the default 25%
+    // threshold, so the request serves codes, not raw embeddings. All
+    // clusters probed + the default rerank window ≥ the allowed set
+    // give exact top-k for oracle parity (pruned recall measured in
+    // AnnRecallSpec); the plan shape is pinned in ScaleDesignSpec.
+    "q95_filtered_ann" -> ((s, dir) => {
+      import graft.api.Find
+      val docs = load(s, dir, "documents")
+      val emb = load(s, dir, "embeddings")
+      val vix = graft.sources.IndexStore.vectorIndex(s, dir)
+      val qv = emb.where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0)
+      Find.find(
+        Find.Corpus(docs, "doc_id", "text", Some(emb),
+          index = Some(graft.sources.IndexStore.tables(s, dir)),
+          vectorIndex = Some(vix), annBruteThreshold = 1),
+        Find.FindRequest(queryVector = Some(qv),
+          filter = Some(FilterExpr.Eq("lang", "en")),
+          topK = 20, annNprobe = Some(vix.centroids.size)))
+    }),
+
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:
     // HyperLogLog++ distinct counts and approximate percentiles give a
     // bounded-memory, one-pass corpus shape. NO DuckDB oracle (sketch
@@ -2290,6 +2317,18 @@ object SparkEntry {
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
          |SELECT e.vec_id, round(${cosSql("e.v", "q.qv")}, 6) AS score
          |FROM e CROSS JOIN q WHERE e.vec_id <> 0
-         |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin
+         |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin,
+
+    // q95 serves the filtered find through the at-rest index with all
+    // clusters probed and rerank ≥ the allowed set, so the oracle is
+    // the exact filtered top-k (q84's contract plus the prefilter).
+    "q95_filtered_ann" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |allowed AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+         |scored AS (SELECT a.doc_id, round(${cosSql("e.v", "q.qv")}, 6) AS fused, a.text
+         |           FROM e CROSS JOIN q JOIN allowed a ON a.doc_id = e.vec_id)
+         |SELECT doc_id, fused, CAST(1 AS BIGINT) AS n_sources, text
+         |FROM scored ORDER BY fused DESC, doc_id LIMIT 20""".stripMargin
   )
 }

@@ -48,7 +48,21 @@ object Find {
       vectorsetCol: Option[String] = None,
       index: Option[graft.sources.IndexStore.IndexTables] = None,
       vectorIndex: Option[graft.sources.IndexStore.VectorIndex] = None,
-      annBruteThreshold: Long = 1000)
+      annBruteThreshold: Long = 1000,
+      annDensityThreshold: Double = 0.25,
+      vectorIndexes: Map[String, graft.sources.IndexStore.VectorIndex] = Map.empty)
+
+  /** The brute-vs-index branch point for a filtered semantic search —
+    * the reference's matching-density cost model
+    * (`nidx_vector/src/segment.rs:626-660` compares `matching_nodes`
+    * against the segment size to decide brute vs HNSW): serve the
+    * at-rest index iff the prefilter admits at least `threshold` of the
+    * indexed corpus; below it, a linear scan of the survivors is
+    * cheaper than probing clusters whose members are mostly filtered
+    * out.
+    */
+  def useAnnIndex(allowedCount: Long, nVectors: Long, threshold: Double): Boolean =
+    nVectors > 0 && allowedCount.toDouble / nVectors >= threshold
 
   /** `annNprobe`/`annRerank` tune the at-rest IVF-PQ path (defaults:
     * half the clusters, 2× the fusion window) — the recall-vs-scan
@@ -119,32 +133,54 @@ object Find {
     // (the reference's brute-vs-index duality,
     // `nidx_vector/src/searcher.rs:241-343`, `segment.rs:626-660`):
     // serve the at-rest IVF-PQ index (probe → code scan → exact
-    // rerank) when the request searches the whole default vectorset of
-    // a large-enough corpus; fall back to the exact brute-force scan
-    // when a prefilter restricts the candidate set (the filtered set is
-    // what the reference's cost model scans linearly), a named
-    // vectorset is requested (the index binds the default set), or the
-    // corpus is below the brute threshold. The index path cuts at the
-    // fusion window — identical downstream semantics, since fusion
-    // never ranks more than [[RankFusion.MaxWindow]] rows per list.
+    // rerank) when the corpus is large enough AND the prefilter — if
+    // any — admits a dense-enough slice of it (the reference counts
+    // `matching_nodes` and brute-forces only selective filters, where
+    // a linear scan of the survivors is cheaper than probing the
+    // index). A filtered index search semi-joins the allowed id set
+    // onto the CODES table — it composes with the probe's partition
+    // pruning, so the scan stays code-only and the raw vectors are
+    // touched for ≤ rerank rows. Selective filters (density below
+    // [[Corpus.annDensityThreshold]]) brute-force the filtered raw
+    // embeddings, exactly the reference's brute branch. A named
+    // vectorset routes through its own index when the corpus binds one
+    // ([[Corpus.vectorIndexes]]); otherwise it brute-forces its
+    // vectorset partition. The index path cuts at the fusion window —
+    // identical downstream semantics, since fusion never ranks more
+    // than [[RankFusion.MaxWindow]] rows per list.
     val semanticList: Option[DataFrame] = for {
       vecs0 <- corpus.vectors
       qv <- req.queryVector
     } yield {
-      val useIndex = corpus.vectorIndex.exists(_.nVectors >= corpus.annBruteThreshold) &&
-        req.filter.isEmpty && req.vectorset.isEmpty
-      if (useIndex) {
-        val vix = corpus.vectorIndex.get
+      val boundIndex = req.vectorset match {
+        case None => corpus.vectorIndex
+        case Some(vs) => corpus.vectorIndexes.get(vs)
+      }
+      val bigEnough = boundIndex.exists(_.nVectors >= corpus.annBruteThreshold)
+      // density check only when a filter restricts the set — the count
+      // costs one scan of the filtered doc table, the same scan the
+      // brute branch would pay (the reference's matching_nodes count)
+      val denseEnough = bigEnough && (req.filter.isEmpty ||
+        useAnnIndex(base.count(), boundIndex.get.nVectors,
+          corpus.annDensityThreshold))
+      if (denseEnough) {
+        val vix = boundIndex.get
         val window = math.max(req.topK, RankFusion.MaxWindow)
+        val allowed = base.select(col(corpus.docId).as(corpus.vecId))
         // the exact-rerank side keeps the brute path's docs restriction
         // (vector ids absent from the doc table can never reach the
         // response): the semi-join applies to the ≤rerank candidate
         // rows, not the corpus — out-of-docs candidates waste rerank
         // slots instead of surfacing and then vanishing at hydration
-        val raw = Prefilter.semiJoin(vecs0, corpus.vecId,
-          base.select(col(corpus.docId).as(corpus.vecId)))
+        val raw = Prefilter.semiJoin(vecs0, corpus.vecId, allowed)
+        // filter pushdown INTO the index: restrict the code table to
+        // the allowed ids, so every ADC candidate is already allowed
+        // and no rerank slot is wasted on filtered-out docs
+        val codes =
+          if (req.filter.isEmpty) vix.codes
+          else Prefilter.semiJoin(vix.codes, corpus.vecId, allowed)
         VectorSearch.ivfPqSearchAtRest(
-            vix.codes, raw, corpus.vecId, "code", corpus.vecCol,
+            codes, raw, corpus.vecId, "code", corpus.vecCol,
             vix.centroids, vix.codebook, vix.m, qv,
             k = window,
             nprobe = req.annNprobe.getOrElse(math.max(1, vix.centroids.size / 2)),

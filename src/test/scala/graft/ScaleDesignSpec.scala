@@ -264,6 +264,42 @@ class ScaleDesignSpec extends SparkSpec {
       s"q84 must serve the partitioned at-rest code table:\n$fp")
   }
 
+  test("filtered find: dense filters serve the codes table, selective filters brute-force") {
+    import graft.api.Find
+    import graft.operators.FilterExpr
+    val dir = "/root/testdata/sf0.001"
+    val docsT = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val vix = graft.sources.IndexStore.vectorIndex(spark, dir)
+    val qv = emb.where(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0)
+    def corpus = Find.Corpus(docsT, "doc_id", "text", Some(emb),
+      index = Some(graft.sources.IndexStore.tables(spark, dir)),
+      vectorIndex = Some(vix), annBruteThreshold = 1)
+    // dense filter (lang='en' ≈ 39% ≥ 25%): the semantic list reads the
+    // code table (semi-joined by the allowed set, composing with the
+    // probe pruning); raw embeddings appear only via the bounded rerank
+    val dense = Find.find(corpus, Find.FindRequest(queryVector = Some(qv),
+      filter = Some(FilterExpr.Eq("lang", "en")), topK = 5,
+      annNprobe = Some(vix.centroids.size)))
+    dense.collect()
+    val dp = plan(dense)
+    assert(dp.contains("code:binary"),
+      s"dense-filter semantic list must serve the at-rest codes:\n$dp")
+    // selective filter (5 of 500 docs < 25%): the reference's brute
+    // branch — scan the filtered raw embeddings, never the index
+    val selective = Find.find(corpus, Find.FindRequest(queryVector = Some(qv),
+      filter = Some(FilterExpr.NumRange("doc_id", Some(0), Some(4))), topK = 5))
+    selective.collect()
+    assert(!plan(selective).contains("code:binary"),
+      "selective-filter semantic list must brute-force, not probe the index")
+    // the branch-point function itself (segment.rs:626-660 analog)
+    assert(!Find.useAnnIndex(10, 1000, 0.25))
+    assert(Find.useAnnIndex(250, 1000, 0.25))
+    assert(Find.useAnnIndex(249, 1000, 0.25) == false)
+    assert(!Find.useAnnIndex(0, 0, 0.25), "empty index never serves")
+  }
+
   test("CC fixpoint is O(log diameter) on an sf1-sized adversarial pair set") {
     import graft.operators.Dedup
     // sf1-shaped pair graph (~10k pairs; sf0.1's q74 set is ~900):
