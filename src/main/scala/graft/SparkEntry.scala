@@ -252,9 +252,10 @@ object SparkEntry {
     // corpus tokenize; `nidx/src/indexer.rs:254-298` segments-built-once
     // contract)
     "q18_minhash_lsh" -> ((s, dir) =>
-      Dedup.minHashLshFromSignatures(
+      Dedup.minHashLshFromBands(
+          graft.sources.IndexStore.sigBands(s, dir),
           graft.sources.IndexStore.signatures(s, dir), "doc_id",
-          numHashes = 8, bandSize = 2, minEstJaccard = 0.25)
+          numHashes = 8, minEstJaccard = 0.25)
         .orderBy("a", "b")),
 
     // §2.3 vector ANN: brute-force cosine top-k (the correctness oracle)

@@ -87,7 +87,17 @@ object Dedup {
       idCol: String,
       numHashes: Int = 8,
       bandSize: Int = 2,
-      minEstJaccard: Double = 0.5): DataFrame = {
+      minEstJaccard: Double = 0.5): DataFrame =
+    minHashLshFromBands(signatureBands(sig, idCol, numHashes, bandSize),
+      sig, idCol, numHashes, minEstJaccard)
+
+  /** LSH band rows (id, band, bv) exploded from a signature table — the
+    * candidate-bucket key. Materialized at ingest (bucketed on
+    * (band, bv)) so the pair self-join reuses the at-rest layout; also
+    * the inline step of [[minHashLshFromSignatures]].
+    */
+  def signatureBands(sig: DataFrame, idCol: String,
+      numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
     // loud guard against a table built with different parameters: a
     // width mismatch would silently estimate Jaccard over a subset of
     // the signature components and change keep/drop decisions
@@ -95,14 +105,31 @@ object Dedup {
     require(widthOnDisk == numHashes,
       s"signature table has $widthOnDisk hash columns, caller expects $numHashes " +
         "— rebuild the index or pass the table's numHashes")
-    // explode signature into (id, band, bv) rows; bucket-join on band value
     val nBands = numHashes / bandSize
     val bandCols = (0 until nBands).map { bi =>
       struct(lit(bi).as("band"),
         concat((0 until bandSize).map(j => col(s"h${bi * bandSize + j}")): _*).as("bv"))
     }
-    val bands = sig.select(col(idCol), explode(array(bandCols: _*)).as("bs"))
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.bv").as("bv"))
+  }
+
+  /** [[minHashLshFromSignatures]] with the band rows supplied from the
+    * at-rest table ([[graft.sources.Ingest.buildIndex]] writes them
+    * bucketed on (band, bv)): the candidate self-join scans
+    * co-partitioned buckets with no per-request exchange, and only the
+    * signature-estimate joins (candidate-bounded) shuffle.
+    */
+  def minHashLshFromBands(
+      bands: DataFrame,
+      sig: DataFrame,
+      idCol: String,
+      numHashes: Int = 8,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val widthOnDisk = sig.columns.count(_.matches("h\\d+"))
+    require(widthOnDisk == numHashes,
+      s"signature table has $widthOnDisk hash columns, caller expects $numHashes " +
+        "— rebuild the index or pass the table's numHashes")
     val candidates = bands.select(col(idCol).as("a"), col("band"), col("bv"))
       .join(bands.select(col(idCol).as("b"), col("band"), col("bv")), Seq("band", "bv"))
       .where(col("a") < col("b"))

@@ -176,9 +176,24 @@ object IndexStore {
     spark.read.parquet(s"${indexDir(spark, sfDir)}/deletes")
 
   /** Hashed-shingle posting table (id, shingle, sz) — the n-gram
-    * Jaccard serving table ([[graft.operators.Dedup.ngramJaccardFromShingles]]). */
+    * Jaccard serving table ([[graft.operators.Dedup.ngramJaccardFromShingles]]).
+    * Served through the session catalog when the bucketed layout is
+    * registered (the self-join on `shingle` then runs exchange-free);
+    * plain parquet fallback reads the same rows without the layout. */
   def shingles(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${indexDir(spark, sfDir)}/shingles")
+    bucketedOrParquet(spark, "shingles", indexDir(spark, sfDir))
+
+  /** LSH band table (id, band, bv), bucketed on (band, bv) — the
+    * near-dup candidate join ([[graft.operators.Dedup.minHashLshFromBands]]). */
+  def sigBands(spark: SparkSession, sfDir: String): DataFrame =
+    bucketedOrParquet(spark, "sigbands", indexDir(spark, sfDir))
+
+  private def bucketedOrParquet(spark: SparkSession, kind: String,
+      dir: String): DataFrame = {
+    val name = Ingest.bucketedTableName(kind, dir)
+    if (spark.catalog.tableExists(name)) spark.table(name)
+    else spark.read.parquet(s"$dir/$kind")
+  }
 
   /** Positional posting table (id, pos, term) — the quoted-phrase
     * serving table ([[graft.operators.PhraseSearch.phraseOccurrencesFromPositions]]). */

@@ -90,7 +90,8 @@ object Ingest {
       withVectors: Boolean = true,
       shingleSize: Int = 3,
       numHashes: Int = 8,
-      langCol: Option[String] = None): Unit = {
+      langCol: Option[String] = None,
+      shingleBuckets: Int = 16): Unit = {
     splitParagraphs(docs, idCol, textCol, parTokens = parTokens)
       .write.mode("overwrite").parquet(s"$outDir/paragraphs")
     termPostings(docs, idCol, textCol)
@@ -130,13 +131,20 @@ object Ingest {
     // hashed-shingle postings: (id, xxhash64(shingle), set size) — the
     // n-gram Jaccard serving table ([[graft.operators.Dedup.ngramJaccardFromShingles]]);
     // like signatures, a pure per-document function valid for any
-    // corpus subset via semi-join
+    // corpus subset via semi-join. Written BUCKETED on the join key
+    // (external table, data under outDir like every sibling): the
+    // near-dup request's self-join on `shingle` then reuses the at-rest
+    // layout — both sides scan co-partitioned buckets and the
+    // per-request Exchange disappears (plan-pinned in ScaleDesignSpec).
     val shingleArr = array_distinct(
       TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize))
     docs.select(col(idCol),
         transform(shingleArr, s => xxhash64(s)).as("ss"), size(shingleArr).as("sz"))
       .select(col(idCol), explode(col("ss")).as("shingle"), col("sz"))
-      .write.mode("overwrite").parquet(s"$outDir/shingles")
+      .write.mode("overwrite")
+      .bucketBy(shingleBuckets, "shingle").sortBy("shingle")
+      .option("path", s"$outDir/shingles")
+      .saveAsTable(bucketedTableName("shingles", outDir))
     // MinHash signatures: a per-document function of the text (no
     // corpus statistics), so near-dup requests over any corpus subset
     // serve this table via semi-join instead of re-tokenizing
@@ -145,6 +153,16 @@ object Ingest {
           TextFunctions.tokens(col(textCol)), shingleSize)).as("shingle")),
         idCol, numHashes)
       .write.mode("overwrite").parquet(s"$outDir/signatures")
+    // LSH band rows (id, band, bv) from the signatures, bucketed on the
+    // band bucket key — the candidate-pair self-join
+    // ([[graft.operators.Dedup.minHashLshFromBands]]) joins on
+    // (band, bv) and reuses this layout exchange-free, same as shingles
+    graft.operators.Dedup.signatureBands(
+        spark(docs).read.parquet(s"$outDir/signatures"), idCol, numHashes, bandSize = 2)
+      .write.mode("overwrite")
+      .bucketBy(shingleBuckets, "band", "bv").sortBy("band", "bv")
+      .option("path", s"$outDir/sigbands")
+      .saveAsTable(bucketedTableName("sigbands", outDir))
     // language-ID model: per-language char-trigram profiles trained
     // from the labeled corpus ([[trainLangProfiles]])
     langCol.foreach { lc =>
@@ -163,6 +181,18 @@ object Ingest {
   }
 
   private def spark(df: DataFrame) = df.sparkSession
+
+  /** Catalog name for a bucketed index table — deterministic per
+    * (kind, index directory), so the serving side
+    * ([[IndexStore.shingles]]) can resolve the bucketed layout from the
+    * directory alone. Bucketed layouts need the session catalog (plain
+    * `read.parquet` loses the bucket spec); the data itself still lives
+    * under the index dir like every sibling table, so catalog-less
+    * readers fall back to the same rows without the layout.
+    */
+  def bucketedTableName(kind: String, outDir: String): String =
+    s"graft_${kind}_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(outDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
 
   /** Small-text write through the Hadoop FileSystem API — manifests and
     * meta files live NEXT TO the tables they describe, so they must use

@@ -264,6 +264,39 @@ class ScaleDesignSpec extends SparkSpec {
       s"q84 must serve the partitioned at-rest code table:\n$fp")
   }
 
+  test("at-rest shingle and band tables: the pair self-join reuses the bucketed layout, no probe exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // disable broadcast to expose the 100×-scale join shape: at real
+    // scale neither side of the self-join broadcasts, so the bucketed
+    // layout is what keeps the probe exchange-free
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sh = graft.sources.IndexStore.shingles(spark, dir)
+      val x = sh.select(col("doc_id").as("a"), col("shingle"), col("sz").as("sza"))
+      val y = sh.select(col("doc_id").as("b"), col("shingle"), col("sz").as("szb"))
+      val joined = x.join(y, "shingle").where(col("a") < col("b"))
+      joined.count()
+      val p = plan(joined)
+      assert(!p.contains("Exchange"),
+        s"the shingle self-join must reuse the bucketed at-rest layout:\n$p")
+      val bands = graft.sources.IndexStore.sigBands(spark, dir)
+      val ba = bands.select(col("doc_id").as("a"), col("band"), col("bv"))
+      val bb = bands.select(col("doc_id").as("b"), col("band"), col("bv"))
+      val bj = ba.join(bb, Seq("band", "bv")).where(col("a") < col("b"))
+      bj.count()
+      assert(!plan(bj).contains("Exchange"),
+        s"the band self-join must reuse the bucketed at-rest layout:\n${plan(bj)}")
+      // the band rows at rest equal the inline explode of the signatures
+      val sig = graft.sources.IndexStore.signatures(spark, dir)
+      val inline = graft.operators.Dedup.signatureBands(sig, "doc_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val atRest = bands
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(inline == atRest, "at-rest band table diverged from the signatures")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("filtered find: dense filters serve the codes table, selective filters brute-force") {
     import graft.api.Find
     import graft.operators.FilterExpr
