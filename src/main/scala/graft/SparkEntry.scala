@@ -1198,6 +1198,32 @@ object SparkEntry {
           topK = 20, annNprobe = Some(vix.centroids.size)))
     }),
 
+    // §2.3 NAMED-VECTORSET semantic search served from the per-set
+    // at-rest index (`nidx_vector/src/config.rs:100-126`: one vector
+    // index per vectorset): the corpus carries two embedding models
+    // (full-dim `default`, 16-dim matryoshka `mrl16`); the request
+    // names `mrl16` and routes through ITS index — the codes scan
+    // prunes to the vectorset partition first, then to the probed
+    // clusters inside it (two-level pruning, plan-pinned in
+    // ScaleDesignSpec). All clusters probed + rerank ≥ set size give
+    // the exact per-set top-k for oracle parity.
+    "q96_vectorset_ann" -> ((s, dir) => {
+      import graft.api.Find
+      val docs = load(s, dir, "documents")
+      val emb = load(s, dir, "embeddings")
+      val vix = graft.sources.IndexStore.vectorIndexSet(s, dir, "mrl16")
+      val qv = emb.where(col("vec_id") === 0)
+        .select(slice(col("embedding"), 1, 16)).collect().head.getSeq[Float](0)
+      Find.find(
+        Find.Corpus(docs, "doc_id", "text",
+          Some(graft.sources.IndexStore.vectorsetTable(emb)),
+          vectorsetCol = Some("vectorset"),
+          index = Some(graft.sources.IndexStore.tables(s, dir)),
+          vectorIndexes = Map("mrl16" -> vix), annBruteThreshold = 1),
+        Find.FindRequest(queryVector = Some(qv), vectorset = Some("mrl16"),
+          topK = 20, annNprobe = Some(vix.centroids.size)))
+    }),
+
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:
     // HyperLogLog++ distinct counts and approximate percentiles give a
     // bounded-memory, one-pass corpus shape. NO DuckDB oracle (sketch
@@ -2329,6 +2355,17 @@ object SparkEntry {
          |allowed AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
          |scored AS (SELECT a.doc_id, round(${cosSql("e.v", "q.qv")}, 6) AS fused, a.text
          |           FROM e CROSS JOIN q JOIN allowed a ON a.doc_id = e.vec_id)
+         |SELECT doc_id, fused, CAST(1 AS BIGINT) AS n_sources, text
+         |FROM scored ORDER BY fused DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q96 serves the named vectorset's index with all clusters probed
+    // and rerank ≥ the set, so the oracle is the exact matryoshka-slice
+    // top-k (q41's contract through the find API).
+    "q96_vectorset_ann" ->
+      s"""WITH e AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |scored AS (SELECT d.doc_id, round(${cosSql("e.v", "q.qv")}, 6) AS fused, d.text
+         |           FROM e CROSS JOIN q JOIN documents d ON d.doc_id = e.vec_id)
          |SELECT doc_id, fused, CAST(1 AS BIGINT) AS n_sources, text
          |FROM scored ORDER BY fused DESC, doc_id LIMIT 20""".stripMargin
   )

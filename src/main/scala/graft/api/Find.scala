@@ -171,8 +171,10 @@ object Find {
         // (vector ids absent from the doc table can never reach the
         // response): the semi-join applies to the ≤rerank candidate
         // rows, not the corpus — out-of-docs candidates waste rerank
-        // slots instead of surfacing and then vanishing at hydration
-        val raw = Prefilter.semiJoin(vecs0, corpus.vecId, allowed)
+        // slots instead of surfacing and then vanishing at hydration.
+        // Raw vectors come from the INDEX's own table (vix.raw) — for a
+        // named vectorset that is the set's slice, matching the codes
+        val raw = Prefilter.semiJoin(vix.raw, corpus.vecId, allowed)
         // filter pushdown INTO the index: restrict the code table to
         // the allowed ids, so every ADC candidate is already allowed
         // and no rerank slot is wasted on filtered-out docs

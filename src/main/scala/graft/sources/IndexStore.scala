@@ -58,6 +58,9 @@ object IndexStore {
 
   private val built = scala.collection.mutable.Map[String, String]()
   private val builtVec = scala.collection.mutable.Map[String, String]()
+  private val builtVecSets = scala.collection.mutable.Map[String, String]()
+  private val vsixCache =
+    scala.collection.mutable.Map[(SparkSession, String, String), VectorIndex]()
   // collected driver-side models memoized per (session, dir): reading
   // them is two collect jobs — paid once, not per request
   private val vixCache = scala.collection.mutable.Map[(SparkSession, String), VectorIndex]()
@@ -157,6 +160,66 @@ object IndexStore {
       assignments = spark.read.parquet(s"$dir/assignments"),
       raw = spark.read.parquet(s"$sfDir/embeddings.parquet"))
   }
+
+  /** The multi-vectorset fixture corpus over the embeddings table: the
+    * full-dim `default` set plus a `mrl16` matryoshka truncation — two
+    * named embedding models over the same ids, the reference's
+    * vectorset shape (`nidx_vector/src/config.rs:100-126`). */
+  def vectorsetTable(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+        org.apache.spark.sql.functions.lit("default").as("vectorset"))
+      .unionByName(emb.select(col("vec_id"),
+        org.apache.spark.sql.functions.slice(col("embedding"), 1, 16).as("embedding"),
+        org.apache.spark.sql.functions.lit("mrl16").as("vectorset")))
+
+  /** Per-vectorset index directory for `sfDir` ([[Ingest.buildVectorIndexSets]]
+    * over [[vectorsetTable]]), built on first access. */
+  def vectorSetIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
+    builtVecSets.getOrElseUpdate(sfDir, {
+      val out = deleteOnExit(Files.createTempDirectory("graft-vsindex-").toString)
+      Ingest.buildVectorIndexSets(
+        vectorsetTable(spark.read.parquet(s"$sfDir/embeddings.parquet")),
+        "vec_id", "embedding", "vectorset", out)
+      out
+    })
+  }
+
+  /** The served index for ONE named vectorset: centroid/codebook
+    * literals for that set, the codes table pre-pruned to its
+    * `vectorset=` partition (composing with the probe's centroid
+    * pruning — two-level partition elimination), and the set's own raw
+    * vectors for the exact rerank. */
+  def vectorIndexSet(spark: SparkSession, sfDir: String, vs: String): VectorIndex =
+    synchronized {
+      vsixCache.getOrElseUpdate((spark, sfDir, vs), {
+        val dir = vectorSetIndexDir(spark, sfDir)
+        val cents = spark.read.parquet(s"$dir/centroids")
+          .where(col("vectorset") === vs)
+          .select(col("cid"), col("cvec"), col("n_members"))
+          .collect().toSeq
+        require(cents.nonEmpty, s"vectorset $vs not in the index at $dir")
+        val cb = spark.read.parquet(s"$dir/codebook")
+          .where(col("vectorset") === vs)
+          .collect().toSeq
+          .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+        val meta = Ingest.readText(spark, s"$dir/vector_meta.json")
+        val m = """"m":\s*(\d+)""".r.findFirstMatchIn(meta)
+          .getOrElse(throw new IllegalStateException(
+            s"vector_meta.json at $dir has no \"m\" field: $meta"))
+          .group(1).toInt
+        VectorIndex(
+          centroids = cents.map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1),
+          codebook = cb,
+          m = m,
+          nVectors = cents.map(_.getLong(2)).sum,
+          codes = spark.read.parquet(s"$dir/codes").where(col("vectorset") === vs),
+          assignments = spark.read.parquet(s"$dir/assignments")
+            .where(col("vectorset") === vs),
+          raw = vectorsetTable(spark.read.parquet(s"$sfDir/embeddings.parquet"))
+            .where(col("vectorset") === vs)
+            .select(col("vec_id"), col("embedding")))
+      })
+    }
 
   def postings(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"${indexDir(spark, sfDir)}/postings")

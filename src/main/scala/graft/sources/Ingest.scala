@@ -335,6 +335,60 @@ object Ingest {
       s"""{"m": $m, "id_col": "$idCol"}""")
   }
 
+  /** Per-vectorset at-rest vector indexes — the reference binds one
+    * vector index PER VECTORSET config (`nidx_vector/src/config.rs:100-126`;
+    * a resource can carry several named embedding models with different
+    * dimensions). Each vectorset trains its own IVF centroids and PQ
+    * codebook ([[buildVectorIndex]] on its slice — sets are independent,
+    * so a production build runs them as parallel jobs), and the serving
+    * tables fold into ONE layout keyed by the vectorset:
+    *
+    *  - `codes` partitioned by (vectorset, centroid_id): a named-set
+    *    request prunes to its vectorset directory FIRST, then probes
+    *    clusters inside it — two-level partition pruning, no scan of
+    *    other sets' codes;
+    *  - `centroids`/`codebook`/`assignments` carry a `vectorset` column
+    *    (driver-scale and id-keyed tables respectively).
+    *
+    * `vectors` must hold (idCol, vecCol, vsCol); dimensions may differ
+    * between sets (matryoshka truncations are typical) as long as each
+    * is divisible by `m`.
+    */
+  def buildVectorIndexSets(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      vsCol: String,
+      outDir: String,
+      numCentroids: Int = 16,
+      kmeansIters: Int = 2,
+      numCodewords: Int = 16,
+      m: Int = 16,
+      pqIters: Int = 2): Unit = {
+    val sp = spark(vectors)
+    val sets = vectors.select(col(vsCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted // driver-scale: |vectorsets|
+    require(sets.nonEmpty, "buildVectorIndexSets needs at least one vectorset")
+    sets.foreach { vs =>
+      buildVectorIndex(vectors.where(col(vsCol) === vs).drop(vsCol),
+        idCol, vecCol, s"$outDir/_sets/$vs",
+        numCentroids, kmeansIters, numCodewords, m, pqIters)
+    }
+    def fold(sub: String, partitionCols: Seq[String]): Unit = {
+      val all = sets.map(vs => sp.read.parquet(s"$outDir/_sets/$vs/$sub")
+        .withColumn("vectorset", lit(vs))).reduce(_ unionByName _)
+      val w = all.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(s"$outDir/$sub")
+    }
+    fold("centroids", Seq("vectorset"))
+    fold("codebook", Seq("vectorset"))
+    fold("assignments", Seq("vectorset"))
+    fold("codes", Seq("vectorset", "centroid_id"))
+    writeText(sp, s"$outDir/vector_meta.json",
+      s"""{"m": $m, "id_col": "$idCol", "vectorsets": [${sets.map(s => s""""$s"""").mkString(", ")}]}""")
+  }
+
   /** Materialized `json_fields`: parse a JSON string column ONCE per
     * row (a single `from_json` with the merged field schema) into typed
     * top-level columns named `<jsonCol>_<field>`. The reference indexes

@@ -333,6 +333,34 @@ class ScaleDesignSpec extends SparkSpec {
     assert(!Find.useAnnIndex(0, 0, 0.25), "empty index never serves")
   }
 
+  test("per-vectorset index: the named-set codes scan prunes vectorset AND probed-cluster partitions") {
+    import graft.operators.VectorSearch
+    val dir = "/root/testdata/sf0.001"
+    val vix = graft.sources.IndexStore.vectorIndexSet(spark, dir, "mrl16")
+    val qv = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("vec_id") === 0)
+      .select(slice(col("embedding"), 1, 16)).collect().head.getSeq[Float](0)
+    val probes = VectorSearch.probeCentroids(vix.centroids, qv, 4)
+    val pruned = vix.codes.where(col("centroid_id").isInCollection(probes))
+    val adc = VectorSearch.pqAdcSearchFromCodes(
+      pruned, "vec_id", "code", qv, vix.codebook, vix.m, 100)
+    adc.collect()
+    val p = plan(adc)
+    assert(p.contains("PartitionFilters") && p.contains("vectorset") &&
+      p.contains("centroid_id"),
+      s"named-set probe must prune on BOTH partition levels:\n$p")
+    assert(p.contains("code:binary") && !p.contains("embedding"),
+      s"the per-set probe scan must stay code-only:\n$p")
+    // both sets trained: the default set's index over the same dir
+    // binds the full-dim slice with its own codebook
+    val vixDefault = graft.sources.IndexStore.vectorIndexSet(spark, dir, "default")
+    assert(vixDefault.nVectors == vix.nVectors,
+      "both vectorsets index the same id population")
+    assert(vixDefault.codebook.head._2.length == 64 &&
+      vix.codebook.head._2.length == 16,
+      "each vectorset trains codewords at its own dimension")
+  }
+
   test("CC fixpoint is O(log diameter) on an sf1-sized adversarial pair set") {
     import graft.operators.Dedup
     // sf1-shaped pair graph (~10k pairs; sf0.1's q74 set is ~900):
