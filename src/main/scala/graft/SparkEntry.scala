@@ -1224,6 +1224,16 @@ object SparkEntry {
           topK = 20, annNprobe = Some(vix.centroids.size)))
     }),
 
+    // §3.4 MERGED /suggest endpoint parity (shard_suggest.rs:45-160):
+    // one call composes paragraph-dictionary suggest (the at-rest
+    // par_termfreq rollup of the paragraph postings) with entity prefix
+    // search on the relation nodes, both top-k-bounded, merged into a
+    // single deterministic response
+    "q97_suggest_merged" -> ((s, dir) =>
+      graft.api.Suggest.suggestMerged(
+        graft.sources.IndexStore.parTermFreq(s, dir),
+        load(s, dir, "part"), "p_name", "r", 10)),
+
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:
     // HyperLogLog++ distinct counts and approximate percentiles give a
     // bounded-memory, one-pass corpus shape. NO DuckDB oracle (sketch
@@ -2367,6 +2377,23 @@ object SparkEntry {
          |scored AS (SELECT d.doc_id, round(${cosSql("e.v", "q.qv")}, 6) AS fused, d.text
          |           FROM e CROSS JOIN q JOIN documents d ON d.doc_id = e.vec_id)
          |SELECT doc_id, fused, CAST(1 AS BIGINT) AS n_sources, text
-         |FROM scored ORDER BY fused DESC, doc_id LIMIT 20""".stripMargin
+         |FROM scored ORDER BY fused DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q97: the paragraph term dictionary rolls up paragraph postings;
+    // paragraph splitting preserves token multiplicity, so the
+    // dictionary's freq equals the whole-document token counts — the
+    // oracle uses the document tokenization directly.
+    "q97_suggest_merged" ->
+      s"""WITH $TokCte,
+         |tfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term),
+         |terms AS (SELECT term AS suggestion, 'paragraph' AS source, freq
+         |          FROM tfreq WHERE term LIKE 'r%'
+         |          ORDER BY freq DESC, term LIMIT 10),
+         |ents AS (SELECT suggestion, 'entity' AS source, CAST(0 AS BIGINT) AS freq FROM (
+         |  SELECT DISTINCT p_name AS suggestion FROM part WHERE p_name LIKE 'r%'
+         |  ORDER BY suggestion LIMIT 10))
+         |SELECT suggestion, source, freq
+         |FROM (SELECT * FROM terms UNION ALL SELECT * FROM ents)
+         |ORDER BY source, freq DESC, suggestion""".stripMargin
   )
 }

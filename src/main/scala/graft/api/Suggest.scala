@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 import graft.operators.{GraphOps, TopK}
 
@@ -30,5 +31,38 @@ object Suggest {
       entities.map { case (nodes, valueCol) =>
         GraphOps.prefixSearch(nodes, valueCol, query, topK)
       })
+  }
+
+  /** MERGED /suggest — the reference endpoint runs paragraph suggest
+    * and entity prefix search in ONE call and returns both merged
+    * (`nidx/src/searcher/shard_suggest.rs:45-160` builds the paragraph
+    * and relation requests from the same query and combines their
+    * responses). Here both sources land in one DataFrame:
+    * (suggestion, source, freq) — `paragraph` rows from the
+    * paragraph-derived term dictionary ([[graft.sources.Ingest.buildIndex]]'s
+    * `par_termfreq`, exact-prefix first with the fuzzy-prefix fallback),
+    * `entity` rows from the relation-node prefix search (freq 0: the
+    * relation index ranks alphabetically, not by frequency). Each
+    * source is top-k-bounded before the union, so the merge is a
+    * driver-window-sized sort — deterministic order (source, freq desc,
+    * suggestion).
+    */
+  def suggestMerged(
+      parTermFreq: DataFrame,
+      entities: DataFrame,
+      valueCol: String,
+      query: String,
+      topK: Int = 10): DataFrame = {
+    val lastTerm = query.toLowerCase.trim.split("\\s+").last
+    val exact = TopK.suggestPrefix(parTermFreq, "term", "freq", lastTerm, topK)
+    val terms =
+      if (!exact.isEmpty) exact
+      else TopK.suggestFuzzyPrefix(parTermFreq, "term", "freq", lastTerm, topK)
+    terms.select(col("term").as("suggestion"),
+        lit("paragraph").as("source"), col("freq"))
+      .unionByName(GraphOps.prefixSearch(entities, valueCol, query, topK)
+        .select(col("value").as("suggestion"), lit("entity").as("source"),
+          lit(0L).as("freq")))
+      .orderBy(col("source").asc, col("freq").desc, col("suggestion").asc)
   }
 }

@@ -286,6 +286,11 @@ object IndexStore {
   def paragraphs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"${indexDir(spark, sfDir)}/paragraphs")
 
+  /** Paragraph-derived (term, freq) dictionary — the /suggest serving
+    * table ([[graft.api.Suggest.suggestMerged]]). */
+  def parTermFreq(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${indexDir(spark, sfDir)}/par_termfreq")
+
   /** Paragraph-level posting/length tables — the nidx_paragraph BM25
     * serving pair. */
   def parPostings(spark: SparkSession, sfDir: String): DataFrame =

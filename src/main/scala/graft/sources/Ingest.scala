@@ -117,6 +117,13 @@ object Ingest {
     spark(docs).read.parquet(s"$outDir/postings")
       .groupBy("term").agg(sum("tf").cast("long").as("freq"))
       .write.mode("overwrite").parquet(s"$outDir/termfreq")
+    // paragraph-derived term dictionary: the /suggest serving table —
+    // the reference suggests over the PARAGRAPH index
+    // (`nidx/src/searcher/shard_suggest.rs:45-160`), so the dictionary
+    // rolls up the paragraph postings
+    spark(docs).read.parquet(s"$outDir/par_postings")
+      .groupBy("term").agg(sum("tf").cast("long").as("freq"))
+      .write.mode("overwrite").parquet(s"$outDir/par_termfreq")
     // SymSpell deletion neighborhood: (variant, term) rows for
     // distance-1 fuzzy matching as an equality lookup instead of a
     // Levenshtein dictionary scan ([[graft.functions.TextFunctions.deleteVariants]]).

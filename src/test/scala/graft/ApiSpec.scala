@@ -83,6 +83,23 @@ class ApiSpec extends SparkSpec {
     assert(fuzzy.terms.collect().map(_.getString(0)).sameElements(Array("spark")))
   }
 
+  test("suggestMerged: one response carries both sources, fuzzy fallback intact") {
+    val tf = Seq(("anchor", 10L), ("anvil", 3L), ("scan", 5L)).toDF("term", "freq")
+    val nodes = edges.select($"src".as("value"))
+    // entity prefix match is case-sensitive (reference relation-index
+    // semantics); the term stem lowercases before the dictionary lookup
+    val merged = Suggest.suggestMerged(tf, nodes, "value", "An")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // entity rows first (source asc), alphabetical; then terms by freq
+    assert(merged.sameElements(Array(
+      ("Anastasia", "entity", 0L), ("Anna", "entity", 0L),
+      ("anchor", "paragraph", 10L), ("anvil", "paragraph", 3L))), merged.mkString(","))
+    // typo'd stem: term side falls back to the fuzzy prefix automaton
+    val fuzzy = Suggest.suggestMerged(tf, nodes, "value", "ancor")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(fuzzy.contains(("anchor", "paragraph")), fuzzy.mkString(","))
+  }
+
   test("graph: edge facet filter excludes generated relations") {
     import org.apache.spark.sql.functions.col
     val withFacets = Seq(
