@@ -119,18 +119,33 @@ object IncrementalIndex {
     * [[segmentTables]] serves the union with latest-wins per doc;
     * [[compactSegments]] is the merge scheduler.
     */
+  /** Pre-trained ANN model a segment writer reuses for its vector
+    * codes: the reference trains per-KB quantization once and every new
+    * segment encodes against it (`nidx_vector/src/indexer.rs` reuses
+    * the config's quantization); the streaming path mirrors that with
+    * the batch-trained IVF centroids + PQ codebook
+    * ([[graft.sources.Ingest.buildVectorIndex]]'s model tables).
+    */
+  final case class SegmentVectorSpec(
+      vecCol: String,
+      centroids: Seq[(Int, Seq[Float])],
+      codebook: Seq[(Int, Seq[Float])],
+      m: Int)
+
   def startIndexSegments(
       updates: DataFrame,
       indexRoot: String,
       checkpointPath: String,
       idCol: String = "rid",
       textCol: String = "text",
-      seqCol: String = "seq"): StreamingQuery =
+      seqCol: String = "seq",
+      vectors: Option[SegmentVectorSpec] = None): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpointPath)
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        writeSegment(batch, f"$indexRoot/seg_$bid%09d", idCol, textCol, seqCol)
+        writeSegment(batch, f"$indexRoot/seg_$bid%09d", idCol, textCol, seqCol,
+          vectors)
       }
       .start()
 
@@ -140,10 +155,15 @@ object IncrementalIndex {
     * docs (each row carries its doc's seq so cross-segment latest-wins
     * is a semi-join) — the same index surface [[graft.sources.Ingest.buildIndex]]
     * materializes in batch, so the streamed corpus serves the same
-    * query APIs.
+    * query APIs. With a [[SegmentVectorSpec]], the segment also emits
+    * the ANN serving pair: `codes` (id, seq, code, centroid_id —
+    * partitioned by centroid so probes prune inside every segment) and
+    * `vectors` (the raw rows the bounded exact rerank reads) — ingest
+    * cost stays proportional to the batch, nothing existing rewrites.
     */
   def writeSegment(batch: DataFrame, segDir: String,
-      idCol: String, textCol: String, seqCol: String): Unit = {
+      idCol: String, textCol: String, seqCol: String,
+      vectors: Option[SegmentVectorSpec] = None): Unit = {
     val w = Window.partitionBy(col(idCol)).orderBy(col(seqCol).desc)
     val latest = batch.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn").cache()
@@ -161,6 +181,19 @@ object IncrementalIndex {
       graft.sources.Ingest.splitParagraphs(live, idCol, textCol)
         .join(seqOf, idCol)
         .write.mode("overwrite").parquet(s"$segDir/paragraphs")
+      vectors.foreach { spec =>
+        import graft.operators.VectorSearch
+        import batch.sparkSession.implicits._
+        val vecs = live.select(col(idCol), col(seqCol), col(spec.vecCol))
+        vecs.write.mode("overwrite").parquet(s"$segDir/vectors")
+        val centDf = spec.centroids.toDF("cid", "cvec")
+        VectorSearch.pqCodesBinary(vecs, idCol, spec.vecCol, spec.codebook, spec.m)
+          .join(VectorSearch.ivfAssign(vecs, idCol, spec.vecCol, centDf, "cid", "cvec")
+            .select(col(idCol), col("centroid_id")), idCol)
+          .join(seqOf, idCol)
+          .write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(s"$segDir/codes")
+      }
     } finally latest.unpersist()
     ()
   }
@@ -240,6 +273,44 @@ object IncrementalIndex {
       paragraphs = serve("paragraphs"))
   }
 
+  private def hasSub(spark: SparkSession, dir: String, sub: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Serve the segmented ANN index: (codes, raw vectors) unions across
+    * segments with latest-wins per doc — the pair
+    * [[graft.operators.VectorSearch.ivfPqSearchAtRest]] consumes, so a
+    * STREAMED corpus answers the same semantic queries as a batch-built
+    * index (the reference's per-segment vector search with deletions
+    * applied at read, `nidx_vector/src/searcher.rs` across open
+    * segments). Segments written without vectors contribute nothing;
+    * the winner semi-join is doc-manifest-sized, and each segment's
+    * codes stay centroid-partitioned so probes prune inside every
+    * segment.
+    */
+  def segmentVectorTables(spark: SparkSession, indexRoot: String,
+      idCol: String = "rid",
+      seqCol: String = "seq"): (DataFrame, DataFrame) = {
+    val dirs = segmentDirs(spark, indexRoot)
+    require(dirs.nonEmpty, s"no segments under $indexRoot")
+    vectorTablesFrom(spark, dirs, idCol, seqCol)
+  }
+
+  private def vectorTablesFrom(spark: SparkSession, dirs: Seq[String],
+      idCol: String, seqCol: String): (DataFrame, DataFrame) = {
+    val withVec = dirs.filter(d => hasSub(spark, d, "codes"))
+    require(withVec.nonEmpty, s"no vector segments among $dirs")
+    val winners = mergeLatest(
+        dirs.map(d => spark.read.parquet(s"$d/docs")).reduce(_ unionByName _),
+        idCol, seqCol)
+      .select(col(idCol), col(seqCol))
+    def serve(sub: String) =
+      withVec.map(d => spark.read.parquet(s"$d/$sub")).reduce(_ unionByName _)
+        .join(winners, Seq(idCol, seqCol), "left_semi")
+    (serve("codes"), serve("vectors"))
+  }
+
   /** Segment compaction (the `nidx/src/scheduler.rs` merge): fold the
     * CURRENTLY LISTED segments into one and delete them. Correctness
     * properties, each asserted in StreamingSpec:
@@ -279,6 +350,16 @@ object IncrementalIndex {
     tables.postings.write.mode("overwrite").parquet(s"$out/postings")
     tables.docLengths.write.mode("overwrite").parquet(s"$out/doclengths")
     tables.paragraphs.write.mode("overwrite").parquet(s"$out/paragraphs")
+    // vector segments fold the same way: winning codes/raw rows move to
+    // the compacted segment (codes keep the centroid partitioning).
+    // Folds the ONCE-listed dirs, not a fresh listing — a segment the
+    // live stream writes mid-compaction must not fold without deletion
+    if (dirs.exists(d => hasSub(spark, d, "codes"))) {
+      val (codes, raw) = vectorTablesFrom(spark, dirs, idCol, seqCol)
+      codes.write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$out/codes")
+      raw.write.mode("overwrite").parquet(s"$out/vectors")
+    }
     val names = dirs.map(d => new org.apache.hadoop.fs.Path(d).getName)
     // carry forward the inputs' subsumed entries with the input names
     val folded = (dirs.map(d => readSubsumed(fs,

@@ -236,6 +236,68 @@ class StreamingSpec extends SparkSpec {
       s"$k: ${after(k)} != $v — duplicated segment rows inflate stats") }
   }
 
+  test("segmented ANN: streamed corpus serves ivfPqSearchAtRest identically to a batch index, incl. post-compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.VectorSearch
+    import graft.streaming.IncrementalIndex.SegmentVectorSpec
+    val root = Files.createTempDirectory("graft-segvec").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft-segvecck").toString
+    // deterministic 8-dim vectors; rid i carries vector f(i, seq)
+    def vec(i: Long, seq: Long): Array[Float] =
+      Array.tabulate(8)(d => math.sin(i * 31 + seq * 7 + d).toFloat)
+    val finalState = // merged corpus after updates + tombstone
+      Seq(1L -> vec(1, 2), 3L -> vec(3, 2), 4L -> vec(4, 1), 5L -> vec(5, 2))
+    // the per-KB model trains ONCE in batch over the final corpus and
+    // every segment encodes against it (indexer.rs reuse contract)
+    val batchDir = Files.createTempDirectory("graft-segvecb").toString
+    graft.sources.Ingest.buildVectorIndex(
+      finalState.toDF("rid", "embedding"), "rid", "embedding", batchDir,
+      numCentroids = 2, numCodewords = 4, m = 4)
+    val vixDir = batchDir
+    val cents = spark.read.parquet(s"$vixDir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    val cb = spark.read.parquet(s"$vixDir/codebook")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    val spec = SegmentVectorSpec("embedding", cents, cb, m = 4)
+
+    val input = MemoryStream[(Long, Long, String, Boolean, Array[Float])]
+    val updates = input.toDF().toDF("rid", "seq", "text", "deleted", "embedding")
+    val q = IncrementalIndex.startIndexSegments(updates, root, ckpt,
+      idCol = "rid", textCol = "text", vectors = Some(spec))
+    try {
+      input.addData((1L, 1L, "a", false, vec(1, 1)), (2L, 1L, "b", false, vec(2, 1)),
+        (4L, 1L, "d", false, vec(4, 1)))
+      q.processAllAvailable()
+      input.addData((1L, 2L, "a2", false, vec(1, 2)), // update: new vector wins
+        (2L, 2L, "gone", true, vec(2, 2)),            // tombstone
+        (3L, 2L, "c", false, vec(3, 2)), (5L, 2L, "e", false, vec(5, 2)))
+      q.processAllAvailable()
+
+      val qv = vec(9, 9).toSeq
+      def search(codes: org.apache.spark.sql.DataFrame,
+          raw: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+        VectorSearch.ivfPqSearchAtRest(codes, raw, "rid", "code", "embedding",
+            cents, cb, m = 4, qv, k = 4, nprobe = cents.size, rerank = 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val expected = search(spark.read.parquet(s"$vixDir/codes"),
+        finalState.toDF("rid", "embedding"))
+      assert(expected.map(_._1).toSet == Set(1L, 3L, 4L, 5L),
+        s"fixture must surface the merged live docs: $expected")
+      val (sCodes, sRaw) = IncrementalIndex.segmentVectorTables(spark, root)
+      assert(search(sCodes, sRaw) == expected,
+        "streamed segments must serve the batch index's exact results")
+      // compaction folds codes + vectors; results unchanged
+      IncrementalIndex.compactSegments(spark, root)
+      val segs = new java.io.File(root).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("seg_"))
+      assert(segs.length == 1 && new java.io.File(segs.head, "codes").exists(),
+        "compaction must fold the vector pair into the surviving segment")
+      val (cCodes, cRaw) = IncrementalIndex.segmentVectorTables(spark, root)
+      assert(search(cCodes, cRaw) == expected,
+        "post-compaction segments must serve identical results")
+    } finally q.stop()
+  }
+
   test("streamingDedup drops cross-batch duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
