@@ -1234,6 +1234,23 @@ object SparkEntry {
         graft.sources.IndexStore.parTermFreq(s, dir),
         load(s, dir, "part"), "p_name", "r", 10)),
 
+    // §2.2 FIELD-LEVEL data model (`resources.proto:39-46`
+    // resources→fields→paragraphs): the request's `fields=["a"]`
+    // (generic fields — the title) compiles against the at-rest fields
+    // table and semi-joins the PER-FIELD paragraph table
+    // ({rid}/{field_type}/{field_id}/{start}-{end} ids), so only title
+    // paragraphs are scored — a structural filter, no id-string parsing
+    "q98_field_filter" -> ((s, dir) => {
+      import graft.api.Find
+      Find.findParagraphs(
+          Find.Corpus(load(s, dir, "documents"), "doc_id", "text",
+            index = Some(graft.sources.IndexStore.tables(s, dir))),
+          Find.FindRequest(query = QueryTerms.mkString(" "),
+            fields = Seq("a"), topK = 20))
+        .withColumn("hits", concat_ws(",", col("hits")))
+        .orderBy(col("best_score").desc, col("doc_id").asc)
+    }),
+
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:
     // HyperLogLog++ distinct counts and approximate percentiles give a
     // bounded-memory, one-pass corpus shape. NO DuckDB oracle (sketch
@@ -2394,6 +2411,23 @@ object SparkEntry {
          |  ORDER BY suggestion LIMIT 10))
          |SELECT suggestion, source, freq
          |FROM (SELECT * FROM terms UNION ALL SELECT * FROM ents)
-         |ORDER BY source, freq DESC, suggestion""".stripMargin
+         |ORDER BY source, freq DESC, suggestion""".stripMargin,
+
+    // q98: the a/title field is the leading 5 tokens; ≤5 tokens always
+    // fit one 20-token paragraph window, so each doc contributes one
+    // title paragraph {rid}/a/title/0-{n}.
+    "q98_field_filter" ->
+      s"""WITH toksd AS (SELECT doc_id, $Tok AS t FROM documents),
+         |title AS (SELECT doc_id, t[1:5] AS tt FROM toksd WHERE len(t) > 0),
+         |hits AS (SELECT doc_id,
+         |           CAST(doc_id AS VARCHAR) || '/a/title/0-' || CAST(len(tt) AS VARCHAR) AS paragraph_id,
+         |           CAST(len(list_filter(tt, x -> list_contains(${sqlList(QueryTerms)}, x))) AS DOUBLE) AS score
+         |         FROM title
+         |         WHERE len(list_filter(tt, x -> list_contains(${sqlList(QueryTerms)}, x))) > 0)
+         |SELECT doc_id, round(max(score), 6) AS best_score,
+         |  CAST(count(*) AS BIGINT) AS n_hits,
+         |  string_agg(paragraph_id, ',' ORDER BY score DESC, paragraph_id) AS hits
+         |FROM hits GROUP BY doc_id
+         |ORDER BY best_score DESC, doc_id LIMIT 20""".stripMargin
   )
 }

@@ -82,7 +82,8 @@ object Find {
       vectorset: Option[String] = None,
       annNprobe: Option[Int] = None,
       annRerank: Option[Int] = None,
-      paragraphBm25: Boolean = false)
+      paragraphBm25: Boolean = false,
+      fields: Seq[String] = Nil)
 
   /** Run the pipeline; returns (docId, score, n_sources) + hydrated
     * text, ordered (score desc, id asc), limited to topK.
@@ -276,14 +277,37 @@ object Find {
     val excl = parsed.excluded
       .map(t => !array_contains(TextFunctions.tokens(col("p_text")), t))
       .foldLeft(lit(true))(_ && _)
+    // STRUCTURAL field filter (`fields=` / field-prefix params,
+    // `old_filters.py:48-260`): the request's field specs compile
+    // against the at-rest FIELDS table (rid, field_type, field_id) and
+    // the allowed field rows semi-join onto the per-field paragraph
+    // table — no paragraph-id string parsing, and the semi-join
+    // broadcast-prunes the paragraph scan like every other prefilter.
+    val fieldRestricted: Option[DataFrame] =
+      if (req.fields.isEmpty) None
+      else {
+        val ix = corpus.index.getOrElse(
+          throw new IllegalArgumentException("field filters need a bound index"))
+        val (fieldExpr, _) = OldFilters.parse(
+          OldFilters.Params(fields = req.fields))
+        val allowed = ix.fields.getOrElse(throw new IllegalArgumentException(
+            "field filters need the fields table — rebuild the index"))
+          .where(FilterExpr.compile(fieldExpr.get))
+          .select(col(corpus.docId), col("field_type"), col("field_id"))
+        Some(ix.fieldParagraphs.getOrElse(throw new IllegalArgumentException(
+            "field filters need the field_paragraphs table — rebuild the index"))
+          .join(allowed, Seq(corpus.docId, "field_type", "field_id"), "left_semi"))
+      }
     // BM25 mode (the reference's actual paragraph scoring — tantivy
     // BM25 per paragraph): score from the at-rest paragraph posting
     // index; the prefilter + exclusions compile to an allowed
     // paragraph-id set (None when unrestricted → pure pruned lookup),
     // and the doc id comes from the paragraph-id prefix, so the only
     // joins are the bounded allow-set semi-join and the stats tables.
+    // Field-restricted requests score the per-field paragraph rows.
     val bm25Index = corpus.index.filter(ix =>
-      req.paragraphBm25 && ix.parPostings.isDefined && ix.parDocLengths.isDefined)
+      req.fields.isEmpty &&
+        req.paragraphBm25 && ix.parPostings.isDefined && ix.parDocLengths.isDefined)
     bm25Index match {
       case Some(ix) =>
         val restricted = req.filter.nonEmpty || parsed.excluded.nonEmpty
@@ -305,13 +329,18 @@ object Find {
         composeResources(hits, corpus.docId, "paragraph_id", "score")
           .limit(req.topK)
       case None =>
-        val par = corpus.index match {
-          case Some(ix) => // at-rest paragraph table, prefilter as semi-join
-            if (req.filter.isEmpty) ix.paragraphs
-            else Prefilter.semiJoin(ix.paragraphs, corpus.docId,
-              base.select(corpus.docId))
-          case None =>
-            graft.sources.Ingest.splitParagraphs(base, corpus.docId, corpus.text)
+        val par = fieldRestricted match {
+          case Some(fp) => // field-filtered per-field paragraphs
+            if (req.filter.isEmpty) fp
+            else Prefilter.semiJoin(fp, corpus.docId, base.select(corpus.docId))
+          case None => corpus.index match {
+            case Some(ix) => // at-rest paragraph table, prefilter as semi-join
+              if (req.filter.isEmpty) ix.paragraphs
+              else Prefilter.semiJoin(ix.paragraphs, corpus.docId,
+                base.select(corpus.docId))
+            case None =>
+              graft.sources.Ingest.splitParagraphs(base, corpus.docId, corpus.text)
+          }
         }
         val hits = par.where(excl)
           .withColumn("score",

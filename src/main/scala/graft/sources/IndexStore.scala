@@ -40,7 +40,9 @@ object IndexStore {
       docLengths: DataFrame,
       paragraphs: DataFrame,
       parPostings: Option[DataFrame] = None,
-      parDocLengths: Option[DataFrame] = None)
+      parDocLengths: Option[DataFrame] = None,
+      fields: Option[DataFrame] = None,
+      fieldParagraphs: Option[DataFrame] = None)
 
   /** The at-rest ANN index ([[Ingest.buildVectorIndex]]'s output as the
     * serving side reads it): driver-scale centroid + codebook literals,
@@ -123,7 +125,9 @@ object IndexStore {
       docLengths = spark.read.parquet(s"$dir/doclengths"),
       paragraphs = spark.read.parquet(s"$dir/paragraphs"),
       parPostings = opt("par_postings"),
-      parDocLengths = opt("par_doclengths"))
+      parDocLengths = opt("par_doclengths"),
+      fields = opt("fields"),
+      fieldParagraphs = opt("field_paragraphs"))
   }
 
   /** The served vector index: centroid/codebook literals collected once

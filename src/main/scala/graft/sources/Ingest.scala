@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -22,6 +22,30 @@ object Ingest {
     * Offsets are token offsets `[start, end)`; ids follow the reference
     * format with a synthetic text-field name.
     */
+  /** All `parTokens`-sized chunk structs of a text column as ONE
+    * expression (the shared core of [[splitParagraphs]] and
+    * [[splitFieldParagraphs]]). The single-element-array wrapper is a
+    * let binding — a projected token column would be re-inlined into
+    * every reference by the optimizer (re-tokenizing once per chunk);
+    * `array(tokens)` evaluates the tokenizer exactly once per row and
+    * the lambda references are attribute reads. Empty texts yield an
+    * empty array (explodes to nothing).
+    */
+  private def chunkStructs(textCol: Column, parTokens: Int): Column =
+    element_at(transform(
+      array(TextFunctions.tokens(textCol)), t => {
+        val n = size(t)
+        when(n > 0, transform(
+          sequence(lit(0), ceil(n.cast("double") / parTokens).cast("int") - 1),
+          c => {
+            val s = (c * parTokens).cast("int")
+            val e = least(n, s + parTokens).cast("int")
+            struct(s.as("start"), e.as("end"),
+              concat_ws(" ", slice(t, s + 1, e - s)).as("p_text"))
+          }))
+          .otherwise(array().cast("array<struct<start:int,end:int,p_text:string>>"))
+      }), 1)
+
   def splitParagraphs(
       docs: DataFrame,
       idCol: String,
@@ -29,28 +53,50 @@ object Ingest {
       fieldName: String = "body",
       parTokens: Int = 20): DataFrame =
     docs
-      // Build all chunk structs per doc inside ONE expression, then
-      // explode: rows carry only their ~parTokens of text. The
-      // single-element-array wrapper is a let binding — the projected
-      // __toks column would be re-inlined into every reference by the
-      // optimizer (re-tokenizing once per chunk); `array(tokens)`
-      // evaluates the tokenizer exactly once per row and the lambda
-      // references are attribute reads. Empty docs explode to nothing.
-      .withColumn("__par", explode(element_at(transform(
-        array(TextFunctions.tokens(col(textCol))), t => {
-          val n = size(t)
-          when(n > 0, transform(
-            sequence(lit(0), ceil(n.cast("double") / parTokens).cast("int") - 1),
-            c => {
-              val s = (c * parTokens).cast("int")
-              val e = least(n, s + parTokens).cast("int")
-              struct(s.as("start"), e.as("end"),
-                concat_ws(" ", slice(t, s + 1, e - s)).as("p_text"))
-            }))
-            .otherwise(array().cast("array<struct<start:int,end:int,p_text:string>>"))
-        }), 1)))
+      .withColumn("__par", explode(chunkStructs(col(textCol), parTokens)))
       .select(col(idCol),
         concat(col(idCol).cast("string"), lit(s"/t/$fieldName/"),
+          col("__par.start").cast("string"), lit("-"),
+          col("__par.end").cast("string")).as("paragraph_id"),
+        col("__par.start").as("start"), col("__par.end").as("end"),
+        (col("__par.end") - col("__par.start")).cast("long").as("n_tokens"),
+        col("__par.p_text").as("p_text"))
+
+  /** Field rows for a document corpus — the resources→fields→paragraphs
+    * hierarchy (`nucliadb_protos/resources.proto:39-46`: a resource
+    * carries typed fields; title/summary are GENERIC `a/` fields, body
+    * text a TEXT `t/` field). The testdata carries one text column, so
+    * the field split is synthesized the way the reference's own
+    * extraction does for plain documents: `t/body` = the full text,
+    * `a/title` = the leading `titleTokens` tokens.
+    *
+    * @return (idCol, field_type, field_id, f_text) — one row per field
+    */
+  def fieldsTable(docs: DataFrame, idCol: String, textCol: String,
+      titleTokens: Int = 5): DataFrame =
+    docs.select(col(idCol), explode(array(
+        struct(lit("t").as("field_type"), lit("body").as("field_id"),
+          col(textCol).as("f_text")),
+        struct(lit("a").as("field_type"), lit("title").as("field_id"),
+          concat_ws(" ",
+            slice(TextFunctions.tokens(col(textCol)), 1, titleTokens)).as("f_text"))))
+        .as("f"))
+      .select(col(idCol), col("f.field_type").as("field_type"),
+        col("f.field_id").as("field_id"), col("f.f_text").as("f_text"))
+      .where(length(col("f_text")) > 0)
+
+  /** Paragraphs of EVERY field, keyed `{rid}/{field_type}/{field_id}/
+    * {start}-{end}` end to end (`noderesources.proto:118-121` id
+    * format) and carrying their (field_type, field_id) columns so field
+    * filters apply as structural semi-joins, not id-string parsing.
+    */
+  def splitFieldParagraphs(fields: DataFrame, idCol: String,
+      parTokens: Int = 20): DataFrame =
+    fields
+      .withColumn("__par", explode(chunkStructs(col("f_text"), parTokens)))
+      .select(col(idCol), col("field_type"), col("field_id"),
+        concat(col(idCol).cast("string"), lit("/"), col("field_type"),
+          lit("/"), col("field_id"), lit("/"),
           col("__par.start").cast("string"), lit("-"),
           col("__par.end").cast("string")).as("paragraph_id"),
         col("__par.start").as("start"), col("__par.end").as("end"),
@@ -94,6 +140,14 @@ object Ingest {
       shingleBuckets: Int = 16): Unit = {
     splitParagraphs(docs, idCol, textCol, parTokens = parTokens)
       .write.mode("overwrite").parquet(s"$outDir/paragraphs")
+    // field-level data model: typed field rows + per-field paragraphs
+    // (resources→fields→paragraphs) — field filters become structural
+    // semi-joins against these instead of id-string parsing
+    fieldsTable(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$outDir/fields")
+    splitFieldParagraphs(spark(docs).read.parquet(s"$outDir/fields"), idCol,
+        parTokens = parTokens)
+      .write.mode("overwrite").parquet(s"$outDir/field_paragraphs")
     termPostings(docs, idCol, textCol)
       .write.mode("overwrite").parquet(s"$outDir/postings")
     graft.functions.Bm25.docLengths(docs, idCol, textCol)
