@@ -1234,6 +1234,16 @@ object SparkEntry {
         graft.sources.IndexStore.parTermFreq(s, dir),
         load(s, dir, "part"), "p_name", "r", 10)),
 
+    // training-data ops: the TWO-PHASE balanced sample — identical
+    // semantics to q75 (the oracle IS q75's window) with the hot-key
+    // funnel bounded by construction: a per-(key, salt) pre-cap spreads
+    // every key over 16 reducers before the exact global cut
+    "q99_balanced_two_phase" -> ((s, dir) =>
+      graft.sources.Trainsets.balancedSampleSkewSafe(
+          load(s, dir, "documents"), "lang", "doc_id", 20)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")),
+
     // §2.2 FIELD-LEVEL data model (`resources.proto:39-46`
     // resources→fields→paragraphs): the request's `fields=["a"]`
     // (generic fields — the title) compiles against the at-rest fields
@@ -2412,6 +2422,16 @@ object SparkEntry {
          |SELECT suggestion, source, freq
          |FROM (SELECT * FROM terms UNION ALL SELECT * FROM ents)
          |ORDER BY source, freq DESC, suggestion""".stripMargin,
+
+    // q99: the two-phase variant must be row-identical to the
+    // single-window cut — the oracle is exactly q75's.
+    "q99_balanced_two_phase" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
 
     // q98: the a/title field is the leading 5 tokens; ≤5 tokens always
     // fit one 20-token paragraph window, so each doc contributes one

@@ -120,7 +120,21 @@ object GraphSearch {
     val topRels = graft.operators.VectorSearch.bruteForceTopK(
       relVectors, relIdCol, relVecCol, query, queryVecCol,
       vectorOverRequest(topK), edgeMinScore)
-    t.edges.where(compile(pathFilter, t))
+    // The surviving label list is DRIVER-SCALE BY CONSTRUCTION — the
+    // over-request clamp caps it at 200 (`query_planner.rs:44-58`), the
+    // same bounded-collect contract as the clamped graph frontiers. It
+    // lands in the edge scan as a `relation IN (...)` predicate, which
+    // pushes into the parquet reader (row-group pruning at rest) so the
+    // dedup exchange carries only matching edges; an empty label list
+    // (everything under edgeMinScore) short-circuits without touching
+    // the edge table at all. rel_score is a function of the relation,
+    // so distinct after the filter equals distinct-then-join.
+    val labels = topRels.collect().map(_.get(0))
+    if (labels.isEmpty)
+      return t.edges.select(col(t.srcCol).as("source"),
+        col(t.relCol).as("relation"), col(t.dstCol).as("destination"),
+        lit(0.0).as("rel_score")).limit(0)
+    t.edges.where(compile(pathFilter, t) && col(t.relCol).isInCollection(labels))
       .select(col(t.srcCol).as("source"), col(t.relCol).as("relation"),
         col(t.dstCol).as("destination"))
       .distinct()

@@ -108,9 +108,9 @@ object Trainsets {
     * of (key, the group's id set): stable across reruns and
     * partitionings. One shuffle on the key; the per-key window is
     * bounded by the cap. A pathologically hot key still funnels its
-    * rows through one partition before the cap — pre-thin such keys
-    * with [[hashSample]] (approximate, no shuffle) and use this for
-    * the exact cut.
+    * rows through one partition before the cap — use
+    * [[balancedSampleSkewSafe]] (identical output, two-phase) when the
+    * key distribution is skewed.
     */
   def balancedSample(df: DataFrame, keyCol: String, idCol: String,
       perKey: Int): DataFrame = {
@@ -119,6 +119,28 @@ object Trainsets {
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= perKey).drop("__rn")
+  }
+
+  /** [[balancedSample]] with the hot-key funnel bounded BY CONSTRUCTION:
+    * phase 1 pre-caps per (key, salt) — a deterministic id-hash salt
+    * spreads each key over `salts` reducers, so no single partition
+    * ever drains more than its salt's slice of a hot key — and phase 2
+    * runs the exact global window on the ≤ perKey × salts survivors
+    * per key. Identical output to the single-window form
+    * (equality-tested): every row in the global top-perKey of its key
+    * under the (md5, id) order is also in the top-perKey of its own
+    * salt slice, so phase 1 never discards a winner. Same determinism
+    * properties — membership is a pure function of (key, id set).
+    */
+  def balancedSampleSkewSafe(df: DataFrame, keyCol: String, idCol: String,
+      perKey: Int, salts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hash = md5(col(idCol).cast("string").cast("binary"))
+    val salt = pmod(xxhash64(col(idCol)), lit(salts.toLong))
+    val w1 = Window.partitionBy(col(keyCol), salt).orderBy(hash, col(idCol))
+    val pre = df.withColumn("__rn1", row_number().over(w1))
+      .where(col("__rn1") <= perKey).drop("__rn1")
+    balancedSample(pre, keyCol, idCol, perKey)
   }
 
   /** Eval-set contamination score per document: the fraction of the

@@ -361,6 +361,32 @@ class ScaleDesignSpec extends SparkSpec {
       "each vectorset trains codewords at its own dimension")
   }
 
+  test("semantic edge search: label IN pushes into the edge scan; empty label set never scans edges") {
+    import graft.api.GraphSearch
+    val dir = Files.createTempDirectory("graft-edges").toString + "/edges"
+    Seq((10L, 1L, 20L), (11L, 2L, 21L), (12L, 3L, 22L), (10L, 1L, 20L))
+      .toDF("src", "rel", "dst").write.parquet(dir)
+    val t = GraphSearch.EdgeTable(spark.read.parquet(dir), "src", "rel", "dst")
+    val relVecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+      .toDF("rel_id", "embedding")
+    val query = Seq(Tuple1(Seq(1f, 0.2f))).toDF("embedding")
+    val res = GraphSearch.semanticEdgeSearch(t, relVecs, "rel_id", "embedding",
+      query, "embedding", topK = 10)
+    res.collect()
+    val p = plan(res)
+    assert(p.contains("PushedFilters: [In(rel"),
+      s"the clamped label list must push into the edge scan as IN:\n$p")
+    assert(res.collect().map(_.getLong(1)).toSet == Set(1L, 2L))
+    // every label under min_score → the edge table is never scanned
+    // (the optimizer collapses the limit-0 short-circuit to an empty
+    // local relation — no file scan in the executed plan)
+    val none = GraphSearch.semanticEdgeSearch(t, relVecs, "rel_id", "embedding",
+      query, "embedding", topK = 10, edgeMinScore = 2.0)
+    assert(none.isEmpty)
+    assert(!plan(none).contains("/edges"),
+      s"empty label set must short-circuit before the edge scan:\n${plan(none)}")
+  }
+
   test("CC fixpoint is O(log diameter) on an sf1-sized adversarial pair set") {
     import graft.operators.Dedup
     // sf1-shaped pair graph (~10k pairs; sf0.1's q74 set is ~900):

@@ -103,6 +103,30 @@ class TrainsetsSpec extends SparkSpec {
     assert(Trainsets.balancedSample(tiny, "key", "id", 10).count() == 3)
   }
 
+  test("balancedSampleSkewSafe equals the single-window cut on a skewed fixture; salt spreads phase 1") {
+    // one pathologically hot key (50k rows) + small keys — the shape
+    // whose single-partition funnel the two-phase form bounds
+    val skewed = spark.range(50000).select($"id", lit("hot").as("key"))
+      .unionByName(spark.range(50000, 50040).select($"id", lit("cold").as("key")))
+      .unionByName(spark.range(50040, 50041).select($"id", lit("one").as("key")))
+    val exact = Trainsets.balancedSample(skewed, "key", "id", 15)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val twoPhase = Trainsets.balancedSampleSkewSafe(skewed, "key", "id", 15)
+    val got = twoPhase.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == exact, "two-phase cut must be row-identical to the exact window")
+    // the executed plan runs TWO windows and the first partitions by
+    // (key, salt) — the hot key is spread before any global funnel
+    val p = twoPhase.queryExecution.executedPlan.toString
+    assert(p.contains("pmod"),
+      s"phase-1 window must partition by the id-hash salt:\n$p")
+    assert("windowspecdefinition".r.findAllIn(p.toLowerCase).size >= 2,
+      s"two windows expected (pre-cap + exact):\n$p")
+    // salts=1 degenerates to the exact form (sanity on the salt math)
+    val degenerate = Trainsets.balancedSampleSkewSafe(skewed, "key", "id", 15, salts = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(degenerate == exact)
+  }
+
   test("contaminationScores: eval docs score 1.0, disjoint docs 0.0, partial in between") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
