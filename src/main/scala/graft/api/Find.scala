@@ -50,7 +50,8 @@ object Find {
       vectorIndex: Option[graft.sources.IndexStore.VectorIndex] = None,
       annBruteThreshold: Long = 1000,
       annDensityThreshold: Double = 0.25,
-      vectorIndexes: Map[String, graft.sources.IndexStore.VectorIndex] = Map.empty)
+      vectorIndexes: Map[String, graft.sources.IndexStore.VectorIndex] = Map.empty,
+      defaultVectorset: String = "default")
 
   /** The brute-vs-index branch point for a filtered semantic search —
     * the reference's matching-density cost model
@@ -191,10 +192,16 @@ object Find {
             minScore = req.semanticMinScore)
           .select(col(corpus.vecId).as(corpus.docId), col("score"))
       } else {
-        // vectorset selection = partition pruning on the vectorset column
-        val vecs = (corpus.vectorsetCol, req.vectorset) match {
-          case (Some(c), Some(vs)) => vecs0.where(col(c) === vs)
-          case _ => vecs0
+        // vectorset selection = partition pruning on the vectorset
+        // column. On a multi-vectorset corpus a request WITHOUT a named
+        // set searches the DEFAULT set (`config.rs:100-126` — every KB
+        // has a default vectorset), never the union: the sets have
+        // different dimensions, so an unpruned scan would score
+        // truncated cosines and surface the same doc once per set.
+        val vecs = corpus.vectorsetCol match {
+          case Some(c) =>
+            vecs0.where(col(c) === req.vectorset.getOrElse(corpus.defaultVectorset))
+          case None => vecs0
         }
         val allowed = base.select(col(corpus.docId).as(corpus.vecId))
         Prefilter.semiJoin(vecs, corpus.vecId, allowed)
@@ -281,8 +288,11 @@ object Find {
     // `old_filters.py:48-260`): the request's field specs compile
     // against the at-rest FIELDS table (rid, field_type, field_id) and
     // the allowed field rows semi-join onto the per-field paragraph
-    // table — no paragraph-id string parsing, and the semi-join
+    // rows — no paragraph-id string parsing, and the semi-join
     // broadcast-prunes the paragraph scan like every other prefilter.
+    // The per-field rows are the non-body field_paragraphs table PLUS
+    // the main paragraph table AS the t/body field (same ids — the
+    // corpus text is stored once, composed here).
     val fieldRestricted: Option[DataFrame] =
       if (req.fields.isEmpty) None
       else {
@@ -294,8 +304,17 @@ object Find {
             "field filters need the fields table — rebuild the index"))
           .where(FilterExpr.compile(fieldExpr.get))
           .select(col(corpus.docId), col("field_type"), col("field_id"))
-        Some(ix.fieldParagraphs.getOrElse(throw new IllegalArgumentException(
-            "field filters need the field_paragraphs table — rebuild the index"))
+        val bodyAsField = ix.paragraphs
+          .withColumn("field_type", lit("t"))
+          .withColumn("field_id", lit("body"))
+        val allFieldPars = ix.fieldParagraphs.getOrElse(
+            throw new IllegalArgumentException(
+              "field filters need the field_paragraphs table — rebuild the index"))
+          .unionByName(bodyAsField.select(
+            col(corpus.docId), col("field_type"), col("field_id"),
+            col("paragraph_id"), col("start"), col("end"),
+            col("n_tokens"), col("p_text")))
+        Some(allFieldPars
           .join(allowed, Seq(corpus.docId, "field_type", "field_id"), "left_semi"))
       }
     // BM25 mode (the reference's actual paragraph scoring — tantivy
@@ -304,10 +323,15 @@ object Find {
     // paragraph-id set (None when unrestricted → pure pruned lookup),
     // and the doc id comes from the paragraph-id prefix, so the only
     // joins are the bounded allow-set semi-join and the stats tables.
-    // Field-restricted requests score the per-field paragraph rows.
+    // Field-restricted BM25 would need per-field paragraph postings at
+    // rest — not built yet, so the combination fails loudly instead of
+    // silently downgrading to a different score scale.
+    require(req.fields.isEmpty || !req.paragraphBm25,
+      "fields= with paragraphBm25 is not supported yet: the per-field " +
+        "paragraph postings are not materialized — drop paragraphBm25 " +
+        "or the field filter")
     val bm25Index = corpus.index.filter(ix =>
-      req.fields.isEmpty &&
-        req.paragraphBm25 && ix.parPostings.isDefined && ix.parDocLengths.isDefined)
+      req.paragraphBm25 && ix.parPostings.isDefined && ix.parDocLengths.isDefined)
     bm25Index match {
       case Some(ix) =>
         val restricted = req.filter.nonEmpty || parsed.excluded.nonEmpty

@@ -129,16 +129,23 @@ object GraphSearch {
     // (everything under edgeMinScore) short-circuits without touching
     // the edge table at all. rel_score is a function of the relation,
     // so distinct after the filter equals distinct-then-join.
-    val labels = topRels.collect().map(_.get(0))
-    if (labels.isEmpty)
+    val labelRows = topRels.collect()
+    if (labelRows.isEmpty)
       return t.edges.select(col(t.srcCol).as("source"),
         col(t.relCol).as("relation"), col(t.dstCol).as("destination"),
         lit(0.0).as("rel_score")).limit(0)
+    val labels = labelRows.map(_.get(0))
+    // the broadcast score side is rebuilt from the COLLECTED rows — a
+    // local relation, so the label top-k plan executes exactly once
+    val spark = t.edges.sparkSession
+    val localRels = spark.createDataFrame(
+      java.util.Arrays.asList(labelRows: _*),
+      topRels.schema)
     t.edges.where(compile(pathFilter, t) && col(t.relCol).isInCollection(labels))
       .select(col(t.srcCol).as("source"), col(t.relCol).as("relation"),
         col(t.dstCol).as("destination"))
       .distinct()
-      .join(broadcast(topRels.select(col(relIdCol).as("relation"),
+      .join(broadcast(localRels.select(col(relIdCol).as("relation"),
         col("score").as("rel_score"))), "relation")
       .select(col("source"), col("relation"), col("destination"), col("rel_score"))
       .orderBy(col("rel_score").desc, col("relation"), col("source"),

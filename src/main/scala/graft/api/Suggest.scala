@@ -53,14 +53,14 @@ object Suggest {
       valueCol: String,
       query: String,
       topK: Int = 10): DataFrame = {
-    val lastTerm = query.toLowerCase.trim.split("\\s+").last
-    val exact = TopK.suggestPrefix(parTermFreq, "term", "freq", lastTerm, topK)
-    val terms =
-      if (!exact.isEmpty) exact
-      else TopK.suggestFuzzyPrefix(parTermFreq, "term", "freq", lastTerm, topK)
-    terms.select(col("term").as("suggestion"),
+    // ONE suggest pass produces both sources — stem treatment and the
+    // fuzzy fallback live in [[suggest]] alone, so the two endpoints
+    // cannot drift
+    val resp = suggest(parTermFreq, "term", "freq",
+      Some((entities, valueCol)), query, topK)
+    resp.terms.select(col("term").as("suggestion"),
         lit("paragraph").as("source"), col("freq"))
-      .unionByName(GraphOps.prefixSearch(entities, valueCol, query, topK)
+      .unionByName(resp.entities.get
         .select(col("value").as("suggestion"), lit("entity").as("source"),
           lit(0L).as("freq")))
       .orderBy(col("source").asc, col("freq").desc, col("suggestion").asc)

@@ -119,6 +119,14 @@ object Dedup {
     * bucketed on (band, bv)): the candidate self-join scans
     * co-partitioned buckets with no per-request exchange, and only the
     * signature-estimate joins (candidate-bounded) shuffle.
+    *
+    * PAIRING CONTRACT: `bands` must be the explode of THIS `sig` table
+    * ([[signatureBands]]) — the builder writes both in one
+    * [[graft.sources.Ingest.buildIndex]] run and records `num_hashes`
+    * in `text_meta.json`. The band rows carry no width columns, so a
+    * stale bands table next to a rebuilt signature table cannot be
+    * detected here (the width guard below covers the signature side
+    * only); rebuild both together.
     */
   def minHashLshFromBands(
       bands: DataFrame,
@@ -126,6 +134,8 @@ object Dedup {
       idCol: String,
       numHashes: Int = 8,
       minEstJaccard: Double = 0.5): DataFrame = {
+    require(bands.columns.toSet == Set(idCol, "band", "bv"),
+      s"bands table must be ($idCol, band, bv) rows, got ${bands.columns.mkString(",")}")
     val widthOnDisk = sig.columns.count(_.matches("h\\d+"))
     require(widthOnDisk == numHashes,
       s"signature table has $widthOnDisk hash columns, caller expects $numHashes " +

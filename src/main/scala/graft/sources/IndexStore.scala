@@ -139,22 +139,30 @@ object IndexStore {
     vixCache.getOrElseUpdate((spark, sfDir), loadVectorIndex(spark, sfDir))
   }
 
+  /** Parse `m` out of a vector index dir's meta — Hadoop FS read (not
+    * java.nio: the index dir is distributed storage in production) with
+    * a build-bug message on a missing/drifted meta, shared by both the
+    * default-index and per-vectorset loaders. */
+  private def vectorMetaM(spark: SparkSession, dir: String): Int = {
+    val meta = Ingest.readText(spark, s"$dir/vector_meta.json")
+    """"m":\s*(\d+)""".r.findFirstMatchIn(meta)
+      .getOrElse(throw new IllegalStateException(
+        s"vector_meta.json at $dir has no \"m\" field: $meta"))
+      .group(1).toInt
+  }
+
+  /** Collect a driver-scale (cid, vector) model table, cid-sorted. */
+  private def collectModel(df: DataFrame): Seq[(Int, Seq[Float])] =
+    df.collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+
   private def loadVectorIndex(spark: SparkSession, sfDir: String): VectorIndex = {
     val dir = vectorIndexDir(spark, sfDir)
     val cents = spark.read.parquet(s"$dir/centroids")
       .select(col("cid"), col("cvec"), col("n_members"))
       .collect().toSeq
-    val cb = spark.read.parquet(s"$dir/codebook")
-      .collect().toSeq
-      .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
-    // Hadoop FS read (not java.nio): the index dir is distributed
-    // storage in production, and a missing/drifted meta must fail with
-    // a build-bug message, not an opaque NoSuchElementException
-    val meta = Ingest.readText(spark, s"$dir/vector_meta.json")
-    val m = """"m":\s*(\d+)""".r.findFirstMatchIn(meta)
-      .getOrElse(throw new IllegalStateException(
-        s"vector_meta.json at $dir has no \"m\" field: $meta"))
-      .group(1).toInt
+    val cb = collectModel(spark.read.parquet(s"$dir/codebook")
+      .select(col("cid"), col("cw")))
+    val m = vectorMetaM(spark, dir)
     VectorIndex(
       centroids = cents.map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1),
       codebook = cb,
@@ -202,15 +210,10 @@ object IndexStore {
           .select(col("cid"), col("cvec"), col("n_members"))
           .collect().toSeq
         require(cents.nonEmpty, s"vectorset $vs not in the index at $dir")
-        val cb = spark.read.parquet(s"$dir/codebook")
+        val cb = collectModel(spark.read.parquet(s"$dir/codebook")
           .where(col("vectorset") === vs)
-          .collect().toSeq
-          .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
-        val meta = Ingest.readText(spark, s"$dir/vector_meta.json")
-        val m = """"m":\s*(\d+)""".r.findFirstMatchIn(meta)
-          .getOrElse(throw new IllegalStateException(
-            s"vector_meta.json at $dir has no \"m\" field: $meta"))
-          .group(1).toInt
+          .select(col("cid"), col("cw")))
+        val m = vectorMetaM(spark, dir)
         VectorIndex(
           centroids = cents.map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1),
           codebook = cb,

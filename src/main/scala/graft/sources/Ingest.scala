@@ -142,11 +142,19 @@ object Ingest {
       .write.mode("overwrite").parquet(s"$outDir/paragraphs")
     // field-level data model: typed field rows + per-field paragraphs
     // (resources→fields→paragraphs) — field filters become structural
-    // semi-joins against these instead of id-string parsing
-    fieldsTable(docs, idCol, textCol)
+    // semi-joins against these instead of id-string parsing. The
+    // at-rest `fields` table is METADATA ONLY (rid, field_type,
+    // field_id — text lives in the source/paragraph tables), and
+    // `field_paragraphs` stores only NON-BODY fields: the t/body
+    // paragraphs are exactly the main paragraph table's rows (same
+    // {rid}/t/body/{s}-{e} ids), so serving composes them from there
+    // instead of storing the corpus text twice (Find.findParagraphs).
+    val fieldsDf = fieldsTable(docs, idCol, textCol)
+    fieldsDf.drop("f_text")
       .write.mode("overwrite").parquet(s"$outDir/fields")
-    splitFieldParagraphs(spark(docs).read.parquet(s"$outDir/fields"), idCol,
-        parTokens = parTokens)
+    splitFieldParagraphs(
+        fieldsDf.where(!(col("field_type") === "t" && col("field_id") === "body")),
+        idCol, parTokens = parTokens)
       .write.mode("overwrite").parquet(s"$outDir/field_paragraphs")
     termPostings(docs, idCol, textCol)
       .write.mode("overwrite").parquet(s"$outDir/postings")
@@ -446,6 +454,11 @@ object Ingest {
     fold("codebook", Seq("vectorset"))
     fold("assignments", Seq("vectorset"))
     fold("codes", Seq("vectorset", "centroid_id"))
+    // the per-set staging trees are folded copies — delete them, or the
+    // dominant artifact (the code table) is stored twice at rest
+    val staging = new org.apache.hadoop.fs.Path(s"$outDir/_sets")
+    staging.getFileSystem(sp.sparkContext.hadoopConfiguration)
+      .delete(staging, true)
     writeText(sp, s"$outDir/vector_meta.json",
       s"""{"m": $m, "id_col": "$idCol", "vectorsets": [${sets.map(s => s""""$s"""").mkString(", ")}]}""")
   }

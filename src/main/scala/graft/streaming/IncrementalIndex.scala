@@ -89,7 +89,17 @@ object IncrementalIndex {
           .unionByName(b.select(e.columns.map(col).toSeq: _*))
       case None => b
     }
-    val merged = latestDocRows(all, keyCol, seqCol).cache()
+    // tombstone rows persist for replay protection, but only their
+    // (key, seq, deleted, bucket) matter — null the payload columns so
+    // a long-running churny stream doesn't accumulate dead full-width
+    // rows (the reference keeps tombstones as manifest entries, not
+    // document copies)
+    val keep = Set(keyCol, seqCol, "deleted", "__bucket")
+    val latest = latestDocRows(all, keyCol, seqCol)
+    val merged = latest.select(latest.columns.toSeq.map { c =>
+      if (keep(c)) col(c)
+      else when(col("deleted"), lit(null)).otherwise(col(c)).as(c)
+    }: _*).cache()
     try {
       merged.count() // materialize before overwriting the input path
       // per-write option — scoped to this writer, so no race with other
@@ -144,7 +154,19 @@ object IncrementalIndex {
       .option("checkpointLocation", checkpointPath)
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        writeSegment(batch, f"$indexRoot/seg_$bid%09d", idCol, textCol, seqCol,
+        val name = f"seg_$bid%09d"
+        // batch-id naming is what makes at-least-once batch REPLAYS
+        // idempotent (a retried batch overwrites its own segment). The
+        // flip side: a FRESH checkpoint against an old indexRoot would
+        // reuse names that compaction manifests already subsume — its
+        // data would be masked at read and deleted at the next
+        // compaction. Refuse loudly instead of losing writes.
+        val (_, subsumed) = listSegments(batch.sparkSession, indexRoot)
+        require(!subsumed(name),
+          s"segment $name was already compacted away under $indexRoot — " +
+            "this stream's checkpoint lineage does not match the index " +
+            "root (a fresh checkpoint needs a fresh index root)")
+        writeSegment(batch, s"$indexRoot/$name", idCol, textCol, seqCol,
           vectors)
       }
       .start()
