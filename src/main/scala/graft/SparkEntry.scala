@@ -1234,6 +1234,16 @@ object SparkEntry {
         graft.sources.IndexStore.parTermFreq(s, dir),
         load(s, dir, "part"), "p_name", "r", 10)),
 
+    // §2.1 trainset export: TOKEN_CLASSIFICATION with REAL gazetteer
+    // BIO tags (token_classifier.py) — 'query' and the two-token
+    // phrase 'fast spark' tag B/I over at-rest paragraphs; tags stay
+    // aligned with tokens, overlap resolved B-beats-I deterministically
+    "q100_token_ner" -> ((s, dir) =>
+      graft.sources.Trainsets.tokenClassificationNer(
+          graft.sources.IndexStore.paragraphs(s, dir).where(col("doc_id") < 30),
+          Seq(Seq("query"), Seq("fast", "spark")))
+        .orderBy("paragraph_id")),
+
     // training-data ops: the TWO-PHASE balanced sample — identical
     // semantics to q75 (the oracle IS q75's window) with the hot-key
     // funnel bounded by construction: a per-(key, salt) pre-cap spreads
@@ -2422,6 +2432,31 @@ object SparkEntry {
          |SELECT suggestion, source, freq
          |FROM (SELECT * FROM terms UNION ALL SELECT * FROM ents)
          |ORDER BY source, freq DESC, suggestion""".stripMargin,
+
+    // q100: BIO tagging replayed in SQL — same windows, same B-beats-I
+    // precedence; tokens never contain spaces so the pair probe cannot
+    // false-match a lone term.
+    "q100_token_ner" ->
+      s"""WITH $ParCtes,
+         |tokd AS (SELECT paragraph_id, unnest(t[s+1:e]) AS term,
+         |                unnest(range(e - s)) AS pos
+         |         FROM par WHERE doc_id < 30),
+         |x AS (SELECT paragraph_id, pos, term,
+         |        lead(term) OVER (PARTITION BY paragraph_id ORDER BY pos) AS nxt
+         |      FROM tokd),
+         |y AS (SELECT paragraph_id, pos, term,
+         |        (term || ' ' || coalesce(nxt, '')) IN ('fast spark') AS pair_start,
+         |        (term IN ('query') OR (term || ' ' || coalesce(nxt, '')) IN ('fast spark')) AS is_b
+         |      FROM x),
+         |z AS (SELECT paragraph_id, pos, term,
+         |        CASE WHEN is_b THEN 'B'
+         |             WHEN coalesce(lag(pair_start) OVER (PARTITION BY paragraph_id ORDER BY pos), false) THEN 'I'
+         |             ELSE 'O' END AS tag
+         |      FROM y)
+         |SELECT paragraph_id,
+         |  string_agg(term, ' ' ORDER BY pos) AS tokens,
+         |  string_agg(tag, ' ' ORDER BY pos) AS tags
+         |FROM z GROUP BY paragraph_id ORDER BY paragraph_id""".stripMargin,
 
     // q99: the two-phase variant must be row-identical to the
     // single-window cut — the oracle is exactly q75's.

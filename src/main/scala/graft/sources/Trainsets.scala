@@ -37,6 +37,51 @@ object Trainsets {
       transform(toks, _ => lit("O")).as("tags"))
   }
 
+  /** TOKEN_CLASSIFICATION with REAL gazetteer tags — the NER trainset
+    * the reference exports once entities are detected
+    * (`train/generators/token_classifier.py` emits per-token BIO
+    * labels). `entities` is a driver-scale gazetteer of 1- or 2-token
+    * phrases (the same bounded-dictionary contract as
+    * [[graft.operators.GraphOps.detectEntities]]): a token starting any
+    * phrase tags `B`, the continuation of a 2-token phrase tags `I`
+    * (a simultaneous new match wins — `B` beats `I`), everything else
+    * `O`. One narrow explode + two windows keyed by paragraph; tags
+    * stay position-aligned with the tokens.
+    *
+    * @return (paragraph_id, tokens, tags) — space-joined, pos-aligned
+    */
+  def tokenClassificationNer(paragraphs: DataFrame,
+      entities: Seq[Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(entities.nonEmpty && entities.forall(p => p.size == 1 || p.size == 2),
+      "gazetteer phrases must be 1 or 2 tokens")
+    val singles = entities.filter(_.size == 1).map(_.head)
+    val pairs = entities.filter(_.size == 2).map(_.mkString(" "))
+    val w = Window.partitionBy(col("paragraph_id")).orderBy(col("pos"))
+    val tokd = paragraphs.select(col("paragraph_id"),
+      posexplode(TextFunctions.tokens(col("p_text"))).as(Seq("pos", "term")))
+    val withNext = tokd.withColumn("__next", lead(col("term"), 1).over(w))
+    // tokens never contain spaces, so a lone term can't equal a pair
+    val pairStart =
+      if (pairs.isEmpty) lit(false)
+      else concat_ws(" ", col("term"), col("__next")).isInCollection(pairs)
+    val isB =
+      (if (singles.isEmpty) lit(false) else col("term").isInCollection(singles)) ||
+        pairStart
+    val tagged = withNext
+      .withColumn("__pair_start", pairStart)
+      .withColumn("tag",
+        when(isB, "B")
+          .when(coalesce(lag(col("__pair_start"), 1).over(w), lit(false)), "I")
+          .otherwise("O"))
+    tagged.groupBy("paragraph_id")
+      .agg(
+        array_join(transform(sort_array(collect_list(struct(col("pos"), col("term")))),
+          _.getField("term")), " ").as("tokens"),
+        array_join(transform(sort_array(collect_list(struct(col("pos"), col("tag")))),
+          _.getField("tag")), " ").as("tags"))
+  }
+
   /** SENTENCE_CLASSIFICATION / QA pairs: (question, answer) rows from
     * consecutive paragraph pairs — the self-supervised stand-in the
     * reference generates from field streams. */

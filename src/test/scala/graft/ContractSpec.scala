@@ -31,9 +31,9 @@ class ContractSpec extends AnyFunSuite {
 
   test("query names are stable and sortable") {
     SparkEntry.queries.keySet.foreach { n =>
-      assert(n.matches("q\\d{2}_[a-z0-9_]+"), s"bad query name: $n")
+      assert(n.matches("q\\d{2,3}_[a-z0-9_]+"), s"bad query name: $n")
     }
-    assert(SparkEntry.queries.size == 99)
+    assert(SparkEntry.queries.size == 100)
   }
 
   test("oracle SQL contains no tab or CR characters that could break the JSON dump") {

@@ -103,6 +103,29 @@ class TrainsetsSpec extends SparkSpec {
     assert(Trainsets.balancedSample(tiny, "key", "id", 10).count() == 3)
   }
 
+  test("tokenClassificationNer: BIO tags align with tokens, B beats I on overlap") {
+    val pars = Seq(
+      ("p1", "fast spark query runs"),   // pair at 0-1, single at 2
+      ("p2", "fast spark spark"),        // pair then bare non-entity spark
+      ("p3", "slow table"),              // all O
+      ("p4", "query fast"))              // single, dangling pair-start token
+      .toDF("paragraph_id", "p_text")
+    val got = Trainsets.tokenClassificationNer(pars,
+        Seq(Seq("query"), Seq("fast", "spark")))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got("p1") == ("fast spark query runs", "B I B O"))
+    assert(got("p2") == ("fast spark spark", "B I O"))
+    assert(got("p3") == ("slow table", "O O"))
+    assert(got("p4") == ("query fast", "B O"), "trailing 'fast' has no next token")
+    // overlap: 'fast spark' pair + 'spark' single → the continuation
+    // position re-matches as B (B beats I)
+    val overlap = Trainsets.tokenClassificationNer(
+        Seq(("p5", "fast spark runs")).toDF("paragraph_id", "p_text"),
+        Seq(Seq("spark"), Seq("fast", "spark")))
+      .collect().head.getString(2)
+    assert(overlap == "B B O", overlap)
+  }
+
   test("balancedSampleSkewSafe equals the single-window cut on a skewed fixture; salt spreads phase 1") {
     // one pathologically hot key (50k rows) + small keys — the shape
     // whose single-partition funnel the two-phase form bounds
