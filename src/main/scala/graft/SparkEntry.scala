@@ -1234,6 +1234,21 @@ object SparkEntry {
         graft.sources.IndexStore.parTermFreq(s, dir),
         load(s, dir, "part"), "p_name", "r", 10)),
 
+    // §2.1/§2.9 CONVERSATION field paragraphs (brain_v2.py:266-307
+    // append_splits): a conversation is a 'c' field whose splits
+    // (messages) each chunk into paragraphs keyed
+    // {rid}/c/{field}/{split}/{start}-{end} — the fixture treats each
+    // source as one conversation with its documents as splits
+    "q101_conversation_split" -> ((s, dir) =>
+      graft.sources.Ingest.splitConversationParagraphs(
+          load(s, dir, "documents").where(col("source") === "src0")
+            .select(col("source").as("rid"), lit("chat").as("field"),
+              col("doc_id").as("split"), col("text")),
+          "rid", "field", "split", "text")
+        .select(col("rid"), col("field_type"), col("field_id"), col("split"),
+          col("paragraph_id"), col("n_tokens"), col("p_text"))
+        .orderBy("paragraph_id")),
+
     // §2.1 trainset export: TOKEN_CLASSIFICATION with REAL gazetteer
     // BIO tags (token_classifier.py) — 'query' and the two-token
     // phrase 'fast spark' tag B/I over at-rest paragraphs; tags stay
@@ -2432,6 +2447,25 @@ object SparkEntry {
          |SELECT suggestion, source, freq
          |FROM (SELECT * FROM terms UNION ALL SELECT * FROM ents)
          |ORDER BY source, freq DESC, suggestion""".stripMargin,
+
+    // q101: the conversation split replays the paragraph chunking over
+    // (source, doc) pairs with the /c/ id format.
+    "q101_conversation_split" ->
+      s"""WITH toksd AS (SELECT source, doc_id, $Tok AS t FROM documents
+         |               WHERE source = 'src0'),
+         |chunks AS (SELECT source, doc_id, t, i AS c
+         |           FROM toksd CROSS JOIN (SELECT unnest(range(200)) AS i) ix
+         |           WHERE len(t) > 0 AND i < ceil(len(t) / 20.0)),
+         |par AS (SELECT source, doc_id, t, c * 20 AS s,
+         |               least(len(t), c * 20 + 20) AS e
+         |        FROM chunks)
+         |SELECT source AS rid, 'c' AS field_type, 'chat' AS field_id,
+         |  CAST(doc_id AS VARCHAR) AS split,
+         |  source || '/c/chat/' || CAST(doc_id AS VARCHAR) || '/' ||
+         |    CAST(s AS VARCHAR) || '-' || CAST(e AS VARCHAR) AS paragraph_id,
+         |  CAST(e - s AS BIGINT) AS n_tokens,
+         |  array_to_string(t[s+1:e], ' ') AS p_text
+         |FROM par ORDER BY paragraph_id""".stripMargin,
 
     // q100: BIO tagging replayed in SQL — same windows, same B-beats-I
     // precedence; tokens never contain spaces so the pair probe cannot

@@ -103,6 +103,32 @@ object Ingest {
         (col("__par.end") - col("__par.start")).cast("long").as("n_tokens"),
         col("__par.p_text").as("p_text"))
 
+  /** CONVERSATION field paragraphs — the reference's conversation
+    * fields hold SPLITS (one message each, appended incrementally:
+    * `ingest/orm/brain_v2.py:266-307` append_splits) and every split
+    * chunks into paragraphs keyed
+    * `{rid}/c/{field_id}/{split}/{start}-{end}`. One narrow explode;
+    * rows keep (field_type='c', field_id, split) so field filters and
+    * split replacement (latest-wins on (field, split),
+    * [[graft.streaming.IncrementalIndex.mergeLatest]]) stay structural.
+    */
+  def splitConversationParagraphs(convs: DataFrame, ridCol: String,
+      fieldCol: String, splitCol: String, textCol: String,
+      parTokens: Int = 20): DataFrame =
+    convs
+      .withColumn("__par", explode(chunkStructs(col(textCol), parTokens)))
+      .select(col(ridCol), lit("c").as("field_type"),
+        col(fieldCol).cast("string").as("field_id"),
+        col(splitCol).cast("string").as("split"),
+        concat(col(ridCol).cast("string"), lit("/c/"),
+          col(fieldCol).cast("string"), lit("/"),
+          col(splitCol).cast("string"), lit("/"),
+          col("__par.start").cast("string"), lit("-"),
+          col("__par.end").cast("string")).as("paragraph_id"),
+        col("__par.start").as("start"), col("__par.end").as("end"),
+        (col("__par.end") - col("__par.start")).cast("long").as("n_tokens"),
+        col("__par.p_text").as("p_text"))
+
   /** Posting/term-frequency table (term, docId, tf) — the analog of a
     * tantivy segment's inverted index, precomputed once at ingest so
     * query-time BM25 is a pruned lookup instead of a full tokenize.
