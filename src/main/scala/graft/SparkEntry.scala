@@ -1234,6 +1234,22 @@ object SparkEntry {
         graft.sources.IndexStore.parTermFreq(s, dir),
         load(s, dir, "part"), "p_name", "r", 10)),
 
+    // §2.3 FIELD-RESTRICTED paragraph BM25: the fields=["a"] semi-join
+    // becomes the BM25 allowed set and scoring serves the union of the
+    // body and non-body field posting pairs (no duplicated rows — body
+    // ids are shared); stats follow the filter-then-score contract, so
+    // df/avgdl cover exactly the allowed title paragraphs
+    "q102_field_bm25" -> ((s, dir) => {
+      import graft.api.Find
+      Find.findParagraphs(
+          Find.Corpus(load(s, dir, "documents"), "doc_id", "text",
+            index = Some(graft.sources.IndexStore.tables(s, dir))),
+          Find.FindRequest(query = QueryTerms.mkString(" "),
+            fields = Seq("a"), paragraphBm25 = true, topK = 20))
+        .withColumn("hits", concat_ws(",", col("hits")))
+        .orderBy(col("best_score").desc, col("doc_id").asc)
+    }),
+
     // §2.1/§2.9 CONVERSATION field paragraphs (brain_v2.py:266-307
     // append_splits): a conversation is a 'c' field whose splits
     // (messages) each chunk into paragraphs keyed
@@ -2447,6 +2463,26 @@ object SparkEntry {
          |SELECT suggestion, source, freq
          |FROM (SELECT * FROM terms UNION ALL SELECT * FROM ents)
          |ORDER BY source, freq DESC, suggestion""".stripMargin,
+
+    // q102: the allowed set is the title paragraphs; per the
+    // filter-then-score contract the BM25 stats CTE runs over exactly
+    // that population (q91's shape with the title split as the source).
+    "q102_field_bm25" ->
+      s"""WITH toksd AS (SELECT doc_id, $Tok AS t FROM documents),
+         |title AS (SELECT doc_id, t[1:5] AS tt FROM toksd WHERE len(t) > 0),
+         |allowed AS (SELECT
+         |    CAST(doc_id AS VARCHAR) || '/a/title/0-' || CAST(len(tt) AS VARCHAR) AS paragraph_id,
+         |    tt AS t, 0 AS s, len(tt) AS e
+         |  FROM title),
+         |${parBm25Ctes("allowed")},
+         |hits AS (SELECT CAST(split_part(paragraph_id, '/', 1) AS BIGINT) AS doc_id,
+         |                paragraph_id, score
+         |         FROM bm25)
+         |SELECT doc_id, round(max(score), 6) AS best_score,
+         |  CAST(count(*) AS BIGINT) AS n_hits,
+         |  string_agg(paragraph_id, ',' ORDER BY score DESC, paragraph_id) AS hits
+         |FROM hits GROUP BY doc_id
+         |ORDER BY best_score DESC, doc_id LIMIT 20""".stripMargin,
 
     // q101: the conversation split replays the paragraph chunking over
     // (source, doc) pairs with the /c/ id format.

@@ -323,30 +323,39 @@ object Find {
     // paragraph-id set (None when unrestricted → pure pruned lookup),
     // and the doc id comes from the paragraph-id prefix, so the only
     // joins are the bounded allow-set semi-join and the stats tables.
-    // Field-restricted BM25 would need per-field paragraph postings at
-    // rest — not built yet, so the combination fails loudly instead of
-    // silently downgrading to a different score scale.
-    require(req.fields.isEmpty || !req.paragraphBm25,
-      "fields= with paragraphBm25 is not supported yet: the per-field " +
-        "paragraph postings are not materialized — drop paragraphBm25 " +
-        "or the field filter")
+    // A FIELD-restricted BM25 request serves the union of the body pair
+    // with the non-body field-paragraph pair (fieldpar_postings — body
+    // ids are identical across the two tables, so no row is duplicated)
+    // and the field semi-join becomes the allowed set; stats follow the
+    // engine's filter-then-score contract, so they cover exactly the
+    // allowed field paragraphs.
     val bm25Index = corpus.index.filter(ix =>
       req.paragraphBm25 && ix.parPostings.isDefined && ix.parDocLengths.isDefined)
+    require(req.fields.isEmpty || !req.paragraphBm25 || bm25Index.forall(ix =>
+        ix.fieldParPostings.isDefined && ix.fieldParDocLengths.isDefined),
+      "fields= with paragraphBm25 needs the field-paragraph posting " +
+        "pair — rebuild the index with the current buildIndex")
     bm25Index match {
       case Some(ix) =>
-        val restricted = req.filter.nonEmpty || parsed.excluded.nonEmpty
+        val (post, dls) =
+          if (req.fields.isEmpty) (ix.parPostings.get, ix.parDocLengths.get)
+          else (ix.parPostings.get.unionByName(ix.fieldParPostings.get),
+            ix.parDocLengths.get.unionByName(ix.fieldParDocLengths.get))
+        val restricted = req.filter.nonEmpty || parsed.excluded.nonEmpty ||
+          req.fields.nonEmpty
         val allowed =
           if (!restricted) None
           else {
+            val src = fieldRestricted.getOrElse(ix.paragraphs)
             val byDoc =
-              if (req.filter.isEmpty) ix.paragraphs
-              else Prefilter.semiJoin(ix.paragraphs, corpus.docId,
+              if (req.filter.isEmpty) src
+              else Prefilter.semiJoin(src, corpus.docId,
                 base.select(corpus.docId))
             Some(byDoc.where(excl).select("paragraph_id"))
           }
         val docIdType = corpus.docs.schema(corpus.docId).dataType
-        val hits = Bm25.scoreFromPostings(ix.parPostings.get,
-            ix.parDocLengths.get, "paragraph_id", terms, allowed = allowed)
+        val hits = Bm25.scoreFromPostings(post, dls,
+            "paragraph_id", terms, allowed = allowed)
           .withColumn("score", round(col("score"), 4))
           .withColumn(corpus.docId,
             split(col("paragraph_id"), "/").getItem(0).cast(docIdType))

@@ -42,7 +42,9 @@ object IndexStore {
       parPostings: Option[DataFrame] = None,
       parDocLengths: Option[DataFrame] = None,
       fields: Option[DataFrame] = None,
-      fieldParagraphs: Option[DataFrame] = None)
+      fieldParagraphs: Option[DataFrame] = None,
+      fieldParPostings: Option[DataFrame] = None,
+      fieldParDocLengths: Option[DataFrame] = None)
 
   /** The at-rest ANN index ([[Ingest.buildVectorIndex]]'s output as the
     * serving side reads it): driver-scale centroid + codebook literals,
@@ -127,7 +129,9 @@ object IndexStore {
       parPostings = opt("par_postings"),
       parDocLengths = opt("par_doclengths"),
       fields = opt("fields"),
-      fieldParagraphs = opt("field_paragraphs"))
+      fieldParagraphs = opt("field_paragraphs"),
+      fieldParPostings = opt("fieldpar_postings"),
+      fieldParDocLengths = opt("fieldpar_doclengths"))
   }
 
   /** The served vector index: centroid/codebook literals collected once

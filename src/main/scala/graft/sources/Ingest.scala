@@ -182,6 +182,15 @@ object Ingest {
         fieldsDf.where(!(col("field_type") === "t" && col("field_id") === "body")),
         idCol, parTokens = parTokens)
       .write.mode("overwrite").parquet(s"$outDir/field_paragraphs")
+    // BM25 posting pair for the NON-BODY field paragraphs — field-
+    // filtered BM25 serves the union of this pair with the body pair
+    // (par_postings/par_doclengths: body paragraph ids are identical),
+    // so no posting row is stored twice
+    val fpars = spark(docs).read.parquet(s"$outDir/field_paragraphs")
+    termPostings(fpars, "paragraph_id", "p_text")
+      .write.mode("overwrite").parquet(s"$outDir/fieldpar_postings")
+    graft.functions.Bm25.docLengths(fpars, "paragraph_id", "p_text")
+      .write.mode("overwrite").parquet(s"$outDir/fieldpar_doclengths")
     termPostings(docs, idCol, textCol)
       .write.mode("overwrite").parquet(s"$outDir/postings")
     graft.functions.Bm25.docLengths(docs, idCol, textCol)
