@@ -149,7 +149,8 @@ object IncrementalIndex {
       idCol: String = "rid",
       textCol: String = "text",
       seqCol: String = "seq",
-      vectors: Option[SegmentVectorSpec] = None): StreamingQuery =
+      vectors: Option[SegmentVectorSpec] = None,
+      vectorSets: Map[String, SegmentVectorSpec] = Map.empty): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpointPath)
       .outputMode("update")
@@ -167,7 +168,7 @@ object IncrementalIndex {
             "this stream's checkpoint lineage does not match the index " +
             "root (a fresh checkpoint needs a fresh index root)")
         writeSegment(batch, s"$indexRoot/$name", idCol, textCol, seqCol,
-          vectors)
+          vectors, vectorSets)
       }
       .start()
 
@@ -185,7 +186,8 @@ object IncrementalIndex {
     */
   def writeSegment(batch: DataFrame, segDir: String,
       idCol: String, textCol: String, seqCol: String,
-      vectors: Option[SegmentVectorSpec] = None): Unit = {
+      vectors: Option[SegmentVectorSpec] = None,
+      vectorSets: Map[String, SegmentVectorSpec] = Map.empty): Unit = {
     val w = Window.partitionBy(col(idCol)).orderBy(col(seqCol).desc)
     val latest = batch.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn").cache()
@@ -203,17 +205,33 @@ object IncrementalIndex {
       graft.sources.Ingest.splitParagraphs(live, idCol, textCol)
         .join(seqOf, idCol)
         .write.mode("overwrite").parquet(s"$segDir/paragraphs")
-      vectors.foreach { spec =>
+      // one codes/raw pair per named vectorset (the Option form is the
+      // single default set), vectorset-tagged and partitioned
+      // (vectorset, centroid_id) like the batch per-set layout — a
+      // named-set query prunes its vectorset directory inside every
+      // segment
+      val sets = vectorSets ++ vectors.map("default" -> _)
+      if (sets.nonEmpty) {
         import graft.operators.VectorSearch
         import batch.sparkSession.implicits._
-        val vecs = live.select(col(idCol), col(seqCol), col(spec.vecCol))
-        vecs.write.mode("overwrite").parquet(s"$segDir/vectors")
-        val centDf = spec.centroids.toDF("cid", "cvec")
-        VectorSearch.pqCodesBinary(vecs, idCol, spec.vecCol, spec.codebook, spec.m)
-          .join(VectorSearch.ivfAssign(vecs, idCol, spec.vecCol, centDf, "cid", "cvec")
-            .select(col(idCol), col("centroid_id")), idCol)
-          .join(seqOf, idCol)
-          .write.mode("overwrite").partitionBy("centroid_id")
+        def forSet(vs: String, spec: SegmentVectorSpec) = {
+          val vecs = live.select(col(idCol), col(seqCol),
+            col(spec.vecCol).as("embedding"))
+          val centDf = spec.centroids.toDF("cid", "cvec")
+          val codes = VectorSearch
+            .pqCodesBinary(vecs, idCol, "embedding", spec.codebook, spec.m)
+            .join(VectorSearch.ivfAssign(vecs, idCol, "embedding",
+              centDf, "cid", "cvec").select(col(idCol), col("centroid_id")), idCol)
+            .join(seqOf, idCol)
+            .withColumn("vectorset", lit(vs))
+          (vecs.withColumn("vectorset", lit(vs)), codes)
+        }
+        val pairs = sets.toSeq.sortBy(_._1).map { case (vs, spec) => forSet(vs, spec) }
+        pairs.map(_._1).reduce(_ unionByName _)
+          .write.mode("overwrite").partitionBy("vectorset")
+          .parquet(s"$segDir/vectors")
+        pairs.map(_._2).reduce(_ unionByName _)
+          .write.mode("overwrite").partitionBy("vectorset", "centroid_id")
           .parquet(s"$segDir/codes")
       }
     } finally latest.unpersist()
@@ -313,10 +331,14 @@ object IncrementalIndex {
     */
   def segmentVectorTables(spark: SparkSession, indexRoot: String,
       idCol: String = "rid",
-      seqCol: String = "seq"): (DataFrame, DataFrame) = {
+      seqCol: String = "seq",
+      vectorset: String = "default"): (DataFrame, DataFrame) = {
     val dirs = segmentDirs(spark, indexRoot)
     require(dirs.nonEmpty, s"no segments under $indexRoot")
-    vectorTablesFrom(spark, dirs, idCol, seqCol)
+    val (codes, raw) = vectorTablesFrom(spark, dirs, idCol, seqCol)
+    // vectorset selection = partition pruning inside every segment
+    (codes.where(col("vectorset") === vectorset),
+      raw.where(col("vectorset") === vectorset))
   }
 
   private def vectorTablesFrom(spark: SparkSession, dirs: Seq[String],
@@ -378,9 +400,10 @@ object IncrementalIndex {
     // live stream writes mid-compaction must not fold without deletion
     if (dirs.exists(d => hasSub(spark, d, "codes"))) {
       val (codes, raw) = vectorTablesFrom(spark, dirs, idCol, seqCol)
-      codes.write.mode("overwrite").partitionBy("centroid_id")
+      codes.write.mode("overwrite").partitionBy("vectorset", "centroid_id")
         .parquet(s"$out/codes")
-      raw.write.mode("overwrite").parquet(s"$out/vectors")
+      raw.write.mode("overwrite").partitionBy("vectorset")
+        .parquet(s"$out/vectors")
     }
     val names = dirs.map(d => new org.apache.hadoop.fs.Path(d).getName)
     // carry forward the inputs' subsumed entries with the input names

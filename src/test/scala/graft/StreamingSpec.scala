@@ -298,6 +298,72 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("segmented ANN: per-vectorset segment codes serve each named set independently") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.VectorSearch
+    import graft.streaming.IncrementalIndex.SegmentVectorSpec
+    val root = Files.createTempDirectory("graft-segvs").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft-segvsck").toString
+    def vec(i: Long, seq: Long): Array[Float] =
+      Array.tabulate(8)(d => math.cos(i * 17 + seq * 5 + d).toFloat)
+    val finalState =
+      Seq(1L -> vec(1, 2), 2L -> vec(2, 1), 3L -> vec(3, 2), 4L -> vec(4, 2))
+    // one batch-trained model per vectorset (v8 full-dim, v4 matryoshka)
+    def train(dim: Int): (String, Seq[(Int, Seq[Float])], Seq[(Int, Seq[Float])]) = {
+      val dir = Files.createTempDirectory(s"graft-segvs$dim").toString
+      graft.sources.Ingest.buildVectorIndex(
+        finalState.map { case (i, v) => (i, v.take(dim)) }.toDF("rid", "embedding"),
+        "rid", "embedding", dir, numCentroids = 2, numCodewords = 4, m = 4)
+      val c = spark.read.parquet(s"$dir/centroids")
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+      val cb = spark.read.parquet(s"$dir/codebook")
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+      (dir, c, cb)
+    }
+    val (dir8, c8, cb8) = train(8)
+    val (dir4, c4, cb4) = train(4)
+    val sets = Map(
+      "v8" -> SegmentVectorSpec("emb8", c8, cb8, m = 4),
+      "v4" -> SegmentVectorSpec("emb4", c4, cb4, m = 4))
+
+    val input = MemoryStream[(Long, Long, String, Boolean, Array[Float], Array[Float])]
+    val updates = input.toDF()
+      .toDF("rid", "seq", "text", "deleted", "emb8", "emb4")
+    val q = IncrementalIndex.startIndexSegments(updates, root, ckpt,
+      idCol = "rid", textCol = "text", vectorSets = sets)
+    try {
+      input.addData((1L, 1L, "a", false, vec(1, 1), vec(1, 1).take(4)),
+        (2L, 1L, "b", false, vec(2, 1), vec(2, 1).take(4)),
+        (5L, 1L, "e", false, vec(5, 1), vec(5, 1).take(4)))
+      q.processAllAvailable()
+      input.addData((1L, 2L, "a2", false, vec(1, 2), vec(1, 2).take(4)),
+        (5L, 2L, "gone", true, vec(5, 2), vec(5, 2).take(4)),
+        (3L, 2L, "c", false, vec(3, 2), vec(3, 2).take(4)),
+        (4L, 2L, "d", false, vec(4, 2), vec(4, 2).take(4)))
+      q.processAllAvailable()
+
+      def check(): Unit = Seq(("v8", 8, dir8, c8, cb8), ("v4", 4, dir4, c4, cb4))
+        .foreach { case (vs, dim, bdir, cents, cb) =>
+          val qv = vec(7, 3).take(dim).toSeq
+          def search(codes: org.apache.spark.sql.DataFrame,
+              raw: org.apache.spark.sql.DataFrame) =
+            VectorSearch.ivfPqSearchAtRest(codes, raw, "rid", "code", "embedding",
+                cents, cb, m = 4, qv, k = 4, nprobe = cents.size, rerank = 10)
+              .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          val expected = search(spark.read.parquet(s"$bdir/codes"),
+            finalState.map { case (i, v) => (i, v.take(dim)) }.toDF("rid", "embedding"))
+          assert(expected.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+          val (sc, sr) = IncrementalIndex.segmentVectorTables(spark, root,
+            vectorset = vs)
+          assert(search(sc, sr) == expected,
+            s"vectorset $vs diverged from its batch index")
+        }
+      check()
+      IncrementalIndex.compactSegments(spark, root)
+      check()
+    } finally q.stop()
+  }
+
   test("streamingDedup drops cross-batch duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
