@@ -149,6 +149,62 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("filtered find through the index equals the brute path at oracle-parity knobs") {
+    // the q95 contract generalized: for several filters of varying
+    // density ABOVE the branch threshold, the codes-served filtered
+    // find must equal the exact filtered cosine ranking (all clusters
+    // probed, rerank ≥ allowed set)
+    import graft.api.Find
+    import graft.operators.{FilterExpr, VectorSearch}
+    val dir = "/root/testdata/sf0.01"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val vix = graft.sources.IndexStore.vectorIndex(spark, dir)
+    val qv = emb.where(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val corpus = Find.Corpus(docs, "doc_id", "text", Some(emb),
+      index = Some(graft.sources.IndexStore.tables(spark, dir)),
+      vectorIndex = Some(vix), annBruteThreshold = 1)
+    Seq[FilterExpr](
+        FilterExpr.Eq("lang", "en"),                       // ~44%
+        FilterExpr.NumRange("n_chars", Some(0), Some(400))) // broad band
+      .foreach { f =>
+        val served = Find.find(corpus, Find.FindRequest(queryVector = Some(qv),
+            filter = Some(f), topK = 10, annNprobe = Some(vix.centroids.size)))
+          .select("doc_id", "fused")
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        val allowed = docs.where(FilterExpr.compile(f)).select(col("doc_id"))
+        val exact = VectorSearch.bruteForceTopK(
+            emb.join(allowed.withColumnRenamed("doc_id", "vec_id"), "vec_id"),
+            "vec_id", "embedding", emb.where(col("vec_id") === 0), "embedding", 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        assert(served.sameElements(exact),
+          s"filter $f: served=${served.mkString(",")} exact=${exact.mkString(",")}")
+      }
+  }
+
+  test("per-vectorset at-rest index reaches full recall per set at oracle-parity knobs") {
+    val dir = "/root/testdata/sf0.01"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    Seq(("default", 64), ("mrl16", 16)).foreach { case (vs, dim) =>
+      val vix = graft.sources.IndexStore.vectorIndexSet(spark, dir, vs)
+      val raw = vix.raw
+      val qv = raw.where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0)
+      assert(qv.length == dim)
+      val exact = VectorSearch.bruteForceTopK(
+          raw.where(col("vec_id") =!= 0), "vec_id", "embedding",
+          raw.where(col("vec_id") === 0), "embedding", 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val served = VectorSearch.ivfPqSearchAtRest(
+          vix.codes.where(col("vec_id") =!= 0), raw.where(col("vec_id") =!= 0),
+          "vec_id", "code", "embedding", vix.centroids, vix.codebook, vix.m,
+          qv, k = 10, nprobe = vix.centroids.size, rerank = 1000)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(served.sameElements(exact), s"vectorset $vs diverged")
+    }
+  }
+
   test("at-rest probe pruning trades recall for scanned clusters (the nprobe dial)") {
     // on the near-random test embeddings pruned probes lose tail items
     // — measured here, which is exactly why q84's serving config
