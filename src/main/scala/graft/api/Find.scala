@@ -200,7 +200,17 @@ object Find {
         // truncated cosines and surface the same doc once per set.
         val vecs = corpus.vectorsetCol match {
           case Some(c) =>
-            vecs0.where(col(c) === req.vectorset.getOrElse(corpus.defaultVectorset))
+            val vs = req.vectorset.getOrElse(corpus.defaultVectorset)
+            val pruned = vecs0.where(col(c) === vs)
+            // a set name matching nothing in a non-empty corpus is a
+            // config error (wrong defaultVectorset / typo'd request) —
+            // fail loudly, never silently drop the semantic list. The
+            // probe is partition-pruned head(1); the second probe runs
+            // only on the failure path.
+            require(!pruned.isEmpty || vecs0.isEmpty,
+              s"vectorset '$vs' has no vectors in this corpus — check " +
+                "FindRequest.vectorset / Corpus.defaultVectorset")
+            pruned
           case None => vecs0
         }
         val allowed = base.select(col(corpus.docId).as(corpus.vecId))
@@ -307,9 +317,14 @@ object Find {
         val bodyAsField = ix.paragraphs
           .withColumn("field_type", lit("t"))
           .withColumn("field_id", lit("body"))
+        // exclude any t/body rows from the at-rest table before the
+        // union: the current layout never writes them, and an index dir
+        // built by the earlier layout (which did) would otherwise
+        // double-count every body paragraph
         val allFieldPars = ix.fieldParagraphs.getOrElse(
             throw new IllegalArgumentException(
               "field filters need the field_paragraphs table — rebuild the index"))
+          .where(!(col("field_type") === "t" && col("field_id") === "body"))
           .unionByName(bodyAsField.select(
             col(corpus.docId), col("field_type"), col("field_id"),
             col("paragraph_id"), col("start"), col("end"),

@@ -175,13 +175,17 @@ object Ingest {
     // paragraphs are exactly the main paragraph table's rows (same
     // {rid}/t/body/{s}-{e} ids), so serving composes them from there
     // instead of storing the corpus text twice (Find.findParagraphs).
-    val fieldsDf = fieldsTable(docs, idCol, textCol)
-    fieldsDf.drop("f_text")
-      .write.mode("overwrite").parquet(s"$outDir/fields")
-    splitFieldParagraphs(
-        fieldsDf.where(!(col("field_type") === "t" && col("field_id") === "body")),
-        idCol, parTokens = parTokens)
-      .write.mode("overwrite").parquet(s"$outDir/field_paragraphs")
+    // cache across the two consumers: the fields lineage re-tokenizes
+    // the corpus, and without the cache both writes would pay it
+    val fieldsDf = fieldsTable(docs, idCol, textCol).cache()
+    try {
+      fieldsDf.drop("f_text")
+        .write.mode("overwrite").parquet(s"$outDir/fields")
+      splitFieldParagraphs(
+          fieldsDf.where(!(col("field_type") === "t" && col("field_id") === "body")),
+          idCol, parTokens = parTokens)
+        .write.mode("overwrite").parquet(s"$outDir/field_paragraphs")
+    } finally fieldsDf.unpersist()
     // BM25 posting pair for the NON-BODY field paragraphs — field-
     // filtered BM25 serves the union of this pair with the body pair
     // (par_postings/par_doclengths: body paragraph ids are identical),

@@ -155,19 +155,18 @@ object IncrementalIndex {
       .option("checkpointLocation", checkpointPath)
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        val name = f"seg_$bid%09d"
-        // batch-id naming is what makes at-least-once batch REPLAYS
-        // idempotent (a retried batch overwrites its own segment). The
-        // flip side: a FRESH checkpoint against an old indexRoot would
-        // reuse names that compaction manifests already subsume — its
-        // data would be masked at read and deleted at the next
-        // compaction. Refuse loudly instead of losing writes.
-        val (_, subsumed) = listSegments(batch.sparkSession, indexRoot)
-        require(!subsumed(name),
-          s"segment $name was already compacted away under $indexRoot — " +
-            "this stream's checkpoint lineage does not match the index " +
-            "root (a fresh checkpoint needs a fresh index root)")
-        writeSegment(batch, s"$indexRoot/$name", idCol, textCol, seqCol,
+        // Batch-id naming is what makes at-least-once batch REPLAYS
+        // idempotent: a retried batch overwrites its own segment, and a
+        // batch replayed AFTER compaction folded it rewrites a segment
+        // that stays masked by the covering subsumed.txt and is deleted
+        // at the next compaction start — harmless by construction (the
+        // carry-forward keeps the mask alive across further
+        // compactions). OPERATIONAL CONSTRAINT this naming implies: an
+        // index root is bound to ONE checkpoint lineage — a fresh
+        // checkpoint against an old root restarts batch ids at 0, so
+        // its segments reuse already-subsumed names and are masked and
+        // deleted exactly like replays. A new stream needs a new root.
+        writeSegment(batch, f"$indexRoot/seg_$bid%09d", idCol, textCol, seqCol,
           vectors, vectorSets)
       }
       .start()
@@ -210,6 +209,9 @@ object IncrementalIndex {
       // (vectorset, centroid_id) like the batch per-set layout — a
       // named-set query prunes its vectorset directory inside every
       // segment
+      require(vectors.isEmpty || !vectorSets.contains("default"),
+        "pass the default vectorset through EITHER `vectors` OR " +
+          "vectorSets(\"default\"), not both — the specs would conflict")
       val sets = vectorSets ++ vectors.map("default" -> _)
       if (sets.nonEmpty) {
         import graft.operators.VectorSearch
@@ -336,9 +338,14 @@ object IncrementalIndex {
     val dirs = segmentDirs(spark, indexRoot)
     require(dirs.nonEmpty, s"no segments under $indexRoot")
     val (codes, raw) = vectorTablesFrom(spark, dirs, idCol, seqCol)
-    // vectorset selection = partition pruning inside every segment
-    (codes.where(col("vectorset") === vectorset),
-      raw.where(col("vectorset") === vectorset))
+    // vectorset selection = partition pruning inside every segment; a
+    // set absent from every segment fails loudly (the batch loader's
+    // vectorIndexSet guard), not as a silently empty search
+    val pruned = codes.where(col("vectorset") === vectorset)
+    require(!pruned.isEmpty,
+      s"vectorset '$vectorset' has no live vectors in the segments under " +
+        s"$indexRoot — absent set name, or a fully tombstoned corpus")
+    (pruned, raw.where(col("vectorset") === vectorset))
   }
 
   private def vectorTablesFrom(spark: SparkSession, dirs: Seq[String],
@@ -349,9 +356,16 @@ object IncrementalIndex {
         dirs.map(d => spark.read.parquet(s"$d/docs")).reduce(_ unionByName _),
         idCol, seqCol)
       .select(col(idCol), col(seqCol))
-    def serve(sub: String) =
-      withVec.map(d => spark.read.parquet(s"$d/$sub")).reduce(_ unionByName _)
-        .join(winners, Seq(idCol, seqCol), "left_semi")
+    def serve(sub: String) = {
+      val u = withVec.map(d => spark.read.parquet(s"$d/$sub")).reduce(_ unionByName _)
+      // loud layout-version check: segments written before the
+      // vectorset-tagged layout lack the column and must be recompacted
+      // from source, not fail with an opaque unresolved-column error
+      require(u.columns.contains("vectorset"),
+        s"segment $sub tables lack the vectorset column — written by a " +
+          "pre-vectorset layout; rebuild or re-stream these segments")
+      u.join(winners, Seq(idCol, seqCol), "left_semi")
+    }
     (serve("codes"), serve("vectors"))
   }
 
