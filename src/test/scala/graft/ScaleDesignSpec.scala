@@ -297,6 +297,23 @@ class ScaleDesignSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("bucketed index tables: catalog-less readers fall back to the same rows") {
+    val dir = "/root/testdata/sf0.001"
+    val ixDir = graft.sources.IndexStore.indexDir(spark, dir)
+    // the serving path resolves the bucketed catalog table...
+    val viaCatalog = graft.sources.IndexStore.shingles(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(spark.catalog.tableExists(
+      graft.sources.Ingest.bucketedTableName("shingles", ixDir)))
+    // ...while a reader without the session catalog (another engine, a
+    // fresh JVM) reads the same parquet files directly — identical rows,
+    // just without the bucket layout
+    val viaParquet = spark.read.parquet(s"$ixDir/shingles")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaCatalog == viaParquet,
+      "bucketed table and plain parquet must expose identical rows")
+  }
+
   test("filtered find: dense filters serve the codes table, selective filters brute-force") {
     import graft.api.Find
     import graft.operators.FilterExpr
