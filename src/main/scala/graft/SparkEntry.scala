@@ -1250,6 +1250,17 @@ object SparkEntry {
         .orderBy(col("best_score").desc, col("doc_id").asc)
     }),
 
+    // §2.1 trainset export: FIELD_STREAMING (dataset.proto) — every
+    // typed field's text keyed {rid}/{field_type}/{field_id}, straight
+    // off the fields hierarchy
+    "q103_field_streaming" -> ((s, dir) =>
+      graft.sources.Trainsets.fieldStreaming(
+          graft.sources.Ingest.fieldsTable(
+            load(s, dir, "documents").where(col("doc_id") < 40),
+            "doc_id", "text"),
+          "doc_id")
+        .orderBy("field_uid")),
+
     // §2.1/§2.9 CONVERSATION field paragraphs (brain_v2.py:266-307
     // append_splits): a conversation is a 'c' field whose splits
     // (messages) each chunk into paragraphs keyed
@@ -2483,6 +2494,19 @@ object SparkEntry {
          |  string_agg(paragraph_id, ',' ORDER BY score DESC, paragraph_id) AS hits
          |FROM hits GROUP BY doc_id
          |ORDER BY best_score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q103: body = full text, title = leading 5 tokens re-joined.
+    "q103_field_streaming" ->
+      s"""WITH toksd AS (SELECT doc_id, text, $Tok AS t FROM documents
+         |               WHERE doc_id < 40)
+         |SELECT field_uid, text FROM (
+         |  SELECT CAST(doc_id AS VARCHAR) || '/t/body' AS field_uid, text
+         |  FROM toksd WHERE length(text) > 0
+         |  UNION ALL
+         |  SELECT CAST(doc_id AS VARCHAR) || '/a/title' AS field_uid,
+         |         array_to_string(t[1:5], ' ') AS text
+         |  FROM toksd WHERE length(array_to_string(t[1:5], ' ')) > 0)
+         |ORDER BY field_uid""".stripMargin,
 
     // q101: the conversation split replays the paragraph chunking over
     // (source, doc) pairs with the /c/ id format.

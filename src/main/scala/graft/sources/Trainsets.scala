@@ -131,6 +131,17 @@ object Trainsets {
         col("p_text").as("question"), col("answer"), col("context"))
   }
 
+  /** FIELD_STREAMING (`dataset.proto` task type; the generator streams
+    * every extracted field's text keyed by its field uid): one row per
+    * typed field, `{rid}/{field_type}/{field_id}` ids — a pure
+    * projection of the fields hierarchy ([[Ingest.fieldsTable]]).
+    */
+  def fieldStreaming(fields: DataFrame, idCol: String): DataFrame =
+    fields.select(
+      concat(col(idCol).cast("string"), lit("/"), col("field_type"),
+        lit("/"), col("field_id")).as("field_uid"),
+      col("f_text").as("text"))
+
   /** Deterministic hash sampling for reproducible trainset cuts: keep
     * rows whose md5(id) hex digest starts with one of `hexPrefixes`
     * (each single hex digit ≈ 1/16 of the data; two digits ≈ 1/256).

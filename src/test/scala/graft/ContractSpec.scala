@@ -33,7 +33,7 @@ class ContractSpec extends AnyFunSuite {
     SparkEntry.queries.keySet.foreach { n =>
       assert(n.matches("q\\d{2,3}_[a-z0-9_]+"), s"bad query name: $n")
     }
-    assert(SparkEntry.queries.size == 102)
+    assert(SparkEntry.queries.size == 103)
   }
 
   test("oracle SQL contains no tab or CR characters that could break the JSON dump") {
