@@ -351,11 +351,90 @@ object Dedup {
     *
     * @return (node, component) — component = min doc id of the group
     */
+  /** Cost-model entry point: a pair set that fits the driver
+    * comfortably (≤ `driverPairLimit` edges; the default 2²⁰ ≈ 16 MB at
+    * two longs each) resolves with an in-process union-find — identical
+    * min-label components (equality-tested in DedupSpec), none of the
+    * distributed fixpoint's per-round job overhead — while anything
+    * larger runs the O(log d) fixpoint. The same brute-vs-index duality
+    * as the vector cost model (`segment.rs:626-660`): near-dup pair
+    * sets are orders of magnitude smaller than their corpus, so even
+    * 100 TB corpora often land in the driver branch; the probe is
+    * bounded by construction (`limit(driverPairLimit + 1)` decides the
+    * branch, so at most limit+1 rows ever reach the driver).
+    * `driverPairLimit = 0` forces the distributed path.
+    */
   def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25, broadcastLabels: Boolean = true,
-      roundsPerCheckpoint: Int = 1): DataFrame =
+      roundsPerCheckpoint: Int = 1,
+      driverPairLimit: Int = 1 << 20): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val dt = pairs.schema(aCol).dataType
+    val orderable = dt == LongType || dt == IntegerType || dt == StringType
+    if (driverPairLimit > 0 && orderable && dt == pairs.schema(bCol).dataType) {
+      val probe = pairs.select(col(aCol), col(bCol))
+        .limit(driverPairLimit + 1).collect()
+      if (probe.length <= driverPairLimit)
+        return unionFindComponents(probe, dt, pairs.sparkSession)
+      // over the limit: fall through to the distributed fixpoint (the
+      // pair plan recomputes — only ever paid past the driver bound)
+    }
     dedupClustersWithStats(pairs, aCol, bCol, maxIter, broadcastLabels,
       roundsPerCheckpoint)._1
+  }
+
+  /** Driver-side union-find over a bounded pair list: path-compressed
+    * forest, then each component labels with its MINIMUM member — the
+    * exact fixpoint the distributed rounds converge to, computed in one
+    * pass. Deterministic for any orderable id type.
+    */
+  private def unionFindComponents(rows: Array[org.apache.spark.sql.Row],
+      dt: org.apache.spark.sql.types.DataType,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    // boxed Integer values: a primitive-Int map would silently unbox a
+    // missing key's null to 0 and alias every node to index 0
+    val index = new java.util.HashMap[Any, Integer]()
+    val values = scala.collection.mutable.ArrayBuffer[Any]()
+    val parent = scala.collection.mutable.ArrayBuffer[Int]()
+    def id(v: Any): Int = {
+      val got = index.get(v)
+      if (got ne null) got.intValue
+      else {
+        val i = values.length
+        index.put(v, Integer.valueOf(i)); values += v; parent += i; i
+      }
+    }
+    def find(i0: Int): Int = {
+      var i = i0
+      while (parent(i) != i) { parent(i) = parent(parent(i)); i = parent(i) }
+      i
+    }
+    rows.foreach { r =>
+      val (a, b) = (find(id(r.get(0))), find(id(r.get(1))))
+      if (a != b) parent(a) = b
+    }
+    @annotation.nowarn("cat=other-match-analysis")
+    val lt: (Any, Any) => Boolean = dt match {
+      case org.apache.spark.sql.types.LongType =>
+        (x, y) => x.asInstanceOf[Long] < y.asInstanceOf[Long]
+      case org.apache.spark.sql.types.IntegerType =>
+        (x, y) => x.asInstanceOf[Int] < y.asInstanceOf[Int]
+      case org.apache.spark.sql.types.StringType =>
+        (x, y) => x.asInstanceOf[String] < y.asInstanceOf[String]
+    }
+    val minOfRoot = new java.util.HashMap[Int, Any]()
+    values.indices.foreach { i =>
+      val r = find(i)
+      val cur = minOfRoot.get(r)
+      if (cur == null || lt(values(i), cur)) minOfRoot.put(r, values(i))
+    }
+    val out: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(values.indices.map(i =>
+        org.apache.spark.sql.Row(values(i), minOfRoot.get(find(i)))): _*)
+    spark.createDataFrame(out,
+      StructType(Seq(StructField("node", dt), StructField("component", dt))))
+  }
 
   /** [[dedupClusters]] + the number of propagation rounds executed —
     * the observable the O(log d) convergence assertions measure.

@@ -66,10 +66,29 @@ class DedupSpec extends SparkSpec {
         // min-merging union-find restricted to touched nodes
         v -> find(v.toInt).toLong
       }.toMap
-      val got = Dedup.dedupClusters(edges.toDF("a", "b"), "a", "b")
+      // BOTH branches of the cost model must produce the same labels:
+      // the driver union-find (default — this pair set is under the
+      // limit) and the distributed fixpoint (forced via limit 0)
+      val viaDriver = Dedup.dedupClusters(edges.toDF("a", "b"), "a", "b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected, s"trial $trial: CC diverged from union-find")
+      assert(viaDriver == expected, s"trial $trial: driver path diverged")
+      val viaFixpoint = Dedup.dedupClusters(edges.toDF("a", "b"), "a", "b",
+          driverPairLimit = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaFixpoint == expected, s"trial $trial: fixpoint diverged")
+      // a limit smaller than the edge count falls back to the fixpoint
+      val viaFallback = Dedup.dedupClusters(edges.toDF("a", "b"), "a", "b",
+          driverPairLimit = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaFallback == expected, s"trial $trial: over-limit fallback diverged")
     }
+    // string ids take the driver branch too (orderable) — min is
+    // lexicographic, matching the distributed least() semantics
+    val spairs = Seq(("rB", "rC"), ("rA", "rB"), ("rX", "rY")).toDF("a", "b")
+    val sGot = Dedup.dedupClusters(spairs, "a", "b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sGot == Map("rA" -> "rA", "rB" -> "rA", "rC" -> "rA",
+      "rX" -> "rX", "rY" -> "rX"))
   }
 
   test("elementwise_sum native aggregate sums arrays per group across partitions") {
