@@ -352,34 +352,38 @@ object Dedup {
     * @return (node, component) — component = min doc id of the group
     */
   /** Cost-model entry point: a pair set that fits the driver
-    * comfortably (≤ `driverPairLimit` edges; the default 2²⁰ ≈ 16 MB at
-    * two longs each) resolves with an in-process union-find — identical
-    * min-label components (equality-tested in DedupSpec), none of the
-    * distributed fixpoint's per-round job overhead — while anything
-    * larger runs the O(log d) fixpoint. The same brute-vs-index duality
-    * as the vector cost model (`segment.rs:626-660`): near-dup pair
-    * sets are orders of magnitude smaller than their corpus, so even
-    * 100 TB corpora often land in the driver branch; the probe is
-    * bounded by construction (`limit(driverPairLimit + 1)` decides the
-    * branch, so at most limit+1 rows ever reach the driver).
-    * `driverPairLimit = 0` forces the distributed path.
+    * comfortably (≤ `driverPairLimit` edges; the default 2¹⁸ costs on
+    * the order of tens of MB on the driver — boxed Rows + the
+    * union-find's node map, NOT two raw longs per edge) resolves with
+    * an in-process union-find — identical min-label components
+    * (equality-tested in DedupSpec), none of the distributed fixpoint's
+    * per-round job overhead — while anything larger runs the O(log d)
+    * fixpoint. The same brute-vs-index duality as the vector cost model
+    * (`segment.rs:626-660`): near-dup pair sets are orders of magnitude
+    * smaller than their corpus, so even 100 TB corpora often land in
+    * the driver branch; the probe is bounded by construction
+    * (`limit(driverPairLimit + 1)` decides the branch, so at most
+    * limit+1 rows ever reach the driver). `driverPairLimit = 0` forces
+    * the distributed path. Null-id edges are dropped up front on both
+    * branches (a null never joins in the distributed rounds either).
     */
   def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25, broadcastLabels: Boolean = true,
       roundsPerCheckpoint: Int = 1,
-      driverPairLimit: Int = 1 << 20): DataFrame = {
+      driverPairLimit: Int = 1 << 18): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val nonNull = pairs.where(col(aCol).isNotNull && col(bCol).isNotNull)
     val dt = pairs.schema(aCol).dataType
     val orderable = dt == LongType || dt == IntegerType || dt == StringType
     if (driverPairLimit > 0 && orderable && dt == pairs.schema(bCol).dataType) {
-      val probe = pairs.select(col(aCol), col(bCol))
-        .limit(driverPairLimit + 1).collect()
+      val probeN = math.min(driverPairLimit.toLong + 1, Int.MaxValue.toLong).toInt
+      val probe = nonNull.select(col(aCol), col(bCol)).limit(probeN).collect()
       if (probe.length <= driverPairLimit)
         return unionFindComponents(probe, dt, pairs.sparkSession)
       // over the limit: fall through to the distributed fixpoint (the
       // pair plan recomputes — only ever paid past the driver bound)
     }
-    dedupClustersWithStats(pairs, aCol, bCol, maxIter, broadcastLabels,
+    dedupClustersWithStats(nonNull, aCol, bCol, maxIter, broadcastLabels,
       roundsPerCheckpoint)._1
   }
 
@@ -421,7 +425,12 @@ object Dedup {
       case org.apache.spark.sql.types.IntegerType =>
         (x, y) => x.asInstanceOf[Int] < y.asInstanceOf[Int]
       case org.apache.spark.sql.types.StringType =>
-        (x, y) => x.asInstanceOf[String] < y.asInstanceOf[String]
+        // UTF-8 BINARY comparison — Spark's UTF8String order, NOT Java's
+        // UTF-16 compareTo (they disagree on non-BMP code points, which
+        // would let the two cost-model branches pick different labels)
+        (x, y) => java.util.Arrays.compareUnsigned(
+          x.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          y.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
     }
     val minOfRoot = new java.util.HashMap[Int, Any]()
     values.indices.foreach { i =>

@@ -85,6 +85,13 @@ object Ingest {
         col("f.field_id").as("field_id"), col("f.f_text").as("f_text"))
       .where(length(col("f_text")) > 0)
 
+  /** The `{rid}/{field_type}/{field_id}` field uid — the ONE encoding
+    * of the reference id prefix (`noderesources.proto:118-121`), shared
+    * by the paragraph split and the FIELD_STREAMING trainset so the
+    * format cannot drift between them. */
+  def fieldUid(rid: Column, fieldType: Column, fieldId: Column): Column =
+    concat(rid.cast("string"), lit("/"), fieldType, lit("/"), fieldId)
+
   /** Paragraphs of EVERY field, keyed `{rid}/{field_type}/{field_id}/
     * {start}-{end}` end to end (`noderesources.proto:118-121` id
     * format) and carrying their (field_type, field_id) columns so field
@@ -95,9 +102,8 @@ object Ingest {
     fields
       .withColumn("__par", explode(chunkStructs(col("f_text"), parTokens)))
       .select(col(idCol), col("field_type"), col("field_id"),
-        concat(col(idCol).cast("string"), lit("/"), col("field_type"),
-          lit("/"), col("field_id"), lit("/"),
-          col("__par.start").cast("string"), lit("-"),
+        concat(fieldUid(col(idCol), col("field_type"), col("field_id")),
+          lit("/"), col("__par.start").cast("string"), lit("-"),
           col("__par.end").cast("string")).as("paragraph_id"),
         col("__par.start").as("start"), col("__par.end").as("end"),
         (col("__par.end") - col("__par.start")).cast("long").as("n_tokens"),

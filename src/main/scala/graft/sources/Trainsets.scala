@@ -138,8 +138,8 @@ object Trainsets {
     */
   def fieldStreaming(fields: DataFrame, idCol: String): DataFrame =
     fields.select(
-      concat(col(idCol).cast("string"), lit("/"), col("field_type"),
-        lit("/"), col("field_id")).as("field_uid"),
+      Ingest.fieldUid(col(idCol), col("field_type"), col("field_id"))
+        .as("field_uid"),
       col("f_text").as("text"))
 
   /** Deterministic hash sampling for reproducible trainset cuts: keep
