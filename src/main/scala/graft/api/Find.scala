@@ -366,6 +366,11 @@ object Find {
               if (req.filter.isEmpty) src
               else Prefilter.semiJoin(src, corpus.docId,
                 base.select(corpus.docId))
+            // NOT cached: the allowed id set feeds three consumers
+            // inside scoreFromPostings, but caching it was MEASURED
+            // slower at sf0.1 (2.0 → 2.5 s) — materialization blocks
+            // the per-consumer column pruning and semi-join pushdown
+            // that the re-planned subtrees get for free
             Some(byDoc.where(excl).select("paragraph_id"))
           }
         val docIdType = corpus.docs.schema(corpus.docId).dataType
