@@ -201,9 +201,26 @@ object IncrementalIndex {
       graft.functions.Bm25.docLengths(live, idCol, textCol)
         .join(seqOf, idCol)
         .write.mode("overwrite").parquet(s"$segDir/doclengths")
-      graft.sources.Ingest.splitParagraphs(live, idCol, textCol)
+      // positional postings — quoted-phrase queries over the streamed
+      // corpus serve these exactly like the batch index's table
+      graft.operators.PhraseSearch.positions(live, idCol, textCol)
         .join(seqOf, idCol)
-        .write.mode("overwrite").parquet(s"$segDir/paragraphs")
+        .write.mode("overwrite").parquet(s"$segDir/positions")
+      val pars = graft.sources.Ingest.splitParagraphs(live, idCol, textCol)
+        .join(seqOf, idCol).cache()
+      try {
+        pars.write.mode("overwrite").parquet(s"$segDir/paragraphs")
+        // paragraph-level BM25 pair: rows re-keyed to their doc's
+        // (id, seq) via the paragraph table so cross-segment
+        // latest-wins stays the same winner semi-join
+        val parKeys = pars.select(col("paragraph_id"), col(idCol), col(seqCol))
+        graft.sources.Ingest.termPostings(pars, "paragraph_id", "p_text")
+          .join(parKeys, "paragraph_id")
+          .write.mode("overwrite").parquet(s"$segDir/par_postings")
+        graft.functions.Bm25.docLengths(pars, "paragraph_id", "p_text")
+          .join(parKeys, "paragraph_id")
+          .write.mode("overwrite").parquet(s"$segDir/par_doclengths")
+      } finally pars.unpersist()
       // one codes/raw pair per named vectorset (the Option form is the
       // single default set), vectorset-tagged and partitioned
       // (vectorset, centroid_id) like the batch per-set layout — a
@@ -309,10 +326,42 @@ object IncrementalIndex {
       .select(col(idCol), col(seqCol))
     def serve(sub: String) =
       union(sub).join(winners, Seq(idCol, seqCol), "left_semi")
+    // optional tables bind only when EVERY live segment carries them —
+    // a mixed root (segments from before the table existed) serves
+    // None rather than silently missing part of the corpus
+    def opt(sub: String) =
+      if (dirs.forall(d => hasSub(spark, d, sub))) Some(serve(sub)) else None
     graft.sources.IndexStore.IndexTables(
       postings = serve("postings"),
       docLengths = serve("doclengths"),
-      paragraphs = serve("paragraphs"))
+      paragraphs = serve("paragraphs"),
+      parPostings = opt("par_postings"),
+      parDocLengths = opt("par_doclengths"))
+  }
+
+  /** Positional postings served across segments with latest-wins — the
+    * quoted-phrase table ([[graft.operators.PhraseSearch.phraseOccurrencesFromPositions]])
+    * for a STREAMED corpus. Every live segment must carry positions
+    * (segments written by the current [[writeSegment]] do).
+    */
+  def segmentPositions(spark: SparkSession, indexRoot: String,
+      idCol: String = "rid", seqCol: String = "seq"): DataFrame = {
+    val dirs = segmentDirs(spark, indexRoot)
+    require(dirs.nonEmpty, s"no segments under $indexRoot")
+    require(dirs.forall(d => hasSub(spark, d, "positions")),
+      s"some segments under $indexRoot lack positional postings — " +
+        "written by an older layout; recompact from source")
+    positionsFrom(spark, dirs, idCol, seqCol)
+  }
+
+  private def positionsFrom(spark: SparkSession, dirs: Seq[String],
+      idCol: String, seqCol: String): DataFrame = {
+    val winners = mergeLatest(
+        dirs.map(d => spark.read.parquet(s"$d/docs")).reduce(_ unionByName _),
+        idCol, seqCol)
+      .select(col(idCol), col(seqCol))
+    dirs.map(d => spark.read.parquet(s"$d/positions")).reduce(_ unionByName _)
+      .join(winners, Seq(idCol, seqCol), "left_semi")
   }
 
   private def hasSub(spark: SparkSession, dir: String, sub: String): Boolean = {
@@ -408,6 +457,13 @@ object IncrementalIndex {
     tables.postings.write.mode("overwrite").parquet(s"$out/postings")
     tables.docLengths.write.mode("overwrite").parquet(s"$out/doclengths")
     tables.paragraphs.write.mode("overwrite").parquet(s"$out/paragraphs")
+    tables.parPostings.foreach(_.write.mode("overwrite")
+      .parquet(s"$out/par_postings"))
+    tables.parDocLengths.foreach(_.write.mode("overwrite")
+      .parquet(s"$out/par_doclengths"))
+    if (dirs.forall(d => hasSub(spark, d, "positions")))
+      positionsFrom(spark, dirs, idCol, seqCol)
+        .write.mode("overwrite").parquet(s"$out/positions")
     // vector segments fold the same way: winning codes/raw rows move to
     // the compacted segment (codes keep the centroid partitioning).
     // Folds the ONCE-listed dirs, not a fresh listing — a segment the

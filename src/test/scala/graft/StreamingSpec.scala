@@ -236,6 +236,59 @@ class StreamingSpec extends SparkSpec {
       s"$k: ${after(k)} != $v — duplicated segment rows inflate stats") }
   }
 
+  test("segmented phrase + paragraph BM25 match a batch index, incl. post-compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Bm25
+    import graft.operators.PhraseSearch
+    val root = Files.createTempDirectory("graft-segpp").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft-segppck").toString
+    val input = MemoryStream[(String, Long, String, Boolean)]
+    val updates = input.toDF().toDF("rid", "seq", "value", "deleted")
+    val q = IncrementalIndex.startIndexSegments(updates, root, ckpt,
+      idCol = "rid", textCol = "value")
+    try {
+      input.addData(("r1", 1L, "fast spark scan here", false),
+        ("r2", 1L, "fast spark planner", false))
+      q.processAllAvailable()
+      input.addData(("r1", 2L, "slow fast spark fast spark scan", false), // update
+        ("r2", 2L, "gone", true),                                         // tombstone
+        ("r3", 2L, "spark fast spark", false))                            // new
+      q.processAllAvailable()
+      val merged = Seq(("r1", "slow fast spark fast spark scan"),
+        ("r3", "spark fast spark")).toDF("rid", "value")
+      val batchDir = Files.createTempDirectory("graft-segppix").toString
+      graft.sources.Ingest.buildIndex(merged, "rid", "value", batchDir,
+        withVectors = false)
+      def phrase(positions: org.apache.spark.sql.DataFrame) =
+        PhraseSearch.phraseOccurrencesFromPositions(
+            positions, "rid", Seq("fast", "spark"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val viaBatchPhrase = phrase(spark.read.parquet(s"$batchDir/positions"))
+      assert(viaBatchPhrase == Map("r1" -> 2L, "r3" -> 1L), s"$viaBatchPhrase")
+      def parBm25(ix: graft.sources.IndexStore.IndexTables) =
+        Bm25.scoreFromPostings(ix.parPostings.get, ix.parDocLengths.get,
+            "paragraph_id", Seq("spark"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val viaBatchPar = parBm25(graft.sources.IndexStore.IndexTables(
+        spark.read.parquet(s"$batchDir/postings"),
+        spark.read.parquet(s"$batchDir/doclengths"),
+        spark.read.parquet(s"$batchDir/paragraphs"),
+        parPostings = Some(spark.read.parquet(s"$batchDir/par_postings")),
+        parDocLengths = Some(spark.read.parquet(s"$batchDir/par_doclengths"))))
+      def check(): Unit = {
+        assert(phrase(IncrementalIndex.segmentPositions(spark, root))
+          == viaBatchPhrase, "streamed phrase occurrences diverged")
+        val streamed = parBm25(IncrementalIndex.segmentTables(spark, root))
+        assert(streamed.keySet == viaBatchPar.keySet, s"$streamed")
+        viaBatchPar.foreach { case (k, v) =>
+          assert(math.abs(streamed(k) - v) < 1e-12, s"$k: ${streamed(k)} != $v") }
+      }
+      check()
+      IncrementalIndex.compactSegments(spark, root)
+      check()
+    } finally q.stop()
+  }
+
   test("segmented ANN: streamed corpus serves ivfPqSearchAtRest identically to a batch index, incl. post-compaction") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.VectorSearch
