@@ -221,6 +221,15 @@ object IncrementalIndex {
           .join(parKeys, "paragraph_id")
           .write.mode("overwrite").parquet(s"$segDir/par_doclengths")
       } finally pars.unpersist()
+      // MinHash signatures — near-dup requests over the streamed corpus
+      // serve these like the batch table (a pure per-document function,
+      // so per-segment rows union with the winner semi-join)
+      graft.operators.Dedup.minHashSignatures(
+          live.select(col(idCol), explode(graft.functions.TextFunctions.shingles(
+            graft.functions.TextFunctions.tokens(col(textCol)), 3)).as("shingle")),
+          idCol, numHashes = 8)
+        .join(seqOf, idCol)
+        .write.mode("overwrite").parquet(s"$segDir/signatures")
       // one codes/raw pair per named vectorset (the Option form is the
       // single default set), vectorset-tagged and partitioned
       // (vectorset, centroid_id) like the batch per-set layout — a
@@ -355,14 +364,46 @@ object IncrementalIndex {
   }
 
   private def positionsFrom(spark: SparkSession, dirs: Seq[String],
+      idCol: String, seqCol: String): DataFrame =
+    servedSub(spark, dirs, "positions", idCol, seqCol)
+
+  private def servedSub(spark: SparkSession, dirs: Seq[String], sub: String,
       idCol: String, seqCol: String): DataFrame = {
     val winners = mergeLatest(
         dirs.map(d => spark.read.parquet(s"$d/docs")).reduce(_ unionByName _),
         idCol, seqCol)
       .select(col(idCol), col(seqCol))
-    dirs.map(d => spark.read.parquet(s"$d/positions")).reduce(_ unionByName _)
+    dirs.map(d => spark.read.parquet(s"$d/$sub")).reduce(_ unionByName _)
       .join(winners, Seq(idCol, seqCol), "left_semi")
   }
+
+  /** MinHash signature table served across segments with latest-wins —
+    * the near-dup serving table
+    * ([[graft.operators.Dedup.minHashLshFromSignatures]]) for a
+    * STREAMED corpus; the seq column rides along (callers select the
+    * id + h columns they need).
+    */
+  def segmentSignatures(spark: SparkSession, indexRoot: String,
+      idCol: String = "rid", seqCol: String = "seq"): DataFrame = {
+    val dirs = segmentDirs(spark, indexRoot)
+    require(dirs.nonEmpty, s"no segments under $indexRoot")
+    require(dirs.forall(d => hasSub(spark, d, "signatures")),
+      s"some segments under $indexRoot lack signatures — written by an " +
+        "older layout; recompact from source")
+    servedSub(spark, dirs, "signatures", idCol, seqCol)
+  }
+
+  /** The `(term, freq)` suggest dictionary of a streamed corpus —
+    * rolled up AT QUERY TIME from the winner-filtered segment postings
+    * (a per-segment materialized rollup would double-count superseded
+    * rows; the winner semi-join must run first). The rollup input is
+    * posting-sized over live docs — the same cost class as one BM25
+    * request.
+    */
+  def segmentTermFreq(spark: SparkSession, indexRoot: String,
+      idCol: String = "rid", seqCol: String = "seq"): DataFrame =
+    segmentTables(spark, indexRoot, idCol, seqCol).postings
+      .groupBy("term").agg(sum("tf").cast("long").as("freq"))
 
   private def hasSub(spark: SparkSession, dir: String, sub: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
@@ -464,6 +505,9 @@ object IncrementalIndex {
     if (dirs.forall(d => hasSub(spark, d, "positions")))
       positionsFrom(spark, dirs, idCol, seqCol)
         .write.mode("overwrite").parquet(s"$out/positions")
+    if (dirs.forall(d => hasSub(spark, d, "signatures")))
+      servedSub(spark, dirs, "signatures", idCol, seqCol)
+        .write.mode("overwrite").parquet(s"$out/signatures")
     // vector segments fold the same way: winning codes/raw rows move to
     // the compacted segment (codes keep the centroid partitioning).
     // Folds the ONCE-listed dirs, not a fresh listing — a segment the

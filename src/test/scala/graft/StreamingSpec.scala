@@ -275,6 +275,13 @@ class StreamingSpec extends SparkSpec {
         spark.read.parquet(s"$batchDir/paragraphs"),
         parPostings = Some(spark.read.parquet(s"$batchDir/par_postings")),
         parDocLengths = Some(spark.read.parquet(s"$batchDir/par_doclengths"))))
+      val viaBatchSuggest = graft.operators.TopK.suggestPrefix(
+          spark.read.parquet(s"$batchDir/termfreq"), "term", "freq", "s", 5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val viaBatchDups = graft.operators.Dedup.minHashLshFromSignatures(
+          spark.read.parquet(s"$batchDir/signatures"), "rid",
+          minEstJaccard = 0.2)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
       def check(): Unit = {
         assert(phrase(IncrementalIndex.segmentPositions(spark, root))
           == viaBatchPhrase, "streamed phrase occurrences diverged")
@@ -282,6 +289,17 @@ class StreamingSpec extends SparkSpec {
         assert(streamed.keySet == viaBatchPar.keySet, s"$streamed")
         viaBatchPar.foreach { case (k, v) =>
           assert(math.abs(streamed(k) - v) < 1e-12, s"$k: ${streamed(k)} != $v") }
+        // suggest dictionary + near-dup signatures serve identically
+        val sSuggest = graft.operators.TopK.suggestPrefix(
+            IncrementalIndex.segmentTermFreq(spark, root), "term", "freq", "s", 5)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        assert(sSuggest == viaBatchSuggest, s"$sSuggest != $viaBatchSuggest")
+        val sDups = graft.operators.Dedup.minHashLshFromSignatures(
+            IncrementalIndex.segmentSignatures(spark, root)
+              .select("rid", (0 until 8).map(i => s"h$i"): _*),
+            "rid", minEstJaccard = 0.2)
+          .collect().map(r => (r.getString(0), r.getString(1))).toSet
+        assert(sDups == viaBatchDups, s"$sDups != $viaBatchDups")
       }
       check()
       IncrementalIndex.compactSegments(spark, root)
