@@ -186,7 +186,9 @@ object IncrementalIndex {
   def writeSegment(batch: DataFrame, segDir: String,
       idCol: String, textCol: String, seqCol: String,
       vectors: Option[SegmentVectorSpec] = None,
-      vectorSets: Map[String, SegmentVectorSpec] = Map.empty): Unit = {
+      vectorSets: Map[String, SegmentVectorSpec] = Map.empty,
+      shingleSize: Int = 3,
+      numHashes: Int = 8): Unit = {
     val w = Window.partitionBy(col(idCol)).orderBy(col(seqCol).desc)
     val latest = batch.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn").cache()
@@ -223,11 +225,14 @@ object IncrementalIndex {
       } finally pars.unpersist()
       // MinHash signatures — near-dup requests over the streamed corpus
       // serve these like the batch table (a pure per-document function,
-      // so per-segment rows union with the winner semi-join)
+      // so per-segment rows union with the winner semi-join). The
+      // parameters default to buildIndex's; a deployment diverging
+      // there must diverge HERE too (the width self-describes and is
+      // validated at serve time, the shingle size does not).
       graft.operators.Dedup.minHashSignatures(
           live.select(col(idCol), explode(graft.functions.TextFunctions.shingles(
-            graft.functions.TextFunctions.tokens(col(textCol)), 3)).as("shingle")),
-          idCol, numHashes = 8)
+            graft.functions.TextFunctions.tokens(col(textCol)), shingleSize)).as("shingle")),
+          idCol, numHashes = numHashes)
         .join(seqOf, idCol)
         .write.mode("overwrite").parquet(s"$segDir/signatures")
       // one codes/raw pair per named vectorset (the Option form is the
