@@ -55,7 +55,7 @@ object Ingest {
     docs
       .withColumn("__par", explode(chunkStructs(col(textCol), parTokens)))
       .select(col(idCol),
-        concat(col(idCol).cast("string"), lit(s"/t/$fieldName/"),
+        concat(fieldUid(col(idCol), lit("t"), lit(fieldName)), lit("/"),
           col("__par.start").cast("string"), lit("-"),
           col("__par.end").cast("string")).as("paragraph_id"),
         col("__par.start").as("start"), col("__par.end").as("end"),
@@ -126,9 +126,9 @@ object Ingest {
       .select(col(ridCol), lit("c").as("field_type"),
         col(fieldCol).cast("string").as("field_id"),
         col(splitCol).cast("string").as("split"),
-        concat(col(ridCol).cast("string"), lit("/c/"),
-          col(fieldCol).cast("string"), lit("/"),
-          col(splitCol).cast("string"), lit("/"),
+        concat(
+          fieldUid(col(ridCol), lit("c"), col(fieldCol).cast("string")),
+          lit("/"), col(splitCol).cast("string"), lit("/"),
           col("__par.start").cast("string"), lit("-"),
           col("__par.end").cast("string")).as("paragraph_id"),
         col("__par.start").as("start"), col("__par.end").as("end"),

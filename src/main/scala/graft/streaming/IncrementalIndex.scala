@@ -80,9 +80,15 @@ object IncrementalIndex {
       pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)))
     val touched = b.select("__bucket").distinct()
       .collect().map(_.getLong(0)) // driver-scale: ≤ numBuckets values
+    // explicit existence check, NOT a catch-all: a transient read error
+    // mapped to "table absent" would overwrite the touched buckets with
+    // batch-only rows (losing merged rows AND the replay-protection
+    // tombstones); any real failure must propagate so the batch retries
+    val tPath = new org.apache.hadoop.fs.Path(tablePath)
+    val tableExists = tPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tPath)
     val existing =
-      try Some(spark.read.parquet(tablePath))
-      catch { case _: Exception => None }
+      if (tableExists) Some(spark.read.parquet(tablePath)) else None
     val all = existing match {
       case Some(e) => // touched-bucket predicate = partition pruning
         e.where(col("__bucket").isInCollection(touched))
@@ -150,7 +156,14 @@ object IncrementalIndex {
       textCol: String = "text",
       seqCol: String = "seq",
       vectors: Option[SegmentVectorSpec] = None,
-      vectorSets: Map[String, SegmentVectorSpec] = Map.empty): StreamingQuery =
+      vectorSets: Map[String, SegmentVectorSpec] = Map.empty,
+      shingleSize: Int = 3,
+      numHashes: Int = 8): StreamingQuery = {
+    // misconfiguration fails at stream START, not after every batch has
+    // already written its text-index tables
+    require(vectors.isEmpty || !vectorSets.contains("default"),
+      "pass the default vectorset through EITHER `vectors` OR " +
+        "vectorSets(\"default\"), not both — the specs would conflict")
     updates.writeStream
       .option("checkpointLocation", checkpointPath)
       .outputMode("update")
@@ -167,9 +180,10 @@ object IncrementalIndex {
         // its segments reuse already-subsumed names and are masked and
         // deleted exactly like replays. A new stream needs a new root.
         writeSegment(batch, f"$indexRoot/seg_$bid%09d", idCol, textCol, seqCol,
-          vectors, vectorSets)
+          vectors, vectorSets, shingleSize, numHashes)
       }
       .start()
+  }
 
   /** Write one immutable index segment from an update batch:
     * latest-wins WITHIN the batch, tombstones recorded in the manifest,
@@ -189,6 +203,11 @@ object IncrementalIndex {
       vectorSets: Map[String, SegmentVectorSpec] = Map.empty,
       shingleSize: Int = 3,
       numHashes: Int = 8): Unit = {
+    // reject conflicting specs BEFORE any table is written — a failing
+    // batch must not pay the full text-index write on every retry
+    require(vectors.isEmpty || !vectorSets.contains("default"),
+      "pass the default vectorset through EITHER `vectors` OR " +
+        "vectorSets(\"default\"), not both — the specs would conflict")
     val w = Window.partitionBy(col(idCol)).orderBy(col(seqCol).desc)
     val latest = batch.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn").cache()
@@ -240,9 +259,6 @@ object IncrementalIndex {
       // (vectorset, centroid_id) like the batch per-set layout — a
       // named-set query prunes its vectorset directory inside every
       // segment
-      require(vectors.isEmpty || !vectorSets.contains("default"),
-        "pass the default vectorset through EITHER `vectors` OR " +
-          "vectorSets(\"default\"), not both — the specs would conflict")
       val sets = vectorSets ++ vectors.map("default" -> _)
       if (sets.nonEmpty) {
         import graft.operators.VectorSearch
@@ -332,14 +348,20 @@ object IncrementalIndex {
     serveFrom(spark, dirs, idCol, seqCol)
   }
 
+  /** Newest (id, seq) winner per doc across the given segments. */
+  private def winnersOf(spark: SparkSession, dirs: Seq[String],
+      idCol: String, seqCol: String): DataFrame =
+    mergeLatest(
+      dirs.map(d => spark.read.parquet(s"$d/docs")).reduce(_ unionByName _),
+      idCol, seqCol).select(col(idCol), col(seqCol))
+
   private def serveFrom(spark: SparkSession, dirs: Seq[String],
-      idCol: String, seqCol: String): graft.sources.IndexStore.IndexTables = {
-    def union(sub: String) =
-      dirs.map(d => spark.read.parquet(s"$d/$sub")).reduce(_ unionByName _)
-    val winners = mergeLatest(union("docs"), idCol, seqCol)
-      .select(col(idCol), col(seqCol))
+      idCol: String, seqCol: String,
+      winners0: Option[DataFrame] = None): graft.sources.IndexStore.IndexTables = {
+    val winners = winners0.getOrElse(winnersOf(spark, dirs, idCol, seqCol))
     def serve(sub: String) =
-      union(sub).join(winners, Seq(idCol, seqCol), "left_semi")
+      dirs.map(d => spark.read.parquet(s"$d/$sub")).reduce(_ unionByName _)
+        .join(winners, Seq(idCol, seqCol), "left_semi")
     // optional tables bind only when EVERY live segment carries them —
     // a mixed root (segments from before the table existed) serves
     // None rather than silently missing part of the corpus
@@ -369,18 +391,16 @@ object IncrementalIndex {
   }
 
   private def positionsFrom(spark: SparkSession, dirs: Seq[String],
-      idCol: String, seqCol: String): DataFrame =
-    servedSub(spark, dirs, "positions", idCol, seqCol)
+      idCol: String, seqCol: String,
+      winners0: Option[DataFrame] = None): DataFrame =
+    servedSub(spark, dirs, "positions", idCol, seqCol, winners0)
 
   private def servedSub(spark: SparkSession, dirs: Seq[String], sub: String,
-      idCol: String, seqCol: String): DataFrame = {
-    val winners = mergeLatest(
-        dirs.map(d => spark.read.parquet(s"$d/docs")).reduce(_ unionByName _),
-        idCol, seqCol)
-      .select(col(idCol), col(seqCol))
+      idCol: String, seqCol: String,
+      winners0: Option[DataFrame] = None): DataFrame =
     dirs.map(d => spark.read.parquet(s"$d/$sub")).reduce(_ unionByName _)
-      .join(winners, Seq(idCol, seqCol), "left_semi")
-  }
+      .join(winners0.getOrElse(winnersOf(spark, dirs, idCol, seqCol)),
+        Seq(idCol, seqCol), "left_semi")
 
   /** MinHash signature table served across segments with latest-wins —
     * the near-dup serving table
@@ -432,25 +452,25 @@ object IncrementalIndex {
       vectorset: String = "default"): (DataFrame, DataFrame) = {
     val dirs = segmentDirs(spark, indexRoot)
     require(dirs.nonEmpty, s"no segments under $indexRoot")
+    // a set name no segment ever wrote is a CONFIG error, detected from
+    // the vectorset= partition directories (no Spark job); an existing
+    // set whose docs are all tombstoned legitimately serves empty
+    require(dirs.exists(d =>
+        hasSub(spark, d, s"codes/vectorset=$vectorset")),
+      s"vectorset '$vectorset' was never written by any segment under " +
+        s"$indexRoot — check the SegmentVectorSpec set names")
     val (codes, raw) = vectorTablesFrom(spark, dirs, idCol, seqCol)
-    // vectorset selection = partition pruning inside every segment; a
-    // set absent from every segment fails loudly (the batch loader's
-    // vectorIndexSet guard), not as a silently empty search
-    val pruned = codes.where(col("vectorset") === vectorset)
-    require(!pruned.isEmpty,
-      s"vectorset '$vectorset' has no live vectors in the segments under " +
-        s"$indexRoot — absent set name, or a fully tombstoned corpus")
-    (pruned, raw.where(col("vectorset") === vectorset))
+    // vectorset selection = partition pruning inside every segment
+    (codes.where(col("vectorset") === vectorset),
+      raw.where(col("vectorset") === vectorset))
   }
 
   private def vectorTablesFrom(spark: SparkSession, dirs: Seq[String],
-      idCol: String, seqCol: String): (DataFrame, DataFrame) = {
+      idCol: String, seqCol: String,
+      winners0: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val withVec = dirs.filter(d => hasSub(spark, d, "codes"))
     require(withVec.nonEmpty, s"no vector segments among $dirs")
-    val winners = mergeLatest(
-        dirs.map(d => spark.read.parquet(s"$d/docs")).reduce(_ unionByName _),
-        idCol, seqCol)
-      .select(col(idCol), col(seqCol))
+    val winners = winners0.getOrElse(winnersOf(spark, dirs, idCol, seqCol))
     def serve(sub: String) = {
       val u = withVec.map(d => spark.read.parquet(s"$d/$sub")).reduce(_ unionByName _)
       // loud layout-version check: segments written before the
@@ -494,11 +514,21 @@ object IncrementalIndex {
     val dirs = allDirs.filterNot(p => subsumedSet(p.getName))
       .map(_.toString).sorted
     if (dirs.size <= 1) return
-    val tables = serveFrom(spark, dirs, idCol, seqCol)
-    val latest = latestDocRows(
-      dirs.map(d => spark.read.parquet(s"$d/docs")).reduce(_ unionByName _),
-      idCol, seqCol)
     val out = s"$indexRoot/compacting"
+    // a crashed run's leftover staging dir must be wiped WHOLESALE: the
+    // conditionally-written tables below (positions/signatures/codes/…)
+    // would otherwise survive from the previous attempt and be renamed
+    // into the committed segment as stale data
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    // the cross-segment docs union + winner set feed every table family
+    // below — compute each once, not once per family
+    val docsUnion = dirs.map(d => spark.read.parquet(s"$d/docs"))
+      .reduce(_ unionByName _)
+    val winners = mergeLatest(docsUnion, idCol, seqCol)
+      .select(col(idCol), col(seqCol)).cache()
+    try {
+    val tables = serveFrom(spark, dirs, idCol, seqCol, Some(winners))
+    val latest = latestDocRows(docsUnion, idCol, seqCol)
     latest.write.mode("overwrite").parquet(s"$out/docs")
     tables.postings.write.mode("overwrite").parquet(s"$out/postings")
     tables.docLengths.write.mode("overwrite").parquet(s"$out/doclengths")
@@ -508,17 +538,18 @@ object IncrementalIndex {
     tables.parDocLengths.foreach(_.write.mode("overwrite")
       .parquet(s"$out/par_doclengths"))
     if (dirs.forall(d => hasSub(spark, d, "positions")))
-      positionsFrom(spark, dirs, idCol, seqCol)
+      positionsFrom(spark, dirs, idCol, seqCol, Some(winners))
         .write.mode("overwrite").parquet(s"$out/positions")
     if (dirs.forall(d => hasSub(spark, d, "signatures")))
-      servedSub(spark, dirs, "signatures", idCol, seqCol)
+      servedSub(spark, dirs, "signatures", idCol, seqCol, Some(winners))
         .write.mode("overwrite").parquet(s"$out/signatures")
     // vector segments fold the same way: winning codes/raw rows move to
     // the compacted segment (codes keep the centroid partitioning).
     // Folds the ONCE-listed dirs, not a fresh listing — a segment the
     // live stream writes mid-compaction must not fold without deletion
     if (dirs.exists(d => hasSub(spark, d, "codes"))) {
-      val (codes, raw) = vectorTablesFrom(spark, dirs, idCol, seqCol)
+      val (codes, raw) = vectorTablesFrom(spark, dirs, idCol, seqCol,
+        Some(winners))
       codes.write.mode("overwrite").partitionBy("vectorset", "centroid_id")
         .parquet(s"$out/codes")
       raw.write.mode("overwrite").partitionBy("vectorset")
@@ -540,6 +571,7 @@ object IncrementalIndex {
         new org.apache.hadoop.fs.Path(dst)),
       s"compaction commit rename failed: $out -> $dst")
     dirs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    } finally winners.unpersist()
     ()
   }
 
