@@ -11,8 +11,19 @@ import org.apache.spark.sql.functions._
   * query only reads what it projects/filters.
   */
 object Tables {
+  // memoized per (session, path): a `spark.read.parquet` pays file
+  // listing + footer schema reads EAGERLY at DataFrame creation —
+  // ~0.1 s per table on a local FS, and serving-path requests touch up
+  // to ten tables. The testdata dirs are immutable for the JVM
+  // lifetime, so the plan (not the data — scans stay lazy) is safely
+  // reusable. Writable paths (LSM segment dirs) must NOT go through
+  // this cache.
+  private val cache = scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    synchronized {
+      cache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+        spark.read.parquet(s"$dir/$name.parquet"))
+    }
 
   /** events table with `ts` normalized to TimestampType.
     *

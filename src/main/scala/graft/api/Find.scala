@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Bm25, TextFunctions, VectorFunctions}
@@ -303,7 +303,7 @@ object Find {
     // The per-field rows are the non-body field_paragraphs table PLUS
     // the main paragraph table AS the t/body field (same ids — the
     // corpus text is stored once, composed here).
-    val fieldRestricted: Option[DataFrame] =
+    lazy val fieldRestricted: Option[DataFrame] =
       if (req.fields.isEmpty) None
       else {
         val ix = corpus.index.getOrElse(
@@ -334,16 +334,27 @@ object Find {
       }
     // BM25 mode (the reference's actual paragraph scoring — tantivy
     // BM25 per paragraph): score from the at-rest paragraph posting
-    // index; the prefilter + exclusions compile to an allowed
-    // paragraph-id set (None when unrestricted → pure pruned lookup),
-    // and the doc id comes from the paragraph-id prefix, so the only
-    // joins are the bounded allow-set semi-join and the stats tables.
-    // A FIELD-restricted BM25 request serves the union of the body pair
-    // with the non-body field-paragraph pair (fieldpar_postings — body
-    // ids are identical across the two tables, so no row is duplicated)
-    // and the field semi-join becomes the allowed set; stats follow the
-    // engine's filter-then-score contract, so they cover exactly the
-    // allowed field paragraphs.
+    // index. Every request restriction compiles AGAINST THE POSTING
+    // PAIR ITSELF — no paragraphs-table scan and no paragraph-id
+    // allow-set join (the shape that cost q91/q102 3 re-planned
+    // semi-join subtrees, one per scoreFromPostings consumer):
+    //  * `fields=` is a PREDICATE on the paragraph id — the id embeds
+    //    its field as `{rid}/{ftype}/{fid}/…` by construction
+    //    (splitFieldParagraphs / splitConversationParagraphs), so the
+    //    (type[, id]) equality the spec compiles to (OldFilters.parse)
+    //    evaluates on the id prefix in the same codegen stage as the
+    //    scan, and only the pairs a spec can match are unioned at all;
+    //  * the doc prefilter is ONE broadcast-able semi-join of the
+    //    (pruned) posting/length rows' id prefix against the filtered
+    //    doc ids — the reference's PrefilterResult pushed into the
+    //    index search;
+    //  * exclusions are an ANTI-join against the excluded terms' OWN
+    //    pruned posting rows ((id, term) ∈ postings ⟺ the paragraph
+    //    contains the term — same tokenizer built the table), so they
+    //    too never touch paragraph text.
+    // Stats keep the filter-then-score contract: dls is restricted by
+    // the same predicates, so df/avgdl cover exactly the searchable
+    // paragraphs — hashes identical to the former allow-set shape.
     val bm25Index = corpus.index.filter(ix =>
       req.paragraphBm25 && ix.parPostings.isDefined && ix.parDocLengths.isDefined)
     require(req.fields.isEmpty || !req.paragraphBm25 || bm25Index.forall(ix =>
@@ -352,30 +363,45 @@ object Find {
         "pair — rebuild the index with the current buildIndex")
     bm25Index match {
       case Some(ix) =>
-        val (post, dls) =
-          if (req.fields.isEmpty) (ix.parPostings.get, ix.parDocLengths.get)
-          else (ix.parPostings.get.unionByName(ix.fieldParPostings.get),
-            ix.parDocLengths.get.unionByName(ix.fieldParDocLengths.get))
-        val restricted = req.filter.nonEmpty || parsed.excluded.nonEmpty ||
-          req.fields.nonEmpty
-        val allowed =
-          if (!restricted) None
-          else {
-            val src = fieldRestricted.getOrElse(ix.paragraphs)
-            val byDoc =
-              if (req.filter.isEmpty) src
-              else Prefilter.semiJoin(src, corpus.docId,
-                base.select(corpus.docId))
-            // NOT cached: the allowed id set feeds three consumers
-            // inside scoreFromPostings, but caching it was MEASURED
-            // slower at sf0.1 (2.0 → 2.5 s) — materialization blocks
-            // the per-consumer column pruning and semi-join pushdown
-            // that the re-planned subtrees get for free
-            Some(byDoc.where(excl).select("paragraph_id"))
-          }
+        val idParts = split(col("paragraph_id"), "/")
+        val fieldPred: Option[Column] = req.fields.map { f =>
+          val parts = f.split("/", -1)
+          if (parts.length > 1)
+            idParts.getItem(1) === parts(0) && idParts.getItem(2) === parts(1)
+          else idParts.getItem(1) === parts(0)
+        }.reduceOption(_ || _)
+        // which posting pairs can a spec match? body rows are exactly
+        // t/body; everything else lives in the field pair
+        val needBody = req.fields.isEmpty ||
+          req.fields.exists(f => f == "t" || f == "t/body")
+        val needField = req.fields.nonEmpty && !req.fields.forall(_ == "t/body")
+        val pairs =
+          (if (needBody) Seq((ix.parPostings.get, ix.parDocLengths.get)) else Nil) ++
+          (if (needField) Seq((ix.fieldParPostings.get, ix.fieldParDocLengths.get))
+           else Nil)
+        val (post0, dls0) = pairs.reduce[(DataFrame, DataFrame)] {
+          case ((p1, d1), (p2, d2)) => (p1.unionByName(p2), d1.unionByName(d2))
+        }
+        def restrict(df: DataFrame): DataFrame = {
+          val withField = fieldPred.map(df.where).getOrElse(df)
+          val withDoc =
+            if (req.filter.isEmpty) withField
+            // no .distinct() on the build side: LEFT SEMI is
+            // duplicate-insensitive and the doc ids are unique rows of
+            // the doc table anyway — a distinct here is a 2-stage
+            // shuffle that would re-execute once per consumer
+            else withField.join(
+              base.select(col(corpus.docId).cast("string").as("__allowed_doc")),
+              idParts.getItem(0) === col("__allowed_doc"), "left_semi")
+          if (parsed.excluded.isEmpty) withDoc
+          else withDoc.join(
+            post0.where(col("term").isInCollection(parsed.excluded))
+              .select("paragraph_id").distinct(),
+            Seq("paragraph_id"), "left_anti")
+        }
         val docIdType = corpus.docs.schema(corpus.docId).dataType
-        val hits = Bm25.scoreFromPostings(post, dls,
-            "paragraph_id", terms, allowed = allowed)
+        val hits = Bm25.scoreFromPostings(restrict(post0), restrict(dls0),
+            "paragraph_id", terms, allowed = None)
           .withColumn("score", round(col("score"), 4))
           .withColumn(corpus.docId,
             split(col("paragraph_id"), "/").getItem(0).cast(docIdType))

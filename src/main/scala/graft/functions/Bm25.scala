@@ -110,11 +110,22 @@ object Bm25 {
     val stats = dls.agg(
       count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
+    // postings written by the current ingest denormalize `dl` onto each
+    // row (tantivy's per-posting fieldnorm) — then the per-row lengths
+    // join vanishes and `docLengths` is read only for the (broadcast,
+    // 1-row) stats aggregate. Older posting tables without the column
+    // take the join path unchanged.
+    val hasDl = postings.columns.contains("dl")
     val matched = postings.where(col("term").isInCollection(queryTerms))
-    val tf = (allowed match {
+    val restricted = allowed match {
       case Some(ids) => graft.operators.Prefilter.semiJoin(matched, idCol, ids)
       case None => matched
-    }).select(col(idCol), col("term"), col("tf").cast("double").as("tf"))
+    }
+    val tf =
+      if (hasDl) restricted.select(col(idCol), col("term"),
+        col("tf").cast("double").as("tf"), col("dl"))
+      else restricted.select(col(idCol), col("term"),
+        col("tf").cast("double").as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
 
     val k1 = lit(params.k1)
@@ -124,8 +135,8 @@ object Bm25 {
     val tfn = (col("tf") * (k1 + lit(1.0))) /
       (col("tf") + k1 * (lit(1.0) - b + b * col("dl") / col("avgdl")))
 
-    tf.join(broadcast(df), "term")
-      .join(dls, idCol)
+    (if (hasDl) tf.join(broadcast(df), "term")
+     else tf.join(broadcast(df), "term").join(dls, idCol))
       .crossJoin(broadcast(stats))
       .withColumn("term_score", idf * tfn)
       .groupBy(idCol)

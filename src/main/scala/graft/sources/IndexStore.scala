@@ -60,6 +60,18 @@ object IndexStore {
       assignments: DataFrame,
       raw: DataFrame)
 
+  // memoized per (session, path): DataFrame creation pays eager file
+  // listing + footer schema reads (~0.1 s/table locally) and the
+  // serving path binds up to ten tables per request. Index dirs are
+  // write-once per JVM (built under a fresh temp dir, then only read),
+  // so reusing the plan is safe — scans stay lazy and re-read nothing.
+  // Mutable dirs (LSM segments) never go through this cache.
+  private val dfCache = scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+  private def readParquet(spark: SparkSession, path: String): DataFrame =
+    synchronized { dfCache.getOrElseUpdate((spark, path), spark.read.parquet(path)) }
+
+  private val tablesCache = scala.collection.mutable.Map[(SparkSession, String), IndexTables]()
+
   private val built = scala.collection.mutable.Map[String, String]()
   private val builtVec = scala.collection.mutable.Map[String, String]()
   private val builtVecSets = scala.collection.mutable.Map[String, String]()
@@ -112,20 +124,24 @@ object IndexStore {
     })
   }
 
-  def tables(spark: SparkSession, sfDir: String): IndexTables = {
+  def tables(spark: SparkSession, sfDir: String): IndexTables = synchronized {
+    tablesCache.getOrElseUpdate((spark, sfDir), buildTables(spark, sfDir))
+  }
+
+  private def buildTables(spark: SparkSession, sfDir: String): IndexTables = {
     val dir = indexDir(spark, sfDir)
     // the paragraph posting pair may be absent in index dirs built by
     // an older buildIndex — bind None instead of failing at read time
     def opt(sub: String): Option[DataFrame] = {
       val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
       if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-        Some(spark.read.parquet(s"$dir/$sub"))
+        Some(readParquet(spark, s"$dir/$sub"))
       else None
     }
     IndexTables(
-      postings = spark.read.parquet(s"$dir/postings"),
-      docLengths = spark.read.parquet(s"$dir/doclengths"),
-      paragraphs = spark.read.parquet(s"$dir/paragraphs"),
+      postings = readParquet(spark, s"$dir/postings"),
+      docLengths = readParquet(spark, s"$dir/doclengths"),
+      paragraphs = readParquet(spark, s"$dir/paragraphs"),
       parPostings = opt("par_postings"),
       parDocLengths = opt("par_doclengths"),
       fields = opt("fields"),
@@ -233,21 +249,21 @@ object IndexStore {
     }
 
   def postings(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${indexDir(spark, sfDir)}/postings")
+    readParquet(spark, s"${indexDir(spark, sfDir)}/postings")
 
   /** (term, freq) dictionary — the suggest/fuzzy serving table. */
   def termFreq(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${indexDir(spark, sfDir)}/termfreq")
+    readParquet(spark, s"${indexDir(spark, sfDir)}/termfreq")
 
   /** MinHash signature table (id, h0..h{n-1}) — the near-dup serving
     * table ([[graft.operators.Dedup.minHashLshFromSignatures]]). */
   def signatures(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${indexDir(spark, sfDir)}/signatures")
+    readParquet(spark, s"${indexDir(spark, sfDir)}/signatures")
 
   /** SymSpell deletion-neighborhood table (variant, term) — the
     * distance-1 fuzzy lookup ([[graft.operators.TopK.symSpellMatchTerms]]). */
   def deletes(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${indexDir(spark, sfDir)}/deletes")
+    readParquet(spark, s"${indexDir(spark, sfDir)}/deletes")
 
   /** Hashed-shingle posting table (id, shingle, sz) — the n-gram
     * Jaccard serving table ([[graft.operators.Dedup.ngramJaccardFromShingles]]).
@@ -272,12 +288,12 @@ object IndexStore {
   /** Positional posting table (id, pos, term) — the quoted-phrase
     * serving table ([[graft.operators.PhraseSearch.phraseOccurrencesFromPositions]]). */
   def positions(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${indexDir(spark, sfDir)}/positions")
+    readParquet(spark, s"${indexDir(spark, sfDir)}/positions")
 
   /** Trained language-ID profile table (plang, tg, logp) — driver-scale
     * model rows ([[graft.functions.TextFunctions.langIdFromProfiles]]). */
   def langProfiles(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${indexDir(spark, sfDir)}/langprofiles")
+    readParquet(spark, s"${indexDir(spark, sfDir)}/langprofiles")
 
   /** [[langProfiles]] collected into the broadcast-literal model shape
     * (memoized per session+dir — one collect, not one per request). */
@@ -292,21 +308,21 @@ object IndexStore {
     }
 
   def docLengths(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${indexDir(spark, sfDir)}/doclengths")
+    readParquet(spark, s"${indexDir(spark, sfDir)}/doclengths")
 
   def paragraphs(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${indexDir(spark, sfDir)}/paragraphs")
+    readParquet(spark, s"${indexDir(spark, sfDir)}/paragraphs")
 
   /** Paragraph-derived (term, freq) dictionary — the /suggest serving
     * table ([[graft.api.Suggest.suggestMerged]]). */
   def parTermFreq(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${indexDir(spark, sfDir)}/par_termfreq")
+    readParquet(spark, s"${indexDir(spark, sfDir)}/par_termfreq")
 
   /** Paragraph-level posting/length tables — the nidx_paragraph BM25
     * serving pair. */
   def parPostings(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${indexDir(spark, sfDir)}/par_postings")
+    readParquet(spark, s"${indexDir(spark, sfDir)}/par_postings")
 
   def parDocLengths(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${indexDir(spark, sfDir)}/par_doclengths")
+    readParquet(spark, s"${indexDir(spark, sfDir)}/par_doclengths")
 }

@@ -139,10 +139,20 @@ object Ingest {
     * tantivy segment's inverted index, precomputed once at ingest so
     * query-time BM25 is a pruned lookup instead of a full tokenize.
     */
-  def termPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def termPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // `dl` (the doc's token count) is DENORMALIZED onto every posting
+    // row — tantivy stores exactly this per-posting fieldnorm so BM25
+    // never joins a lengths table at query time
+    // (`nidx_text/src/reader.rs:367-451`); one extra int column buys
+    // Bm25.scoreFromPostings a join-free scoring path (the lengths
+    // table remains the stats source). The window is an ingest-time
+    // shuffle on the id — the same key the groupBy already shuffled.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
     docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy("term", idCol)
       .agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(w))
+  }
 
   /** Trainset export (`nucliadb/src/nucliadb/train/generators`,
     * `dataset.proto:9-17`): project a task-specific view and write

@@ -529,6 +529,34 @@ class ScaleDesignSpec extends SparkSpec {
       "q91 must never read a text column — scores come from postings, " +
         "the prefilter from typed columns:\n" +
         p91.linesIterator.take(20).mkString("\n"))
+    // round-10 shape pins: every request restriction compiles against
+    // the posting pair itself — the doc prefilter is an id-prefix
+    // semi-join, never a paragraphs-table allow-set (the old shape
+    // re-executed that subtree once per scoreFromPostings consumer)
+    assert(!p91.contains("/paragraphs"),
+      "q91 must not scan the paragraphs table — the doc prefilter " +
+        s"joins the posting rows' id prefix directly:\n$p91")
+    // `dl` is denormalized onto the posting rows (tantivy's fieldnorm
+    // analog), so the lengths table feeds ONLY the 1-row stats
+    // aggregate — exactly one scan in the final plan (the AQE toString
+    // repeats every node in its "Initial Plan" section, so count only
+    // up to that marker)
+    val p90Final = p90.split("== Initial Plan ==").head
+    val dlScans90 = "par_doclengths".r.findAllIn(p90Final).size
+    assert(dlScans90 == 1,
+      s"q90 must scan par_doclengths exactly once (stats agg), got $dlScans90:\n$p90")
+    // field-restricted BM25 (q102, fields=["a"]): the spec compiles to
+    // an id-prefix predicate, so neither the fields table nor the
+    // paragraphs table is touched, and the body posting pair — which
+    // the spec cannot match — is never unioned in
+    val q102 = SparkEntry.queries("q102_field_bm25")(spark, dir)
+    q102.collect()
+    val p102 = plan(q102)
+    assert(!p102.contains("/fields") && !p102.contains("/paragraphs"),
+      s"q102 must restrict via the paragraph-id prefix, not table joins:\n$p102")
+    assert(!p102.contains("/par_postings") && !p102.contains("/par_doclengths"),
+      "q102 fields=[a] must skip the body posting pair entirely " +
+        s"(no spec can match t/body):\n$p102")
   }
 
   test("phrase search serves the at-rest positional postings with per-term pushdown") {
