@@ -1313,6 +1313,50 @@ object SparkEntry {
         .orderBy(col("best_score").desc, col("doc_id").asc)
     }),
 
+    // §3.1 HYBRID find with a FIELD restriction — the reference's
+    // prefilter applies `fields=` to every sub-search
+    // (`query_planner.rs:293-378`, `old_filters.py:48-260`): the spec
+    // compiles against the at-rest fields table and the allowed doc
+    // set narrows BOTH retrieval lists. fields=["c"] admits only the
+    // resources carrying a conversation field (every 5th doc — the
+    // fixture conversation corpus), 20% density < the 25% ANN
+    // threshold, so the semantic list takes the brute branch over the
+    // restricted corpus — exact, hence oracle-parity
+    "q104_find_fields_hybrid" -> ((s, dir) => {
+      import graft.api.Find
+      val emb = load(s, dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0)
+      Find.find(
+          Find.Corpus(load(s, dir, "documents"), "doc_id", "text", Some(emb),
+            index = Some(graft.sources.IndexStore.tables(s, dir)),
+            vectorIndex = Some(graft.sources.IndexStore.vectorIndex(s, dir)),
+            annBruteThreshold = 1),
+          Find.FindRequest(query = QueryTerms.mkString(" "),
+            queryVector = Some(qv),
+            fields = Seq("c"), topK = 20))
+        .select(col("doc_id"), col("fused"), col("n_sources"))
+        .orderBy(col("fused").desc, col("doc_id").asc)
+    }),
+
+    // §2.2 CONVERSATION-field retrieval end to end: fields=["c/chat"]
+    // through findParagraphs over an index whose field_paragraphs
+    // include conversation rows — pins the
+    // `{rid}/c/{field}/{split}/{start}-{end}` id flow
+    // (`noderesources.proto:118-121`; splits appended per
+    // `ingest/orm/brain_v2.py:266-307`) through the structural field
+    // semi-join and the response tree
+    "q105_conversation_find" -> ((s, dir) => {
+      import graft.api.Find
+      Find.findParagraphs(
+          Find.Corpus(load(s, dir, "documents"), "doc_id", "text",
+            index = Some(graft.sources.IndexStore.tables(s, dir))),
+          Find.FindRequest(query = QueryTerms.mkString(" "),
+            fields = Seq("c/chat"), topK = 20))
+        .withColumn("hits", concat_ws(",", col("hits")))
+        .orderBy(col("best_score").desc, col("doc_id").asc)
+    }),
+
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:
     // HyperLogLog++ distinct counts and approximate percentiles give a
     // bounded-memory, one-pass corpus shape. NO DuckDB oracle (sketch
@@ -2573,6 +2617,64 @@ object SparkEntry {
          |           CAST(len(list_filter(tt, x -> list_contains(${sqlList(QueryTerms)}, x))) AS DOUBLE) AS score
          |         FROM title
          |         WHERE len(list_filter(tt, x -> list_contains(${sqlList(QueryTerms)}, x))) > 0)
+         |SELECT doc_id, round(max(score), 6) AS best_score,
+         |  CAST(count(*) AS BIGINT) AS n_hits,
+         |  string_agg(paragraph_id, ',' ORDER BY score DESC, paragraph_id) AS hits
+         |FROM hits GROUP BY doc_id
+         |ORDER BY best_score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q104: hybrid find restricted by fields=["c"] — allowed docs are
+    // the fixture conversation carriers (doc_id % 5 = 0); BM25 stats
+    // cover the restricted corpus (filter-then-score contract) and the
+    // semantic list is the exact brute cosine over the same set
+    // (density 20% < the 25% ANN threshold forces the brute branch).
+    "q104_find_fields_hybrid" ->
+      s"""WITH allowed AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |tok AS (SELECT doc_id, unnest($Tok) AS term FROM allowed),
+         |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+         |       WHERE term IN $InQueryTerms GROUP BY doc_id, term),
+         |idf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |bm25 AS (
+         |  SELECT tf.doc_id,
+         |         round(sum(ln(1 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+         |               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 4) AS score
+         |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         |  GROUP BY tf.doc_id),
+         |kr AS (SELECT doc_id, rank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm25)
+         |  WHERE rank <= 500),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |sem AS (SELECT e.vec_id AS doc_id, round(${cosSql("e.v", "q.qv")}, 6) AS score
+         |        FROM e CROSS JOIN q JOIN allowed a ON a.doc_id = e.vec_id),
+         |sr AS (SELECT doc_id, rank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sem)
+         |  WHERE rank <= 500),
+         |u AS (SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM kr
+         |      UNION ALL
+         |      SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM sr)
+         |SELECT doc_id, round(sum(contrib), 6) AS fused, CAST(count(*) AS BIGINT) AS n_sources
+         |FROM u GROUP BY doc_id
+         |ORDER BY fused DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q105: conversation-field retrieval — the fixture conversations
+    // chunk exactly like body text but key their paragraphs
+    // {rid}/c/chat/0/{start}-{end} (split level in the id).
+    "q105_conversation_find" ->
+      s"""WITH toksd AS (SELECT doc_id, $Tok AS t FROM documents WHERE doc_id % 5 = 0),
+         |chunks AS (SELECT doc_id, t, i AS c
+         |           FROM toksd CROSS JOIN (SELECT unnest(range(200)) AS i) ix
+         |           WHERE len(t) > 0 AND i < ceil(len(t) / 20.0)),
+         |par AS (SELECT doc_id, t, c * 20 AS s, least(len(t), c * 20 + 20) AS e,
+         |        CAST(doc_id AS VARCHAR) || '/c/chat/0/' || CAST(c * 20 AS VARCHAR) || '-' ||
+         |          CAST(least(len(t), c * 20 + 20) AS VARCHAR) AS paragraph_id
+         |        FROM chunks),
+         |hits AS (SELECT doc_id, paragraph_id,
+         |           CAST(len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) AS DOUBLE) AS score
+         |         FROM par
+         |         WHERE len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) > 0)
          |SELECT doc_id, round(max(score), 6) AS best_score,
          |  CAST(count(*) AS BIGINT) AS n_hits,
          |  string_agg(paragraph_id, ',' ORDER BY score DESC, paragraph_id) AS hits

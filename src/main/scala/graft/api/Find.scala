@@ -94,10 +94,34 @@ object Find {
     val terms = Synonyms.expand(parsed.terms, req.synonyms)
 
     // 2. prefilter
-    val base = req.filter match {
+    val filtered = req.filter match {
       case Some(f) => corpus.docs.where(FilterExpr.compile(f))
       case None => corpus.docs
     }
+    // `fields=` restricts the DOC set structurally: the reference's
+    // prefilter applies field filters to every sub-search
+    // (`query_planner.rs:293-378`, `old_filters.py:48-260`), so a doc
+    // survives iff it carries at least one field matching a spec. The
+    // spec compiles against the at-rest fields table exactly like
+    // findParagraphs' structural path, and the semi-join folds into
+    // `base` so the keyword AND semantic lists both respect it.
+    val base =
+      if (req.fields.isEmpty) filtered
+      else {
+        val ix = corpus.index.getOrElse(throw new IllegalArgumentException(
+          "field filters need a bound index"))
+        val fieldsTab = ix.fields.getOrElse(throw new IllegalArgumentException(
+          "field filters need the fields table — rebuild the index"))
+        val (fieldExpr, _) = OldFilters.parse(
+          OldFilters.Params(fields = req.fields))
+        filtered.join(
+          fieldsTab.where(FilterExpr.compile(fieldExpr.get))
+            .select(corpus.docId),
+          Seq(corpus.docId), "left_semi")
+      }
+    // every branch below must treat a field restriction exactly like a
+    // doc filter — it narrows the searchable corpus the same way
+    val hasRestriction = req.filter.nonEmpty || req.fields.nonEmpty
 
     // 3. keyword list (phrases + exclusions as predicates on the doc)
     val keywordList: Option[DataFrame] =
@@ -112,7 +136,7 @@ object Find {
         val candidates = base.where(phrasePred && exclPred)
         // Is the candidate set the whole corpus? Then the posting path
         // needs no id restriction at all (pure pruned-scan lookup).
-        val unrestricted = req.filter.isEmpty &&
+        val unrestricted = !hasRestriction &&
           parsed.phrases.isEmpty && parsed.excluded.isEmpty
         val scored =
           if (terms.isEmpty) // phrase-only query: uniform score, id order
@@ -162,7 +186,7 @@ object Find {
       // density check only when a filter restricts the set — the count
       // costs one scan of the filtered doc table, the same scan the
       // brute branch would pay (the reference's matching_nodes count)
-      val denseEnough = bigEnough && (req.filter.isEmpty ||
+      val denseEnough = bigEnough && (!hasRestriction ||
         useAnnIndex(base.count(), boundIndex.get.nVectors,
           corpus.annDensityThreshold))
       if (denseEnough) {
@@ -181,7 +205,7 @@ object Find {
         // the allowed ids, so every ADC candidate is already allowed
         // and no rerank slot is wasted on filtered-out docs
         val codes =
-          if (req.filter.isEmpty) vix.codes
+          if (!hasRestriction) vix.codes
           else Prefilter.semiJoin(vix.codes, corpus.vecId, allowed)
         VectorSearch.ivfPqSearchAtRest(
             codes, raw, corpus.vecId, "code", corpus.vecCol,

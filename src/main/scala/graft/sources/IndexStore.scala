@@ -3,7 +3,7 @@ package graft.sources
 import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** At-rest index tables for a corpus directory — the serving-side view
   * of [[Ingest.buildIndex]] / [[Ingest.buildVectorIndex]].
@@ -103,8 +103,16 @@ object IndexStore {
     built.getOrElseUpdate(sfDir, {
       val out = deleteOnExit(Files.createTempDirectory("graft-index-").toString)
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      // fixture conversation corpus (the testdata has no conversation
+      // table): every 5th resource carries a `c/chat` field with one
+      // split whose text is the resource's own text — deterministic and
+      // DuckDB-expressible, so conversation retrieval gets real oracle
+      // coverage (reference-style fixture, like the query vectors)
+      val convs = docs.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), lit("chat").as("field_id"),
+          lit("0").as("split"), col("text"))
       Ingest.buildIndex(docs, "doc_id", "text", out, withVectors = false,
-        langCol = Some("lang"))
+        langCol = Some("lang"), conversations = Some(convs))
       out
     })
   }

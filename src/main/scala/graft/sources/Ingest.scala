@@ -179,7 +179,8 @@ object Ingest {
       shingleSize: Int = 3,
       numHashes: Int = 8,
       langCol: Option[String] = None,
-      shingleBuckets: Int = 16): Unit = {
+      shingleBuckets: Int = 16,
+      conversations: Option[DataFrame] = None): Unit = {
     splitParagraphs(docs, idCol, textCol, parTokens = parTokens)
       .write.mode("overwrite").parquet(s"$outDir/paragraphs")
     // field-level data model: typed field rows + per-field paragraphs
@@ -194,12 +195,28 @@ object Ingest {
     // cache across the two consumers: the fields lineage re-tokenizes
     // the corpus, and without the cache both writes would pay it
     val fieldsDf = fieldsTable(docs, idCol, textCol).cache()
+    // CONVERSATION fields (`resources.proto` ConversationField; splits
+    // appended per message, `ingest/orm/brain_v2.py:266-307`): rows
+    // (idCol, field_id, split, text) index like any other field — one
+    // metadata row per (rid, c, field_id) and per-split paragraphs
+    // keyed {rid}/c/{field_id}/{split}/{start}-{end}. The split level
+    // lives only in the paragraph id: field filters address the FIELD
+    // (`c/chat`), never a single split.
+    val convPars = conversations.map(c =>
+      splitConversationParagraphs(c, idCol, "field_id", "split", textCol,
+        parTokens = parTokens))
     try {
-      fieldsDf.drop("f_text")
+      val fieldMeta = fieldsDf.drop("f_text")
+      conversations.map(c => fieldMeta.unionByName(
+          c.select(col(idCol), lit("c").as("field_type"),
+            col("field_id").cast("string").as("field_id")).distinct()))
+        .getOrElse(fieldMeta)
         .write.mode("overwrite").parquet(s"$outDir/fields")
-      splitFieldParagraphs(
-          fieldsDf.where(!(col("field_type") === "t" && col("field_id") === "body")),
-          idCol, parTokens = parTokens)
+      val fieldPars = splitFieldParagraphs(
+        fieldsDf.where(!(col("field_type") === "t" && col("field_id") === "body")),
+        idCol, parTokens = parTokens)
+      convPars.map(cp => fieldPars.unionByName(cp.drop("split")))
+        .getOrElse(fieldPars)
         .write.mode("overwrite").parquet(s"$outDir/field_paragraphs")
     } finally fieldsDf.unpersist()
     // BM25 posting pair for the NON-BODY field paragraphs — field-

@@ -29,11 +29,18 @@ class ContractSpec extends AnyFunSuite {
       "an exempted query gained an oracle — remove it from the exempt set")
   }
 
-  test("query names are stable and sortable") {
+  test("query names are stable and numerically ordered consumers exist") {
     SparkEntry.queries.keySet.foreach { n =>
       assert(n.matches("q\\d{2,3}_[a-z0-9_]+"), s"bad query name: $n")
     }
-    assert(SparkEntry.queries.size == 103)
+    // NOTE: names are NOT lexicographically sortable once 3-digit ids
+    // exist (q100 sorts between q10_ and q11_) — a consumer needing
+    // numeric order must sort by this extracted id (no engine consumer
+    // does: Verify/Bench run every query, order-independent)
+    val ids = SparkEntry.queries.keySet.map(n =>
+      n.drop(1).takeWhile(_.isDigit).toInt)
+    assert(ids.size == SparkEntry.queries.size, "duplicate numeric query ids")
+    assert(SparkEntry.queries.size == 105)
   }
 
   test("oracle SQL contains no tab or CR characters that could break the JSON dump") {

@@ -111,6 +111,37 @@ class FindSpec extends SparkSpec {
       queryVector = Some(Seq(0.5f, 0.5f, 0.5f)), semanticMinScore = 0.9)) == Seq("lp"))
   }
 
+  test("doc-level find honors fields=: both lists restricted; missing tables fail loudly") {
+    // index with a conversation on ONE doc: fields=["c"] must narrow the
+    // hybrid result to that doc across BOTH retrieval lists — the
+    // reference prefilter applies field filters to every sub-search
+    // (query_planner.rs:293-378)
+    val dir = graft.sources.IndexStore.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft-findfields-").toString)
+    val convs = Seq(("zar", "chat", "0", "spoke of engines")).toDF("rid", "field_id", "split", "text")
+    graft.sources.Ingest.buildIndex(docs, "rid", "text", dir,
+      withVectors = false, conversations = Some(convs))
+    val ix = graft.sources.IndexStore.IndexTables(
+      spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/doclengths"),
+      spark.read.parquet(s"$dir/paragraphs"),
+      fields = Some(spark.read.parquet(s"$dir/fields")),
+      fieldParagraphs = Some(spark.read.parquet(s"$dir/field_paragraphs")))
+    val c = corpus.copy(index = Some(ix))
+    val restricted = Find.find(c, FindRequest(query = "novel prince",
+      queryVector = Some(Seq(0.5f, 0.5f, 0.5f)), fields = Seq("c")))
+      .collect().map(_.getString(0)).toSeq
+    assert(restricted == Seq("zar"),
+      s"fields=[c] must admit only the conversation carrier: $restricted")
+    // a field spec over an index without the fields table fails loudly
+    // instead of silently ignoring the restriction (ADVICE r9)
+    val bare = corpus // no index bound
+    val e = intercept[IllegalArgumentException] {
+      Find.find(bare, FindRequest(query = "novel", fields = Seq("c")))
+    }
+    assert(e.getMessage.contains("field filters need a bound index"))
+  }
+
   test("rerank reorders the fused window by model overlap") {
     val rows = Find.find(corpus, FindRequest(
         query = "prince planets database", rerank = true))
