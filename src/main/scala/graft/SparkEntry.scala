@@ -1357,6 +1357,19 @@ object SparkEntry {
         .orderBy(col("best_score").desc, col("doc_id").asc)
     }),
 
+    // §2.1 PARAGRAPH_STREAMING trainset (`dataset.proto:15`,
+    // `train/generators/paragraph_streaming.py`): every field's
+    // paragraphs as sequential (id, text) items — body, title AND
+    // conversation-split rows — straight off the at-rest paragraph
+    // hierarchy (scan-only; no tokenize at export time)
+    "q106_paragraph_streaming" -> ((s, dir) => {
+      val ix = graft.sources.IndexStore.tables(s, dir)
+      graft.sources.Trainsets.paragraphStreaming(
+          ix.paragraphs.where(col("doc_id") < 30),
+          ix.fieldParagraphs.map(_.where(col("doc_id") < 30)))
+        .orderBy("id")
+    }),
+
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:
     // HyperLogLog++ distinct counts and approximate percentiles give a
     // bounded-memory, one-pass corpus shape. NO DuckDB oracle (sketch
@@ -2679,6 +2692,30 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_hits,
          |  string_agg(paragraph_id, ',' ORDER BY score DESC, paragraph_id) AS hits
          |FROM hits GROUP BY doc_id
-         |ORDER BY best_score DESC, doc_id LIMIT 20""".stripMargin
+         |ORDER BY best_score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q106: paragraph streaming = body chunks + the synthesized title
+    // field's single chunk + conversation-split chunks, each keyed by
+    // its paragraph id with (start, end) token offsets.
+    "q106_paragraph_streaming" ->
+      s"""WITH toksd AS (SELECT doc_id, $Tok AS t FROM documents WHERE doc_id < 30),
+         |chunks AS (SELECT doc_id, t, i AS c
+         |           FROM toksd CROSS JOIN (SELECT unnest(range(200)) AS i) ix
+         |           WHERE len(t) > 0 AND i < ceil(len(t) / 20.0)),
+         |par AS (SELECT doc_id, t, c * 20 AS s, least(len(t), c * 20 + 20) AS e FROM chunks),
+         |body AS (SELECT CAST(doc_id AS VARCHAR) || '/t/body/' || CAST(s AS VARCHAR) || '-' ||
+         |           CAST(e AS VARCHAR) AS id,
+         |           array_to_string(t[s+1:e], ' ') AS text, s, e FROM par),
+         |title AS (SELECT CAST(doc_id AS VARCHAR) || '/a/title/0-' ||
+         |            CAST(least(len(t), 5) AS VARCHAR) AS id,
+         |            array_to_string(t[1:5], ' ') AS text, 0 AS s, least(len(t), 5) AS e
+         |          FROM toksd WHERE len(t) > 0),
+         |conv AS (SELECT CAST(doc_id AS VARCHAR) || '/c/chat/0/' || CAST(s AS VARCHAR) || '-' ||
+         |           CAST(e AS VARCHAR) AS id,
+         |           array_to_string(t[s+1:e], ' ') AS text, s, e
+         |         FROM par WHERE doc_id % 5 = 0),
+         |u AS (SELECT * FROM body UNION ALL SELECT * FROM title UNION ALL SELECT * FROM conv)
+         |SELECT id, text, CAST(s AS BIGINT) AS p_start, CAST(e AS BIGINT) AS p_end
+         |FROM u ORDER BY id""".stripMargin
   )
 }

@@ -142,6 +142,29 @@ object Trainsets {
         .as("field_uid"),
       col("f_text").as("text"))
 
+  /** PARAGRAPH_STREAMING (`dataset.proto:15`; the generator
+    * `train/generators/paragraph_streaming.py:61-97` streams every
+    * field's paragraphs "ordered as if they were read sequentially
+    * from each field"): one (id, text) item per paragraph, keyed
+    * `{rid}/{field_type}/{field_id}/{start}-{end}` — split fields
+    * (conversations) keep their split level in the id exactly as the
+    * reference emits it. A pure projection of the at-rest paragraph
+    * hierarchy: body rows from the main paragraph table, non-body and
+    * conversation rows from field_paragraphs — no tokenize, no join,
+    * scan-only at any scale. Position metadata rides along as
+    * (p_start, p_end) token offsets.
+    */
+  def paragraphStreaming(
+      paragraphs: DataFrame,
+      fieldParagraphs: Option[DataFrame]): DataFrame = {
+    def proj(df: DataFrame): DataFrame = df.select(
+      col("paragraph_id").as("id"), col("p_text").as("text"),
+      col("start").cast("long").as("p_start"),
+      col("end").cast("long").as("p_end"))
+    fieldParagraphs.map(fp => proj(paragraphs).unionByName(proj(fp)))
+      .getOrElse(proj(paragraphs))
+  }
+
   /** Deterministic hash sampling for reproducible trainset cuts: keep
     * rows whose md5(id) hex digest starts with one of `hexPrefixes`
     * (each single hex digit ≈ 1/16 of the data; two digits ≈ 1/256).
