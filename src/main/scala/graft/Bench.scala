@@ -15,11 +15,14 @@ import org.apache.spark.sql.SparkSession
   *
   * Host-contention hygiene (two rounds of driver numbers were
   * contention artifacts): the 1-minute load average is captured before
-  * and after into the JSON, and if a best-total file exists
-  * (`bench_best.json`, updated after every run) and this run's total
-  * deviates >1.3× from it, the whole suite reruns once and the
-  * per-query minima across both runs are reported, with `"reran":true`
-  * flagging the retry.
+  * and after into the JSON, and the suite reruns once (per-query
+  * minima across both runs, `"reran":true`) when the run deviates from
+  * the recorded bests — either the TOTAL >1.3× its best, or ANY query
+  * >2× its own best. Totals across rounds compare different query
+  * counts, so `bench_best.json` records a per-query best
+  * (`{sfKey}/q/{name}` keys) alongside the total; queries still >2×
+  * their best after the rerun are surfaced in `"deviations"` so a real
+  * per-query regression cannot hide inside suite growth.
   */
 object Bench {
 
@@ -64,43 +67,53 @@ object Bench {
     var results = runSuite(spark, sfDir, warm = true)
     var total = results.map(_._2).sum
 
-    // deviation check against the best recorded total for this sf dir
+    // recorded bests for this sf dir: flat JSON of `{sfKey}` → best
+    // total plus `{sfKey}/q/{name}` → best per-query time
     val bestPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BEST", "bench_best.json"))
     val sfKey = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
-    val prevBest: Option[Double] =
+    def qKey(name: String) = s"$sfKey/q/$name"
+    val recorded: Map[String, Double] =
       try {
         val txt = java.nio.file.Files.readString(bestPath)
-        // quote the key: '.' in sf0.1 is a regex metachar otherwise
-        (java.util.regex.Pattern.quote(s""""$sfKey"""") + """\s*:\s*([0-9.eE+-]+)""").r
-          .findFirstMatchIn(txt).map(_.group(1).toDouble)
-      } catch { case _: Exception => None }
+        """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Exception => Map.empty[String, Double] }
+    val prevBest = recorded.get(sfKey)
+
+    def perQueryDeviations(rs: Seq[(String, Double)]): Seq[(String, Double)] =
+      rs.flatMap { case (name, t) =>
+        recorded.get(qKey(name)).filter(b => t > 2.0 * b && t - b > 0.05)
+          .map(b => name -> t / b)
+      }
+
     var reran = false
-    if (prevBest.exists(b => total > 1.3 * b)) {
+    if (prevBest.exists(b => total > 1.3 * b) ||
+        perQueryDeviations(results).nonEmpty) {
       // likely host contention — rerun once, keep per-query minima
       val second = runSuite(spark, sfDir, warm = false).toMap
       results = results.map { case (k, v) => k -> math.min(v, second.getOrElse(k, v)) }
       total = results.map(_._2).sum
       reran = true
     }
+    // deviations that SURVIVE the rerun are candidate regressions
+    val deviations = perQueryDeviations(results)
+
     val newBest = math.min(total, prevBest.getOrElse(total))
     try {
-      val others: Map[String, Double] =
-        try {
-          val txt = java.nio.file.Files.readString(bestPath)
-          """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        } catch { case _: Exception => Map.empty[String, Double] }
-      val merged = others + (sfKey -> newBest)
+      val updated = recorded ++
+        (results.map { case (k, v) =>
+          qKey(k) -> math.min(v, recorded.getOrElse(qKey(k), v))
+        } :+ (sfKey -> newBest))
       java.nio.file.Files.writeString(bestPath,
-        merged.toSeq.sortBy(_._1)
+        updated.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
     } catch { case _: Exception => () } // best-file is advisory only
 
     val loadAfter = loadAvg()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"reran":$reran,"best_total":$newBest}""")
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"reran":$reran,"best_total":$newBest,"deviations":${jmap(deviations)}}""")
     spark.stop()
   }
 }

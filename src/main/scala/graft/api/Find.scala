@@ -122,6 +122,21 @@ object Find {
     // every branch below must treat a field restriction exactly like a
     // doc filter — it narrows the searchable corpus the same way
     val hasRestriction = req.filter.nonEmpty || req.fields.nonEmpty
+    // the allowed-doc id list — one narrow projection feeding the
+    // density probe, the keyword allow-set, and the semantic semi-join.
+    // On a restricted SEMANTIC request those are 2-3 consumers and the
+    // probe is an eager action anyway (ADVICE r9: it added a full
+    // filtered scan ahead of the chosen branch), so the projection is
+    // cached in the per-request arena: the probe's count materializes
+    // it and the retrieval lists reuse it instead of re-running the
+    // filter + field semi-join per consumer. Ids only — memory stays
+    // bounded by the id column, never the doc payload.
+    val allowedIds: DataFrame = {
+      val ids = base.select(col(corpus.docId))
+      if (hasRestriction && corpus.vectors.isDefined && req.queryVector.isDefined)
+        graft.Caches.cache(ids)
+      else ids
+    }
 
     // 3. keyword list (phrases + exclusions as predicates on the doc)
     val keywordList: Option[DataFrame] =
@@ -147,6 +162,10 @@ object Find {
                 corpus.docId, terms,
                 allowed =
                   if (unrestricted) None
+                  // no phrase/exclusion predicates → candidates ≡ base,
+                  // so the (possibly cached) shared id list serves
+                  else if (parsed.phrases.isEmpty && parsed.excluded.isEmpty)
+                    Some(allowedIds)
                   else Some(candidates.select(corpus.docId)))
             case None =>
               Bm25.score(candidates, corpus.docId, corpus.text, terms)
@@ -187,12 +206,12 @@ object Find {
       // costs one scan of the filtered doc table, the same scan the
       // brute branch would pay (the reference's matching_nodes count)
       val denseEnough = bigEnough && (!hasRestriction ||
-        useAnnIndex(base.count(), boundIndex.get.nVectors,
+        useAnnIndex(allowedIds.count(), boundIndex.get.nVectors,
           corpus.annDensityThreshold))
       if (denseEnough) {
         val vix = boundIndex.get
         val window = math.max(req.topK, RankFusion.MaxWindow)
-        val allowed = base.select(col(corpus.docId).as(corpus.vecId))
+        val allowed = allowedIds.select(col(corpus.docId).as(corpus.vecId))
         // the exact-rerank side keeps the brute path's docs restriction
         // (vector ids absent from the doc table can never reach the
         // response): the semi-join applies to the ≤rerank candidate
@@ -237,7 +256,7 @@ object Find {
             pruned
           case None => vecs0
         }
-        val allowed = base.select(col(corpus.docId).as(corpus.vecId))
+        val allowed = allowedIds.select(col(corpus.docId).as(corpus.vecId))
         Prefilter.semiJoin(vecs, corpus.vecId, allowed)
           .withColumn("score",
             round(VectorFunctions.cosine(col(corpus.vecCol), typedlit(qv)), 6))
