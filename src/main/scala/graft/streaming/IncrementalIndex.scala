@@ -348,19 +348,37 @@ object IncrementalIndex {
     serveFrom(spark, dirs, idCol, seqCol)
   }
 
+  /** One multi-path read of `sub` across all `dirs` — NOT a per-dir
+    * read + union: a `spark.read.parquet` per segment pays an eager
+    * footer/listing round-trip and stacks a union leg per segment, and
+    * at 64 live segments that was ~0.5 s of pure plan construction PER
+    * SUB-TABLE per request (measured in StreamingSpec's segment-count
+    * test; 34 s for one suggest). A single relation over all paths
+    * lists in one parallel job and plans one scan. All segments of a
+    * root share the writeSegment layout by construction — mixed-layout
+    * roots are unsupported (the require messages say: recompact).
+    * PARTITIONED sub-tables (codes/vectors) cannot take this path:
+    * each segment is its own partition-discovery root, and a
+    * multi-path read rejects the conflicting structures — they keep
+    * the per-dir union, which also preserves per-segment partition
+    * pruning ([[vectorTablesFrom]]).
+    */
+  private def readSegSub(spark: SparkSession, dirs: Seq[String],
+      sub: String): DataFrame =
+    spark.read.parquet(dirs.map(d => s"$d/$sub"): _*)
+
   /** Newest (id, seq) winner per doc across the given segments. */
   private def winnersOf(spark: SparkSession, dirs: Seq[String],
       idCol: String, seqCol: String): DataFrame =
-    mergeLatest(
-      dirs.map(d => spark.read.parquet(s"$d/docs")).reduce(_ unionByName _),
-      idCol, seqCol).select(col(idCol), col(seqCol))
+    mergeLatest(readSegSub(spark, dirs, "docs"), idCol, seqCol)
+      .select(col(idCol), col(seqCol))
 
   private def serveFrom(spark: SparkSession, dirs: Seq[String],
       idCol: String, seqCol: String,
       winners0: Option[DataFrame] = None): graft.sources.IndexStore.IndexTables = {
     val winners = winners0.getOrElse(winnersOf(spark, dirs, idCol, seqCol))
     def serve(sub: String) =
-      dirs.map(d => spark.read.parquet(s"$d/$sub")).reduce(_ unionByName _)
+      readSegSub(spark, dirs, sub)
         .join(winners, Seq(idCol, seqCol), "left_semi")
     // optional tables bind only when EVERY live segment carries them —
     // a mixed root (segments from before the table existed) serves
@@ -398,7 +416,7 @@ object IncrementalIndex {
   private def servedSub(spark: SparkSession, dirs: Seq[String], sub: String,
       idCol: String, seqCol: String,
       winners0: Option[DataFrame] = None): DataFrame =
-    dirs.map(d => spark.read.parquet(s"$d/$sub")).reduce(_ unionByName _)
+    readSegSub(spark, dirs, sub)
       .join(winners0.getOrElse(winnersOf(spark, dirs, idCol, seqCol)),
         Seq(idCol, seqCol), "left_semi")
 
@@ -472,6 +490,11 @@ object IncrementalIndex {
     require(withVec.nonEmpty, s"no vector segments among $dirs")
     val winners = winners0.getOrElse(winnersOf(spark, dirs, idCol, seqCol))
     def serve(sub: String) = {
+      // per-dir read + union, NOT the multi-path fast path: these
+      // tables are partition-discovered per segment (vectorset /
+      // centroid_id dirs), so each segment root must be opened as its
+      // own table for the partition columns to bind — and the probe's
+      // partition pruning then applies inside every segment
       val u = withVec.map(d => spark.read.parquet(s"$d/$sub")).reduce(_ unionByName _)
       // loud layout-version check: segments written before the
       // vectorset-tagged layout lack the column and must be recompacted
@@ -522,8 +545,7 @@ object IncrementalIndex {
     fs.delete(new org.apache.hadoop.fs.Path(out), true)
     // the cross-segment docs union + winner set feed every table family
     // below — compute each once, not once per family
-    val docsUnion = dirs.map(d => spark.read.parquet(s"$d/docs"))
-      .reduce(_ unionByName _)
+    val docsUnion = readSegSub(spark, dirs, "docs")
     val winners = mergeLatest(docsUnion, idCol, seqCol)
       .select(col(idCol), col(seqCol)).cache()
     try {

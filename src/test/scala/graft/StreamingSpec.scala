@@ -549,4 +549,55 @@ class StreamingSpec extends SparkSpec {
       assert(got == Map("click" -> 2L, "view" -> 1L))
     } finally q.stop()
   }
+
+  test("streamed suggest latency vs live segment count (1 vs 8 vs 64) stays within the compaction contract") {
+    // segmentTermFreq rolls up the winner-filtered postings of ALL live
+    // segments per request — correct by construction, but its cost
+    // grows with the live-segment count between compactions. This pins
+    // the measured growth and the contract that bounds it (DESIGN.md:
+    // compaction folds live segments; suggest cost is ∝ live segments,
+    // so the cadence bounds request latency).
+    val root = Files.createTempDirectory("graft-sugsegs").toString
+    def writeSegs(from: Int, until: Int): Unit = (from until until).foreach { b =>
+      val rows = (0 until 4).map(i =>
+        (s"r${b}_$i", b.toLong, s"spark query term$b suggest word$i", false))
+      IncrementalIndex.writeSegment(rows.toDF("rid", "seq", "value", "deleted"),
+        f"$root/seg_$b%09d", "rid", "value", "seq")
+    }
+    def timeSuggest(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val tf = IncrementalIndex.segmentTermFreq(spark, root)
+        graft.operators.TopK.suggestPrefix(tf, "term", "freq", "sp", 10).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm (plan + file listing)
+      Seq(once(), once()).min
+    }
+    writeSegs(0, 1)
+    val t1 = timeSuggest()
+    writeSegs(1, 8)
+    val t8 = timeSuggest()
+    writeSegs(8, 64)
+    val t64 = timeSuggest()
+    info(f"suggest latency: 1 seg $t1%.3fs, 8 segs $t8%.3fs, 64 segs $t64%.3fs")
+    // correctness across all 64 segments: every term is still served
+    val tf = IncrementalIndex.segmentTermFreq(spark, root)
+    val sparkFreq = tf.where($"term" === "spark").collect().head.getLong(1)
+    assert(sparkFreq == 64 * 4, s"spark freq $sparkFreq != 256")
+    // compaction restores single-segment cost — the cadence contract:
+    // fold, then the same request serves one segment again
+    IncrementalIndex.compactSegments(spark, root)
+    val tc = timeSuggest()
+    info(f"suggest latency after compaction: $tc%.3fs")
+    val tfc = IncrementalIndex.segmentTermFreq(spark, root)
+    assert(tfc.where($"term" === "spark").collect().head.getLong(1) == 64 * 4)
+    // loose flakiness-proof bound: 64 segments must stay within the
+    // per-file-overhead envelope (linear growth, small constant), and
+    // compaction must land back near the 1-segment cost
+    assert(t64 < math.max(t1, 0.2) * 40,
+      f"64-segment suggest $t64%.3fs blew past linear-overhead envelope (1 seg $t1%.3fs)")
+    assert(tc < math.max(t8, 0.3) * 3,
+      f"post-compaction suggest $tc%.3fs did not return near single-segment cost")
+  }
 }
