@@ -231,6 +231,36 @@ class AnnRecallSpec extends SparkSpec {
     assert(rs.map(_._2) == rs.map(_._2).sorted, "recall must not decrease with nprobe")
   }
 
+  test("per-vectorset probe pruning: the named-set (mrl16) index has its own nprobe-recall curve") {
+    // the two-level (vectorset, centroid) pruning path — evidence that
+    // PRUNED probes over a named set behave like the default index's
+    // dial, not just oracle parity at exhaustive nprobe
+    val dir = "/root/testdata/sf0.01"
+    val vix = graft.sources.IndexStore.vectorIndexSet(spark, dir, "mrl16")
+    val raw = vix.raw
+    val qv = raw.where(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val exact = VectorSearch.bruteForceTopK(
+        raw.where(col("vec_id") =!= 0), "vec_id", "embedding",
+        raw.where(col("vec_id") === 0), "embedding", 20)
+      .collect().map(_.getLong(0))
+    def run(np: Int) = VectorSearch.ivfPqSearchAtRest(
+        vix.codes.where(col("vec_id") =!= 0),
+        raw.where(col("vec_id") =!= 0),
+        "vec_id", "code", "embedding",
+        vix.centroids, vix.codebook, vix.m, qv,
+        k = 20, nprobe = np, rerank = 200)
+      .collect().map(_.getLong(0))
+    val nps = Seq(math.max(1, vix.centroids.size / 4),
+      math.max(1, vix.centroids.size / 2), vix.centroids.size)
+    val rs = nps.map(np => np -> recallOf(run(np), exact))
+    info(rs.map { case (np, r) => f"mrl16 nprobe=$np → recall@20 $r%.2f" }.mkString(", "))
+    assert(rs.last._2 == 1.0,
+      "probing every cluster of the named set must equal brute force")
+    assert(rs.map(_._2) == rs.map(_._2).sorted,
+      "named-set recall must not decrease with nprobe")
+  }
+
   test("Find semantic list served from the index agrees with the brute path on an unfiltered request") {
     import graft.api.Find
     val dir = "/root/testdata/sf0.01"
