@@ -176,13 +176,22 @@ object TextFunctions {
   /** All character trigrams of the lowercased text (multiset, in
     * order); empty for texts shorter than 3 chars. The array() wrapper
     * is the usual let binding — the lowercase runs once per row, and
-    * every lambda reference is an attribute read.
+    * every lambda reference is an attribute read. Case folds through
+    * the LOCALE-INDEPENDENT [[graft.functions.expr.LowerRoot]] — the
+    * same [[graft.functions.expr.CaseFold]] the serving-side
+    * [[graft.functions.expr.LangIdPredict]] uses, so trigram keys
+    * match across JVM default locales (ADVICE r9: `lower()` delegates
+    * non-ASCII to the default locale).
     */
-  def charTrigrams(text: Column): Column =
-    element_at(transform(array(lower(text)), t =>
+  def charTrigrams(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val folded = ColumnBridge.column(
+      graft.functions.expr.LowerRoot(ColumnBridge.expression(text)))
+    element_at(transform(array(folded), t =>
       when(length(t) >= 3,
         transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
         .otherwise(array().cast("array<string>"))), 1)
+  }
 
   /** Language ID against TRAINED char-trigram profiles
     * ([[graft.sources.Ingest.trainLangProfiles]] read back from

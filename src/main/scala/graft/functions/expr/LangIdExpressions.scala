@@ -6,6 +6,50 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
+/** The ONE lowercase transform shared by language-ID training and
+  * serving. `UTF8String.toLowerCase` (Spark's `lower()`) delegates
+  * non-ASCII text to the JVM's DEFAULT-locale `String.toLowerCase`, so
+  * a profile trained on one JVM and served on another (e.g. `tr_TR`
+  * dotless-i mappings) could produce different trigram keys. Pure
+  * ASCII takes the locale-free fast path; anything else folds with an
+  * explicit `Locale.ROOT` — identical on every JVM.
+  */
+object CaseFold {
+  def lowerRoot(s: UTF8String): UTF8String =
+    if (s.numBytes == s.numChars) s.toLowerCase // pure ASCII: locale-free
+    else UTF8String.fromString(
+      s.toString.toLowerCase(java.util.Locale.ROOT))
+}
+
+/** `lower_root(text)` — locale-independent lowercase
+  * ([[CaseFold.lowerRoot]]) as a codegen'd expression: the training
+  * side of the language-ID pipeline
+  * ([[graft.functions.TextFunctions.charTrigrams]]) folds case through
+  * THIS, and serving ([[LangIdModel.predict]]) calls the same
+  * [[CaseFold]] method, so the two sides cannot drift across JVM
+  * default locales.
+  */
+case class LowerRoot(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lower_root"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(text: Any): Any =
+    CaseFold.lowerRoot(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.expr.CaseFold.lowerRoot($t);")
+
+  override protected def withNewChildInternal(c: Expression): LowerRoot =
+    copy(child = c)
+}
+
 /** Whole-model language-ID scoring as ONE codegen'd expression.
   *
   * The declarative formulation — per-language `aggregate` over a
@@ -42,12 +86,11 @@ class LangIdModel(profiles: Seq[(String, Map[String, Double])],
   def predict(text: UTF8String): UTF8String = {
     // CODEPOINT windows, matching Spark's substr/length and the DuckDB
     // oracle (UTF-16 substring would mis-window any non-BMP char).
-    // Lowercase via UTF8String.toLowerCase — the EXACT code path
-    // Spark's lower() takes during training (charTrigrams), so trained
-    // trigram keys and served trigrams agree on every JVM regardless of
-    // default locale (Locale.ROOT here would diverge from a
-    // default-locale training lowercase on e.g. Turkish I/i)
-    val cps = text.toLowerCase.toString.codePoints().toArray
+    // Lowercase via the SHARED locale-independent fold
+    // ([[CaseFold.lowerRoot]]) — training (charTrigrams) folds through
+    // the same method, so trained trigram keys and served trigrams
+    // agree on every JVM regardless of its default locale
+    val cps = CaseFold.lowerRoot(text).toString.codePoints().toArray
     val sums = new Array[Double](n)
     var i = 0
     while (i + 3 <= cps.length) {

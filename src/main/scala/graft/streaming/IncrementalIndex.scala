@@ -524,9 +524,39 @@ object IncrementalIndex {
     *    point leaves a readable index: the next compaction first
     *    deletes any on-disk dirs already marked subsumed (the retry of
     *    a crashed run's input deletes).
+    *
+    * The carried-forward set is PRUNED (it would otherwise grow by
+    * every segment ever folded, and [[listSegments]] re-reads it per
+    * request): an entry is dropped once its dir is absent on disk AND
+    * it can never be recreated — compacted (`…c`) names only exist via
+    * the one rename that made them, and a batch segment can only be
+    * recreated by an at-least-once REPLAY, impossible for batch ids at
+    * or below `committedBatchId` (the stream checkpoint's commit
+    * watermark: Structured Streaming replays only uncommitted batches).
+    * Pass [[committedBatchId]]'s reading of the stream checkpoint;
+    * `None` keeps every batch-segment entry (safe default — only
+    * `…c` tombstones age out).
     */
+  /** Highest batch id the stream checkpoint has COMMITTED — the replay
+    * watermark [[compactSegments]] prunes against: Structured Streaming
+    * records one file per committed batch under `commits/`, and only
+    * batches WITHOUT a commit file can be redelivered after a crash.
+    */
+  def committedBatchId(spark: SparkSession,
+      checkpointPath: String): Option[Long] = {
+    val commits = new org.apache.hadoop.fs.Path(s"$checkpointPath/commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(commits)) None
+    else fs.listStatus(commits).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong)
+      .maxOption
+  }
+
   def compactSegments(spark: SparkSession, indexRoot: String,
-      idCol: String = "rid", seqCol: String = "seq"): Unit = {
+      idCol: String = "rid", seqCol: String = "seq",
+      committedBatchId: Option[Long] = None): Unit = {
     val fs = new org.apache.hadoop.fs.Path(indexRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (allDirs, subsumedSet) = listSegments(spark, indexRoot)
@@ -578,9 +608,24 @@ object IncrementalIndex {
         .parquet(s"$out/vectors")
     }
     val names = dirs.map(d => new org.apache.hadoop.fs.Path(d).getName)
-    // carry forward the inputs' subsumed entries with the input names
-    val folded = (dirs.map(d => readSubsumed(fs,
-      new org.apache.hadoop.fs.Path(d))).flatten ++ names).distinct.sorted
+    // carry forward the inputs' subsumed entries, PRUNED: keep an entry
+    // while its dir is on disk (pending delete retry) or while a batch
+    // replay could recreate it (batch id above the commit watermark);
+    // drop everything else so the manifest stays bounded by the live
+    // replay window instead of growing with every segment ever folded
+    def batchIdOf(n: String): Option[Long] = {
+      val digits = n.stripPrefix("seg_")
+      if (n.startsWith("seg_") && digits.nonEmpty && digits.forall(_.isDigit))
+        Some(digits.toLong)
+      else None // a compacted (…c) name — only the commit rename creates it
+    }
+    val carried = dirs.flatMap(d => readSubsumed(fs,
+      new org.apache.hadoop.fs.Path(d)))
+    val kept = carried.filter { n =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$indexRoot/$n")) ||
+        batchIdOf(n).exists(bid => committedBatchId.forall(bid > _))
+    }
+    val folded = (kept ++ names).distinct.sorted
     val manifest = fs.create(new org.apache.hadoop.fs.Path(s"$out/subsumed.txt"))
     try manifest.write(folded.mkString("\n").getBytes("UTF-8"))
     finally manifest.close()

@@ -236,6 +236,61 @@ class StreamingSpec extends SparkSpec {
       s"$k: ${after(k)} != $v — duplicated segment rows inflate stats") }
   }
 
+  test("compaction prunes carried subsumed entries once they cannot recur") {
+    val root = Files.createTempDirectory("graft-segprune").toString + "/index"
+    def seg(bid: Long, rows: (String, Long, String, Boolean)*): Unit =
+      IncrementalIndex.writeSegment(
+        rows.toDF("rid", "seq", "value", "deleted"),
+        f"$root/seg_$bid%09d", "rid", "value", "seq")
+    def subsumedOf(): Set[String] = {
+      val dirs = new java.io.File(root).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("seg_"))
+      dirs.flatMap { d =>
+        val f = new java.io.File(d, "subsumed.txt")
+        if (f.exists()) scala.io.Source.fromFile(f).getLines().toSeq else Nil
+      }.toSet
+    }
+    seg(0L, ("r1", 1L, "spark a", false))
+    seg(1L, ("r1", 2L, "spark b", false))
+    IncrementalIndex.compactSegments(spark, root)
+    assert(subsumedOf() == Set("seg_000000000", "seg_000000001"))
+    seg(2L, ("r2", 3L, "spark c", false))
+    // commit watermark 2: batches ≤2 can never replay, their absent
+    // dirs prune; the absent c-name of the folded compacted segment
+    // prunes regardless (only its rename could create it)
+    IncrementalIndex.compactSegments(spark, root, committedBatchId = Some(2L))
+    assert(subsumedOf() == Set("seg_000000001c", "seg_000000002"),
+      s"pruned manifest wrong: ${subsumedOf()}")
+    // no watermark: batch entries stay (a replay could still recreate
+    // them), only the absent compacted name ages out
+    seg(3L, ("r3", 4L, "spark d", false))
+    IncrementalIndex.compactSegments(spark, root)
+    assert(subsumedOf() == Set("seg_000000002", "seg_000000002c", "seg_000000003"),
+      s"watermark-less manifest wrong: ${subsumedOf()}")
+    // a retained entry still masks its replayed segment
+    seg(2L, ("r2", 3L, "spark c", false))
+    val ix = IncrementalIndex.segmentTables(spark, root)
+    assert(ix.postings.select("rid").distinct().count() == 3,
+      "replayed subsumed segment must stay masked after pruning")
+  }
+
+  test("committedBatchId reads the stream checkpoint's commit watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-ckpt").toString
+    assert(IncrementalIndex.committedBatchId(spark, s"$dir/cp").isEmpty)
+    val input = MemoryStream[(String, Long, String, Boolean)]
+    val q = IncrementalIndex.startIndexSegments(
+      input.toDF().toDF("rid", "seq", "value", "deleted"),
+      s"$dir/index", s"$dir/cp", textCol = "value")
+    try {
+      input.addData(("r1", 1L, "spark", false))
+      q.processAllAvailable()
+      input.addData(("r2", 2L, "query", false))
+      q.processAllAvailable()
+      assert(IncrementalIndex.committedBatchId(spark, s"$dir/cp").contains(1L))
+    } finally q.stop()
+  }
+
   test("segmented phrase + paragraph BM25 match a batch index, incl. post-compaction") {
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.Bm25

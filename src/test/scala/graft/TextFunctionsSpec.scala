@@ -6,6 +6,27 @@ import graft.functions.TextFunctions._
 class TextFunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("langid case fold is locale-independent (Turkish-I trap)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.expr.CaseFold
+    val orig = java.util.Locale.getDefault
+    try {
+      // under tr_TR, default-locale lowercase maps I -> ı (dotless) —
+      // the divergence ADVICE r9 flagged; the shared fold must ignore
+      // the JVM default and match Locale.ROOT on every side
+      java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+      assert("ISTANBUL".toLowerCase != "ISTANBUL".toLowerCase(java.util.Locale.ROOT),
+        "precondition: tr_TR default locale not in effect")
+      val s = "QUERY İSTANBUL" // non-ASCII: forces the slow path
+      assert(CaseFold.lowerRoot(UTF8String.fromString(s)).toString ==
+        s.toLowerCase(java.util.Locale.ROOT))
+      // the codegen'd trigram path folds identically
+      val tris = Seq(s).toDF("text")
+        .select(charTrigrams(col("text"))).as[Seq[String]].head()
+      assert(tris == s.toLowerCase(java.util.Locale.ROOT).sliding(3).toSeq)
+    } finally java.util.Locale.setDefault(orig)
+  }
+
   test("tokens lowercases, splits on non-alnum, drops empties") {
     val out = Seq("The quick, brown FOX!  ").toDF("text")
       .select(tokens(col("text"))).as[Seq[String]].head()
