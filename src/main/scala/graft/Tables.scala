@@ -17,11 +17,16 @@ object Tables {
   // to ten tables. The testdata dirs are immutable for the JVM
   // lifetime, so the plan (not the data — scans stay lazy) is safely
   // reusable. Writable paths (LSM segment dirs) must NOT go through
-  // this cache.
-  private val cache = scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+  // this cache. WEAK session keys: a stopped session's entries (and
+  // its analyzed plans) become collectable instead of pinning the
+  // session for the JVM lifetime in a session-per-tenant server.
+  private val cache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     synchronized {
-      cache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+      val perSession = cache.computeIfAbsent(spark,
+        _ => scala.collection.mutable.Map[String, DataFrame]())
+      perSession.getOrElseUpdate(s"$dir/$name.parquet",
         spark.read.parquet(s"$dir/$name.parquet"))
     }
 

@@ -407,17 +407,21 @@ object Find {
     bm25Index match {
       case Some(ix) =>
         val idParts = split(col("paragraph_id"), "/")
-        val fieldPred: Option[Column] = req.fields.map { f =>
-          val parts = f.split("/", -1)
-          if (parts.length > 1)
-            idParts.getItem(1) === parts(0) && idParts.getItem(2) === parts(1)
-          else idParts.getItem(1) === parts(0)
+        // the spec syntax parses ONCE in OldFilters.fieldSpecs — the
+        // same pairs the structural path compiles against the fields
+        // table evaluate here against the id's embedded field segments
+        val specs = OldFilters.fieldSpecs(req.fields)
+        val fieldPred: Option[Column] = specs.map {
+          case (ftype, Some(fid)) =>
+            idParts.getItem(1) === ftype && idParts.getItem(2) === fid
+          case (ftype, None) => idParts.getItem(1) === ftype
         }.reduceOption(_ || _)
         // which posting pairs can a spec match? body rows are exactly
         // t/body; everything else lives in the field pair
-        val needBody = req.fields.isEmpty ||
-          req.fields.exists(f => f == "t" || f == "t/body")
-        val needField = req.fields.nonEmpty && !req.fields.forall(_ == "t/body")
+        val needBody = specs.isEmpty ||
+          specs.exists { case (t, id) => t == "t" && id.forall(_ == "body") }
+        val needField = specs.nonEmpty &&
+          !specs.forall { case (t, id) => t == "t" && id.contains("body") }
         val pairs =
           (if (needBody) Seq((ix.parPostings.get, ix.parDocLengths.get)) else Nil) ++
           (if (needField) Seq((ix.fieldParPostings.get, ix.fieldParDocLengths.get))

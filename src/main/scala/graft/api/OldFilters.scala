@@ -130,6 +130,18 @@ object OldFilters {
     case NotAll(vs) => Not(andOf(vs.map(Keyword)))
   }
 
+  /** The (field_type, optional field_id) pairs a `fields=` spec list
+    * compiles to (`old_filters.py:48-260` field handling) — the ONE
+    * parse of the `{type}` / `{type}/{id}` spec syntax, shared by the
+    * structural fields-table path ([[parse]]) and the paragraph-BM25
+    * id-prefix path ([[graft.api.Find.findParagraphs]]) so the two
+    * cannot drift. */
+  def fieldSpecs(fields: Seq[String]): Seq[(String, Option[String])] =
+    fields.map { field =>
+      val parts = field.split("/", -1)
+      if (parts.length > 1) (parts(0), Some(parts(1))) else (parts(0), None)
+    }
+
   /** Parse the legacy parameter bag →
     * (field filter expression, paragraph filter expression) —
     * the contract of `parse_old_filters`. */
@@ -154,11 +166,10 @@ object OldFilters {
       filters += DateRange(schema.modifiedCol, p.rangeModificationStart, p.rangeModificationEnd)
 
     if (p.fields.nonEmpty) {
-      val fieldExprs = p.fields.map { field =>
-        val parts = field.split("/", -1)
-        if (parts.length > 1)
-          And(Seq(Eq(schema.fieldTypeCol, parts(0)), Eq(schema.fieldIdCol, parts(1))))
-        else Eq(schema.fieldTypeCol, parts(0))
+      val fieldExprs = fieldSpecs(p.fields).map {
+        case (ftype, Some(fid)) =>
+          And(Seq(Eq(schema.fieldTypeCol, ftype), Eq(schema.fieldIdCol, fid)))
+        case (ftype, None) => Eq(schema.fieldTypeCol, ftype)
       }
       filters += orOf(fieldExprs)
     }

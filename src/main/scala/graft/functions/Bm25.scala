@@ -114,7 +114,11 @@ object Bm25 {
     // row (tantivy's per-posting fieldnorm) — then the per-row lengths
     // join vanishes and `docLengths` is read only for the (broadcast,
     // 1-row) stats aggregate. Older posting tables without the column
-    // take the join path unchanged.
+    // take the join path unchanged. A NULL dl on the fast path fails
+    // loudly: a multi-path segment read silently nulls the column for
+    // segments written before it existed (schema union, not a
+    // unionByName error), and a null would otherwise null the score
+    // and drop the doc — raise instead, naming the remedy.
     val hasDl = postings.columns.contains("dl")
     val matched = postings.where(col("term").isInCollection(queryTerms))
     val restricted = allowed match {
@@ -123,7 +127,11 @@ object Bm25 {
     }
     val tf =
       if (hasDl) restricted.select(col(idCol), col("term"),
-        col("tf").cast("double").as("tf"), col("dl"))
+        col("tf").cast("double").as("tf"),
+        coalesce(col("dl"), raise_error(lit(
+          "posting row with NULL dl — this root mixes segments written " +
+            "before the dl column existed; recompact from source"))
+          .cast(restricted.schema("dl").dataType)).as("dl"))
       else restricted.select(col(idCol), col("term"),
         col("tf").cast("double").as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))

@@ -65,12 +65,20 @@ object IndexStore {
   // serving path binds up to ten tables per request. Index dirs are
   // write-once per JVM (built under a fresh temp dir, then only read),
   // so reusing the plan is safe — scans stay lazy and re-read nothing.
-  // Mutable dirs (LSM segments) never go through this cache.
-  private val dfCache = scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+  // Mutable dirs (LSM segments) never go through this cache. WEAK
+  // session keys: a stopped session's plans become collectable instead
+  // of pinning the session for the JVM lifetime.
+  private val dfCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
   private def readParquet(spark: SparkSession, path: String): DataFrame =
-    synchronized { dfCache.getOrElseUpdate((spark, path), spark.read.parquet(path)) }
+    synchronized {
+      dfCache.computeIfAbsent(spark,
+          _ => scala.collection.mutable.Map[String, DataFrame]())
+        .getOrElseUpdate(path, spark.read.parquet(path))
+    }
 
-  private val tablesCache = scala.collection.mutable.Map[(SparkSession, String), IndexTables]()
+  private val tablesCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, IndexTables]]()
 
   private val built = scala.collection.mutable.Map[String, String]()
   private val builtVec = scala.collection.mutable.Map[String, String]()
@@ -133,7 +141,9 @@ object IndexStore {
   }
 
   def tables(spark: SparkSession, sfDir: String): IndexTables = synchronized {
-    tablesCache.getOrElseUpdate((spark, sfDir), buildTables(spark, sfDir))
+    tablesCache.computeIfAbsent(spark,
+        _ => scala.collection.mutable.Map[String, IndexTables]())
+      .getOrElseUpdate(sfDir, buildTables(spark, sfDir))
   }
 
   private def buildTables(spark: SparkSession, sfDir: String): IndexTables = {

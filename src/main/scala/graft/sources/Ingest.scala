@@ -145,13 +145,17 @@ object Ingest {
     // never joins a lengths table at query time
     // (`nidx_text/src/reader.rs:367-451`); one extra int column buys
     // Bm25.scoreFromPostings a join-free scoring path (the lengths
-    // table remains the stats source). The window is an ingest-time
-    // shuffle on the id — the same key the groupBy already shuffled.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-    docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+    // table remains the stats source). dl is computed NARROWLY before
+    // the explode (size of the token array — no per-doc window, which
+    // would re-shuffle the whole posting table on the id) and rides
+    // through the one (term, id) aggregation shuffle: every row of a
+    // group carries the same dl, so first() is deterministic.
+    docs
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .select(col(idCol), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
       .groupBy("term", idCol)
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("dl", sum(col("tf")).over(w))
+      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
   }
 
   /** Trainset export (`nucliadb/src/nucliadb/train/generators`,

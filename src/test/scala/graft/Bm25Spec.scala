@@ -88,4 +88,18 @@ class Bm25Spec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(via.sameElements(direct))
   }
+
+  test("a NULL dl posting row fails loudly instead of silently nulling the score") {
+    // the shape a mixed-layout segment root produces: a multi-path
+    // read schema-unions old (dl-less) and new postings, nulling dl
+    // for old segments' rows — scoring must raise, not drop the doc
+    val mixed = Seq((1L, "spark", 2L, Some(3L)), (2L, "spark", 1L, None))
+      .toDF("doc_id", "term", "tf", "dl")
+    val e = intercept[Exception] {
+      Bm25.scoreFromPostings(mixed, dls, "doc_id", Seq("spark")).collect()
+    }
+    assert(e.getMessage.contains("NULL dl") ||
+      Option(e.getCause).exists(_.getMessage.contains("NULL dl")),
+      s"wrong error: $e")
+  }
 }

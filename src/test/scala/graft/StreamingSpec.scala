@@ -647,12 +647,15 @@ class StreamingSpec extends SparkSpec {
     info(f"suggest latency after compaction: $tc%.3fs")
     val tfc = IncrementalIndex.segmentTermFreq(spark, root)
     assert(tfc.where($"term" === "spark").collect().head.getLong(1) == 64 * 4)
-    // loose flakiness-proof bound: 64 segments must stay within the
-    // per-file-overhead envelope (linear growth, small constant), and
-    // compaction must land back near the 1-segment cost
-    assert(t64 < math.max(t1, 0.2) * 40,
-      f"64-segment suggest $t64%.3fs blew past linear-overhead envelope (1 seg $t1%.3fs)")
-    assert(tc < math.max(t8, 0.3) * 3,
+    // loose flakiness-proof bounds, calibrated to the pathology they
+    // guard against: the per-dir read + union shape this pins out
+    // measured ~50× the 1-segment cost at 64 segments (34.6 s vs
+    // 0.7 s), while the healthy multi-path shape is 3-6× — a 25×
+    // envelope separates the two with generous host-noise margin
+    assert(t64 < math.max(t1, 0.3) * 25,
+      f"64-segment suggest $t64%.3fs blew past the multi-path envelope " +
+        f"(1 seg $t1%.3fs) — did a per-segment eager read return?")
+    assert(tc < math.max(t8, 0.3) * 5,
       f"post-compaction suggest $tc%.3fs did not return near single-segment cost")
   }
 }
