@@ -1370,6 +1370,38 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // training-data ops: PII redaction — the standard pre-training
+    // masking pass (emails + IPv4) with per-doc audit counts. The
+    // testdata carries no organic PII, so the fixture mixes a
+    // deterministic contact string into each doc; the redaction and
+    // counts run on the composite. Narrow codegen'd regex work — the
+    // shape a 100 TB curation pass uses (no shuffle, no UDF).
+    "q107_pii_redaction" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val synth = load(s, dir, "documents").where(col("doc_id") < 25)
+        .withColumn("composite",
+          concat(col("text"), lit(" contact "), col("source"),
+            lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7 end")))
+      val (emails, ips) = TextFunctions.piiCounts(col("composite"))
+      synth.select(col("doc_id"),
+          emails.cast("long").as("n_emails"), ips.cast("long").as("n_ips"),
+          TextFunctions.redactPii(col("composite")).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // training-data ops: cross-document repeated-paragraph removal
+    // (RefinedWeb/MassiveText boilerplate rule) served from the
+    // at-rest paragraph table: hash → distinct-doc count → flag
+    // paragraphs recurring in ≥2 docs. Hash agg + semi-join only —
+    // holds at any corpus size
+    "q108_boilerplate_paragraphs" -> ((s, dir) =>
+      graft.operators.Dedup.boilerplateParagraphs(
+          graft.sources.IndexStore.paragraphs(s, dir),
+          "doc_id", "paragraph_id", "p_text", minDocs = 2)
+        .withColumn("n_docs", col("n_docs").cast("long"))
+        .orderBy("paragraph_id")),
+
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:
     // HyperLogLog++ distinct counts and approximate percentiles give a
     // bounded-memory, one-pass corpus shape. NO DuckDB oracle (sketch
@@ -2716,6 +2748,31 @@ object SparkEntry {
          |         FROM par WHERE doc_id % 5 = 0),
          |u AS (SELECT * FROM body UNION ALL SELECT * FROM title UNION ALL SELECT * FROM conv)
          |SELECT id, text, CAST(s AS BIGINT) AS p_start, CAST(e AS BIGINT) AS p_end
-         |FROM u ORDER BY id""".stripMargin
+         |FROM u ORDER BY id""".stripMargin,
+
+    // q107: the same RE2-safe patterns run in DuckDB; 'g' replaces all
+    // occurrences like Spark's regexp_replace default.
+    "q107_pii_redaction" ->
+      s"""WITH synth AS (SELECT doc_id,
+         |  text || ' contact ' || source || '@example.com from 10.0.' ||
+         |    CAST(doc_id % 256 AS VARCHAR) || '.7 end' AS composite
+         |  FROM documents WHERE doc_id < 25)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(composite, '${TextFunctions.EmailPattern}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(composite, '${TextFunctions.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+         |  regexp_replace(regexp_replace(composite, '${TextFunctions.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextFunctions.Ipv4Pattern}', '<IP>', 'g') AS clean
+         |FROM synth ORDER BY doc_id""".stripMargin,
+
+    // q108: boilerplate = paragraph text recurring in ≥2 distinct docs.
+    "q108_boilerplate_paragraphs" ->
+      s"""WITH $ParCtes,
+         |pt AS (SELECT doc_id, paragraph_id,
+         |         md5(array_to_string(t[s+1:e], ' ')) AS h FROM par),
+         |hot AS (SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |        FROM pt GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT pt.paragraph_id, pt.doc_id, hot.n_docs
+         |FROM pt JOIN hot USING (h)
+         |ORDER BY paragraph_id""".stripMargin
   )
 }

@@ -159,6 +159,32 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
 
+  /** PII masking for training corpora — the standard pre-training
+    * redaction pass (emails and IPv4 addresses, the two
+    * deterministically-matchable classes; names/addresses need NER and
+    * are out of regex scope). Patterns are RE2-safe (no lookaround/
+    * backreferences) so the engine's Java-regex behavior and the
+    * DuckDB-RE2 oracle agree, and both run as codegen'd
+    * `regexp_replace`/`regexp_count` — a narrow per-row transform, no
+    * shuffle at any corpus size.
+    */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Replace every email with `<EMAIL>` and every IPv4 with `<IP>`.
+    * Emails first: an email's domain can contain digit runs that the
+    * IP pattern would otherwise partially match. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      Ipv4Pattern, "<IP>")
+
+  /** (n_emails, n_ips) found in the text — the redaction audit stats a
+    * curation run reports per shard. */
+  def piiCounts(text: Column): (Column, Column) =
+    (regexp_count(text, lit(EmailPattern)),
+      regexp_count(text, lit(Ipv4Pattern)))
+
   /** BPE-style PRE-tokenizer count — the unit LLM token budgets are
     * estimated in (GPT-2-family pre-tokenization splits words, number
     * runs, and punctuation runs with their leading space; actual BPE

@@ -592,4 +592,32 @@ object Dedup {
       .where(col("score") >= threshold)
       .select("a", "b", "score")
   }
+
+  /** Cross-document repeated-paragraph (boilerplate) detection — the
+    * RefinedWeb/MassiveText curation rule: a paragraph whose text
+    * recurs in ≥ `minDocs` DISTINCT documents is boilerplate (cookie
+    * banners, navigation chrome, license footers) and is dropped from
+    * every document before training. Served from the at-rest paragraph
+    * table: one hash over the paragraph text, one (hash → distinct-doc
+    * count) aggregation, one broadcast-able semi-join back — no
+    * all-pairs work, so the shape holds at any corpus size (the
+    * duplicate-hash table is tiny relative to the corpus by the same
+    * head-heavy skew that makes boilerplate worth removing).
+    *
+    * @return the flagged paragraph rows: (parIdCol, idCol, n_docs)
+    */
+  def boilerplateParagraphs(
+      pars: DataFrame,
+      idCol: String,
+      parIdCol: String,
+      textCol: String,
+      minDocs: Int = 2): DataFrame = {
+    val hashed = pars.select(col(idCol), col(parIdCol),
+      md5(col(textCol).cast("binary")).as("__h"))
+    val hot = hashed.groupBy("__h")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+    hashed.join(hot, "__h")
+      .select(col(parIdCol), col(idCol), col("n_docs"))
+  }
 }

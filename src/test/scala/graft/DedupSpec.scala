@@ -176,4 +176,17 @@ class DedupSpec extends SparkSpec {
     // docs 1 and 3 share 4 of 7+7 distinct 3-shingles → J = 4/10
     assert(math.abs(pairs((1L, 3L)) - 0.4) < 1e-9)
   }
+
+  test("boilerplateParagraphs flags text recurring across distinct docs, not within one doc") {
+    val pars = Seq(
+      (1L, "1/t/body/0-3", "cookie banner text"),
+      (2L, "2/t/body/0-3", "cookie banner text"),   // cross-doc dup → flag
+      (3L, "3/t/body/0-3", "unique body one"),
+      (3L, "3/t/body/3-6", "repeated inside doc"),
+      (3L, "3/t/body/6-9", "repeated inside doc"))  // same doc twice → NOT boilerplate
+      .toDF("doc_id", "paragraph_id", "p_text")
+    val got = Dedup.boilerplateParagraphs(pars, "doc_id", "paragraph_id", "p_text")
+      .collect().map(r => (r.getString(0), r.getLong(2))).sorted
+    assert(got.toSeq == Seq(("1/t/body/0-3", 2L), ("2/t/body/0-3", 2L)), got.mkString(","))
+  }
 }

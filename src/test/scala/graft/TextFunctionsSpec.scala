@@ -27,6 +27,21 @@ class TextFunctionsSpec extends SparkSpec {
     } finally java.util.Locale.setDefault(orig)
   }
 
+  test("redactPii masks emails and IPv4s; counts audit them") {
+    val df = Seq("mail a.user+tag@sub.example.org or 192.168.0.1 and bob@x.io done")
+      .toDF("text")
+    val clean = df.select(redactPii(col("text"))).as[String].head()
+    assert(clean == "mail <EMAIL> or <IP> and <EMAIL> done", clean)
+    val (e, i) = piiCounts(col("text"))
+    val counts = df.select(e.cast("long"), i.cast("long")).as[(Long, Long)].head()
+    assert(counts == (2L, 1L))
+    // version-like dotted runs with an alpha neighbor don't match the
+    // bounded IPv4 pattern's word edges
+    val v = Seq("spark v4.1.2.9beta").toDF("text")
+      .select(redactPii(col("text"))).as[String].head()
+    assert(v == "spark v4.1.2.9beta", v)
+  }
+
   test("tokens lowercases, splits on non-alnum, drops empties") {
     val out = Seq("The quick, brown FOX!  ").toDF("text")
       .select(tokens(col("text"))).as[Seq[String]].head()
