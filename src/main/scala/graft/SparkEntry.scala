@@ -1399,7 +1399,6 @@ object SparkEntry {
       graft.operators.Dedup.boilerplateParagraphs(
           graft.sources.IndexStore.paragraphs(s, dir),
           "doc_id", "paragraph_id", "p_text", minDocs = 2)
-        .withColumn("n_docs", col("n_docs").cast("long"))
         .orderBy("paragraph_id")),
 
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:
@@ -2759,7 +2758,9 @@ object SparkEntry {
          |  FROM documents WHERE doc_id < 25)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(composite, '${TextFunctions.EmailPattern}')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(composite, '${TextFunctions.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(
+         |    regexp_replace(composite, '${TextFunctions.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextFunctions.Ipv4Pattern}')) AS BIGINT) AS n_ips,
          |  regexp_replace(regexp_replace(composite, '${TextFunctions.EmailPattern}', '<EMAIL>', 'g'),
          |    '${TextFunctions.Ipv4Pattern}', '<IP>', 'g') AS clean
          |FROM synth ORDER BY doc_id""".stripMargin,

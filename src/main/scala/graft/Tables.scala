@@ -17,18 +17,24 @@ object Tables {
   // to ten tables. The testdata dirs are immutable for the JVM
   // lifetime, so the plan (not the data — scans stay lazy) is safely
   // reusable. Writable paths (LSM segment dirs) must NOT go through
-  // this cache. WEAK session keys: a stopped session's entries (and
-  // its analyzed plans) become collectable instead of pinning the
-  // session for the JVM lifetime in a session-per-tenant server.
+  // this cache. NOTE a weak session key would NOT make stopped
+  // sessions collectable — every cached DataFrame strongly references
+  // its session (the WeakHashMap value→key pitfall) — so the lifecycle
+  // is EXPLICIT: a session-per-tenant server calls [[invalidate]] when
+  // it stops a session, the same release discipline as [[Caches]].
   private val cache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+    scala.collection.mutable.Map[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     synchronized {
-      val perSession = cache.computeIfAbsent(spark,
-        _ => scala.collection.mutable.Map[String, DataFrame]())
-      perSession.getOrElseUpdate(s"$dir/$name.parquet",
-        spark.read.parquet(s"$dir/$name.parquet"))
+      cache.getOrElseUpdate(spark, scala.collection.mutable.Map[String, DataFrame]())
+        .getOrElseUpdate(s"$dir/$name.parquet",
+          spark.read.parquet(s"$dir/$name.parquet"))
     }
+
+  /** Drop every plan cached for `spark` — call when stopping a session
+    * so its plan trees and state become collectable. */
+  def invalidate(spark: SparkSession): Unit =
+    synchronized { cache.remove(spark); () }
 
   /** events table with `ts` normalized to TimestampType.
     *

@@ -179,11 +179,15 @@ object TextFunctions {
       regexp_replace(text, EmailPattern, "<EMAIL>"),
       Ipv4Pattern, "<IP>")
 
-  /** (n_emails, n_ips) found in the text — the redaction audit stats a
-    * curation run reports per shard. */
+  /** (n_emails, n_ips) — the redaction audit stats a curation run
+    * reports per shard, counting exactly what [[redactPii]] replaces:
+    * IPs are counted on the email-redacted text, so an IP-shaped email
+    * local part (masked by the email pass) is not double-reported as
+    * an IP redaction that never happened. */
   def piiCounts(text: Column): (Column, Column) =
     (regexp_count(text, lit(EmailPattern)),
-      regexp_count(text, lit(Ipv4Pattern)))
+      regexp_count(regexp_replace(text, EmailPattern, "<EMAIL>"),
+        lit(Ipv4Pattern)))
 
   /** BPE-style PRE-tokenizer count — the unit LLM token budgets are
     * estimated in (GPT-2-family pre-tokenization splits words, number

@@ -60,36 +60,45 @@ object IndexStore {
       assignments: DataFrame,
       raw: DataFrame)
 
-  // memoized per (session, path): DataFrame creation pays eager file
-  // listing + footer schema reads (~0.1 s/table locally) and the
-  // serving path binds up to ten tables per request. Index dirs are
-  // write-once per JVM (built under a fresh temp dir, then only read),
-  // so reusing the plan is safe — scans stay lazy and re-read nothing.
-  // Mutable dirs (LSM segments) never go through this cache. WEAK
-  // session keys: a stopped session's plans become collectable instead
-  // of pinning the session for the JVM lifetime.
-  private val dfCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  /** Everything memoized for one session: bound table plans (eager
+    * footer reads paid once — ~0.1 s/table locally, up to ten tables
+    * per serving request) and collected driver-side models (IVF
+    * centroids/codebooks, language profiles — two collect jobs each,
+    * paid once, not per request). Index dirs are write-once per JVM
+    * (built under a fresh temp dir, then only read), so reusing the
+    * plan is safe — scans stay lazy. Mutable dirs (LSM segments) never
+    * go through these caches. NOTE a weak session key would NOT make
+    * stopped sessions collectable — cached DataFrames strongly
+    * reference their session (the WeakHashMap value→key pitfall) — so
+    * the lifecycle is EXPLICIT: a session-per-tenant server calls
+    * [[invalidate]] when it stops a session, the same release
+    * discipline as [[graft.Caches]].
+    */
+  private final class SessionCaches {
+    val dfs = scala.collection.mutable.Map[String, DataFrame]()
+    val tables = scala.collection.mutable.Map[String, IndexTables]()
+    val vix = scala.collection.mutable.Map[String, VectorIndex]()
+    val vsix = scala.collection.mutable.Map[(String, String), VectorIndex]()
+    val lang = scala.collection.mutable.Map[String, Seq[(String, Map[String, Double])]]()
+  }
+  private val sessionCaches =
+    scala.collection.mutable.Map[SparkSession, SessionCaches]()
+  private def cachesOf(spark: SparkSession): SessionCaches =
+    sessionCaches.getOrElseUpdate(spark, new SessionCaches)
+
+  /** Drop everything cached for `spark` — call when stopping a session
+    * so its plan trees and state become collectable. */
+  def invalidate(spark: SparkSession): Unit =
+    synchronized { sessionCaches.remove(spark); () }
+
   private def readParquet(spark: SparkSession, path: String): DataFrame =
     synchronized {
-      dfCache.computeIfAbsent(spark,
-          _ => scala.collection.mutable.Map[String, DataFrame]())
-        .getOrElseUpdate(path, spark.read.parquet(path))
+      cachesOf(spark).dfs.getOrElseUpdate(path, spark.read.parquet(path))
     }
-
-  private val tablesCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, IndexTables]]()
 
   private val built = scala.collection.mutable.Map[String, String]()
   private val builtVec = scala.collection.mutable.Map[String, String]()
   private val builtVecSets = scala.collection.mutable.Map[String, String]()
-  private val vsixCache =
-    scala.collection.mutable.Map[(SparkSession, String, String), VectorIndex]()
-  // collected driver-side models memoized per (session, dir): reading
-  // them is two collect jobs — paid once, not per request
-  private val vixCache = scala.collection.mutable.Map[(SparkSession, String), VectorIndex]()
-  private val langCache =
-    scala.collection.mutable.Map[(SparkSession, String), Seq[(String, Map[String, Double])]]()
 
   /** Register a temp directory for recursive deletion at JVM exit. */
   def deleteOnExit(dir: String): String = {
@@ -141,9 +150,7 @@ object IndexStore {
   }
 
   def tables(spark: SparkSession, sfDir: String): IndexTables = synchronized {
-    tablesCache.computeIfAbsent(spark,
-        _ => scala.collection.mutable.Map[String, IndexTables]())
-      .getOrElseUpdate(sfDir, buildTables(spark, sfDir))
+    cachesOf(spark).tables.getOrElseUpdate(sfDir, buildTables(spark, sfDir))
   }
 
   private def buildTables(spark: SparkSession, sfDir: String): IndexTables = {
@@ -174,7 +181,7 @@ object IndexStore {
     * exact rerank.
     */
   def vectorIndex(spark: SparkSession, sfDir: String): VectorIndex = synchronized {
-    vixCache.getOrElseUpdate((spark, sfDir), loadVectorIndex(spark, sfDir))
+    cachesOf(spark).vix.getOrElseUpdate(sfDir, loadVectorIndex(spark, sfDir))
   }
 
   /** Parse `m` out of a vector index dir's meta — Hadoop FS read (not
@@ -241,7 +248,7 @@ object IndexStore {
     * vectors for the exact rerank. */
   def vectorIndexSet(spark: SparkSession, sfDir: String, vs: String): VectorIndex =
     synchronized {
-      vsixCache.getOrElseUpdate((spark, sfDir, vs), {
+      cachesOf(spark).vsix.getOrElseUpdate((sfDir, vs), {
         val dir = vectorSetIndexDir(spark, sfDir)
         val cents = spark.read.parquet(s"$dir/centroids")
           .where(col("vectorset") === vs)
@@ -317,7 +324,7 @@ object IndexStore {
     * (memoized per session+dir — one collect, not one per request). */
   def langProfileModel(spark: SparkSession, sfDir: String): Seq[(String, Map[String, Double])] =
     synchronized {
-      langCache.getOrElseUpdate((spark, sfDir),
+      cachesOf(spark).lang.getOrElseUpdate(sfDir,
         langProfiles(spark, sfDir).collect()
           .groupBy(_.getString(0))
           .map { case (l, rows) =>

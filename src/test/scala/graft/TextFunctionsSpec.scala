@@ -40,6 +40,14 @@ class TextFunctionsSpec extends SparkSpec {
     val v = Seq("spark v4.1.2.9beta").toDF("text")
       .select(redactPii(col("text"))).as[String].head()
     assert(v == "spark v4.1.2.9beta", v)
+    // an IP-shaped email local part is ONE redaction (email wins) and
+    // the audit counts must agree with what redactPii actually did
+    val overlap = Seq("from 1.2.3.4@x.io ok").toDF("text")
+    val (oe, oi) = piiCounts(col("text"))
+    assert(overlap.select(redactPii(col("text"))).as[String].head() ==
+      "from <EMAIL> ok")
+    assert(overlap.select(oe.cast("long"), oi.cast("long"))
+      .as[(Long, Long)].head() == (1L, 0L))
   }
 
   test("tokens lowercases, splits on non-alnum, drops empties") {
