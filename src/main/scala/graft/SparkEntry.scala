@@ -1401,6 +1401,20 @@ object SparkEntry {
           "doc_id", "paragraph_id", "p_text", minDocs = 2)
         .orderBy("paragraph_id")),
 
+    // training-data ops: temperature-flattened mixture sampling — the
+    // multilingual data-mixing pass (α-smoothing of language shares):
+    // key k samples toward share n_k^α / Σ n_j^α of the target, rates
+    // clamp at 1 (downsample-only). Membership is the md5-prefix
+    // threshold — a pure function of the id, so the mix is stable
+    // across reruns/appends; cost = one tiny per-key count broadcast
+    // back + one narrow filtered scan, no corpus shuffle
+    "q109_mixture_sample" -> ((s, dir) =>
+      graft.sources.Trainsets.temperatureMixture(
+          load(s, dir, "documents"), "lang", "doc_id",
+          alpha = 0.5, targetRows = 250)
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")),
+
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:
     // HyperLogLog++ distinct counts and approximate percentiles give a
     // bounded-memory, one-pass corpus shape. NO DuckDB oracle (sketch
@@ -2774,6 +2788,23 @@ object SparkEntry {
          |        FROM pt GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
          |SELECT pt.paragraph_id, pt.doc_id, hot.n_docs
          |FROM pt JOIN hot USING (h)
-         |ORDER BY paragraph_id""".stripMargin
+         |ORDER BY paragraph_id""".stripMargin,
+
+    // q109: temperature mixture — same α-smoothed rate table and
+    // md5-prefix membership threshold, computed in SQL.
+    "q109_mixture_sample" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+        |           FROM documents GROUP BY lang),
+        |z AS (SELECT sum(pow(n, 0.5)) AS z FROM c),
+        |r AS (SELECT lang,
+        |        LEAST(1.0, 250 * pow(n, 0.5) / (SELECT z FROM z) / n) AS r
+        |      FROM c),
+        |t AS (SELECT lang, CASE WHEN r >= 1 THEN 'g'
+        |        ELSE printf('%08x', CAST(floor(r * 4294967296) AS BIGINT))
+        |        END AS th FROM r)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_sampled
+        |FROM documents d JOIN t ON d.lang = t.lang
+        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.th
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   )
 }

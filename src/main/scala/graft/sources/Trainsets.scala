@@ -222,6 +222,50 @@ object Trainsets {
     balancedSample(pre, keyCol, idCol, perKey)
   }
 
+  /** Temperature-flattened mixture sampling — the multilingual /
+    * multi-source data-mixing pass (α-smoothing of source shares, as in
+    * XLM-R-style multilingual sampling): a key with n_k rows is
+    * sampled toward the flattened share q_k = n_k^α / Σ_j n_j^α of
+    * `targetRows`, i.e. keep rate r_k = min(1, targetRows·q_k / n_k).
+    * α = 1 preserves the natural mix; α = 0 equalizes keys; 0 < α < 1
+    * upsamples the tail relative to the head (rates clamp at 1 — this
+    * operator only downsamples, it never duplicates rows).
+    *
+    * Membership is DETERMINISTIC, not RNG: a row is kept iff the first
+    * 8 hex digits of md5(id) fall below the key's rate threshold —
+    * the same pure-function-of-the-id contract as [[hashSample]], so
+    * membership survives reruns, partitionings, and incremental
+    * appends, and the threshold comparison is a codegen'd string
+    * predicate. The rate table is one tiny per-key aggregate broadcast
+    * back onto the corpus: cost at 100 TB is the unavoidable counting
+    * pass plus one narrow filtered scan, no corpus shuffle.
+    */
+  def temperatureMixture(df: DataFrame, keyCol: String, idCol: String,
+      alpha: Double, targetRows: Long): DataFrame = {
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    require(targetRows >= 0, s"targetRows must be >= 0, got $targetRows")
+    val counts = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val z = counts.agg(sum(pow(col("__n"), lit(alpha))).as("__z"))
+    val rates = counts.crossJoin(broadcast(z))
+      .withColumn("__r",
+        least(lit(1.0),
+          lit(targetRows.toDouble) * pow(col("__n"), lit(alpha)) /
+            col("__z") / col("__n")))
+      // string-comparable threshold on the md5 hex prefix; a full-keep
+      // rate maps to 'g' (> every hex digit) because %08x of 2^32 is
+      // the 9-char "100000000", which sorts BELOW 8-char hex strings
+      .withColumn("__th",
+        when(col("__r") >= 1, lit("g")).otherwise(
+          format_string("%08x",
+            floor(col("__r") * lit(4294967296.0)).cast("long"))))
+      .select(col(keyCol), col("__th"))
+    df.join(broadcast(rates), keyCol)
+      .where(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8)
+        < col("__th"))
+      .drop("__th")
+  }
+
   /** Eval-set contamination score per document: the fraction of the
     * document's distinct word `n`-gram shingles that also occur in
     * `evalDocs` (the benchmark/eval corpus a trainset must be

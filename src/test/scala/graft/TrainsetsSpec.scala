@@ -150,6 +150,38 @@ class TrainsetsSpec extends SparkSpec {
     assert(degenerate == exact)
   }
 
+  test("temperatureMixture flattens shares toward the tail, clamps at 1, and is deterministic") {
+    // head key 160 rows, tail keys 30/10 — α=0.5 upsamples the tail
+    // RELATIVE share while only ever downsampling absolute rows
+    val mix = spark.range(160).select($"id", lit("en").as("k"))
+      .unionByName(spark.range(160, 190).select($"id", lit("fr").as("k")))
+      .unionByName(spark.range(190, 200).select($"id", lit("zh").as("k")))
+    val got = Trainsets.temperatureMixture(mix, "k", "id", alpha = 0.5, targetRows = 100)
+    val counts = got.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = Map("en" -> 160.0, "fr" -> 30.0, "zh" -> 10.0)
+    val z = n.values.map(math.sqrt).sum
+    // expected take per key = min(n_k, 100·√n_k/z); md5 membership is
+    // binomial-ish around it — assert within a generous band
+    n.foreach { case (k, nk) =>
+      val expect = math.min(nk, 100 * math.sqrt(nk) / z)
+      val gotK = counts.getOrElse(k, 0L).toDouble
+      assert(math.abs(gotK - expect) <= math.max(6, 0.5 * expect),
+        s"key $k: got $gotK, expected ≈$expect")
+      assert(gotK <= nk, "downsample-only: never more rows than the key has")
+    }
+    // flattening: the head key's share of the sample < its corpus share
+    val total = counts.values.sum.toDouble
+    assert(counts("en") / total < 160.0 / 200.0)
+    // α=1 with target ≥ corpus keeps everything (rates clamp at 1)
+    assert(Trainsets.temperatureMixture(mix, "k", "id", 1.0, 10000).count() == 200)
+    // determinism + partitioning invariance: same membership set
+    val a = got.select("id").collect().map(_.getLong(0)).toSet
+    val b = Trainsets.temperatureMixture(mix.repartition(7), "k", "id", 0.5, 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "membership must be a pure function of the id")
+  }
+
   test("contaminationScores: eval docs score 1.0, disjoint docs 0.0, partial in between") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
