@@ -31,8 +31,16 @@ object Bench {
       .split(" ")(0).toDouble
     catch { case _: Exception => -1.0 }
 
+  /** (name, seconds, ok). A throwing pass measures time-to-failure,
+    * not query cost — it must never become the per-query number that
+    * updates the recorded best (a ~10 ms analysis failure would
+    * otherwise poison the deviation gate into a permanent phantom
+    * regression once the query is fixed). The min is taken over the
+    * SUCCESSFUL passes; a query with no successful pass reports its
+    * time-to-failure with ok=false and never updates a best.
+    */
   private def runSuite(spark: SparkSession, sfDir: String,
-      warm: Boolean): Seq[(String, Double)] =
+      warm: Boolean): Seq[(String, Double, Boolean)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warm) {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -40,14 +48,18 @@ object Bench {
       }
       // two timed passes, report the min — shields the recorded number
       // from one-off GC pauses / scheduler noise on a busy host
-      val times = (1 to 2).map { _ =>
+      val passes = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         Caches.releaseAll() // per-request cache arena
-        dt
+        (dt, ok)
       }
-      name -> times.min
+      val good = passes.filter(_._2).map(_._1)
+      if (good.nonEmpty) (name, good.min, true)
+      else (name, passes.map(_._1).min, false)
     }
 
   def main(args: Array[String]): Unit = {
@@ -65,7 +77,8 @@ object Bench {
 
     val loadBefore = loadAvg()
     var results = runSuite(spark, sfDir, warm = true)
-    var total = results.map(_._2).sum
+    def total0 = results.map(_._2).sum
+    var total = total0
 
     // recorded bests for this sf dir: flat JSON of `{sfKey}` → best
     // total plus `{sfKey}/q/{name}` → best per-query time
@@ -81,9 +94,10 @@ object Bench {
       } catch { case _: Exception => Map.empty[String, Double] }
     val prevBest = recorded.get(sfKey)
 
-    def perQueryDeviations(rs: Seq[(String, Double)]): Seq[(String, Double)] =
-      rs.flatMap { case (name, t) =>
-        recorded.get(qKey(name)).filter(b => t > 2.0 * b && t - b > 0.05)
+    def perQueryDeviations(rs: Seq[(String, Double, Boolean)]): Seq[(String, Double)] =
+      rs.flatMap { case (name, t, ok) =>
+        if (!ok) None
+        else recorded.get(qKey(name)).filter(b => t > 2.0 * b && t - b > 0.05)
           .map(b => name -> t / b)
       }
 
@@ -91,20 +105,35 @@ object Bench {
     if (prevBest.exists(b => total > 1.3 * b) ||
         perQueryDeviations(results).nonEmpty) {
       // likely host contention — rerun once, keep per-query minima
-      val second = runSuite(spark, sfDir, warm = false).toMap
-      results = results.map { case (k, v) => k -> math.min(v, second.getOrElse(k, v)) }
-      total = results.map(_._2).sum
+      // (minima over SUCCESSFUL passes only; ok = succeeded in either run)
+      val second = runSuite(spark, sfDir, warm = false)
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      results = results.map { case (k, v, ok) =>
+        second.get(k) match {
+          case Some((v2, ok2)) if ok && ok2 => (k, math.min(v, v2), true)
+          case Some((v2, true)) if !ok => (k, v2, true)
+          case Some((_, false)) if ok => (k, v, true)
+          case Some((v2, _)) => (k, math.min(v, v2), false)
+          case None => (k, v, ok)
+        }
+      }
+      total = total0
       reran = true
     }
     // deviations that SURVIVE the rerun are candidate regressions
     val deviations = perQueryDeviations(results)
+    val failed = results.collect { case (k, _, false) => k }
 
-    val newBest = math.min(total, prevBest.getOrElse(total))
+    // a total that includes time-to-failure entries is artificially low
+    // — it must neither persist as the best nor be reported as one
+    val newBest =
+      if (failed.isEmpty) math.min(total, prevBest.getOrElse(total))
+      else prevBest.getOrElse(total)
     try {
       val updated = recorded ++
-        (results.map { case (k, v) =>
+        (results.collect { case (k, v, true) =>
           qKey(k) -> math.min(v, recorded.getOrElse(qKey(k), v))
-        } :+ (sfKey -> newBest))
+        } ++ (if (failed.isEmpty) Seq(sfKey -> newBest) else Nil))
       java.nio.file.Files.writeString(bestPath,
         updated.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
@@ -113,7 +142,8 @@ object Bench {
     val loadAfter = loadAvg()
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"reran":$reran,"best_total":$newBest,"deviations":${jmap(deviations)}}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results.map(r => r._1 -> r._2))},"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"reran":$reran,"best_total":$newBest,"deviations":${jmap(deviations)},"failed":$failedJson}""")
     spark.stop()
   }
 }

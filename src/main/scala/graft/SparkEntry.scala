@@ -2790,17 +2790,19 @@ object SparkEntry {
          |FROM pt JOIN hot USING (h)
          |ORDER BY paragraph_id""".stripMargin,
 
-    // q109: temperature mixture — same α-smoothed rate table and
-    // md5-prefix membership threshold, computed in SQL.
+    // q109: temperature mixture — same α-smoothed rate table,
+    // null-key exclusion, boundary clamp, and md5-prefix membership
+    // threshold, computed in SQL.
     "q109_mixture_sample" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
-        |           FROM documents GROUP BY lang),
+        |           FROM documents WHERE lang IS NOT NULL GROUP BY lang),
         |z AS (SELECT sum(pow(n, 0.5)) AS z FROM c),
         |r AS (SELECT lang,
         |        LEAST(1.0, 250 * pow(n, 0.5) / (SELECT z FROM z) / n) AS r
         |      FROM c),
         |t AS (SELECT lang, CASE WHEN r >= 1 THEN 'g'
-        |        ELSE printf('%08x', CAST(floor(r * 4294967296) AS BIGINT))
+        |        ELSE printf('%08x', LEAST(
+        |          CAST(floor(r * 4294967296) AS BIGINT), 4294967295))
         |        END AS th FROM r)
         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_sampled
         |FROM documents d JOIN t ON d.lang = t.lang

@@ -17,24 +17,21 @@ object Tables {
   // to ten tables. The testdata dirs are immutable for the JVM
   // lifetime, so the plan (not the data — scans stay lazy) is safely
   // reusable. Writable paths (LSM segment dirs) must NOT go through
-  // this cache. NOTE a weak session key would NOT make stopped
-  // sessions collectable — every cached DataFrame strongly references
-  // its session (the WeakHashMap value→key pitfall) — so the lifecycle
-  // is EXPLICIT: a session-per-tenant server calls [[invalidate]] when
-  // it stops a session, the same release discipline as [[Caches]].
-  private val cache =
-    scala.collection.mutable.Map[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  // this cache. The memo itself lives in IndexStore's per-session
+  // cache object — ONE explicit-invalidate surface: a
+  // session-per-tenant server calls [[invalidate]] (≡
+  // `IndexStore.invalidate`) when it stops a session, and everything
+  // memoized for that session (table plans here, index tables, vector
+  // indexes, language models there) drops together.
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    synchronized {
-      cache.getOrElseUpdate(spark, scala.collection.mutable.Map[String, DataFrame]())
-        .getOrElseUpdate(s"$dir/$name.parquet",
-          spark.read.parquet(s"$dir/$name.parquet"))
-    }
+    graft.sources.IndexStore.readParquetMemo(spark, s"$dir/$name.parquet")
 
   /** Drop every plan cached for `spark` — call when stopping a session
-    * so its plan trees and state become collectable. */
+    * so its plan trees and state become collectable. Alias for
+    * [[graft.sources.IndexStore.invalidate]] (one shared per-session
+    * cache). */
   def invalidate(spark: SparkSession): Unit =
-    synchronized { cache.remove(spark); () }
+    graft.sources.IndexStore.invalidate(spark)
 
   /** events table with `ts` normalized to TimestampType.
     *

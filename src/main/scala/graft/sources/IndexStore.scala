@@ -83,8 +83,13 @@ object IndexStore {
   }
   private val sessionCaches =
     scala.collection.mutable.Map[SparkSession, SessionCaches]()
+  // the GLOBAL lock guards only this map lookup (fast); misses compute
+  // under the SESSION's own monitor, so one tenant's first-touch build
+  // (up to ten eager footer reads, possibly a whole index build) never
+  // blocks another session's cache hits. Lock order is session → global
+  // (indexDir below) only, never global → session — no cycle.
   private def cachesOf(spark: SparkSession): SessionCaches =
-    sessionCaches.getOrElseUpdate(spark, new SessionCaches)
+    synchronized { sessionCaches.getOrElseUpdate(spark, new SessionCaches) }
 
   /** Drop everything cached for `spark` — call when stopping a session
     * so its plan trees and state become collectable. */
@@ -92,9 +97,15 @@ object IndexStore {
     synchronized { sessionCaches.remove(spark); () }
 
   private def readParquet(spark: SparkSession, path: String): DataFrame =
-    synchronized {
-      cachesOf(spark).dfs.getOrElseUpdate(path, spark.read.parquet(path))
-    }
+    readParquetMemo(spark, path)
+
+  /** The shared per-(session, path) plan memo — also backs
+    * [[graft.Tables.load]], so the whole engine has ONE per-session
+    * cache object and ONE [[invalidate]] lifecycle. */
+  private[graft] def readParquetMemo(spark: SparkSession, path: String): DataFrame = {
+    val c = cachesOf(spark)
+    c.synchronized { c.dfs.getOrElseUpdate(path, spark.read.parquet(path)) }
+  }
 
   private val built = scala.collection.mutable.Map[String, String]()
   private val builtVec = scala.collection.mutable.Map[String, String]()
@@ -149,8 +160,11 @@ object IndexStore {
     })
   }
 
-  def tables(spark: SparkSession, sfDir: String): IndexTables = synchronized {
-    cachesOf(spark).tables.getOrElseUpdate(sfDir, buildTables(spark, sfDir))
+  def tables(spark: SparkSession, sfDir: String): IndexTables = {
+    val c = cachesOf(spark)
+    c.synchronized {
+      c.tables.getOrElseUpdate(sfDir, buildTables(spark, sfDir))
+    }
   }
 
   private def buildTables(spark: SparkSession, sfDir: String): IndexTables = {
@@ -180,8 +194,11 @@ object IndexStore {
     * assignment tables as pruned-scan DataFrames, raw vectors for the
     * exact rerank.
     */
-  def vectorIndex(spark: SparkSession, sfDir: String): VectorIndex = synchronized {
-    cachesOf(spark).vix.getOrElseUpdate(sfDir, loadVectorIndex(spark, sfDir))
+  def vectorIndex(spark: SparkSession, sfDir: String): VectorIndex = {
+    val c = cachesOf(spark)
+    c.synchronized {
+      c.vix.getOrElseUpdate(sfDir, loadVectorIndex(spark, sfDir))
+    }
   }
 
   /** Parse `m` out of a vector index dir's meta — Hadoop FS read (not
@@ -246,9 +263,10 @@ object IndexStore {
     * `vectorset=` partition (composing with the probe's centroid
     * pruning — two-level partition elimination), and the set's own raw
     * vectors for the exact rerank. */
-  def vectorIndexSet(spark: SparkSession, sfDir: String, vs: String): VectorIndex =
-    synchronized {
-      cachesOf(spark).vsix.getOrElseUpdate((sfDir, vs), {
+  def vectorIndexSet(spark: SparkSession, sfDir: String, vs: String): VectorIndex = {
+    val c = cachesOf(spark)
+    c.synchronized {
+      c.vsix.getOrElseUpdate((sfDir, vs), {
         val dir = vectorSetIndexDir(spark, sfDir)
         val cents = spark.read.parquet(s"$dir/centroids")
           .where(col("vectorset") === vs)
@@ -272,6 +290,7 @@ object IndexStore {
             .select(col("vec_id"), col("embedding")))
       })
     }
+  }
 
   def postings(spark: SparkSession, sfDir: String): DataFrame =
     readParquet(spark, s"${indexDir(spark, sfDir)}/postings")
@@ -322,15 +341,17 @@ object IndexStore {
 
   /** [[langProfiles]] collected into the broadcast-literal model shape
     * (memoized per session+dir — one collect, not one per request). */
-  def langProfileModel(spark: SparkSession, sfDir: String): Seq[(String, Map[String, Double])] =
-    synchronized {
-      cachesOf(spark).lang.getOrElseUpdate(sfDir,
+  def langProfileModel(spark: SparkSession, sfDir: String): Seq[(String, Map[String, Double])] = {
+    val c = cachesOf(spark)
+    c.synchronized {
+      c.lang.getOrElseUpdate(sfDir,
         langProfiles(spark, sfDir).collect()
           .groupBy(_.getString(0))
           .map { case (l, rows) =>
             l -> rows.map(r => r.getString(1) -> r.getDouble(2)).toMap }
           .toSeq.sortBy(_._1))
     }
+  }
 
   def docLengths(spark: SparkSession, sfDir: String): DataFrame =
     readParquet(spark, s"${indexDir(spark, sfDir)}/doclengths")

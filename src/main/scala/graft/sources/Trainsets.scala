@@ -244,7 +244,12 @@ object Trainsets {
       alpha: Double, targetRows: Long): DataFrame = {
     require(alpha >= 0, s"alpha must be >= 0, got $alpha")
     require(targetRows >= 0, s"targetRows must be >= 0, got $targetRows")
-    val counts = df.groupBy(col(keyCol))
+    // null-key rows are EXCLUDED from the mix and from the rate
+    // computation (an equi-join can never return them, so counting
+    // them would only deflate every real key's share silently) — a
+    // corpus with null keys must bucket them explicitly first
+    val in = df.where(col(keyCol).isNotNull)
+    val counts = in.groupBy(col(keyCol))
       .agg(count(lit(1)).cast("double").as("__n"))
     val z = counts.agg(sum(pow(col("__n"), lit(alpha))).as("__z"))
     val rates = counts.crossJoin(broadcast(z))
@@ -254,13 +259,17 @@ object Trainsets {
             col("__z") / col("__n")))
       // string-comparable threshold on the md5 hex prefix; a full-keep
       // rate maps to 'g' (> every hex digit) because %08x of 2^32 is
-      // the 9-char "100000000", which sorts BELOW 8-char hex strings
+      // the 9-char "100000000", which sorts BELOW 8-char hex strings —
+      // and the floored value clamps at 2^32−1 because a rate just
+      // below 1 can round UP to exactly 2^32 in double arithmetic and
+      // hit the same 9-char trap past the >= 1 guard
       .withColumn("__th",
         when(col("__r") >= 1, lit("g")).otherwise(
           format_string("%08x",
-            floor(col("__r") * lit(4294967296.0)).cast("long"))))
+            least(floor(col("__r") * lit(4294967296.0)).cast("long"),
+              lit(4294967295L)))))
       .select(col(keyCol), col("__th"))
-    df.join(broadcast(rates), keyCol)
+    in.join(broadcast(rates), keyCol)
       .where(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8)
         < col("__th"))
       .drop("__th")

@@ -580,13 +580,32 @@ object IncrementalIndex {
       .select(col(idCol), col(seqCol)).cache()
     try {
     val tables = serveFrom(spark, dirs, idCol, seqCol, Some(winners))
+    // a MIXED root (pre-dl + post-dl segments) reads NULL dl for the
+    // old segments' posting rows (the multi-path read fills missing
+    // columns with null); written through as-is those nulls would make
+    // BM25's null-dl guard permanent — the guard's "recompact" remedy
+    // works only because compaction HEALS here, filling dl from the
+    // companion doclengths table (which every layout has carried).
+    // coalesce is a no-op on healthy roots; the join is one compaction
+    // -time shuffle against the (1-row-per-winner) lengths table.
+    def healDl(post: DataFrame, dls: DataFrame, joinCols: Seq[String]): DataFrame =
+      if (!post.columns.contains("dl")) post
+      else post.join(
+          dls.select(joinCols.map(col) :+ col("dl").as("__dl"): _*),
+          joinCols, "left")
+        .withColumn("dl", coalesce(col("dl"), col("__dl")))
+        .drop("__dl")
     val latest = latestDocRows(docsUnion, idCol, seqCol)
     latest.write.mode("overwrite").parquet(s"$out/docs")
-    tables.postings.write.mode("overwrite").parquet(s"$out/postings")
+    healDl(tables.postings, tables.docLengths, Seq(idCol))
+      .write.mode("overwrite").parquet(s"$out/postings")
     tables.docLengths.write.mode("overwrite").parquet(s"$out/doclengths")
     tables.paragraphs.write.mode("overwrite").parquet(s"$out/paragraphs")
-    tables.parPostings.foreach(_.write.mode("overwrite")
-      .parquet(s"$out/par_postings"))
+    tables.parPostings.foreach { p =>
+      val healed = tables.parDocLengths
+        .map(d => healDl(p, d, Seq("paragraph_id"))).getOrElse(p)
+      healed.write.mode("overwrite").parquet(s"$out/par_postings")
+    }
     tables.parDocLengths.foreach(_.write.mode("overwrite")
       .parquet(s"$out/par_doclengths"))
     if (dirs.forall(d => hasSub(spark, d, "positions")))

@@ -21,14 +21,7 @@ object ProfileBm25 {
     val ix = graft.sources.IndexStore.tables(spark, sfDir)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
-    def time(label: String)(f: => Long): Unit = {
-      f // warm
-      val runs = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); val n = f
-        ((System.nanoTime() - t0) / 1e9, n)
-      }
-      println(f"[profile] $label%-40s ${runs.map(_._1).min}%6.3fs rows=${runs.head._2}")
-    }
+    def time(label: String)(f: => Long): Unit = Timing.time(label)(f)
 
     time("par_postings full count")(ix.parPostings.get.count())
     time("par_doclengths full count")(ix.parDocLengths.get.count())

@@ -25,14 +25,7 @@ object ProfileFind {
     val vix = graft.sources.IndexStore.vectorIndex(spark, sfDir)
     val terms = Seq("spark", "query") // SparkEntry.QueryTerms (private)
 
-    def time(label: String)(f: => Long): Unit = {
-      f // warm
-      val runs = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); val n = f
-        ((System.nanoTime() - t0) / 1e9, n)
-      }
-      println(f"[profile] $label%-44s ${runs.map(_._1).min}%6.3fs rows=${runs.head._2}")
-    }
+    def time(label: String)(f: => Long): Unit = Timing.time(label)(f)
 
     time("qv collect")(
       emb.where(col("vec_id") === 0).select("embedding").collect().length.toLong)

@@ -24,11 +24,8 @@ object TimeQuery {
       def run(): Long =
         try fn(spark, sfDir).count()
         finally graft.Caches.releaseAll()
-      run() // warm
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
-      }
-      println(f"[timequery] $name%-32s min=${times.min}%6.3fs runs=${times.map(t => f"$t%.3f").mkString(",")}")
+      val (min, times, _) = Timing.measure(run())
+      println(f"[timequery] $name%-32s min=$min%6.3fs runs=${times.map(t => f"$t%.3f").mkString(",")}")
     }
     spark.stop()
   }

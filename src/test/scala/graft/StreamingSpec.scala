@@ -605,6 +605,67 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compaction heals NULL dl posting rows from a mixed pre-dl/post-dl root") {
+    import graft.functions.Bm25
+    // two segments, then strip the denormalized dl column from segment
+    // 1's posting tables — the pre-dl layout. The multi-path read over
+    // the mixed root either drops dl entirely (old schema sampled:
+    // legacy join path) or fills segment 1's rows with NULL (new schema
+    // sampled) — compaction must end in a healthy root either way,
+    // never bake nulls that make the BM25 null-dl guard permanent.
+    val root = Files.createTempDirectory("graft-heal").toString + "/index"
+    IncrementalIndex.writeSegment(
+      Seq(("r1", 1L, "fast spark scan spark", false))
+        .toDF("rid", "seq", "value", "deleted"),
+      s"$root/seg_000000001", "rid", "value", "seq")
+    IncrementalIndex.writeSegment(
+      Seq(("r2", 2L, "spark planner here", false))
+        .toDF("rid", "seq", "value", "deleted"),
+      s"$root/seg_000000002", "rid", "value", "seq")
+    def stripDl(p: String): Unit = {
+      val tmp = p + "__tmp"
+      spark.read.parquet(p).drop("dl").write.parquet(tmp)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(p))
+      assert(new java.io.File(tmp).renameTo(new java.io.File(p)))
+    }
+    stripDl(s"$root/seg_000000001/postings")
+    stripDl(s"$root/seg_000000001/par_postings")
+    IncrementalIndex.compactSegments(spark, root)
+    val ix = IncrementalIndex.segmentTables(spark, root)
+    // if the compacted postings carry dl, it must be null-free
+    for (post <- Seq(ix.postings) ++ ix.parPostings)
+      if (post.columns.contains("dl"))
+        assert(post.where(post("dl").isNull).isEmpty,
+          "compaction persisted NULL dl rows")
+    // and BM25 scores equal a batch index over the same merged corpus
+    val batchDir = Files.createTempDirectory("graft-healix").toString
+    graft.sources.Ingest.buildIndex(
+      Seq(("r1", "fast spark scan spark"), ("r2", "spark planner here"))
+        .toDF("rid", "value"),
+      "rid", "value", batchDir, withVectors = false)
+    def scores(post: org.apache.spark.sql.DataFrame,
+        dls: org.apache.spark.sql.DataFrame, id: String) =
+      Bm25.scoreFromPostings(post, dls, id, Seq("spark"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch = scores(spark.read.parquet(s"$batchDir/postings"),
+      spark.read.parquet(s"$batchDir/doclengths"), "rid")
+    val streamed = scores(ix.postings, ix.docLengths, "rid")
+    assert(streamed.keySet == batch.keySet, s"$streamed != $batch")
+    batch.foreach { case (k, v) =>
+      assert(math.abs(streamed(k) - v) < 1e-12, s"$k: ${streamed(k)} != $v") }
+    val batchPar = scores(spark.read.parquet(s"$batchDir/par_postings"),
+      spark.read.parquet(s"$batchDir/par_doclengths"), "paragraph_id")
+    val streamedPar = scores(ix.parPostings.get, ix.parDocLengths.get,
+      "paragraph_id")
+    assert(streamedPar == batchPar ||
+      (streamedPar.keySet == batchPar.keySet &&
+        batchPar.forall { case (k, v) => math.abs(streamedPar(k) - v) < 1e-12 }),
+      s"$streamedPar != $batchPar")
+  }
+
   test("streamed suggest latency vs live segment count (1 vs 8 vs 64) stays within the compaction contract") {
     // segmentTermFreq rolls up the winner-filtered postings of ALL live
     // segments per request — correct by construction, but its cost
