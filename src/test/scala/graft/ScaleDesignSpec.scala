@@ -619,6 +619,19 @@ class ScaleDesignSpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
+  test("temperatureMixture: rate table broadcasts; the corpus pays the counting agg and one narrow filtered scan, no corpus-side join shuffle") {
+    val mix = spark.range(2000).select($"id",
+      (when($"id" % 10 === 0, "tail").otherwise("head")).as("k"))
+    val sampled = graft.sources.Trainsets
+      .temperatureMixture(mix, "k", "id", alpha = 0.5, targetRows = 300)
+    val p = plan(sampled)
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-key rate table must broadcast onto the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus side must never shuffle for the membership join:\n$p")
+    sampled.count() // executes — the plan above is the executed one
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
