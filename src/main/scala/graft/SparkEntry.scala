@@ -1415,6 +1415,39 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")),
 
+    // training-data ops CAPSTONE #2 — the FINAL-ASSEMBLY recipe after
+    // curation (q80 covers quality/dedup/decontaminate): drop docs
+    // carrying cross-document boilerplate (any paragraph recurring in
+    // ≥3 docs), audit-count PII (same deterministic fixture contact
+    // string as q107 — the testdata has no organic PII; redaction
+    // itself is q107's check), α-mixture-sample languages toward a
+    // flattened 300-doc target, and deterministically split. One lazy
+    // plan: hash agg + anti-join + codegen'd regexp counts + broadcast
+    // rate join + split CASE — the only corpus shuffle is the
+    // boilerplate count
+    "q110_assembly_pipeline" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val docs = load(s, dir, "documents")
+      val boilerCarriers = graft.operators.Dedup.boilerplateParagraphs(
+          graft.sources.IndexStore.paragraphs(s, dir),
+          "doc_id", "paragraph_id", "p_text", minDocs = 3)
+        .select("doc_id").distinct()
+      val kept = docs.join(boilerCarriers, Seq("doc_id"), "left_anti")
+      val synth = kept.withColumn("composite",
+        concat(col("text"), lit(" contact "), col("source"),
+          lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7 end")))
+      val (emails, ips) = TextFunctions.piiCounts(col("composite"))
+      val redacted = synth.select(col("doc_id"), col("lang"),
+        emails.cast("long").as("n_emails"), ips.cast("long").as("n_ips"))
+      val mixed = graft.sources.Trainsets.temperatureMixture(
+        redacted, "lang", "doc_id", alpha = 0.5, targetRows = 300)
+      graft.sources.Trainsets.hashSplit(mixed, "doc_id",
+          Seq("train" -> 12, "val" -> 2, "test" -> 2))
+        .select("doc_id", "lang", "n_emails", "n_ips", "split")
+        .orderBy("doc_id")
+    }),
+
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:
     // HyperLogLog++ distinct counts and approximate percentiles give a
     // bounded-memory, one-pass corpus shape. NO DuckDB oracle (sketch
@@ -2807,6 +2840,47 @@ object SparkEntry {
         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_sampled
         |FROM documents d JOIN t ON d.lang = t.lang
         |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.th
-        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // q110: final assembly — boilerplate-carrier drop (q108's hash at
+    // minDocs=3) → PII audit counts (q107's patterns + fixture) →
+    // temperature mixture (q109's rate/threshold) → q69's split CASE.
+    "q110_assembly_pipeline" ->
+      s"""WITH $ParCtes,
+         |pt AS (SELECT doc_id,
+         |         md5(array_to_string(t[s+1:e], ' ')) AS h FROM par),
+         |hot AS (SELECT h FROM pt GROUP BY h
+         |        HAVING count(DISTINCT doc_id) >= 3),
+         |bdocs AS (SELECT DISTINCT doc_id FROM pt JOIN hot USING (h)),
+         |kept AS (SELECT d.* FROM documents d
+         |         WHERE d.doc_id NOT IN (SELECT doc_id FROM bdocs)),
+         |synth AS (SELECT doc_id, lang,
+         |  text || ' contact ' || source || '@example.com from 10.0.' ||
+         |    CAST(doc_id % 256 AS VARCHAR) || '.7 end' AS composite
+         |  FROM kept),
+         |pii AS (SELECT doc_id, lang,
+         |  CAST(len(regexp_extract_all(composite,
+         |    '${TextFunctions.EmailPattern}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(
+         |    regexp_replace(composite, '${TextFunctions.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextFunctions.Ipv4Pattern}')) AS BIGINT) AS n_ips
+         |  FROM synth),
+         |c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM pii
+         |      WHERE lang IS NOT NULL GROUP BY lang),
+         |z AS (SELECT sum(pow(n, 0.5)) AS z FROM c),
+         |r AS (SELECT lang,
+         |        LEAST(1.0, 300 * pow(n, 0.5) / (SELECT z FROM z) / n) AS r
+         |      FROM c),
+         |thr AS (SELECT lang, CASE WHEN r >= 1 THEN 'g'
+         |          ELSE printf('%08x', LEAST(
+         |            CAST(floor(r * 4294967296) AS BIGINT), 4294967295))
+         |          END AS th FROM r),
+         |mixed AS (SELECT p.* FROM pii p JOIN thr ON p.lang = thr.lang
+         |  WHERE substring(md5(CAST(p.doc_id AS VARCHAR)), 1, 8) < thr.th)
+         |SELECT doc_id, lang, n_emails, n_ips,
+         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'e' THEN 'test'
+         |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c' THEN 'val'
+         |       ELSE 'train' END AS split
+         |FROM mixed ORDER BY doc_id""".stripMargin
   )
 }
