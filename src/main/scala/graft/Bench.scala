@@ -80,19 +80,24 @@ object Bench {
     def total0 = results.map(_._2).sum
     var total = total0
 
-    // recorded bests for this sf dir: flat JSON of `{sfKey}` → best
-    // total plus `{sfKey}/q/{name}` → best per-query time
+    // recorded bests for this sf dir: flat JSON of `{sfKey}/n{count}` →
+    // best total plus `{sfKey}/q/{name}` → best per-query time. The
+    // TOTAL best is keyed by the query COUNT it measured — totals from
+    // different suite sizes are incomparable (a grown suite could never
+    // beat a smaller suite's total, freezing the gate), so a new query
+    // starts a fresh total series while the per-query bests carry over.
     val bestPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BEST", "bench_best.json"))
     val sfKey = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
     def qKey(name: String) = s"$sfKey/q/$name"
+    val totalKey = s"$sfKey/n${SparkEntry.queries.size}"
     val recorded: Map[String, Double] =
       try {
         val txt = java.nio.file.Files.readString(bestPath)
         """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Exception => Map.empty[String, Double] }
-    val prevBest = recorded.get(sfKey)
+    val prevBest = recorded.get(totalKey)
 
     def perQueryDeviations(rs: Seq[(String, Double, Boolean)]): Seq[(String, Double)] =
       rs.flatMap { case (name, t, ok) =>
@@ -133,7 +138,7 @@ object Bench {
       val updated = recorded ++
         (results.collect { case (k, v, true) =>
           qKey(k) -> math.min(v, recorded.getOrElse(qKey(k), v))
-        } ++ (if (failed.isEmpty) Seq(sfKey -> newBest) else Nil))
+        } ++ (if (failed.isEmpty) Seq(totalKey -> newBest) else Nil))
       java.nio.file.Files.writeString(bestPath,
         updated.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))

@@ -1379,10 +1379,7 @@ object SparkEntry {
     "q107_pii_redaction" -> ((s, dir) => {
       import graft.functions.TextFunctions
       val synth = load(s, dir, "documents").where(col("doc_id") < 25)
-        .withColumn("composite",
-          concat(col("text"), lit(" contact "), col("source"),
-            lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
-            lit(".7 end")))
+        .withColumn("composite", piiFixture)
       val (emails, ips) = TextFunctions.piiCounts(col("composite"))
       synth.select(col("doc_id"),
           emails.cast("long").as("n_emails"), ips.cast("long").as("n_ips"),
@@ -1422,9 +1419,10 @@ object SparkEntry {
     // string as q107 — the testdata has no organic PII; redaction
     // itself is q107's check), α-mixture-sample languages toward a
     // flattened 300-doc target, and deterministically split. One lazy
-    // plan: hash agg + anti-join + codegen'd regexp counts + broadcast
-    // rate join + split CASE — the only corpus shuffle is the
-    // boilerplate count
+    // plan; corpus-scale exchanges are the boilerplate hash count (its
+    // membership join AQE-broadcasts when the hot set is small), the
+    // carrier distinct, and the per-key counting agg — the PII counts,
+    // mixture membership, and split are narrow codegen'd work on top
     "q110_assembly_pipeline" -> ((s, dir) => {
       import graft.functions.TextFunctions
       val docs = load(s, dir, "documents")
@@ -1433,10 +1431,7 @@ object SparkEntry {
           "doc_id", "paragraph_id", "p_text", minDocs = 3)
         .select("doc_id").distinct()
       val kept = docs.join(boilerCarriers, Seq("doc_id"), "left_anti")
-      val synth = kept.withColumn("composite",
-        concat(col("text"), lit(" contact "), col("source"),
-          lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
-          lit(".7 end")))
+      val synth = kept.withColumn("composite", piiFixture)
       val (emails, ips) = TextFunctions.piiCounts(col("composite"))
       val redacted = synth.select(col("doc_id"), col("lang"),
         emails.cast("long").as("n_emails"), ips.cast("long").as("n_ips"))
@@ -1537,6 +1532,19 @@ object SparkEntry {
   /** MinHash+LSH near-dup pair CTE chain (8 hashes, 4 bands of 2,
     * est_jaccard ≥ 0.25) — must match [[graft.operators.Dedup.minHashLsh]]
     * with q18's parameters; ends in a `pairs` CTE. */
+  /** q107/q110's deterministic PII fixture (the testdata carries no
+    * organic PII): a contact string derived from the row composes onto
+    * the text. ONE definition per side — Column here, SQL below — so
+    * the two queries cannot silently drift. */
+  private def piiFixture: org.apache.spark.sql.Column =
+    concat(col("text"), lit(" contact "), col("source"),
+      lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+      lit(".7 end"))
+  private def piiSynthSql(src: String): String =
+    s"""SELECT *, text || ' contact ' || source || '@example.com from 10.0.' ||
+       |    CAST(doc_id % 256 AS VARCHAR) || '.7 end' AS composite
+       |  FROM $src""".stripMargin
+
   private def minHashPairCtes(src: String): String =
     s"""${shingleCtes(src)},
        |mh AS (SELECT doc_id, i,
@@ -2799,10 +2807,7 @@ object SparkEntry {
     // q107: the same RE2-safe patterns run in DuckDB; 'g' replaces all
     // occurrences like Spark's regexp_replace default.
     "q107_pii_redaction" ->
-      s"""WITH synth AS (SELECT doc_id,
-         |  text || ' contact ' || source || '@example.com from 10.0.' ||
-         |    CAST(doc_id % 256 AS VARCHAR) || '.7 end' AS composite
-         |  FROM documents WHERE doc_id < 25)
+      s"""WITH synth AS (${piiSynthSql("(SELECT * FROM documents WHERE doc_id < 25)")})
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(composite, '${TextFunctions.EmailPattern}')) AS BIGINT) AS n_emails,
          |  CAST(len(regexp_extract_all(
@@ -2839,7 +2844,7 @@ object SparkEntry {
         |        END AS th FROM r)
         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_sampled
         |FROM documents d JOIN t ON d.lang = t.lang
-        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.th
+        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || '#mix'), 1, 8) < t.th
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     // q110: final assembly — boilerplate-carrier drop (q108's hash at
@@ -2854,10 +2859,7 @@ object SparkEntry {
          |bdocs AS (SELECT DISTINCT doc_id FROM pt JOIN hot USING (h)),
          |kept AS (SELECT d.* FROM documents d
          |         WHERE d.doc_id NOT IN (SELECT doc_id FROM bdocs)),
-         |synth AS (SELECT doc_id, lang,
-         |  text || ' contact ' || source || '@example.com from 10.0.' ||
-         |    CAST(doc_id % 256 AS VARCHAR) || '.7 end' AS composite
-         |  FROM kept),
+         |synth AS (${piiSynthSql("kept")}),
          |pii AS (SELECT doc_id, lang,
          |  CAST(len(regexp_extract_all(composite,
          |    '${TextFunctions.EmailPattern}')) AS BIGINT) AS n_emails,
@@ -2876,7 +2878,7 @@ object SparkEntry {
          |            CAST(floor(r * 4294967296) AS BIGINT), 4294967295))
          |          END AS th FROM r),
          |mixed AS (SELECT p.* FROM pii p JOIN thr ON p.lang = thr.lang
-         |  WHERE substring(md5(CAST(p.doc_id AS VARCHAR)), 1, 8) < thr.th)
+         |  WHERE substring(md5(CAST(p.doc_id AS VARCHAR) || '#mix'), 1, 8) < thr.th)
          |SELECT doc_id, lang, n_emails, n_ips,
          |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'e' THEN 'test'
          |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c' THEN 'val'

@@ -232,13 +232,20 @@ object Trainsets {
     * operator only downsamples, it never duplicates rows).
     *
     * Membership is DETERMINISTIC, not RNG: a row is kept iff the first
-    * 8 hex digits of md5(id) fall below the key's rate threshold —
-    * the same pure-function-of-the-id contract as [[hashSample]], so
-    * membership survives reruns, partitionings, and incremental
-    * appends, and the threshold comparison is a codegen'd string
-    * predicate. The rate table is one tiny per-key aggregate broadcast
-    * back onto the corpus: cost at 100 TB is the unavoidable counting
-    * pass plus one narrow filtered scan, no corpus shuffle.
+    * 8 hex digits of md5(id · "#mix") fall below the key's rate
+    * threshold — the same pure-function-of-the-id contract as
+    * [[hashSample]], so membership survives reruns, partitionings, and
+    * incremental appends, and the threshold comparison is a codegen'd
+    * string predicate. The hash is SALTED with a purpose tag ("#mix"):
+    * [[hashSplit]]/[[hashSample]] cut on the UNsalted md5(id), and an
+    * unsalted mixture would correlate with them — a key downsampled to
+    * rate r keeps only ids whose hash prefix < r, which after an
+    * unsalted 12/2/2 hashSplit would put EVERY surviving row of any
+    * r ≤ 0.75 key into 'train' (empty val/test). Null-key rows are
+    * excluded from the mix and the rate computation. The rate table is
+    * one tiny per-key aggregate broadcast back onto the corpus: cost at
+    * 100 TB is the unavoidable counting pass plus one narrow filtered
+    * scan, no corpus-side join shuffle.
     */
   def temperatureMixture(df: DataFrame, keyCol: String, idCol: String,
       alpha: Double, targetRows: Long): DataFrame = {
@@ -270,8 +277,9 @@ object Trainsets {
               lit(4294967295L)))))
       .select(col(keyCol), col("__th"))
     in.join(broadcast(rates), keyCol)
-      .where(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8)
-        < col("__th"))
+      .where(substring(
+          md5(concat(col(idCol).cast("string"), lit("#mix")).cast("binary")),
+          1, 8) < col("__th"))
       .drop("__th")
   }
 

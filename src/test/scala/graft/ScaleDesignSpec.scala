@@ -624,12 +624,13 @@ class ScaleDesignSpec extends SparkSpec {
       (when($"id" % 10 === 0, "tail").otherwise("head")).as("k"))
     val sampled = graft.sources.Trainsets
       .temperatureMixture(mix, "k", "id", alpha = 0.5, targetRows = 300)
+    sampled.count() // execute FIRST: under AQE the pre-execution string
+    // is the initial plan; after the action it is the final one
     val p = plan(sampled)
     assert(p.contains("BroadcastHashJoin"),
       s"per-key rate table must broadcast onto the corpus:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"the corpus side must never shuffle for the membership join:\n$p")
-    sampled.count() // executes — the plan above is the executed one
   }
 
   test("bucketed tables join without a shuffle exchange") {

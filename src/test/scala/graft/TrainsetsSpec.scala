@@ -180,6 +180,13 @@ class TrainsetsSpec extends SparkSpec {
     val b = Trainsets.temperatureMixture(mix.repartition(7), "k", "id", 0.5, 100)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(a == b, "membership must be a pure function of the id")
+    // composition with hashSplit stays independent (the "#mix" salt):
+    // an UNsalted membership hash would put every surviving row of a
+    // rate ≤ 0.75 key below hex 'c' — i.e. all-train, empty val/test
+    val split = Trainsets.hashSplit(got, "id",
+      Seq("train" -> 12, "val" -> 2, "test" -> 2))
+    assert(split.where(col("split") =!= "train").count() > 0,
+      "mixture membership must not starve the val/test splits")
   }
 
   test("contaminationScores: eval docs score 1.0, disjoint docs 0.0, partial in between") {
