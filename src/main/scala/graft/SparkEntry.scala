@@ -1443,6 +1443,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // training-data ops: concat-and-chunk sequence packing — documents
+    // stream into 16 deterministic salted-hash bins, each bin's docs
+    // concatenate in id order and cut into 512-token training
+    // sequences (a doc belongs to the chunk holding its first token).
+    // One exchange on the bin key; the per-bin running sum is the only
+    // non-scan work — no global order anywhere. The check aggregates
+    // per (bin, seq) so the full assignment (membership AND offsets)
+    // is pinned by the sums
+    "q111_sequence_packing" -> ((s, dir) =>
+      graft.sources.Trainsets.packSequences(
+          load(s, dir, "documents"), "doc_id", "text",
+          budget = 512, binHexWidth = 1)
+        .groupBy("bin", "seq")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("bin", "seq")),
+
+    // training-data ops: interpolated bigram log-probability — the
+    // perplexity filter one order above q78's unigram score (word
+    // salad scores low even when its unigram profile is normal).
+    // Unigram dictionary broadcasts (vocab-sized); the bigram
+    // dictionary joins on its own key (corpus-growing — never
+    // broadcast by hand); worst 20 docs = the filter's cut candidates
+    "q112_bigram_logprob" -> ((s, dir) =>
+      graft.operators.CorpusStats.bigramLogProb(
+          load(s, dir, "documents"), "doc_id", "text", lambda = 0.7)
+        .orderBy(col("bigram_lp").asc, col("doc_id").asc)
+        .limit(20)),
+
+    // training-data ops: domain-likeness (fastText-style quality
+    // filter): Naive-Bayes log-odds of "looks like src7" vs the rest
+    // of the corpus, trained on the corpus itself, add-one smoothing,
+    // per-token average. Top 25 = the docs a curated-domain filter
+    // would keep first
+    "q113_domain_likeness" -> ((s, dir) =>
+      graft.operators.CorpusStats.classLikeness(
+          load(s, dir, "documents"), "doc_id", "text", "source", "src7")
+        .orderBy(col("odds").desc, col("doc_id").asc)
+        .limit(25)),
+
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:
     // HyperLogLog++ distinct counts and approximate percentiles give a
     // bounded-memory, one-pass corpus shape. NO DuckDB oracle (sketch
@@ -2883,6 +2922,53 @@ object SparkEntry {
          |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'e' THEN 'test'
          |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c' THEN 'val'
          |       ELSE 'train' END AS split
-         |FROM mixed ORDER BY doc_id""".stripMargin
+         |FROM mixed ORDER BY doc_id""".stripMargin,
+
+    "q111_sequence_packing" ->
+      """WITH c AS (SELECT doc_id,
+        |    substring(md5(CAST(doc_id AS VARCHAR) || '#pack'), 1, 1) AS bin,
+        |    len(regexp_extract_all(lower(text),
+        |      ' ?[a-z0-9]+| ?[^a-z0-9\x09\x0a\x0c\x0d ]+')) AS n_tok
+        |  FROM documents),
+        |p AS (SELECT bin, n_tok,
+        |        CAST(coalesce(sum(n_tok) OVER (PARTITION BY bin ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+        |          AS BIGINT) AS seq
+        |      FROM c)
+        |SELECT bin, seq, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM p GROUP BY bin, seq ORDER BY bin, seq""".stripMargin,
+
+    "q112_bigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, $Tok AS tk FROM documents),
+         |tok AS (SELECT doc_id, unnest(tk) AS term FROM t),
+         |freq AS (SELECT term, count(*) AS c1 FROM tok GROUP BY term),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+         |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+         |       FROM t CROSS JOIN (SELECT unnest(range(1, 2000)) AS i) ix
+         |       WHERE i <= len(tk) - 1),
+         |bfreq AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2)
+         |SELECT doc_id,
+         |  round(avg(ln(0.7 * c12 / f1.c1 + (1.0 - 0.7) * f2.c1 / tot.n)), 4) AS bigram_lp,
+         |  CAST(count(*) AS BIGINT) AS n_bigrams
+         |FROM bg JOIN bfreq USING (w1, w2)
+         |  JOIN freq f1 ON f1.term = bg.w1
+         |  JOIN freq f2 ON f2.term = bg.w2
+         |  CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY bigram_lp ASC, doc_id LIMIT 20""".stripMargin,
+
+    "q113_domain_likeness" ->
+      s"""WITH tok AS (SELECT doc_id, source, unnest($Tok) AS term FROM documents),
+         |counts AS (SELECT term,
+         |    sum(CASE WHEN source = 'src7' THEN 1 ELSE 0 END) AS ct,
+         |    sum(CASE WHEN source = 'src7' THEN 0 ELSE 1 END) AS cr
+         |  FROM tok GROUP BY term),
+         |tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS tt,
+         |    CAST(sum(cr) AS DOUBLE) AS tr,
+         |    CAST(count(*) AS DOUBLE) AS v FROM counts)
+         |SELECT doc_id, max(source) AS source,
+         |  round(avg(ln((ct + 1) / (tt + v)) - ln((cr + 1) / (tr + v))), 4) AS odds
+         |FROM tok JOIN counts USING (term) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY odds DESC, doc_id LIMIT 25""".stripMargin
   )
 }

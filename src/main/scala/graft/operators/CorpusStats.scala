@@ -89,4 +89,95 @@ object CorpusStats {
         round(avg(log(col("tf") / col("__n"))), 4).as("logprob"),
         round(countDistinct(col("term")).cast("double") / count(lit(1)), 4).as("ttr"))
   }
+
+  /** Interpolated bigram log-probability — the CCNet/KenLM-style
+    * perplexity filter one order up from [[unigramLogProb]]: per
+    * bigram occurrence (w1,w2) the score is
+    * ln(λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/N), averaged per document —
+    * word-salad documents (real words, impossible transitions) score
+    * low even when their unigram profile looks normal. c(w1) is the
+    * plain unigram count (the MLE boundary approximation: a token's
+    * final occurrence in a doc still counts in the denominator).
+    *
+    * Scale shape: the unigram dictionary is vocabulary-sized →
+    * broadcast (as in [[unigramLogProb]]); the BIGRAM dictionary is
+    * NOT broadcast — bigram vocabularies grow with the corpus, so
+    * the bigram stream joins its own count table on the bigram key
+    * (one hash-partitioned shuffle each side; AQE broadcasts it when
+    * it is small). One final per-doc aggregate. Docs with < 2 tokens
+    * have no bigrams and drop out (inner-join semantics).
+    *
+    * @return (idCol, bigram_lp rounded at 4, n_bigrams)
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.7): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    // cache the token arrays: three consumers read them (unigram freq,
+    // bigram freq, the scored bigram stream) and the interpreted
+    // tokenize is the expensive part — the langIdPredict trade. At
+    // true corpus scale the freq tables come from the at-rest posting
+    // build instead (Ingest.termPostings); this form is the
+    // train-and-score-in-one-pass shape
+    val base = graft.Caches.cache(docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__t")))
+    val uni = base.select(explode(col("__t")).as("term"))
+    val freq = graft.Caches.cache(
+      uni.groupBy("term").agg(count(lit(1)).as("c1")))
+    val total = freq.agg(sum(col("c1")).cast("double").as("__n"))
+    val bg = base.select(col(idCol),
+        explode(TextFunctions.shingles(col("__t"), 2)).as("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    val bfreq = bg.groupBy("bigram").agg(count(lit(1)).as("c12"))
+    bg.join(bfreq, "bigram")
+      .join(broadcast(freq.withColumnRenamed("term", "w1")), "w1")
+      .join(broadcast(freq.withColumnRenamed("term", "w2")
+        .withColumnRenamed("c1", "c2")), "w2")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        round(avg(log(
+          lit(lambda) * col("c12") / col("c1") +
+            lit(1 - lambda) * col("c2") / col("__n"))), 4).as("bigram_lp"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
+  /** Domain-likeness scoring — the fastText-style quality filter
+    * (GPT-3/CCNet keep pages that "look like" a curated corpus):
+    * a multinomial Naive-Bayes log-odds of the `target` class vs the
+    * rest, trained on the corpus itself with add-one smoothing over
+    * the joint vocabulary, averaged per token occurrence so long
+    * documents aren't favored. score(d) = avg_t [ln P(t|target) −
+    * ln P(t|rest)], P(t|c) = (c_c(t)+1)/(T_c+V). Positive = the
+    * document's vocabulary resembles the target class more than the
+    * rest of the corpus.
+    *
+    * Scale shape: identical to [[unigramLogProb]] — one shuffle for
+    * the per-term class counts (map-side partials), the
+    * vocabulary-sized count table broadcasts back onto the token
+    * stream, one per-doc aggregate; totals are a 1-row broadcast.
+    *
+    * @return (idCol, labelCol, odds rounded at 4)
+    */
+  def classLikeness(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, target: String): DataFrame = {
+    val toks = docs.select(col(idCol), col(labelCol),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val isT = col(labelCol) === lit(target)
+    val counts = graft.Caches.cache(toks.groupBy("term").agg(
+      sum(when(isT, 1L).otherwise(0L)).as("ct"),
+      sum(when(isT, 0L).otherwise(1L)).as("cr")))
+    val totals = counts.agg(
+      sum(col("ct")).cast("double").as("__tt"),
+      sum(col("cr")).cast("double").as("__tr"),
+      count(lit(1)).cast("double").as("__v"))
+    toks.join(broadcast(counts), "term")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(
+        max(col(labelCol)).as(labelCol),
+        round(avg(
+          log((col("ct") + 1) / (col("__tt") + col("__v"))) -
+            log((col("cr") + 1) / (col("__tr") + col("__v")))), 4).as("odds"))
+  }
 }

@@ -283,6 +283,51 @@ object Trainsets {
       .drop("__th")
   }
 
+  /** Concat-and-chunk sequence packing — the pretraining batch-prep
+    * pass that concatenates documents and cuts the stream into
+    * fixed-`budget` token training sequences (a document belongs to
+    * the sequence containing its first token; long documents straddle
+    * chunk boundaries, exactly like the concatenated-stream packing
+    * every GPT-style pipeline uses). Token counts are the BPE
+    * pre-token upper bound ([[TextFunctions.bpePreTokenCount]]).
+    *
+    * The stream order is DETERMINISTIC and PARALLEL: documents are
+    * bucketed into 16^`binHexWidth` independent streams by a salted
+    * md5 prefix of the id ("#pack" — salted for the same reason as
+    * [[temperatureMixture]]: the unsalted md5(id) prefix already
+    * drives [[hashSplit]]/[[hashSample]] membership, and packing order
+    * must not correlate with split membership), and each bin is packed
+    * in id order. Membership and offsets are pure functions of (id set,
+    * budget) — stable across reruns and partitionings. Scale shape: ONE
+    * shuffle (hash by bin) and a per-bin running sum; bins bound the
+    * window-partition size (pick binHexWidth so corpus/16^w fits an
+    * executor's slice) and there is NO global order — the 100 TB cost
+    * is a narrow scan plus one exchange.
+    *
+    * @return one row per doc: (idCol, bin, n_tok, seq, tok_offset) —
+    *         seq = chunk index within the bin, tok_offset = the doc's
+    *         first-token offset within that chunk
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Int, binHexWidth: Int = 1): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    require(binHexWidth >= 1 && binHexWidth <= 8,
+      s"binHexWidth must be in [1,8], got $binHexWidth")
+    import org.apache.spark.sql.expressions.Window
+    val bin = substring(
+      md5(concat(col(idCol).cast("string"), lit("#pack")).cast("binary")),
+      1, binHexWidth)
+    val base = df.select(col(idCol), bin.as("bin"),
+      TextFunctions.bpePreTokenCount(col(textCol)).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("bin")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("__before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("seq", floor(col("__before") / budget))
+      .withColumn("tok_offset", col("__before") % budget)
+      .drop("__before")
+  }
+
   /** Eval-set contamination score per document: the fraction of the
     * document's distinct word `n`-gram shingles that also occur in
     * `evalDocs` (the benchmark/eval corpus a trainset must be

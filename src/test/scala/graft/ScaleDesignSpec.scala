@@ -137,6 +137,19 @@ class ScaleDesignSpec extends SparkSpec {
         plan(joined).linesIterator.take(12).mkString("\n"))
   }
 
+  test("packSequences plan: one exchange (the bin hash), no join, no global sort") {
+    val p = plan(graft.sources.Trainsets.packSequences(
+      docs, "doc_id", "text", budget = 8, binHexWidth = 2))
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1,
+      s"packing must shuffle exactly once, on the bin key:\n$p")
+    assert(!p.contains("Join"), s"packing is scan + window, no join:\n$p")
+    // the only sort is the per-bin window sort — a global (rangepartitioned)
+    // sort would serialize the corpus through one ordering
+    assert(!p.contains("rangepartitioning"),
+      s"no global order anywhere in packing:\n$p")
+  }
+
   test("PQ-ADC plan is a single scan to top-k: no exchange, no join") {
     val q73 = SparkEntry.queries("q73_pq_adc")(spark, "/root/testdata/sf0.001")
     val p = plan(q73)

@@ -189,6 +189,74 @@ class TrainsetsSpec extends SparkSpec {
       "mixture membership must not starve the val/test splits")
   }
 
+  test("packSequences: concat-and-chunk invariants hold and assignment is partition-invariant") {
+    val docs = (1L to 40L).map(i =>
+      (i, Seq.fill((i % 7 + 1).toInt)("word").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = Trainsets.packSequences(docs, "doc_id", "text",
+      budget = 5, binHexWidth = 1)
+    val rows = packed.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 40, "packing keeps every document")
+    // replay each bin's stream: seq/tok_offset must equal the running
+    // concat-and-chunk assignment in id order
+    rows.groupBy(_._2).foreach { case (bin, rs) =>
+      var before = 0L
+      rs.sortBy(_._1).foreach { case (id, _, nTok, seq, off) =>
+        assert(nTok == id % 7 + 1, s"doc $id token count")
+        assert(seq == before / 5, s"doc $id in bin $bin: seq")
+        assert(off == before % 5, s"doc $id in bin $bin: offset")
+        before += nTok
+      }
+    }
+    // pure function of (id set, budget): partitioning must not matter
+    val again = Trainsets.packSequences(docs.repartition(7), "doc_id",
+        "text", budget = 5, binHexWidth = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("bigramLogProb matches the hand-computed interpolated score") {
+    import graft.operators.CorpusStats
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: (a,b) ×2, (b,a)
+      (2L, "a a"),     // bigram: (a,a)
+      (3L, "x"))       // no bigram — drops out
+      .toDF("doc_id", "text")
+    val byId = CorpusStats.bigramLogProb(docs, "doc_id", "text", lambda = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // corpus: a=4, b=2, x=1, N=7; bigrams: "a b"=2, "b a"=1, "a a"=1
+    def s(c12: Double, c1: Double, c2: Double) =
+      math.log(0.5 * c12 / c1 + 0.5 * c2 / 7.0)
+    val d1 = (2 * s(2, 4, 2) + s(1, 2, 4)) / 3.0
+    val d2 = s(1, 4, 4)
+    assert(byId.keySet == Set(1L, 2L), "doc 3 has no bigrams")
+    assert(byId(1L) == (BigDecimal(d1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, 3L))
+    assert(byId(2L) == (BigDecimal(d2).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, 1L))
+  }
+
+  test("classLikeness: add-one NB log-odds ranks target-vocabulary docs first") {
+    import graft.operators.CorpusStats
+    val docs = Seq(
+      (1L, "a a b", "t"),
+      (2L, "b c", "r"),
+      (3L, "a c", "r"))
+      .toDF("doc_id", "text", "source")
+    val got = CorpusStats.classLikeness(docs, "doc_id", "text", "source", "t")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    // ct: a=2 b=1 c=0, cr: a=1 b=1 c=2, tt=3, tr=4, V=3
+    def odds(ct: Double, cr: Double) =
+      math.log((ct + 1) / 6.0) - math.log((cr + 1) / 7.0)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ("t", r4((2 * odds(2, 1) + odds(1, 1)) / 3.0)))
+    assert(got(2L) == ("r", r4((odds(1, 1) + odds(0, 2)) / 2.0)))
+    assert(got(3L) == ("r", r4((odds(2, 1) + odds(0, 2)) / 2.0)))
+    // the target-class doc must out-score the rest
+    assert(got(1L)._2 > got(2L)._2 && got(1L)._2 > got(3L)._2)
+  }
+
   test("contaminationScores: eval docs score 1.0, disjoint docs 0.0, partial in between") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
