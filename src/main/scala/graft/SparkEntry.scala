@@ -919,9 +919,17 @@ object SparkEntry {
 
     // training-data ops: corpus-relative quality — unigram log-prob
     // (KenLM-perplexity stand-in; garbage-token docs score lowest) +
-    // type-token ratio, surfacing the weirdest documents first
+    // type-token ratio, surfacing the weirdest documents first.
+    // Served from the AT-REST posting pair (postings carry per-doc
+    // term counts, termfreq is the corpus dictionary rolled up at
+    // ingest): no tokenize pass, no corpus-wide term agg at request
+    // time — tf-weighted average ≡ the per-occurrence average the
+    // oracle computes (equality-tested vs the tokenizing form in
+    // TrainsetsSpec)
     "q78_unigram_logprob" -> ((s, dir) =>
-      CorpusStats.unigramLogProb(load(s, dir, "documents"), "doc_id", "text")
+      graft.operators.CorpusStats.unigramLogProbFromPostings(
+          graft.sources.IndexStore.postings(s, dir),
+          graft.sources.IndexStore.termFreq(s, dir))
         .orderBy(col("logprob").asc, col("doc_id").asc)
         .limit(20)),
 
@@ -1462,12 +1470,17 @@ object SparkEntry {
     // training-data ops: interpolated bigram log-probability — the
     // perplexity filter one order above q78's unigram score (word
     // salad scores low even when its unigram profile is normal).
-    // Unigram dictionary broadcasts (vocab-sized); the bigram
-    // dictionary joins on its own key (corpus-growing — never
-    // broadcast by hand); worst 20 docs = the filter's cut candidates
+    // Served from the AT-REST bigram pair: no tokenize pass, the
+    // corpus-growing bigram dictionary joins the posting table
+    // exchange-free on the shared (w1, w2) bucket layout, and only the
+    // vocab-sized unigram dictionary broadcasts (equality vs the
+    // tokenizing one-pass form is spec-tested); worst 20 docs = the
+    // filter's cut candidates
     "q112_bigram_logprob" -> ((s, dir) =>
-      graft.operators.CorpusStats.bigramLogProb(
-          load(s, dir, "documents"), "doc_id", "text", lambda = 0.7)
+      graft.operators.CorpusStats.bigramLogProbFromPostings(
+          graft.sources.IndexStore.bigrams(s, dir),
+          graft.sources.IndexStore.bigramFreq(s, dir),
+          graft.sources.IndexStore.termFreq(s, dir), lambda = 0.7)
         .orderBy(col("bigram_lp").asc, col("doc_id").asc)
         .limit(20)),
 
@@ -1481,6 +1494,25 @@ object SparkEntry {
           load(s, dir, "documents"), "doc_id", "text", "source", "src7")
         .orderBy(col("odds").desc, col("doc_id").asc)
         .limit(25)),
+
+    // training-data ops: split-leakage audit — the post-split QA pass
+    // every reproducible pipeline runs: for each held-out (val/test)
+    // document, the fraction of its shingles that also occur in the
+    // TRAIN split (near-duplicate pairs straddling the split boundary
+    // inflate eval scores). Pure composition of at-rest parts: the
+    // hashed-shingle posting table + the deterministic hashSplit. The
+    // train shingle set is CORPUS-scale (75% of docs), so unlike
+    // q76's tiny benchmark set nothing is broadcast and no id join
+    // builds it: the split tag is a narrow hash expression on the
+    // shingle table itself, so both sides of the probe join keep the
+    // bucketed layout and the only exchange is the final per-doc agg
+    "q114_split_leakage" -> ((s, dir) =>
+      graft.sources.Trainsets.splitLeakage(
+          graft.sources.IndexStore.shingles(s, dir), "doc_id",
+          Seq("train" -> 12, "val" -> 2, "test" -> 2))
+        .where(col("contamination") > 0)
+        .orderBy(col("contamination").desc, col("doc_id").asc)
+        .limit(20)),
 
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:
     // HyperLogLog++ distinct counts and approximate percentiles give a
@@ -1560,7 +1592,16 @@ object SparkEntry {
        |  GROUP BY tf.doc_id)""".stripMargin
 
   /** doc shingle CTE (3-gram word shingles, distinct per doc);
-    * `src` lets a query scope the corpus (e.g. one language). */
+    * `src` lets a query scope the corpus (e.g. one language).
+    *
+    * NOTE on the `range(1, 2000)` position cap (here and in the q72/
+    * q112 bigram CTEs): the oracle enumerates at most 1999 token
+    * positions per document. The testdata tops out at ~100 tokens/doc
+    * at every sf (max measured 100 at sf0.1), so the cap is dead
+    * headroom — but a corpus with ≥ 2000-token documents would make
+    * the ORACLE (not the engine, which derives n-grams array-side with
+    * no cap) silently drop tail n-grams. Raise the bound with the
+    * corpus. */
   private def shingleCtes(src: String): String =
     s"""toks AS (SELECT doc_id, $Tok AS t FROM $src),
        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
@@ -2969,6 +3010,24 @@ object SparkEntry {
          |SELECT doc_id, max(source) AS source,
          |  round(avg(ln((ct + 1) / (tt + v)) - ln((cr + 1) / (tr + v))), 4) AS odds
          |FROM tok JOIN counts USING (term) CROSS JOIN tot
-         |GROUP BY doc_id ORDER BY odds DESC, doc_id LIMIT 25""".stripMargin
+         |GROUP BY doc_id ORDER BY odds DESC, doc_id LIMIT 25""".stripMargin,
+
+    "q114_split_leakage" ->
+      s"""WITH $ShingleCtes,
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'e' THEN 'test'
+         |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c' THEN 'val'
+         |       ELSE 'train' END AS split
+         |  FROM documents),
+         |tr AS (SELECT DISTINCT shingle FROM sh JOIN sp USING (doc_id)
+         |       WHERE sp.split = 'train'),
+         |sc AS (SELECT s.doc_id,
+         |         round(CAST(sum(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |               / count(*), 4) AS contamination
+         |       FROM sh s LEFT JOIN tr ON s.shingle = tr.shingle
+         |       GROUP BY s.doc_id)
+         |SELECT sc.doc_id, sp.split, sc.contamination FROM sc JOIN sp USING (doc_id)
+         |WHERE sp.split <> 'train' AND contamination > 0
+         |ORDER BY contamination DESC, doc_id LIMIT 20""".stripMargin
   )
 }

@@ -90,6 +90,30 @@ object CorpusStats {
         round(countDistinct(col("term")).cast("double") / count(lit(1)), 4).as("ttr"))
   }
 
+  /** [[unigramLogProb]] served from the AT-REST index pair — the
+    * request-time shape: `postings` (term, id, tf, …) already holds
+    * each document's distinct terms with their in-doc counts, and
+    * `termFreq` (term, freq) is the corpus dictionary rolled up at
+    * ingest, so a request pays NO tokenize pass and NO corpus-wide
+    * term aggregation. Identical scores by algebra: the per-occurrence
+    * average equals the tf-weighted average Σ tf·ln p / Σ tf, and
+    * TTR = distinct/total = posting-row count / Σ tf (postings are
+    * distinct per (term, id) by construction). Plan: one posting scan
+    * ⨝ broadcast dictionary → one per-doc aggregate; the corpus total
+    * is a 1-row broadcast off the vocabulary-sized dictionary.
+    */
+  def unigramLogProbFromPostings(postings: DataFrame, termFreq: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val total = termFreq.agg(sum(col("freq")).cast("double").as("__n"))
+    postings.join(broadcast(termFreq), "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        round(sum(col("tf") * log(col("freq") / col("__n"))) / sum(col("tf")), 4)
+          .as("logprob"),
+        round(count(lit(1)).cast("double") / sum(col("tf")), 4).as("ttr"))
+  }
+
   /** Interpolated bigram log-probability — the CCNet/KenLM-style
     * perplexity filter one order up from [[unigramLogProb]]: per
     * bigram occurrence (w1,w2) the score is
@@ -140,6 +164,39 @@ object CorpusStats {
           lit(lambda) * col("c12") / col("c1") +
             lit(1 - lambda) * col("c2") / col("__n"))), 4).as("bigram_lp"),
         count(lit(1)).as("n_bigrams"))
+  }
+
+  /** [[bigramLogProb]] served from the AT-REST bigram pair — the
+    * request-time shape: `bigrams` (id, w1, w2, tf) holds each
+    * document's distinct bigrams with in-doc counts, `bigramFreq`
+    * (w1, w2, freq) is the corpus dictionary rolled up at ingest, and
+    * `termFreq` (term, freq) supplies the unigram interpolation terms.
+    * No tokenize pass, no corpus-wide aggregation at request time, and
+    * the (w1, w2) dictionary join reuses the shared bucket layout
+    * exchange-free (plan-pinned in ScaleDesignSpec) — the bigram
+    * dictionary grows with the corpus, so unlike the unigram side it
+    * must never rely on a broadcast. Identical scores by the same
+    * algebra as [[unigramLogProbFromPostings]]: tf-weighted average ≡
+    * per-occurrence average, n_bigrams = Σ tf.
+    */
+  def bigramLogProbFromPostings(bigrams: DataFrame, bigramFreq: DataFrame,
+      termFreq: DataFrame, lambda: Double = 0.7,
+      idCol: String = "doc_id"): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    val total = termFreq.agg(sum(col("freq")).cast("double").as("__n"))
+    val uni1 = termFreq.select(col("term").as("w1"), col("freq").as("c1"))
+    val uni2 = termFreq.select(col("term").as("w2"), col("freq").as("c2"))
+    bigrams.join(bigramFreq, Seq("w1", "w2"))
+      .join(broadcast(uni1), "w1")
+      .join(broadcast(uni2), "w2")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        round(sum(col("tf") * log(
+          lit(lambda) * col("freq") / col("c1") +
+            lit(1 - lambda) * col("c2") / col("__n"))) / sum(col("tf")), 4)
+          .as("bigram_lp"),
+        sum(col("tf")).as("n_bigrams"))
   }
 
   /** Domain-likeness scoring — the fastText-style quality filter

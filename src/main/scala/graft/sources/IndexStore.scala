@@ -299,6 +299,17 @@ object IndexStore {
   def termFreq(spark: SparkSession, sfDir: String): DataFrame =
     readParquet(spark, s"${indexDir(spark, sfDir)}/termfreq")
 
+  /** Bigram posting table (id, w1, w2, tf), bucketed on (w1, w2) —
+    * the n-gram LM serving table
+    * ([[graft.operators.CorpusStats.bigramLogProbFromPostings]]). */
+  def bigrams(spark: SparkSession, sfDir: String): DataFrame =
+    bucketedOrParquet(spark, "bigrams", indexDir(spark, sfDir))
+
+  /** Corpus bigram dictionary (w1, w2, freq), bucketed on (w1, w2) —
+    * joins [[bigrams]] exchange-free on the shared bucket layout. */
+  def bigramFreq(spark: SparkSession, sfDir: String): DataFrame =
+    bucketedOrParquet(spark, "bigramfreq", indexDir(spark, sfDir))
+
   /** MinHash signature table (id, h0..h{n-1}) — the near-dup serving
     * table ([[graft.operators.Dedup.minHashLshFromSignatures]]). */
   def signatures(spark: SparkSession, sfDir: String): DataFrame =

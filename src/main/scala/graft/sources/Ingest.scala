@@ -255,6 +255,31 @@ object Ingest {
     spark(docs).read.parquet(s"$outDir/postings")
       .groupBy("term").agg(sum("tf").cast("long").as("freq"))
       .write.mode("overwrite").parquet(s"$outDir/termfreq")
+    // bigram postings (id, w1, w2, tf) + corpus bigram dictionary —
+    // the n-gram LM serving pair
+    // ([[graft.operators.CorpusStats.bigramLogProbFromPostings]]):
+    // a perplexity-scoring request joins them on the bigram key, so
+    // BOTH sides are bucketed on (w1, w2) and the request-time
+    // dictionary join reuses the at-rest layout exchange-free — the
+    // same move as shingles/sigbands. The dictionary is a pure rollup
+    // of the postings (rebuilt from the written table, not the plan,
+    // so the tokenize pass isn't re-run)
+    val bgArr = TextFunctions.shingles(TextFunctions.tokens(col(textCol)), 2)
+    docs.select(col(idCol), explode(bgArr).as("bg"))
+      .select(col(idCol),
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+      .groupBy(idCol, "w1", "w2").agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite")
+      .bucketBy(shingleBuckets, "w1", "w2").sortBy("w1", "w2")
+      .option("path", s"$outDir/bigrams")
+      .saveAsTable(bucketedTableName("bigrams", outDir))
+    spark(docs).read.parquet(s"$outDir/bigrams")
+      .groupBy("w1", "w2").agg(sum("tf").cast("long").as("freq"))
+      .write.mode("overwrite")
+      .bucketBy(shingleBuckets, "w1", "w2").sortBy("w1", "w2")
+      .option("path", s"$outDir/bigramfreq")
+      .saveAsTable(bucketedTableName("bigramfreq", outDir))
     // paragraph-derived term dictionary: the /suggest serving table —
     // the reference suggests over the PARAGRAPH index
     // (`nidx/src/searcher/shard_suggest.rs:45-160`), so the dictionary

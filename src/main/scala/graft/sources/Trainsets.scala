@@ -174,6 +174,18 @@ object Trainsets {
     * train/eval splits reproducible at 100 TB. The predicate is
     * codegen'd and pushes no shuffle.
     */
+  /** First `width` hex chars of md5(id · salt) — THE deterministic-
+    * membership contract shared by the sampling/packing family (and
+    * mirrored verbatim by each oracle's
+    * `substring(md5(CAST(id AS VARCHAR) || salt), 1, width)`). The
+    * salt separates purposes: members chosen by one pass must not
+    * correlate with another pass cutting on the same id hash
+    * (see [[temperatureMixture]] for the concrete failure). */
+  private def saltedHexPrefix(idCol: String, salt: String, width: Int) =
+    substring(
+      md5(concat(col(idCol).cast("string"), lit(salt)).cast("binary")),
+      1, width)
+
   def hashSample(df: DataFrame, idCol: String, hexPrefixes: Seq[String]): DataFrame = {
     val prefix = substring(md5(col(idCol).cast("string").cast("binary")), 1,
       hexPrefixes.head.length)
@@ -277,9 +289,7 @@ object Trainsets {
               lit(4294967295L)))))
       .select(col(keyCol), col("__th"))
     in.join(broadcast(rates), keyCol)
-      .where(substring(
-          md5(concat(col(idCol).cast("string"), lit("#mix")).cast("binary")),
-          1, 8) < col("__th"))
+      .where(saltedHexPrefix(idCol, "#mix", 8) < col("__th"))
       .drop("__th")
   }
 
@@ -314,9 +324,7 @@ object Trainsets {
     require(binHexWidth >= 1 && binHexWidth <= 8,
       s"binHexWidth must be in [1,8], got $binHexWidth")
     import org.apache.spark.sql.expressions.Window
-    val bin = substring(
-      md5(concat(col(idCol).cast("string"), lit("#pack")).cast("binary")),
-      1, binHexWidth)
+    val bin = saltedHexPrefix(idCol, "#pack", binHexWidth)
     val base = df.select(col(idCol), bin.as("bin"),
       TextFunctions.bpePreTokenCount(col(textCol)).cast("long").as("n_tok"))
     val w = Window.partitionBy(col("bin")).orderBy(col(idCol))
@@ -368,6 +376,36 @@ object Trainsets {
       .select(col("shingle")).distinct()
     sh.join(broadcast(evalSh.withColumn("__hit", lit(1))), Seq("shingle"), "left")
       .groupBy(col(idCol))
+      .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") / first(col("sz")), 4)
+        .as("contamination"))
+  }
+
+  /** Split-leakage audit — for every held-out (non-`trainName`)
+    * document, the fraction of its shingles that also occur in the
+    * TRAIN split: the post-split QA pass that catches near-duplicate
+    * pairs straddling the split boundary (they inflate eval scores).
+    *
+    * Unlike [[contaminationFromShingles]] (whose eval set is a tiny
+    * benchmark → broadcast), the train side here is CORPUS-scale, so
+    * nothing is broadcast and no id join builds it: [[hashSplit]] is a
+    * pure function of the id, so the split tag is a NARROW expression
+    * on the shingle table itself, which preserves the table's
+    * bucketed-on-`shingle` layout through the filter. The distinct
+    * train-shingle set is then a bucket-local aggregate and the probe
+    * join reuses the same layout — the ONLY exchange at any corpus
+    * size is the final per-doc aggregate (plan-pinned in
+    * ScaleDesignSpec).
+    *
+    * @return (idCol, split, contamination rounded at 4) for held-out docs
+    */
+  def splitLeakage(sh: DataFrame, idCol: String,
+      splits: Seq[(String, Int)], trainName: String = "train"): DataFrame = {
+    val tagged = hashSplit(sh, idCol, splits)
+    val trainSh = tagged.where(col("split") === trainName)
+      .select(col("shingle")).distinct()
+    tagged.where(col("split") =!= trainName)
+      .join(trainSh.withColumn("__hit", lit(1)), Seq("shingle"), "left")
+      .groupBy(col(idCol), col("split"))
       .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") / first(col("sz")), 4)
         .as("contamination"))
   }

@@ -149,6 +149,20 @@ class IngestSpec extends SparkSpec {
     val pids = spark.read.parquet(s"$out/paragraphs")
       .select("paragraph_id").as[String].collect()
     assert(pids.forall(_.matches("\\d+/t/body/\\d+-\\d+")))
+
+    // bigram LM pair: the at-rest serving form (tf-weighted over the
+    // built posting/dictionary tables) must equal the tokenizing
+    // one-pass form on every doc
+    val bgAtRest = graft.operators.CorpusStats.bigramLogProbFromPostings(
+        spark.read.parquet(s"$out/bigrams"),
+        spark.read.parquet(s"$out/bigramfreq"),
+        spark.read.parquet(s"$out/termfreq"), lambda = 0.7)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val bgTok = graft.operators.CorpusStats
+      .bigramLogProb(corpus, "doc_id", "text", lambda = 0.7)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(bgAtRest == bgTok,
+      s"at-rest bigram scoring must equal the one-pass form: $bgAtRest vs $bgTok")
   }
 
   test("predict reranker rescales the fused window by model score") {

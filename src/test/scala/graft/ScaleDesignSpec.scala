@@ -277,6 +277,43 @@ class ScaleDesignSpec extends SparkSpec {
       s"q84 must serve the partitioned at-rest code table:\n$fp")
   }
 
+  test("at-rest bigram pair: the dictionary join reuses the bucketed layout, no probe exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // disable broadcast to expose the 100×-scale join shape: the
+    // bigram dictionary grows with the corpus, so at real scale it
+    // cannot broadcast — the shared (w1, w2) bucket layout is what
+    // keeps the request-time join exchange-free
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = graft.sources.IndexStore.bigrams(spark, dir)
+        .join(graft.sources.IndexStore.bigramFreq(spark, dir), Seq("w1", "w2"))
+      joined.count()
+      val p = plan(joined)
+      assert(!p.contains("Exchange"),
+        s"the bigram dictionary join must reuse the bucketed at-rest layout:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("splitLeakage: one exchange total — the probe join and train-set distinct reuse the bucketed layout") {
+    val dir = "/root/testdata/sf0.001"
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // broadcast disabled: at 100 TB the train shingle set cannot
+    // broadcast, so the bucketed layout must carry the whole plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val leak = graft.sources.Trainsets.splitLeakage(
+        graft.sources.IndexStore.shingles(spark, dir), "doc_id",
+        Seq("train" -> 12, "val" -> 2, "test" -> 2))
+      leak.count()
+      val p = plan(leak)
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges == 1,
+        s"only the final per-doc aggregate may shuffle — the split tag is a narrow\n" +
+          s"expression and the shingle probe join reuses the bucketed layout:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("at-rest shingle and band tables: the pair self-join reuses the bucketed layout, no probe exchange") {
     val dir = "/root/testdata/sf0.001"
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

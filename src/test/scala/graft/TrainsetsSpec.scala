@@ -217,6 +217,28 @@ class TrainsetsSpec extends SparkSpec {
     assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("unigramLogProbFromPostings equals the tokenizing form on every doc") {
+    import graft.operators.CorpusStats
+    import graft.sources.Ingest
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma"),
+      (2L, "beta beta delta"),
+      (3L, "gamma"),
+      (4L, ""), // token-less doc drops out of both forms
+      (5L, "alpha delta delta epsilon zeta zeta zeta"))
+      .toDF("doc_id", "text")
+    val postings = Ingest.termPostings(docs, "doc_id", "text")
+    val termFreq = postings.groupBy("term")
+      .agg(sum("tf").cast("long").as("freq"))
+    val atRest = CorpusStats.unigramLogProbFromPostings(postings, termFreq)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val tokenized = CorpusStats.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(atRest == tokenized,
+      s"tf-weighted at-rest form must equal the per-occurrence form: $atRest vs $tokenized")
+    assert(!atRest.contains(4L), "token-less docs drop from both forms")
+  }
+
   test("bigramLogProb matches the hand-computed interpolated score") {
     import graft.operators.CorpusStats
     val docs = Seq(
