@@ -1514,6 +1514,53 @@ object SparkEntry {
         .orderBy(col("contamination").desc, col("doc_id").asc)
         .limit(20)),
 
+    // training-data ops: keep-BEST per near-dup cluster — the modern
+    // curation choice (keep the longest/highest-quality member, not
+    // the first): near-dup components off the at-rest signature
+    // table, keeper = argmax n_chars (min id on ties). The window
+    // partitions by component — bounded by cluster size, never the
+    // corpus
+    "q115_keep_best_dedup" -> ((s, dir) => {
+      val pairs = Dedup.minHashLshFromSignatures(
+        graft.sources.IndexStore.signatures(s, dir), "doc_id",
+        numHashes = 8, bandSize = 2, minEstJaccard = 0.25)
+      Dedup.keepBestInCluster(
+          Dedup.dedupClusters(pairs, "a", "b"),
+          load(s, dir, "documents")
+            .select(col("doc_id"), col("n_chars").cast("long").as("n_chars")),
+          "doc_id", "n_chars")
+        .orderBy("component")
+    }),
+
+    // §3.3 /graph/nodes — the path-query engine projected to the
+    // matching triplets' unique node set (both endpoints), the
+    // reference's nodes-response shape
+    "q116_graph_nodes" -> ((s, dir) => {
+      import graft.api.GraphSearch
+      import graft.api.GraphSearch.{EdgeTable, NodeMatch, PathQuery}
+      val edges = load(s, dir, "lineitem")
+        .select(concat(lit("S"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("R"), col("l_returnflag")).as("rel"),
+          concat(lit("P"), col("l_partkey").cast("string")).as("dst"))
+        .distinct()
+      GraphSearch.nodesSearch(EdgeTable(edges, "src", "rel", "dst"),
+        PathQuery.Path(src = NodeMatch.Prefix("S1")), topK = 50)
+    }),
+
+    // §3.3 /graph/relations — projected to the matching triplets'
+    // unique relation labels
+    "q117_graph_relations" -> ((s, dir) => {
+      import graft.api.GraphSearch
+      import graft.api.GraphSearch.{EdgeTable, NodeMatch, PathQuery}
+      val edges = load(s, dir, "lineitem")
+        .select(concat(lit("S"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("R"), col("l_returnflag")).as("rel"),
+          concat(lit("P"), col("l_partkey").cast("string")).as("dst"))
+        .distinct()
+      GraphSearch.relationsSearch(EdgeTable(edges, "src", "rel", "dst"),
+        PathQuery.Path(dst = NodeMatch.Prefix("P1")), topK = 10)
+    }),
+
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:
     // HyperLogLog++ distinct counts and approximate percentiles give a
     // bounded-memory, one-pass corpus shape. NO DuckDB oracle (sketch
@@ -3028,6 +3075,33 @@ object SparkEntry {
          |       GROUP BY s.doc_id)
          |SELECT sc.doc_id, sp.split, sc.contamination FROM sc JOIN sp USING (doc_id)
          |WHERE sp.split <> 'train' AND contamination > 0
-         |ORDER BY contamination DESC, doc_id LIMIT 20""".stripMargin
+         |ORDER BY contamination DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q115_keep_best_dedup" ->
+      s"""WITH RECURSIVE $MinHashPairCtes,
+         |$CcCtes,
+         |scored AS (SELECT comp.src AS node, comp.component,
+         |             CAST(d.n_chars AS BIGINT) AS n_chars
+         |           FROM comp JOIN documents d ON d.doc_id = comp.src)
+         |SELECT component, node AS keeper, n_chars FROM (
+         |  SELECT component, node, n_chars,
+         |    row_number() OVER (PARTITION BY component
+         |      ORDER BY n_chars DESC, node) AS rn
+         |  FROM scored) WHERE rn = 1 ORDER BY component""".stripMargin,
+
+    "q116_graph_nodes" ->
+      """WITH e AS (SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+        |    'R' || l_returnflag AS rel,
+        |    'P' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+        |m AS (SELECT * FROM e WHERE src LIKE 'S1%'),
+        |n AS (SELECT src AS value FROM m UNION SELECT dst FROM m)
+        |SELECT value FROM n ORDER BY value LIMIT 50""".stripMargin,
+
+    "q117_graph_relations" ->
+      """WITH e AS (SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+        |    'R' || l_returnflag AS rel,
+        |    'P' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem)
+        |SELECT DISTINCT rel AS label FROM e WHERE dst LIKE 'P1%'
+        |ORDER BY label LIMIT 10""".stripMargin
   )
 }

@@ -86,6 +86,26 @@ object GraphSearch {
       .orderBy("source", "relation", "destination")
       .limit(topK)
 
+  /** `/graph/nodes` — the same path-query engine projected to the
+    * UNIQUE node values of every matching triplet (both endpoints),
+    * top-k in value order (`search/api/v1/graph.py:93-111`: the nodes
+    * response is the path results' node set). */
+  def nodesSearch(t: EdgeTable, q: PathQuery, topK: Int = 50): DataFrame =
+    t.edges.where(compile(q, t))
+      .select(explode(array(col(t.srcCol), col(t.dstCol))).as("value"))
+      .distinct()
+      .orderBy("value")
+      .limit(topK)
+
+  /** `/graph/relations` — projected to the UNIQUE relation labels of
+    * every matching triplet (`search/api/v1/graph.py:124-145`). */
+  def relationsSearch(t: EdgeTable, q: PathQuery, topK: Int = 50): DataFrame =
+    t.edges.where(compile(q, t))
+      .select(col(t.relCol).as("label"))
+      .distinct()
+      .orderBy("label")
+      .limit(topK)
+
   /** Over-request clamp for semantic node/edge matches — relation
     * labels carry multiple vectors (one per field occurrence), so the
     * planner asks for topK×10 clamped to [50, 200] to keep duplicates

@@ -120,6 +120,15 @@ object TextFunctions {
     element_at(transform(array(toks), build(_)), 1)
   }
 
+  /** (w1, w2) decomposition of a "w1 w2" bigram shingle — the ONE
+    * definition of the bigram pair contract, shared by the ingest-time
+    * bigram tables ([[graft.sources.Ingest.buildIndex]]) and the
+    * one-pass scorer ([[graft.operators.CorpusStats.bigramLogProb]])
+    * so the two can never drift. Lossless because tokens cannot
+    * contain spaces (the tokenizer splits on non-alphanumerics). */
+  def bigramPair(bigram: Column): (Column, Column) =
+    (substring_index(bigram, " ", 1), substring_index(bigram, " ", -1))
+
   /** Highlight query terms with <mark>…</mark> — analog of the find
     * endpoint's highlighting (`search/search/paragraphs.py`). Word
     * boundaries anchor the match so a term marks only whole tokens

@@ -148,10 +148,11 @@ object CorpusStats {
     val freq = graft.Caches.cache(
       uni.groupBy("term").agg(count(lit(1)).as("c1")))
     val total = freq.agg(sum(col("c1")).cast("double").as("__n"))
+    val (bw1, bw2) = TextFunctions.bigramPair(col("bigram"))
     val bg = base.select(col(idCol),
         explode(TextFunctions.shingles(col("__t"), 2)).as("bigram"))
-      .withColumn("w1", substring_index(col("bigram"), " ", 1))
-      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .withColumn("w1", bw1)
+      .withColumn("w2", bw2)
     val bfreq = bg.groupBy("bigram").agg(count(lit(1)).as("c12"))
     bg.join(bfreq, "bigram")
       .join(broadcast(freq.withColumnRenamed("term", "w1")), "w1")

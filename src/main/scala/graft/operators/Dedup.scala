@@ -445,6 +445,34 @@ object Dedup {
       StructType(Seq(StructField("node", dt), StructField("component", dt))))
   }
 
+  /** Keep-BEST-member selection per near-dup cluster — the curation
+    * choice modern pipelines make instead of the min-id keeper
+    * [[dedupClusters]]'s component label implies: within each
+    * connected component of the pair graph, keep the member that
+    * maximizes `scoreCol` (length, quality score, …), smallest id on
+    * ties. `clusters` is [[dedupClusters]] output (node, component);
+    * `scored` carries (idCol, scoreCol).
+    *
+    * Scale shape: one broadcast-or-shuffle join to attach scores, then
+    * a window partitioned BY COMPONENT — bounded by the largest
+    * near-dup cluster, not the corpus (a pathological boilerplate
+    * mega-cluster funnels through one partition, but such clusters are
+    * exactly what boilerplate removal deletes upstream).
+    *
+    * @return (component, keeper, scoreCol) — one row per component
+    */
+  def keepBestInCluster(clusters: DataFrame, scored: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = clusters.join(
+      scored.select(col(idCol).as("node"), col(scoreCol)), "node")
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col("node").asc)
+    joined.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("component"), col("node").as("keeper"), col(scoreCol))
+  }
+
   /** [[dedupClusters]] + the number of propagation rounds executed —
     * the observable the O(log d) convergence assertions measure.
     * `maxIter` bounds propagation ROUNDS (the seed aggregation counts

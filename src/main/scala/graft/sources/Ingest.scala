@@ -265,10 +265,9 @@ object Ingest {
     // of the postings (rebuilt from the written table, not the plan,
     // so the tokenize pass isn't re-run)
     val bgArr = TextFunctions.shingles(TextFunctions.tokens(col(textCol)), 2)
+    val (bw1, bw2) = TextFunctions.bigramPair(col("bg"))
     docs.select(col(idCol), explode(bgArr).as("bg"))
-      .select(col(idCol),
-        substring_index(col("bg"), " ", 1).as("w1"),
-        substring_index(col("bg"), " ", -1).as("w2"))
+      .select(col(idCol), bw1.as("w1"), bw2.as("w2"))
       .groupBy(idCol, "w1", "w2").agg(count(lit(1)).as("tf"))
       .write.mode("overwrite")
       .bucketBy(shingleBuckets, "w1", "w2").sortBy("w1", "w2")

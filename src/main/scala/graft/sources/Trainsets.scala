@@ -165,15 +165,6 @@ object Trainsets {
       .getOrElse(proj(paragraphs))
   }
 
-  /** Deterministic hash sampling for reproducible trainset cuts: keep
-    * rows whose md5(id) hex digest starts with one of `hexPrefixes`
-    * (each single hex digit ≈ 1/16 of the data; two digits ≈ 1/256).
-    * Unlike RNG-seeded `sample()`, the cut is a pure function of the
-    * id — stable across engines, partitionings, reruns, and incremental
-    * appends (a row's membership never changes), which is what makes
-    * train/eval splits reproducible at 100 TB. The predicate is
-    * codegen'd and pushes no shuffle.
-    */
   /** First `width` hex chars of md5(id · salt) — THE deterministic-
     * membership contract shared by the sampling/packing family (and
     * mirrored verbatim by each oracle's
@@ -186,6 +177,15 @@ object Trainsets {
       md5(concat(col(idCol).cast("string"), lit(salt)).cast("binary")),
       1, width)
 
+  /** Deterministic hash sampling for reproducible trainset cuts: keep
+    * rows whose md5(id) hex digest starts with one of `hexPrefixes`
+    * (each single hex digit ≈ 1/16 of the data; two digits ≈ 1/256).
+    * Unlike RNG-seeded `sample()`, the cut is a pure function of the
+    * id — stable across engines, partitionings, reruns, and incremental
+    * appends (a row's membership never changes), which is what makes
+    * train/eval splits reproducible at 100 TB. The predicate is
+    * codegen'd and pushes no shuffle.
+    */
   def hashSample(df: DataFrame, idCol: String, hexPrefixes: Seq[String]): DataFrame = {
     val prefix = substring(md5(col(idCol).cast("string").cast("binary")), 1,
       hexPrefixes.head.length)
@@ -400,6 +400,11 @@ object Trainsets {
     */
   def splitLeakage(sh: DataFrame, idCol: String,
       splits: Seq[(String, Int)], trainName: String = "train"): DataFrame = {
+    // a trainName absent from the splits would tag nothing as train →
+    // empty train set → every held-out doc reports 0 leakage: the
+    // audit would silently pass instead of failing loudly
+    require(splits.exists(_._1 == trainName),
+      s"trainName '$trainName' is not one of the split names: ${splits.map(_._1)}")
     val tagged = hashSplit(sh, idCol, splits)
     val trainSh = tagged.where(col("split") === trainName)
       .select(col("shingle")).distinct()

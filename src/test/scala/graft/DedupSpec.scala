@@ -189,4 +189,18 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(2))).sorted
     assert(got.toSeq == Seq(("1/t/body/0-3", 2L), ("2/t/body/0-3", 2L)), got.mkString(","))
   }
+
+  test("keepBestInCluster keeps the max-score member, min id on ties") {
+    import spark.implicits._
+    // components: {1,2,3} (chain) and {5,6}
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val scores = Seq(
+      (1L, 10L), (2L, 40L), (3L, 40L), // tie at 40 → min id 2 wins
+      (5L, 7L), (6L, 9L))
+      .toDF("doc_id", "quality")
+    val got = Dedup.keepBestInCluster(
+        Dedup.dedupClusters(pairs, "a", "b"), scores, "doc_id", "quality")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq == Seq((1L, 2L, 40L), (5L, 6L, 9L)), got.mkString(","))
+  }
 }

@@ -75,4 +75,26 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(3))).toSet
     assert(hops3 == Set((1, "B"), (2, "C"), (3, "D")))
   }
+
+  test("nodesSearch and relationsSearch project the path results' node/label sets") {
+    import graft.api.GraphSearch
+    import graft.api.GraphSearch.{EdgeTable, NodeMatch, PathQuery}
+    val edges = Seq(
+      ("alice", "WORKS_AT", "acme"),
+      ("alice", "KNOWS", "bob"),
+      ("bob", "WORKS_AT", "globex"),
+      ("carol", "KNOWS", "alice"))
+      .toDF("src", "rel", "dst")
+    val t = EdgeTable(edges, "src", "rel", "dst")
+    // undirected match on alice: her triplets in either orientation
+    val q = PathQuery.Path(src = NodeMatch.Exact("alice"), undirected = true)
+    val nodes = GraphSearch.nodesSearch(t, q).collect().map(_.getString(0))
+    assert(nodes.toSeq == Seq("acme", "alice", "bob", "carol"))
+    val rels = GraphSearch.relationsSearch(t, q).collect().map(_.getString(0))
+    assert(rels.toSeq == Seq("KNOWS", "WORKS_AT"))
+    // directed: only alice-as-source triplets remain
+    val directed = GraphSearch.nodesSearch(t,
+      PathQuery.Path(src = NodeMatch.Exact("alice"))).collect().map(_.getString(0))
+    assert(directed.toSeq == Seq("acme", "alice", "bob"))
+  }
 }
