@@ -219,6 +219,13 @@ object CorpusStats {
     */
   def classLikeness(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String, target: String): DataFrame = {
+    // a typo'd target would make ct = 0 for every term and silently
+    // degenerate the odds into a corpus-rarity ranking — fail loudly
+    // instead (one pruned-scan probe; this is a corpus-training op,
+    // not a per-request path). Same silent-wrong-answer guard as
+    // Trainsets.splitLeakage's trainName require.
+    require(!docs.where(col(labelCol) === lit(target)).isEmpty,
+      s"target class '$target' has no rows in column '$labelCol'")
     val toks = docs.select(col(idCol), col(labelCol),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
     val isT = col(labelCol) === lit(target)

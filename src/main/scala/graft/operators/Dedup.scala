@@ -464,10 +464,16 @@ object Dedup {
   def keepBestInCluster(clusters: DataFrame, scored: DataFrame,
       idCol: String, scoreCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // LEFT join + nulls-last order: a member missing from `scored`
+    // (e.g. scores computed only for an upstream-filtered subset) can
+    // still never beat a scored sibling, but an all-unscored component
+    // keeps its min-id member instead of VANISHING — an inner join
+    // would silently delete every member of such a cluster through the
+    // downstream keep-list
     val joined = clusters.join(
-      scored.select(col(idCol).as("node"), col(scoreCol)), "node")
+      scored.select(col(idCol).as("node"), col(scoreCol)), Seq("node"), "left")
     val w = Window.partitionBy(col("component"))
-      .orderBy(col(scoreCol).desc, col("node").asc)
+      .orderBy(col(scoreCol).desc_nulls_last, col("node").asc)
     joined.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .select(col("component"), col("node").as("keeper"), col(scoreCol))

@@ -273,7 +273,11 @@ object Ingest {
       .bucketBy(shingleBuckets, "w1", "w2").sortBy("w1", "w2")
       .option("path", s"$outDir/bigrams")
       .saveAsTable(bucketedTableName("bigrams", outDir))
-    spark(docs).read.parquet(s"$outDir/bigrams")
+    // rollup reads the CATALOG table, not plain parquet: the catalog
+    // carries the (w1, w2) bucket spec, so this corpus-scale groupBy
+    // aggregates bucket-locally with no exchange (a parquet read would
+    // lose the layout and shuffle the whole posting table)
+    spark(docs).table(bucketedTableName("bigrams", outDir))
       .groupBy("w1", "w2").agg(sum("tf").cast("long").as("freq"))
       .write.mode("overwrite")
       .bucketBy(shingleBuckets, "w1", "w2").sortBy("w1", "w2")

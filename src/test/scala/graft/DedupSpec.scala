@@ -202,5 +202,14 @@ class DedupSpec extends SparkSpec {
         Dedup.dedupClusters(pairs, "a", "b"), scores, "doc_id", "quality")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     assert(got.toSeq == Seq((1L, 2L, 40L), (5L, 6L, 9L)), got.mkString(","))
+    // partial score coverage must not drop clusters: unscored members
+    // lose to any scored sibling, and an all-unscored component keeps
+    // its min-id member rather than vanishing
+    val partial = Seq((3L, 40L)).toDF("doc_id", "quality")
+    val sparse = Dedup.keepBestInCluster(
+        Dedup.dedupClusters(pairs, "a", "b"), partial, "doc_id", "quality")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted
+    assert(sparse.toSeq == Seq((1L, 3L, 40L), (5L, 5L, -1L)), sparse.mkString(","))
   }
 }

@@ -148,6 +148,34 @@ object FusionProperties extends Properties("graft") {
       got == unionFindModel(pairs)
     }
 
+  property("packSequences.matchesSequentialReplay") =
+    forAll(for {
+      n <- Gen.choose(1, 30)
+      lens <- Gen.listOfN(n, Gen.choose(0, 12))
+      budget <- Gen.choose(1, 20)
+    } yield (lens, budget)) { case (lens, budget) =>
+      import spark.implicits._
+      // doc i has exactly lens(i) single-letter tokens
+      val docs = lens.zipWithIndex
+        .map { case (l, i) => (i.toLong, Seq.fill(l)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.sources.Trainsets
+        .packSequences(docs, "doc_id", "text", budget)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      // replay: within each bin, in id order, seq/offset follow the
+      // running concat-and-chunk assignment; every doc appears once
+      got.length == lens.length && got.groupBy(_._2).forall { case (_, rs) =>
+        var before = 0L
+        rs.sortBy(_._1).forall { case (id, _, nTok, seq, off) =>
+          val ok = nTok == lens(id.toInt).toLong &&
+            seq == before / budget && off == before % budget
+          before += nTok
+          ok
+        }
+      }
+    }
+
   property("searchAfter.pagesPartitionTheTopN") =
     forAll(scoredList) { data =>
       import spark.implicits._

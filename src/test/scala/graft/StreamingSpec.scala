@@ -189,6 +189,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpus-quality scoring serves identically from streamed segments") {
+    // the at-rest corpus-stat family (unigramLogProbFromPostings)
+    // composes with the streamed surface: segment postings
+    // (winner-filtered) + the segment termFreq rollup must score every
+    // surviving doc exactly like the one-pass form over the merged
+    // batch corpus — updates included (r2's newer text wins)
+    import graft.operators.CorpusStats
+    val root = Files.createTempDirectory("graft-segstats").toString + "/index"
+    def seg(bid: Long, rows: (String, Long, String, Boolean)*): Unit =
+      IncrementalIndex.writeSegment(
+        rows.toDF("rid", "seq", "value", "deleted"),
+        f"$root/seg_$bid%09d", "rid", "value", "seq")
+    seg(0L, ("r1", 1L, "spark engine spark", false),
+      ("r2", 1L, "query planner", false))
+    seg(1L, ("r2", 2L, "query planner rewrites query trees", false),
+      ("r3", 2L, "fast scans", false))
+    val ix = IncrementalIndex.segmentTables(spark, root)
+    val tf = IncrementalIndex.segmentTermFreq(spark, root)
+    val got = CorpusStats.unigramLogProbFromPostings(ix.postings, tf, "rid")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val merged = Seq(
+      ("r1", "spark engine spark"),
+      ("r2", "query planner rewrites query trees"),
+      ("r3", "fast scans")).toDF("rid", "value")
+    val want = CorpusStats.unigramLogProb(merged, "rid", "value")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got == want, s"streamed corpus-stat divergence: $got vs $want")
+  }
+
   test("compaction recovers a crash between commit-rename and input deletes") {
     import graft.functions.Bm25
     val root = Files.createTempDirectory("graft-segcrash").toString + "/index"
