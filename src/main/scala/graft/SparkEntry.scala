@@ -1561,6 +1561,61 @@ object SparkEntry {
         PathQuery.Path(dst = NodeMatch.Prefix("P1")), topK = 10)
     }),
 
+    // RAG-ingestion chunking: overlapping sliding windows (40 tokens,
+    // stride 30 → 10 tokens of shared context between neighbors),
+    // chunk ids in the reference's span-based paragraph id format.
+    // Pure per-row array expressions — chunking runs inside the scan
+    // stage, zero shuffles at any corpus size
+    "q118_chunk_overlap" -> ((s, dir) =>
+      graft.sources.Ingest.chunkWithOverlap(
+          load(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 40, strideTokens = 30)
+        .select(col("chunk_id"), col("start").cast("long").as("start"),
+          col("end").cast("long").as("end"), col("n_tokens"), col("c_text"))
+        .orderBy("chunk_id")),
+
+    // training-data ops: per-doc duplicated-n-gram fraction (Lee et
+    // al. 2022 exact-substring dedup signal) — the cut rule for
+    // templated/syndicated text whose copies spread over many partners
+    // (no single pair clears a Jaccard bar). Served from the at-rest
+    // BUCKETED shingle table: occurrence count + dup-set join are both
+    // bucket-local, the only exchange is the final per-doc aggregate —
+    // and no pairwise work at any corpus size
+    "q119_dup_ngram_fraction" -> ((s, dir) =>
+      graft.operators.Dedup.duplicatedShingleFraction(
+          graft.sources.IndexStore.shingles(s, dir), "doc_id")
+        .orderBy(col("dup_frac").desc, col("doc_id").asc)
+        .limit(20)),
+
+    // training-data ops: C4 line-level cleaning (Raffel et al. 2020
+    // §2.2) — keep lines ending in terminal punctuation with ≥3 words
+    // and no "javascript"; drop pages containing "lorem ipsum" or a
+    // curly bracket. The testdata carries no line structure, so a
+    // deterministic fixture composes lines that exercise every rule
+    // (same fixture definition on both sides, like q107's PII). All
+    // scalar built-ins — the whole pass runs in the scan stage
+    "q120_c4_line_filter" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val docs = load(s, dir, "documents").withColumn("composite", c4Fixture)
+      val kept = TextFunctions.c4KeptLines(col("composite"))
+      docs.where(!TextFunctions.c4DocDrop(col("composite")))
+        .select(col("doc_id"),
+          size(split(col("composite"), "\n")).cast("long").as("n_lines"),
+          size(kept).cast("long").as("n_kept"),
+          length(array_join(kept, "\n")).cast("long").as("kept_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // training-data ops: per-doc top-3 tf-idf keywords — corpus
+    // tagging/labeling served from the at-rest posting table (df is a
+    // rollup of the same rows; no tokenize at request time). One df
+    // shuffle (vocab-sized), dictionary broadcast back, one exchange
+    // for the bounded per-doc window
+    "q121_tfidf_keywords" -> ((s, dir) =>
+      graft.operators.CorpusStats.tfidfKeywords(
+          graft.sources.IndexStore.postings(s, dir), "doc_id", k = 3)
+        .orderBy("doc_id", "rank")),
+
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:
     // HyperLogLog++ distinct counts and approximate percentiles give a
     // bounded-memory, one-pass corpus shape. NO DuckDB oracle (sketch
@@ -1670,6 +1725,35 @@ object SparkEntry {
   private def piiSynthSql(src: String): String =
     s"""SELECT *, text || ' contact ' || source || '@example.com from 10.0.' ||
        |    CAST(doc_id % 256 AS VARCHAR) || '.7 end' AS composite
+       |  FROM $src""".stripMargin
+
+  /** q120's deterministic C4 fixture (the testdata has no line
+    * structure): seven lines per document exercising every rule —
+    * kept lines, a short line, a javascript line, an unterminated
+    * line, and page-level lorem-ipsum / curly-bracket drops on id
+    * residues. ONE definition per side, like [[piiFixture]]. */
+  private def c4Fixture: org.apache.spark.sql.Column =
+    concat_ws("\n",
+      concat(lit("Document "), col("doc_id").cast("string"), lit(" from "),
+        col("source"), lit(".")),
+      lit("too short."),
+      lit("Please enable javascript to continue."),
+      concat(col("text"), lit(".")),
+      lit("click here for more"),
+      when(col("doc_id") % 13 === 0, lit("lorem ipsum dolor sit amet."))
+        .otherwise(lit("Closing remarks are final.")),
+      when(col("doc_id") % 17 === 0, lit("function() { return; }"))
+        .otherwise(lit("The last line ends here.")))
+  private def c4FixtureSql(src: String): String =
+    s"""SELECT *, 'Document ' || CAST(doc_id AS VARCHAR) || ' from ' || source || '.' || chr(10) ||
+       |    'too short.' || chr(10) ||
+       |    'Please enable javascript to continue.' || chr(10) ||
+       |    text || '.' || chr(10) ||
+       |    'click here for more' || chr(10) ||
+       |    CASE WHEN doc_id % 13 = 0 THEN 'lorem ipsum dolor sit amet.'
+       |         ELSE 'Closing remarks are final.' END || chr(10) ||
+       |    CASE WHEN doc_id % 17 = 0 THEN 'function() { return; }'
+       |         ELSE 'The last line ends here.' END AS composite
        |  FROM $src""".stripMargin
 
   private def minHashPairCtes(src: String): String =
@@ -3102,6 +3186,66 @@ object SparkEntry {
         |    'R' || l_returnflag AS rel,
         |    'P' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem)
         |SELECT DISTINCT rel AS label FROM e WHERE dst LIKE 'P1%'
-        |ORDER BY label LIMIT 10""".stripMargin
+        |ORDER BY label LIMIT 10""".stripMargin,
+
+    "q118_chunk_overlap" ->
+      s"""WITH toksd AS (SELECT doc_id, $Tok AS t FROM documents),
+         |ch AS (SELECT doc_id, t, i AS c
+         |       FROM toksd CROSS JOIN (SELECT unnest(range(200)) AS i) ix
+         |       WHERE len(t) > 0 AND i <= CASE WHEN len(t) > 40
+         |         THEN CAST(ceil((len(t) - 40) / 30.0) AS BIGINT) ELSE 0 END)
+         |SELECT CAST(doc_id AS VARCHAR) || '/t/body/' || CAST(c * 30 AS VARCHAR) || '-' ||
+         |    CAST(least(len(t), c * 30 + 40) AS VARCHAR) AS chunk_id,
+         |  CAST(c * 30 AS BIGINT) AS start,
+         |  CAST(least(len(t), c * 30 + 40) AS BIGINT) AS "end",
+         |  CAST(least(len(t), c * 30 + 40) - c * 30 AS BIGINT) AS n_tokens,
+         |  array_to_string(t[c * 30 + 1 : least(len(t), c * 30 + 40)], ' ') AS c_text
+         |FROM ch ORDER BY chunk_id""".stripMargin,
+
+    "q119_dup_ngram_fraction" ->
+      s"""WITH $ShingleCtes,
+         |szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+         |        FROM sh GROUP BY doc_id),
+         |dup AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+         |       FROM sh JOIN dup USING (shingle) GROUP BY doc_id)
+         |SELECT doc_id, n_shingles, n_dup,
+         |  round(CAST(n_dup AS DOUBLE) / n_shingles, 4) AS dup_frac
+         |FROM pd JOIN szs USING (doc_id)
+         |ORDER BY dup_frac DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q120_c4_line_filter" ->
+      s"""WITH synth AS (${c4FixtureSql("documents")}),
+         |k AS (SELECT doc_id, composite,
+         |        list_filter(string_split(composite, chr(10)), l ->
+         |          (ends_with(trim(l), '.') OR ends_with(trim(l), '!') OR
+         |           ends_with(trim(l), '?') OR ends_with(trim(l), '"')) AND
+         |          len(list_filter(string_split(trim(l), ' '), w -> w <> '')) >= 3 AND
+         |          NOT contains(lower(trim(l)), 'javascript')) AS kept
+         |      FROM synth)
+         |SELECT doc_id,
+         |  CAST(len(string_split(composite, chr(10))) AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_kept,
+         |  CAST(len(array_to_string(kept, chr(10))) AS BIGINT) AS kept_chars
+         |FROM k
+         |WHERE NOT contains(lower(composite), 'lorem ipsum')
+         |  AND NOT contains(composite, '{')
+         |ORDER BY doc_id""".stripMargin,
+
+    "q121_tfidf_keywords" ->
+      s"""WITH $TokCte,
+         |tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+         |        WHERE term NOT IN $StopList GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tok),
+         |scored AS (SELECT doc_id, term,
+         |    round(tf * ln((n + 1) / (df + 1)), 4) AS score
+         |  FROM tfq JOIN dfq USING (term) CROSS JOIN nd),
+         |ranked AS (SELECT doc_id, term, score,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, term) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT doc_id, term, score, rank FROM ranked
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
   )
 }

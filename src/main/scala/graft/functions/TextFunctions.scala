@@ -168,6 +168,35 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
 
+  /** C4-style line-level cleaning (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning", §2.2): keep a line only if it ends
+    * in a terminal punctuation mark (`.` `!` `?` `"`), has at least
+    * `minWords` whitespace-separated words, and does not mention
+    * "javascript" (the boilerplate-warning rule). Returns the ARRAY of
+    * kept lines in document order — callers reassemble with
+    * `array_join(_, "\n")` or count with `size`. Pure built-ins (split
+    * + higher-order filter + string predicates, no regex beyond the
+    * newline split), so the whole rule evaluates per-row inside the
+    * scan stage with no shuffle at any corpus size, and the identical
+    * `list_filter` form runs in the DuckDB oracle.
+    */
+  def c4KeptLines(text: Column, minWords: Int = 3): Column =
+    filter(split(text, "\n"), l => {
+      val lt = trim(l)
+      (endswith(lt, lit(".")) || endswith(lt, lit("!")) ||
+        endswith(lt, lit("?")) || endswith(lt, lit("\""))) &&
+        size(filter(split(lt, " "), w => w =!= "")) >= minWords &&
+        !lower(lt).contains(lit("javascript"))
+    })
+
+  /** C4's page-level drop rules: any page containing "lorem ipsum"
+    * (placeholder text) or a curly bracket (source code) is removed
+    * wholesale (same paper, §2.2). Composes with [[c4KeptLines]]:
+    * line rules trim, page rules discard.
+    */
+  def c4DocDrop(text: Column): Column =
+    lower(text).contains(lit("lorem ipsum")) || text.contains(lit("{"))
+
   /** PII masking for training corpora — the standard pre-training
     * redaction pass (emails and IPv4 addresses, the two
     * deterministically-matchable classes; names/addresses need NER and

@@ -245,4 +245,41 @@ object CorpusStats {
           log((col("ct") + 1) / (col("__tt") + col("__v"))) -
             log((col("cr") + 1) / (col("__tr") + col("__v")))), 4).as("odds"))
   }
+
+  /** Per-document top-k tf-idf keywords — the keyword-extraction pass
+    * that labels/tags a corpus for curation dashboards and
+    * weak-supervision tasks. Served from the at-rest posting table
+    * ([[graft.sources.Ingest.termPostings]]: one row per (term, doc)
+    * with tf precomputed — no tokenize pass at request time): document
+    * frequency is a rollup of the SAME posting rows (count of rows per
+    * term ≡ count of docs), idf = ln((N+1)/(df+1)), score = tf·idf.
+    * Stopwords are excluded up front so the "keywords" are content
+    * terms.
+    *
+    * Scale shape: one hash-agg shuffle for the df dictionary
+    * (vocabulary-sized output), a broadcast of that dictionary back
+    * onto the postings, and ONE exchange on the doc id for the
+    * bounded per-document window (partition = one document's terms,
+    * never the corpus). The corpus doc count is a 1-row broadcast.
+    *
+    * @return (idCol, term, score, rank) — rank 1..k per document
+    */
+  def tfidfKeywords(postings: DataFrame, idCol: String, k: Int = 3,
+      stopWords: Seq[String] = TextFunctions.StopWords): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = postings.where(!col("term").isin(stopWords: _*))
+    val dfTab = p.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val nDocs = postings.agg(
+      countDistinct(col(idCol)).cast("double").as("__n"))
+    val scored = p.join(broadcast(dfTab), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log((col("__n") + 1) / (col("__df") + 1)), 4))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("score"),
+        col("rank").cast("long").as("rank"))
+  }
 }

@@ -200,6 +200,40 @@ object Dedup {
     * sets are a pure per-document function, so any corpus subset
     * serves via semi-join.
     */
+  /** Per-document duplicated-n-gram fraction — the exact-substring
+    * dedup signal of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better"): for each document, the fraction
+    * of its distinct shingles that also occur in at least one OTHER
+    * document. Curation pipelines cut documents above a dup-fraction
+    * threshold (heavily templated / syndicated text) where pairwise
+    * near-dup misses them (the copies spread over MANY partners, so no
+    * single pair clears a Jaccard bar).
+    *
+    * Served from the at-rest hashed-shingle posting table
+    * ([[graft.sources.Ingest.buildIndex]]), which is BUCKETED on
+    * `shingle`: both the occurrence count and the join back of the
+    * duplicate-shingle set are bucket-local (no exchange — the same
+    * layout reuse as [[ngramJaccardFromShingles]]), so the only
+    * shuffle at any corpus size is the final per-document aggregate.
+    * Crucially there is no pairwise work at all: cost is linear in the
+    * posting table, not quadratic in duplicate cluster size.
+    *
+    * @return (idCol, n_shingles, n_dup, dup_frac)
+    */
+  def duplicatedShingleFraction(sh: DataFrame, idCol: String): DataFrame = {
+    // one row per (doc, shingle) in the at-rest table, so count(*) per
+    // shingle counts documents; >= 2 means "occurs elsewhere too"
+    val dup = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__nd"))
+      .where(col("__nd") >= 2)
+    sh.join(dup.select("shingle"), Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_dup"),
+        first(col("sz")).cast("long").as("n_shingles"))
+      .withColumn("dup_frac", round(col("n_dup") / col("n_shingles"), 4))
+      .select(col(idCol), col("n_shingles"), col("n_dup"), col("dup_frac"))
+  }
+
   def ngramJaccardFromShingles(
       sh: DataFrame,
       idCol: String,

@@ -62,6 +62,54 @@ object Ingest {
         (col("__par.end") - col("__par.start")).cast("long").as("n_tokens"),
         col("__par.p_text").as("p_text"))
 
+  /** Overlapping sliding-window chunker — the RAG-ingestion variant of
+    * [[splitParagraphs]]: windows of `chunkTokens` tokens advancing by
+    * `strideTokens` (so consecutive chunks share `chunkTokens −
+    * strideTokens` tokens of context, the standard retrieval-chunking
+    * shape). Chunk ids reuse the reference's span-based paragraph id
+    * format `{rid}/t/{field}/{start}-{end}`
+    * (`noderesources.proto:118-121`) — overlapping spans are legal
+    * there because the id IS the span. A document of `n` tokens yields
+    * `1 + ceil(max(0, n − chunkTokens) / strideTokens)` chunks: the
+    * last window is emitted only if it adds new tokens (no chunk fully
+    * contained in its predecessor). Pure per-row array expressions
+    * (tokenize once via the single-element-array let binding, then
+    * `sequence`/`transform`/`slice`), so chunking happens inside the
+    * scan stage — zero shuffles at any corpus size.
+    */
+  def chunkWithOverlap(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 40,
+      strideTokens: Int = 30,
+      fieldName: String = "body"): DataFrame = {
+    require(strideTokens > 0 && strideTokens <= chunkTokens,
+      s"stride must be in (0, chunkTokens]: $strideTokens vs $chunkTokens")
+    val chunks = element_at(transform(
+      array(TextFunctions.tokens(col(textCol))), t => {
+        val n = size(t)
+        val extra = when(n > chunkTokens,
+          ceil((n - chunkTokens).cast("double") / strideTokens).cast("int"))
+          .otherwise(lit(0))
+        when(n > 0, transform(sequence(lit(0), extra), c => {
+          val s = (c * strideTokens).cast("int")
+          val e = least(n, s + chunkTokens).cast("int")
+          struct(s.as("start"), e.as("end"),
+            concat_ws(" ", slice(t, s + 1, e - s)).as("c_text"))
+        })).otherwise(array().cast("array<struct<start:int,end:int,c_text:string>>"))
+      }), 1)
+    docs
+      .withColumn("__ch", explode(chunks))
+      .select(col(idCol),
+        concat(fieldUid(col(idCol), lit("t"), lit(fieldName)), lit("/"),
+          col("__ch.start").cast("string"), lit("-"),
+          col("__ch.end").cast("string")).as("chunk_id"),
+        col("__ch.start").as("start"), col("__ch.end").as("end"),
+        (col("__ch.end") - col("__ch.start")).cast("long").as("n_tokens"),
+        col("__ch.c_text").as("c_text"))
+  }
+
   /** Field rows for a document corpus — the resources→fields→paragraphs
     * hierarchy (`nucliadb_protos/resources.proto:39-46`: a resource
     * carries typed fields; title/summary are GENERIC `a/` fields, body

@@ -212,4 +212,28 @@ class DedupSpec extends SparkSpec {
         if (r.isNullAt(2)) -1L else r.getLong(2))).sorted
     assert(sparse.toSeq == Seq((1L, 3L, 40L), (5L, 5L, -1L)), sparse.mkString(","))
   }
+
+  test("duplicatedShingleFraction: exact dups 1.0, partial in between, unique absent") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    // the at-rest shingle shape Ingest.buildIndex writes: distinct
+    // hashed shingles per doc with the set size denormalized
+    val arr = array_distinct(
+      TextFunctions.shingles(TextFunctions.tokens(col("text")), 3))
+    val sh = docs
+      .select(col("doc_id"), transform(arr, x => xxhash64(x)).as("ss"),
+        size(arr).as("sz"))
+      .select(col("doc_id"), explode(col("ss")).as("shingle"), col("sz"))
+    val r = Dedup.duplicatedShingleFraction(sh, "doc_id").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    // docs 1 and 2 are identical → every shingle occurs elsewhere
+    assert(r(1L)._3 == 1.0 && r(2L)._3 == 1.0)
+    // doc 3 differs in one token of nine → windows touching it (3 of
+    // its 7 shingles) are unique, the other 4 are shared
+    assert(r(3L) == ((7L, 4L, 0.5714)))
+    // doc 4 shares nothing → no duplicated shingles, absent from the
+    // result (its dup_frac is 0 by definition)
+    assert(!r.contains(4L))
+  }
 }

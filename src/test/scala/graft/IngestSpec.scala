@@ -31,6 +31,27 @@ class IngestSpec extends SparkSpec {
     assert(p == (21 to 40).map(i => s"w$i").mkString(" "))
   }
 
+  test("chunkWithOverlap: stride windows share context, last window only if it adds tokens") {
+    // 45 tokens, size 20 / stride 15 → [0,20) [15,35) [30,45): the
+    // would-be 4th window [45,...) starts past the end and is absent
+    val ch = Ingest.chunkWithOverlap(docs, "doc_id", "text",
+        chunkTokens = 20, strideTokens = 15)
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getInt(3), r.getString(5)))
+    val d1 = ch.filter(_._1.startsWith("1/")).sortBy(_._2)
+    assert(d1.map(c => (c._2, c._3)).sameElements(Array((0, 20), (15, 35), (30, 45))))
+    assert(d1(1)._4 == (16 to 35).map(i => s"w$i").mkString(" "))
+    // short doc → one chunk covering everything; empty doc → none
+    assert(ch.count(_._1.startsWith("2/")) == 1 &&
+      ch.find(_._1.startsWith("2/")).get._3 == 5)
+    assert(!ch.exists(_._1.startsWith("3/")))
+    // a doc whose last stride window would be fully contained emits no
+    // contained chunk: 20 tokens at size 20 → exactly one window
+    val one = Ingest.chunkWithOverlap(
+      Seq((9L, (1 to 20).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", chunkTokens = 20, strideTokens = 15)
+    assert(one.count() == 1)
+  }
+
   test("termPostings aggregates tf per (term, doc)") {
     val tp = Ingest.termPostings(Seq((1L, "a b a")).toDF("doc_id", "text"),
       "doc_id", "text").collect().map(r => r.getString(0) -> r.getLong(2)).toMap

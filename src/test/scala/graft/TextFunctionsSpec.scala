@@ -96,6 +96,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("c4 line rules keep terminal-punctuated ≥3-word lines; page rules drop wholesale") {
+    val page = Seq(Seq(
+      "A good long sentence here.",   // kept
+      "short one.",                   // 2 words → dropped
+      "Please enable javascript now.", // javascript → dropped
+      "Ends with a bang!",            // kept
+      "no terminal punctuation here", // dropped
+      "  padded but fine?  "          // trim then kept
+    ).mkString("\n")).toDF("t")
+    val kept = page.select(c4KeptLines(col("t"))).as[Seq[String]].head()
+    assert(kept == Seq("A good long sentence here.", "Ends with a bang!",
+      "  padded but fine?  "))
+    val drops = Seq("fine text here.", "has lorem ipsum inside.",
+      "code { return 1; }").toDF("t")
+      .select(c4DocDrop(col("t"))).as[Boolean].collect()
+    assert(drops.sameElements(Array(false, true, true)))
+  }
+
   test("foldAccents folds latin accents for entity matching") {
     val out = Seq("Café MÜLLER in Ångström's Grüße").toDF("t")
       .select(foldAccents(col("t"))).as[String].head()

@@ -279,6 +279,32 @@ class TrainsetsSpec extends SparkSpec {
     assert(got(1L)._2 > got(2L)._2 && got(1L)._2 > got(3L)._2)
   }
 
+  test("tfidfKeywords: rare frequent terms win, stopwords excluded, k bounds per doc") {
+    import graft.operators.CorpusStats
+    import graft.sources.Ingest
+    val docs = Seq(
+      (1L, "the zebra zebra zebra common"), // zebra: tf 3, df 1
+      (2L, "the common words common here"),
+      (3L, "the common zoo"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.tfidfKeywords(
+        Ingest.termPostings(docs, "doc_id", "text"), "doc_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def idf(df: Double) = math.log(4.0 / (df + 1)) // N=3 docs
+    // doc 1: zebra 3·idf(1) beats common 1·idf(3); "the" (stopword) absent
+    assert(got((1L, 1L)) == ("zebra", r4(3 * idf(1))))
+    assert(got((1L, 2L)) == ("common", r4(1 * idf(3))))
+    // doc 2: words/here tie at 1·idf(1)=ln2 → term-asc ranks "here"
+    // first; common (2·idf(3)=0) falls off at k=2
+    assert(got((2L, 1L)) == ("here", r4(idf(1))))
+    assert(got((2L, 2L)) == ("words", r4(idf(1))))
+    // k bounds every doc at 2 rows
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)) && !got.contains((3L, 3L)))
+  }
+
   test("contaminationScores: eval docs score 1.0, disjoint docs 0.0, partial in between") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
