@@ -1613,7 +1613,8 @@ object SparkEntry {
     // for the bounded per-doc window
     "q121_tfidf_keywords" -> ((s, dir) =>
       graft.operators.CorpusStats.tfidfKeywords(
-          graft.sources.IndexStore.postings(s, dir), "doc_id", k = 3)
+          graft.sources.IndexStore.postings(s, dir), "doc_id", k = 3,
+          docLengths = Some(graft.sources.IndexStore.docLengths(s, dir)))
         .orderBy("doc_id", "rank")),
 
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:

@@ -260,17 +260,26 @@ object CorpusStats {
     * (vocabulary-sized output), a broadcast of that dictionary back
     * onto the postings, and ONE exchange on the doc id for the
     * bounded per-document window (partition = one document's terms,
-    * never the corpus). The corpus doc count is a 1-row broadcast.
+    * never the corpus). The corpus doc count is a 1-row broadcast —
+    * pass the at-rest doc-lengths table (one row per tokenized doc,
+    * [[graft.sources.IndexStore.docLengths]]) so it costs a count of
+    * doc-sized rows; without it the count falls back to a distinct
+    * over the posting table (correct, but a corpus-column dedup
+    * shuffle the lengths table makes unnecessary).
     *
     * @return (idCol, term, score, rank) — rank 1..k per document
     */
   def tfidfKeywords(postings: DataFrame, idCol: String, k: Int = 3,
-      stopWords: Seq[String] = TextFunctions.StopWords): DataFrame = {
+      stopWords: Seq[String] = TextFunctions.StopWords,
+      docLengths: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val p = postings.where(!col("term").isin(stopWords: _*))
     val dfTab = p.groupBy(col("term")).agg(count(lit(1)).as("__df"))
-    val nDocs = postings.agg(
-      countDistinct(col(idCol)).cast("double").as("__n"))
+    // docLengths holds exactly the docs with ≥1 token — the same doc
+    // set a distinct over the postings would produce
+    val nDocs = docLengths
+      .map(_.agg(count(lit(1)).cast("double").as("__n")))
+      .getOrElse(postings.agg(countDistinct(col(idCol)).cast("double").as("__n")))
     val scored = p.join(broadcast(dfTab), "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score",

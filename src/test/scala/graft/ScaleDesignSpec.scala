@@ -347,6 +347,59 @@ class ScaleDesignSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("chunkWithOverlap is scan-stage only: zero exchanges at any corpus size") {
+    val dir = "/root/testdata/sf0.001"
+    val ch = Ingest.chunkWithOverlap(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      chunkTokens = 40, strideTokens = 30)
+    ch.count()
+    val p = plan(ch)
+    assert(!p.contains("Exchange"),
+      s"overlap chunking is a pure per-row transform — nothing may shuffle:\n$p")
+  }
+
+  test("duplicatedShingleFraction: one exchange total — count and dup-join reuse the bucketed layout") {
+    val dir = "/root/testdata/sf0.001"
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // broadcast disabled: at 100 TB the duplicate-shingle set is not
+    // guaranteed tiny, so the bucketed layout must carry the plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val r = graft.operators.Dedup.duplicatedShingleFraction(
+        graft.sources.IndexStore.shingles(spark, dir), "doc_id")
+      r.count()
+      val p = plan(r)
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges == 1,
+        s"only the final per-doc aggregate may shuffle — the occurrence count\n" +
+          s"and the dup-set join are bucket-local on `shingle`:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("tfidfKeywords serves at-rest postings: no tokenize, df broadcast, bounded exchanges") {
+    val dir = "/root/testdata/sf0.001"
+    val kw = graft.operators.CorpusStats.tfidfKeywords(
+      graft.sources.IndexStore.postings(spark, dir), "doc_id", k = 3,
+      docLengths = Some(graft.sources.IndexStore.docLengths(spark, dir)))
+    kw.count()
+    val p = plan(kw)
+    assert(!p.toLowerCase.contains("regexp"),
+      s"keyword extraction must read the posting table, never tokenize:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the vocabulary-sized df dictionary must broadcast back onto the postings:\n$p")
+    // corpus-weight shuffles: the df rollup (term) and the per-doc
+    // window (doc id). The N count over the doc-lengths table adds one
+    // SinglePartition exchange carrying ≤ one partial count per
+    // partition — driver-scale by construction, not a corpus shuffle.
+    val corpusShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(corpusShuffles == 2,
+      s"exactly the df rollup and the per-doc window may hash-shuffle:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(doc_id") ||
+      p.linesIterator.count(_.contains("Exchange hashpartitioning(doc_id")) == 1,
+      s"no doc-id dedup shuffle — N comes from the lengths table:\n$p")
+  }
+
   test("bucketed index tables: catalog-less readers fall back to the same rows") {
     val dir = "/root/testdata/sf0.001"
     val ixDir = graft.sources.IndexStore.indexDir(spark, dir)
