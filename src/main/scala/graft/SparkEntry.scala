@@ -1534,31 +1534,42 @@ object SparkEntry {
 
     // §3.3 /graph/nodes — the path-query engine projected to the
     // matching triplets' unique node set (both endpoints), the
-    // reference's nodes-response shape
+    // reference's nodes-response shape. Served from the AT-REST
+    // relation index (src-sorted copy: the prefix constraint prunes
+    // parquet row groups; the ingest-time distinct replaced the
+    // per-request dedup shuffle)
     "q116_graph_nodes" -> ((s, dir) => {
       import graft.api.GraphSearch
       import graft.api.GraphSearch.{EdgeTable, NodeMatch, PathQuery}
-      val edges = load(s, dir, "lineitem")
-        .select(concat(lit("S"), col("l_suppkey").cast("string")).as("src"),
-          concat(lit("R"), col("l_returnflag")).as("rel"),
-          concat(lit("P"), col("l_partkey").cast("string")).as("dst"))
-        .distinct()
-      GraphSearch.nodesSearch(EdgeTable(edges, "src", "rel", "dst"),
+      GraphSearch.nodesSearch(
+        EdgeTable(graft.sources.IndexStore.edges(s, dir), "src", "rel", "dst"),
         PathQuery.Path(src = NodeMatch.Prefix("S1")), topK = 50)
     }),
 
     // §3.3 /graph/relations — projected to the matching triplets'
-    // unique relation labels
+    // unique relation labels; dst constraint → the dst-sorted copy
     "q117_graph_relations" -> ((s, dir) => {
       import graft.api.GraphSearch
       import graft.api.GraphSearch.{EdgeTable, NodeMatch, PathQuery}
-      val edges = load(s, dir, "lineitem")
-        .select(concat(lit("S"), col("l_suppkey").cast("string")).as("src"),
-          concat(lit("R"), col("l_returnflag")).as("rel"),
-          concat(lit("P"), col("l_partkey").cast("string")).as("dst"))
-        .distinct()
-      GraphSearch.relationsSearch(EdgeTable(edges, "src", "rel", "dst"),
+      GraphSearch.relationsSearch(
+        EdgeTable(graft.sources.IndexStore.edgesByDst(s, dir), "src", "rel", "dst"),
         PathQuery.Path(dst = NodeMatch.Prefix("P1")), topK = 10)
+    }),
+
+    // §3.3 /graph path search from the AT-REST relation index: both
+    // endpoints constrained (src exact via the src-sorted copy — the
+    // more selective side picks the table), rel filtered; same
+    // PathQuery tree as q49 but zero per-request dedup work
+    "q122_graph_at_rest" -> ((s, dir) => {
+      import graft.api.GraphSearch
+      import graft.api.GraphSearch.{EdgeTable, NodeMatch, PathQuery}
+      GraphSearch.search(
+        EdgeTable(graft.sources.IndexStore.edges(s, dir), "src", "rel", "dst"),
+        PathQuery.Or(Seq(
+          PathQuery.Path(src = NodeMatch.Exact("S3"), rel = Some("RN")),
+          PathQuery.Path(src = NodeMatch.Prefix("S10"),
+            dst = NodeMatch.Prefix("P2")))),
+        topK = 50)
     }),
 
     // RAG-ingestion chunking: overlapping sliding windows (40 tokens,
@@ -3188,6 +3199,14 @@ object SparkEntry {
         |    'P' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem)
         |SELECT DISTINCT rel AS label FROM e WHERE dst LIKE 'P1%'
         |ORDER BY label LIMIT 10""".stripMargin,
+
+    "q122_graph_at_rest" ->
+      """WITH e AS (SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+        |    'R' || l_returnflag AS rel,
+        |    'P' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem)
+        |SELECT src AS source, rel AS relation, dst AS destination FROM e
+        |WHERE (src = 'S3' AND rel = 'RN') OR (src LIKE 'S10%' AND dst LIKE 'P2%')
+        |ORDER BY source, relation, destination LIMIT 50""".stripMargin,
 
     "q118_chunk_overlap" ->
       s"""WITH toksd AS (SELECT doc_id, $Tok AS t FROM documents),

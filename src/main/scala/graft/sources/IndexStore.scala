@@ -3,7 +3,7 @@ package graft.sources
 import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, concat, lit}
 
 /** At-rest index tables for a corpus directory — the serving-side view
   * of [[Ingest.buildIndex]] / [[Ingest.buildVectorIndex]].
@@ -110,6 +110,7 @@ object IndexStore {
   private val built = scala.collection.mutable.Map[String, String]()
   private val builtVec = scala.collection.mutable.Map[String, String]()
   private val builtVecSets = scala.collection.mutable.Map[String, String]()
+  private val builtGraph = scala.collection.mutable.Map[String, String]()
 
   /** Register a temp directory for recursive deletion at JVM exit. */
   def deleteOnExit(dir: String): String = {
@@ -159,6 +160,36 @@ object IndexStore {
       out
     })
   }
+
+  /** Relation index directory for `sfDir`'s graph fixture (the
+    * lineitem-derived supplier→part triplets every graph query uses),
+    * built on first access ([[Ingest.relationIndex]]: the distinct +
+    * double-sorted layout — the ingest-time cost graph requests no
+    * longer pay).
+    */
+  def graphDir(spark: SparkSession, sfDir: String): String = synchronized {
+    builtGraph.getOrElseUpdate(sfDir, {
+      val out = deleteOnExit(Files.createTempDirectory("graft-graphindex-").toString)
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      Ingest.relationIndex(
+        li.select(
+          concat(lit("S"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("R"), col("l_returnflag")).as("rel"),
+          concat(lit("P"), col("l_partkey").cast("string")).as("dst")),
+        "src", "rel", "dst", out)
+      out
+    })
+  }
+
+  /** At-rest edge triplets sorted by SOURCE value — serve queries whose
+    * selective constraint is on the source node. */
+  def edges(spark: SparkSession, sfDir: String): DataFrame =
+    readParquet(spark, s"${graphDir(spark, sfDir)}/edges")
+
+  /** The same triplets sorted by DESTINATION value — serve queries
+    * constrained on the destination node. */
+  def edgesByDst(spark: SparkSession, sfDir: String): DataFrame =
+    readParquet(spark, s"${graphDir(spark, sfDir)}/edges_by_dst")
 
   def tables(spark: SparkSession, sfDir: String): IndexTables = {
     val c = cachesOf(spark)

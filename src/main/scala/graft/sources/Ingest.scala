@@ -496,6 +496,33 @@ object Ingest {
     * Everything is deterministic (rounded scores, id tiebreaks), so
     * rebuilding the index from the same corpus is byte-stable.
     */
+  /** At-rest relation index — the physical analog of `nidx_relation`
+    * (tantivy schema with normalized source/target value columns,
+    * `nidx_relation/src/schema.rs`): the DISTINCT triplet set written
+    * in TWO sort orders, range-partitioned + sorted by source value
+    * (`edges`) and by destination value (`edges_by_dst`). Tantivy
+    * prunes either endpoint through its per-field inverted index; the
+    * columnar analog is parquet row-group min/max stats on a sorted
+    * column, so exact and prefix node constraints
+    * ([[graft.api.GraphSearch.NodeMatch]]) push into whichever copy is
+    * sorted by the constrained endpoint. The dedup shuffle every
+    * inline request was paying (`.distinct()` over the fact table) is
+    * paid ONCE here at ingest.
+    */
+  def relationIndex(edges: DataFrame, srcCol: String, relCol: String,
+      dstCol: String, outDir: String): Unit = {
+    val e = edges.select(col(srcCol).as("src"), col(relCol).as("rel"),
+      col(dstCol).as("dst")).distinct().cache()
+    try {
+      e.repartitionByRange(col("src"))
+        .sortWithinPartitions("src", "rel", "dst")
+        .write.mode("overwrite").parquet(s"$outDir/edges")
+      e.repartitionByRange(col("dst"))
+        .sortWithinPartitions("dst", "rel", "src")
+        .write.mode("overwrite").parquet(s"$outDir/edges_by_dst")
+    } finally { e.unpersist(); () }
+  }
+
   def buildVectorIndex(
       vectors: DataFrame,
       idCol: String,

@@ -158,7 +158,8 @@ object IncrementalIndex {
       vectors: Option[SegmentVectorSpec] = None,
       vectorSets: Map[String, SegmentVectorSpec] = Map.empty,
       shingleSize: Int = 3,
-      numHashes: Int = 8): StreamingQuery = {
+      numHashes: Int = 8,
+      relationsCol: Option[String] = None): StreamingQuery = {
     // misconfiguration fails at stream START, not after every batch has
     // already written its text-index tables
     require(vectors.isEmpty || !vectorSets.contains("default"),
@@ -180,7 +181,7 @@ object IncrementalIndex {
         // its segments reuse already-subsumed names and are masked and
         // deleted exactly like replays. A new stream needs a new root.
         writeSegment(batch, f"$indexRoot/seg_$bid%09d", idCol, textCol, seqCol,
-          vectors, vectorSets, shingleSize, numHashes)
+          vectors, vectorSets, shingleSize, numHashes, relationsCol)
       }
       .start()
   }
@@ -202,7 +203,8 @@ object IncrementalIndex {
       vectors: Option[SegmentVectorSpec] = None,
       vectorSets: Map[String, SegmentVectorSpec] = Map.empty,
       shingleSize: Int = 3,
-      numHashes: Int = 8): Unit = {
+      numHashes: Int = 8,
+      relationsCol: Option[String] = None): Unit = {
     // reject conflicting specs BEFORE any table is written — a failing
     // batch must not pay the full text-index write on every retry
     require(vectors.isEmpty || !vectorSets.contains("default"),
@@ -254,6 +256,19 @@ object IncrementalIndex {
           idCol, numHashes = numHashes)
         .join(seqOf, idCol)
         .write.mode("overwrite").parquet(s"$segDir/signatures")
+      // relation triplets — the message-carried relations of each live
+      // doc (`noderesources.proto:201-209` IndexRelations ride the
+      // broker message; the resource node is the source), exploded to
+      // (id, seq, rel, dst) rows so cross-segment latest-wins is the
+      // same winner semi-join as every sibling table. A doc update
+      // REPLACES its relations: the old segment's rows lose the winner
+      // join, exactly like its postings
+      relationsCol.foreach { rc =>
+        live.select(col(idCol), col(seqCol), explode(col(rc)).as("__r"))
+          .select(col(idCol), col(seqCol),
+            col("__r.rel").as("rel"), col("__r.dst").as("dst"))
+          .write.mode("overwrite").parquet(s"$segDir/edges")
+      }
       // one codes/raw pair per named vectorset (the Option form is the
       // single default set), vectorset-tagged and partitioned
       // (vectorset, centroid_id) like the batch per-set layout — a
@@ -436,6 +451,23 @@ object IncrementalIndex {
     servedSub(spark, dirs, "signatures", idCol, seqCol)
   }
 
+  /** Relation triplets served across segments with latest-wins — the
+    * graph serving table for a STREAMED corpus: rows (id, seq, rel,
+    * dst) bind into [[graft.api.GraphSearch.EdgeTable]] with the doc
+    * id as the source node, so the same PathQuery trees run over
+    * streamed and batch corpora. Requires every live segment to carry
+    * edges (written when the stream passes `relationsCol`).
+    */
+  def segmentEdges(spark: SparkSession, indexRoot: String,
+      idCol: String = "rid", seqCol: String = "seq"): DataFrame = {
+    val dirs = segmentDirs(spark, indexRoot)
+    require(dirs.nonEmpty, s"no segments under $indexRoot")
+    require(dirs.forall(d => hasSub(spark, d, "edges")),
+      s"some segments under $indexRoot lack relation edges — stream " +
+        "started without relationsCol; recompact from source")
+    servedSub(spark, dirs, "edges", idCol, seqCol)
+  }
+
   /** The `(term, freq)` suggest dictionary of a streamed corpus —
     * rolled up AT QUERY TIME from the winner-filtered segment postings
     * (a per-segment materialized rollup would double-count superseded
@@ -614,6 +646,9 @@ object IncrementalIndex {
     if (dirs.forall(d => hasSub(spark, d, "signatures")))
       servedSub(spark, dirs, "signatures", idCol, seqCol, Some(winners))
         .write.mode("overwrite").parquet(s"$out/signatures")
+    if (dirs.forall(d => hasSub(spark, d, "edges")))
+      servedSub(spark, dirs, "edges", idCol, seqCol, Some(winners))
+        .write.mode("overwrite").parquet(s"$out/edges")
     // vector segments fold the same way: winning codes/raw rows move to
     // the compacted segment (codes keep the centroid partitioning).
     // Folds the ONCE-listed dirs, not a fresh listing — a segment the

@@ -58,6 +58,21 @@ class IngestSpec extends SparkSpec {
     assert(tp == Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("relationIndex collapses duplicate triplets; both sorted copies hold the same rows") {
+    val out = Files.createTempDirectory("graft-relidx").toString
+    val edges = Seq(
+      ("S1", "SUPPLIES", "P1"), ("S1", "SUPPLIES", "P1"), // dup collapses
+      ("S1", "SUPPLIES", "P2"), ("S2", "SELLS", "P1"))
+      .toDF("s", "r", "d")
+    Ingest.relationIndex(edges, "s", "r", "d", out)
+    def rows(sub: String) = spark.read.parquet(s"$out/$sub")
+      .collect().map(x => (x.getString(0), x.getString(1), x.getString(2))).toSet
+    val want = Set(("S1", "SUPPLIES", "P1"), ("S1", "SUPPLIES", "P2"),
+      ("S2", "SELLS", "P1"))
+    assert(rows("edges") == want)
+    assert(rows("edges_by_dst") == want)
+  }
+
   test("trainset export writes hive-partitioned parquet; compact resizes files") {
     val out = Files.createTempDirectory("graft-train").toString
     Ingest.exportTrainset(

@@ -400,6 +400,32 @@ class ScaleDesignSpec extends SparkSpec {
       s"no doc-id dedup shuffle — N comes from the lengths table:\n$p")
   }
 
+  test("at-rest relation index: node constraints push into the sorted edge scan") {
+    import graft.api.GraphSearch
+    import graft.api.GraphSearch.{EdgeTable, NodeMatch, PathQuery}
+    val dir = "/root/testdata/sf0.001"
+    // prefix on the src-sorted copy → StringStartsWith reaches parquet
+    val bySrc = GraphSearch.search(
+      EdgeTable(graft.sources.IndexStore.edges(spark, dir), "src", "rel", "dst"),
+      PathQuery.Path(src = NodeMatch.Prefix("S1")), topK = 50)
+    bySrc.count()
+    val p1 = plan(bySrc)
+    assert(p1.contains("StringStartsWith(src,S1"),
+      s"src prefix must push into the edges scan:\n$p1")
+    // exact + rel on the dst-sorted copy → EqualTo on both columns
+    val byDst = GraphSearch.search(
+      EdgeTable(graft.sources.IndexStore.edgesByDst(spark, dir), "src", "rel", "dst"),
+      PathQuery.Path(dst = NodeMatch.Exact("P1"), rel = Some("RN")), topK = 50)
+    byDst.count()
+    val p2 = plan(byDst)
+    assert(p2.contains("EqualTo(dst,P1") && p2.contains("EqualTo(rel,RN"),
+      s"dst/rel equality must push into the edges_by_dst scan:\n$p2")
+    // and no per-request dedup of the raw fact table: the scan reads
+    // the at-rest triplets, not lineitem
+    assert(!p1.contains("lineitem") && !p2.contains("lineitem"),
+      "graph search must serve the relation index, not the fact table")
+  }
+
   test("bucketed index tables: catalog-less readers fall back to the same rows") {
     val dir = "/root/testdata/sf0.001"
     val ixDir = graft.sources.IndexStore.indexDir(spark, dir)

@@ -748,4 +748,47 @@ class StreamingSpec extends SparkSpec {
     assert(tc < math.max(t8, 0.3) * 5,
       f"post-compaction suggest $tc%.3fs did not return near single-segment cost")
   }
+
+  test("segmented relation index: latest-wins edges, updates replace, compaction preserves") {
+    import graft.api.GraphSearch
+    import graft.api.GraphSearch.{EdgeTable, NodeMatch, PathQuery}
+    val root = Files.createTempDirectory("graft-segedges").toString + "/index"
+    def seg(bid: Long,
+        rows: (String, Long, String, Boolean, Seq[StreamingSpec.Rel])*): Unit =
+      IncrementalIndex.writeSegment(
+        rows.toDF("rid", "seq", "value", "deleted", "relations"),
+        f"$root/seg_$bid%09d", "rid", "value", "seq",
+        relationsCol = Some("relations"))
+    seg(0L,
+      ("r1", 1L, "text one", false,
+        Seq(StreamingSpec.Rel("mentions", "spark"), StreamingSpec.Rel("about", "engines"))),
+      ("r2", 1L, "text two", false, Seq(StreamingSpec.Rel("mentions", "duck"))))
+    seg(1L,
+      // r2's update REPLACES its relations (duck → goose), r1 is
+      // tombstoned — its seg0 edges must vanish with it
+      ("r2", 2L, "text two v2", false, Seq(StreamingSpec.Rel("mentions", "goose"))),
+      ("r3", 2L, "text three", false, Seq(StreamingSpec.Rel("mentions", "spark"))),
+      ("r1", 2L, "", true, Seq.empty[StreamingSpec.Rel]))
+    def results(): Set[(String, String, String)] =
+      GraphSearch.search(
+          EdgeTable(IncrementalIndex.segmentEdges(spark, root), "rid", "rel", "dst"),
+          PathQuery.Path(), topK = 50)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val want = Set(("r2", "mentions", "goose"), ("r3", "mentions", "spark"))
+    assert(results() == want, s"streamed edge serving diverged: ${results()}")
+    // a dst-constrained path query matches only the surviving rows
+    val sparkDst = GraphSearch.search(
+        EdgeTable(IncrementalIndex.segmentEdges(spark, root), "rid", "rel", "dst"),
+        PathQuery.Path(dst = NodeMatch.Exact("spark")), topK = 50)
+      .collect().map(_.getString(0)).toSet
+    assert(sparkDst == Set("r3"), "tombstoned r1's edge resurfaced")
+    IncrementalIndex.compactSegments(spark, root)
+    assert(results() == want, "post-compaction edge divergence")
+  }
+}
+
+object StreamingSpec {
+  /** Message-carried relation (rel label, destination node) — the
+    * streamed analog of IndexRelations rows. */
+  final case class Rel(rel: String, dst: String)
 }
