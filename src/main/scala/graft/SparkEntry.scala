@@ -1617,6 +1617,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // training-data ops: DOMAIN-level quality gate (the C4/RefinedWeb
+    // curation move above per-doc scores): keep documents only from
+    // sources whose mean quality clears the bar. One domain-sized
+    // aggregation broadcast back — the corpus side never shuffles
+    "q123_domain_quality_gate" -> ((s, dir) =>
+      graft.operators.CorpusStats.domainQualityGate(
+          load(s, dir, "documents"), "doc_id", "text", "source",
+          minMean = 1.82)
+        .orderBy("doc_id")
+        .limit(100)),
+
+    // training-data ops: near-dup cluster-size histogram — the dedup
+    // threshold-tuning report (fat tail = bar too low); two bounded
+    // aggregations over the at-rest signature pipeline
+    "q124_dedup_cluster_sizes" -> ((s, dir) => {
+      val pairs = Dedup.minHashLshFromSignatures(
+        graft.sources.IndexStore.signatures(s, dir), "doc_id",
+        numHashes = 8, bandSize = 2, minEstJaccard = 0.25)
+      Dedup.clusterSizeHistogram(Dedup.dedupClusters(pairs, "a", "b"))
+        .orderBy("cluster_size")
+    }),
+
     // training-data ops: per-doc top-3 tf-idf keywords — corpus
     // tagging/labeling served from the at-rest posting table (df is a
     // rollup of the same rows; no tokenize at request time). One df
@@ -3251,6 +3273,29 @@ object SparkEntry {
          |WHERE NOT contains(lower(composite), 'lorem ipsum')
          |  AND NOT contains(composite, '{')
          |ORDER BY doc_id""".stripMargin,
+
+    "q123_domain_quality_gate" ->
+      s"""WITH tok AS (SELECT doc_id, source, unnest($Tok) AS term FROM documents),
+         |st AS (SELECT doc_id, max(source) AS source,
+         |         CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(count(DISTINCT term) AS DOUBLE) AS uniq,
+         |         CAST(sum(CASE WHEN term IN $StopList THEN 1 ELSE 0 END) AS DOUBLE) AS stop
+         |       FROM tok GROUP BY doc_id),
+         |dq AS (SELECT doc_id, source,
+         |         (uniq / n) * ln(1.0 + n) - 0.5 * (stop / n) AS q FROM st),
+         |dm AS (SELECT source, round(avg(q), 4) AS domain_quality
+         |       FROM dq GROUP BY source)
+         |SELECT dq.doc_id, dq.source, dm.domain_quality
+         |FROM dq JOIN dm USING (source) WHERE dm.domain_quality >= 1.82
+         |ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "q124_dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $MinHashPairCtes,
+         |$CcCtes,
+         |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM comp GROUP BY component)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     "q121_tfidf_keywords" ->
       s"""WITH $TokCte,

@@ -246,6 +246,37 @@ object CorpusStats {
             log((col("cr") + 1) / (col("__tr") + col("__v")))), 4).as("odds"))
   }
 
+  /** Domain-level quality gating — the C4/RefinedWeb curation move one
+    * level above per-document scores: average the per-doc quality
+    * signal over each source domain and keep only documents from
+    * domains whose MEAN clears the bar (a domain full of borderline
+    * docs is usually boilerplate/spam even when individual docs
+    * squeak past a per-doc threshold). Domain mean rounds at 4 BEFORE
+    * the comparison so the gate is reproducible across engines.
+    *
+    * Scale shape: the per-doc score is a narrow scan-stage expression;
+    * ONE aggregation shuffle produces the domain-sized mean table,
+    * which broadcasts back onto the corpus — the corpus side never
+    * shuffles.
+    *
+    * @return (idCol, domainCol, domain_quality) for kept documents
+    */
+  def domainQualityGate(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: String, minMean: Double): DataFrame = {
+    // token-less docs carry no quality evidence (their score is 0/0):
+    // they drop here, matching the tokenizing oracle's semantics
+    val dq = docs
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .where(size(col("__toks")) > 0)
+      .select(col(idCol), col(domainCol),
+        TextFunctions.qualityScore(col("__toks")).as("__q"))
+    val dm = dq.groupBy(col(domainCol))
+      .agg(round(avg(col("__q")), 4).as("domain_quality"))
+      .where(col("domain_quality") >= minMean)
+    dq.join(broadcast(dm), domainCol)
+      .select(col(idCol), col(domainCol), col("domain_quality"))
+  }
+
   /** Per-document top-k tf-idf keywords — the keyword-extraction pass
     * that labels/tags a corpus for curation dashboards and
     * weak-supervision tasks. Served from the at-rest posting table

@@ -200,6 +200,22 @@ object Dedup {
     * sets are a pure per-document function, so any corpus subset
     * serves via semi-join.
     */
+  /** Cluster-size histogram over connected components — the dedup
+    * REPORT every curation run emits (the size distribution is what
+    * tunes the similarity threshold: a fat tail of giant clusters
+    * means the bar is too low, all-size-2 means it is too high).
+    * Input is [[dedupClusters]] output; two bounded aggregations
+    * (component-sized, then histogram-sized).
+    *
+    * @return (cluster_size, n_clusters) ascending by size
+    */
+  def clusterSizeHistogram(comp: DataFrame): DataFrame =
+    comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"))
+
   /** Per-document duplicated-n-gram fraction — the exact-substring
     * dedup signal of Lee et al. 2022 ("Deduplicating Training Data
     * Makes Language Models Better"): for each document, the fraction

@@ -213,6 +213,15 @@ class DedupSpec extends SparkSpec {
     assert(sparse.toSeq == Seq((1L, 3L, 40L), (5L, 5L, -1L)), sparse.mkString(","))
   }
 
+  test("clusterSizeHistogram counts components per size") {
+    import spark.implicits._
+    // components: {1,2,3} (size 3) and {10,11}, {20,21} (two of size 2)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("a", "b")
+    val h = Dedup.clusterSizeHistogram(Dedup.dedupClusters(pairs, "a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == Map(2L -> 2L, 3L -> 1L), h.toString)
+  }
+
   test("duplicatedShingleFraction: exact dups 1.0, partial in between, unique absent") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions

@@ -305,6 +305,29 @@ class TrainsetsSpec extends SparkSpec {
     assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)) && !got.contains((3L, 3L)))
   }
 
+  test("domainQualityGate keeps whole domains by mean, drops token-less docs") {
+    import graft.operators.CorpusStats
+    val docs = Seq(
+      // domain "good": diverse non-stopword text → high mean
+      (1L, "alpha beta gamma delta", "good"),
+      (2L, "epsilon zeta eta theta", "good"),
+      // domain "bad": repetitive + stopword-heavy → low mean
+      (3L, "the the the the a a", "bad"),
+      (4L, "the a the a the a", "bad"),
+      (5L, "", "good")) // token-less → no quality evidence, dropped
+      .toDF("doc_id", "text", "source")
+    val kept = CorpusStats.domainQualityGate(docs, "doc_id", "text", "source",
+        minMean = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept.keySet == Set(1L, 2L), s"got $kept")
+    assert(kept.values.toSet == Set("good"))
+    // the gate is on the DOMAIN mean: a low bar keeps both domains
+    val loose = CorpusStats.domainQualityGate(docs, "doc_id", "text", "source",
+        minMean = -10.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(loose == Set(1L, 2L, 3L, 4L))
+  }
+
   test("contaminationScores: eval docs score 1.0, disjoint docs 0.0, partial in between") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
