@@ -708,15 +708,22 @@ object SparkEntry {
     }),
 
     // §2.3 iterative ranked graph expansion (graph RAG strategy loop)
+    // served from the AT-REST relation index: the two sorted copies
+    // provide the two orientations (each hop's frontier IN predicate
+    // prunes through its own sort key) and the at-rest multiplicity
+    // `n` replaces the per-request duplicate count — a hop scans
+    // distinct triplets, never the raw fact edges
     "q63_graph_expand" -> ((s, dir) => {
       import s.implicits._
-      val edges = load(s, dir, "lineitem")
-        .select(concat(lit("S"), col("l_suppkey").cast("string")).as("src"),
-          lit("SUPPLIES").as("rel"),
-          concat(lit("P"), col("l_partkey").cast("string")).as("dst"))
+      val e = graft.sources.IndexStore.edges(s, dir)
+      val ed = graft.sources.IndexStore.edgesByDst(s, dir)
+      val und = e.select(col("src").as("node"), col("rel"),
+          col("dst").as("nbr"), col("n"))
+        .unionByName(ed.select(col("dst").as("node"), col("rel"),
+          col("src").as("nbr"), col("n")))
       val seeds = Seq("S1").toDF("node")
-      GraphOps.iterativeExpand(edges, "src", "rel", "dst", seeds, "node",
-          hops = 2, topPerHop = 10)
+      GraphOps.iterativeExpandFrom(und, seeds, "node",
+          hops = 2, topPerHop = 10, weightCol = Some("n"))
         .withColumn("hop", col("hop").cast("long"))
         .orderBy(col("hop").asc, col("support").desc, col("node").asc, col("nbr").asc)
     }),
@@ -2421,7 +2428,7 @@ object SparkEntry {
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
     "q63_graph_expand" ->
-      """WITH e AS (SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS src, 'SUPPLIES' AS rel,
+      """WITH e AS (SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS src, 'R' || l_returnflag AS rel,
         |                  'P' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
         |und AS (SELECT src AS node, rel, dst AS nbr FROM e
         |        UNION ALL SELECT dst, rel, src FROM e),

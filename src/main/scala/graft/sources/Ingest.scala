@@ -511,8 +511,14 @@ object Ingest {
     */
   def relationIndex(edges: DataFrame, srcCol: String, relCol: String,
       dstCol: String, outDir: String): Unit = {
+    // the dedup aggregation ALSO records each triplet's multiplicity
+    // `n` — the support weight ranked graph expansion sums
+    // ([[graft.operators.GraphOps.iterativeExpandFrom]]), free here
+    // because distinct ≡ groupBy over the key columns
     val e = edges.select(col(srcCol).as("src"), col(relCol).as("rel"),
-      col(dstCol).as("dst")).distinct().cache()
+        col(dstCol).as("dst"))
+      .groupBy("src", "rel", "dst").agg(count(lit(1)).cast("long").as("n"))
+      .cache()
     try {
       e.repartitionByRange(col("src"))
         .sortWithinPartitions("src", "rel", "dst")

@@ -66,6 +66,31 @@ class GraphOpsSpec extends SparkSpec {
       (2, "B", "D", 1L), (2, "C", "D", 1L)))
   }
 
+  test("iterativeExpandFrom with at-rest weights equals the raw-edge count form") {
+    // the weighted form over distinct (triplet, n) rows must reproduce
+    // the per-request duplicate count exactly — the at-rest serving
+    // contract of Ingest.relationIndex
+    val g = Seq(
+      ("A", "r", "B"), ("A", "r", "B"), ("A", "r", "C"),
+      ("B", "r", "D"), ("C", "r", "D"), ("D", "r", "E"))
+      .toDF("src", "rel", "dst")
+    val weighted = g.groupBy("src", "rel", "dst")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).cast("long").as("n"))
+    val und = weighted.select(col("src").as("node"), col("rel"),
+        col("dst").as("nbr"), col("n"))
+      .unionByName(weighted.select(col("dst").as("node"), col("rel"),
+        col("src").as("nbr"), col("n")))
+    val seeds = Seq("A").toDF("node")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(3), r.getLong(4))).toSet
+    val got = asSet(GraphOps.iterativeExpandFrom(und, seeds, "node",
+      hops = 2, topPerHop = 10, weightCol = Some("n")))
+    val want = asSet(GraphOps.iterativeExpand(g, "src", "rel", "dst",
+      seeds, "node", hops = 2, topPerHop = 10))
+    assert(got == want, s"$got vs $want")
+  }
+
   test("iterativeExpand hop-2 frontier reaches farther when topPerHop allows") {
     val g = Seq(("A", "r", "B"), ("B", "r", "C"), ("C", "r", "D"))
       .toDF("src", "rel", "dst")

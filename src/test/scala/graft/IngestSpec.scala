@@ -66,9 +66,12 @@ class IngestSpec extends SparkSpec {
       .toDF("s", "r", "d")
     Ingest.relationIndex(edges, "s", "r", "d", out)
     def rows(sub: String) = spark.read.parquet(s"$out/$sub")
-      .collect().map(x => (x.getString(0), x.getString(1), x.getString(2))).toSet
-    val want = Set(("S1", "SUPPLIES", "P1"), ("S1", "SUPPLIES", "P2"),
-      ("S2", "SELLS", "P1"))
+      .collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2), x.getLong(3)))
+      .toSet
+    // the collapsed duplicate keeps its multiplicity as the weight n
+    val want = Set(("S1", "SUPPLIES", "P1", 2L), ("S1", "SUPPLIES", "P2", 1L),
+      ("S2", "SELLS", "P1", 1L))
     assert(rows("edges") == want)
     assert(rows("edges_by_dst") == want)
   }

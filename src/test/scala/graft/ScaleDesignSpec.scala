@@ -424,6 +424,23 @@ class ScaleDesignSpec extends SparkSpec {
     // the at-rest triplets, not lineitem
     assert(!p1.contains("lineitem") && !p2.contains("lineitem"),
       "graph search must serve the relation index, not the fact table")
+    // ranked expansion serves the same tables: a hop's frontier IN
+    // predicate (the exact shape iterativeExpandFrom builds per hop)
+    // pushes into the sorted scans of both orientations. The expansion
+    // itself returns a driver-local relation (every hop is collected
+    // to build the next frontier), so the pin is on the hop scan.
+    val und = graft.sources.IndexStore.edges(spark, dir)
+      .select(col("src").as("node"), col("rel"), col("dst").as("nbr"), col("n"))
+      .unionByName(graft.sources.IndexStore.edgesByDst(spark, dir)
+        .select(col("dst").as("node"), col("rel"), col("src").as("nbr"), col("n")))
+    val hopScan = und.where(col("node").isInCollection(Seq("S1", "S2")) &&
+      !col("nbr").isInCollection(Seq("P1")))
+    hopScan.count()
+    val p3 = plan(hopScan)
+    assert(p3.contains("In(src, [S1,S2]"),
+      s"the frontier predicate must push into the src-sorted scan:\n$p3")
+    assert(p3.contains("In(dst, [S1,S2]"),
+      s"the frontier predicate must push into the dst-sorted scan:\n$p3")
   }
 
   test("bucketed index tables: catalog-less readers fall back to the same rows") {
