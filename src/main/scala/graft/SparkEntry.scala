@@ -1494,11 +1494,13 @@ object SparkEntry {
     // training-data ops: domain-likeness (fastText-style quality
     // filter): Naive-Bayes log-odds of "looks like src7" vs the rest
     // of the corpus, trained on the corpus itself, add-one smoothing,
-    // per-token average. Top 25 = the docs a curated-domain filter
-    // would keep first
+    // per-token average. SERVED from the at-rest postings (no
+    // tokenize pass; tf-weighted ≡ per-occurrence, equality-tested).
+    // Top 25 = the docs a curated-domain filter would keep first
     "q113_domain_likeness" -> ((s, dir) =>
-      graft.operators.CorpusStats.classLikeness(
-          load(s, dir, "documents"), "doc_id", "text", "source", "src7")
+      graft.operators.CorpusStats.classLikenessFromPostings(
+          graft.sources.IndexStore.postings(s, dir),
+          load(s, dir, "documents"), "doc_id", "source", "src7")
         .orderBy(col("odds").desc, col("doc_id").asc)
         .limit(25)),
 

@@ -246,6 +246,49 @@ object CorpusStats {
             log((col("cr") + 1) / (col("__tr") + col("__v")))), 4).as("odds"))
   }
 
+  /** [[classLikeness]] served from the at-rest posting table — the
+    * same move as [[unigramLogProbFromPostings]]: no tokenize pass at
+    * request time (the tokenizing form pays the regex split TWICE —
+    * once materializing the count cache, once in the scoring plan).
+    * Class labels join on from `docClasses` (idCol, labelCol) — one
+    * narrow corpus join instead of two tokenize passes; the
+    * per-occurrence average becomes the tf-weighted form
+    * Σ tf·odds / Σ tf, which is algebraically identical
+    * (equality-tested in TrainsetsSpec).
+    *
+    * @return (idCol, labelCol, odds rounded at 4)
+    */
+  def classLikenessFromPostings(postings: DataFrame, docClasses: DataFrame,
+      idCol: String, labelCol: String, target: String): DataFrame = {
+    val p = postings.join(docClasses.select(col(idCol), col(labelCol)), idCol)
+    val isT = col(labelCol) === lit(target)
+    val counts = graft.Caches.cache(p.groupBy("term").agg(
+      sum(when(isT, col("tf")).otherwise(0L)).as("ct"),
+      sum(when(isT, 0L).otherwise(col("tf"))).as("cr")))
+    // totals collapse to three literals off the CACHED count table
+    // (vocab-sized — a driver-scale read, like a query-vector
+    // literal), and the collect doubles as the typo'd-target guard:
+    // a target with zero token mass would silently degenerate the
+    // odds into a corpus-rarity ranking. The tokenizing form pays a
+    // separate corpus-probe job for the same guard.
+    val t = counts.agg(
+      sum(col("ct")).cast("double"),
+      sum(col("cr")).cast("double"),
+      count(lit(1)).cast("double")).first()
+    val (tt, tr, v) =
+      if (t.isNullAt(0)) (0.0, 0.0, 0.0)
+      else (t.getDouble(0), t.getDouble(1), t.getDouble(2))
+    require(tt > 0,
+      s"target class '$target' has no token mass in column '$labelCol'")
+    val odds = log((col("ct") + 1) / lit(tt + v)) -
+      log((col("cr") + 1) / lit(tr + v))
+    p.join(broadcast(counts), "term")
+      .groupBy(col(idCol))
+      .agg(
+        max(col(labelCol)).as(labelCol),
+        round(sum(col("tf") * odds) / sum(col("tf")), 4).as("odds"))
+  }
+
   /** Domain-level quality gating — the C4/RefinedWeb curation move one
     * level above per-document scores: average the per-doc quality
     * signal over each source domain and keep only documents from

@@ -305,6 +305,25 @@ class TrainsetsSpec extends SparkSpec {
     assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)) && !got.contains((3L, 3L)))
   }
 
+  test("classLikenessFromPostings equals the tokenizing form on every doc") {
+    import graft.operators.CorpusStats
+    import graft.sources.Ingest
+    val docs = Seq(
+      (1L, "a a b", "t"),
+      (2L, "b c", "r"),
+      (3L, "a c c c", "r"),
+      (4L, "", "r")) // token-less doc drops from both forms
+      .toDF("doc_id", "text", "source")
+    val atRest = CorpusStats.classLikenessFromPostings(
+        Ingest.termPostings(docs, "doc_id", "text"), docs, "doc_id", "source", "t")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    val tokenized = CorpusStats.classLikeness(docs, "doc_id", "text", "source", "t")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(atRest == tokenized,
+      s"tf-weighted at-rest form must equal the per-occurrence form: $atRest vs $tokenized")
+    assert(!atRest.contains(4L))
+  }
+
   test("domainQualityGate keeps whole domains by mean, drops token-less docs") {
     import graft.operators.CorpusStats
     val docs = Seq(
