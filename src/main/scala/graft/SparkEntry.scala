@@ -1776,15 +1776,19 @@ object SparkEntry {
     * line, and page-level lorem-ipsum / curly-bracket drops on id
     * residues. ONE definition per side, like [[piiFixture]]. */
   private def c4Fixture: org.apache.spark.sql.Column =
-    concat_ws("\n",
-      concat(lit("Document "), col("doc_id").cast("string"), lit(" from "),
-        col("source"), lit(".")),
-      lit("too short."),
-      lit("Please enable javascript to continue."),
-      concat(col("text"), lit(".")),
-      lit("click here for more"),
+    // null-PROPAGATING concat (not concat_ws, which skips nulls): the
+    // oracle's `||` chain nulls the whole composite on a null
+    // text/source, and both sides must agree on that row's fate
+    concat(
+      lit("Document "), col("doc_id").cast("string"), lit(" from "),
+      col("source"), lit(".\n"),
+      lit("too short.\n"),
+      lit("Please enable javascript to continue.\n"),
+      col("text"), lit(".\n"),
+      lit("click here for more\n"),
       when(col("doc_id") % 13 === 0, lit("lorem ipsum dolor sit amet."))
         .otherwise(lit("Closing remarks are final.")),
+      lit("\n"),
       when(col("doc_id") % 17 === 0, lit("function() { return; }"))
         .otherwise(lit("The last line ends here.")))
   private def c4FixtureSql(src: String): String =

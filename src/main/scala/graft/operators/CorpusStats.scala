@@ -307,12 +307,15 @@ object CorpusStats {
   def domainQualityGate(docs: DataFrame, idCol: String, textCol: String,
       domainCol: String, minMean: Double): DataFrame = {
     // token-less docs carry no quality evidence (their score is 0/0):
-    // they drop here, matching the tokenizing oracle's semantics
-    val dq = docs
+    // they drop here, matching the tokenizing oracle's semantics.
+    // cached: both the domain aggregate and the final join read this
+    // doc-sized projection, and without the cache the corpus tokenize
+    // + scoring pass would run twice per request
+    val dq = graft.Caches.cache(docs
       .withColumn("__toks", TextFunctions.tokens(col(textCol)))
       .where(size(col("__toks")) > 0)
       .select(col(idCol), col(domainCol),
-        TextFunctions.qualityScore(col("__toks")).as("__q"))
+        TextFunctions.qualityScore(col("__toks")).as("__q")))
     val dm = dq.groupBy(col(domainCol))
       .agg(round(avg(col("__q")), 4).as("domain_quality"))
       .where(col("domain_quality") >= minMean)

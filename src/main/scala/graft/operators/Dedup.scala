@@ -192,14 +192,6 @@ object Dedup {
     ngramJaccardFromShingles(sh, idCol, threshold, saltFactor, hotThreshold)
   }
 
-  /** [[ngramJaccardPairs]] served from a precomputed hashed-shingle
-    * posting table (idCol, shingle: long, sz) — the at-rest path
-    * ([[graft.sources.Ingest.buildIndex]] materializes it): the
-    * per-request cost is the inverted-index join alone, never the
-    * corpus tokenize+shingle pass. Like MinHash signatures, shingle
-    * sets are a pure per-document function, so any corpus subset
-    * serves via semi-join.
-    */
   /** Cluster-size histogram over connected components — the dedup
     * REPORT every curation run emits (the size distribution is what
     * tunes the similarity threshold: a fat tail of giant clusters
@@ -250,6 +242,14 @@ object Dedup {
       .select(col(idCol), col("n_shingles"), col("n_dup"), col("dup_frac"))
   }
 
+  /** [[ngramJaccardPairs]] served from a precomputed hashed-shingle
+    * posting table (idCol, shingle: long, sz) — the at-rest path
+    * ([[graft.sources.Ingest.buildIndex]] materializes it): the
+    * per-request cost is the inverted-index join alone, never the
+    * corpus tokenize+shingle pass. Like MinHash signatures, shingle
+    * sets are a pure per-document function, so any corpus subset
+    * serves via semi-join.
+    */
   def ngramJaccardFromShingles(
       sh: DataFrame,
       idCol: String,

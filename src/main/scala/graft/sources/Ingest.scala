@@ -470,32 +470,6 @@ object Ingest {
         round(log(col("c") / col("tot")), 6).as("logp"))
   }
 
-  /** Ingest-time VECTOR index build — the at-rest ANN layout the
-    * serving path probes (the vector analog of [[buildIndex]]'s posting
-    * tables; the reference builds a per-segment HNSW at index time,
-    * `nidx/nidx_vector/src/indexer.rs`, and `/find` serves it from
-    * disk). Four tables:
-    *
-    *  - `centroids` (cid, cvec, n_members): IVF coarse centroids,
-    *    trained here with `kmeansIters` Lloyd rounds from a
-    *    deterministic seed (the `numCentroids` lowest-id vectors).
-    *    Driver-scale by construction — the serving side collects it
-    *    once and probes in-process, like a query vector literal.
-    *  - `assignments` (id, centroid_id): nearest-centroid assignment,
-    *    the partition-pruning key.
-    *  - `codebook` (cid, cw): PQ codewords ([[graft.operators.VectorSearch.pqTrain]],
-    *    seeded from the `numCodewords` lowest-id vectors), full-dim;
-    *    driver-scale like the centroids.
-    *  - `codes` (id, code binary, centroid_id) PARTITIONED BY
-    *    centroid_id: each vector's m-byte PQ code stored under its
-    *    cluster directory — a probe is parquet partition pruning and
-    *    the pruned scan reads m bytes per vector, never the raw
-    *    embedding (the 100 TB contract: at dim=64/m=16 the code column
-    *    is 16× narrower than the float vectors).
-    *
-    * Everything is deterministic (rounded scores, id tiebreaks), so
-    * rebuilding the index from the same corpus is byte-stable.
-    */
   /** At-rest relation index — the physical analog of `nidx_relation`
     * (tantivy schema with normalized source/target value columns,
     * `nidx_relation/src/schema.rs`): the DISTINCT triplet set written
@@ -529,6 +503,32 @@ object Ingest {
     } finally { e.unpersist(); () }
   }
 
+  /** Ingest-time VECTOR index build — the at-rest ANN layout the
+    * serving path probes (the vector analog of [[buildIndex]]'s posting
+    * tables; the reference builds a per-segment HNSW at index time,
+    * `nidx/nidx_vector/src/indexer.rs`, and `/find` serves it from
+    * disk). Four tables:
+    *
+    *  - `centroids` (cid, cvec, n_members): IVF coarse centroids,
+    *    trained here with `kmeansIters` Lloyd rounds from a
+    *    deterministic seed (the `numCentroids` lowest-id vectors).
+    *    Driver-scale by construction — the serving side collects it
+    *    once and probes in-process, like a query vector literal.
+    *  - `assignments` (id, centroid_id): nearest-centroid assignment,
+    *    the partition-pruning key.
+    *  - `codebook` (cid, cw): PQ codewords ([[graft.operators.VectorSearch.pqTrain]],
+    *    seeded from the `numCodewords` lowest-id vectors), full-dim;
+    *    driver-scale like the centroids.
+    *  - `codes` (id, code binary, centroid_id) PARTITIONED BY
+    *    centroid_id: each vector's m-byte PQ code stored under its
+    *    cluster directory — a probe is parquet partition pruning and
+    *    the pruned scan reads m bytes per vector, never the raw
+    *    embedding (the 100 TB contract: at dim=64/m=16 the code column
+    *    is 16× narrower than the float vectors).
+    *
+    * Everything is deterministic (rounded scores, id tiebreaks), so
+    * rebuilding the index from the same corpus is byte-stable.
+    */
   def buildVectorIndex(
       vectors: DataFrame,
       idCol: String,
