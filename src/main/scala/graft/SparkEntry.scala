@@ -1648,6 +1648,24 @@ object SparkEntry {
         .orderBy("cluster_size")
     }),
 
+    // training-data ops: dataset-release QA — vocabulary drift between
+    // two corpus snapshots (here: the corpus without src19 vs with it),
+    // top-20 terms by relative-frequency shift. One tokenize+agg per
+    // snapshot, vocab-sized join, 1-row totals
+    "q125_vocabulary_drift" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      graft.operators.CorpusStats.vocabularyDrift(
+        docs.where(col("source") =!= "src19"), docs, "text", k = 20)
+    }),
+
+    // training-data ops: per-language tokenizer fertility (BPE
+    // pre-tokens per whitespace word) — the budget-calibration metric
+    // for multilingual mixes. Narrow counters + one aggregate
+    "q126_tokenizer_fertility" -> ((s, dir) =>
+      graft.operators.CorpusStats.tokenizerFertility(
+          load(s, dir, "documents"), "lang", "text")
+        .orderBy("lang")),
+
     // training-data ops: per-doc top-3 tf-idf keywords — corpus
     // tagging/labeling served from the at-rest posting table (df is a
     // rollup of the same rows; no tokenize at request time). One df
@@ -3309,6 +3327,31 @@ object SparkEntry {
          |       FROM comp GROUP BY component)
          |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
          |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
+    "q125_vocabulary_drift" ->
+      s"""WITH ta AS (SELECT unnest($Tok) AS term FROM documents WHERE source <> 'src19'),
+         |tb AS (SELECT unnest($Tok) AS term FROM documents),
+         |fa AS (SELECT term, count(*) AS ca FROM ta GROUP BY term),
+         |fb AS (SELECT term, count(*) AS cb FROM tb GROUP BY term),
+         |j AS (SELECT coalesce(fa.term, fb.term) AS term,
+         |        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+         |      FROM fa FULL OUTER JOIN fb ON fa.term = fb.term),
+         |tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS t_a,
+         |               CAST(sum(cb) AS DOUBLE) AS t_b FROM j)
+         |SELECT term, round(ca / t_a, 6) AS pa, round(cb / t_b, 6) AS pb,
+         |  round(cb / t_b - ca / t_a, 6) AS delta
+         |FROM j CROSS JOIN tot
+         |ORDER BY abs(round(cb / t_b - ca / t_a, 6)) DESC, term LIMIT 20""".stripMargin,
+
+    "q126_tokenizer_fertility" ->
+      """WITH c AS (SELECT lang,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      ' ?[a-z0-9]+| ?[^a-z0-9\x09\x0a\x0c\x0d ]+')) AS BIGINT) AS t,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS w
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(sum(t) AS DOUBLE) / sum(w), 4) AS fertility
+        |FROM c WHERE w > 0 GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q121_tfidf_keywords" ->
       s"""WITH $TokCte,

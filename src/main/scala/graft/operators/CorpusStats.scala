@@ -289,6 +289,66 @@ object CorpusStats {
         round(sum(col("tf") * odds) / sum(col("tf")), 4).as("odds"))
   }
 
+  /** Vocabulary-drift report between two corpus snapshots — the
+    * dataset-release QA diff: for each term, its relative frequency in
+    * snapshot A vs snapshot B and the shift, top-k by absolute shift.
+    * A release that silently gains a scraper's boilerplate or loses a
+    * source shows up here before it shows up in model evals.
+    *
+    * Scale shape: one tokenize+aggregate per snapshot (vocabulary-
+    * sized outputs), a vocabulary-sized outer join, 1-row totals —
+    * both corpora stream through exactly once.
+    *
+    * @return (term, pa, pb, delta) — delta = pb − pa rounded at 6,
+    *         ordered by |delta| desc (term asc ties), top k
+    */
+  def vocabularyDrift(a: DataFrame, b: DataFrame, textCol: String,
+      k: Int = 20): DataFrame = {
+    def freq(d: DataFrame, cname: String) = d
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as(cname))
+    val fa = freq(a, "__ca")
+    val fb = freq(b, "__cb")
+    val joined = fa.join(fb, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val totals = joined.agg(
+      sum(col("__ca")).cast("double").as("__ta"),
+      sum(col("__cb")).cast("double").as("__tb"))
+    val pa = round(col("__ca") / col("__ta"), 6)
+    val pb = round(col("__cb") / col("__tb"), 6)
+    joined.crossJoin(broadcast(totals))
+      .select(col("term"), pa.as("pa"), pb.as("pb"),
+        round(col("__cb") / col("__tb") - col("__ca") / col("__ta"), 6).as("delta"))
+      .orderBy(abs(col("delta")).desc, col("term").asc)
+      .limit(k)
+  }
+
+  /** Per-language tokenizer fertility — BPE-style pre-tokens per
+    * whitespace word ([[TextFunctions.bpePreTokenCount]] over
+    * whitespace words): the budget-calibration metric for
+    * multilingual mixes (a language with fertility 2× eats twice the
+    * context window per word, so token budgets must be set per
+    * language, not per word count). Narrow per-row counters + one
+    * per-language aggregate.
+    *
+    * @return (langCol, n_docs, fertility) — fertility = total
+    *         pre-tokens / total whitespace words, rounded at 4
+    */
+  def tokenizerFertility(docs: DataFrame, langCol: String,
+      textCol: String): DataFrame = {
+    val words = size(filter(split(col(textCol), " "), w => w =!= ""))
+    docs
+      .select(col(langCol),
+        TextFunctions.bpePreTokenCount(col(textCol)).cast("long").as("__t"),
+        words.cast("long").as("__w"))
+      .where(col("__w") > 0)
+      .groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("__t")) / sum(col("__w")).cast("double"), 4).as("fertility"))
+  }
+
   /** Domain-level quality gating — the C4/RefinedWeb curation move one
     * level above per-document scores: average the per-doc quality
     * signal over each source domain and keep only documents from

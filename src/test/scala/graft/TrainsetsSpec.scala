@@ -305,6 +305,45 @@ class TrainsetsSpec extends SparkSpec {
     assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)) && !got.contains((3L, 3L)))
   }
 
+  test("vocabularyDrift ranks the shifted terms with correct signs") {
+    import graft.operators.CorpusStats
+    val a = Seq((1L, "alpha alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    // B drops one alpha and gains two deltas → alpha shifts down,
+    // delta appears from nothing
+    val b = Seq((1L, "alpha beta delta"), (2L, "beta gamma delta")).toDF("doc_id", "text")
+    val got = CorpusStats.vocabularyDrift(a, b, "text", k = 10)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // A: alpha 2/5, beta 2/5, gamma 1/5; B: alpha 1/6, beta 2/6, gamma 1/6, delta 2/6
+    assert(got("alpha") == ((0.4, r6(1.0 / 6), r6(1.0 / 6 - 0.4))))
+    assert(got("delta") == ((0.0, r6(2.0 / 6), r6(2.0 / 6))))
+    assert(got("delta")._3 > 0 && got("alpha")._3 < 0)
+    // absent-from-B terms would show pb = 0 (full outer join keeps them)
+    val gone = CorpusStats.vocabularyDrift(a,
+        Seq((1L, "beta")).toDF("doc_id", "text"), "text", k = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(gone("alpha") == 0.0 && gone("gamma") == 0.0)
+  }
+
+  test("tokenizerFertility counts pre-tokens per whitespace word by language") {
+    import graft.operators.CorpusStats
+    val docs = Seq(
+      (1L, "plain words here", "en"),          // 3 words → 3 pre-tokens
+      (2L, "don't stop-me now", "en"),         // 3 words → 7 pre-tokens
+      (3L, "abc", "fr"),                        // 1 word → 1 pre-token
+      (4L, "", "fr"))                           // 0 words → dropped
+      .toDF("doc_id", "text", "lang")
+    val got = CorpusStats.tokenizerFertility(docs, "lang", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // en: don't → don + 't (2), stop-me → stop + -me... pre-tokens:
+    // "don"+"'t"? pattern: ' ?[a-z0-9]+| ?[^a-z0-9\s ]+' over
+    // "don't stop-me now" → don, ', t, stop, -, me, now = 7
+    assert(got("en") == ((2L, BigDecimal(10.0 / 6).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got("fr") == ((1L, 1.0)))
+  }
+
   test("classLikenessFromPostings equals the tokenizing form on every doc") {
     import graft.operators.CorpusStats
     import graft.sources.Ingest
