@@ -647,9 +647,12 @@ object Dedup {
     val topM = slice(sort_array(scoredCents), 1, multiAssign)
     // carry the vector through the cluster join: score candidates in the
     // same pass and dedup only the (few) surviving pairs — no second
-    // join back to the corpus, no distinct over the candidate set
-    val assign = vectors.select(col(idCol), col(vecCol),
-      explode(topM.getField("cid")).as("__cid"))
+    // join back to the corpus, no distinct over the candidate set.
+    // cached: BOTH sides of the self-join read this projection, and
+    // without the cache the per-row centroid scoring pass (the |C|
+    // cosines per vector) runs twice per request
+    val assign = graft.Caches.cache(vectors.select(col(idCol), col(vecCol),
+      explode(topM.getField("cid")).as("__cid")))
     val a = assign.select(col(idCol).as("a"), col(vecCol).as("__va"), col("__cid"))
     val b = assign.select(col(idCol).as("b"), col(vecCol).as("__vb"), col("__cid"))
     a.join(b, "__cid")
