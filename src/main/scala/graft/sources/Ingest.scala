@@ -484,15 +484,27 @@ object Ingest {
     * paid ONCE here at ingest.
     */
   def relationIndex(edges: DataFrame, srcCol: String, relCol: String,
-      dstCol: String, outDir: String): Unit = {
+      dstCol: String, outDir: String,
+      facetsCol: Option[String] = None): Unit = {
     // the dedup aggregation ALSO records each triplet's multiplicity
     // `n` — the support weight ranked graph expansion sums
     // ([[graft.operators.GraphOps.iterativeExpandFrom]]), free here
-    // because distinct ≡ groupBy over the key columns
-    val e = edges.select(col(srcCol).as("src"), col(relCol).as("rel"),
-        col(dstCol).as("dst"))
-      .groupBy("src", "rel", "dst").agg(count(lit(1)).cast("long").as("n"))
-      .cache()
+    // because distinct ≡ groupBy over the key columns. With a facets
+    // column (`/g` provenance etc., `noderesources.proto:201-205`),
+    // the triplet keeps the SORTED distinct union of its occurrences'
+    // facets — [[graft.api.GraphSearch.facetFilter]]'s contains-test
+    // semantics are preserved, and the sort keeps rebuilds byte-stable
+    val keyed = edges.select(
+      (Seq(col(srcCol).as("src"), col(relCol).as("rel"),
+        col(dstCol).as("dst")) ++
+        facetsCol.map(fc => col(fc).as("__f")).toSeq): _*)
+    val grouped = keyed.groupBy("src", "rel", "dst")
+    val e = (facetsCol match {
+      case Some(_) => grouped.agg(count(lit(1)).cast("long").as("n"),
+        array_sort(array_distinct(flatten(collect_list(col("__f")))))
+          .as("facets"))
+      case None => grouped.agg(count(lit(1)).cast("long").as("n"))
+    }).cache()
     try {
       e.repartitionByRange(col("src"))
         .sortWithinPartitions("src", "rel", "dst")

@@ -58,6 +58,17 @@ class IngestSpec extends SparkSpec {
     assert(tp == Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("chunkWithOverlap with stride == size degenerates to splitParagraphs") {
+    val a = Ingest.chunkWithOverlap(docs, "doc_id", "text",
+        chunkTokens = 20, strideTokens = 20)
+      .select("chunk_id", "n_tokens", "c_text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val b = Ingest.splitParagraphs(docs, "doc_id", "text", parTokens = 20)
+      .select("paragraph_id", "n_tokens", "p_text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(a == b, s"zero-overlap chunking must equal the paragraph split: $a vs $b")
+  }
+
   test("relationIndex collapses duplicate triplets; both sorted copies hold the same rows") {
     val out = Files.createTempDirectory("graft-relidx").toString
     val edges = Seq(
@@ -74,6 +85,29 @@ class IngestSpec extends SparkSpec {
       ("S2", "SELLS", "P1", 1L))
     assert(rows("edges") == want)
     assert(rows("edges_by_dst") == want)
+  }
+
+  test("relationIndex keeps sorted distinct facet unions; facetFilter serves at rest") {
+    import graft.api.GraphSearch
+    import graft.api.GraphSearch.{EdgeTable, NodeMatch, PathQuery}
+    val out = Files.createTempDirectory("graft-relfac").toString
+    val edges = Seq(
+      ("S1", "SUPPLIES", "P1", Seq("/g")),        // generated occurrence
+      ("S1", "SUPPLIES", "P1", Seq.empty[String]), // plus a human one
+      ("S2", "SELLS", "P1", Seq.empty[String]))
+      .toDF("s", "r", "d", "f")
+    Ingest.relationIndex(edges, "s", "r", "d", out, facetsCol = Some("f"))
+    val atRest = spark.read.parquet(s"$out/edges")
+    val fac = atRest.collect()
+      .map(x => (x.getString(0), x.getSeq[String](4))).toMap
+    assert(fac("S1") == Seq("/g") && fac("S2") == Seq.empty)
+    // excluding /g drops the generated-provenance edge at rest
+    val t = EdgeTable(atRest, "src", "rel", "dst", facetsCol = Some("facets"))
+    val kept = GraphSearch.search(
+        t.copy(edges = atRest.where(GraphSearch.facetFilter(t, Nil, Seq("/g")))),
+        PathQuery.Path(dst = NodeMatch.Exact("P1")), topK = 10)
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("S2"))
   }
 
   test("trainset export writes hive-partitioned parquet; compact resizes files") {
