@@ -1581,6 +1581,25 @@ object SparkEntry {
         topK = 50)
     }),
 
+    // §3.3 /graph TYPED path search — the reference's full node
+    // (value, type, subtype) and relation (label, relation_type)
+    // constraint dimensions over the at-rest typed relation index:
+    // src prefix AND subtype, relation_type filter, dst type
+    "q127_graph_typed" -> ((s, dir) => {
+      import graft.api.GraphSearch
+      import graft.api.GraphSearch.{EdgeTable, NodeMatch, NodeSpec, PathQuery, RelSpec}
+      val t = EdgeTable(graft.sources.IndexStore.edges(s, dir),
+        "src", "rel", "dst",
+        srcTypeCol = Some("src_type"), srcSubtypeCol = Some("src_subtype"),
+        dstTypeCol = Some("dst_type"), dstSubtypeCol = Some("dst_subtype"),
+        relTypeCol = Some("rel_type"))
+      GraphSearch.search(t, PathQuery.TypedPath(
+        src = NodeSpec(value = NodeMatch.Prefix("S2"),
+          subtype = Some("supplier")),
+        rel = RelSpec(relType = Some("ABOUT")),
+        dst = NodeSpec(nodeType = Some("ENTITY"))), topK = 50)
+    }),
+
     // RAG-ingestion chunking: overlapping sliding windows (40 tokens,
     // stride 30 → 10 tokens of shared context between neighbors),
     // chunk ids in the reference's span-based paragraph id format.
@@ -3259,6 +3278,16 @@ object SparkEntry {
         |    'P' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem)
         |SELECT src AS source, rel AS relation, dst AS destination FROM e
         |WHERE (src = 'S3' AND rel = 'RN') OR (src LIKE 'S10%' AND dst LIKE 'P2%')
+        |ORDER BY source, relation, destination LIMIT 50""".stripMargin,
+
+    "q127_graph_typed" ->
+      """WITH e AS (SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+        |    'R' || l_returnflag AS rel,
+        |    'P' || CAST(l_partkey AS VARCHAR) AS dst,
+        |    CASE WHEN l_linestatus = 'O' THEN 'ABOUT' ELSE 'ENTITY' END AS rel_type
+        |  FROM lineitem)
+        |SELECT DISTINCT src AS source, rel AS relation, dst AS destination
+        |FROM e WHERE src LIKE 'S2%' AND rel_type = 'ABOUT'
         |ORDER BY source, relation, destination LIMIT 50""".stripMargin,
 
     "q118_chunk_overlap" ->

@@ -35,9 +35,27 @@ object GraphSearch {
     }
   }
 
+  /** Typed node constraint — the reference's full node triple (value,
+    * node_type ∈ {ENTITY, LABEL, RESOURCE, USER}, subtype):
+    * `graph_query_parser.rs:55-60` and the indexed `source_type`/
+    * `source_subtype` columns (`nidx_relation/src/schema.rs:41-46`). */
+  final case class NodeSpec(
+      value: NodeMatch = NodeMatch.Any,
+      nodeType: Option[String] = None,
+      subtype: Option[String] = None)
+
+  /** Typed relation constraint — label + relation_type ∈ {CHILD,
+    * ABOUT, ENTITY, COLAB, SYNONYM, OTHER}
+    * (`graph_query_parser.rs:62-65`, `utils.proto:30-37`). */
+  final case class RelSpec(
+      label: Option[String] = None,
+      relType: Option[String] = None)
+
   /** Path query tree: triplet constraints composed with OR/NOT
     * (the reference deliberately has no AND at the path level,
-    * `graph_query_parser.rs:66-81`). */
+    * `graph_query_parser.rs:66-81`). [[PathQuery.Path]] is the
+    * value-only form; [[PathQuery.TypedPath]] adds the node-type/
+    * subtype/relation-type dimensions of the typed data model. */
   sealed trait PathQuery
   object PathQuery {
     final case class Path(
@@ -45,14 +63,25 @@ object GraphSearch {
         rel: Option[String] = None,
         dst: NodeMatch = NodeMatch.Any,
         undirected: Boolean = false) extends PathQuery
+    final case class TypedPath(
+        src: NodeSpec = NodeSpec(),
+        rel: RelSpec = RelSpec(),
+        dst: NodeSpec = NodeSpec(),
+        undirected: Boolean = false) extends PathQuery
     final case class Or(ops: Seq[PathQuery]) extends PathQuery
     final case class Not(op: PathQuery) extends PathQuery
   }
 
   /** `facetsCol` (optional `array<string>`) carries edge provenance
-    * facets like `/g` generated-by (`noderesources.proto:201-205`). */
+    * facets like `/g` generated-by (`noderesources.proto:201-205`);
+    * the typed columns carry the reference's node type/subtype and
+    * relation type (`nidx_relation/src/schema.rs:41-48`) — required
+    * only when a [[PathQuery.TypedPath]] constrains that dimension. */
   final case class EdgeTable(edges: DataFrame, srcCol: String, relCol: String,
-      dstCol: String, facetsCol: Option[String] = None)
+      dstCol: String, facetsCol: Option[String] = None,
+      srcTypeCol: Option[String] = None, srcSubtypeCol: Option[String] = None,
+      dstTypeCol: Option[String] = None, dstSubtypeCol: Option[String] = None,
+      relTypeCol: Option[String] = None)
 
   /** Facet filter on edges (include/exclude provenance facets). */
   def facetFilter(t: EdgeTable, include: Seq[String], exclude: Seq[String] = Nil): Column =
@@ -74,6 +103,33 @@ object GraphSearch {
       if (!undirected) fwd
       else fwd || (NodeMatch.compile(src, col(t.dstCol)) &&
         NodeMatch.compile(dst, col(t.srcCol)) && relPred)
+    case PathQuery.TypedPath(src, rel, dst, undirected) =>
+      // a typed constraint against a table that never declared that
+      // column is a caller bug — fail loudly, not trivially-true
+      def typed(c: Option[String], v: Option[String], what: String): Column =
+        v match {
+          case None => lit(true)
+          case Some(x) =>
+            val cc = c.getOrElse(throw new IllegalArgumentException(
+              s"$what constraint needs the EdgeTable to declare its column"))
+            col(cc) === x
+        }
+      // an endpoint's (type, subtype) columns travel WITH the endpoint
+      // when `undirected` swaps the value match — a source-typed
+      // constraint must match the dst columns in the reversed
+      // orientation, exactly like the value does
+      def endpoint(n: NodeSpec, valueCol: String, typeCol: Option[String],
+          subCol: Option[String]): Column =
+        NodeMatch.compile(n.value, col(valueCol)) &&
+          typed(typeCol, n.nodeType, "node-type") &&
+          typed(subCol, n.subtype, "node-subtype")
+      val relPred = rel.label.map(col(t.relCol) === _).getOrElse(lit(true)) &&
+        typed(t.relTypeCol, rel.relType, "relation-type")
+      val fwd = endpoint(src, t.srcCol, t.srcTypeCol, t.srcSubtypeCol) &&
+        endpoint(dst, t.dstCol, t.dstTypeCol, t.dstSubtypeCol) && relPred
+      if (!undirected) fwd
+      else fwd || (endpoint(src, t.dstCol, t.dstTypeCol, t.dstSubtypeCol) &&
+        endpoint(dst, t.srcCol, t.srcTypeCol, t.srcSubtypeCol) && relPred)
   }
 
   /** Run a path query: matching triplets, deduplicated, top-k in

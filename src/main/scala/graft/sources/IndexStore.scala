@@ -171,12 +171,25 @@ object IndexStore {
     builtGraph.getOrElseUpdate(sfDir, {
       val out = deleteOnExit(Files.createTempDirectory("graft-graphindex-").toString)
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      // typed fixture columns mirror the reference's node-type/subtype
+      // and relation-type dimensions (`nidx_relation/src/schema.rs`):
+      // suppliers and parts are ENTITY nodes with their own subtypes,
+      // the relation type derives from the line status — independent
+      // of the R{returnflag} label, like the reference's (label,
+      // relationship) pair
+      import org.apache.spark.sql.functions.when
       Ingest.relationIndex(
         li.select(
           concat(lit("S"), col("l_suppkey").cast("string")).as("src"),
           concat(lit("R"), col("l_returnflag")).as("rel"),
-          concat(lit("P"), col("l_partkey").cast("string")).as("dst")),
-        "src", "rel", "dst", out)
+          concat(lit("P"), col("l_partkey").cast("string")).as("dst"),
+          lit("ENTITY").as("src_type"), lit("supplier").as("src_subtype"),
+          lit("ENTITY").as("dst_type"), lit("part").as("dst_subtype"),
+          when(col("l_linestatus") === "O", "ABOUT").otherwise("ENTITY")
+            .as("rel_type")),
+        "src", "rel", "dst", out,
+        typedCols = Seq("src_type", "src_subtype", "dst_type", "dst_subtype",
+          "rel_type"))
       out
     })
   }

@@ -485,7 +485,8 @@ object Ingest {
     */
   def relationIndex(edges: DataFrame, srcCol: String, relCol: String,
       dstCol: String, outDir: String,
-      facetsCol: Option[String] = None): Unit = {
+      facetsCol: Option[String] = None,
+      typedCols: Seq[String] = Nil): Unit = {
     // the dedup aggregation ALSO records each triplet's multiplicity
     // `n` — the support weight ranked graph expansion sums
     // ([[graft.operators.GraphOps.iterativeExpandFrom]]), free here
@@ -493,12 +494,17 @@ object Ingest {
     // column (`/g` provenance etc., `noderesources.proto:201-205`),
     // the triplet keeps the SORTED distinct union of its occurrences'
     // facets — [[graft.api.GraphSearch.facetFilter]]'s contains-test
-    // semantics are preserved, and the sort keeps rebuilds byte-stable
+    // semantics are preserved, and the sort keeps rebuilds byte-stable.
+    // `typedCols` (node type/subtype, relation type — the reference's
+    // typed columns, `nidx_relation/src/schema.rs:41-48`) are part of
+    // the indexed edge's IDENTITY and join the dedup keys.
     val keyed = edges.select(
       (Seq(col(srcCol).as("src"), col(relCol).as("rel"),
         col(dstCol).as("dst")) ++
+        typedCols.map(col) ++
         facetsCol.map(fc => col(fc).as("__f")).toSeq): _*)
-    val grouped = keyed.groupBy("src", "rel", "dst")
+    val grouped = keyed.groupBy((Seq("src", "rel", "dst") ++ typedCols)
+      .map(col): _*)
     val e = (facetsCol match {
       case Some(_) => grouped.agg(count(lit(1)).cast("long").as("n"),
         array_sort(array_distinct(flatten(collect_list(col("__f")))))

@@ -114,6 +114,40 @@ class ApiSpec extends SparkSpec {
     assert(kept.sameElements(Array("IS_FRIEND")))
   }
 
+  test("graph: typed path constraints match node type/subtype and relation type") {
+    import graft.api.GraphSearch.{NodeSpec, RelSpec}
+    val typed = Seq(
+      ("Anna", "entity", "person", "LIVE_IN", "ENTITY", "Berlin", "entity", "place"),
+      ("Anna", "entity", "person", "ABOUT", "ABOUT", "Climate", "label", "topic"),
+      ("Erin", "entity", "person", "LIVE_IN", "ENTITY", "Berlin", "entity", "place"))
+      .toDF("src", "st", "ss", "rel", "rt", "dst", "dt", "ds")
+    val t = EdgeTable(typed, "src", "rel", "dst",
+      srcTypeCol = Some("st"), srcSubtypeCol = Some("ss"),
+      dstTypeCol = Some("dt"), dstSubtypeCol = Some("ds"),
+      relTypeCol = Some("rt"))
+    def run(q: PathQuery) = GraphSearch.search(t, q, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    // dst subtype narrows to places; relation type narrows further
+    assert(run(PathQuery.TypedPath(dst = NodeSpec(subtype = Some("place")))) ==
+      Set(("Anna", "Berlin"), ("Erin", "Berlin")))
+    assert(run(PathQuery.TypedPath(
+      src = NodeSpec(value = NodeMatch.Exact("Anna")),
+      rel = RelSpec(relType = Some("ABOUT")))) == Set(("Anna", "Climate")))
+    // undirected: the typed constraint travels WITH the endpoint — a
+    // source-side place constraint matches Berlin in either orientation
+    assert(run(PathQuery.TypedPath(
+      src = NodeSpec(value = NodeMatch.Exact("Berlin"), subtype = Some("place")),
+      undirected = true)) == Set(("Anna", "Berlin"), ("Erin", "Berlin")))
+    // a typed constraint against a table without that column fails
+    // loudly instead of silently matching everything
+    val untyped = EdgeTable(typed, "src", "rel", "dst")
+    intercept[IllegalArgumentException] {
+      GraphSearch.compile(
+        PathQuery.TypedPath(src = NodeSpec(nodeType = Some("entity"))), untyped)
+    }
+    ()
+  }
+
   test("trainset generators produce task-shaped projections") {
     import graft.sources.{Ingest, Trainsets}
     val d = Seq((1L, (1 to 45).map(i => s"w$i").mkString(" "), Seq("/l/a/b")))
