@@ -1581,6 +1581,14 @@ object SparkEntry {
         topK = 50)
     }),
 
+    // §3.4 /suggest entity side, endpoint-faithful: FUZZY-PREFIX node
+    // match (distance 1) over the compound suffix prefixes of the last
+    // words — a typo'd stem ("rd" for "red …") still completes, which
+    // exact prefix search cannot do
+    "q128_suggest_entity_fuzzy" -> ((s, dir) =>
+      graft.api.Suggest.suggestEntitiesFuzzy(
+        load(s, dir, "part"), "p_name", "rd", topK = 10)),
+
     // §3.3 /graph TYPED path search — the reference's full node
     // (value, type, subtype) and relation (label, relation_type)
     // constraint dimensions over the at-rest typed relation index:
@@ -3279,6 +3287,18 @@ object SparkEntry {
         |SELECT src AS source, rel AS relation, dst AS destination FROM e
         |WHERE (src = 'S3' AND rel = 'RN') OR (src LIKE 'S10%' AND dst LIKE 'P2%')
         |ORDER BY source, relation, destination LIMIT 50""".stripMargin,
+
+    // fuzzy-prefix semantics: a node matches iff SOME prefix of its
+    // value is within distance 1 of the stem; length difference
+    // lower-bounds edit distance, so prefix lengths |q|±1 are the only
+    // candidates
+    "q128_suggest_entity_fuzzy" ->
+      """SELECT value FROM (
+        |  SELECT DISTINCT p_name AS value FROM part
+        |  WHERE levenshtein(substring(p_name, 1, 1), 'rd') <= 1
+        |     OR levenshtein(substring(p_name, 1, 2), 'rd') <= 1
+        |     OR levenshtein(substring(p_name, 1, 3), 'rd') <= 1)
+        |ORDER BY value LIMIT 10""".stripMargin,
 
     "q127_graph_typed" ->
       """WITH e AS (SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,

@@ -25,6 +25,10 @@ object GraphSearch {
     final case class Prefix(prefix: String) extends NodeMatch
     final case class Words(word: String) extends NodeMatch
     final case class Fuzzy(value: String, distance: Int = 1) extends NodeMatch
+    /** tantivy fuzzy-prefix (`FuzzyTermQuery::new_prefix`) — the match
+      * kind `/suggest`'s entity search uses (`nidx_relation/src/lib.rs:
+      * 226-235`, MatchLocation::Prefix + FUZZY_DISTANCE 1). */
+    final case class FuzzyPrefix(value: String, distance: Int = 1) extends NodeMatch
 
     def compile(m: NodeMatch, c: Column): Column = m match {
       case Any => lit(true)
@@ -32,6 +36,7 @@ object GraphSearch {
       case Prefix(p) => GraphOps.prefixMatch(c, p)
       case Words(w) => GraphOps.wordsMatch(c, w)
       case Fuzzy(v, d) => GraphOps.fuzzyMatch(c, v, d)
+      case FuzzyPrefix(v, d) => GraphOps.fuzzyPrefixMatch(c, v, d)
     }
   }
 

@@ -33,6 +33,42 @@ object Suggest {
       })
   }
 
+  /** The reference's suggest-query split
+    * (`nidx/src/searcher/shard_suggest.rs:198-210`
+    * split_suggest_query): the last `maxGroup` words produce the
+    * compound suffix prefixes — "anna ko" suggests against both
+    * "anna ko" (the compound entity) and "ko" (a fresh entity stem).
+    */
+  def splitSuggestQuery(query: String, maxGroup: Int = 3): Seq[String] = {
+    val ws = query.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).toSeq.takeRight(maxGroup)
+    ws.indices.map(i => ws.drop(i).mkString(" "))
+  }
+
+  /** Entity suggest the way the reference's relation index serves it
+    * (`nidx_relation/src/lib.rs:216-260` relation::suggest): each
+    * compound prefix of [[splitSuggestQuery]] that reaches
+    * `minPrefixLen` becomes a FUZZY-PREFIX node match (distance 1 —
+    * `FUZZY_DISTANCE`), OR-ed over the node values; distinct matches,
+    * alphabetical, top-k. A typo'd entity stem still completes —
+    * [[suggest]]'s exact-prefix entity pass is the fast common case,
+    * this is the endpoint-faithful form.
+    */
+  def suggestEntitiesFuzzy(
+      nodes: DataFrame, valueCol: String, query: String,
+      topK: Int = 10, distance: Int = 1, minPrefixLen: Int = 2): DataFrame = {
+    val prefixes = splitSuggestQuery(query).filter(_.length >= minPrefixLen)
+    if (prefixes.isEmpty)
+      nodes.select(col(valueCol).as("value")).limit(0)
+    else
+      nodes.where(prefixes
+          .map(p => GraphOps.fuzzyPrefixMatch(col(valueCol), p, distance))
+          .reduce(_ || _))
+        .select(col(valueCol).as("value")).distinct()
+        .orderBy(col("value").asc)
+        .limit(topK)
+  }
+
   /** MERGED /suggest — the reference endpoint runs paragraph suggest
     * and entity prefix search in ONE call and returns both merged
     * (`nidx/src/searcher/shard_suggest.rs:45-160` builds the paragraph

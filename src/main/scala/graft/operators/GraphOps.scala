@@ -57,6 +57,22 @@ object GraphOps {
   def fuzzyMatch(c: Column, v: String, dist: Int): Column =
     levenshtein(lower(c), lit(v.toLowerCase)) <= dist
 
+  /** Fuzzy PREFIX node match — tantivy's
+    * `FuzzyTermQuery::new_prefix(term, d)` semantics
+    * (`graph_query_parser.rs:536-537`): the node matches iff SOME
+    * prefix of its value is within edit distance `dist` of the query.
+    * A prefix with |len − |q|| > dist can never qualify (length
+    * difference lower-bounds edit distance), so the test is an exact
+    * bounded OR over the 2·dist+1 candidate prefix lengths — pure
+    * codegen'd expressions, no UDF.
+    */
+  def fuzzyPrefixMatch(c: Column, v: String, dist: Int = 1): Column = {
+    val q = v.toLowerCase
+    val lens = math.max(1, q.length - dist) to (q.length + dist)
+    lens.map(l => levenshtein(lower(substring(c, 1, l)), lit(q)) <= dist)
+      .reduce(_ || _)
+  }
+
   /** Iterative ranked neighbor expansion — the graph RAG strategy loop
     * (`nucliadb/src/nucliadb/search/search/graph_strategy.py:315-460`):
     * hop 0 starts from query-matched seed entities; each hop finds the

@@ -114,6 +114,26 @@ class ApiSpec extends SparkSpec {
     assert(kept.sameElements(Array("IS_FRIEND")))
   }
 
+  test("suggest: fuzzy-prefix entity search completes typo'd and compound stems") {
+    import graft.api.Suggest
+    val nodes = Seq("Anastasia", "Anna Kournikova", "Berlin", "Kolkata")
+      .toDF("value")
+    // typo'd stem: "anq" is distance 1 from the "ann"/"ana" prefixes
+    val typo = Suggest.suggestEntitiesFuzzy(nodes, "value", "anq")
+      .collect().map(_.getString(0)).toSet
+    assert(typo == Set("Anastasia", "Anna Kournikova"), typo.toString)
+    // compound split: "anna ko" matches the compound entity via the
+    // full stem AND Kolkata via the "ko" suffix stem
+    assert(Suggest.splitSuggestQuery("one two three four") ==
+      Seq("two three four", "three four", "four"))
+    val compound = Suggest.suggestEntitiesFuzzy(nodes, "value", "anna ko")
+      .collect().map(_.getString(0)).toSet
+    assert(compound == Set("Anna Kournikova", "Kolkata"), compound.toString)
+    // stems below the min prefix length are dropped; an all-short
+    // query suggests nothing rather than everything
+    assert(Suggest.suggestEntitiesFuzzy(nodes, "value", "a").count() == 0)
+  }
+
   test("graph: typed path constraints match node type/subtype and relation type") {
     import graft.api.GraphSearch.{NodeSpec, RelSpec}
     val typed = Seq(
