@@ -1581,6 +1581,25 @@ object SparkEntry {
         topK = 50)
     }),
 
+    // §2.1 repeated_in_field marking (ingest/orm/brain_v2.py:828-846):
+    // a paragraph whose text already occurred EARLIER in its field is
+    // marked at ingest, and paragraph search drops marked rows unless
+    // the request asks with_duplicates. The corpus has no organic
+    // window repeats, so the fixture doubles each doc's first 20-token
+    // window — window #2 must come out marked, everything else not
+    "q129_repeated_in_field" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").where(col("doc_id") < 50)
+        .withColumn("__t", TextFunctions.tokens(col("text")))
+      val dup = docs.withColumn("text2", concat_ws(" ",
+        concat_ws(" ", slice(col("__t"), 1, 20)),
+        concat_ws(" ", slice(col("__t"), 1, 20)),
+        concat_ws(" ", slice(col("__t"), lit(21),
+          greatest(size(col("__t")) - 20, lit(0))))))
+      graft.sources.Ingest.splitParagraphs(dup, "doc_id", "text2")
+        .select(col("paragraph_id"), col("repeated_in_field"))
+        .orderBy("paragraph_id")
+    }),
+
     // §3.4 /suggest entity side, endpoint-faithful: FUZZY-PREFIX node
     // match (distance 1) over the compound suffix prefixes of the last
     // words — a typo'd stem ("rd" for "red …") still completes, which
@@ -3287,6 +3306,24 @@ object SparkEntry {
         |SELECT src AS source, rel AS relation, dst AS destination FROM e
         |WHERE (src = 'S3' AND rel = 'RN') OR (src LIKE 'S10%' AND dst LIKE 'P2%')
         |ORDER BY source, relation, destination LIMIT 50""".stripMargin,
+
+    "q129_repeated_in_field" ->
+      s"""WITH toksd AS (SELECT doc_id, $Tok AS t FROM documents WHERE doc_id < 50),
+         |t2 AS (SELECT doc_id,
+         |         list_concat(list_concat(t[1:20], t[1:20]), t[21:]) AS t
+         |       FROM toksd),
+         |chunks AS (SELECT doc_id, t, i AS c
+         |           FROM t2 CROSS JOIN (SELECT unnest(range(200)) AS i) ix
+         |           WHERE len(t) > 0 AND i < ceil(len(t) / 20.0)),
+         |par AS (SELECT doc_id,
+         |          CAST(doc_id AS VARCHAR) || '/t/body/' || CAST(c * 20 AS VARCHAR) ||
+         |            '-' || CAST(least(len(t), c * 20 + 20) AS VARCHAR) AS paragraph_id,
+         |          c * 20 AS s,
+         |          array_to_string(t[c * 20 + 1 : least(len(t), c * 20 + 20)], ' ') AS ptext
+         |        FROM chunks)
+         |SELECT paragraph_id,
+         |  (row_number() OVER (PARTITION BY doc_id, ptext ORDER BY s) > 1) AS repeated_in_field
+         |FROM par ORDER BY paragraph_id""".stripMargin,
 
     // fuzzy-prefix semantics: a node matches iff SOME prefix of its
     // value is within distance 1 of the stem; length difference

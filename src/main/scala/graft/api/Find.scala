@@ -84,7 +84,11 @@ object Find {
       annNprobe: Option[Int] = None,
       annRerank: Option[Int] = None,
       paragraphBm25: Boolean = false,
-      fields: Seq[String] = Nil)
+      fields: Seq[String] = Nil,
+      // the reference's `with_duplicates` (default FALSE — paragraph
+      // search excludes rows marked repeated_in_field at ingest,
+      // `nidx_paragraph/src/search_query.rs:219-224`)
+      withDuplicates: Boolean = false)
 
   /** Run the pipeline; returns (docId, score, n_sources) + hydrated
     * text, ordered (score desc, id asc), limited to topK.
@@ -364,14 +368,21 @@ object Find {
         // union: the current layout never writes them, and an index dir
         // built by the earlier layout (which did) would otherwise
         // double-count every body paragraph
-        val allFieldPars = ix.fieldParagraphs.getOrElse(
-            throw new IllegalArgumentException(
-              "field filters need the field_paragraphs table — rebuild the index"))
+        val fieldParsTab = ix.fieldParagraphs.getOrElse(
+          throw new IllegalArgumentException(
+            "field filters need the field_paragraphs table — rebuild the index"))
+        // carry repeated_in_field through the union when both sides
+        // have it (older index layouts predate the column)
+        val carryRepeated = fieldParsTab.columns.contains("repeated_in_field") &&
+          bodyAsField.columns.contains("repeated_in_field")
+        val unionCols = Seq(col(corpus.docId), col("field_type"),
+          col("field_id"), col("paragraph_id"), col("start"), col("end"),
+          col("n_tokens"), col("p_text")) ++
+          (if (carryRepeated) Seq(col("repeated_in_field")) else Nil)
+        val allFieldPars = fieldParsTab
           .where(!(col("field_type") === "t" && col("field_id") === "body"))
-          .unionByName(bodyAsField.select(
-            col(corpus.docId), col("field_type"), col("field_id"),
-            col("paragraph_id"), col("start"), col("end"),
-            col("n_tokens"), col("p_text")))
+          .select(unionCols: _*)
+          .unionByName(bodyAsField.select(unionCols: _*))
         Some(allFieldPars
           .join(allowed, Seq(corpus.docId, "field_type", "field_id"), "left_semi"))
       }
@@ -430,7 +441,14 @@ object Find {
           case ((p1, d1), (p2, d2)) => (p1.unionByName(p2), d1.unionByName(d2))
         }
         def restrict(df: DataFrame): DataFrame = {
-          val withField = fieldPred.map(df.where).getOrElse(df)
+          // default search mode excludes ingest-marked repeated
+          // paragraphs — a scan-stage predicate (the flag is
+          // denormalized onto both pair tables, like dl); guarded on
+          // column presence for tables from older layouts
+          val withDup =
+            if (req.withDuplicates || !df.columns.contains("repeated_in_field")) df
+            else df.where(!col("repeated_in_field"))
+          val withField = fieldPred.map(withDup.where).getOrElse(withDup)
           val withDoc =
             if (req.filter.isEmpty) withField
             // no .distinct() on the build side: LEFT SEMI is
@@ -468,7 +486,10 @@ object Find {
               graft.sources.Ingest.splitParagraphs(base, corpus.docId, corpus.text)
           }
         }
-        val hits = par.where(excl)
+        val parDedup =
+          if (req.withDuplicates || !par.columns.contains("repeated_in_field")) par
+          else par.where(!col("repeated_in_field"))
+        val hits = parDedup.where(excl)
           .withColumn("score",
             size(filter(TextFunctions.tokens(col("p_text")),
               t => t.isInCollection(terms))).cast("double"))

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -46,13 +47,30 @@ object Ingest {
           .otherwise(array().cast("array<struct<start:int,end:int,p_text:string>>"))
       }), 1)
 
+  /** Mark every paragraph whose text already occurred EARLIER in the
+    * same field (`ingest/orm/brain_v2.py:828-846`
+    * is_paragraph_repeated_in_field: first occurrence unmarked, later
+    * identical texts marked) — search excludes marked rows unless the
+    * request asks `with_duplicates`
+    * (`nidx_paragraph/src/search_query.rs:219-224`). One bounded
+    * window per (doc, field, text) group — group size is the repeat
+    * count, never the corpus.
+    */
+  private def withRepeatedFlag(pars: DataFrame, partitionCols: Seq[String],
+      textCol: String, orderCol: String): DataFrame = {
+    val w = Window
+      .partitionBy((partitionCols :+ textCol).map(col): _*)
+      .orderBy(col(orderCol).asc)
+    pars.withColumn("repeated_in_field", row_number().over(w) > 1)
+  }
+
   def splitParagraphs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       fieldName: String = "body",
       parTokens: Int = 20): DataFrame =
-    docs
+    withRepeatedFlag(docs
       .withColumn("__par", explode(chunkStructs(col(textCol), parTokens)))
       .select(col(idCol),
         concat(fieldUid(col(idCol), lit("t"), lit(fieldName)), lit("/"),
@@ -60,7 +78,8 @@ object Ingest {
           col("__par.end").cast("string")).as("paragraph_id"),
         col("__par.start").as("start"), col("__par.end").as("end"),
         (col("__par.end") - col("__par.start")).cast("long").as("n_tokens"),
-        col("__par.p_text").as("p_text"))
+        col("__par.p_text").as("p_text")),
+      Seq(idCol), "p_text", "start")
 
   /** Overlapping sliding-window chunker — the RAG-ingestion variant of
     * [[splitParagraphs]]: windows of `chunkTokens` tokens advancing by
@@ -147,7 +166,7 @@ object Ingest {
     */
   def splitFieldParagraphs(fields: DataFrame, idCol: String,
       parTokens: Int = 20): DataFrame =
-    fields
+    withRepeatedFlag(fields
       .withColumn("__par", explode(chunkStructs(col("f_text"), parTokens)))
       .select(col(idCol), col("field_type"), col("field_id"),
         concat(fieldUid(col(idCol), col("field_type"), col("field_id")),
@@ -155,7 +174,8 @@ object Ingest {
           col("__par.end").cast("string")).as("paragraph_id"),
         col("__par.start").as("start"), col("__par.end").as("end"),
         (col("__par.end") - col("__par.start")).cast("long").as("n_tokens"),
-        col("__par.p_text").as("p_text"))
+        col("__par.p_text").as("p_text")),
+      Seq(idCol, "field_type", "field_id"), "p_text", "start")
 
   /** CONVERSATION field paragraphs — the reference's conversation
     * fields hold SPLITS (one message each, appended incrementally:
@@ -169,7 +189,10 @@ object Ingest {
   def splitConversationParagraphs(convs: DataFrame, ridCol: String,
       fieldCol: String, splitCol: String, textCol: String,
       parTokens: Int = 20): DataFrame =
-    convs
+    // repeat detection scopes to the FIELD like every other field type
+    // (a message re-sent in the same conversation is the repeat case);
+    // ordered by (split, start) — the reference walks splits in order
+    withRepeatedFlag(convs
       .withColumn("__par", explode(chunkStructs(col(textCol), parTokens)))
       .select(col(ridCol), lit("c").as("field_type"),
         col(fieldCol).cast("string").as("field_id"),
@@ -181,7 +204,8 @@ object Ingest {
           col("__par.end").cast("string")).as("paragraph_id"),
         col("__par.start").as("start"), col("__par.end").as("end"),
         (col("__par.end") - col("__par.start")).cast("long").as("n_tokens"),
-        col("__par.p_text").as("p_text"))
+        col("__par.p_text").as("p_text")),
+      Seq(ridCol, "field_id"), "p_text", "paragraph_id")
 
   /** Posting/term-frequency table (term, docId, tf) — the analog of a
     * tantivy segment's inverted index, precomputed once at ingest so
@@ -275,10 +299,18 @@ object Ingest {
     // filtered BM25 serves the union of this pair with the body pair
     // (par_postings/par_doclengths: body paragraph ids are identical),
     // so no posting row is stored twice
+    // `repeated_in_field` is DENORMALIZED onto both pair tables at
+    // ingest (one tiny join here, like dl on posting rows) so the
+    // default exclude-repeated search mode is a scan-stage predicate —
+    // no per-request join back to the paragraph table
+    def withRepeated(df: DataFrame, pars: DataFrame): DataFrame =
+      df.join(pars.select(col("paragraph_id"), col("repeated_in_field")),
+        "paragraph_id")
     val fpars = spark(docs).read.parquet(s"$outDir/field_paragraphs")
-    termPostings(fpars, "paragraph_id", "p_text")
+    withRepeated(termPostings(fpars, "paragraph_id", "p_text"), fpars)
       .write.mode("overwrite").parquet(s"$outDir/fieldpar_postings")
-    graft.functions.Bm25.docLengths(fpars, "paragraph_id", "p_text")
+    withRepeated(graft.functions.Bm25.docLengths(fpars, "paragraph_id", "p_text"),
+        fpars)
       .write.mode("overwrite").parquet(s"$outDir/fieldpar_doclengths")
     termPostings(docs, idCol, textCol)
       .write.mode("overwrite").parquet(s"$outDir/postings")
@@ -293,9 +325,10 @@ object Ingest {
     // BM25-scored paragraph search serves these instead of scanning
     // paragraph text at query time
     val pars = spark(docs).read.parquet(s"$outDir/paragraphs")
-    termPostings(pars, "paragraph_id", "p_text")
+    withRepeated(termPostings(pars, "paragraph_id", "p_text"), pars)
       .write.mode("overwrite").parquet(s"$outDir/par_postings")
-    graft.functions.Bm25.docLengths(pars, "paragraph_id", "p_text")
+    withRepeated(graft.functions.Bm25.docLengths(pars, "paragraph_id", "p_text"),
+        pars)
       .write.mode("overwrite").parquet(s"$outDir/par_doclengths")
     // term-frequency dictionary: the suggest/fuzzy serving table — a
     // pure rollup of the postings (freq = total occurrences), the

@@ -235,8 +235,11 @@ object IncrementalIndex {
         pars.write.mode("overwrite").parquet(s"$segDir/paragraphs")
         // paragraph-level BM25 pair: rows re-keyed to their doc's
         // (id, seq) via the paragraph table so cross-segment
-        // latest-wins stays the same winner semi-join
-        val parKeys = pars.select(col("paragraph_id"), col(idCol), col(seqCol))
+        // latest-wins stays the same winner semi-join;
+        // repeated_in_field rides along like in the batch pair so the
+        // streamed surface serves the same default search mode
+        val parKeys = pars.select(col("paragraph_id"), col(idCol), col(seqCol),
+          col("repeated_in_field"))
         graft.sources.Ingest.termPostings(pars, "paragraph_id", "p_text")
           .join(parKeys, "paragraph_id")
           .write.mode("overwrite").parquet(s"$segDir/par_postings")

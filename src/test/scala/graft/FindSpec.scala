@@ -165,4 +165,21 @@ class FindSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(excl.isEmpty || !excl.contains("misc"))
   }
+
+  test("paragraph search excludes repeated_in_field rows unless with_duplicates") {
+    // 40 tokens where the second 20-token window repeats the first —
+    // the ingest marker flags window #2; the reference's default
+    // search mode must not return it, with_duplicates must
+    val w20 = (1 to 18).map(i => s"w$i").mkString("needle alpha ", " ", "")
+    val dup = Seq(("d1", s"$w20 $w20")).toDF("rid", "text")
+    val dupCorpus = Corpus(dup, "rid", "text")
+    def hits(withDup: Boolean): Seq[String] =
+      Find.findParagraphs(dupCorpus,
+          FindRequest(query = "needle", withDuplicates = withDup))
+        .collect().flatMap(_.getSeq[String](3)).toSeq
+    val deduped = hits(withDup = false)
+    assert(deduped == Seq("d1/t/body/0-20"), deduped.toString)
+    val all = hits(withDup = true)
+    assert(all.toSet == Set("d1/t/body/0-20", "d1/t/body/20-40"), all.toString)
+  }
 }

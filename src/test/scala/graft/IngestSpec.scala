@@ -31,6 +31,19 @@ class IngestSpec extends SparkSpec {
     assert(p == (21 to 40).map(i => s"w$i").mkString(" "))
   }
 
+  test("splitParagraphs marks repeated_in_field: first occurrence clean, later copies flagged") {
+    val w = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      ("a", s"$w $w tail words here"), // windows: w, w(repeat), tail
+      ("b", w))                        // single window — never repeated
+      .toDF("rid", "text")
+    val got = Ingest.splitParagraphs(d, "rid", "text")
+      .collect().map(r => r.getString(1) -> r.getBoolean(6)).toMap
+    assert(got == Map(
+      "a/t/body/0-20" -> false, "a/t/body/20-40" -> true,
+      "a/t/body/40-43" -> false, "b/t/body/0-20" -> false), got.toString)
+  }
+
   test("chunkWithOverlap: stride windows share context, last window only if it adds tokens") {
     // 45 tokens, size 20 / stride 15 → [0,20) [15,35) [30,45): the
     // would-be 4th window [45,...) starts past the end and is absent
