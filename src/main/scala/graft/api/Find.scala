@@ -444,10 +444,13 @@ object Find {
           // default search mode excludes ingest-marked repeated
           // paragraphs — a scan-stage predicate (the flag is
           // denormalized onto both pair tables, like dl); guarded on
-          // column presence for tables from older layouts
+          // column presence for tables from older layouts. NULL flags
+          // (a MIXED segment root: the multi-path read fills the
+          // column for pre-upgrade segments with null) coalesce to
+          // false — `!NULL` would silently drop every old-segment row
           val withDup =
             if (req.withDuplicates || !df.columns.contains("repeated_in_field")) df
-            else df.where(!col("repeated_in_field"))
+            else df.where(!coalesce(col("repeated_in_field"), lit(false)))
           val withField = fieldPred.map(withDup.where).getOrElse(withDup)
           val withDoc =
             if (req.filter.isEmpty) withField
@@ -486,9 +489,11 @@ object Find {
               graft.sources.Ingest.splitParagraphs(base, corpus.docId, corpus.text)
           }
         }
+        // same NULL-coalesce contract as the BM25 branch: mixed-layout
+        // sources must not lose their pre-upgrade rows
         val parDedup =
           if (req.withDuplicates || !par.columns.contains("repeated_in_field")) par
-          else par.where(!col("repeated_in_field"))
+          else par.where(!coalesce(col("repeated_in_field"), lit(false)))
         val hits = parDedup.where(excl)
           .withColumn("score",
             size(filter(TextFunctions.tokens(col("p_text")),

@@ -57,10 +57,10 @@ object Ingest {
     * count, never the corpus.
     */
   private def withRepeatedFlag(pars: DataFrame, partitionCols: Seq[String],
-      textCol: String, orderCol: String): DataFrame = {
+      textCol: String, orderCols: Seq[Column]): DataFrame = {
     val w = Window
       .partitionBy((partitionCols :+ textCol).map(col): _*)
-      .orderBy(col(orderCol).asc)
+      .orderBy(orderCols: _*)
     pars.withColumn("repeated_in_field", row_number().over(w) > 1)
   }
 
@@ -79,7 +79,7 @@ object Ingest {
         col("__par.start").as("start"), col("__par.end").as("end"),
         (col("__par.end") - col("__par.start")).cast("long").as("n_tokens"),
         col("__par.p_text").as("p_text")),
-      Seq(idCol), "p_text", "start")
+      Seq(idCol), "p_text", Seq(col("start").asc))
 
   /** Overlapping sliding-window chunker — the RAG-ingestion variant of
     * [[splitParagraphs]]: windows of `chunkTokens` tokens advancing by
@@ -175,7 +175,7 @@ object Ingest {
         col("__par.start").as("start"), col("__par.end").as("end"),
         (col("__par.end") - col("__par.start")).cast("long").as("n_tokens"),
         col("__par.p_text").as("p_text")),
-      Seq(idCol, "field_type", "field_id"), "p_text", "start")
+      Seq(idCol, "field_type", "field_id"), "p_text", Seq(col("start").asc))
 
   /** CONVERSATION field paragraphs — the reference's conversation
     * fields hold SPLITS (one message each, appended incrementally:
@@ -191,7 +191,11 @@ object Ingest {
       parTokens: Int = 20): DataFrame =
     // repeat detection scopes to the FIELD like every other field type
     // (a message re-sent in the same conversation is the repeat case);
-    // ordered by (split, start) — the reference walks splits in order
+    // ordered by (split, start) IN SPLIT ORDER — the reference walks
+    // splits as appended (brain_v2.py append_splits). Split ids are
+    // normally numeric message indexes: numeric ids order numerically
+    // (cast; "10" after "2"), non-numeric ids fall back to string
+    // order AFTER all numeric ones — deterministic either way
     withRepeatedFlag(convs
       .withColumn("__par", explode(chunkStructs(col(textCol), parTokens)))
       .select(col(ridCol), lit("c").as("field_type"),
@@ -205,7 +209,9 @@ object Ingest {
         col("__par.start").as("start"), col("__par.end").as("end"),
         (col("__par.end") - col("__par.start")).cast("long").as("n_tokens"),
         col("__par.p_text").as("p_text")),
-      Seq(ridCol, "field_id"), "p_text", "paragraph_id")
+      Seq(ridCol, "field_id"), "p_text",
+      Seq(col("split").cast("int").asc_nulls_last, col("split").asc,
+        col("start").asc))
 
   /** Posting/term-frequency table (term, docId, tf) — the analog of a
     * tantivy segment's inverted index, precomputed once at ingest so

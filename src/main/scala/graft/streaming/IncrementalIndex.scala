@@ -383,7 +383,17 @@ object IncrementalIndex {
     */
   private def readSegSub(spark: SparkSession, dirs: Seq[String],
       sub: String): DataFrame =
-    spark.read.parquet(dirs.map(d => s"$d/$sub"): _*)
+    // mergeSchema: a mixed root (segments written before a column
+    // existed — dl, repeated_in_field) must surface the UNION schema
+    // with nulls for old rows, deterministically. The default
+    // single-file schema pick would silently drop the new column (or
+    // keep it) depending on listing order — the flag columns would
+    // vanish for every segment, new ones included. The schema-merge
+    // job reads footers once per request in parallel; the
+    // per-segment-count latency contract is re-measured in
+    // StreamingSpec with this on.
+    spark.read.option("mergeSchema", "true")
+      .parquet(dirs.map(d => s"$d/$sub"): _*)
 
   /** Newest (id, seq) winner per doc across the given segments. */
   private def winnersOf(spark: SparkSession, dirs: Seq[String],
@@ -630,18 +640,28 @@ object IncrementalIndex {
           joinCols, "left")
         .withColumn("dl", coalesce(col("dl"), col("__dl")))
         .drop("__dl")
+    // the same upgrade-heal contract as dl: a MIXED root (pre-/post-
+    // repeated_in_field segments) reads NULL flags for old-segment
+    // rows; written through unhealed they would keep dropping from
+    // default paragraph search forever. Old rows were never marked, so
+    // false is their faithful value.
+    def healRepeated(df: DataFrame): DataFrame =
+      if (!df.columns.contains("repeated_in_field")) df
+      else df.withColumn("repeated_in_field",
+        coalesce(col("repeated_in_field"), lit(false)))
     val latest = latestDocRows(docsUnion, idCol, seqCol)
     latest.write.mode("overwrite").parquet(s"$out/docs")
     healDl(tables.postings, tables.docLengths, Seq(idCol))
       .write.mode("overwrite").parquet(s"$out/postings")
     tables.docLengths.write.mode("overwrite").parquet(s"$out/doclengths")
-    tables.paragraphs.write.mode("overwrite").parquet(s"$out/paragraphs")
+    healRepeated(tables.paragraphs)
+      .write.mode("overwrite").parquet(s"$out/paragraphs")
     tables.parPostings.foreach { p =>
       val healed = tables.parDocLengths
         .map(d => healDl(p, d, Seq("paragraph_id"))).getOrElse(p)
-      healed.write.mode("overwrite").parquet(s"$out/par_postings")
+      healRepeated(healed).write.mode("overwrite").parquet(s"$out/par_postings")
     }
-    tables.parDocLengths.foreach(_.write.mode("overwrite")
+    tables.parDocLengths.foreach(d => healRepeated(d).write.mode("overwrite")
       .parquet(s"$out/par_doclengths"))
     if (dirs.forall(d => hasSub(spark, d, "positions")))
       positionsFrom(spark, dirs, idCol, seqCol, Some(winners))

@@ -749,6 +749,47 @@ class StreamingSpec extends SparkSpec {
       f"post-compaction suggest $tc%.3fs did not return near single-segment cost")
   }
 
+  test("mixed pre-/post-repeated_in_field roots: serving keeps old rows, compaction heals") {
+    import org.apache.spark.sql.functions.col
+    import graft.api.Find
+    import graft.api.Find.{Corpus, FindRequest}
+    val root = Files.createTempDirectory("graft-segmixed").toString + "/index"
+    def seg(bid: Long, rows: (String, Long, String, Boolean)*): Unit =
+      IncrementalIndex.writeSegment(
+        rows.toDF("rid", "seq", "value", "deleted"),
+        f"$root/seg_$bid%09d", "rid", "value", "seq")
+    seg(0L, ("r1", 1L, "alpha beta gamma", false))
+    // strip the flag from segment 0's paragraph tables — the
+    // pre-upgrade layout; the multi-path read will fill NULLs
+    def stripFlag(dir: String): Unit = {
+      val df = spark.read.parquet(dir).drop("repeated_in_field")
+      val rows = java.util.Arrays.asList(df.collect(): _*)
+      spark.createDataFrame(rows, df.schema)
+        .write.mode("overwrite").parquet(dir)
+    }
+    Seq("paragraphs", "par_postings", "par_doclengths")
+      .foreach(s => stripFlag(f"$root/seg_${0L}%09d/$s"))
+    seg(1L, ("r2", 2L, "delta epsilon", false))
+    def defaultHits(): Set[String] = {
+      val ix = IncrementalIndex.segmentTables(spark, root)
+      val docs = Seq(("r1", "alpha beta gamma"), ("r2", "delta epsilon"))
+        .toDF("rid", "value")
+      Find.findParagraphs(Corpus(docs, "rid", "value", index = Some(ix)),
+          FindRequest(query = "alpha"))
+        .collect().map(_.getString(0)).toSet
+    }
+    // default (exclude-repeated) mode must NOT drop the old segment's
+    // rows just because their flag reads NULL
+    assert(defaultHits() == Set("r1"), defaultHits().toString)
+    IncrementalIndex.compactSegments(spark, root)
+    assert(defaultHits() == Set("r1"), "post-compaction old rows lost")
+    // and compaction HEALED the nulls at rest — false, not null
+    val healed = IncrementalIndex.segmentTables(spark, root).paragraphs
+    assert(healed.columns.contains("repeated_in_field") &&
+      healed.where(col("repeated_in_field").isNull).isEmpty,
+      "compaction must bake false, never null")
+  }
+
   test("segmented relation index: latest-wins edges, updates replace, compaction preserves") {
     import graft.api.GraphSearch
     import graft.api.GraphSearch.{EdgeTable, NodeMatch, PathQuery}
