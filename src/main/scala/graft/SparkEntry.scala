@@ -1581,6 +1581,35 @@ object SparkEntry {
         topK = 50)
     }),
 
+    // §3.4 /augment conversation answer-or-after context
+    // (augmentor/fields.py:704-727): a matched QUESTION message pulls
+    // the first later ANSWER; any other match pulls the next messages
+    // for context. Fixture conversations: every 7th doc becomes a
+    // 4-split chat (QUESTION, ANSWER, OTHER, OTHER) over token slices;
+    // hits exercise both branches
+    "q130_conversation_answer_ctx" -> ((s, dir) => {
+      import graft.api.ContextBuilder
+      val docs = load(s, dir, "documents").where(col("doc_id") % 7 === 0)
+        .withColumn("__t", TextFunctions.tokens(col("text")))
+      val msgs = docs
+        .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("split"),
+          col("__t"))
+        .select(col("doc_id"), lit("chat").as("field_id"), col("split"),
+          when(col("split") === 0, "QUESTION")
+            .when(col("split") === 1, "ANSWER")
+            .otherwise("OTHER").as("mtype"),
+          concat_ws(" ", slice(col("__t"), col("split") * 5 + 1, lit(5)))
+            .as("mtext"))
+      val hits = msgs.where((col("split") === 0 && col("doc_id") % 14 === 0) ||
+          (col("split") === 2 && col("doc_id") % 14 =!= 0))
+        .select("doc_id", "field_id", "split")
+      ContextBuilder.conversationAnswerOrAfter(msgs, "doc_id", "field_id",
+          "split", "mtype", "mtext", hits)
+        .withColumn("hit_split", col("hit_split").cast("long"))
+        .withColumn("ctx_split", col("ctx_split").cast("long"))
+        .orderBy("doc_id", "hit_split", "ctx_split")
+    }),
+
     // §2.1 repeated_in_field marking (ingest/orm/brain_v2.py:828-846):
     // a paragraph whose text already occurred EARLIER in its field is
     // marked at ingest, and paragraph search drops marked rows unless
@@ -3306,6 +3335,33 @@ object SparkEntry {
         |SELECT src AS source, rel AS relation, dst AS destination FROM e
         |WHERE (src = 'S3' AND rel = 'RN') OR (src LIKE 'S10%' AND dst LIKE 'P2%')
         |ORDER BY source, relation, destination LIMIT 50""".stripMargin,
+
+    "q130_conversation_answer_ctx" ->
+      s"""WITH toksd AS (SELECT doc_id, $Tok AS t FROM documents WHERE doc_id % 7 = 0),
+         |msgs AS (SELECT doc_id, 'chat' AS field_id, s.split,
+         |    CASE s.split WHEN 0 THEN 'QUESTION' WHEN 1 THEN 'ANSWER'
+         |      ELSE 'OTHER' END AS mtype,
+         |    coalesce(array_to_string(t[s.split * 5 + 1 : s.split * 5 + 5], ' '), '') AS mtext
+         |  FROM toksd CROSS JOIN (SELECT unnest(range(4)) AS split) s),
+         |hits AS (SELECT doc_id, field_id, split AS hit_split, mtype AS hit_type
+         |         FROM msgs
+         |         WHERE (split = 0 AND doc_id % 14 = 0)
+         |            OR (split = 2 AND doc_id % 14 <> 0)),
+         |later AS (SELECT m.doc_id, m.field_id, h.hit_split, h.hit_type,
+         |    m.split, m.mtype, m.mtext,
+         |    row_number() OVER (PARTITION BY m.doc_id, m.field_id, h.hit_split
+         |      ORDER BY m.split) AS rn
+         |  FROM msgs m JOIN hits h
+         |    ON m.doc_id = h.doc_id AND m.field_id = h.field_id
+         |      AND m.split > h.hit_split
+         |  WHERE (h.hit_type = 'QUESTION' AND m.mtype = 'ANSWER')
+         |     OR h.hit_type <> 'QUESTION')
+         |SELECT doc_id, field_id, CAST(hit_split AS BIGINT) AS hit_split,
+         |  CAST(split AS BIGINT) AS ctx_split, mtype AS ctx_type, mtext AS ctx_text
+         |FROM later
+         |WHERE (hit_type = 'QUESTION' AND rn = 1)
+         |   OR (hit_type <> 'QUESTION' AND rn <= 15)
+         |ORDER BY doc_id, hit_split, ctx_split""".stripMargin,
 
     "q129_repeated_in_field" ->
       s"""WITH toksd AS (SELECT doc_id, $Tok AS t FROM documents WHERE doc_id < 50),

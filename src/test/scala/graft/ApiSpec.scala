@@ -114,6 +114,29 @@ class ApiSpec extends SparkSpec {
     assert(kept.sameElements(Array("IS_FRIEND")))
   }
 
+  test("augment: conversation answer-or-after pulls the answer for questions, context otherwise") {
+    import graft.api.ContextBuilder
+    val msgs = Seq(
+      ("c1", "chat", "0", "QUESTION", "what is spark"),
+      ("c1", "chat", "1", "OTHER", "let me think"),
+      ("c1", "chat", "2", "ANSWER", "a distributed engine"),
+      ("c1", "chat", "3", "OTHER", "thanks"),
+      ("c1", "chat", "10", "OTHER", "ten sorts after two"))
+      .toDF("rid", "field", "split", "mtype", "mtext")
+    def ctx(hitSplit: String) = ContextBuilder.conversationAnswerOrAfter(
+        msgs, "rid", "field", "split", "mtype", "mtext",
+        Seq(("c1", "chat", hitSplit)).toDF("rid", "field", "split"),
+        expansion = 2)
+      .collect().map(r => (r.getInt(3), r.getString(4))).toSeq.sortBy(_._1)
+    // a QUESTION hit skips the OTHER message and lands on the ANSWER
+    assert(ctx("0") == Seq((2, "ANSWER")), ctx("0").toString)
+    // a non-question hit pulls the next `expansion` messages in
+    // NUMERIC split order (10 after 3, not between 1 and 2)
+    assert(ctx("2") == Seq((3, "OTHER"), (10, "OTHER")), ctx("2").toString)
+    // a hit with nothing after it yields no context
+    assert(ctx("10").isEmpty)
+  }
+
   test("suggest: fuzzy-prefix entity search completes typo'd and compound stems") {
     import graft.api.Suggest
     val nodes = Seq("Anastasia", "Anna Kournikova", "Berlin", "Kolkata")
