@@ -78,7 +78,13 @@ object Search {
 
     val parList = paragraphs.flatMap { case (par, pid, ptext) =>
       if (parsed.terms.isEmpty) None
-      else Some(par
+      // the same default as the paragraph index search: rows marked
+      // repeated_in_field at ingest stay out of the list
+      // (`search_query.rs:219-224`); null flags (mixed layouts)
+      // coalesce to false so old rows are kept, not dropped
+      else Some((if (par.columns.contains("repeated_in_field"))
+          par.where(!coalesce(col("repeated_in_field"), lit(false)))
+        else par)
         .join(base.select(docId), docId) // prefilter
         .withColumn("score",
           size(filter(graft.functions.TextFunctions.tokens(col(ptext)),
