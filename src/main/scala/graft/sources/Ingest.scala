@@ -374,7 +374,11 @@ object Ingest {
     // the reference suggests over the PARAGRAPH index
     // (`nidx/src/searcher/shard_suggest.rs:45-160`), so the dictionary
     // rolls up the paragraph postings
+    // repeated paragraphs stay out of the dictionary — the reference's
+    // paragraph suggest query unconditionally requires
+    // repeated_in_field = 0 (`search_query.rs:150-167` suggest_query)
     spark(docs).read.parquet(s"$outDir/par_postings")
+      .where(!coalesce(col("repeated_in_field"), lit(false)))
       .groupBy("term").agg(sum("tf").cast("long").as("freq"))
       .write.mode("overwrite").parquet(s"$outDir/par_termfreq")
     // SymSpell deletion neighborhood: (variant, term) rows for
