@@ -66,6 +66,32 @@ class GraphOpsSpec extends SparkSpec {
       (2, "B", "D", 1L), (2, "C", "D", 1L)))
   }
 
+  test("fuzzyPrefixMatch equals the some-prefix-within-distance definition") {
+    // served regime: |query| > distance (the suggest path guarantees
+    // it via minPrefixLen), so the empty prefix can never qualify and
+    // the bounded |q|±d length OR is exact
+    val rnd = new scala.util.Random(11)
+    def rndStr(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val values = (1 to 80).map(_ => rndStr(1 + rnd.nextInt(7))).distinct
+    val df = values.toDF("v")
+    for (_ <- 1 to 8; d <- Seq(1, 2)) {
+      val q = rndStr(d + 1 + rnd.nextInt(3)) // |q| > d
+      val expected = values.filter(v =>
+        (1 to v.length).exists(l => lev(v.take(l), q) <= d)).toSet
+      val got = df.where(GraphOps.fuzzyPrefixMatch(col("v"), q, d))
+        .collect().map(_.getString(0)).toSet
+      assert(got == expected, s"q=$q d=$d: $got vs $expected")
+    }
+  }
+
   test("iterativeExpandFrom with at-rest weights equals the raw-edge count form") {
     // the weighted form over distinct (triplet, n) rows must reproduce
     // the per-request duplicate count exactly — the at-rest serving
