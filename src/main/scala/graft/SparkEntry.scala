@@ -2955,7 +2955,11 @@ object SparkEntry {
     // q97: the paragraph term dictionary rolls up paragraph postings;
     // paragraph splitting preserves token multiplicity, so the
     // dictionary's freq equals the whole-document token counts — the
-    // oracle uses the document tokenization directly.
+    // oracle uses the document tokenization directly. NOTE: the
+    // engine-side rollup additionally excludes repeated_in_field
+    // paragraphs (the reference suggest contract); this oracle stays
+    // equal only while the corpus has no repeated windows — pinned by
+    // IngestSpec's "no organic repeated windows" invariant test.
     "q97_suggest_merged" ->
       s"""WITH $TokCte,
          |tfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term),

@@ -63,8 +63,12 @@ object ContextBuilder {
       splitCol: String, typeCol: String, textCol: String,
       hits: DataFrame,
       expansion: Int = 15): DataFrame = {
+    // distinct: duplicate hit rows (two subqueries fused without
+    // dedup) would multiply every context row inside the hit's window
+    // partition and corrupt the row_number counts; hit lists are
+    // top-k bounded, so the distinct is a bounded exchange
     val h = hits.select(col(ridCol), col(fieldCol),
-      col(splitCol).cast("int").as("hit_split"))
+      col(splitCol).cast("int").as("hit_split")).distinct()
     val hitType = messages.select(col(ridCol), col(fieldCol),
       col(splitCol).cast("int").as("hit_split"),
       col(typeCol).as("__hit_type"))

@@ -90,6 +90,20 @@ object Find {
       // `nidx_paragraph/src/search_query.rs:219-224`)
       withDuplicates: Boolean = false)
 
+  /** The ONE definition of the default repeated-paragraph exclusion
+    * (`nidx_paragraph/src/search_query.rs:219-224`): rows marked
+    * repeated_in_field at ingest stay out unless the request asks for
+    * duplicates; null flags (a mixed-layout segment root fills the
+    * column with nulls for pre-upgrade rows) coalesce to false so old
+    * rows are kept, never silently dropped; tables without the column
+    * (older layouts) pass through untouched. Shared by the find
+    * branches and the classic /search paragraph list so the
+    * null-coalesce contract cannot drift between them.
+    */
+  private[api] def excludeRepeated(df: DataFrame, withDuplicates: Boolean): DataFrame =
+    if (withDuplicates || !df.columns.contains("repeated_in_field")) df
+    else df.where(!coalesce(col("repeated_in_field"), lit(false)))
+
   /** Run the pipeline; returns (docId, score, n_sources) + hydrated
     * text, ordered (score desc, id asc), limited to topK.
     */
@@ -443,14 +457,8 @@ object Find {
         def restrict(df: DataFrame): DataFrame = {
           // default search mode excludes ingest-marked repeated
           // paragraphs — a scan-stage predicate (the flag is
-          // denormalized onto both pair tables, like dl); guarded on
-          // column presence for tables from older layouts. NULL flags
-          // (a MIXED segment root: the multi-path read fills the
-          // column for pre-upgrade segments with null) coalesce to
-          // false — `!NULL` would silently drop every old-segment row
-          val withDup =
-            if (req.withDuplicates || !df.columns.contains("repeated_in_field")) df
-            else df.where(!coalesce(col("repeated_in_field"), lit(false)))
+          // denormalized onto both pair tables, like dl)
+          val withDup = excludeRepeated(df, req.withDuplicates)
           val withField = fieldPred.map(withDup.where).getOrElse(withDup)
           val withDoc =
             if (req.filter.isEmpty) withField
@@ -489,11 +497,7 @@ object Find {
               graft.sources.Ingest.splitParagraphs(base, corpus.docId, corpus.text)
           }
         }
-        // same NULL-coalesce contract as the BM25 branch: mixed-layout
-        // sources must not lose their pre-upgrade rows
-        val parDedup =
-          if (req.withDuplicates || !par.columns.contains("repeated_in_field")) par
-          else par.where(!coalesce(col("repeated_in_field"), lit(false)))
+        val parDedup = excludeRepeated(par, req.withDuplicates)
         val hits = parDedup.where(excl)
           .withColumn("score",
             size(filter(TextFunctions.tokens(col("p_text")),

@@ -24,7 +24,10 @@ object Search {
       faceted: Seq[String] = Nil,
       topK: Int = 20,
       onlyFaceted: Boolean = false,
-      sortField: Option[String] = None)
+      sortField: Option[String] = None,
+      // the reference's `with_duplicates` — same default and escape
+      // hatch as FindRequest (`search_query.rs:219-224`)
+      withDuplicates: Boolean = false)
 
   /** The multi-part response: independent lists + facet counts, each a
     * lazily-evaluated DataFrame (callers materialize what they need —
@@ -78,13 +81,9 @@ object Search {
 
     val parList = paragraphs.flatMap { case (par, pid, ptext) =>
       if (parsed.terms.isEmpty) None
-      // the same default as the paragraph index search: rows marked
-      // repeated_in_field at ingest stay out of the list
-      // (`search_query.rs:219-224`); null flags (mixed layouts)
-      // coalesce to false so old rows are kept, not dropped
-      else Some((if (par.columns.contains("repeated_in_field"))
-          par.where(!coalesce(col("repeated_in_field"), lit(false)))
-        else par)
+      // the same default + escape hatch as the paragraph index search
+      // (ONE shared definition — Find.excludeRepeated)
+      else Some(Find.excludeRepeated(par, req.withDuplicates)
         .join(base.select(docId), docId) // prefilter
         .withColumn("score",
           size(filter(graft.functions.TextFunctions.tokens(col(ptext)),

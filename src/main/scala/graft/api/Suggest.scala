@@ -57,6 +57,11 @@ object Suggest {
   def suggestEntitiesFuzzy(
       nodes: DataFrame, valueCol: String, query: String,
       topK: Int = 10, distance: Int = 1, minPrefixLen: Int = 2): DataFrame = {
+    // the fuzzy-prefix matcher requires stems longer than the
+    // distance (at-or-below-distance stems match everything); surface
+    // the constraint at the API boundary instead of mid-plan
+    require(minPrefixLen > distance,
+      s"minPrefixLen $minPrefixLen must exceed the fuzzy distance $distance")
     val prefixes = splitSuggestQuery(query).filter(_.length >= minPrefixLen)
     if (prefixes.isEmpty)
       nodes.select(col(valueCol).as("value")).limit(0)

@@ -68,6 +68,15 @@ object GraphOps {
     */
   def fuzzyPrefixMatch(c: Column, v: String, dist: Int = 1): Column = {
     val q = v.toLowerCase
+    // |q| ≤ dist would make the EMPTY prefix qualify — tantivy's
+    // automaton then matches every term, and the bounded length OR
+    // (which starts at length 1) would silently diverge from it.
+    // The reference never reaches that regime (suggest enforces
+    // MIN_SUGGEST_PREFIX_LENGTH=2 > FUZZY_DISTANCE=1); fail loudly
+    // instead of returning a wrong result set
+    require(q.length > dist,
+      s"fuzzy-prefix stem '$v' must be longer than distance $dist " +
+        "(an at-or-below-distance stem matches every node)")
     val lens = math.max(1, q.length - dist) to (q.length + dist)
     lens.map(l => levenshtein(lower(substring(c, 1, l)), lit(q)) <= dist)
       .reduce(_ || _)

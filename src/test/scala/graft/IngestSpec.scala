@@ -31,6 +31,19 @@ class IngestSpec extends SparkSpec {
     assert(p == (21 to 40).map(i => s"w$i").mkString(" "))
   }
 
+  test("bench corpus carries no organic repeated windows (oracle invariant)") {
+    // q97/q70's oracles count ALL tokens/paragraphs while the engine
+    // excludes repeated_in_field rows from suggest dictionaries and
+    // paragraph lists — equal only while the corpus has no repeated
+    // 20-token window. All sf dirs share the generator; pinned here so
+    // a testdata change fails loudly instead of silently diverging the
+    // oracles (q129 exercises the marking through its own fixture).
+    import org.apache.spark.sql.functions.col
+    val pars = graft.sources.IndexStore.paragraphs(spark, "/root/testdata/sf0.001")
+    assert(pars.where(col("repeated_in_field")).isEmpty,
+      "testdata now contains repeated windows — update the q97/q70 oracles")
+  }
+
   test("splitParagraphs marks repeated_in_field: first occurrence clean, later copies flagged") {
     val w = (1 to 20).map(i => s"w$i").mkString(" ")
     val d = Seq(
