@@ -1581,6 +1581,27 @@ object SparkEntry {
         topK = 50)
     }),
 
+    // §3.4 /catalog title query-match modes (pg.py:362-394): one pass
+    // evaluates StartsWith (case-insensitive), Words (token-set
+    // containment) and Fuzzy (typo'd word) against the synthesized
+    // title field — each mode tags its matches
+    "q131_catalog_title_match" -> ((s, dir) => {
+      import graft.operators.Facets
+      import graft.operators.Facets.CatalogMatch
+      val t = load(s, dir, "documents")
+        .withColumn("title",
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 5)))
+        .select("doc_id", "title")
+      def mode(m: CatalogMatch, q: String, tag: String) =
+        t.where(Facets.catalogMatch(col("title"), m, q))
+          .withColumn("mode", lit(tag))
+      mode(CatalogMatch.StartsWith, "key", "starts_with")
+        .unionByName(mode(CatalogMatch.Words, "table scan", "words"))
+        .unionByName(mode(CatalogMatch.Fuzzy, "quary", "fuzzy"))
+        .orderBy("mode", "doc_id")
+        .limit(100)
+    }),
+
     // §3.4 /augment conversation answer-or-after context
     // (augmentor/fields.py:704-727): a matched QUESTION message pulls
     // the first later ANSWER; any other match pulls the next messages
@@ -3339,6 +3360,24 @@ object SparkEntry {
         |SELECT src AS source, rel AS relation, dst AS destination FROM e
         |WHERE (src = 'S3' AND rel = 'RN') OR (src LIKE 'S10%' AND dst LIKE 'P2%')
         |ORDER BY source, relation, destination LIMIT 50""".stripMargin,
+
+    "q131_catalog_title_match" ->
+      s"""WITH t AS (SELECT doc_id, array_to_string(($Tok)[1:5], ' ') AS title
+         |           FROM documents),
+         |tw AS (SELECT doc_id, title,
+         |         list_filter(regexp_split_to_array(lower(title), '[^a-z0-9]+'),
+         |           x -> x <> '') AS ws
+         |       FROM t)
+         |SELECT doc_id, title, mode FROM (
+         |  SELECT doc_id, title, 'starts_with' AS mode FROM t
+         |  WHERE lower(title) LIKE 'key%'
+         |  UNION ALL
+         |  SELECT doc_id, title, 'words' FROM tw
+         |  WHERE list_has_all(ws, ['table', 'scan'])
+         |  UNION ALL
+         |  SELECT doc_id, title, 'fuzzy' FROM tw
+         |  WHERE len(list_filter(ws, w -> levenshtein(w, 'quary') <= 1)) > 0)
+         |ORDER BY mode, doc_id LIMIT 100""".stripMargin,
 
     "q130_conversation_answer_ctx" ->
       s"""WITH toksd AS (SELECT doc_id, $Tok AS t FROM documents WHERE doc_id % 7 = 0),

@@ -15,6 +15,56 @@ import org.apache.spark.sql.functions._
   */
 object Facets {
 
+  /** Catalog query-match modes
+    * (`common/catalog/pg.py:362-394` _prepare_query_search): the six
+    * ways `/catalog` matches a title/slug. */
+  sealed trait CatalogMatch
+  object CatalogMatch {
+    case object Exact extends CatalogMatch
+    /** Case-insensitive for titles (pg_trgm ILIKE); pass
+      * `caseSensitive = true` for slug fields (btree LIKE). */
+    case object StartsWith extends CatalogMatch
+    /** All query words present in the title's token set
+      * (`regexp_split_to_array(lower(title), '\\W') @> words`). */
+    case object Words extends CatalogMatch
+    /** The reference uses pg_trgm word similarity (`title %> query`);
+      * the engine's fuzzy primitive is edit distance, so this mode
+      * matches titles containing a word within levenshtein 1 of the
+      * query — the same typo tolerance surfaced through a different
+      * (deterministic, codegen'd) metric. */
+    case object Fuzzy extends CatalogMatch
+    case object EndsWith extends CatalogMatch
+    case object Contains extends CatalogMatch
+  }
+
+  /** Compile one catalog query-match to a `Column` predicate over the
+    * field — scan-stage only, composes with the catalog's filter/facet
+    * predicates and page cut. */
+  def catalogMatch(field: org.apache.spark.sql.Column, m: CatalogMatch,
+      query: String, caseSensitive: Boolean = false): org.apache.spark.sql.Column = {
+    import graft.functions.TextFunctions
+    val (f, q) =
+      if (caseSensitive) (field, query) else (lower(field), query.toLowerCase)
+    m match {
+      case CatalogMatch.Exact => field === query
+      case CatalogMatch.StartsWith => f.startsWith(q)
+      case CatalogMatch.EndsWith => f.endsWith(q)
+      case CatalogMatch.Contains => f.contains(q)
+      case CatalogMatch.Words =>
+        // the query splits with the SAME tokenizer as the field so the
+        // containment test cannot drift (`SPLIT_REGEX` = \W in the
+        // reference; [[TextFunctions.TokenPattern]] is its ascii form)
+        val toks = TextFunctions.tokens(field)
+        val words = query.toLowerCase
+          .split(TextFunctions.TokenPattern).filter(_.nonEmpty)
+        words.map(w => array_contains(toks, w))
+          .foldLeft(lit(true))(_ && _)
+      case CatalogMatch.Fuzzy =>
+        exists(TextFunctions.tokens(field),
+          w => levenshtein(w, lit(query.toLowerCase)) <= 1)
+    }
+  }
+
   /** Count facets under the requested prefixes — explode + filter +
     * groupBy. `labelsCol` is an `array<string>` of `/a/b/c` paths.
     */

@@ -114,6 +114,32 @@ class ApiSpec extends SparkSpec {
     assert(kept.sameElements(Array("IS_FRIEND")))
   }
 
+  test("catalog: all six title query-match modes compile to correct predicates") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Facets
+    import graft.operators.Facets.CatalogMatch._
+    val rows = Seq("The Little Prince", "little prince", "Prince of Persia",
+      "Database Engines", "the-little-prince").toDF("title")
+    def m(mode: Facets.CatalogMatch, q: String, cs: Boolean = false) =
+      rows.where(Facets.catalogMatch(col("title"), mode, q, cs))
+        .collect().map(_.getString(0)).toSet
+    assert(m(Exact, "little prince") == Set("little prince"))
+    // StartsWith is case-insensitive for titles (pg_trgm ILIKE)…
+    assert(m(StartsWith, "the little") == Set("The Little Prince"))
+    // …and case-sensitive for slugs (btree LIKE)
+    assert(m(StartsWith, "the-", cs = true) == Set("the-little-prince"))
+    assert(m(EndsWith, "prince") ==
+      Set("The Little Prince", "little prince", "the-little-prince"))
+    assert(m(Contains, "of per") == Set("Prince of Persia"))
+    // Words: token-set containment, order-independent
+    assert(m(Words, "prince little") ==
+      Set("The Little Prince", "little prince", "the-little-prince"))
+    // Fuzzy: a typo'd word still matches (levenshtein 1)
+    assert(m(Fuzzy, "prinze") ==
+      Set("The Little Prince", "little prince", "Prince of Persia",
+        "the-little-prince"))
+  }
+
   test("augment: conversation answer-or-after pulls the answer for questions, context otherwise") {
     import graft.api.ContextBuilder
     val msgs = Seq(
