@@ -1581,6 +1581,26 @@ object SparkEntry {
         topK = 50)
     }),
 
+    // training-data ops: FULL Gopher rule set (Rae et al. 2021 §A1.1)
+    // beyond q64's token/word-length band — symbol ratio, alpha-word
+    // fraction, bullet/ellipsis line rules, distinct-stopword floor.
+    // The corpus has no line structure or symbol runs, so a
+    // deterministic fixture composes them (shared per side)
+    "q132_gopher_full_rules" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val sig = TextFunctions.gopherRuleSignals(gopherFixture)
+      load(s, dir, "documents")
+        .withColumn("__sig", sig)
+        .select(col("doc_id"),
+          col("__sig.symbol_ratio").as("symbol_ratio"),
+          col("__sig.alpha_frac").as("alpha_frac"),
+          col("__sig.bullet_frac").as("bullet_frac"),
+          col("__sig.ellipsis_frac").as("ellipsis_frac"),
+          col("__sig.n_stop").as("n_stop"),
+          TextFunctions.gopherRulesKeep(col("__sig")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // §3.4 /catalog title query-match modes (pg.py:362-394): one pass
     // evaluates StartsWith (case-insensitive), Words (token-set
     // containment) and Fuzzy (typo'd word) against the synthesized
@@ -1915,6 +1935,30 @@ object SparkEntry {
        |         ELSE 'Closing remarks are final.' END || chr(10) ||
        |    CASE WHEN doc_id % 17 = 0 THEN 'function() { return; }'
        |         ELSE 'The last line ends here.' END AS composite
+       |  FROM $src""".stripMargin
+
+  /** q132's Gopher line fixture (the corpus has no line structure):
+    * bullet lines on id%3, an ellipsis ending on id%5, a symbol run on
+    * id%11 — null-propagating concat, ONE definition per side. */
+  private def gopherFixture: org.apache.spark.sql.Column =
+    concat(
+      col("text"), lit(".\n"),
+      when(col("doc_id") % 3 === 0,
+        lit("- bulleted item one\n- bulleted item two\n"))
+        .otherwise(lit("A plain closing line here.\n")),
+      when(col("doc_id") % 5 === 0, lit("to be continued..."))
+        .otherwise(lit("the end is here.")),
+      when(col("doc_id") % 11 === 0, lit("\n# # # # # # # #"))
+        .otherwise(lit("")))
+  private def gopherFixtureSql(src: String): String =
+    s"""SELECT *, text || '.' || chr(10) ||
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN '- bulleted item one' || chr(10) || '- bulleted item two' || chr(10)
+       |      ELSE 'A plain closing line here.' || chr(10) END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN 'to be continued...'
+       |      ELSE 'the end is here.' END ||
+       |    CASE WHEN doc_id % 11 = 0 THEN chr(10) || '# # # # # # # #'
+       |      ELSE '' END AS composite
        |  FROM $src""".stripMargin
 
   private def minHashPairCtes(src: String): String =
@@ -3360,6 +3404,27 @@ object SparkEntry {
         |SELECT src AS source, rel AS relation, dst AS destination FROM e
         |WHERE (src = 'S3' AND rel = 'RN') OR (src LIKE 'S10%' AND dst LIKE 'P2%')
         |ORDER BY source, relation, destination LIMIT 50""".stripMargin,
+
+    "q132_gopher_full_rules" ->
+      s"""WITH synth AS (${gopherFixtureSql("documents")}),
+         |m AS (SELECT doc_id, composite,
+         |    list_filter(regexp_split_to_array(composite, '[ \n]+'), w -> w <> '') AS words,
+         |    string_split(composite, chr(10)) AS lines,
+         |    list_filter(regexp_split_to_array(lower(composite), '[^a-z0-9]+'), x -> x <> '') AS toks
+         |  FROM synth),
+         |sig AS (SELECT doc_id,
+         |    round((len(regexp_extract_all(composite, '#')) +
+         |           len(regexp_extract_all(composite, '\\.\\.\\.')))::DOUBLE / len(words), 4) AS symbol_ratio,
+         |    round(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE / len(words), 4) AS alpha_frac,
+         |    round(len(list_filter(lines, l -> starts_with(trim(l), '- ')))::DOUBLE / len(lines), 4) AS bullet_frac,
+         |    round(len(list_filter(lines, l -> ends_with(trim(l), '...')))::DOUBLE / len(lines), 4) AS ellipsis_frac,
+         |    CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+         |      s -> list_contains(toks, s))) AS BIGINT) AS n_stop
+         |  FROM m)
+         |SELECT doc_id, symbol_ratio, alpha_frac, bullet_frac, ellipsis_frac, n_stop,
+         |  (symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND bullet_frac <= 0.9
+         |   AND ellipsis_frac <= 0.3 AND n_stop >= 2) AS keep
+         |FROM sig ORDER BY doc_id""".stripMargin,
 
     "q131_catalog_title_match" ->
       s"""WITH t AS (SELECT doc_id, array_to_string(($Tok)[1:5], ' ') AS title

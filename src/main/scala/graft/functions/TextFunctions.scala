@@ -189,6 +189,61 @@ object TextFunctions {
         !lower(lt).contains(lit("javascript"))
     })
 
+  /** The Gopher stop-word presence list (Rae et al. 2021 §A1.1: a
+    * document must contain at least TWO of these). */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** FULL Gopher document-quality rule signals (Rae et al. 2021
+    * §A1.1) — the line/symbol rules beyond the token-count and
+    * mean-word-length band ([[meanTokenLen]], q64):
+    *
+    *  - `symbol_ratio`: (# of `#` + `...` occurrences) / words ≤ 0.1
+    *  - `alpha_frac`: fraction of words with ≥1 alphabetic char ≥ 0.8
+    *  - `bullet_frac`: fraction of lines starting `- ` ≤ 0.9
+    *  - `ellipsis_frac`: fraction of lines ending `...` ≤ 0.3
+    *  - `n_stop`: DISTINCT [[GopherStopWords]] present, must be ≥ 2
+    *
+    * All ratios round at 4. Pure built-ins — the whole rule set
+    * evaluates per-row inside the scan stage, no shuffle at any
+    * corpus size; patterns are RE2-safe so the DuckDB oracle computes
+    * identically.
+    *
+    * @return struct(symbol_ratio, alpha_frac, bullet_frac,
+    *         ellipsis_frac, n_stop)
+    */
+  def gopherRuleSignals(text: Column): Column = {
+    // let-bind via single-element array so the text expression and the
+    // derived splits evaluate once per row (the shingles trick)
+    element_at(transform(array(text), t => {
+      val words = filter(split(t, "[ \n]+"), w => w =!= "")
+      val nWords = size(words).cast("double")
+      val lines = split(t, "\n")
+      val nLines = size(lines).cast("double")
+      val toks = tokens(t)
+      struct(
+        round((regexp_count(t, lit("#")) +
+          regexp_count(t, lit("\\.\\.\\."))) / nWords, 4).as("symbol_ratio"),
+        round(size(filter(words, w => w.rlike("[a-zA-Z]"))) / nWords, 4)
+          .as("alpha_frac"),
+        round(size(filter(lines, l => trim(l).startsWith("- "))) / nLines, 4)
+          .as("bullet_frac"),
+        round(size(filter(lines, l => trim(l).endsWith("..."))) / nLines, 4)
+          .as("ellipsis_frac"),
+        size(filter(
+          array(GopherStopWords.map(lit): _*),
+          s => array_contains(toks, s))).cast("long").as("n_stop"))
+    }), 1)
+  }
+
+  /** The Gopher keep verdict over [[gopherRuleSignals]] output. */
+  def gopherRulesKeep(sig: Column): Column =
+    sig.getField("symbol_ratio") <= 0.1 &&
+      sig.getField("alpha_frac") >= 0.8 &&
+      sig.getField("bullet_frac") <= 0.9 &&
+      sig.getField("ellipsis_frac") <= 0.3 &&
+      sig.getField("n_stop") >= 2
+
   /** C4's page-level drop rules: any page containing "lorem ipsum"
     * (placeholder text) or a curly bracket (source code) is removed
     * wholesale (same paper, §2.2). Composes with [[c4KeptLines]]:

@@ -96,6 +96,33 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("gopher full-rule signals: hand-computed ratios and the keep verdict") {
+    val page = Seq(
+      // 9 words (the `-` counts as a non-alpha word), 1 of 2 lines
+      // bulleted, stop words {the, of} → keep
+      "the best of both worlds\n- a bullet line",
+      // symbol-heavy: 8 '#' of 10 words → symbol 0.8, alpha 0.2 → drop
+      "the of\n# # # # # # # #",
+      // both lines end with an ellipsis → ellipsis_frac 1.0 → drop
+      "the story of it all...\ncontinues forever...",
+      // only one distinct stop word → drop
+      "the quick brown fox\nthe fox again")
+      .toDF("t")
+    val sig = gopherRuleSignals(col("t"))
+    val got = page.select(sig.getField("symbol_ratio"),
+        sig.getField("alpha_frac"), sig.getField("bullet_frac"),
+        sig.getField("ellipsis_frac"), sig.getField("n_stop"),
+        gopherRulesKeep(sig))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getBoolean(5)))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) == ((0.0, r4(8.0 / 9), 0.5, 0.0, 2L, true)), got(0).toString)
+    assert(got(1) == ((0.8, 0.2, 0.0, 0.0, 2L, false)), got(1).toString)
+    assert(got(2) == ((r4(2.0 / 7), 1.0, 0.0, 1.0, 2L, false)), got(2).toString)
+    assert(got(3)._5 == 1L && !got(3)._6, got(3).toString)
+  }
+
   test("c4 line rules keep terminal-punctuated ≥3-word lines; page rules drop wholesale") {
     val page = Seq(Seq(
       "A good long sentence here.",   // kept
