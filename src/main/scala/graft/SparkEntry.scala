@@ -1592,7 +1592,8 @@ object SparkEntry {
       load(s, dir, "documents")
         .withColumn("__sig", sig)
         .select(col("doc_id"),
-          col("__sig.symbol_ratio").as("symbol_ratio"),
+          col("__sig.hash_ratio").as("hash_ratio"),
+          col("__sig.ellipsis_ratio").as("ellipsis_ratio"),
           col("__sig.alpha_frac").as("alpha_frac"),
           col("__sig.bullet_frac").as("bullet_frac"),
           col("__sig.ellipsis_frac").as("ellipsis_frac"),
@@ -1601,10 +1602,11 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // §3.4 /catalog title query-match modes (pg.py:362-394): one pass
+    // §3.4 /catalog title query-match modes (pg.py:362-394): ONE scan
     // evaluates StartsWith (case-insensitive), Words (token-set
-    // containment) and Fuzzy (typo'd word) against the synthesized
-    // title field — each mode tags its matches
+    // containment) and Fuzzy (typo'd word) as predicate columns; the
+    // matching mode tags explode from the same row — the corpus is
+    // read and the title tokenized once, not once per mode
     "q131_catalog_title_match" -> ((s, dir) => {
       import graft.operators.Facets
       import graft.operators.Facets.CatalogMatch
@@ -1612,12 +1614,17 @@ object SparkEntry {
         .withColumn("title",
           concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 5)))
         .select("doc_id", "title")
-      def mode(m: CatalogMatch, q: String, tag: String) =
-        t.where(Facets.catalogMatch(col("title"), m, q))
-          .withColumn("mode", lit(tag))
-      mode(CatalogMatch.StartsWith, "key", "starts_with")
-        .unionByName(mode(CatalogMatch.Words, "table scan", "words"))
-        .unionByName(mode(CatalogMatch.Fuzzy, "quary", "fuzzy"))
+      def tag(m: CatalogMatch, q: String, name: String) =
+        when(Facets.catalogMatch(col("title"), m, q), name)
+      t.select(col("doc_id"), col("title"),
+          filter(array(
+            tag(CatalogMatch.StartsWith, "key", "starts_with"),
+            tag(CatalogMatch.Words, "table scan", "words"),
+            tag(CatalogMatch.Fuzzy, "quary", "fuzzy")),
+            x => x.isNotNull).as("__modes"))
+        .where(size(col("__modes")) > 0)
+        .select(col("doc_id"), col("title"),
+          explode(col("__modes")).as("mode"))
         .orderBy("mode", "doc_id")
         .limit(100)
     }),
@@ -3413,17 +3420,17 @@ object SparkEntry {
          |    list_filter(regexp_split_to_array(lower(composite), '[^a-z0-9]+'), x -> x <> '') AS toks
          |  FROM synth),
          |sig AS (SELECT doc_id,
-         |    round((len(regexp_extract_all(composite, '#')) +
-         |           len(regexp_extract_all(composite, '\\.\\.\\.')))::DOUBLE / len(words), 4) AS symbol_ratio,
+         |    round(len(regexp_extract_all(composite, '#'))::DOUBLE / len(words), 4) AS hash_ratio,
+         |    round(len(regexp_extract_all(composite, '\\.\\.\\.'))::DOUBLE / len(words), 4) AS ellipsis_ratio,
          |    round(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE / len(words), 4) AS alpha_frac,
          |    round(len(list_filter(lines, l -> starts_with(trim(l), '- ')))::DOUBLE / len(lines), 4) AS bullet_frac,
          |    round(len(list_filter(lines, l -> ends_with(trim(l), '...')))::DOUBLE / len(lines), 4) AS ellipsis_frac,
          |    CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
          |      s -> list_contains(toks, s))) AS BIGINT) AS n_stop
          |  FROM m)
-         |SELECT doc_id, symbol_ratio, alpha_frac, bullet_frac, ellipsis_frac, n_stop,
-         |  (symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND bullet_frac <= 0.9
-         |   AND ellipsis_frac <= 0.3 AND n_stop >= 2) AS keep
+         |SELECT doc_id, hash_ratio, ellipsis_ratio, alpha_frac, bullet_frac, ellipsis_frac, n_stop,
+         |  (hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1 AND alpha_frac >= 0.8
+         |   AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND n_stop >= 2) AS keep
          |FROM sig ORDER BY doc_id""".stripMargin,
 
     "q131_catalog_title_match" ->

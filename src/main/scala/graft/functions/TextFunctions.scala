@@ -198,47 +198,61 @@ object TextFunctions {
     * §A1.1) — the line/symbol rules beyond the token-count and
     * mean-word-length band ([[meanTokenLen]], q64):
     *
-    *  - `symbol_ratio`: (# of `#` + `...` occurrences) / words ≤ 0.1
+    *  - `hash_ratio`: `#` occurrences / words ≤ 0.1
+    *  - `ellipsis_ratio`: `...` occurrences / words ≤ 0.1
+    *    (the paper tests EACH symbol's ratio separately)
     *  - `alpha_frac`: fraction of words with ≥1 alphabetic char ≥ 0.8
     *  - `bullet_frac`: fraction of lines starting `- ` ≤ 0.9
     *  - `ellipsis_frac`: fraction of lines ending `...` ≤ 0.3
     *  - `n_stop`: DISTINCT [[GopherStopWords]] present, must be ≥ 2
     *
-    * All ratios round at 4. Pure built-ins — the whole rule set
-    * evaluates per-row inside the scan stage, no shuffle at any
-    * corpus size; patterns are RE2-safe so the DuckDB oracle computes
-    * identically.
+    * All ratios round at 4; a word-less text reports 0.0 ratios (and
+    * fails the keep verdict through the stop-word floor) instead of
+    * NaN. Pure built-ins — the whole rule set evaluates per-row
+    * inside the scan stage, no shuffle at any corpus size; patterns
+    * are RE2-safe so the DuckDB oracle computes identically.
     *
-    * @return struct(symbol_ratio, alpha_frac, bullet_frac,
-    *         ellipsis_frac, n_stop)
+    * @return struct(hash_ratio, ellipsis_ratio, alpha_frac,
+    *         bullet_frac, ellipsis_frac, n_stop)
     */
   def gopherRuleSignals(text: Column): Column = {
-    // let-bind via single-element array so the text expression and the
-    // derived splits evaluate once per row (the shingles trick)
-    element_at(transform(array(text), t => {
-      val words = filter(split(t, "[ \n]+"), w => w =!= "")
-      val nWords = size(words).cast("double")
-      val lines = split(t, "\n")
-      val nLines = size(lines).cast("double")
-      val toks = tokens(t)
-      struct(
-        round((regexp_count(t, lit("#")) +
-          regexp_count(t, lit("\\.\\.\\."))) / nWords, 4).as("symbol_ratio"),
-        round(size(filter(words, w => w.rlike("[a-zA-Z]"))) / nWords, 4)
-          .as("alpha_frac"),
-        round(size(filter(lines, l => trim(l).startsWith("- "))) / nLines, 4)
-          .as("bullet_frac"),
-        round(size(filter(lines, l => trim(l).endsWith("..."))) / nLines, 4)
-          .as("ellipsis_frac"),
-        size(filter(
-          array(GopherStopWords.map(lit): _*),
-          s => array_contains(toks, s))).cast("long").as("n_stop"))
-    }), 1)
+    // DOUBLE let-binding (the shingles trick, nested): the outer array
+    // binds the text expression once; the inner struct binds each
+    // derived split once — every lambda reference below is an
+    // attribute read, never a re-run of the tokenizer/split
+    element_at(transform(array(text), t0 =>
+      element_at(transform(array(struct(
+          t0.as("raw"),
+          tokens(t0).as("toks"),
+          filter(split(t0, "[ \n]+"), w => w =!= "").as("words"),
+          split(t0, "\n").as("lines"))), b => {
+        val raw = b.getField("raw")
+        val words = b.getField("words")
+        val nWords = size(words).cast("double")
+        val lines = b.getField("lines")
+        val nLines = size(lines).cast("double")
+        def ratio(n: Column): Column =
+          when(nWords === 0, 0.0).otherwise(round(n / nWords, 4))
+        struct(
+          ratio(regexp_count(raw, lit("#"))).as("hash_ratio"),
+          ratio(regexp_count(raw, lit("\\.\\.\\."))).as("ellipsis_ratio"),
+          ratio(size(filter(words, w => w.rlike("[a-zA-Z]"))))
+            .as("alpha_frac"),
+          round(size(filter(lines, l => trim(l).startsWith("- "))) / nLines, 4)
+            .as("bullet_frac"),
+          round(size(filter(lines, l => trim(l).endsWith("..."))) / nLines, 4)
+            .as("ellipsis_frac"),
+          // array_intersect = distinct common elements — the
+          // distinct-presence count in ONE pass over the tokens
+          size(array_intersect(b.getField("toks"),
+            array(GopherStopWords.map(lit): _*))).cast("long").as("n_stop"))
+      }), 1)), 1)
   }
 
   /** The Gopher keep verdict over [[gopherRuleSignals]] output. */
   def gopherRulesKeep(sig: Column): Column =
-    sig.getField("symbol_ratio") <= 0.1 &&
+    sig.getField("hash_ratio") <= 0.1 &&
+      sig.getField("ellipsis_ratio") <= 0.1 &&
       sig.getField("alpha_frac") >= 0.8 &&
       sig.getField("bullet_frac") <= 0.9 &&
       sig.getField("ellipsis_frac") <= 0.3 &&

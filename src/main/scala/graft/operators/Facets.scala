@@ -53,15 +53,31 @@ object Facets {
       case CatalogMatch.Words =>
         // the query splits with the SAME tokenizer as the field so the
         // containment test cannot drift (`SPLIT_REGEX` = \W in the
-        // reference; [[TextFunctions.TokenPattern]] is its ascii form)
-        val toks = TextFunctions.tokens(field)
+        // reference; [[TextFunctions.TokenPattern]] is its ascii
+        // form). array_intersect evaluates the field tokenizer ONCE —
+        // one array_contains per query word would inline a fresh
+        // tokenize into each conjunct (no CSE inside filter lambdas)
         val words = query.toLowerCase
-          .split(TextFunctions.TokenPattern).filter(_.nonEmpty)
-        words.map(w => array_contains(toks, w))
-          .foldLeft(lit(true))(_ && _)
+          .split(TextFunctions.TokenPattern).filter(_.nonEmpty).distinct
+        if (words.isEmpty) lit(true)
+        else size(array_intersect(TextFunctions.tokens(field),
+          array(words.map(lit).toSeq: _*))) === words.length
       case CatalogMatch.Fuzzy =>
-        exists(TextFunctions.tokens(field),
-          w => levenshtein(w, lit(query.toLowerCase)) <= 1)
+        // per-WORD typo tolerance: every query word must appear in the
+        // title within edit distance 1 (a whole-query comparison
+        // against single tokens would make any multi-word query match
+        // nothing). Stands in for pg_trgm word similarity with a
+        // deterministic, codegen'd metric.
+        val words = query.toLowerCase
+          .split(TextFunctions.TokenPattern).filter(_.nonEmpty).distinct
+        if (words.isEmpty) lit(true)
+        else {
+          // ONE let-bound tokenize shared by all per-word exists tests
+          element_at(transform(array(TextFunctions.tokens(field)), toks =>
+            words.map(qw => exists(toks,
+                w => levenshtein(w, lit(qw)) <= 1))
+              .reduce(_ && _)), 1)
+        }
     }
   }
 

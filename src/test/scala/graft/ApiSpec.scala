@@ -138,6 +138,10 @@ class ApiSpec extends SparkSpec {
     assert(m(Fuzzy, "prinze") ==
       Set("The Little Prince", "little prince", "Prince of Persia",
         "the-little-prince"))
+    // …and a MULTI-word typo'd query matches per word (the reference's
+    // pg_trgm word similarity is word-scoped too)
+    assert(m(Fuzzy, "littl prinze") ==
+      Set("The Little Prince", "little prince", "the-little-prince"))
   }
 
   test("augment: conversation answer-or-after pulls the answer for questions, context otherwise") {

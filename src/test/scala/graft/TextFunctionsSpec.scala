@@ -109,18 +109,26 @@ class TextFunctionsSpec extends SparkSpec {
       "the quick brown fox\nthe fox again")
       .toDF("t")
     val sig = gopherRuleSignals(col("t"))
-    val got = page.select(sig.getField("symbol_ratio"),
+    val got = page.select(sig.getField("hash_ratio"),
+        sig.getField("ellipsis_ratio"),
         sig.getField("alpha_frac"), sig.getField("bullet_frac"),
         sig.getField("ellipsis_frac"), sig.getField("n_stop"),
         gopherRulesKeep(sig))
       .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
-        r.getDouble(3), r.getLong(4), r.getBoolean(5)))
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getBoolean(6)))
     def r4(x: Double) =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(got(0) == ((0.0, r4(8.0 / 9), 0.5, 0.0, 2L, true)), got(0).toString)
-    assert(got(1) == ((0.8, 0.2, 0.0, 0.0, 2L, false)), got(1).toString)
-    assert(got(2) == ((r4(2.0 / 7), 1.0, 0.0, 1.0, 2L, false)), got(2).toString)
-    assert(got(3)._5 == 1L && !got(3)._6, got(3).toString)
+    assert(got(0) == ((0.0, 0.0, r4(8.0 / 9), 0.5, 0.0, 2L, true)), got(0).toString)
+    assert(got(1) == ((0.8, 0.0, 0.2, 0.0, 0.0, 2L, false)), got(1).toString)
+    assert(got(2) == ((0.0, r4(2.0 / 7), 1.0, 0.0, 1.0, 2L, false)), got(2).toString)
+    assert(got(3)._6 == 1L && !got(3)._7, got(3).toString)
+    // word-less text: ratios report 0.0 (never NaN), verdict false
+    val empty = Seq("\n\n").toDF("t")
+      .select(gopherRuleSignals(col("t")).as("s"))
+      .select(col("s.hash_ratio"), col("s.alpha_frac"), col("s.n_stop"))
+      .collect().head
+    assert(empty.getDouble(0) == 0.0 && empty.getDouble(1) == 0.0 &&
+      empty.getLong(2) == 0L, empty.toString)
   }
 
   test("c4 line rules keep terminal-punctuated ≥3-word lines; page rules drop wholesale") {
