@@ -443,6 +443,25 @@ class ScaleDesignSpec extends SparkSpec {
       s"the frontier predicate must push into the dst-sorted scan:\n$p3")
   }
 
+  test("catalog title-match and gopher rules run as single-scan per-row pipelines") {
+    val dir = "/root/testdata/sf0.001"
+    // q131 claims ONE corpus scan for all three match modes — pin it
+    val q131 = graft.SparkEntry.queries("q131_catalog_title_match")(spark, dir)
+    q131.count()
+    val p1 = plan(q131)
+    assert(p1.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"all three match modes must share one documents scan:\n$p1")
+    assert(!p1.contains("Join"), s"title matching is per-row, no join:\n$p1")
+    // q132: the whole rule set is scan-stage scalar work — no join,
+    // no aggregation, nothing shuffles except the output sort
+    val q132 = graft.SparkEntry.queries("q132_gopher_full_rules")(spark, dir)
+    q132.count()
+    val p2 = plan(q132)
+    assert(p2.linesIterator.count(_.contains("Scan parquet")) == 1 &&
+      !p2.contains("Join") && !p2.contains("HashAggregate"),
+      s"gopher signals are one pass of per-row expressions:\n$p2")
+  }
+
   test("bucketed index tables: catalog-less readers fall back to the same rows") {
     val dir = "/root/testdata/sf0.001"
     val ixDir = graft.sources.IndexStore.indexDir(spark, dir)
