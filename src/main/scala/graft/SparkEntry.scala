@@ -1602,6 +1602,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.3/§2.8 PER-VECTORSET SIMILARITY CONFIG (config.rs:102-137 —
+    // Dot is the reference's paragraph-index default; the set's config,
+    // not the request, selects the scoring function): find against the
+    // dot16 vectorset serves its at-rest IVF-PQ index with dot scoring
+    // end to end — the probe ranks centroids by dot, the ADC estimate
+    // IS a dot estimate, and the exact rerank scores dot. All clusters
+    // probed + rerank ≥ the set, so the oracle is the exact dot top-k
+    // (q96's contract under the other similarity; the orders genuinely
+    // differ because the fixture vectors are unnormalized)
+    "q133_vectorset_dot" -> ((s, dir) => {
+      import graft.api.Find
+      val docs = load(s, dir, "documents")
+      val emb = load(s, dir, "embeddings")
+      val vix = graft.sources.IndexStore.vectorIndexSet(s, dir, "dot16")
+      val qv = emb.where(col("vec_id") === 0)
+        .select(slice(col("embedding"), 1, 16)).collect().head.getSeq[Float](0)
+      Find.find(
+        Find.Corpus(docs, "doc_id", "text",
+          Some(graft.sources.IndexStore.vectorsetTable(emb)),
+          vectorsetCol = Some("vectorset"),
+          index = Some(graft.sources.IndexStore.tables(s, dir)),
+          vectorIndexes = Map("dot16" -> vix), annBruteThreshold = 1),
+        Find.FindRequest(queryVector = Some(qv), vectorset = Some("dot16"),
+          topK = 20, annNprobe = Some(vix.centroids.size)))
+    }),
+
     // §3.4 /catalog title query-match modes (pg.py:362-394): ONE scan
     // evaluates StartsWith (case-insensitive), Words (token-set
     // containment) and Fuzzy (typo'd word) as predicate columns; the
@@ -3432,6 +3458,19 @@ object SparkEntry {
          |  (hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1 AND alpha_frac >= 0.8
          |   AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND n_stop >= 2) AS keep
          |FROM sig ORDER BY doc_id""".stripMargin,
+
+    // q133 serves the dot16 vectorset's index with all clusters probed
+    // and rerank ≥ the set, so the oracle is the exact DOT top-k over
+    // the truncated vectors — q96's contract under the set's configured
+    // similarity (config.rs:102-137; the orders differ from cosine
+    // because the fixture vectors are unnormalized).
+    "q133_vectorset_dot" ->
+      s"""WITH e AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |scored AS (SELECT d.doc_id, round(list_dot_product(e.v, q.qv), 6) AS fused, d.text
+         |           FROM e CROSS JOIN q JOIN documents d ON d.doc_id = e.vec_id)
+         |SELECT doc_id, fused, CAST(1 AS BIGINT) AS n_sources, text
+         |FROM scored ORDER BY fused DESC, doc_id LIMIT 20""".stripMargin,
 
     "q131_catalog_title_match" ->
       s"""WITH t AS (SELECT doc_id, array_to_string(($Tok)[1:5], ' ') AS title

@@ -219,6 +219,17 @@ object Find {
         case None => corpus.vectorIndex
         case Some(vs) => corpus.vectorIndexes.get(vs)
       }
+      // the SET'S index config decides scoring (`config.rs:102-137`,
+      // similarity_function at :163-168): dot-configured sets score
+      // with dot on BOTH branches (index and brute — the reference's
+      // brute fallback uses the same similarity_function), and a
+      // normalize-configured set normalizes the QUERY as well
+      // (`searcher.rs:246-249`); sets without a bound index keep the
+      // engine's historical cosine
+      val (sim, normalized) = boundIndex
+        .map(ix => (ix.similarity, ix.normalized))
+        .getOrElse((VectorFunctions.Similarity.Cosine, false))
+      val qvEff = if (normalized) VectorFunctions.normalizeLocal(qv) else qv
       val bigEnough = boundIndex.exists(_.nVectors >= corpus.annBruteThreshold)
       // density check only when a filter restricts the set — the count
       // costs one scan of the filtered doc table, the same scan the
@@ -246,11 +257,12 @@ object Find {
           else Prefilter.semiJoin(vix.codes, corpus.vecId, allowed)
         VectorSearch.ivfPqSearchAtRest(
             codes, raw, corpus.vecId, "code", corpus.vecCol,
-            vix.centroids, vix.codebook, vix.m, qv,
+            vix.centroids, vix.codebook, vix.m, qvEff,
             k = window,
             nprobe = req.annNprobe.getOrElse(math.max(1, vix.centroids.size / 2)),
             rerank = req.annRerank.getOrElse(2 * window),
-            minScore = req.semanticMinScore)
+            minScore = req.semanticMinScore,
+            similarity = sim)
           .select(col(corpus.vecId).as(corpus.docId), col("score"))
       } else {
         // vectorset selection = partition pruning on the vectorset
@@ -275,9 +287,16 @@ object Find {
           case None => vecs0
         }
         val allowed = allowedIds.select(col(corpus.docId).as(corpus.vecId))
+        // a normalize-configured set normalizes the corpus side inline
+        // on the brute branch too (the at-rest branch reads the already-
+        // normalized raw table; here the source is the raw vectors)
+        val vecExpr =
+          if (!normalized) col(corpus.vecCol)
+          else transform(VectorFunctions.normalize(col(corpus.vecCol)),
+            _.cast("float"))
         Prefilter.semiJoin(vecs, corpus.vecId, allowed)
           .withColumn("score",
-            round(VectorFunctions.cosine(col(corpus.vecCol), typedlit(qv)), 6))
+            round(VectorFunctions.score(sim, vecExpr, typedlit(qvEff)), 6))
           .where(col("score") >= req.semanticMinScore)
           .select(col(corpus.vecId).as(corpus.docId), col("score"))
       }

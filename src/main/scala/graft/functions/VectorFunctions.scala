@@ -57,6 +57,58 @@ object VectorFunctions {
     transform(a, x => x / n)
   }
 
+  /** Driver-side [[normalize]] for query vectors — the reference
+    * normalizes the QUERY too when the vectorset is normalize-configured
+    * (`nidx_vector/src/searcher.rs:246-249`). Same double-precision
+    * accumulation order as the codegen expressions, result cast back to
+    * float like the at-rest vectors (`indexer.rs:102-110` normalizes
+    * f32 in, f32 out). Zero vectors pass through unchanged.
+    */
+  def normalizeLocal(v: Seq[Float]): Seq[Float] = {
+    var ss = 0.0; var i = 0
+    while (i < v.length) { val x = v(i).toDouble; ss += x * x; i += 1 }
+    if (ss == 0.0) v else { val n = math.sqrt(ss); v.map(x => (x / n).toFloat) }
+  }
+
+  /** Per-vectorset similarity function — the reference's config
+    * dimension (`nidx_vector/src/config.rs:56-60,102-108`
+    * `Similarity::{Cosine, Dot}` with `similarity_function()` selecting
+    * dot vs cosine scoring; Dot is the paragraph-index default,
+    * `config.rs:127-137`). [[score]] / [[scoreLocal]] are the single
+    * dispatch points, so the Spark-side column math and the driver-side
+    * centroid probing can never disagree on what a configured set
+    * scores with.
+    */
+  sealed trait Similarity { def name: String }
+  object Similarity {
+    case object Cosine extends Similarity { val name = "cosine" }
+    case object Dot extends Similarity { val name = "dot" }
+    def parse(s: String): Similarity = s.toLowerCase match {
+      case "cosine" => Cosine
+      case "dot" => Dot
+      case other => throw new IllegalArgumentException(
+        s"unknown similarity '$other' (expected cosine|dot)")
+    }
+  }
+
+  /** The configured similarity as a codegen'd Column expression. */
+  def score(sim: Similarity, a: Column, b: Column): Column = sim match {
+    case Similarity.Cosine => cosine(a, b)
+    case Similarity.Dot => dot(a, b)
+  }
+
+  /** Driver-side [[score]] for probing driver-scale model tables —
+    * same accumulation order as the codegen expressions. */
+  def scoreLocal(sim: Similarity, a: Seq[Float], b: Seq[Float]): Double =
+    sim match {
+      case Similarity.Cosine => graft.operators.VectorSearch.cosineLocal(a, b)
+      case Similarity.Dot =>
+        var d = 0.0; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+        d
+    }
+
   /** Matryoshka dimension truncation
     * (`search/search/query_parser/fetcher.py:375-395`): keep the first
     * `dim` components.

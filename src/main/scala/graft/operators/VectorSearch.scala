@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
+import graft.functions.VectorFunctions.Similarity
 
 /** Dense-vector retrieval operators.
   *
@@ -25,9 +26,11 @@ import graft.functions.VectorFunctions._
   */
 object VectorSearch {
 
-  /** Brute-force top-k cosine for a single query vector (broadcast).
+  /** Brute-force top-k for a single query vector (broadcast).
     * `queries` must be 1 row: (qid, vector). Deterministic cut:
-    * rounded score desc, id asc.
+    * rounded score desc, id asc. `similarity` selects the configured
+    * scoring function (cosine default; Dot for dot-configured
+    * vectorsets, `nidx_vector/src/config.rs:56-60`).
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -36,10 +39,12 @@ object VectorSearch {
       query: DataFrame,
       queryVecCol: String,
       k: Int,
-      minScore: Double = -1.0): DataFrame =
+      minScore: Double = -1.0,
+      similarity: Similarity = Similarity.Cosine): DataFrame =
     corpus.crossJoin(broadcast(query.select(col(queryVecCol).as("__qv"))))
       .withColumn("score",
-        round(cosine(col(vecCol), col("__qv")), 6))
+        round(graft.functions.VectorFunctions.score(
+          similarity, col(vecCol), col("__qv")), 6))
       .where(col("score") >= minScore)
       .select(col(idCol), col("score"))
       .orderBy(col("score").desc, col(idCol).asc)
@@ -596,12 +601,16 @@ object VectorSearch {
     * `nprobe` nearest (rounded score desc, cid asc — the same order
     * [[bruteForceTopK]] would produce). The centroid list is
     * driver-scale (like a query vector), so probing costs no Spark job.
+    * The probe ranks with the SET'S configured similarity — a
+    * dot-configured index trains and probes in dot space, so cluster
+    * selection agrees with the final scoring.
     */
   def probeCentroids(centroids: Seq[(Int, Seq[Float])], queryVec: Seq[Float],
-      nprobe: Int): Seq[Int] =
+      nprobe: Int, similarity: Similarity = Similarity.Cosine): Seq[Int] =
     centroids
       .map { case (cid, cv) =>
-        val s = BigDecimal(cosineLocal(queryVec, cv))
+        val s = BigDecimal(
+            graft.functions.VectorFunctions.scoreLocal(similarity, queryVec, cv))
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         (cid, s)
       }
@@ -649,14 +658,21 @@ object VectorSearch {
       k: Int,
       nprobe: Int,
       rerank: Int,
-      minScore: Double = -1.0): DataFrame = {
-    val probes = probeCentroids(centroids, queryVec, nprobe)
+      minScore: Double = -1.0,
+      similarity: Similarity = Similarity.Cosine): DataFrame = {
+    // probe and exact-rerank both use the SET'S configured similarity
+    // (`config.rs:56-60` similarity_function); the ADC middle stage is
+    // a dot-product estimate either way — for Dot it IS the estimate of
+    // the final score, for Cosine it is the same angular proxy the
+    // cosine path has always reranked from
+    val probes = probeCentroids(centroids, queryVec, nprobe, similarity)
     val pruned = codes.where(col("centroid_id").isInCollection(probes))
     val candidates = pqAdcSearchFromCodes(
         pruned, idCol, codeCol, queryVec, codebook, m, rerank)
       .select(col(idCol))
     raw.join(candidates, Seq(idCol), "left_semi")
-      .withColumn("score", round(cosine(col(vecCol), typedlit(queryVec)), 6))
+      .withColumn("score", round(graft.functions.VectorFunctions.score(
+        similarity, col(vecCol), typedlit(queryVec)), 6))
       .where(col("score") >= minScore)
       .select(col(idCol), col("score"))
       .orderBy(col("score").desc, col(idCol).asc)

@@ -50,6 +50,11 @@ object IndexStore {
     * serving side reads it): driver-scale centroid + codebook literals,
     * the centroid-partitioned binary code table, the assignment table,
     * and the raw-vector table the exact rerank joins into.
+    * `similarity`/`normalized` carry the SET'S index config
+    * (`nidx_vector/src/config.rs:102-137`) — for a normalized set `raw`
+    * is already the normalized vectors (normalization happened at
+    * ingest), and the serving side must normalize the QUERY and score
+    * with the configured function (`searcher.rs:246-249`).
     */
   final case class VectorIndex(
       centroids: Seq[(Int, Seq[Float])],
@@ -58,7 +63,10 @@ object IndexStore {
       nVectors: Long,
       codes: DataFrame,
       assignments: DataFrame,
-      raw: DataFrame)
+      raw: DataFrame,
+      similarity: graft.functions.VectorFunctions.Similarity =
+        graft.functions.VectorFunctions.Similarity.Cosine,
+      normalized: Boolean = false)
 
   /** Everything memoized for one session: bound table plans (eager
     * footer reads paid once — ~0.1 s/table locally, up to ten tables
@@ -257,6 +265,23 @@ object IndexStore {
       .group(1).toInt
   }
 
+  /** Parse one vectorset's (similarity, normalize) config out of the
+    * meta's `configs` block ([[Ingest.buildVectorIndexSets]] writes it);
+    * index dirs built before the config existed default to the engine's
+    * historical behavior (cosine, unnormalized). */
+  private def vectorMetaConfig(spark: SparkSession, dir: String,
+      vs: String): (graft.functions.VectorFunctions.Similarity, Boolean) = {
+    val meta = Ingest.readText(spark, s"$dir/vector_meta.json")
+    val re = ("\"" + java.util.regex.Pattern.quote(vs) +
+      "\":\\s*\\{\"similarity\": \"(\\w+)\", \"normalize\": (true|false)\\}").r
+    re.findFirstMatchIn(meta) match {
+      case Some(m) =>
+        (graft.functions.VectorFunctions.Similarity.parse(m.group(1)),
+          m.group(2).toBoolean)
+      case None => (graft.functions.VectorFunctions.Similarity.Cosine, false)
+    }
+  }
+
   /** Collect a driver-scale (cid, vector) model table, cid-sorted. */
   private def collectModel(df: DataFrame): Seq[(Int, Seq[Float])] =
     df.collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
@@ -283,12 +308,23 @@ object IndexStore {
     * full-dim `default` set plus a `mrl16` matryoshka truncation — two
     * named embedding models over the same ids, the reference's
     * vectorset shape (`nidx_vector/src/config.rs:100-126`). */
-  def vectorsetTable(emb: DataFrame): DataFrame =
+  def vectorsetTable(emb: DataFrame): DataFrame = {
+    val f = org.apache.spark.sql.functions
+    val sliced = emb.select(col("vec_id"),
+      f.slice(col("embedding"), 1, 16).as("embedding"))
     emb.select(col("vec_id"), col("embedding"),
-        org.apache.spark.sql.functions.lit("default").as("vectorset"))
-      .unionByName(emb.select(col("vec_id"),
-        org.apache.spark.sql.functions.slice(col("embedding"), 1, 16).as("embedding"),
-        org.apache.spark.sql.functions.lit("mrl16").as("vectorset")))
+        f.lit("default").as("vectorset"))
+      .unionByName(sliced.withColumn("vectorset", f.lit("mrl16")))
+      // `dot16`: the same truncated vectors under a DOT-similarity
+      // config (`config.rs:127-137` — Dot is the reference's paragraph
+      // default), so the fixtures cover both scoring functions
+      .unionByName(sliced.withColumn("vectorset", f.lit("dot16")))
+  }
+
+  /** The fixture configs for [[vectorsetTable]]'s sets: `dot16` scores
+    * with dot, the others keep cosine. */
+  val vectorsetConfigs: Map[String, Ingest.VectorSetConfig] =
+    Map("dot16" -> Ingest.VectorSetConfig(similarity = "dot"))
 
   /** Per-vectorset index directory for `sfDir` ([[Ingest.buildVectorIndexSets]]
     * over [[vectorsetTable]]), built on first access. */
@@ -297,7 +333,8 @@ object IndexStore {
       val out = deleteOnExit(Files.createTempDirectory("graft-vsindex-").toString)
       Ingest.buildVectorIndexSets(
         vectorsetTable(spark.read.parquet(s"$sfDir/embeddings.parquet")),
-        "vec_id", "embedding", "vectorset", out)
+        "vec_id", "embedding", "vectorset", out,
+        configs = vectorsetConfigs)
       out
     })
   }
@@ -321,6 +358,18 @@ object IndexStore {
           .where(col("vectorset") === vs)
           .select(col("cid"), col("cw")))
         val m = vectorMetaM(spark, dir)
+        val (sim, normalized) = vectorMetaConfig(spark, dir, vs)
+        val raw0 = vectorsetTable(spark.read.parquet(s"$sfDir/embeddings.parquet"))
+          .where(col("vectorset") === vs)
+          .select(col("vec_id"), col("embedding"))
+        // a normalized set's raw table is the NORMALIZED vectors — the
+        // exact rerank must score what the index stored (indexer.rs:107)
+        val raw =
+          if (!normalized) raw0
+          else raw0.withColumn("embedding",
+            org.apache.spark.sql.functions.transform(
+              graft.functions.VectorFunctions.normalize(col("embedding")),
+              _.cast("float")))
         VectorIndex(
           centroids = cents.map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1),
           codebook = cb,
@@ -329,9 +378,9 @@ object IndexStore {
           codes = spark.read.parquet(s"$dir/codes").where(col("vectorset") === vs),
           assignments = spark.read.parquet(s"$dir/assignments")
             .where(col("vectorset") === vs),
-          raw = vectorsetTable(spark.read.parquet(s"$sfDir/embeddings.parquet"))
-            .where(col("vectorset") === vs)
-            .select(col("vec_id"), col("embedding")))
+          raw = raw,
+          similarity = sim,
+          normalized = normalized)
       })
     }
   }

@@ -668,7 +668,28 @@ object Ingest {
     * `vectors` must hold (idCol, vecCol, vsCol); dimensions may differ
     * between sets (matryoshka truncations are typical) as long as each
     * is divisible by `m`.
+    *
+    * `configs` carries the reference's per-vectorset index config
+    * (`nidx_vector/src/config.rs:102-137`): `similarity` selects dot vs
+    * cosine scoring at serve time (Dot is the reference's paragraph
+    * default) and `normalizeVectors` applies L2 normalization AT INGEST
+    * (`indexer.rs:102-110`; integration test
+    * `nidx/tests/integration/vector_normalization.rs`) — a
+    * normalize+dot set then scores identically to cosine, the
+    * reference's quantization-friendly trick. Normalization happens
+    * BEFORE training, so centroids/codebook/codes all live in the
+    * normalized space; the config is persisted in `vector_meta.json`
+    * and the serving side ([[IndexStore.vectorIndexSet]]) reads it back
+    * — query-time behavior is a property of the INDEX, never of the
+    * request. IVF assignment itself stays cosine (nearest-direction
+    * clustering) for every config: for normalized and cosine sets that
+    * is exact, and for raw dot sets the probe ranks centroids by dot so
+    * cluster selection still agrees with the final scoring.
     */
+  final case class VectorSetConfig(
+      similarity: String = "cosine",
+      normalizeVectors: Boolean = false)
+
   def buildVectorIndexSets(
       vectors: DataFrame,
       idCol: String,
@@ -679,14 +700,28 @@ object Ingest {
       kmeansIters: Int = 2,
       numCodewords: Int = 16,
       m: Int = 16,
-      pqIters: Int = 2): Unit = {
+      pqIters: Int = 2,
+      configs: Map[String, VectorSetConfig] = Map.empty): Unit = {
     val sp = spark(vectors)
     val sets = vectors.select(col(vsCol).cast("string")).distinct()
       .collect().map(_.getString(0)).sorted // driver-scale: |vectorsets|
     require(sets.nonEmpty, "buildVectorIndexSets needs at least one vectorset")
+    // validate every config eagerly (a typo'd similarity must fail the
+    // BUILD, not the first query) and reject configs naming no set
+    configs.foreach { case (vs, cfg) =>
+      graft.functions.VectorFunctions.Similarity.parse(cfg.similarity)
+      require(sets.contains(vs),
+        s"vectorset config for '$vs' matches no set in the input (have: ${sets.mkString(", ")})")
+    }
     sets.foreach { vs =>
-      buildVectorIndex(vectors.where(col(vsCol) === vs).drop(vsCol),
-        idCol, vecCol, s"$outDir/_sets/$vs",
+      val cfg = configs.getOrElse(vs, VectorSetConfig())
+      val slice0 = vectors.where(col(vsCol) === vs).drop(vsCol)
+      val slice =
+        if (!cfg.normalizeVectors) slice0
+        else slice0.withColumn(vecCol, // float in, float out (indexer.rs:107)
+          transform(graft.functions.VectorFunctions.normalize(col(vecCol)),
+            _.cast("float")))
+      buildVectorIndex(slice, idCol, vecCol, s"$outDir/_sets/$vs",
         numCentroids, kmeansIters, numCodewords, m, pqIters)
     }
     def fold(sub: String, partitionCols: Seq[String]): Unit = {
@@ -705,8 +740,12 @@ object Ingest {
     val staging = new org.apache.hadoop.fs.Path(s"$outDir/_sets")
     staging.getFileSystem(sp.sparkContext.hadoopConfiguration)
       .delete(staging, true)
+    val cfgJson = sets.map { vs =>
+      val c = configs.getOrElse(vs, VectorSetConfig())
+      s""""$vs": {"similarity": "${c.similarity}", "normalize": ${c.normalizeVectors}}"""
+    }.mkString(", ")
     writeText(sp, s"$outDir/vector_meta.json",
-      s"""{"m": $m, "id_col": "$idCol", "vectorsets": [${sets.map(s => s""""$s"""").mkString(", ")}]}""")
+      s"""{"m": $m, "id_col": "$idCol", "vectorsets": [${sets.map(s => s""""$s"""").mkString(", ")}], "configs": {$cfgJson}}""")
   }
 
   /** Materialized `json_fields`: parse a JSON string column ONCE per

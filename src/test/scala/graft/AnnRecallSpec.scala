@@ -326,4 +326,93 @@ class AnnRecallSpec extends SparkSpec {
     assert(r10 == 1.0, "probing every cluster must equal brute force")
     assert(r3 <= r10)
   }
+
+  test("dot-configured vectorset serves dot scores; cosine set orders differently on the same vectors") {
+    import graft.api.Find
+    import graft.functions.VectorFunctions.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val qv = emb.where(col("vec_id") === 0)
+      .select(slice(col("embedding"), 1, 16)).collect().head.getSeq[Float](0)
+    def served(vs: String) = {
+      val vix = graft.sources.IndexStore.vectorIndexSet(spark, dir, vs)
+      Find.find(
+          Find.Corpus(docs, "doc_id", "text",
+            Some(graft.sources.IndexStore.vectorsetTable(emb)),
+            vectorsetCol = Some("vectorset"),
+            vectorIndexes = Map(vs -> vix), annBruteThreshold = 1),
+          Find.FindRequest(queryVector = Some(qv), vectorset = Some(vs),
+            topK = 20, annNprobe = Some(vix.centroids.size),
+            annRerank = Some(vix.nVectors.toInt)))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    }
+    val dotRes = served("dot16")
+    val cosRes = served("mrl16")
+    // the set's config selected the scoring function: the dot result is
+    // the exact brute-force DOT top-k over the truncated vectors
+    val sliced = emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("v"))
+    val bruteDot = VectorSearch.bruteForceTopK(sliced, "vec_id", "v",
+        sliced.where(col("vec_id") === 0), "v", 20,
+        similarity = Similarity.Dot)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(dotRes.sameElements(bruteDot),
+      "full-probe full-rerank dot set must equal brute-force dot")
+    // unnormalized fixture vectors: dot and cosine must rank differently
+    assert(!dotRes.map(_._1).sameElements(cosRes.map(_._1)),
+      "dot and cosine configs returned the same order — fixture vectors " +
+        "would have to be norm-uniform for that")
+  }
+
+  test("normalize-on-ingest: a normalize+dot set ranks like cosine and normalizes the query (vector_normalization.rs)") {
+    import graft.api.Find
+    import graft.functions.VectorFunctions
+    import graft.sources.Ingest
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mini = emb.where(col("vec_id") < 60)
+      .select(col("vec_id"), col("embedding"), lit("nd").as("vectorset"))
+    val out = graft.sources.IndexStore.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft-normdot-").toString)
+    Ingest.buildVectorIndexSets(mini, "vec_id", "embedding", "vectorset", out,
+      numCentroids = 4, configs = Map("nd" ->
+        Ingest.VectorSetConfig(similarity = "dot", normalizeVectors = true)))
+    // the persisted meta carries the config — serving behavior is a
+    // property of the index, not the request
+    val meta = Ingest.readText(spark, s"$out/vector_meta.json")
+    assert(meta.contains(""""nd": {"similarity": "dot", "normalize": true}"""), meta)
+    // hand-bind the served index (the IndexStore fixture loader is
+    // sfDir-bound; this mirrors what it does, normalized raw included)
+    val cents = spark.read.parquet(s"$out/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1), r.getLong(2))).sortBy(_._1)
+    val cb = spark.read.parquet(s"$out/codebook").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    val rawNorm = mini.select(col("vec_id"),
+      transform(VectorFunctions.normalize(col("embedding")), _.cast("float"))
+        .as("embedding"))
+    val vix = graft.sources.IndexStore.VectorIndex(
+      centroids = cents.map(c => (c._1, c._2)).toSeq, codebook = cb, m = 16,
+      nVectors = cents.map(_._3).sum,
+      codes = spark.read.parquet(s"$out/codes"),
+      assignments = spark.read.parquet(s"$out/assignments"),
+      raw = rawNorm,
+      similarity = VectorFunctions.Similarity.Dot, normalized = true)
+    // UNNORMALIZED query in the request — the engine must normalize it
+    // (searcher.rs:246-249) before probing and scoring
+    val qv = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).collect().head.getSeq[Float](0)
+    val res = Find.find(
+        Find.Corpus(docs, "doc_id", "text", Some(mini),
+          vectorsetCol = Some("vectorset"), defaultVectorset = "nd",
+          vectorIndexes = Map("nd" -> vix), annBruteThreshold = 1),
+        Find.FindRequest(queryVector = Some(qv), vectorset = Some("nd"),
+          topK = 10, annNprobe = Some(vix.centroids.size),
+          annRerank = Some(vix.nVectors.toInt)))
+      .collect().map(_.getLong(0))
+    // dot over normalized vectors ≡ cosine over the raw vectors — the
+    // reference's normalize trick makes the two rankings coincide
+    val bruteCos = VectorSearch.bruteForceTopK(mini, "vec_id", "embedding",
+        emb.where(col("vec_id") === 0), "embedding", 10)
+      .collect().map(_.getLong(0))
+    assert(res.sameElements(bruteCos),
+      s"normalize+dot must rank like cosine: ${res.toSeq} vs ${bruteCos.toSeq}")
+  }
 }
