@@ -1628,6 +1628,35 @@ object SparkEntry {
           topK = 20, annNprobe = Some(vix.centroids.size)))
     }),
 
+    // §2.5/§3.1 search_after THROUGH the hybrid find (find.py:95-126,
+    // 152-159): the client's cursor token (last fused score, last id,
+    // shown-id skip set) pages the FUSED order — page 2 fetches
+    // strictly after page 1's last row, drops the already-shown ids,
+    // and cuts back to top_k. The result is exactly rows 11-20 of the
+    // full fused ordering, disjoint from page 1 by construction
+    "q134_find_search_after" -> ((s, dir) => {
+      import graft.api.Find
+      val docs = load(s, dir, "documents")
+      val emb = load(s, dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0)
+      val corpus = Find.Corpus(docs, "doc_id", "text", Some(emb),
+        index = Some(graft.sources.IndexStore.tables(s, dir)),
+        vectorIndex = Some(graft.sources.IndexStore.vectorIndex(s, dir)))
+      val req = Find.FindRequest(query = QueryTerms.mkString(" "),
+        queryVector = Some(qv), topK = 10)
+      // the page-1 request is what a client already ran; its last row
+      // is the cursor and its ids are the shown set (driver-scale: one
+      // page)
+      val page1 = Find.find(corpus, req)
+        .select(col("doc_id"), col("fused")).collect()
+      val last = page1.last
+      Find.find(corpus, req.copy(searchAfter = Some(Find.FindCursor(
+          last.getDouble(1), last.getLong(0), page1.map(_.getLong(0)).toSeq))))
+        .select(col("doc_id"), col("fused"), col("n_sources"))
+        .orderBy(col("fused").desc, col("doc_id").asc)
+    }),
+
     // §3.4 /catalog title query-match modes (pg.py:362-394): ONE scan
     // evaluates StartsWith (case-insensitive), Words (token-set
     // containment) and Fuzzy (typo'd word) as predicate columns; the
@@ -3471,6 +3500,29 @@ object SparkEntry {
          |           FROM e CROSS JOIN q JOIN documents d ON d.doc_id = e.vec_id)
          |SELECT doc_id, fused, CAST(1 AS BIGINT) AS n_sources, text
          |FROM scored ORDER BY fused DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q134: page 2 of the hybrid find — the engine's cursor + skip-set
+    // pagination must produce exactly rows 11-20 of the full fused
+    // ordering (disjoint from page 1 by construction), so the oracle is
+    // the q30 fused list with OFFSET.
+    "q134_find_search_after" ->
+      s"""WITH $Bm25Ctes,
+         |kr AS (SELECT doc_id, rank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm25)
+         |  WHERE rank <= 500),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |sem AS (SELECT e.vec_id AS doc_id, round(${cosSql("e.v", "q.qv")}, 6) AS score
+         |        FROM e CROSS JOIN q),
+         |sr AS (SELECT doc_id, rank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sem)
+         |  WHERE rank <= 500),
+         |u AS (SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM kr
+         |      UNION ALL
+         |      SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM sr)
+         |SELECT doc_id, round(sum(contrib), 6) AS fused, CAST(count(*) AS BIGINT) AS n_sources
+         |FROM u GROUP BY doc_id
+         |ORDER BY fused DESC, doc_id LIMIT 10 OFFSET 10""".stripMargin,
 
     "q131_catalog_title_match" ->
       s"""WITH t AS (SELECT doc_id, array_to_string(($Tok)[1:5], ' ') AS title

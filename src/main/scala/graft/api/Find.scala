@@ -88,7 +88,21 @@ object Find {
       // the reference's `with_duplicates` (default FALSE — paragraph
       // search excludes rows marked repeated_in_field at ingest,
       // `nidx_paragraph/src/search_query.rs:219-224`)
-      withDuplicates: Boolean = false)
+      withDuplicates: Boolean = false,
+      searchAfter: Option[FindCursor] = None)
+
+  /** Keyset cursor through the hybrid find's FUSED order — the
+    * reference's search_after token (`search/search/find.py:95-126,
+    * 152-159`): the client resends (last fused score, last id) plus the
+    * ids already shown, the engine widens the retrieval window by
+    * |shown| (`top_k += len(skip)`), fetches strictly after the cursor,
+    * removes the shown ids (they may re-qualify after the cursor when
+    * scores tie), and cuts back to top_k — pages stay disjoint at any
+    * depth. `shown` is driver-scale by construction (≤ items the client
+    * has paged through). Ids are untyped like the reference's token
+    * (string paragraph ids there; whatever the corpus docId column
+    * holds here). */
+  final case class FindCursor(score: Double, id: Any, shown: Seq[Any] = Nil)
 
   /** The ONE definition of the default repeated-paragraph exclusion
     * (`nidx_paragraph/src/search_query.rs:219-224`): rows marked
@@ -316,14 +330,24 @@ object Find {
           .select(col(corpus.docId), round(col("rrf_score"), 6).as("fused"),
             col("n_sources"))
 
-    // 6. optional rerank of the top window
-    val ranked =
-      if (req.rerank && terms.nonEmpty)
-        Rerankers.predict(fused, "fused", corpus.docId,
-            corpus.docs, corpus.text, terms, req.topK)
-          .withColumnRenamed("rerank_score", "fused")
-          .withColumn("n_sources", lit(lists.size.toLong))
-      else TopK.topK(fused, "fused", corpus.docId, req.topK)
+    // 6. optional rerank of the top window — or, on a search_after
+    // request, the keyset page cut. The cursor is a position in the
+    // FUSED order, so the reference forces the NOOP reranker for
+    // paginated requests (`find.py:96-99`) — a rerank would reshuffle
+    // the order the cursor points into; same here: searchAfter wins
+    // over rerank.
+    val ranked = req.searchAfter match {
+      case Some(cur) =>
+        TopK.searchAfterWithSkipsAny(fused, "fused", corpus.docId,
+          cur.score, cur.id, cur.shown, req.topK)
+      case None =>
+        if (req.rerank && terms.nonEmpty)
+          Rerankers.predict(fused, "fused", corpus.docId,
+              corpus.docs, corpus.text, terms, req.topK)
+            .withColumnRenamed("rerank_score", "fused")
+            .withColumn("n_sources", lit(lists.size.toLong))
+        else TopK.topK(fused, "fused", corpus.docId, req.topK)
+    }
 
     // 7. hydration
     ranked

@@ -45,9 +45,22 @@ object TopK {
       idCol: String,
       cursor: Cursor,
       k: Int): DataFrame =
+    searchAfterAny(df, scoreCol, idCol, cursor.score, cursor.id, k)
+
+  /** Id-type-agnostic [[searchAfter]] — the reference's cursor carries
+    * STRING paragraph ids (`search/search/find.py` SearchAfterToken),
+    * so the keyset predicate must work for any orderable id column;
+    * `id` becomes a literal of its runtime type. */
+  def searchAfterAny(
+      df: DataFrame,
+      scoreCol: String,
+      idCol: String,
+      score: Double,
+      id: Any,
+      k: Int): DataFrame =
     topK(
-      df.where(col(scoreCol) < cursor.score ||
-        (col(scoreCol) === cursor.score && col(idCol) > cursor.id)),
+      df.where(col(scoreCol) < score ||
+        (col(scoreCol) === score && col(idCol) > lit(id))),
       scoreCol, idCol, k)
 
   /** search_after with a shown-item skip set — the find endpoint's
@@ -67,8 +80,20 @@ object TopK {
       idCol: String,
       cursor: Cursor,
       skip: Seq[Long],
+      k: Int): DataFrame =
+    searchAfterWithSkipsAny(df, scoreCol, idCol, cursor.score, cursor.id,
+      skip, k)
+
+  /** Id-type-agnostic [[searchAfterWithSkips]] (see [[searchAfterAny]]). */
+  def searchAfterWithSkipsAny(
+      df: DataFrame,
+      scoreCol: String,
+      idCol: String,
+      score: Double,
+      id: Any,
+      skip: Seq[Any],
       k: Int): DataFrame = {
-    val widened = searchAfter(df, scoreCol, idCol, cursor, k + skip.size)
+    val widened = searchAfterAny(df, scoreCol, idCol, score, id, k + skip.size)
     val kept =
       if (skip.isEmpty) widened
       else widened.where(!col(idCol).isInCollection(skip))

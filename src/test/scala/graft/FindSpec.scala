@@ -149,6 +149,36 @@ class FindSpec extends SparkSpec {
     assert(rows.head == "lp") // two query terms vs one for misc
   }
 
+  test("search_after pages the fused order: pages disjoint, union = full cut, rerank forced off") {
+    // hybrid request over the 3-doc corpus, paged 1-at-a-time
+    val req = FindRequest(query = "prince zarathustra database",
+      queryVector = Some(Seq(0.5f, 0.5f, 0.5f)), topK = 1)
+    val full = Find.find(corpus, req.copy(topK = 3))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    var shown = Seq.empty[Any]
+    var cursor: Option[Find.FindCursor] = None
+    val paged = (1 to 3).flatMap { _ =>
+      val page = Find.find(corpus,
+          req.copy(searchAfter = cursor))
+        .collect().map(r => (r.getString(0), r.getDouble(1)))
+      page.lastOption.foreach { case (id, score) =>
+        shown = shown ++ page.map(_._1)
+        cursor = Some(Find.FindCursor(score, id, shown))
+      }
+      page
+    }
+    assert(paged.map(_._1).distinct.size == 3, "pages must be disjoint")
+    assert(paged.sameElements(full),
+      s"paged walk must reproduce the full fused cut: $paged vs ${full.toSeq}")
+    // search_after wins over rerank — the cursor points into the fused
+    // order, so a rerank request pages the same order (find.py:96-99)
+    val p2rerank = Find.find(corpus, req.copy(rerank = true,
+        searchAfter = Some(Find.FindCursor(full(0)._2, full(0)._1,
+          Seq(full(0)._1)))))
+      .collect().map(_.getString(0))
+    assert(p2rerank.headOption.contains(full(1)._1))
+  }
+
   test("paragraph-mode find groups paragraph hits under resources with prefilter") {
     val res = Find.findParagraphs(corpus, FindRequest(
         query = "prince planets",
