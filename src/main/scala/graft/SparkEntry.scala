@@ -1657,6 +1657,55 @@ object SparkEntry {
         .orderBy(col("fused").desc, col("doc_id").asc)
     }),
 
+    // §2.2/§2.3 SECURITY-PREFILTERED graph path search: the reference
+    // feeds ONE prefilter result to every sub-search including
+    // relations (`query_planner.rs:154-166`), and the relation reader
+    // intersects it on each edge's resource provenance
+    // (`nidx_relation/src/reader.rs:261-272`). Here: a Security filter
+    // compiles over the orders table (groups synthesized from order
+    // priority), the allowed order ids semi-join the edge_resources
+    // provenance table, and the path query's prefix constraint prunes
+    // the src-sorted scan
+    "q135_graph_filtered" -> ((s, dir) => {
+      import graft.api.GraphSearch
+      import GraphSearch.{EdgeTable, NodeMatch, PathQuery}
+      val t = EdgeTable(graft.sources.IndexStore.edgeResources(s, dir),
+        "src", "rel", "dst", resourceCol = Some("resource_id"))
+      val orders = load(s, dir, "orders").withColumn("security_groups",
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+          array(lit("restricted")))
+          .otherwise(array(lit("internal"))))
+      val allowed = orders
+        .where(FilterExpr.compile(FilterExpr.Security(Seq("restricted"))))
+        .select("o_orderkey")
+      GraphSearch.search(t,
+        PathQuery.Path(src = NodeMatch.Prefix("S1")), topK = 50,
+        allowedResources = Some(allowed))
+    }),
+
+    // §3.4 FILTERED /suggest: field/security prefilter + the merged
+    // paragraph/entity response (`shard_suggest.rs:131-160` — one
+    // prefilter feeds BOTH sources). The paragraph dictionary rolls up
+    // from the allowed docs' posting rows (the corpus-wide dictionary
+    // cannot serve a filtered request); entity nodes semi-join the same
+    // allowed set on their resource provenance (parts adopt
+    // p_partkey % 500 as owning resource — deterministic fixture)
+    "q136_suggest_filtered" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").withColumn("security_groups",
+        when(col("source").isin("src0", "src1", "src2"), array(lit("restricted")))
+          .when(col("source").isin("src3", "src4", "src5"), array(lit("internal")))
+          .otherwise(array().cast("array<string>")))
+      val parts = load(s, dir, "part")
+        .select(col("p_name"), (col("p_partkey") % 500).as("resource_id"))
+      graft.api.Suggest.suggestFilteredMerged(
+        graft.sources.IndexStore.parPostings(s, dir),
+        docs, "doc_id",
+        Some(FilterExpr.And(Seq(FilterExpr.Eq("lang", "en"),
+          FilterExpr.Security(Seq("restricted"))))),
+        (parts, "p_name", Some("resource_id")),
+        "r", 10)
+    }),
+
     // §3.4 /catalog title query-match modes (pg.py:362-394): ONE scan
     // evaluates StartsWith (case-insensitive), Words (token-set
     // containment) and Fuzzy (typo'd word) as predicate columns; the
@@ -3523,6 +3572,45 @@ object SparkEntry {
          |SELECT doc_id, round(sum(contrib), 6) AS fused, CAST(count(*) AS BIGINT) AS n_sources
          |FROM u GROUP BY doc_id
          |ORDER BY fused DESC, doc_id LIMIT 10 OFFSET 10""".stripMargin,
+
+    // q135: priority-1/2 orders are the 'restricted' security group;
+    // the prefilter admits exactly those, and the path query keeps
+    // S1-prefixed suppliers — distinct triplets of the intersection.
+    "q135_graph_filtered" ->
+      """WITH allowed AS (SELECT o_orderkey FROM orders
+        |                 WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        |e AS (SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS source,
+        |        'R' || l_returnflag AS relation,
+        |        'P' || CAST(l_partkey AS VARCHAR) AS destination
+        |      FROM lineitem JOIN allowed ON l_orderkey = o_orderkey
+        |      WHERE starts_with('S' || CAST(l_suppkey AS VARCHAR), 'S1'))
+        |SELECT source, relation, destination FROM e
+        |ORDER BY source, relation, destination LIMIT 50""".stripMargin,
+
+    // q136: allowed docs = english AND (restricted group OR public —
+    // sources src6+ carry no groups); the paragraph dictionary is the
+    // allowed docs' token counts (paragraph split preserves
+    // multiplicity; repeated-window exclusion ≡ no-op under the
+    // IngestSpec no-organic-repeats invariant), entities are parts
+    // whose fixture resource (p_partkey % 500) is allowed.
+    "q136_suggest_filtered" ->
+      s"""WITH allowed AS (SELECT doc_id FROM documents
+         |  WHERE lang = 'en' AND (source IN ('src0', 'src1', 'src2')
+         |    OR source NOT IN ('src0', 'src1', 'src2', 'src3', 'src4', 'src5'))),
+         |tok AS (SELECT d.doc_id, unnest($Tok) AS term FROM documents d
+         |        JOIN allowed a ON d.doc_id = a.doc_id),
+         |tfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term),
+         |terms AS (SELECT term AS suggestion, 'paragraph' AS source, freq
+         |          FROM tfreq WHERE term LIKE 'r%'
+         |          ORDER BY freq DESC, term LIMIT 10),
+         |ents AS (SELECT suggestion, 'entity' AS source, CAST(0 AS BIGINT) AS freq FROM (
+         |  SELECT DISTINCT p_name AS suggestion FROM part
+         |  WHERE p_partkey % 500 IN (SELECT doc_id FROM allowed)
+         |    AND p_name LIKE 'r%'
+         |  ORDER BY suggestion LIMIT 10))
+         |SELECT suggestion, source, freq
+         |FROM (SELECT * FROM terms UNION ALL SELECT * FROM ents)
+         |ORDER BY source, freq DESC, suggestion""".stripMargin,
 
     "q131_catalog_title_match" ->
       s"""WITH t AS (SELECT doc_id, array_to_string(($Tok)[1:5], ' ') AS title

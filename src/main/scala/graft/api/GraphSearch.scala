@@ -86,7 +86,36 @@ object GraphSearch {
       dstCol: String, facetsCol: Option[String] = None,
       srcTypeCol: Option[String] = None, srcSubtypeCol: Option[String] = None,
       dstTypeCol: Option[String] = None, dstSubtypeCol: Option[String] = None,
-      relTypeCol: Option[String] = None)
+      relTypeCol: Option[String] = None,
+      // resource provenance of each edge row (the reference's
+      // `resource_field_id` term, `nidx_relation/src/schema.rs` +
+      // `reader.rs:261-272`) — required only for PREFILTERED searches;
+      // bind [[graft.sources.Ingest.relationIndex]]'s `edge_resources`
+      // table to search at per-resource granularity
+      resourceCol: Option[String] = None)
+
+  /** The prefilter intersection the reference applies to every graph
+    * query (`reader.rs:261-272` apply_prefilter: `PrefilterResult::Some`
+    * becomes a resource-id term-set intersected with the path query;
+    * the query planner feeds the SAME prefilter result to relations as
+    * to every other sub-search, `query_planner.rs:154-166`). Spark
+    * shape: one LEFT SEMI join of the matching edge rows against the
+    * allowed resource ids (first column of `allowed`) — broadcastable
+    * when the prefilter is selective, and an EMPTY allowed set empties
+    * the result for free (the `PrefilterResult::None` shortcut).
+    */
+  private def applyPrefilter(t: EdgeTable, matched: DataFrame,
+      allowed: Option[DataFrame]): DataFrame =
+    allowed match {
+      case None => matched
+      case Some(ids) =>
+        val rc = t.resourceCol.getOrElse(throw new IllegalArgumentException(
+          "a prefiltered graph search needs the EdgeTable to declare its " +
+            "resource provenance column (bind the edge_resources table)"))
+        matched.join(
+          ids.select(ids.columns.head).toDF("__allowed_res"),
+          col(rc) === col("__allowed_res"), "left_semi")
+    }
 
   /** Facet filter on edges (include/exclude provenance facets). */
   def facetFilter(t: EdgeTable, include: Seq[String], exclude: Seq[String] = Nil): Column =
@@ -138,9 +167,13 @@ object GraphSearch {
   }
 
   /** Run a path query: matching triplets, deduplicated, top-k in
-    * deterministic (src, rel, dst) order. */
-  def search(t: EdgeTable, q: PathQuery, topK: Int = 50): DataFrame =
-    t.edges.where(compile(q, t))
+    * deterministic (src, rel, dst) order. `allowedResources` (an
+    * optional 1-column id set — a compiled FilterExpr/Security
+    * prefilter result) intersects via [[applyPrefilter]]; it requires
+    * an [[EdgeTable]] with resource provenance. */
+  def search(t: EdgeTable, q: PathQuery, topK: Int = 50,
+      allowedResources: Option[DataFrame] = None): DataFrame =
+    applyPrefilter(t, t.edges.where(compile(q, t)), allowedResources)
       .select(col(t.srcCol).as("source"), col(t.relCol).as("relation"),
         col(t.dstCol).as("destination"))
       .distinct()
@@ -151,8 +184,9 @@ object GraphSearch {
     * UNIQUE node values of every matching triplet (both endpoints),
     * top-k in value order (`search/api/v1/graph.py:93-111`: the nodes
     * response is the path results' node set). */
-  def nodesSearch(t: EdgeTable, q: PathQuery, topK: Int = 50): DataFrame =
-    t.edges.where(compile(q, t))
+  def nodesSearch(t: EdgeTable, q: PathQuery, topK: Int = 50,
+      allowedResources: Option[DataFrame] = None): DataFrame =
+    applyPrefilter(t, t.edges.where(compile(q, t)), allowedResources)
       .select(explode(array(col(t.srcCol), col(t.dstCol))).as("value"))
       .distinct()
       .orderBy("value")
@@ -160,8 +194,9 @@ object GraphSearch {
 
   /** `/graph/relations` — projected to the UNIQUE relation labels of
     * every matching triplet (`search/api/v1/graph.py:124-145`). */
-  def relationsSearch(t: EdgeTable, q: PathQuery, topK: Int = 50): DataFrame =
-    t.edges.where(compile(q, t))
+  def relationsSearch(t: EdgeTable, q: PathQuery, topK: Int = 50,
+      allowedResources: Option[DataFrame] = None): DataFrame =
+    applyPrefilter(t, t.edges.where(compile(q, t)), allowedResources)
       .select(col(t.relCol).as("label"))
       .distinct()
       .orderBy("label")

@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{GraphOps, TopK}
+import graft.operators.{FilterExpr, GraphOps, TopK}
 
 /** `/suggest` endpoint analog (SURVEY §3.4): paragraph-term suggest —
   * the LAST query term is the completion stem; exact prefix matches
@@ -72,6 +72,95 @@ object Suggest {
         .select(col(valueCol).as("value")).distinct()
         .orderBy(col("value").asc)
         .limit(topK)
+  }
+
+  /** FILTERED /suggest — the reference's SuggestRequest carries a
+    * field/security prefilter plus a paragraph filter, computes ONE
+    * prefilter result over the text index and feeds it to BOTH the
+    * paragraph suggest and the relation (entity) suggest
+    * (`nidx/src/searcher/shard_suggest.rs:131-160`: `field_filter` +
+    * `security` → `text_searcher.prefilter(...)`, then
+    * `paragraph_searcher.suggest(&request, &prefilter)` and
+    * `relation_searcher.suggest(prefixes, &prefilter, top_k)`;
+    * `PrefilterResult::None` short-circuits to an empty response).
+    *
+    * Spark shape: the filter compiles to a `Column` on the doc table;
+    * the allowed-id projection restricts the PARAGRAPH POSTING PAIR by
+    * its id prefix (one broadcastable semi-join — the corpus-wide
+    * par_termfreq dictionary cannot serve a filtered request, so the
+    * dictionary rolls up from the restricted postings, the same rollup
+    * ingest runs corpus-wide), and the same allowed set semi-joins the
+    * entity nodes on their resource provenance. Repeated paragraphs
+    * stay excluded (`search_query.rs:150-167` suggest_query requires
+    * repeated_in_field = 0). An empty allowed set empties both sources
+    * for free.
+    *
+    * @param entities (nodes, valueCol, resourceCol): resourceCol is the
+    *   node's resource provenance — REQUIRED when a filter is present
+    *   (the reference's relation prefilter intersects on it,
+    *   `nidx_relation/src/reader.rs:261-272`)
+    */
+  def suggestFiltered(
+      parPostings: DataFrame,
+      docs: DataFrame,
+      docId: String,
+      filter: Option[FilterExpr],
+      entities: Option[(DataFrame, String, Option[String])],
+      query: String,
+      topK: Int = 10,
+      bindings: FilterExpr.Bindings = FilterExpr.Bindings()): SuggestResponse = {
+    val allowed: Option[DataFrame] = filter.map(f =>
+      docs.where(FilterExpr.compile(f, bindings))
+        .select(col(docId).cast("string").as("__allowed_doc")))
+    // default suggest semantics: ingest-marked repeated paragraphs stay
+    // out of the dictionary (same contract as the at-rest par_termfreq)
+    val base = Find.excludeRepeated(parPostings, withDuplicates = false)
+    val restricted = allowed match {
+      case None => base
+      case Some(a) => base.join(a,
+        split(col("paragraph_id"), "/").getItem(0) === col("__allowed_doc"),
+        "left_semi")
+    }
+    val dict = restricted.groupBy(col("term"))
+      .agg(sum("tf").cast("long").as("freq"))
+    val lastTerm = query.toLowerCase.trim.split("\\s+").last
+    val exact = TopK.suggestPrefix(dict, "term", "freq", lastTerm, topK)
+    val terms =
+      if (!exact.isEmpty) exact
+      else TopK.suggestFuzzyPrefix(dict, "term", "freq", lastTerm, topK)
+    SuggestResponse(terms,
+      entities.map { case (nodes, valueCol, resCol) =>
+        val filteredNodes = (allowed, resCol) match {
+          case (Some(a), Some(rc)) => nodes.join(a,
+            col(rc).cast("string") === col("__allowed_doc"), "left_semi")
+          case (Some(_), None) => throw new IllegalArgumentException(
+            "a filtered entity suggest needs the nodes table to declare " +
+              "its resource provenance column")
+          case _ => nodes
+        }
+        GraphOps.prefixSearch(filteredNodes, valueCol, query, topK)
+      })
+  }
+
+  /** [[suggestFiltered]] merged into the single-response shape of
+    * [[suggestMerged]] — (suggestion, source, freq). */
+  def suggestFilteredMerged(
+      parPostings: DataFrame,
+      docs: DataFrame,
+      docId: String,
+      filter: Option[FilterExpr],
+      entities: (DataFrame, String, Option[String]),
+      query: String,
+      topK: Int = 10,
+      bindings: FilterExpr.Bindings = FilterExpr.Bindings()): DataFrame = {
+    val resp = suggestFiltered(parPostings, docs, docId, filter,
+      Some(entities), query, topK, bindings)
+    resp.terms.select(col("term").as("suggestion"),
+        lit("paragraph").as("source"), col("freq"))
+      .unionByName(resp.entities.get
+        .select(col("value").as("suggestion"), lit("entity").as("source"),
+          lit(0L).as("freq")))
+      .orderBy(col("source").asc, col("freq").desc, col("suggestion").asc)
   }
 
   /** MERGED /suggest — the reference endpoint runs paragraph suggest

@@ -194,10 +194,14 @@ object IndexStore {
           lit("ENTITY").as("src_type"), lit("supplier").as("src_subtype"),
           lit("ENTITY").as("dst_type"), lit("part").as("dst_subtype"),
           when(col("l_linestatus") === "O", "ABOUT").otherwise("ENTITY")
-            .as("rel_type")),
+            .as("rel_type"),
+          // resource provenance: the order each line item belongs to —
+          // the prefilter id space for filtered graph searches
+          col("l_orderkey").as("order_res")),
         "src", "rel", "dst", out,
         typedCols = Seq("src_type", "src_subtype", "dst_type", "dst_subtype",
-          "rel_type"))
+          "rel_type"),
+        resourceCol = Some("order_res"))
       out
     })
   }
@@ -211,6 +215,12 @@ object IndexStore {
     * constrained on the destination node. */
   def edgesByDst(spark: SparkSession, sfDir: String): DataFrame =
     readParquet(spark, s"${graphDir(spark, sfDir)}/edges_by_dst")
+
+  /** Per-resource edge provenance (triplet, resource_id) — the
+    * prefiltered-search serving table
+    * ([[Ingest.relationIndex]]'s `edge_resources`). */
+  def edgeResources(spark: SparkSession, sfDir: String): DataFrame =
+    readParquet(spark, s"${graphDir(spark, sfDir)}/edge_resources")
 
   def tables(spark: SparkSession, sfDir: String): IndexTables = {
     val c = cachesOf(spark)

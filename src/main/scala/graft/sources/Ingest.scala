@@ -529,7 +529,26 @@ object Ingest {
   def relationIndex(edges: DataFrame, srcCol: String, relCol: String,
       dstCol: String, outDir: String,
       facetsCol: Option[String] = None,
-      typedCols: Seq[String] = Nil): Unit = {
+      typedCols: Seq[String] = Nil,
+      resourceCol: Option[String] = None): Unit = {
+    // `resourceCol` carries each edge occurrence's RESOURCE provenance.
+    // The reference indexes one relation doc per resource field and its
+    // prefilter intersects graph queries with the allowed resources'
+    // term set (`nidx_relation/src/reader.rs:261-272` apply_prefilter
+    // over `resource_field_id`); the columnar analog is a third table,
+    // `edge_resources` — (triplet, resource_id) at per-resource
+    // granularity — that a filtered graph search semi-joins against the
+    // prefilter's allowed ids. Kept SEPARATE from the deduped triplet
+    // copies so unfiltered queries scan the smaller distinct tables.
+    resourceCol.foreach { rc =>
+      edges.select((Seq(col(srcCol).as("src"), col(relCol).as("rel"),
+          col(dstCol).as("dst")) ++ typedCols.map(col) :+
+          col(rc).as("resource_id")): _*)
+        .distinct()
+        .repartitionByRange(col("src"))
+        .sortWithinPartitions("src", "rel", "dst", "resource_id")
+        .write.mode("overwrite").parquet(s"$outDir/edge_resources")
+    }
     // the dedup aggregation ALSO records each triplet's multiplicity
     // `n` — the support weight ranked graph expansion sums
     // ([[graft.operators.GraphOps.iterativeExpandFrom]]), free here

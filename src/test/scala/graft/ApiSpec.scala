@@ -46,6 +46,35 @@ class ApiSpec extends SparkSpec {
       .toSet == Set(("Anastasia", "LIVE_IN", "Barcelona"), ("Anna", "IS_FRIEND", "Anastasia")))
   }
 
+  test("graph: resource prefilter intersects all three projections; empty set empties; missing column fails loudly") {
+    // people_and_places with per-resource provenance (reader.rs:261-272
+    // apply_prefilter: the prefilter term set intersects the query)
+    val er = Seq(
+      ("Anastasia", "LIVE_IN", "Barcelona", "r1"),
+      ("Anna", "LIVE_IN", "Berlin", "r2"),
+      ("Anna", "IS_FRIEND", "Anastasia", "r2"),
+      ("Apollo", "BORN_IN", "Olympus", "r3"))
+      .toDF("src", "rel", "dst", "resource_id")
+    val t = EdgeTable(er, "src", "rel", "dst",
+      resourceCol = Some("resource_id"))
+    def allowed(ids: String*) = Some(ids.toDF("rid"))
+    val q = PathQuery.Path(src = NodeMatch.Prefix("An"))
+    assert(GraphSearch.search(t, q, allowedResources = allowed("r2"))
+      .collect().map(_.getString(0)).toSet == Set("Anna"))
+    assert(GraphSearch.nodesSearch(t, q, allowedResources = allowed("r2"))
+      .collect().map(_.getString(0)).toSet
+      == Set("Anna", "Berlin", "Anastasia"))
+    assert(GraphSearch.relationsSearch(t, q, allowedResources = allowed("r1"))
+      .collect().map(_.getString(0)).toSeq == Seq("LIVE_IN"))
+    // PrefilterResult::None shortcut: nothing allowed → nothing returned
+    assert(GraphSearch.search(t, q,
+      allowedResources = Some(Seq.empty[String].toDF("rid"))).collect().isEmpty)
+    // a prefiltered search against a table without provenance is a bug
+    intercept[IllegalArgumentException] {
+      GraphSearch.search(table, q, allowedResources = allowed("r1"))
+    }
+  }
+
   test("graph: OR and NOT compose") {
     val q = PathQuery.Or(Seq(
       PathQuery.Path(rel = Some("BORN_IN")),
@@ -98,6 +127,46 @@ class ApiSpec extends SparkSpec {
     val fuzzy = Suggest.suggestMerged(tf, nodes, "value", "ancor")
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(fuzzy.contains(("anchor", "paragraph")), fuzzy.mkString(","))
+  }
+
+  test("suggestFiltered: one prefilter restricts both sources (shard_suggest.rs:131-160)") {
+    import graft.operators.FilterExpr
+    // two docs; only doc 1 is english. Posting rows embed the doc in
+    // the paragraph id prefix, exactly like the at-rest pair.
+    val sdocs = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
+    val posts = Seq(
+      ("1/t/body/0-5", "anchor", 4L), ("1/t/body/0-5", "scan", 1L),
+      ("2/t/body/0-5", "anchor", 9L), ("2/t/body/0-5", "anvil", 2L))
+      .toDF("paragraph_id", "term", "tf")
+    val nodes = Seq(("Anastasia", 1L), ("Anna", 2L))
+      .toDF("value", "resource_id")
+    val resp = Suggest.suggestFiltered(posts, sdocs, "doc_id",
+      Some(FilterExpr.Eq("lang", "en")),
+      Some((nodes, "value", Some("resource_id"))), "An")
+    // paragraph dictionary = doc 1's rollup only (anchor 4, not 13;
+    // anvil gone); entity side keeps only doc 1's node
+    assert(resp.terms.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("anchor", 4L)))
+    assert(resp.entities.get.collect().map(_.getString(0)).toSeq
+      == Seq("Anastasia"))
+    // no filter → corpus-wide behavior, both nodes
+    val open = Suggest.suggestFiltered(posts, sdocs, "doc_id", None,
+      Some((nodes, "value", Some("resource_id"))), "An")
+    assert(open.terms.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("anchor", 13L), ("anvil", 2L)))
+    assert(open.entities.get.collect().map(_.getString(0)).toSeq
+      == Seq("Anastasia", "Anna"))
+    // a filtered entity source without provenance is a caller bug
+    intercept[IllegalArgumentException] {
+      Suggest.suggestFiltered(posts, sdocs, "doc_id",
+        Some(FilterExpr.Eq("lang", "en")),
+        Some((nodes, "value", None)), "An").entities.get.collect()
+    }
+    // PrefilterResult::None shortcut: no doc matches → both sides empty
+    val none = Suggest.suggestFiltered(posts, sdocs, "doc_id",
+      Some(FilterExpr.Eq("lang", "fr")),
+      Some((nodes, "value", Some("resource_id"))), "An")
+    assert(none.terms.collect().isEmpty && none.entities.get.collect().isEmpty)
   }
 
   test("graph: edge facet filter excludes generated relations") {
