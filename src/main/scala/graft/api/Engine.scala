@@ -1,0 +1,264 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Facets, FilterExpr}
+import graft.sources.{Ingest, IndexStore}
+
+/** The engine's single public entry point — one at-rest root directory
+  * owns everything a knowledge box owns in the reference (resources,
+  * text/paragraph/vector/relation indexes, `nidx/README.md:13-35`), and
+  * every serving endpoint the reference exposes over HTTP
+  * (`/find`, `/search`, `/suggest`, `/graph`, `/catalog` —
+  * SURVEY.md §3) is a method over that root.
+  *
+  * Layout under `root`:
+  * {{{
+  *   docs/      the document store (docId, textCol, extra columns)
+  *   text/      Ingest.buildIndex output (postings, paragraphs, …)
+  *   vectors/   Ingest.buildVectorIndexSets output (per-set IVF-PQ)
+  *   raw_vectors/   the raw vector table, partitioned by vectorset
+  *   graph/     Ingest.relationIndex output (sorted edge copies
+  *              [+ edge_resources provenance])
+  * }}}
+  *
+  * Ingest methods are batch jobs (run once per corpus build / refresh
+  * cycle — production pipelines run them from the ingest stream);
+  * serving methods are declarative DataFrame plans over the at-rest
+  * tables, exactly the operators the 130+ driver queries exercise
+  * individually. The facade adds no new semantics — it PINS the
+  * composition: which tables each endpoint binds and which request
+  * knobs reach which operator.
+  *
+  * Serving handles (vector-index models, table plans) are memoized per
+  * Engine instance; construct one Engine per (session, root) and reuse
+  * it across requests, like the reference's shard readers.
+  */
+final class Engine(
+    val spark: SparkSession,
+    val root: String,
+    val docId: String = "doc_id",
+    val textCol: String = "text",
+    val labelsCol: String = "labels") {
+
+  private def p(sub: String) = s"$root/$sub"
+
+  // ------------------------------------------------------------------
+  // ingest side
+  // ------------------------------------------------------------------
+
+  /** Index a document corpus: persists the doc store and builds the
+    * full text-side index family ([[Ingest.buildIndex]]: doc + paragraph
+    * posting pairs, fields, termfreq dictionaries, shingle/band/
+    * signature tables, positions, …). */
+  def ingestDocuments(
+      docs: DataFrame,
+      langCol: Option[String] = None,
+      conversations: Option[DataFrame] = None): Unit = {
+    docs.write.mode("overwrite").parquet(p("docs"))
+    Ingest.buildIndex(spark.read.parquet(p("docs")), docId, textCol,
+      p("text"), withVectors = false, langCol = langCol,
+      conversations = conversations)
+  }
+
+  /** Index embeddings: one IVF-PQ index per named vectorset, each with
+    * its own similarity/normalization config (`config.rs:102-137`).
+    * `vectors` must hold (idCol ≡ [[docId]], vecCol, vsCol). */
+  def ingestVectors(
+      vectors: DataFrame,
+      vecCol: String = "embedding",
+      vsCol: String = "vectorset",
+      configs: Map[String, Ingest.VectorSetConfig] = Map.empty,
+      numCentroids: Int = 16,
+      m: Int = 16): Unit = {
+    vectors.write.mode("overwrite").partitionBy(vsCol)
+      .parquet(p("raw_vectors"))
+    Ingest.buildVectorIndexSets(spark.read.parquet(p("raw_vectors")),
+      docId, vecCol, vsCol, p("vectors"),
+      numCentroids = numCentroids, m = m, configs = configs)
+  }
+
+  /** Index relation triplets ([[Ingest.relationIndex]]: distinct
+    * triplets + multiplicity in src- and dst-sorted copies, plus the
+    * per-resource provenance table when `resourceCol` is given — that
+    * table is what lets [[graph]] accept a security/filter prefilter). */
+  def ingestRelations(
+      edges: DataFrame,
+      srcCol: String, relCol: String, dstCol: String,
+      facetsCol: Option[String] = None,
+      typedCols: Seq[String] = Nil,
+      resourceCol: Option[String] = None): Unit =
+    Ingest.relationIndex(edges, srcCol, relCol, dstCol, p("graph"),
+      facetsCol = facetsCol, typedCols = typedCols,
+      resourceCol = resourceCol)
+
+  // ------------------------------------------------------------------
+  // serving side
+  // ------------------------------------------------------------------
+
+  /** The at-rest doc store. */
+  def docs: DataFrame = IndexStore.readParquetMemo(spark, p("docs"))
+
+  /** The bound text-index tables. */
+  def index: IndexStore.IndexTables = IndexStore.tablesAt(spark, p("text"))
+
+  private val vixCache =
+    scala.collection.mutable.Map[String, IndexStore.VectorIndex]()
+
+  /** The served per-vectorset ANN index (centroid/codebook literals
+    * collected once per Engine instance). */
+  def vectorIndex(vs: String): IndexStore.VectorIndex = synchronized {
+    vixCache.getOrElseUpdate(vs, {
+      val raw = IndexStore.readParquetMemo(spark, p("raw_vectors"))
+        .where(col("vectorset") === vs)
+      IndexStore.vectorIndexSetAt(spark, p("vectors"), vs,
+        raw.select(raw.columns.filterNot(_ == "vectorset").map(col): _*))
+    })
+  }
+
+  /** Names of the indexed vectorsets, from the persisted meta. */
+  def vectorsets: Seq[String] = {
+    val meta = Ingest.readText(spark, p("vectors") + "/vector_meta.json")
+    """"vectorsets":\s*\[([^\]]*)\]""".r.findFirstMatchIn(meta)
+      .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+  }
+
+  /** The [[Find.Corpus]] binding every find-family request uses —
+    * exposed so callers can tune cost-model knobs via `copy`. */
+  def corpus(vectorsetsWanted: Seq[String] = Nil): Find.Corpus = {
+    val sets = if (vectorsetsWanted.nonEmpty) vectorsetsWanted else vectorsets
+    val hasVectors = new org.apache.hadoop.fs.Path(p("raw_vectors"))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(p("raw_vectors")))
+    Find.Corpus(docs, docId, textCol,
+      vectors =
+        if (hasVectors) Some(IndexStore.readParquetMemo(spark, p("raw_vectors")))
+        else None,
+      vecId = docId,
+      vectorsetCol = if (hasVectors) Some("vectorset") else None,
+      index = Some(index),
+      vectorIndexes = sets.map(vs => vs -> vectorIndex(vs)).toMap,
+      defaultVectorset = sets.headOption.getOrElse("default"))
+  }
+
+  /** `POST /kb/{kbid}/find` — hybrid retrieval (SURVEY §3.1). */
+  def find(req: Find.FindRequest): DataFrame = Find.find(corpus(), req)
+
+  /** `/find` in paragraph mode — the reference's actual retrieval unit. */
+  def findParagraphs(req: Find.FindRequest): DataFrame =
+    Find.findParagraphs(corpus(), req)
+
+  /** `GET /kb/{kbid}/search` — multi-list response (SURVEY §3.2). */
+  def search(req: Search.SearchRequest): Search.SearchResponse =
+    Search.search(docs, docId, textCol, labelsCol,
+      paragraphs = Some((index.paragraphs, "paragraph_id", "p_text")),
+      req = req, index = Some(index))
+
+  /** `GET /kb/{kbid}/suggest` (SURVEY §3.4) — merged paragraph + entity
+    * completion; `filter` applies the reference's field/security
+    * prefilter to BOTH sources (`shard_suggest.rs:131-160`). Entity
+    * nodes are the relation index's node values with their resource
+    * provenance (requires [[ingestRelations]] with `resourceCol`). */
+  def suggest(query: String, topK: Int = 10,
+      filter: Option[FilterExpr] = None): DataFrame = {
+    val ix = index
+    filter match {
+      case None =>
+        Suggest.suggestMerged(
+          IndexStore.readParquetMemo(spark, p("text") + "/par_termfreq"),
+          graphNodesTable.select("value"), "value", query, topK)
+      case Some(f) =>
+        Suggest.suggestFilteredMerged(
+          ix.parPostings.getOrElse(throw new IllegalStateException(
+            "suggest needs the paragraph posting pair — run ingestDocuments")),
+          docs, docId, Some(f),
+          (graphNodesTable, "value", Some("resource_id")),
+          query, topK)
+    }
+  }
+
+  /** Node values of the relation index with resource provenance —
+    * the entity-suggest source (src and dst of every provenance row).
+    * A corpus without relations (or whose relation ingest skipped
+    * `resourceCol`) serves an empty node set: suggest then completes
+    * from the paragraph dictionary alone, like a kb with no entities. */
+  private def graphNodesTable: DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(p("graph") + "/edge_resources")
+    if (!path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path))
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("resource_id",
+            org.apache.spark.sql.types.StringType))))
+    else {
+      val er = IndexStore.readParquetMemo(spark, p("graph") + "/edge_resources")
+      er.select(explode(array(col("src"), col("dst"))).as("value"),
+        col("resource_id"))
+    }
+  }
+
+  /** The graph [[GraphSearch.EdgeTable]] over the at-rest relation
+    * index: the deduped src-sorted copy for open queries, the
+    * provenance table when a prefilter needs per-resource rows. */
+  def edgeTable(withProvenance: Boolean = false): GraphSearch.EdgeTable =
+    if (withProvenance)
+      GraphSearch.EdgeTable(
+        IndexStore.readParquetMemo(spark, p("graph") + "/edge_resources"),
+        "src", "rel", "dst", resourceCol = Some("resource_id"))
+    else
+      GraphSearch.EdgeTable(
+        IndexStore.readParquetMemo(spark, p("graph") + "/edges"),
+        "src", "rel", "dst")
+
+  /** Compile a doc-table prefilter into the allowed-resource id set the
+    * graph/suggest endpoints intersect with. */
+  def allowedResources(f: FilterExpr): DataFrame =
+    docs.where(FilterExpr.compile(f)).select(docId)
+
+  /** `POST /kb/{kbid}/graph` — path search (SURVEY §3.3); with `filter`
+    * the prefilter pushes into the relation search exactly like the
+    * reference (`query_planner.rs:154-166`). */
+  def graph(q: GraphSearch.PathQuery, topK: Int = 50,
+      filter: Option[FilterExpr] = None): DataFrame =
+    GraphSearch.search(edgeTable(filter.nonEmpty), q, topK,
+      allowedResources = filter.map(allowedResources))
+
+  /** `POST /kb/{kbid}/graph/nodes`. */
+  def graphNodes(q: GraphSearch.PathQuery, topK: Int = 50,
+      filter: Option[FilterExpr] = None): DataFrame =
+    GraphSearch.nodesSearch(edgeTable(filter.nonEmpty), q, topK,
+      allowedResources = filter.map(allowedResources))
+
+  /** `POST /kb/{kbid}/graph/relations`. */
+  def graphRelations(q: GraphSearch.PathQuery, topK: Int = 50,
+      filter: Option[FilterExpr] = None): DataFrame =
+    GraphSearch.relationsSearch(edgeTable(filter.nonEmpty), q, topK,
+      allowedResources = filter.map(allowedResources))
+
+  /** `/catalog` — faceted browsing over the doc store (SURVEY §3.5):
+    * title query-match mode + optional filter + facet counts, the
+    * reference's PG-backed catalog shape (`common/catalog/pg.py`). */
+  def catalog(
+      titleCol: String,
+      titleQuery: Option[(Facets.CatalogMatch, String)] = None,
+      filter: Option[FilterExpr] = None,
+      facetPrefixes: Seq[String] = Nil,
+      topK: Int = 20): Search.SearchResponse = {
+    val base0 = filter.map(f => docs.where(FilterExpr.compile(f)))
+      .getOrElse(docs)
+    val base = titleQuery.map { case (m, q) =>
+      base0.where(Facets.catalogMatch(col(titleCol), m, q))
+    }.getOrElse(base0)
+    Search.SearchResponse(
+      documents = Some(base.orderBy(col(docId).asc).limit(topK)),
+      paragraphs = None,
+      facets =
+        if (facetPrefixes.isEmpty) None
+        else Some(Facets.facetCounts(base, labelsCol, facetPrefixes)
+          .orderBy("facet")))
+  }
+}

@@ -114,7 +114,7 @@ object Find {
     * branches and the classic /search paragraph list so the
     * null-coalesce contract cannot drift between them.
     */
-  private[api] def excludeRepeated(df: DataFrame, withDuplicates: Boolean): DataFrame =
+  private[graft] def excludeRepeated(df: DataFrame, withDuplicates: Boolean): DataFrame =
     if (withDuplicates || !df.columns.contains("repeated_in_field")) df
     else df.where(!coalesce(col("repeated_in_field"), lit(false)))
 
@@ -466,6 +466,17 @@ object Find {
     // Stats keep the filter-then-score contract: dls is restricted by
     // the same predicates, so df/avgdl cover exactly the searchable
     // paragraphs — hashes identical to the former allow-set shape.
+    // DELIBERATE divergence from tantivy (recorded per ADVICE r10): the
+    // repeated_in_field exclusion restricts the doclengths side too, so
+    // N/avgdl cover only non-repeated paragraphs, while the reference
+    // computes BM25 statistics segment-wide and applies the repeated
+    // filter at query time only. This engine applies ONE consistent
+    // rule — every restriction (fields=, doc prefilter, exclusions,
+    // repeated) is a population restriction, stats follow the filtered
+    // population — the same choice field filters already make for dl
+    // above; mixing per-restriction stat scopes would be a worse
+    // contract than a uniform one. The corpora's oracle parity holds
+    // because the SQL oracles state the same filter-then-score rule.
     val bm25Index = corpus.index.filter(ix =>
       req.paragraphBm25 && ix.parPostings.isDefined && ix.parDocLengths.isDefined)
     require(req.fields.isEmpty || !req.paragraphBm25 || bm25Index.forall(ix =>

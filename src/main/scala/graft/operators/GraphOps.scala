@@ -133,6 +133,14 @@ object GraphOps {
     val support = weightCol
       .map(w => sum(col(w)).cast("long").as("support"))
       .getOrElse(count(lit(1)).as("support"))
+    // driver-memory guard (ADVICE r10): the loop accumulates at most
+    // hops×topPerHop rows on the driver — cheap at the endpoint's
+    // request sizes, a foot-gun if a caller cranks topPerHop to corpus
+    // scale. Same ceiling class as the union-find pair bound.
+    require(hops.toLong * topPerHop <= (1L << 20),
+      s"iterativeExpandFrom would accumulate up to ${hops.toLong * topPerHop} " +
+        "driver rows (hops × topPerHop > 2^20) — use a distributed " +
+        "traversal for corpus-scale expansions")
     var frontier: Seq[Any] = seeds.select(col(seedCol)).distinct()
       .collect().map(_.get(0)).toSeq
     var explored: Seq[Any] = frontier
@@ -167,9 +175,15 @@ object GraphOps {
     }
     schema match {
       case Some(sc) =>
+        // LOCAL relation, not an RDD detour (ADVICE r10): the rows are
+        // already on the driver and bounded by hops×topPerHop, so a
+        // LocalRelation-backed DataFrame avoids the parallelize job and
+        // keeps the plan a leaf callers can cheaply re-filter. Callers
+        // needing pushdown into the EDGE scans must filter via the path
+        // query/seeds instead — this result is post-expansion output.
         val session = undirected.sparkSession
         session.createDataFrame(
-          session.sparkContext.parallelize(acc.toSeq, 1), sc)
+          java.util.Arrays.asList(acc.toSeq: _*), sc)
       case None =>
         undirected.select(lit(0).as("hop"), col("node"), col("rel"),
           col("nbr"), lit(0L).as("support")).limit(0)

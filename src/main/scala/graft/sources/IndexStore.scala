@@ -229,8 +229,15 @@ object IndexStore {
     }
   }
 
-  private def buildTables(spark: SparkSession, sfDir: String): IndexTables = {
-    val dir = indexDir(spark, sfDir)
+  private def buildTables(spark: SparkSession, sfDir: String): IndexTables =
+    tablesAt(spark, indexDir(spark, sfDir))
+
+  /** Bind the index tables of an ARBITRARY [[Ingest.buildIndex]] output
+    * directory — the production/facade path ([[graft.api.Engine]]); the
+    * sfDir overloads above are the testdata fixture loaders. Plans go
+    * through the per-(session, path) memo like every other at-rest
+    * read. */
+  def tablesAt(spark: SparkSession, dir: String): IndexTables = {
     // the paragraph posting pair may be absent in index dirs built by
     // an older buildIndex — bind None instead of failing at read time
     def opt(sub: String): Option[DataFrame] = {
@@ -359,40 +366,53 @@ object IndexStore {
     c.synchronized {
       c.vsix.getOrElseUpdate((sfDir, vs), {
         val dir = vectorSetIndexDir(spark, sfDir)
-        val cents = spark.read.parquet(s"$dir/centroids")
-          .where(col("vectorset") === vs)
-          .select(col("cid"), col("cvec"), col("n_members"))
-          .collect().toSeq
-        require(cents.nonEmpty, s"vectorset $vs not in the index at $dir")
-        val cb = collectModel(spark.read.parquet(s"$dir/codebook")
-          .where(col("vectorset") === vs)
-          .select(col("cid"), col("cw")))
-        val m = vectorMetaM(spark, dir)
-        val (sim, normalized) = vectorMetaConfig(spark, dir, vs)
-        val raw0 = vectorsetTable(spark.read.parquet(s"$sfDir/embeddings.parquet"))
-          .where(col("vectorset") === vs)
-          .select(col("vec_id"), col("embedding"))
-        // a normalized set's raw table is the NORMALIZED vectors — the
-        // exact rerank must score what the index stored (indexer.rs:107)
-        val raw =
-          if (!normalized) raw0
-          else raw0.withColumn("embedding",
-            org.apache.spark.sql.functions.transform(
-              graft.functions.VectorFunctions.normalize(col("embedding")),
-              _.cast("float")))
-        VectorIndex(
-          centroids = cents.map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1),
-          codebook = cb,
-          m = m,
-          nVectors = cents.map(_.getLong(2)).sum,
-          codes = spark.read.parquet(s"$dir/codes").where(col("vectorset") === vs),
-          assignments = spark.read.parquet(s"$dir/assignments")
-            .where(col("vectorset") === vs),
-          raw = raw,
-          similarity = sim,
-          normalized = normalized)
+        vectorIndexSetAt(spark, dir, vs,
+          vectorsetTable(spark.read.parquet(s"$sfDir/embeddings.parquet"))
+            .where(col("vectorset") === vs)
+            .select(col("vec_id"), col("embedding")))
       })
     }
+  }
+
+  /** Bind ONE named vectorset's served index from an ARBITRARY
+    * [[Ingest.buildVectorIndexSets]] output directory (the
+    * production/facade path). `raw0` supplies the set's RAW vectors
+    * (vecId named like the codes' id column); a normalize-configured
+    * set wraps them — the exact rerank must score what the index stored
+    * (`indexer.rs:107`). Uncached: callers with request loops memoize
+    * their own handle ([[vectorIndexSet]] above, [[graft.api.Engine]]).
+    */
+  def vectorIndexSetAt(spark: SparkSession, dir: String, vs: String,
+      raw0: DataFrame): VectorIndex = {
+    require(raw0.columns.length == 2,
+      s"raw vector table must be exactly (id, vector); got ${raw0.columns.mkString(", ")}")
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .where(col("vectorset") === vs)
+      .select(col("cid"), col("cvec"), col("n_members"))
+      .collect().toSeq
+    require(cents.nonEmpty, s"vectorset $vs not in the index at $dir")
+    val cb = collectModel(spark.read.parquet(s"$dir/codebook")
+      .where(col("vectorset") === vs)
+      .select(col("cid"), col("cw")))
+    val m = vectorMetaM(spark, dir)
+    val (sim, normalized) = vectorMetaConfig(spark, dir, vs)
+    val raw =
+      if (!normalized) raw0
+      else raw0.withColumn(raw0.columns(1),
+        org.apache.spark.sql.functions.transform(
+          graft.functions.VectorFunctions.normalize(col(raw0.columns(1))),
+          _.cast("float")))
+    VectorIndex(
+      centroids = cents.map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1),
+      codebook = cb,
+      m = m,
+      nVectors = cents.map(_.getLong(2)).sum,
+      codes = spark.read.parquet(s"$dir/codes").where(col("vectorset") === vs),
+      assignments = spark.read.parquet(s"$dir/assignments")
+        .where(col("vectorset") === vs),
+      raw = raw,
+      similarity = sim,
+      normalized = normalized)
   }
 
   def postings(spark: SparkSession, sfDir: String): DataFrame =

@@ -487,11 +487,26 @@ object IncrementalIndex {
     * rows; the winner semi-join must run first). The rollup input is
     * posting-sized over live docs — the same cost class as one BM25
     * request.
+    *
+    * Parity with the batch dictionary: when the live segments carry the
+    * PARAGRAPH posting pair, the rollup uses it with the repeated-
+    * paragraph exclusion — exactly how ingest builds `par_termfreq`
+    * (the reference's suggest query unconditionally requires
+    * repeated_in_field = 0, `search_query.rs:150-167`), so a streamed
+    * corpus suggests the same frequencies as the batch index of the
+    * same documents. A mixed root whose older segments predate the
+    * paragraph pair falls back to the doc-level rollup (the pre-pair
+    * behavior, consistent with [[segmentTables]] binding None there).
     */
   def segmentTermFreq(spark: SparkSession, indexRoot: String,
-      idCol: String = "rid", seqCol: String = "seq"): DataFrame =
-    segmentTables(spark, indexRoot, idCol, seqCol).postings
-      .groupBy("term").agg(sum("tf").cast("long").as("freq"))
+      idCol: String = "rid", seqCol: String = "seq"): DataFrame = {
+    val t = segmentTables(spark, indexRoot, idCol, seqCol)
+    val src = t.parPostings match {
+      case Some(pp) => graft.api.Find.excludeRepeated(pp, withDuplicates = false)
+      case None => t.postings
+    }
+    src.groupBy("term").agg(sum("tf").cast("long").as("freq"))
+  }
 
   private def hasSub(spark: SparkSession, dir: String, sub: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")

@@ -1,0 +1,178 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, GraphOps, TopK, VectorSearch}
+import graft.sources.Ingest
+import graft.streaming.IncrementalIndex
+
+/** One-off scale-stress harness (VERDICT r10 task 4): generate a ~10×
+  * sf0.1-derived corpus (sf1-equivalent row counts) and measure the
+  * families whose 100 TB story rests on bucketed/banded/pruned at-rest
+  * layouts — LSH near-dup, at-rest IVF-PQ search, the relation-index
+  * hop, and suggest at 64 live segments. The SHAPES are plan-pinned in
+  * ScaleDesignSpec; this pins the CONSTANTS: request time must grow
+  * sub-linearly in corpus size (pruned/bounded paths) or at worst
+  * linearly (full-corpus aggregations), never super-linearly.
+  *
+  * Generation notes (deliberate, so measured growth is the engine's,
+  * not the data composition's):
+  *  - replica 0 is the original corpus; replica i>0 prefixes every
+  *    token with `x{i}` — no CROSS-replica shingle/band collisions, so
+  *    the near-dup pair structure is 10× the organic sf0.1 structure,
+  *    not a quadratic replica-family blowup;
+  *  - embeddings perturb component 0 by 0.01·i — distinct vectors, same
+  *    distribution shape;
+  *  - lineitem offsets supplier/part/order keys per replica — ten
+  *    disjoint graph copies, so a seed's expansion answers the same
+  *    query against a 10× at-rest edge table.
+  * Scaled corpora are materialized to parquet first; measured times
+  * never include generation.
+  *
+  * Run: `sbt "runMain graft.tools.ScaleStress"`; results are recorded
+  * in DESIGN.md ("Scale-stress measurements").
+  */
+object ScaleStress {
+
+  private def time[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val a = f
+    ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  /** Median-of-3 timing of an action returning a row count. */
+  private def med3(f: => Long): (Double, Long) = {
+    val runs = (1 to 3).map(_ => time(f))
+    (runs.map(_._1).sorted.apply(1), runs.head._2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.1"
+    val out = graft.sources.IndexStore.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft-stress-").toString)
+    val reps = 10
+    val repDf = spark.range(reps).select(col("id").cast("int").as("rep"))
+
+    // ---- materialize the 10× corpora -------------------------------
+    val docs1 = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    docs1.crossJoin(repDf).select(
+        (col("doc_id") + col("rep").cast("long") * 1000000L).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(concat_ws(" ",
+            transform(TextFunctions.tokens(col("text")),
+              t => concat(lit("x"), col("rep").cast("string"), t))))
+          .as("text"))
+      .write.mode("overwrite").parquet(s"$out/docs10")
+    val docs10 = spark.read.parquet(s"$out/docs10")
+
+    val emb1 = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    emb1.crossJoin(repDf).select(
+        (col("vec_id") + col("rep").cast("long") * 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + col("rep").cast("float") * lit(0.01f))
+            .otherwise(x).cast("float")).as("embedding"))
+      .write.mode("overwrite").parquet(s"$out/emb10")
+    val emb10 = spark.read.parquet(s"$out/emb10")
+
+    println(s"[stress] corpora: docs ${docs1.count()} -> ${docs10.count()}, " +
+      s"embeddings ${emb1.count()} -> ${emb10.count()}")
+
+    // ---- 1. MinHash LSH near-dup (signature + band join + verify) --
+    def lsh(d: DataFrame) = Dedup.minHashLsh(d, "doc_id", "text").count()
+    val (tL1, nL1) = med3(lsh(docs1))
+    val (tL10, nL10) = med3(lsh(docs10))
+    println(f"[stress] lsh_near_dup 1x $tL1%.2fs ($nL1 pairs) 10x $tL10%.2fs " +
+      f"($nL10 pairs) growth ${tL10 / tL1}%.1fx")
+
+    // ---- 2. at-rest IVF-PQ search ---------------------------------
+    def buildVix(emb: DataFrame, dir: String) = {
+      Ingest.buildVectorIndex(emb, "vec_id", "embedding", dir)
+      val cents = spark.read.parquet(s"$dir/centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+      val cb = spark.read.parquet(s"$dir/codebook").collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+      (spark.read.parquet(s"$dir/codes"), cents, cb)
+    }
+    val (tB1, (codes1, cents1, cb1)) = time(buildVix(emb1, s"$out/vix1"))
+    val (tB10, (codes10, cents10, cb10)) = time(buildVix(emb10, s"$out/vix10"))
+    val qv = emb1.where(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0)
+    def annSearch(codes: DataFrame, raw: DataFrame,
+        cents: Seq[(Int, Seq[Float])], cb: Seq[(Int, Seq[Float])]) =
+      VectorSearch.ivfPqSearchAtRest(codes, raw, "vec_id", "code", "embedding",
+        cents, cb, m = 16, queryVec = qv, k = 20, nprobe = 8, rerank = 100)
+        .count()
+    val (tA1, _) = med3(annSearch(codes1, emb1, cents1, cb1))
+    val (tA10, _) = med3(annSearch(codes10, emb10, cents10, cb10))
+    println(f"[stress] ivfpq_build 1x $tB1%.2fs 10x $tB10%.2fs growth ${tB10 / tB1}%.1fx")
+    println(f"[stress] ivfpq_search 1x $tA1%.2fs 10x $tA10%.2fs growth ${tA10 / tA1}%.1fx")
+
+    // ---- 3. relation-index hop ------------------------------------
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_suppkey", "l_partkey", "l_returnflag")
+    def edgesOf(d: DataFrame) = d.select(
+      concat(lit("S"), col("l_suppkey").cast("string")).as("src"),
+      concat(lit("R"), col("l_returnflag")).as("rel"),
+      concat(lit("P"), col("l_partkey").cast("string")).as("dst"))
+    val li10 = li.crossJoin(repDf).select(
+      (col("l_suppkey") + col("rep") * 1000000L).as("l_suppkey"),
+      (col("l_partkey") + col("rep") * 1000000L).as("l_partkey"),
+      col("l_returnflag"))
+    val (tR1, _) = time(Ingest.relationIndex(edgesOf(li), "src", "rel", "dst", s"$out/rel1"))
+    val (tR10, _) = time(Ingest.relationIndex(edgesOf(li10), "src", "rel", "dst", s"$out/rel10"))
+    def hop(dir: String): Long = {
+      import spark.implicits._
+      val e = spark.read.parquet(s"$dir/edges")
+      val ed = spark.read.parquet(s"$dir/edges_by_dst")
+      val und = e.select(col("src").as("node"), col("rel"),
+          col("dst").as("nbr"), col("n"))
+        .unionByName(ed.select(col("dst").as("node"), col("rel"),
+          col("src").as("nbr"), col("n")))
+      GraphOps.iterativeExpandFrom(und, Seq("S1").toDF("node"), "node",
+        hops = 2, topPerHop = 10, weightCol = Some("n")).count()
+    }
+    val (tH1, _) = med3(hop(s"$out/rel1"))
+    val (tH10, _) = med3(hop(s"$out/rel10"))
+    println(f"[stress] relation_build 1x $tR1%.2fs 10x $tR10%.2fs growth ${tR10 / tR1}%.1fx")
+    println(f"[stress] relation_hop 1x $tH1%.2fs 10x $tH10%.2fs growth ${tH10 / tH1}%.1fx")
+
+    // ---- 4. suggest at 64 live segments, 10× segment rows ----------
+    import spark.implicits._
+    def segRoot(docsPerSeg: Int, tag: String): String = {
+      val root = s"$out/segs_$tag/index"
+      (0 until 64).foreach { b =>
+        val rows = (0 until docsPerSeg).map(i =>
+          (s"r${b}_$i", b.toLong, s"spark query term$b suggest word$i extra$i", false))
+        IncrementalIndex.writeSegment(
+          rows.toDF("rid", "seq", "value", "deleted"),
+          f"$root/seg_$b%09d", "rid", "value", "seq")
+      }
+      root
+    }
+    def suggestAt(root: String): Long = {
+      val tf = IncrementalIndex.segmentTermFreq(spark, root)
+      TopK.suggestPrefix(tf, "term", "freq", "sp", 10).count()
+    }
+    val root1 = segRoot(5, "1x")
+    val root10 = segRoot(50, "10x")
+    val (tS1, _) = med3(suggestAt(root1))
+    val (tS10, _) = med3(suggestAt(root10))
+    println(f"[stress] suggest_64seg 1x $tS1%.2fs 10x $tS10%.2fs growth ${tS10 / tS1}%.1fx")
+
+    println("[stress] done")
+    spark.stop()
+  }
+}

@@ -790,6 +790,34 @@ class StreamingSpec extends SparkSpec {
       "compaction must bake false, never null")
   }
 
+  test("streamed suggest dictionary excludes repeated windows like the batch rollup (ADVICE r10)") {
+    import org.apache.spark.sql.functions.col
+    // one doc whose text repeats a full 20-token window: ingest marks
+    // the second window repeated_in_field, and the suggest dictionary
+    // must not count it — in batch (par_termfreq contract) OR streamed
+    val root = Files.createTempDirectory("graft-sugrep").toString + "/index"
+    val window = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val text = s"$window $window"
+    IncrementalIndex.writeSegment(
+      Seq(("r1", 1L, text, false)).toDF("rid", "seq", "value", "deleted"),
+      f"$root/seg_${0L}%09d", "rid", "value", "seq")
+    val tf = IncrementalIndex.segmentTermFreq(spark, root)
+    val tok1 = tf.where(col("term") === "tok1").collect()
+    // doc-level rollup would say 2; the paragraph rollup with the
+    // repeated exclusion says 1 — the reference's suggest_query
+    // requires repeated_in_field = 0 (search_query.rs:150-167)
+    assert(tok1.map(_.getLong(1)).toSeq == Seq(1L),
+      s"streamed dictionary counted the repeated window: ${tok1.mkString(",")}")
+    // and it matches the batch dictionary of the same document
+    val batchDir = Files.createTempDirectory("graft-sugrep-batch").toString
+    graft.sources.Ingest.buildIndex(
+      Seq(("r1", text)).toDF("rid", "value"), "rid", "value", batchDir,
+      withVectors = false)
+    val batchTok1 = spark.read.parquet(s"$batchDir/par_termfreq")
+      .where(col("term") === "tok1").collect().map(_.getLong(1)).toSeq
+    assert(batchTok1 == Seq(1L), s"batch dictionary: $batchTok1")
+  }
+
   test("segmented relation index: latest-wins edges, updates replace, compaction preserves") {
     import graft.api.GraphSearch
     import graft.api.GraphSearch.{EdgeTable, NodeMatch, PathQuery}
