@@ -1706,6 +1706,28 @@ object SparkEntry {
         "r", 10)
     }),
 
+    // training-data ops: CCNet perplexity bucketing (Wenzek et al.
+    // 2020 §4.4) — per language, docs rank by LM score (served from
+    // the at-rest bigram posting/dictionary pair, zero tokenize) and
+    // split into head/middle/tail tertiles, the standard corpus layout
+    // downstream mixes sample from. Deterministic ntile (score desc,
+    // id asc); output = per-(lang, bucket) profile
+    "q137_perplexity_buckets" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val scored = graft.operators.CorpusStats.bigramLogProbFromPostings(
+          graft.sources.IndexStore.bigrams(s, dir),
+          graft.sources.IndexStore.bigramFreq(s, dir),
+          graft.sources.IndexStore.termFreq(s, dir))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      graft.operators.CorpusStats.perplexityBuckets(
+          scored, "doc_id", "lang", "bigram_lp")
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("bigram_lp"), 4).as("avg_lp"),
+          round(min("bigram_lp"), 4).as("min_lp"))
+        .orderBy("lang", "bucket")
+    }),
+
     // §3.4 /catalog title query-match modes (pg.py:362-394): ONE scan
     // evaluates StartsWith (case-insensitive), Words (token-set
     // containment) and Fuzzy (typo'd word) as predicate columns; the
@@ -3611,6 +3633,39 @@ object SparkEntry {
          |SELECT suggestion, source, freq
          |FROM (SELECT * FROM terms UNION ALL SELECT * FROM ents)
          |ORDER BY source, freq DESC, suggestion""".stripMargin,
+
+    // q137: q112's per-doc LM score (same CTE chain, no page cut),
+    // then language-partitioned ntile(3) on (score desc, id) — SQL
+    // ntile semantics are identical in both engines, so the bucket
+    // profile matches exactly.
+    "q137_perplexity_buckets" ->
+      s"""WITH t AS (SELECT doc_id, $Tok AS tk FROM documents),
+         |tok AS (SELECT doc_id, unnest(tk) AS term FROM t),
+         |freq AS (SELECT term, count(*) AS c1 FROM tok GROUP BY term),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+         |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+         |       FROM t CROSS JOIN (SELECT unnest(range(1, 2000)) AS i) ix
+         |       WHERE i <= len(tk) - 1),
+         |bfreq AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         |scored AS (SELECT doc_id,
+         |    round(avg(ln(0.7 * c12 / f1.c1 + (1.0 - 0.7) * f2.c1 / tot.n)), 4) AS bigram_lp
+         |  FROM bg JOIN bfreq USING (w1, w2)
+         |    JOIN freq f1 ON f1.term = bg.w1
+         |    JOIN freq f2 ON f2.term = bg.w2
+         |    CROSS JOIN tot
+         |  GROUP BY doc_id),
+         |l AS (SELECT s.doc_id, d.lang, s.bigram_lp
+         |      FROM scored s JOIN documents d USING (doc_id)),
+         |b AS (SELECT lang, bigram_lp,
+         |        ntile(3) OVER (PARTITION BY lang ORDER BY bigram_lp DESC, doc_id) AS nt
+         |      FROM l)
+         |SELECT lang,
+         |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(avg(bigram_lp), 4) AS avg_lp,
+         |  round(min(bigram_lp), 4) AS min_lp
+         |FROM b GROUP BY lang, bucket
+         |ORDER BY lang, bucket""".stripMargin,
 
     "q131_catalog_title_match" ->
       s"""WITH t AS (SELECT doc_id, array_to_string(($Tok)[1:5], ' ') AS title

@@ -232,10 +232,16 @@ object GraphSearch {
       queryVecCol: String,
       pathFilter: PathQuery = PathQuery.Path(),
       topK: Int = 50,
-      edgeMinScore: Double = -1.0): DataFrame = {
+      edgeMinScore: Double = -1.0,
+      // the reference's relation-edge vectorsets default to DOT
+      // similarity (`nidx_vector/src/config.rs:150-160`
+      // for_relation_edges); cosine kept as this engine's historical
+      // default — pass Dot for reference-default parity
+      similarity: graft.functions.VectorFunctions.Similarity =
+        graft.functions.VectorFunctions.Similarity.Cosine): DataFrame = {
     val topRels = graft.operators.VectorSearch.bruteForceTopK(
       relVectors, relIdCol, relVecCol, query, queryVecCol,
-      vectorOverRequest(topK), edgeMinScore)
+      vectorOverRequest(topK), edgeMinScore, similarity)
     // The surviving label list is DRIVER-SCALE BY CONSTRUCTION — the
     // over-request clamp caps it at 200 (`query_planner.rs:44-58`), the
     // same bounded-collect contract as the clamped graph frontiers. It

@@ -428,4 +428,66 @@ object CorpusStats {
       .select(col(idCol), col("term"), col("score"),
         col("rank").cast("long").as("rank"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.4): per
+    * language, rank documents by their LM score and split into equal
+    * head/middle/tail thirds — the standard training-data layout where
+    * "head" (lowest perplexity ≡ highest log-prob) is the cleanest
+    * slice and downstream mixes sample per bucket. `scored` carries one
+    * LM score per doc (higher = better, e.g.
+    * [[bigramLogProbFromPostings]]'s `bigram_lp`); ties break on id so
+    * the assignment is deterministic and engine-portable (SQL ntile
+    * semantics: earlier buckets take the remainder rows).
+    *
+    * Scale note: ntile needs a per-language global sort, and language
+    * is a HOT key (one language can carry most of a 100 TB corpus) —
+    * this exact form is the oracle semantics and the right tool up to
+    * partition-sized languages. At full scale assign by score-boundary
+    * comparison instead ([[perplexityBucketsApprox]]): per-language
+    * approximate percentile boundaries (a bounded aggregate) broadcast
+    * back into a scan-stage comparison — no sort, no skewed window;
+    * agreement vs the exact form is measured in TrainsetsSpec.
+    *
+    * @return scored + (bucket ∈ buckets)
+    */
+  def perplexityBuckets(scored: DataFrame, idCol: String, langCol: String,
+      scoreCol: String,
+      buckets: Seq[String] = Seq("head", "middle", "tail")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets.nonEmpty, "need at least one bucket name")
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    scored.withColumn("__nt", ntile(buckets.size).over(w))
+      .withColumn("bucket", element_at(typedlit(buckets), col("__nt")))
+      .drop("__nt")
+  }
+
+  /** The 100 TB shape of [[perplexityBuckets]]: per-language APPROX
+    * percentile boundaries of the score (one bounded aggregate —
+    * |languages| × |buckets−1| doubles), broadcast back and assigned by
+    * comparison in the scan stage. No per-language sort, so a dominant
+    * language costs a scan, not a single-reducer window. Bucket
+    * boundaries are approximate (percentile_approx), so rows near a
+    * boundary may land one bucket off the exact tertile — the
+    * agreement rate is measured in TrainsetsSpec.
+    */
+  def perplexityBucketsApprox(scored: DataFrame, idCol: String,
+      langCol: String, scoreCol: String,
+      buckets: Seq[String] = Seq("head", "middle", "tail"),
+      accuracy: Int = 10000): DataFrame = {
+    require(buckets.nonEmpty, "need at least one bucket name")
+    val n = buckets.size
+    // boundaries at the (1/n, 2/n, …) quantiles of the DESC order ≡
+    // (1−i/n) quantiles of the natural order
+    val qs = (1 until n).map(i => 1.0 - i.toDouble / n)
+    val bounds = scored.groupBy(col(langCol))
+      .agg(percentile_approx(col(scoreCol), typedlit(qs), lit(accuracy))
+        .as("__bounds"))
+    // bucket = count of boundaries the score is strictly below, +1
+    val rank = (lit(1) + aggregate(col("__bounds"), lit(0),
+      (acc, b) => acc + when(col(scoreCol) < b, 1).otherwise(0)))
+    scored.join(broadcast(bounds), langCol)
+      .withColumn("bucket", element_at(typedlit(buckets), rank))
+      .drop("__bounds")
+  }
 }

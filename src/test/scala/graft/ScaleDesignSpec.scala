@@ -814,4 +814,74 @@ class ScaleDesignSpec extends SparkSpec {
       assert(joined.count() == 100)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("prefiltered graph search: src prefix pushes into the provenance scan, allowed set broadcasts") {
+    import graft.api.GraphSearch
+    import graft.api.GraphSearch.{EdgeTable, NodeMatch, PathQuery}
+    val dir = "/root/testdata/sf0.001"
+    val t = EdgeTable(graft.sources.IndexStore.edgeResources(spark, dir),
+      "src", "rel", "dst", resourceCol = Some("resource_id"))
+    val allowed = spark.read.parquet(s"$dir/orders.parquet")
+      .where(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val q = GraphSearch.search(t, PathQuery.Path(src = NodeMatch.Prefix("S1")),
+      topK = 50, allowedResources = Some(allowed))
+    q.collect()
+    val p = plan(q)
+    // the prefix constraint reaches the src-sorted provenance scan as a
+    // pushed StartsWith (row-group pruning via min/max on the sort key)
+    assert(p.contains("StringStartsWith(src,S1)"),
+      s"src prefix must push into the edge_resources scan:\n$p")
+    // the selective prefilter id set broadcasts into the semi-join —
+    // the edge table never shuffles for the intersection
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"allowed-resource intersection must be a broadcast semi-join:\n$p")
+    // and the filter column scan reads only what the filter needs
+    assert(p.contains("o_orderkey") &&
+      p.contains("o_orderpriority"),
+      s"prefilter scan must read the filter columns:\n$p")
+  }
+
+  test("filtered suggest: term prefix pushes below the dictionary rollup into the posting scan") {
+    import graft.operators.FilterExpr
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val resp = graft.api.Suggest.suggestFiltered(
+      graft.sources.IndexStore.parPostings(spark, dir),
+      docs, "doc_id", Some(FilterExpr.Eq("lang", "en")),
+      entities = None, query = "sp")
+    resp.terms.collect()
+    val p = plan(resp.terms)
+    // the stem's startsWith filters the GROUPING KEY, so Catalyst
+    // pushes it through the aggregate into the posting scan — a
+    // filtered suggest never aggregates non-matching terms
+    assert(p.contains("StringStartsWith(term,sp)"),
+      s"term prefix must push through the rollup into the scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"allowed-doc restriction must be a broadcast semi-join:\n$p")
+  }
+
+  test("dot-configured vectorset find: two-level partition pruning and code-only scan, same as cosine") {
+    import graft.api.Find
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val vix = graft.sources.IndexStore.vectorIndexSet(spark, dir, "dot16")
+    assert(vix.similarity == graft.functions.VectorFunctions.Similarity.Dot,
+      "the persisted config must round-trip")
+    val qv = emb.where(col("vec_id") === 0)
+      .select(slice(col("embedding"), 1, 16)).collect().head.getSeq[Float](0)
+    val q = Find.find(
+      Find.Corpus(spark.read.parquet(s"$dir/documents.parquet"), "doc_id",
+        "text", Some(graft.sources.IndexStore.vectorsetTable(emb)),
+        vectorsetCol = Some("vectorset"),
+        vectorIndexes = Map("dot16" -> vix), annBruteThreshold = 1),
+      Find.FindRequest(queryVector = Some(qv), vectorset = Some("dot16"),
+        topK = 10, annNprobe = Some(4)))
+    q.collect()
+    val p = plan(q)
+    assert(p.contains("PartitionFilters") && p.contains("vectorset") &&
+      p.contains("centroid_id"),
+      s"dot set must prune vectorset AND probed clusters:\n$p")
+    assert(p.contains("code:binary"),
+      s"the ADC stage must scan the binary code column:\n$p")
+  }
 }

@@ -400,4 +400,34 @@ class TrainsetsSpec extends SparkSpec {
     assert(scores(2L) > 0.0 && scores(2L) < 1.0,
       s"doc 2 shares a prefix but not the tail: ${scores(2L)}")
   }
+
+  test("perplexityBuckets: exact tertiles per language; approx boundary form agrees on real data") {
+    import graft.operators.CorpusStats
+    val scored = Seq(
+      // en: 7 docs, scores 7..1 → head {7,6,5} middle {4,3} tail {2,1}
+      (1L, "en", 7.0), (2L, "en", 6.0), (3L, "en", 5.0), (4L, "en", 4.0),
+      (5L, "en", 3.0), (6L, "en", 2.0), (7L, "en", 1.0),
+      // de: 2 docs → ntile gives head {20}, middle {10}, no tail
+      (8L, "de", 20.0), (9L, "de", 10.0))
+      .toDF("doc_id", "lang", "score")
+    val exact = CorpusStats.perplexityBuckets(scored, "doc_id", "lang", "score")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(Seq(1L, 2L, 3L).forall(exact(_) == "head"), exact.toString)
+    assert(Seq(4L, 5L).forall(exact(_) == "middle"))
+    assert(Seq(6L, 7L).forall(exact(_) == "tail"))
+    assert(exact(8L) == "head" && exact(9L) == "middle")
+    // the 100 TB boundary form: agreement measured on the real corpus
+    // scores (the whole point of approx boundaries is avoiding the
+    // per-language sort, at the cost of boundary-adjacent flips)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") % 97).cast("double").as("score"))
+    val e = CorpusStats.perplexityBuckets(docs, "doc_id", "lang", "score")
+      .select("doc_id", "bucket").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = CorpusStats.perplexityBucketsApprox(docs, "doc_id", "lang", "score")
+      .select("doc_id", "bucket").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val agree = e.keys.count(k => e(k) == a(k)).toDouble / e.size
+    info(f"approx-vs-exact bucket agreement on sf0.001: $agree%.3f")
+    assert(agree >= 0.9, f"approx boundaries diverged too far: $agree%.3f")
+  }
 }
