@@ -1728,6 +1728,24 @@ object SparkEntry {
         .orderBy("lang", "bucket")
     }),
 
+    // training-data ops: Gopher REPETITION rules (Rae et al. 2021
+    // §A1.1 Table A1) — duplicate-line fractions + top-{2,3,4}-gram
+    // character fractions, the within-document repetition family
+    // complementing q132's quality rules; explode+agg shape (never
+    // per-row quadratic). Line fixture adds a repeated line to every
+    // doc and a third copy on id%4 so both rules have signal
+    "q138_gopher_repetition" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val docs = load(s, dir, "documents").withColumn("composite",
+        concat(col("text"),
+          lit("\nA repeated line here.\nA repeated line here.\n"),
+          when(col("doc_id") % 4 === 0,
+            lit("A repeated line here.\nshort tail"))
+            .otherwise(lit("Unique tail line.\nshort tail"))))
+      TextFunctions.gopherRepetitionSignals(docs, "doc_id", "composite")
+        .orderBy("doc_id")
+    }),
+
     // §3.4 /catalog title query-match modes (pg.py:362-394): ONE scan
     // evaluates StartsWith (case-insensitive), Words (token-set
     // containment) and Fuzzy (typo'd word) as predicate columns; the
@@ -3666,6 +3684,61 @@ object SparkEntry {
          |  round(min(bigram_lp), 4) AS min_lp
          |FROM b GROUP BY lang, bucket
          |ORDER BY lang, bucket""".stripMargin,
+
+    // q138: same composite fixture per side; duplicate = occurrence
+    // after the first of an identical trimmed line; top n-gram frac =
+    // occurrences × n-gram length (spaces included) / joined-token
+    // chars — both rounded at 4 like the engine.
+    "q138_gopher_repetition" ->
+      s"""WITH synth AS (SELECT doc_id,
+         |    text || chr(10) || 'A repeated line here.' || chr(10) ||
+         |    'A repeated line here.' || chr(10) ||
+         |    CASE WHEN doc_id % 4 = 0
+         |      THEN 'A repeated line here.' || chr(10) || 'short tail'
+         |      ELSE 'Unique tail line.' || chr(10) || 'short tail' END AS composite
+         |  FROM documents),
+         |rawlines AS (SELECT doc_id,
+         |    trim(unnest(string_split(composite, chr(10)))) AS line
+         |  FROM synth),
+         |lines AS (SELECT doc_id, line FROM rawlines WHERE line <> ''),
+         |lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+         |lsig AS (SELECT doc_id,
+         |    round(sum(c - 1)::DOUBLE / sum(c), 4) AS dup_line_frac,
+         |    round(sum((c - 1) * length(line))::DOUBLE / sum(c * length(line)), 4) AS dup_line_char_frac
+         |  FROM lc GROUP BY doc_id),
+         |t AS (SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(composite), '[^a-z0-9]+'), x -> x <> '') AS tk
+         |  FROM synth),
+         |chars AS (SELECT doc_id,
+         |    CAST(length(array_to_string(tk, ' ')) AS DOUBLE) AS ch FROM t),
+         |ng AS (SELECT doc_id, n, array_to_string(tk[i:i+n-1], ' ') AS g
+         |       FROM t CROSS JOIN (SELECT unnest(range(1, 2000)) AS i) ix
+         |            CROSS JOIN (SELECT unnest([2, 3, 4]) AS n) ns
+         |       WHERE i <= len(tk) - n + 1),
+         |nc AS (SELECT doc_id, n, g, count(*) AS c FROM ng GROUP BY 1, 2, 3),
+         |top AS (SELECT doc_id, n, g, c FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id, n
+         |      ORDER BY c DESC, g) AS rn FROM nc) WHERE rn = 1),
+         |tsig AS (SELECT top.doc_id,
+         |    max(CASE WHEN n = 2 THEN round(c * length(g) / ch, 4) END) AS top2_char_frac,
+         |    max(CASE WHEN n = 3 THEN round(c * length(g) / ch, 4) END) AS top3_char_frac,
+         |    max(CASE WHEN n = 4 THEN round(c * length(g) / ch, 4) END) AS top4_char_frac
+         |  FROM top JOIN chars USING (doc_id) GROUP BY top.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(dup_line_frac, 0.0) AS dup_line_frac,
+         |  coalesce(dup_line_char_frac, 0.0) AS dup_line_char_frac,
+         |  coalesce(top2_char_frac, 0.0) AS top2_char_frac,
+         |  coalesce(top3_char_frac, 0.0) AS top3_char_frac,
+         |  coalesce(top4_char_frac, 0.0) AS top4_char_frac,
+         |  (coalesce(dup_line_frac, 0.0) <= 0.30
+         |    AND coalesce(dup_line_char_frac, 0.0) <= 0.20
+         |    AND coalesce(top2_char_frac, 0.0) <= 0.20
+         |    AND coalesce(top3_char_frac, 0.0) <= 0.18
+         |    AND coalesce(top4_char_frac, 0.0) <= 0.16) AS keep
+         |FROM documents d
+         |  LEFT JOIN lsig ON d.doc_id = lsig.doc_id
+         |  LEFT JOIN tsig ON d.doc_id = tsig.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q131_catalog_title_match" ->
       s"""WITH t AS (SELECT doc_id, array_to_string(($Tok)[1:5], ' ') AS title

@@ -404,4 +404,84 @@ object TextFunctions {
     val stop = stopwordCount(toks).cast("double")
     (uniq / n) * log(lit(1.0) + n) - lit(0.5) * (stop / n)
   }
+
+  import org.apache.spark.sql.DataFrame
+
+  /** Gopher REPETITION rules (Rae et al. 2021 §A1.1 Table A1 — the
+    * within-document repetition family complementing
+    * [[gopherRuleSignals]]'s quality rules and q65's corpus-level
+    * top-bigram coverage): duplicate-line fractions and the
+    * top-{2,3,4}-gram character fractions. Deterministic,
+    * oracle-portable definitions:
+    *
+    *  - lines = trimmed, non-empty `\n` splits; every occurrence of an
+    *    identical line after its first is a DUPLICATE;
+    *    `dup_line_frac` = duplicate occurrences / lines and
+    *    `dup_line_char_frac` = their characters / all line characters;
+    *  - top n-gram = the document's most frequent word n-gram (ties
+    *    break lexicographically); `top{n}_char_frac` = (occurrences ×
+    *    characters of the n-gram, joining spaces included) /
+    *    characters of the space-joined token text.
+    *
+    * Shape: two explode + hash-aggregate passes (lines; n-grams for
+    * n∈{2,3,4} in ONE union-free explode) with map-side partial
+    * aggregation and a bounded per-(doc, n) top-1 window — the q65
+    * scale-correct repetition shape. Deliberately NOT per-row
+    * quadratic array work: a 10k-line document costs its row count,
+    * never its square, so the pass survives long documents at corpus
+    * scale. Documents with no lines / too few tokens report 0.0.
+    *
+    * @return (idCol, dup_line_frac, dup_line_char_frac,
+    *          top2_char_frac, top3_char_frac, top4_char_frac, keep) —
+    *          keep per the Gopher thresholds (≤0.30 dup lines, ≤0.20
+    *          dup line chars, ≤0.20/0.18/0.16 top-2/3/4-gram chars)
+    */
+  def gopherRepetitionSignals(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs.select(col(idCol),
+      explode(filter(transform(split(col(textCol), "\n"), trim(_)),
+        l => l =!= "")).as("__line"))
+    val lineSig = lines.groupBy(col(idCol), col("__line"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(
+        round(sum(col("c") - 1) / sum(col("c")), 4).as("dup_line_frac"),
+        round(sum((col("c") - 1) * length(col("__line"))) /
+          sum(col("c") * length(col("__line"))), 4).as("dup_line_char_frac"))
+    // one explode carries all three n-gram sizes; the joined-token
+    // character total rides along as a per-doc constant
+    val toks = tokens(col(textCol))
+    val grams = docs.select(col(idCol),
+        length(concat_ws(" ", toks)).cast("double").as("__chars"),
+        explode(flatten(array(Seq(2, 3, 4).map(n =>
+          transform(shingles(toks, n),
+            g => struct(lit(n).as("n"), g.as("g")))): _*))).as("__ng"))
+      .select(col(idCol), col("__chars"),
+        col("__ng.n").as("__n"), col("__ng.g").as("__g"))
+    val w = Window.partitionBy(col(idCol), col("__n"))
+      .orderBy(col("c").desc, col("__g").asc)
+    val topGram = grams.groupBy(col(idCol), col("__chars"), col("__n"), col("__g"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .withColumn("__frac",
+        round(col("c") * length(col("__g")) / col("__chars"), 4))
+      .groupBy(col(idCol))
+      .agg(
+        max(when(col("__n") === 2, col("__frac"))).as("top2_char_frac"),
+        max(when(col("__n") === 3, col("__frac"))).as("top3_char_frac"),
+        max(when(col("__n") === 4, col("__frac"))).as("top4_char_frac"))
+    val sig = docs.select(col(idCol))
+      .join(lineSig, Seq(idCol), "left")
+      .join(topGram, Seq(idCol), "left")
+      .select(col(idCol) +:
+        Seq("dup_line_frac", "dup_line_char_frac", "top2_char_frac",
+          "top3_char_frac", "top4_char_frac")
+          .map(c => coalesce(col(c), lit(0.0)).as(c)): _*)
+    sig.withColumn("keep",
+      col("dup_line_frac") <= 0.30 && col("dup_line_char_frac") <= 0.20 &&
+        col("top2_char_frac") <= 0.20 && col("top3_char_frac") <= 0.18 &&
+        col("top4_char_frac") <= 0.16)
+  }
 }

@@ -219,4 +219,34 @@ class TextFunctionsSpec extends SparkSpec {
     assert(scored("diverse") > scored("repetitive"))
     assert(scored("diverse") > scored("stopwordy"))
   }
+
+  test("gopherRepetitionSignals: hand-computed duplicate-line and top-n-gram fractions") {
+    // 4 non-empty lines, "dup" twice → 1 duplicate occurrence of 4
+    // lines (0.25); chars: dup=3, unique lines 5+7 → dup chars 3 of
+    // 3+3+5+7=18 (0.1667). Tokens: "go go go go stop end" → top 2-gram
+    // "go go" ×3, len 5, chars of joined text = 20 → 0.75
+    val docs = Seq(
+      (1L, "dup\n  dup  \nlineo\nlineooo\ngo go go go stop end"),
+      (2L, ""), // degenerate: no lines, no tokens → all zeros, kept
+      // no repeats, long enough that even a single-occurrence 4-gram
+      // stays under the 0.16 char bar (7/51)
+      (3L, ('a' to 'z').mkString(" ")))
+      .toDF("doc_id", "text")
+    val sig = graft.functions.TextFunctions
+      .gopherRepetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(6))).toMap
+    val (dlf, dlcf, top2, keep1) = sig(1L)
+    assert(dlf == 0.2, s"5 lines, 1 dup occurrence: $dlf") // 1/5 lines
+    // dup chars 3 / total line chars 3+3+5+7+20... line 5 = the go-line
+    // (20 chars): 3 / 38
+    assert(math.abs(dlcf - math.rint(3.0 / 38 * 10000) / 10000) < 1e-9, dlcf.toString)
+    // joined tokens of the whole text: "dup dup lineo lineooo go go go
+    // go stop end" = 42 chars; "go go" ×3 × 5 chars = 15/42
+    assert(math.abs(top2 - math.rint(15.0 / 42 * 10000) / 10000) < 1e-9, top2.toString)
+    assert(!keep1, "75% top-2-gram coverage must fail the 0.20 bar")
+    assert(sig(2L) == ((0.0, 0.0, 0.0, true)), sig(2L).toString)
+    val (d3, dc3, _, keep3) = sig(3L)
+    assert(d3 == 0.0 && dc3 == 0.0 && keep3)
+  }
 }
