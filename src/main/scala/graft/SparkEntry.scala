@@ -1236,7 +1236,11 @@ object SparkEntry {
           index = Some(graft.sources.IndexStore.tables(s, dir)),
           vectorIndexes = Map("mrl16" -> vix), annBruteThreshold = 1),
         Find.FindRequest(queryVector = Some(qv), vectorset = Some("mrl16"),
-          topK = 20, annNprobe = Some(vix.centroids.size)))
+          topK = 20, annNprobe = Some(vix.centroids.size),
+          // rerank ≥ the set at EVERY sf (not just the sf0.01 gate) —
+          // the oracle is the exact top-k, and the default 2×window
+          // rerank is 1000 < the sf0.1 set size
+          annRerank = Some(vix.nVectors.toInt)))
     }),
 
     // §3.4 MERGED /suggest endpoint parity (shard_suggest.rs:45-160):
@@ -1625,7 +1629,10 @@ object SparkEntry {
           index = Some(graft.sources.IndexStore.tables(s, dir)),
           vectorIndexes = Map("dot16" -> vix), annBruteThreshold = 1),
         Find.FindRequest(queryVector = Some(qv), vectorset = Some("dot16"),
-          topK = 20, annNprobe = Some(vix.centroids.size)))
+          topK = 20, annNprobe = Some(vix.centroids.size),
+          // rerank ≥ the set at EVERY sf — the oracle is the exact
+          // top-k, so the ADC estimate must never cut a true candidate
+          annRerank = Some(vix.nVectors.toInt)))
     }),
 
     // §2.5/§3.1 search_after THROUGH the hybrid find (find.py:95-126,

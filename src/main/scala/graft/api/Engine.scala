@@ -40,7 +40,11 @@ final class Engine(
     val root: String,
     val docId: String = "doc_id",
     val textCol: String = "text",
-    val labelsCol: String = "labels") {
+    val labelsCol: String = "labels",
+    // the set an unnamed vector request searches (`config.rs:100-126`:
+    // every kb has a default vectorset); None = the first indexed set
+    // in name order
+    val defaultVectorset: Option[String] = None) {
 
   private def p(sub: String) = s"$root/$sub"
 
@@ -64,19 +68,25 @@ final class Engine(
 
   /** Index embeddings: one IVF-PQ index per named vectorset, each with
     * its own similarity/normalization config (`config.rs:102-137`).
-    * `vectors` must hold (idCol ≡ [[docId]], vecCol, vsCol). */
+    * `vectors` must hold exactly ([[docId]], `embedding`, `vectorset`)
+    * — the facade's column contract (the serving side binds these
+    * names; corpora with other names rename before ingest). */
   def ingestVectors(
       vectors: DataFrame,
-      vecCol: String = "embedding",
-      vsCol: String = "vectorset",
       configs: Map[String, Ingest.VectorSetConfig] = Map.empty,
       numCentroids: Int = 16,
       m: Int = 16): Unit = {
-    vectors.write.mode("overwrite").partitionBy(vsCol)
+    require(vectors.columns.sorted.sameElements(
+        Array(docId, "embedding", "vectorset").sorted),
+      s"ingestVectors needs exactly ($docId, embedding, vectorset); " +
+        s"got ${vectors.columns.mkString(", ")}")
+    vectors.write.mode("overwrite").partitionBy("vectorset")
       .parquet(p("raw_vectors"))
     Ingest.buildVectorIndexSets(spark.read.parquet(p("raw_vectors")),
-      docId, vecCol, vsCol, p("vectors"),
+      docId, "embedding", "vectorset", p("vectors"),
       numCentroids = numCentroids, m = m, configs = configs)
+    // new index at rest → drop the serving memos so they rebind
+    synchronized { vixCache.clear(); metaMemo = None }
   }
 
   /** Index relation triplets ([[Ingest.relationIndex]]: distinct
@@ -117,22 +127,43 @@ final class Engine(
     })
   }
 
-  /** Names of the indexed vectorsets, from the persisted meta. */
-  def vectorsets: Seq[String] = {
-    val meta = Ingest.readText(spark, p("vectors") + "/vector_meta.json")
-    """"vectorsets":\s*\[([^\]]*)\]""".r.findFirstMatchIn(meta)
-      .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        .filter(_.nonEmpty).toSeq)
-      .getOrElse(Nil)
+  // (hasVectors, vectorset names) — read once per Engine instance, not
+  // per request (the serving path must not pay driver-side FS I/O per
+  // find); invalidated by ingestVectors
+  private var metaMemo: Option[(Boolean, Seq[String])] = None
+  private def vectorMeta: (Boolean, Seq[String]) = synchronized {
+    metaMemo.getOrElse {
+      val exists = new org.apache.hadoop.fs.Path(p("raw_vectors"))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(p("raw_vectors")))
+      val m: (Boolean, Seq[String]) =
+        if (!exists) (false, Nil)
+        else {
+          val meta = Ingest.readText(spark, p("vectors") + "/vector_meta.json")
+          (true, """"vectorsets":\s*\[([^\]]*)\]""".r.findFirstMatchIn(meta)
+            .map(_.group(1).split(",")
+              .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+              .filter(_.nonEmpty).toSeq)
+            .getOrElse(Nil))
+        }
+      metaMemo = Some(m)
+      m
+    }
   }
 
+  /** Names of the indexed vectorsets, from the persisted meta (empty
+    * for a docs-only corpus). */
+  def vectorsets: Seq[String] = vectorMeta._2
+
   /** The [[Find.Corpus]] binding every find-family request uses —
-    * exposed so callers can tune cost-model knobs via `copy`. */
+    * exposed so callers can tune cost-model knobs via `copy`. A
+    * docs-only corpus (no [[ingestVectors]] run) binds no vector side:
+    * keyword-only retrieval works, a queryVector request fails in
+    * `Find.find` with its own missing-vectors contract.
+    */
   def corpus(vectorsetsWanted: Seq[String] = Nil): Find.Corpus = {
-    val sets = if (vectorsetsWanted.nonEmpty) vectorsetsWanted else vectorsets
-    val hasVectors = new org.apache.hadoop.fs.Path(p("raw_vectors"))
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(p("raw_vectors")))
+    val (hasVectors, allSets) = vectorMeta
+    val sets = if (vectorsetsWanted.nonEmpty) vectorsetsWanted else allSets
     Find.Corpus(docs, docId, textCol,
       vectors =
         if (hasVectors) Some(IndexStore.readParquetMemo(spark, p("raw_vectors")))
@@ -140,8 +171,11 @@ final class Engine(
       vecId = docId,
       vectorsetCol = if (hasVectors) Some("vectorset") else None,
       index = Some(index),
-      vectorIndexes = sets.map(vs => vs -> vectorIndex(vs)).toMap,
-      defaultVectorset = sets.headOption.getOrElse("default"))
+      vectorIndexes =
+        if (hasVectors) sets.map(vs => vs -> vectorIndex(vs)).toMap
+        else Map.empty,
+      defaultVectorset = defaultVectorset
+        .orElse(sets.headOption).getOrElse("default"))
   }
 
   /** `POST /kb/{kbid}/find` — hybrid retrieval (SURVEY §3.1). */

@@ -229,8 +229,14 @@ object Find {
       vecs0 <- corpus.vectors
       qv <- req.queryVector
     } yield {
+      // an unnamed request searches the DEFAULT set; when the corpus
+      // binds its indexes per-vectorset only (the Engine facade shape),
+      // the default set's index — and with it the set's
+      // similarity/normalize config — must resolve through
+      // `defaultVectorset`, not silently fall back to brute cosine
       val boundIndex = req.vectorset match {
         case None => corpus.vectorIndex
+          .orElse(corpus.vectorIndexes.get(corpus.defaultVectorset))
         case Some(vs) => corpus.vectorIndexes.get(vs)
       }
       // the SET'S index config decides scoring (`config.rs:102-137`,
@@ -535,8 +541,8 @@ object Find {
           .withColumn("score", round(col("score"), 4))
           .withColumn(corpus.docId,
             split(col("paragraph_id"), "/").getItem(0).cast(docIdType))
-        composeResources(hits, corpus.docId, "paragraph_id", "score")
-          .limit(req.topK)
+        pageCut(composeResources(hits, corpus.docId, "paragraph_id", "score"),
+          corpus.docId, req)
       case None =>
         val par = fieldRestricted match {
           case Some(fp) => // field-filtered per-field paragraphs
@@ -557,10 +563,25 @@ object Find {
             size(filter(TextFunctions.tokens(col("p_text")),
               t => t.isInCollection(terms))).cast("double"))
           .where(col("score") > 0)
-        composeResources(hits, corpus.docId, "paragraph_id", "score")
-          .limit(req.topK)
+        pageCut(composeResources(hits, corpus.docId, "paragraph_id", "score"),
+          corpus.docId, req)
     }
   }
+
+  /** The paragraph-mode page cut: plain topK, or — with a
+    * [[FindRequest.searchAfter]] cursor — the keyset page through the
+    * composed (best_score desc, docId asc) order, same cursor contract
+    * as the hybrid find (strictly after, shown ids dropped, cut back
+    * to topK). Without this the shared request field would silently
+    * return page 1 forever in paragraph mode. */
+  private def pageCut(composed: DataFrame, docIdCol: String,
+      req: FindRequest): DataFrame =
+    req.searchAfter match {
+      case None => composed.limit(req.topK)
+      case Some(cur) =>
+        TopK.searchAfterWithSkipsAny(composed, "best_score", docIdCol,
+          cur.score, cur.id, cur.shown, req.topK)
+    }
 
   /** Compose the find response tree: group scored text-block hits under
     * their resource, hits sorted by (score desc, id asc) inside each

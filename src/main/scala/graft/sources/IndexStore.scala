@@ -283,19 +283,29 @@ object IndexStore {
   }
 
   /** Parse one vectorset's (similarity, normalize) config out of the
-    * meta's `configs` block ([[Ingest.buildVectorIndexSets]] writes it);
-    * index dirs built before the config existed default to the engine's
-    * historical behavior (cosine, unnormalized). */
+    * meta's `configs` block ([[Ingest.buildVectorIndexSets]] writes it).
+    * Index dirs from before the config existed (no `configs` block at
+    * all) default to the engine's historical behavior (cosine,
+    * unnormalized) — but a meta WITH a configs block that fails to
+    * yield this set's entry is a DRIFTED/FOREIGN file and throws:
+    * silently degrading a dot/normalize-configured set to cosine would
+    * be wrong rankings with no error, the worst failure mode for a
+    * scoring config. */
   private def vectorMetaConfig(spark: SparkSession, dir: String,
       vs: String): (graft.functions.VectorFunctions.Similarity, Boolean) = {
     val meta = Ingest.readText(spark, s"$dir/vector_meta.json")
     val re = ("\"" + java.util.regex.Pattern.quote(vs) +
-      "\":\\s*\\{\"similarity\": \"(\\w+)\", \"normalize\": (true|false)\\}").r
+      "\":\\s*\\{\\s*\"similarity\"\\s*:\\s*\"(\\w+)\"\\s*,\\s*" +
+      "\"normalize\"\\s*:\\s*(true|false)\\s*\\}").r
     re.findFirstMatchIn(meta) match {
       case Some(m) =>
         (graft.functions.VectorFunctions.Similarity.parse(m.group(1)),
           m.group(2).toBoolean)
-      case None => (graft.functions.VectorFunctions.Similarity.Cosine, false)
+      case None if !meta.contains("\"configs\"") =>
+        (graft.functions.VectorFunctions.Similarity.Cosine, false)
+      case None => throw new IllegalStateException(
+        s"vector_meta.json at $dir has a configs block but no parseable " +
+          s"entry for vectorset '$vs' — drifted or foreign meta: $meta")
     }
   }
 

@@ -134,6 +134,57 @@ class EngineSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq == Seq("MEETS"))
   }
 
+  test("docs-only corpus: keyword retrieval works with no vector ingest; vector request fails loudly") {
+    val r2 = graft.sources.IndexStore.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft-engine-txt-").toString)
+    val e2 = new Engine(spark, r2)
+    e2.ingestDocuments(Seq(
+        (1L, "alpha beta gamma", "en", Seq.empty[String]),
+        (2L, "beta delta", "en", Seq.empty[String]))
+      .toDF("doc_id", "text", "lang", "labels"))
+    assert(e2.vectorsets.isEmpty)
+    val hits = e2.find(Find.FindRequest(query = "beta", topK = 5))
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 2L))
+    // a vector request against a docs-only corpus is a caller bug and
+    // must fail with Find's own contract, not an FS read error
+    intercept[IllegalArgumentException] {
+      e2.find(Find.FindRequest(queryVector = Some(Seq(1.0f))))
+    }
+  }
+
+  test("unnamed vector request serves the DEFAULT set's index and config") {
+    engine // force fixture ingest
+    val eDot = new Engine(spark, root, defaultVectorset = Some("semdot"))
+    val unnamed = eDot.find(Find.FindRequest(
+        queryVector = Some(Seq(1.0f, 1.0f, 1.0f, 0.0f)), topK = 4))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val named = eDot.find(Find.FindRequest(
+        queryVector = Some(Seq(1.0f, 1.0f, 1.0f, 0.0f)), topK = 4,
+        vectorset = Some("semdot")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // the default set's DOT config must apply to the unnamed request —
+    // not a silent cosine fallback (doc 3's big norm tops dot)
+    assert(unnamed.sameElements(named), s"${unnamed.toSeq} vs ${named.toSeq}")
+    assert(unnamed.head._1 == 3L, unnamed.mkString(","))
+  }
+
+  test("findParagraphs pages with search_after: disjoint pages reproduce the full cut") {
+    val req = Find.FindRequest(query = "prince fox", paragraphBm25 = true,
+      topK = 1)
+    val full = engine.findParagraphs(req.copy(topK = 3)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val page1 = engine.findParagraphs(req).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val page2 = engine.findParagraphs(req.copy(searchAfter =
+        Some(Find.FindCursor(page1.last._2, page1.last._1,
+          page1.map(_._1).toSeq))))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert((page1 ++ page2).sameElements(full.take(2)),
+      s"paged walk must reproduce the composed order: " +
+        s"${(page1 ++ page2).toSeq} vs ${full.toSeq}")
+  }
+
   test("catalog: title match modes + facet rollup over the doc store") {
     val resp = engine.catalog("text",
       titleQuery = Some((Facets.CatalogMatch.Words, "prince fox")),

@@ -221,10 +221,9 @@ class TextFunctionsSpec extends SparkSpec {
   }
 
   test("gopherRepetitionSignals: hand-computed duplicate-line and top-n-gram fractions") {
-    // 4 non-empty lines, "dup" twice → 1 duplicate occurrence of 4
-    // lines (0.25); chars: dup=3, unique lines 5+7 → dup chars 3 of
-    // 3+3+5+7=18 (0.1667). Tokens: "go go go go stop end" → top 2-gram
-    // "go go" ×3, len 5, chars of joined text = 20 → 0.75
+    // doc 1: 5 non-empty trimmed lines, "dup" twice → 1 duplicate of 5
+    // lines (0.2); dup chars 3 of 2·3+5+7+20 = 38. Top 2-gram of the
+    // full token stream is "go go" ×3 (len 5) over 42 joined chars.
     val docs = Seq(
       (1L, "dup\n  dup  \nlineo\nlineooo\ngo go go go stop end"),
       (2L, ""), // degenerate: no lines, no tokens → all zeros, kept
