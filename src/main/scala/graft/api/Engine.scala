@@ -34,6 +34,15 @@ import graft.sources.{Ingest, IndexStore}
   * Serving handles (vector-index models, table plans) are memoized per
   * Engine instance; construct one Engine per (session, root) and reuse
   * it across requests, like the reference's shard readers.
+  *
+  * STREAMED corpora are served by binding
+  * [[graft.streaming.IncrementalIndex.segmentTables]] into a
+  * [[Find.Corpus]] directly (StreamingSpec does exactly this): LSM
+  * segments carry the index tables but not the document payloads — the
+  * source of truth lives upstream of the indexes, as in the
+  * reference's KV store (`docs/internal/KV.md`) — so a streamed
+  * serving root pairs the segment tables with the caller's doc store
+  * rather than this facade's `docs/` directory.
   */
 final class Engine(
     val spark: SparkSession,

@@ -66,14 +66,15 @@ object ScaleStress {
 
     // ---- materialize the 10× corpora -------------------------------
     val docs1 = spark.read.parquet(s"$sf/documents.parquet")
-      .select("doc_id", "text")
+      .select("doc_id", "text", "lang")
     docs1.crossJoin(repDf).select(
         (col("doc_id") + col("rep").cast("long") * 1000000L).as("doc_id"),
         when(col("rep") === 0, col("text"))
           .otherwise(concat_ws(" ",
             transform(TextFunctions.tokens(col("text")),
               t => concat(lit("x"), col("rep").cast("string"), t))))
-          .as("text"))
+          .as("text"),
+        col("lang"))
       .write.mode("overwrite").parquet(s"$out/docs10")
     val docs10 = spark.read.parquet(s"$out/docs10")
 
@@ -122,17 +123,21 @@ object ScaleStress {
 
     // ---- 3. relation-index hop ------------------------------------
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
-      .select("l_suppkey", "l_partkey", "l_returnflag")
+      .select("l_suppkey", "l_partkey", "l_returnflag", "l_orderkey")
     def edgesOf(d: DataFrame) = d.select(
       concat(lit("S"), col("l_suppkey").cast("string")).as("src"),
       concat(lit("R"), col("l_returnflag")).as("rel"),
-      concat(lit("P"), col("l_partkey").cast("string")).as("dst"))
+      concat(lit("P"), col("l_partkey").cast("string")).as("dst"),
+      col("l_orderkey").as("res"))
     val li10 = li.crossJoin(repDf).select(
       (col("l_suppkey") + col("rep") * 1000000L).as("l_suppkey"),
       (col("l_partkey") + col("rep") * 1000000L).as("l_partkey"),
-      col("l_returnflag"))
-    val (tR1, _) = time(Ingest.relationIndex(edgesOf(li), "src", "rel", "dst", s"$out/rel1"))
-    val (tR10, _) = time(Ingest.relationIndex(edgesOf(li10), "src", "rel", "dst", s"$out/rel10"))
+      col("l_returnflag"),
+      (col("l_orderkey") + col("rep") * 100000000L).as("l_orderkey"))
+    val (tR1, _) = time(Ingest.relationIndex(edgesOf(li), "src", "rel", "dst",
+      s"$out/rel1", resourceCol = Some("res")))
+    val (tR10, _) = time(Ingest.relationIndex(edgesOf(li10), "src", "rel", "dst",
+      s"$out/rel10", resourceCol = Some("res")))
     def hop(dir: String): Long = {
       import spark.implicits._
       val e = spark.read.parquet(s"$dir/edges")
@@ -148,6 +153,46 @@ object ScaleStress {
     val (tH10, _) = med3(hop(s"$out/rel10"))
     println(f"[stress] relation_build 1x $tR1%.2fs 10x $tR10%.2fs growth ${tR10 / tR1}%.1fx")
     println(f"[stress] relation_hop 1x $tH1%.2fs 10x $tH10%.2fs growth ${tH10 / tH1}%.1fx")
+
+    // ---- 3b. PREFILTERED graph path search (round-11 endpoint) -----
+    // allowed ids stay 1×-sized in both runs (the prefilter is the
+    // request's, not the corpus's) — measures the semi-join + pruned
+    // provenance scan against a 10× edge_resources table
+    import graft.api.GraphSearch
+    import GraphSearch.{EdgeTable, NodeMatch, PathQuery}
+    val allowedOrders = spark.read.parquet(s"$sf/orders.parquet")
+      .where(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    def filteredGraph(dir: String): Long = {
+      val t = EdgeTable(spark.read.parquet(s"$dir/edge_resources"),
+        "src", "rel", "dst", resourceCol = Some("resource_id"))
+      GraphSearch.search(t, PathQuery.Path(src = NodeMatch.Prefix("S1")),
+        topK = 50, allowedResources = Some(allowedOrders)).count()
+    }
+    val (tG1, _) = med3(filteredGraph(s"$out/rel1"))
+    val (tG10, _) = med3(filteredGraph(s"$out/rel10"))
+    println(f"[stress] graph_prefiltered 1x $tG1%.2fs 10x $tG10%.2fs growth ${tG10 / tG1}%.1fx")
+
+    // ---- 3c. FILTERED suggest (round-11 endpoint) ------------------
+    // paragraph posting pair built standalone (the suggest-relevant
+    // slice of buildIndex) for both scales; the filter admits one
+    // language, so the dictionary rollup covers allowed docs only
+    def buildParPostings(d: DataFrame, dir: String): Unit =
+      Ingest.termPostings(
+          Ingest.splitParagraphs(d, "doc_id", "text"),
+          "paragraph_id", "p_text")
+        .write.mode("overwrite").parquet(dir)
+    val (tP1, _) = time(buildParPostings(docs1, s"$out/pp1"))
+    val (tP10, _) = time(buildParPostings(docs10, s"$out/pp10"))
+    def filteredSuggest(ppDir: String, d: DataFrame): Long =
+      graft.api.Suggest.suggestFiltered(
+          spark.read.parquet(ppDir), d, "doc_id",
+          Some(graft.operators.FilterExpr.Eq("lang", "en")),
+          entities = None, query = "sp")
+        .terms.count()
+    val (tF1, _) = med3(filteredSuggest(s"$out/pp1", docs1))
+    val (tF10, _) = med3(filteredSuggest(s"$out/pp10", docs10))
+    println(f"[stress] parpostings_build 1x $tP1%.2fs 10x $tP10%.2fs growth ${tP10 / tP1}%.1fx")
+    println(f"[stress] suggest_filtered 1x $tF1%.2fs 10x $tF10%.2fs growth ${tF10 / tF1}%.1fx")
 
     // ---- 4. suggest at 64 live segments, 10× segment rows ----------
     import spark.implicits._
