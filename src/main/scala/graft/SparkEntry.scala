@@ -1753,6 +1753,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.2 PARAGRAPH-label filter enforced on paragraph BM25 — the
+    // reference's filtering_formula applies to the paragraph index
+    // itself (paragraph-kind labelsets land on the paragraph side of
+    // the old-filter split; q58 pinned the parse, this pins the
+    // ENFORCEMENT): the labeled paragraph table's allowed ids semi-join
+    // the posting pair, stats follow the filtered population. Label
+    // fixture: the lead window of every doc is /p/lead, the rest
+    // /p/body — ingest-attached tags, deterministic per side
+    "q139_paragraph_label_filter" -> ((s, dir) => {
+      import graft.api.Find
+      val ix0 = graft.sources.IndexStore.tables(s, dir)
+      val labeled = ix0.paragraphs.withColumn("p_labels",
+        when(col("start") === 0, array(lit("/p/lead")))
+          .otherwise(array(lit("/p/body"))))
+      Find.findParagraphs(
+          Find.Corpus(load(s, dir, "documents"), "doc_id", "text",
+            index = Some(ix0.copy(paragraphs = labeled))),
+          Find.FindRequest(query = QueryTerms.mkString(" "),
+            paragraphBm25 = true, topK = 20,
+            paragraphFilter = Some(FilterExpr.Facet("/p/lead"))))
+        .withColumn("hits", concat_ws(",", col("hits")))
+        .orderBy(col("best_score").desc, col("doc_id").asc)
+    }),
+
     // §3.4 /catalog title query-match modes (pg.py:362-394): ONE scan
     // evaluates StartsWith (case-insensitive), Words (token-set
     // containment) and Fuzzy (typo'd word) as predicate columns; the
@@ -3746,6 +3770,22 @@ object SparkEntry {
          |  LEFT JOIN lsig ON d.doc_id = lsig.doc_id
          |  LEFT JOIN tsig ON d.doc_id = tsig.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // q139: the /p/lead label admits exactly each doc's first window;
+    // per the filter-then-score contract the BM25 stats cover only
+    // those paragraphs (q102's shape with the label as the filter).
+    "q139_paragraph_label_filter" ->
+      s"""WITH $ParCtes,
+         |lead AS (SELECT paragraph_id, t, s, e FROM par WHERE s = 0),
+         |${parBm25Ctes("lead")},
+         |hits AS (SELECT CAST(split_part(paragraph_id, '/', 1) AS BIGINT) AS doc_id,
+         |                paragraph_id, score
+         |         FROM bm25)
+         |SELECT doc_id, round(max(score), 6) AS best_score,
+         |  CAST(count(*) AS BIGINT) AS n_hits,
+         |  string_agg(paragraph_id, ',' ORDER BY score DESC, paragraph_id) AS hits
+         |FROM hits GROUP BY doc_id
+         |ORDER BY best_score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q131_catalog_title_match" ->
       s"""WITH t AS (SELECT doc_id, array_to_string(($Tok)[1:5], ' ') AS title

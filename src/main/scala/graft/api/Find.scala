@@ -89,7 +89,14 @@ object Find {
       // search excludes rows marked repeated_in_field at ingest,
       // `nidx_paragraph/src/search_query.rs:219-224`)
       withDuplicates: Boolean = false,
-      searchAfter: Option[FindCursor] = None)
+      searchAfter: Option[FindCursor] = None,
+      // PARAGRAPH-level label filter — the reference's paragraph
+      // filtering_formula, applied to the paragraph index itself
+      // (`nidx_paragraph/src/search_query.rs` filtering_formula;
+      // old-filter labels whose labelset is paragraph-kind land here,
+      // `old_filters.py` split — the parExpr side of OldFilters.parse).
+      // Compiles against the paragraph table's `p_labels` column.
+      paragraphFilter: Option[FilterExpr] = None)
 
   /** Keyset cursor through the hybrid find's FUSED order — the
     * reference's search_after token (`search/search/find.py:95-126,
@@ -514,12 +521,28 @@ object Find {
         val (post0, dls0) = pairs.reduce[(DataFrame, DataFrame)] {
           case ((p1, d1), (p2, d2)) => (p1.unionByName(p2), d1.unionByName(d2))
         }
+        // paragraph-label filter: the allowed paragraph ids come from
+        // the labeled paragraph table (one broadcastable semi-join on
+        // the posting pair — same shape as the doc prefilter); a filter
+        // against an unlabeled corpus is a caller bug, loud not silent
+        lazy val labelAllowed: Option[DataFrame] = req.paragraphFilter.map { pf =>
+          require(ix.paragraphs.columns.contains("p_labels"),
+            "paragraphFilter needs a paragraph table with p_labels — " +
+              "attach paragraph labels at ingest")
+          ix.paragraphs.where(FilterExpr.compile(pf,
+              FilterExpr.Bindings(labelsCol = "p_labels")))
+            .select("paragraph_id")
+        }
         def restrict(df: DataFrame): DataFrame = {
           // default search mode excludes ingest-marked repeated
           // paragraphs — a scan-stage predicate (the flag is
           // denormalized onto both pair tables, like dl)
           val withDup = excludeRepeated(df, req.withDuplicates)
-          val withField = fieldPred.map(withDup.where).getOrElse(withDup)
+          val withLabels = labelAllowed match {
+            case None => withDup
+            case Some(a) => withDup.join(a, Seq("paragraph_id"), "left_semi")
+          }
+          val withField = fieldPred.map(withLabels.where).getOrElse(withLabels)
           val withDoc =
             if (req.filter.isEmpty) withField
             // no .distinct() on the build side: LEFT SEMI is
@@ -557,7 +580,18 @@ object Find {
               graft.sources.Ingest.splitParagraphs(base, corpus.docId, corpus.text)
           }
         }
-        val parDedup = excludeRepeated(par, req.withDuplicates)
+        val parDedup0 = excludeRepeated(par, req.withDuplicates)
+        // paragraph-label filter as a scan-stage predicate (the table
+        // in hand IS the labeled paragraph table here)
+        val parDedup = req.paragraphFilter match {
+          case None => parDedup0
+          case Some(pf) =>
+            require(parDedup0.columns.contains("p_labels"),
+              "paragraphFilter needs a paragraph table with p_labels — " +
+                "attach paragraph labels at ingest")
+            parDedup0.where(FilterExpr.compile(pf,
+              FilterExpr.Bindings(labelsCol = "p_labels")))
+        }
         val hits = parDedup.where(excl)
           .withColumn("score",
             size(filter(TextFunctions.tokens(col("p_text")),

@@ -212,4 +212,42 @@ class FindSpec extends SparkSpec {
     val all = hits(withDup = true)
     assert(all.toSet == Set("d1/t/body/0-20", "d1/t/body/20-40"), all.toString)
   }
+
+  test("paragraph-label filter enforced: labeled rows only, unlabeled corpus fails loudly (old-filter parExpr lands here)") {
+    import graft.api.OldFilters
+    import org.apache.spark.sql.functions.{array, col, lit, when}
+    // two 20-token windows per doc; the ingest-attached label tags the
+    // lead window /p/lead — the paragraph-kind side of the label split
+    val w = (1 to 18).map(i => s"t$i").mkString("needle x ", " ", "")
+    val w2 = (1 to 20).map(i => s"u$i needle".split(" ")(0)).mkString(" ") // distinct window
+    val docs2 = Seq(("d1", s"$w needle ${w2.split(" ").drop(1).mkString(" ")}"))
+      .toDF("rid", "text")
+    val c = Corpus(docs2, "rid", "text")
+    // the old-filter parser routes paragraph-kind labelsets to the
+    // paragraph expression — that output is exactly what
+    // FindRequest.paragraphFilter enforces
+    val (_, parExpr) = OldFilters.parse(
+      OldFilters.Params(labelFilters = Seq(OldFilters.Lit("/l/pkind/lead"))),
+      paragraphLabelsets = Set("pkind"))
+    assert(parExpr.nonEmpty)
+    // unlabeled corpus: enforcement must fail loudly, never silently
+    // return unfiltered hits
+    intercept[IllegalArgumentException] {
+      Find.findParagraphs(c, FindRequest(query = "needle",
+        paragraphFilter = parExpr)).collect()
+    }
+    // labeled corpus (inline paragraph table with p_labels): only the
+    // lead window survives the filter
+    val ix = graft.sources.IndexStore.IndexTables(
+      postings = spark.emptyDataFrame, docLengths = spark.emptyDataFrame,
+      paragraphs = graft.sources.Ingest.splitParagraphs(docs2, "rid", "text")
+        .withColumn("p_labels",
+          when(col("start") === 0, array(lit("/l/pkind/lead")))
+            .otherwise(array(lit("/l/pkind/body")))))
+    val hits = Find.findParagraphs(Corpus(docs2, "rid", "text",
+        index = Some(ix)),
+        FindRequest(query = "needle", paragraphFilter = parExpr))
+      .collect().flatMap(_.getSeq[String](3)).toSeq
+    assert(hits == Seq("d1/t/body/0-20"), hits.toString)
+  }
 }
