@@ -1777,6 +1777,40 @@ object SparkEntry {
         .orderBy(col("best_score").desc, col("doc_id").asc)
     }),
 
+    // §3.1/§2.6 GRAPH retrieval source INSIDE find — the reference's
+    // SearchRequest.graph_search (nodereader.proto:430-436): matched
+    // paths' resource provenance joins the fusion as a third list at
+    // the constant FAKE_GRAPH_SCORE (retrieval.py:41-77), so a doc
+    // can surface from keyword, vector AND graph evidence. Edge
+    // fixture: (source)-[IN_LANG]->(lang) with doc provenance; the
+    // path query matches English docs
+    "q140_find_graph_source" -> ((s, dir) => {
+      import graft.api.{Find, GraphSearch}
+      import GraphSearch.{EdgeTable, NodeMatch, PathQuery}
+      val docs = load(s, dir, "documents")
+      val emb = load(s, dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0)
+      val edges = docs.select(
+        concat(lit("SRC:"), col("source")).as("src"),
+        lit("IN_LANG").as("rel"),
+        col("lang").as("dst"),
+        col("doc_id").as("resource_id"))
+      Find.find(
+          Find.Corpus(docs, "doc_id", "text", Some(emb),
+            index = Some(graft.sources.IndexStore.tables(s, dir)),
+            vectorIndex = Some(graft.sources.IndexStore.vectorIndex(s, dir)),
+            graphEdges = Some(EdgeTable(edges, "src", "rel", "dst",
+              resourceCol = Some("resource_id")))),
+          Find.FindRequest(query = QueryTerms.mkString(" "),
+            queryVector = Some(qv),
+            graphQuery = Some(PathQuery.Path(rel = Some("IN_LANG"),
+              dst = NodeMatch.Exact("en"))),
+            topK = 20))
+        .select(col("doc_id"), col("fused"), col("n_sources"))
+        .orderBy(col("fused").desc, col("doc_id").asc)
+    }),
+
     // §3.4 /catalog title query-match modes (pg.py:362-394): ONE scan
     // evaluates StartsWith (case-insensitive), Words (token-set
     // containment) and Fuzzy (typo'd word) as predicate columns; the
@@ -3786,6 +3820,34 @@ object SparkEntry {
          |  string_agg(paragraph_id, ',' ORDER BY score DESC, paragraph_id) AS hits
          |FROM hits GROUP BY doc_id
          |ORDER BY best_score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q140: the q134 fused CTEs plus the graph list — English docs at a
+    // constant score, ranked by id (the deterministic order constant
+    // scores produce), contributing 1/(60+rank) like every source.
+    "q140_find_graph_source" ->
+      s"""WITH $Bm25Ctes,
+         |kr AS (SELECT doc_id, rank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm25)
+         |  WHERE rank <= 500),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |sem AS (SELECT e.vec_id AS doc_id, round(${cosSql("e.v", "q.qv")}, 6) AS score
+         |        FROM e CROSS JOIN q),
+         |sr AS (SELECT doc_id, rank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sem)
+         |  WHERE rank <= 500),
+         |gr AS (SELECT doc_id, rank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rank
+         |  FROM documents WHERE lang = 'en')
+         |  WHERE rank <= 500),
+         |u AS (SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM kr
+         |      UNION ALL
+         |      SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM sr
+         |      UNION ALL
+         |      SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM gr)
+         |SELECT doc_id, round(sum(contrib), 6) AS fused, CAST(count(*) AS BIGINT) AS n_sources
+         |FROM u GROUP BY doc_id
+         |ORDER BY fused DESC, doc_id LIMIT 20""".stripMargin,
 
     "q131_catalog_title_match" ->
       s"""WITH t AS (SELECT doc_id, array_to_string(($Tok)[1:5], ' ') AS title

@@ -107,10 +107,25 @@ final class Engine(
       srcCol: String, relCol: String, dstCol: String,
       facetsCol: Option[String] = None,
       typedCols: Seq[String] = Nil,
-      resourceCol: Option[String] = None): Unit =
+      resourceCol: Option[String] = None): Unit = {
     Ingest.relationIndex(edges, srcCol, relCol, dstCol, p("graph"),
       facetsCol = facetsCol, typedCols = typedCols,
       resourceCol = resourceCol)
+    synchronized { provenanceMemo = None }
+  }
+
+  // whether the relation ingest recorded edge provenance — one FS
+  // probe per instance, not per request; invalidated by ingestRelations
+  private var provenanceMemo: Option[Boolean] = None
+  private def hasProvenance: Boolean = synchronized {
+    provenanceMemo.getOrElse {
+      val pth = new org.apache.hadoop.fs.Path(p("graph") + "/edge_resources")
+      val b = pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(pth)
+      provenanceMemo = Some(b)
+      b
+    }
+  }
 
   // ------------------------------------------------------------------
   // serving side
@@ -184,7 +199,11 @@ final class Engine(
         if (hasVectors) sets.map(vs => vs -> vectorIndex(vs)).toMap
         else Map.empty,
       defaultVectorset = defaultVectorset
-        .orElse(sets.headOption).getOrElse("default"))
+        .orElse(sets.headOption).getOrElse("default"),
+      // graph-source retrieval (FindRequest.graphQuery) binds the
+      // provenance table when the relation ingest recorded one
+      graphEdges =
+        if (hasProvenance) Some(edgeTable(withProvenance = true)) else None)
   }
 
   /** `POST /kb/{kbid}/find` — hybrid retrieval (SURVEY §3.1). */
@@ -229,8 +248,7 @@ final class Engine(
     * `resourceCol`) serves an empty node set: suggest then completes
     * from the paragraph dictionary alone, like a kb with no entities. */
   private def graphNodesTable: DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(p("graph") + "/edge_resources")
-    if (!path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path))
+    if (!hasProvenance)
       spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("value",

@@ -51,7 +51,13 @@ object Find {
       annBruteThreshold: Long = 1000,
       annDensityThreshold: Double = 0.25,
       vectorIndexes: Map[String, graft.sources.IndexStore.VectorIndex] = Map.empty,
-      defaultVectorset: String = "default")
+      defaultVectorset: String = "default",
+      // the relation index bound for GRAPH-source retrieval inside
+      // find ([[FindRequest.graphQuery]]); its `resourceCol` must
+      // carry each edge's RESOURCE provenance — the reference converts
+      // matched paths to text blocks via their provenance metadata
+      // (`search/search/retrieval.py:172-184`)
+      graphEdges: Option[GraphSearch.EdgeTable] = None)
 
   /** The brute-vs-index branch point for a filtered semantic search —
     * the reference's matching-density cost model
@@ -96,7 +102,14 @@ object Find {
       // old-filter labels whose labelset is paragraph-kind land here,
       // `old_filters.py` split — the parExpr side of OldFilters.parse).
       // Compiles against the paragraph table's `p_labels` column.
-      paragraphFilter: Option[FilterExpr] = None)
+      paragraphFilter: Option[FilterExpr] = None,
+      // GRAPH retrieval source inside find — the reference's
+      // `SearchRequest.graph_search` (`nodereader.proto:430-436`, "only
+      // path search, filters inherited from the main request"): matched
+      // paths' provenance becomes a third retrieval list fused with
+      // keyword and semantic (`retrieval.py:63-77` IndexSource.GRAPH)
+      graphQuery: Option[GraphSearch.PathQuery] = None,
+      graphWeight: Double = 1.0)
 
   /** Keyset cursor through the hybrid find's FUSED order — the
     * reference's search_after token (`search/search/find.py:95-126,
@@ -329,11 +342,37 @@ object Find {
       }
     }
 
+    // 4b. GRAPH list: matched paths with resource provenance become
+    // retrieval candidates at a CONSTANT score — the reference's
+    // FAKE_GRAPH_SCORE 1.0 ("until we implement graph scoring",
+    // `retrieval.py:41-44`); paths without provenance are skipped
+    // (`retrieval.py:177-178`) and the main request's prefilter applies
+    // to the relation sub-search like to every other
+    // (`query_planner.rs:154-166`). Constant scores make the RRF rank
+    // the deterministic id order.
+    val graphList: Option[DataFrame] = req.graphQuery.map { gq =>
+      val gt = corpus.graphEdges.getOrElse(throw new IllegalArgumentException(
+        "a graph query inside find needs Corpus.graphEdges"))
+      val pc = gt.resourceCol.getOrElse(throw new IllegalArgumentException(
+        "the graph source needs edge resource provenance — bind an " +
+          "EdgeTable with resourceCol"))
+      val docIdType = corpus.docs.schema(corpus.docId).dataType
+      val matched = gt.edges.where(GraphSearch.compile(gq, gt))
+        .where(col(pc).isNotNull)
+        .select(col(pc).cast(docIdType).as(corpus.docId)).distinct()
+      val restricted =
+        if (!hasRestriction) matched
+        else matched.join(allowedIds, Seq(corpus.docId), "left_semi")
+      restricted.withColumn("score", lit(1.0))
+    }
+
     // 5. fusion
     val lists = Seq(
       keywordList.map(("keyword", _, req.keywordWeight)),
-      semanticList.map(("semantic", _, req.semanticWeight))).flatten
-    require(lists.nonEmpty, "find needs a keyword query or a query vector")
+      semanticList.map(("semantic", _, req.semanticWeight)),
+      graphList.map(("graph", _, req.graphWeight))).flatten
+    require(lists.nonEmpty,
+      "find needs a keyword query, a query vector, or a graph query")
     val fused =
       if (lists.size == 1)
         lists.head._2.withColumn("n_sources", lit(1L))

@@ -149,6 +149,40 @@ class FindSpec extends SparkSpec {
     assert(rows.head == "lp") // two query terms vs one for misc
   }
 
+  test("graph source fuses as a third list at the constant score; prefilter inherited; provenance required") {
+    import graft.api.GraphSearch
+    import GraphSearch.{EdgeTable, NodeMatch, PathQuery}
+    // entity edges with doc provenance: both prince docs carry a
+    // PRINCE entity, zar carries an OVERMAN entity
+    val edges = Seq(
+      ("prince", "MENTIONS", "character", "lp"),
+      ("overman", "MENTIONS", "concept", "zar"))
+      .toDF("src", "rel", "dst", "resource_id")
+    val gCorpus = corpus.copy(graphEdges = Some(
+      EdgeTable(edges, "src", "rel", "dst", resourceCol = Some("resource_id"))))
+    val gq = PathQuery.Path(src = NodeMatch.Exact("prince"))
+    // graph-only request: constant-score list, id order
+    val graphOnly = Find.find(gCorpus, FindRequest(graphQuery = Some(gq)))
+      .collect().map(_.getString(0)).toSeq
+    assert(graphOnly == Seq("lp"), graphOnly.toString)
+    // hybrid: the graph evidence adds a source for lp
+    val hybrid = Find.find(gCorpus, FindRequest(query = "novella",
+        graphQuery = Some(gq)))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(hybrid("lp") == 2L, hybrid.toString) // keyword + graph
+    // the main request's filter applies to the relation sub-search too
+    val filtered = Find.find(gCorpus, FindRequest(
+        filter = Some(FilterExpr.Facet("/s/p/de")), graphQuery = Some(gq)))
+      .collect()
+    assert(filtered.isEmpty, filtered.mkString(","))
+    // a graph query without bound provenance is a caller bug
+    intercept[IllegalArgumentException] {
+      Find.find(corpus.copy(graphEdges = Some(
+          EdgeTable(edges, "src", "rel", "dst"))),
+        FindRequest(graphQuery = Some(gq)))
+    }
+  }
+
   test("search_after pages the fused order: pages disjoint, union = full cut, rerank forced off") {
     // hybrid request over the 3-doc corpus, paged 1-at-a-time
     val req = FindRequest(query = "prince zarathustra database",
