@@ -1811,6 +1811,23 @@ object SparkEntry {
         .orderBy(col("fused").desc, col("doc_id").asc)
     }),
 
+    // §2.8 ADVANCED QUERY (tantivy grammar, `nodereader.proto:414`
+    // advanced_query; the synonym expander emits it): a boolean
+    // (OR/AND/NOT + parens) MUST clause intersects the keyword search —
+    // BM25 ranks the main terms over docs satisfying the boolean tree,
+    // stats following the filtered population
+    "q141_find_advanced_query" -> ((s, dir) => {
+      import graft.api.Find
+      Find.find(
+          Find.Corpus(load(s, dir, "documents"), "doc_id", "text",
+            index = Some(graft.sources.IndexStore.tables(s, dir))),
+          Find.FindRequest(query = QueryTerms.mkString(" "),
+            advancedQuery = Some("(scan OR filter) AND batch AND NOT merge"),
+            topK = 20))
+        .select(col("doc_id"), col("fused"), col("n_sources"))
+        .orderBy(col("fused").desc, col("doc_id").asc)
+    }),
+
     // §3.4 /catalog title query-match modes (pg.py:362-394): ONE scan
     // evaluates StartsWith (case-insensitive), Words (token-set
     // containment) and Fuzzy (typo'd word) as predicate columns; the
@@ -3847,6 +3864,31 @@ object SparkEntry {
          |      SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM gr)
          |SELECT doc_id, round(sum(contrib), 6) AS fused, CAST(count(*) AS BIGINT) AS n_sources
          |FROM u GROUP BY doc_id
+         |ORDER BY fused DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q141: the boolean MUST clause restricts the corpus; BM25 stats
+    // cover exactly the surviving docs (filter-then-score), fused =
+    // the keyword score of a single-list find.
+    "q141_find_advanced_query" ->
+      s"""WITH toksd AS (SELECT doc_id, $Tok AS t FROM documents),
+         |adv AS (SELECT doc_id, t FROM toksd
+         |        WHERE (list_contains(t, 'scan') OR list_contains(t, 'filter'))
+         |          AND list_contains(t, 'batch')
+         |          AND NOT list_contains(t, 'merge')),
+         |tok AS (SELECT doc_id, unnest(t) AS term FROM adv),
+         |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+         |       WHERE term IN $InQueryTerms GROUP BY doc_id, term),
+         |idf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |bm25 AS (
+         |  SELECT tf.doc_id,
+         |         round(sum(ln(1 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+         |               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 4) AS fused
+         |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, fused, CAST(1 AS BIGINT) AS n_sources
+         |FROM bm25 WHERE fused >= 0.0
          |ORDER BY fused DESC, doc_id LIMIT 20""".stripMargin,
 
     "q131_catalog_title_match" ->

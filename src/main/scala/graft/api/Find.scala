@@ -109,7 +109,12 @@ object Find {
       // paths' provenance becomes a third retrieval list fused with
       // keyword and semantic (`retrieval.py:63-77` IndexSource.GRAPH)
       graphQuery: Option[GraphSearch.PathQuery] = None,
-      graphWeight: Double = 1.0)
+      graphWeight: Double = 1.0,
+      // tantivy-grammar boolean query intersected with the KEYWORD
+      // sub-search as a MUST clause — the reference's `advanced_query`
+      // (`search_query.rs:202-210`; the synonym expander emits it,
+      // `common.py:200-218`). Parsed by [[QueryParser.parseAdvanced]].
+      advancedQuery: Option[String] = None)
 
   /** Keyset cursor through the hybrid find's FUSED order — the
     * reference's search_after token (`search/search/find.py:95-126,
@@ -190,6 +195,11 @@ object Find {
       else ids
     }
 
+    // the advanced boolean query (MUST clause on the keyword
+    // sub-search): parsed leniently; tokens staged ONCE so a multi-term
+    // tree never re-tokenizes per leaf
+    val advanced = req.advancedQuery.flatMap(QueryParser.parseAdvanced)
+
     // 3. keyword list (phrases + exclusions as predicates on the doc)
     val keywordList: Option[DataFrame] =
       if (parsed.isEmpty && terms.isEmpty) None
@@ -200,10 +210,18 @@ object Find {
         val exclPred = parsed.excluded
           .map(t => !array_contains(TextFunctions.tokens(col(corpus.text)), t))
           .foldLeft(lit(true))(_ && _)
-        val candidates = base.where(phrasePred && exclPred)
+        val candidates0 = base.where(phrasePred && exclPred)
+        val candidates = advanced match {
+          case None => candidates0
+          case Some(aq) => candidates0
+            .withColumn("__advtoks", TextFunctions.tokens(col(corpus.text)))
+            .where(QueryParser.compileAdvanced(aq, col("__advtoks"),
+              col(corpus.text)))
+            .drop("__advtoks")
+        }
         // Is the candidate set the whole corpus? Then the posting path
         // needs no id restriction at all (pure pruned-scan lookup).
-        val unrestricted = !hasRestriction &&
+        val unrestricted = !hasRestriction && advanced.isEmpty &&
           parsed.phrases.isEmpty && parsed.excluded.isEmpty
         val scored =
           if (terms.isEmpty) // phrase-only query: uniform score, id order
@@ -214,9 +232,11 @@ object Find {
                 corpus.docId, terms,
                 allowed =
                   if (unrestricted) None
-                  // no phrase/exclusion predicates → candidates ≡ base,
-                  // so the (possibly cached) shared id list serves
-                  else if (parsed.phrases.isEmpty && parsed.excluded.isEmpty)
+                  // no phrase/exclusion/advanced predicates →
+                  // candidates ≡ base, so the (possibly cached) shared
+                  // id list serves
+                  else if (parsed.phrases.isEmpty && parsed.excluded.isEmpty
+                      && advanced.isEmpty)
                     Some(allowedIds)
                   else Some(candidates.select(corpus.docId)))
             case None =>

@@ -40,4 +40,145 @@ object QueryParser {
       .filter(t => t.nonEmpty && !TextFunctions.StopWords.contains(t))
     ParsedQuery(terms.distinct, phrases.distinct, excluded.distinct)
   }
+
+  // ------------------------------------------------------------------
+  // advanced query (tantivy grammar subset)
+  // ------------------------------------------------------------------
+
+  /** Boolean query tree for the `advanced_query` surface — the tantivy
+    * grammar the reference forwards verbatim and parses leniently as a
+    * MUST clause intersected with the main query
+    * (`nidx_paragraph/src/search_query.rs:202-210`,
+    * `nidx_text/src/reader.rs:378-383`; the python layer emits it for
+    * synonym expansion as `term1 (term2 OR syn) term3`,
+    * `query_parser/parsers/common.py:200-218`). Subset supported:
+    * bare terms, `"quoted phrases"`, `AND`/`OR`/`NOT` (upper-case
+    * keywords), `-term` must-not, parentheses; space-separated clauses
+    * default to OR — tantivy's default `Occur::Should` conjunction.
+    */
+  sealed trait BoolQuery
+  object BoolQuery {
+    final case class Term(t: String) extends BoolQuery
+    final case class Phrase(p: String) extends BoolQuery
+    final case class And(l: BoolQuery, r: BoolQuery) extends BoolQuery
+    final case class Or(l: BoolQuery, r: BoolQuery) extends BoolQuery
+    final case class Not(q: BoolQuery) extends BoolQuery
+  }
+
+  /** Recursive-descent parse of the advanced-query grammar. Lenient
+    * like the reference's `parse_query_lenient`: an empty or
+    * all-noise query returns None rather than failing the request;
+    * structural errors (unbalanced parens) throw — they are caller
+    * bugs, not user noise. */
+  def parseAdvanced(query: String): Option[BoolQuery] = {
+    val toks = tokenizeAdvanced(query)
+    if (toks.isEmpty) return None
+    val (q, rest) = parseOr(toks)
+    require(rest.isEmpty, s"unbalanced advanced query at: ${rest.mkString(" ")}")
+    q
+  }
+
+  private def tokenizeAdvanced(q: String): List[String] = {
+    val buf = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < q.length) {
+      q.charAt(i) match {
+        case c if c.isWhitespace => i += 1
+        case '(' => buf += "("; i += 1
+        case ')' => buf += ")"; i += 1
+        case '"' =>
+          val end = q.indexOf('"', i + 1)
+          require(end >= 0, s"unterminated quote in advanced query: $q")
+          buf += ("\"" + q.substring(i + 1, end)); i = end + 1
+        case _ =>
+          val end = q.indexWhere(c => c.isWhitespace || c == '(' || c == ')', i)
+          val stop = if (end < 0) q.length else end
+          buf += q.substring(i, stop); i = stop
+      }
+    }
+    buf.toList
+  }
+
+  // or := and (OR? and)*  — adjacency without a keyword is OR (Should)
+  private def parseOr(toks: List[String]): (Option[BoolQuery], List[String]) = {
+    var (acc, rest) = parseAnd(toks)
+    var continue = true
+    while (continue) rest match {
+      case "OR" :: tail =>
+        val (r, t2) = parseAnd(tail)
+        acc = combine(acc, r, BoolQuery.Or.apply); rest = t2
+      case t :: _ if t != ")" =>
+        val (r, t2) = parseAnd(rest)
+        // a parse that consumed nothing would loop forever — stop
+        if (t2 == rest) continue = false
+        else { acc = combine(acc, r, BoolQuery.Or.apply); rest = t2 }
+      case _ => continue = false
+    }
+    (acc, rest)
+  }
+
+  private def parseAnd(toks: List[String]): (Option[BoolQuery], List[String]) = {
+    var (acc, rest) = parseUnary(toks)
+    var continue = true
+    while (continue) rest match {
+      case "AND" :: tail =>
+        val (r, t2) = parseUnary(tail)
+        acc = combine(acc, r, BoolQuery.And.apply); rest = t2
+      case _ => continue = false
+    }
+    (acc, rest)
+  }
+
+  private def parseUnary(toks: List[String]): (Option[BoolQuery], List[String]) =
+    toks match {
+      case "NOT" :: tail =>
+        val (q, rest) = parseUnary(tail)
+        (q.map(BoolQuery.Not.apply), rest)
+      case t :: tail if t.startsWith("-") && t.length > 1 =>
+        val (q, rest) = parseUnary(t.drop(1) :: tail)
+        (q.map(BoolQuery.Not.apply), rest)
+      case "(" :: tail =>
+        val (q, rest) = parseOr(tail)
+        rest match {
+          case ")" :: t2 => (q, t2)
+          case _ => throw new IllegalArgumentException(
+            "unbalanced parenthesis in advanced query")
+        }
+      case t :: tail if t.startsWith("\"") =>
+        val p = t.drop(1).trim.toLowerCase
+        (if (p.isEmpty) None else Some(BoolQuery.Phrase(p)), tail)
+      case t :: tail if t != ")" && t != "AND" && t != "OR" =>
+        val clean = t.toLowerCase.replaceAll("[^a-z0-9]+", "")
+        (if (clean.isEmpty) None else Some(BoolQuery.Term(clean)), tail)
+      case rest => (None, rest)
+    }
+
+  private def combine(l: Option[BoolQuery], r: Option[BoolQuery],
+      f: (BoolQuery, BoolQuery) => BoolQuery): Option[BoolQuery] =
+    (l, r) match {
+      case (Some(a), Some(b)) => Some(f(a, b))
+      case (a, None) => a
+      case (None, b) => b
+    }
+
+  /** Compile a [[BoolQuery]] to a `Column` predicate over the document:
+    * terms are token membership (the same tokenizer that built the
+    * postings), phrases are lowercase containment — the MUST-clause
+    * semantics the reference intersects with the keyword search.
+    * `toksCol` must be a STAGED tokens column (one `withColumn`, so a
+    * multi-term tree never re-runs the tokenizer per leaf — the same
+    * let-binding discipline as the shingle builder). */
+  def compileAdvanced(q: BoolQuery,
+      toksCol: org.apache.spark.sql.Column,
+      textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{array_contains, lower}
+    def go(b: BoolQuery): org.apache.spark.sql.Column = b match {
+      case BoolQuery.Term(t) => array_contains(toksCol, t)
+      case BoolQuery.Phrase(p) => lower(textCol).contains(p)
+      case BoolQuery.And(l, r) => go(l) && go(r)
+      case BoolQuery.Or(l, r) => go(l) || go(r)
+      case BoolQuery.Not(x) => !go(x)
+    }
+    go(q)
+  }
 }

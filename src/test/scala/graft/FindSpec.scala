@@ -36,6 +36,38 @@ class FindSpec extends SparkSpec {
     assert(p.excluded == Seq("fox"))
   }
 
+  test("advanced query grammar: OR default, AND/NOT, parens, phrases; lenient on noise") {
+    import graft.api.QueryParser.BoolQuery._
+    val q = QueryParser.parseAdvanced("(scan OR filter) AND batch AND NOT merge")
+    assert(q.contains(And(And(Or(Term("scan"), Term("filter")),
+      Term("batch")), Not(Term("merge")))))
+    // bare adjacency defaults to OR — tantivy's Should conjunction
+    assert(QueryParser.parseAdvanced("alpha beta")
+      .contains(Or(Term("alpha"), Term("beta"))))
+    // -term is must-not; quoted phrase survives as containment
+    assert(QueryParser.parseAdvanced("-alpha \"two words\"")
+      .contains(Or(Not(Term("alpha")), Phrase("two words"))))
+    // lenient: empty / all-noise yields None, like parse_query_lenient
+    assert(QueryParser.parseAdvanced("").isEmpty)
+    assert(QueryParser.parseAdvanced("  !!  ").isEmpty)
+    // structural breakage is a caller bug
+    intercept[IllegalArgumentException] {
+      QueryParser.parseAdvanced("(a AND b")
+    }
+  }
+
+  test("advanced query intersects the keyword list as a MUST clause") {
+    // all three docs match "a"? use distinctive terms: restrict the
+    // keyword search for 'novella OR philosophical' docs to NOT prince
+    val hits = ids(FindRequest(query = "novella philosophical",
+      advancedQuery = Some("NOT prince")))
+    assert(hits == Seq("zar"), hits.toString)
+    // OR across two docs keeps both
+    val both = ids(FindRequest(query = "novella philosophical",
+      advancedQuery = Some("prince OR nietzsche")))
+    assert(both.toSet == Set("lp", "zar"), both.toString)
+  }
+
   test("keyword find ranks the matching document first") {
     assert(ids(FindRequest(query = "prince")) == Seq("lp"))
     assert(ids(FindRequest(query = "nietzsche")) == Seq("zar"))
