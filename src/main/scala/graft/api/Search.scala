@@ -27,7 +27,12 @@ object Search {
       sortField: Option[String] = None,
       // the reference's `with_duplicates` — same default and escape
       // hatch as FindRequest (`search_query.rs:219-224`)
-      withDuplicates: Boolean = false)
+      withDuplicates: Boolean = false,
+      // the reference's `paragraph_filter` (`nodereader.proto:423`):
+      // a PARAGRAPH-label expression applied to the paragraph list —
+      // compiles against the paragraph table's `p_labels` column, the
+      // same enforcement as FindRequest.paragraphFilter
+      paragraphFilter: Option[FilterExpr] = None)
 
   /** The multi-part response: independent lists + facet counts, each a
     * lazily-evaluated DataFrame (callers materialize what they need —
@@ -83,7 +88,17 @@ object Search {
       if (parsed.terms.isEmpty) None
       // the same default + escape hatch as the paragraph index search
       // (ONE shared definition — Find.excludeRepeated)
-      else Some(Find.excludeRepeated(par, req.withDuplicates)
+      else {
+        val labeled = req.paragraphFilter match {
+          case None => par
+          case Some(pf) =>
+            require(par.columns.contains("p_labels"),
+              "paragraphFilter needs a paragraph table with p_labels — " +
+                "attach paragraph labels at ingest")
+            par.where(FilterExpr.compile(pf,
+              FilterExpr.Bindings(labelsCol = "p_labels")))
+        }
+        Some(Find.excludeRepeated(labeled, req.withDuplicates)
         .join(base.select(docId), docId) // prefilter
         .withColumn("score",
           size(filter(graft.functions.TextFunctions.tokens(col(ptext)),
@@ -92,6 +107,7 @@ object Search {
         .select(col(pid), col("score"))
         .orderBy(col("score").desc, col(pid).asc)
         .limit(req.topK))
+      }
     }
 
     SearchResponse(docList, parList, facetDf)

@@ -108,13 +108,31 @@ object Suggest {
       entities: Option[(DataFrame, String, Option[String])],
       query: String,
       topK: Int = 10,
-      bindings: FilterExpr.Bindings = FilterExpr.Bindings()): SuggestResponse = {
+      bindings: FilterExpr.Bindings = FilterExpr.Bindings(),
+      // the reference's paragraph_filter (`nodereader.proto:452` on
+      // SuggestRequest → the paragraph suggest's filtering_formula):
+      // a PARAGRAPH-label expression; needs the labeled paragraph
+      // table to resolve ids
+      paragraphFilter: Option[FilterExpr] = None,
+      paragraphs: Option[DataFrame] = None): SuggestResponse = {
     val allowed: Option[DataFrame] = filter.map(f =>
       docs.where(FilterExpr.compile(f, bindings))
         .select(col(docId).cast("string").as("__allowed_doc")))
     // default suggest semantics: ingest-marked repeated paragraphs stay
     // out of the dictionary (same contract as the at-rest par_termfreq)
-    val base = Find.excludeRepeated(parPostings, withDuplicates = false)
+    val base0 = Find.excludeRepeated(parPostings, withDuplicates = false)
+    val base = paragraphFilter match {
+      case None => base0
+      case Some(pf) =>
+        val par = paragraphs.getOrElse(throw new IllegalArgumentException(
+          "a paragraph_filter needs the labeled paragraph table"))
+        require(par.columns.contains("p_labels"),
+          "paragraph_filter needs a paragraph table with p_labels — " +
+            "attach paragraph labels at ingest")
+        base0.join(par.where(FilterExpr.compile(pf,
+            FilterExpr.Bindings(labelsCol = "p_labels")))
+          .select("paragraph_id"), Seq("paragraph_id"), "left_semi")
+    }
     val restricted = allowed match {
       case None => base
       case Some(a) => base.join(a,

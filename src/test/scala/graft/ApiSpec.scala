@@ -129,6 +129,48 @@ class ApiSpec extends SparkSpec {
     assert(fuzzy.contains(("anchor", "paragraph")), fuzzy.mkString(","))
   }
 
+  test("paragraph_filter applies to classic search and suggest (nodereader.proto:423,452)") {
+    import graft.operators.FilterExpr
+    import org.apache.spark.sql.functions.{array, col, lit, when}
+    val sdocs = Seq((1L, "alpha beta", "en")).toDF("doc_id", "text", "lang")
+      .withColumn("labels", array().cast("array<string>"))
+    val pars = Seq(
+      ("1/t/body/0-2", "alpha beta", Seq("/p/lead")),
+      ("1/t/body/2-4", "alpha gamma", Seq("/p/body")))
+      .toDF("paragraph_id", "p_text", "p_labels")
+      .withColumn("doc_id", lit(1L))
+    // classic /search: only the lead paragraph survives the filter
+    val resp = Search.search(sdocs, "doc_id", "text", "labels",
+      Some((pars, "paragraph_id", "p_text")),
+      SearchRequest(query = "alpha",
+        paragraphFilter = Some(FilterExpr.Facet("/p/lead"))))
+    assert(resp.paragraphs.get.collect().map(_.getString(0)).toSeq
+      == Seq("1/t/body/0-2"))
+    // suggest: the dictionary rolls up only labeled paragraphs' rows
+    val posts = Seq(
+      ("1/t/body/0-2", "alpha", 1L), ("1/t/body/0-2", "beta", 1L),
+      ("1/t/body/2-4", "alpha", 1L), ("1/t/body/2-4", "gamma", 1L))
+      .toDF("paragraph_id", "term", "tf")
+    val sugg = Suggest.suggestFiltered(posts, sdocs, "doc_id",
+      filter = None, entities = None, query = "al",
+      paragraphFilter = Some(FilterExpr.Facet("/p/lead")),
+      paragraphs = Some(pars))
+    assert(sugg.terms.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("alpha", 1L))) // not 2 — the body row is filtered out
+    // missing labels/table fail loudly
+    intercept[IllegalArgumentException] {
+      Suggest.suggestFiltered(posts, sdocs, "doc_id", None, None, "al",
+        paragraphFilter = Some(FilterExpr.Facet("/p/lead")))
+    }
+    intercept[IllegalArgumentException] {
+      Search.search(sdocs, "doc_id", "text", "labels",
+        Some((pars.drop("p_labels"), "paragraph_id", "p_text")),
+        SearchRequest(query = "alpha",
+          paragraphFilter = Some(FilterExpr.Facet("/p/lead"))))
+        .paragraphs.get.collect()
+    }
+  }
+
   test("suggestFiltered: one prefilter restricts both sources (shard_suggest.rs:131-160)") {
     import graft.operators.FilterExpr
     // two docs; only doc 1 is english. Posting rows embed the doc in
