@@ -73,6 +73,18 @@ final class Engine(
     Ingest.buildIndex(spark.read.parquet(p("docs")), docId, textCol,
       p("text"), withVectors = false, langCol = langCol,
       conversations = conversations)
+    invalidateServing()
+  }
+
+  /** A re-ingest rewrites part files under `root` — every memoized
+    * handle AND the shared per-(session, path) plan cache must rebind,
+    * or serving reads stale/deleted file listings. */
+  private def invalidateServing(): Unit = synchronized {
+    IndexStore.invalidatePrefix(spark, root)
+    vixCache.clear()
+    metaMemo = None
+    provenanceMemo = None
+    tablesMemo = None
   }
 
   /** Index embeddings: one IVF-PQ index per named vectorset, each with
@@ -94,8 +106,7 @@ final class Engine(
     Ingest.buildVectorIndexSets(spark.read.parquet(p("raw_vectors")),
       docId, "embedding", "vectorset", p("vectors"),
       numCentroids = numCentroids, m = m, configs = configs)
-    // new index at rest → drop the serving memos so they rebind
-    synchronized { vixCache.clear(); metaMemo = None }
+    invalidateServing()
   }
 
   /** Index relation triplets ([[Ingest.relationIndex]]: distinct
@@ -111,7 +122,7 @@ final class Engine(
     Ingest.relationIndex(edges, srcCol, relCol, dstCol, p("graph"),
       facetsCol = facetsCol, typedCols = typedCols,
       resourceCol = resourceCol)
-    synchronized { provenanceMemo = None }
+    invalidateServing()
   }
 
   // whether the relation ingest recorded edge provenance — one FS
@@ -134,8 +145,17 @@ final class Engine(
   /** The at-rest doc store. */
   def docs: DataFrame = IndexStore.readParquetMemo(spark, p("docs"))
 
-  /** The bound text-index tables. */
-  def index: IndexStore.IndexTables = IndexStore.tablesAt(spark, p("text"))
+  /** The bound text-index tables — memoized per instance (tablesAt
+    * pays driver-side FS existence probes for the optional tables;
+    * the serving path must not pay them per request). */
+  private var tablesMemo: Option[IndexStore.IndexTables] = None
+  def index: IndexStore.IndexTables = synchronized {
+    tablesMemo.getOrElse {
+      val t = IndexStore.tablesAt(spark, p("text"))
+      tablesMemo = Some(t)
+      t
+    }
+  }
 
   private val vixCache =
     scala.collection.mutable.Map[String, IndexStore.VectorIndex]()
@@ -188,6 +208,13 @@ final class Engine(
   def corpus(vectorsetsWanted: Seq[String] = Nil): Find.Corpus = {
     val (hasVectors, allSets) = vectorMeta
     val sets = if (vectorsetsWanted.nonEmpty) vectorsetsWanted else allSets
+    // the default set must be among the BOUND sets — otherwise an
+    // unnamed request would silently brute-force the default partition
+    // with cosine/unnormalized defaults, the exact degradation the
+    // default-resolution fix exists to prevent
+    defaultVectorset.foreach(d => require(sets.isEmpty || sets.contains(d),
+      s"defaultVectorset '$d' is not among the bound vectorsets " +
+        s"(${sets.mkString(", ")}) — bind it or name a set per request"))
     Find.Corpus(docs, docId, textCol,
       vectors =
         if (hasVectors) Some(IndexStore.readParquetMemo(spark, p("raw_vectors")))

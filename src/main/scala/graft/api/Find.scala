@@ -200,9 +200,13 @@ object Find {
     // tree never re-tokenizes per leaf
     val advanced = req.advancedQuery.flatMap(QueryParser.parseAdvanced)
 
-    // 3. keyword list (phrases + exclusions as predicates on the doc)
+    // 3. keyword list (phrases + exclusions as predicates on the doc).
+    // An advanced query ALONE still produces a keyword list — the
+    // reference intersects it with the text query as a Must clause, so
+    // with an empty body the advanced tree IS the text match (uniform
+    // score, like phrase-only queries).
     val keywordList: Option[DataFrame] =
-      if (parsed.isEmpty && terms.isEmpty) None
+      if (parsed.isEmpty && terms.isEmpty && req.advancedQuery.isEmpty) None
       else {
         val phrasePred = parsed.phrases
           .map(p => lower(col(corpus.text)).contains(p))
@@ -224,7 +228,7 @@ object Find {
         val unrestricted = !hasRestriction && advanced.isEmpty &&
           parsed.phrases.isEmpty && parsed.excluded.isEmpty
         val scored =
-          if (terms.isEmpty) // phrase-only query: uniform score, id order
+          if (terms.isEmpty) // phrase-/advanced-only: uniform score
             candidates.select(col(corpus.docId), lit(1.0).as("score"))
           else corpus.index match {
             case Some(ix) => // serve the at-rest posting index
@@ -583,7 +587,14 @@ object Find {
         // paragraph-label filter: the allowed paragraph ids come from
         // the labeled paragraph table (one broadcastable semi-join on
         // the posting pair — same shape as the doc prefilter); a filter
-        // against an unlabeled corpus is a caller bug, loud not silent
+        // against an unlabeled corpus is a caller bug, loud not silent.
+        // Labels live on the BODY paragraph table only, so a label
+        // filter combined with non-body fields= would silently empty
+        // the field rows — reject it loudly instead.
+        require(req.paragraphFilter.isEmpty || !needField,
+          "paragraphFilter needs labeled paragraphs, and the field " +
+            "paragraph tables carry no p_labels — restrict fields= to " +
+            "t/body or label the field paragraphs at ingest")
         lazy val labelAllowed: Option[DataFrame] = req.paragraphFilter.map { pf =>
           require(ix.paragraphs.columns.contains("p_labels"),
             "paragraphFilter needs a paragraph table with p_labels — " +
@@ -592,6 +603,26 @@ object Find {
               FilterExpr.Bindings(labelsCol = "p_labels")))
             .select("paragraph_id")
         }
+        // advanced boolean query over the PARAGRAPH text (the cited
+        // `search_query.rs:202-210` is the paragraph search): allowed
+        // ids from the paragraph-text tables matching the tree — the
+        // field table joins in exactly when field specs need it
+        lazy val advAllowed: Option[DataFrame] =
+          req.advancedQuery.flatMap(QueryParser.parseAdvanced).map { aq =>
+            val bodyTab = ix.paragraphs.select(col("paragraph_id"), col("p_text"))
+            val textTab =
+              if (!needField) bodyTab
+              else bodyTab.unionByName(ix.fieldParagraphs.getOrElse(
+                  throw new IllegalArgumentException(
+                    "advancedQuery with fields= needs the field_paragraphs " +
+                      "table — rebuild the index"))
+                .where(!(col("field_type") === "t" && col("field_id") === "body"))
+                .select(col("paragraph_id"), col("p_text")))
+            textTab.withColumn("__advtoks", TextFunctions.tokens(col("p_text")))
+              .where(QueryParser.compileAdvanced(aq, col("__advtoks"),
+                col("p_text")))
+              .select("paragraph_id")
+          }
         def restrict(df: DataFrame): DataFrame = {
           // default search mode excludes ingest-marked repeated
           // paragraphs — a scan-stage predicate (the flag is
@@ -601,7 +632,11 @@ object Find {
             case None => withDup
             case Some(a) => withDup.join(a, Seq("paragraph_id"), "left_semi")
           }
-          val withField = fieldPred.map(withLabels.where).getOrElse(withLabels)
+          val withAdv = advAllowed match {
+            case None => withLabels
+            case Some(a) => withLabels.join(a, Seq("paragraph_id"), "left_semi")
+          }
+          val withField = fieldPred.map(withAdv.where).getOrElse(withAdv)
           val withDoc =
             if (req.filter.isEmpty) withField
             // no .distinct() on the build side: LEFT SEMI is
@@ -642,7 +677,7 @@ object Find {
         val parDedup0 = excludeRepeated(par, req.withDuplicates)
         // paragraph-label filter as a scan-stage predicate (the table
         // in hand IS the labeled paragraph table here)
-        val parDedup = req.paragraphFilter match {
+        val parLabeled = req.paragraphFilter match {
           case None => parDedup0
           case Some(pf) =>
             require(parDedup0.columns.contains("p_labels"),
@@ -650,6 +685,15 @@ object Find {
                 "attach paragraph labels at ingest")
             parDedup0.where(FilterExpr.compile(pf,
               FilterExpr.Bindings(labelsCol = "p_labels")))
+        }
+        // advanced boolean query as a scan-stage predicate over p_text
+        val parDedup = req.advancedQuery.flatMap(QueryParser.parseAdvanced) match {
+          case None => parLabeled
+          case Some(aq) => parLabeled
+            .withColumn("__advtoks", TextFunctions.tokens(col("p_text")))
+            .where(QueryParser.compileAdvanced(aq, col("__advtoks"),
+              col("p_text")))
+            .drop("__advtoks")
         }
         val hits = parDedup.where(excl)
           .withColumn("score",

@@ -69,11 +69,17 @@ object QueryParser {
     * like the reference's `parse_query_lenient`: an empty or
     * all-noise query returns None rather than failing the request;
     * structural errors (unbalanced parens) throw — they are caller
-    * bugs, not user noise. */
+    * bugs, not user noise.
+    *
+    * MUST-NOT semantics (tantivy's): negated clauses (`NOT x`, `-x`,
+    * `-(…)`) in a clause list CONJOIN negatively with the positive
+    * clauses — `batch -merge` means batch AND NOT merge, never
+    * batch OR NOT merge; the positives among themselves default to OR
+    * (tantivy's `Occur::Should`), explicit `AND` conjoins. */
   def parseAdvanced(query: String): Option[BoolQuery] = {
     val toks = tokenizeAdvanced(query)
     if (toks.isEmpty) return None
-    val (q, rest) = parseOr(toks)
+    val (q, rest) = parseClauses(toks)
     require(rest.isEmpty, s"unbalanced advanced query at: ${rest.mkString(" ")}")
     q
   }
@@ -86,6 +92,9 @@ object QueryParser {
         case c if c.isWhitespace => i += 1
         case '(' => buf += "("; i += 1
         case ')' => buf += ")"; i += 1
+        // '-' is the must-not marker whatever follows it (term, group
+        // or phrase) — emitted as NOT so `-(a OR b)` negates the group
+        case '-' => buf += "NOT"; i += 1
         case '"' =>
           val end = q.indexOf('"', i + 1)
           require(end >= 0, s"unterminated quote in advanced query: $q")
@@ -99,22 +108,43 @@ object QueryParser {
     buf.toList
   }
 
-  // or := and (OR? and)*  — adjacency without a keyword is OR (Should)
-  private def parseOr(toks: List[String]): (Option[BoolQuery], List[String]) = {
-    var (acc, rest) = parseAnd(toks)
+  /** A clause list (adjacency or OR between clauses): positives fold
+    * with OR, top-level negations fold into AND NOT — the tantivy
+    * boolean-clause model ([(Should p…), (MustNot n…)] matches
+    * (p₁∨p₂∨…) ∧ ¬(n₁∨n₂∨…); pure negation matches ¬(n∨…)). */
+  private def parseClauses(toks: List[String]): (Option[BoolQuery], List[String]) = {
+    val pos = scala.collection.mutable.ListBuffer.empty[BoolQuery]
+    val neg = scala.collection.mutable.ListBuffer.empty[BoolQuery]
+    var rest = toks
     var continue = true
-    while (continue) rest match {
-      case "OR" :: tail =>
-        val (r, t2) = parseAnd(tail)
-        acc = combine(acc, r, BoolQuery.Or.apply); rest = t2
-      case t :: _ if t != ")" =>
-        val (r, t2) = parseAnd(rest)
-        // a parse that consumed nothing would loop forever — stop
-        if (t2 == rest) continue = false
-        else { acc = combine(acc, r, BoolQuery.Or.apply); rest = t2 }
-      case _ => continue = false
+    while (continue) {
+      val afterOr = rest match {
+        case "OR" :: tail => tail // explicit OR ≡ adjacency (Should)
+        case _ => rest
+      }
+      if (afterOr.isEmpty || afterOr.head == ")") {
+        rest = afterOr; continue = false
+      } else {
+        val (q, t2) = parseAnd(afterOr)
+        if (t2 == afterOr) { rest = afterOr; continue = false }
+        else {
+          q.foreach {
+            case BoolQuery.Not(x) => neg += x
+            case other => pos += other
+          }
+          rest = t2
+        }
+      }
     }
-    (acc, rest)
+    val p = pos.reduceOption(BoolQuery.Or.apply)
+    val n = neg.reduceOption(BoolQuery.Or.apply)
+    val q = (p, n) match {
+      case (Some(a), Some(b)) => Some(BoolQuery.And(a, BoolQuery.Not(b)))
+      case (Some(a), None) => Some(a)
+      case (None, Some(b)) => Some(BoolQuery.Not(b))
+      case (None, None) => None
+    }
+    (q, rest)
   }
 
   private def parseAnd(toks: List[String]): (Option[BoolQuery], List[String]) = {
@@ -123,7 +153,12 @@ object QueryParser {
     while (continue) rest match {
       case "AND" :: tail =>
         val (r, t2) = parseUnary(tail)
-        acc = combine(acc, r, BoolQuery.And.apply); rest = t2
+        acc = (acc, r) match {
+          case (Some(a), Some(b)) => Some(BoolQuery.And(a, b))
+          case (a, None) => a
+          case (None, b) => b
+        }
+        rest = t2
       case _ => continue = false
     }
     (acc, rest)
@@ -134,11 +169,8 @@ object QueryParser {
       case "NOT" :: tail =>
         val (q, rest) = parseUnary(tail)
         (q.map(BoolQuery.Not.apply), rest)
-      case t :: tail if t.startsWith("-") && t.length > 1 =>
-        val (q, rest) = parseUnary(t.drop(1) :: tail)
-        (q.map(BoolQuery.Not.apply), rest)
       case "(" :: tail =>
-        val (q, rest) = parseOr(tail)
+        val (q, rest) = parseClauses(tail)
         rest match {
           case ")" :: t2 => (q, t2)
           case _ => throw new IllegalArgumentException(
@@ -151,14 +183,6 @@ object QueryParser {
         val clean = t.toLowerCase.replaceAll("[^a-z0-9]+", "")
         (if (clean.isEmpty) None else Some(BoolQuery.Term(clean)), tail)
       case rest => (None, rest)
-    }
-
-  private def combine(l: Option[BoolQuery], r: Option[BoolQuery],
-      f: (BoolQuery, BoolQuery) => BoolQuery): Option[BoolQuery] =
-    (l, r) match {
-      case (Some(a), Some(b)) => Some(f(a, b))
-      case (a, None) => a
-      case (None, b) => b
     }
 
   /** Compile a [[BoolQuery]] to a `Column` predicate over the document:

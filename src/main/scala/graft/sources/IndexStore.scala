@@ -104,6 +104,22 @@ object IndexStore {
   def invalidate(spark: SparkSession): Unit =
     synchronized { sessionCaches.remove(spark); () }
 
+  /** Drop the memoized plans and handles under a path prefix — a
+    * RE-INGEST over an existing directory rewrites its part files, and
+    * a cached DataFrame still holding the old file listing would serve
+    * stale rows or FileNotFound ([[graft.api.Engine]] calls this from
+    * its ingest methods). */
+  private[graft] def invalidatePrefix(spark: SparkSession, prefix: String): Unit = {
+    val c = cachesOf(spark)
+    c.synchronized {
+      c.dfs.keys.filter(_.startsWith(prefix)).toList.foreach(c.dfs.remove)
+      c.tables.keys.filter(_.startsWith(prefix)).toList.foreach(c.tables.remove)
+      c.vix.keys.filter(_.startsWith(prefix)).toList.foreach(c.vix.remove)
+      c.vsix.keys.filter(_._1.startsWith(prefix)).toList
+        .foreach(c.vsix.remove)
+    }
+  }
+
   private def readParquet(spark: SparkSession, path: String): DataFrame =
     readParquetMemo(spark, path)
 

@@ -540,14 +540,22 @@ object Ingest {
     // granularity — that a filtered graph search semi-joins against the
     // prefilter's allowed ids. Kept SEPARATE from the deduped triplet
     // copies so unfiltered queries scan the smaller distinct tables.
-    resourceCol.foreach { rc =>
-      edges.select((Seq(col(srcCol).as("src"), col(relCol).as("rel"),
-          col(dstCol).as("dst")) ++ typedCols.map(col) :+
-          col(rc).as("resource_id")): _*)
-        .distinct()
-        .repartitionByRange(col("src"))
-        .sortWithinPartitions("src", "rel", "dst", "resource_id")
-        .write.mode("overwrite").parquet(s"$outDir/edge_resources")
+    resourceCol match {
+      case Some(rc) =>
+        edges.select((Seq(col(srcCol).as("src"), col(relCol).as("rel"),
+            col(dstCol).as("dst")) ++ typedCols.map(col) :+
+            col(rc).as("resource_id")): _*)
+          .distinct()
+          .repartitionByRange(col("src"))
+          .sortWithinPartitions("src", "rel", "dst", "resource_id")
+          .write.mode("overwrite").parquet(s"$outDir/edge_resources")
+      case None =>
+        // a re-ingest WITHOUT provenance must not leave a stale
+        // provenance table from a previous build — serving would bind
+        // edges the new corpus no longer has
+        val p = new org.apache.hadoop.fs.Path(s"$outDir/edge_resources")
+        val fs = p.getFileSystem(spark(edges).sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) { fs.delete(p, true); () }
     }
     // the dedup aggregation ALSO records each triplet's multiplicity
     // `n` — the support weight ranked graph expansion sums

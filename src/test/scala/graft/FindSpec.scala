@@ -44,9 +44,19 @@ class FindSpec extends SparkSpec {
     // bare adjacency defaults to OR — tantivy's Should conjunction
     assert(QueryParser.parseAdvanced("alpha beta")
       .contains(Or(Term("alpha"), Term("beta"))))
-    // -term is must-not; quoted phrase survives as containment
+    // MUST-NOT conjoins negatively with the positives (tantivy clause
+    // semantics: Should + MustNot = positives AND NOT negatives) —
+    // never OR'd in, which would defeat the exclusion
+    assert(QueryParser.parseAdvanced("batch -merge")
+      .contains(And(Term("batch"), Not(Term("merge")))))
     assert(QueryParser.parseAdvanced("-alpha \"two words\"")
-      .contains(Or(Not(Term("alpha")), Phrase("two words"))))
+      .contains(And(Phrase("two words"), Not(Term("alpha")))))
+    // a negated GROUP keeps its negation
+    assert(QueryParser.parseAdvanced("batch -(merge OR scan)")
+      .contains(And(Term("batch"), Not(Or(Term("merge"), Term("scan"))))))
+    // pure negation matches the complement
+    assert(QueryParser.parseAdvanced("NOT merge")
+      .contains(Not(Term("merge"))))
     // lenient: empty / all-noise yields None, like parse_query_lenient
     assert(QueryParser.parseAdvanced("").isEmpty)
     assert(QueryParser.parseAdvanced("  !!  ").isEmpty)
@@ -66,6 +76,22 @@ class FindSpec extends SparkSpec {
     val both = ids(FindRequest(query = "novella philosophical",
       advancedQuery = Some("prince OR nietzsche")))
     assert(both.toSet == Set("lp", "zar"), both.toString)
+    // must-not adjacency excludes (tantivy clause semantics)
+    val excl = ids(FindRequest(query = "novella philosophical",
+      advancedQuery = Some("novel -prince")))
+    assert(excl == Seq("zar"), excl.toString)
+    // the MUST clause applies even with an EMPTY main query: the
+    // advanced tree IS the text match (uniform score), so a
+    // vector-only request cannot bypass it
+    val advOnly = Find.find(corpus, FindRequest(
+        queryVector = Some(Seq(1.0f, 0.0f, 0.0f)),
+        advancedQuery = Some("philosophical")))
+      .collect().map(_.getString(0))
+    assert(advOnly.headOption.contains("zar") && advOnly.length <= 3,
+      advOnly.mkString(","))
+    // and an advanced-only request works as a plain boolean retrieval
+    val pureAdv = ids(FindRequest(advancedQuery = Some("planets OR nietzsche")))
+    assert(pureAdv.toSet == Set("lp", "zar"), pureAdv.toString)
   }
 
   test("keyword find ranks the matching document first") {
