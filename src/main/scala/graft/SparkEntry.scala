@@ -1828,6 +1828,25 @@ object SparkEntry {
         .orderBy(col("fused").desc, col("doc_id").asc)
     }),
 
+    // training-data ops: within-document line DEDUP as a transform
+    // (RefinedWeb's cleaning step — the removal pair of q138's
+    // detection): later occurrences of an identical trimmed line drop,
+    // first occurrences and blank lines keep their text and order;
+    // pure scan-stage array fold, no corpus state. Same repeated-line
+    // fixture as q138
+    "q142_dedup_lines" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      load(s, dir, "documents").withColumn("composite",
+          concat(col("text"),
+            lit("\nA repeated line here.\nA repeated line here.\n"),
+            when(col("doc_id") % 4 === 0,
+              lit("A repeated line here.\nshort tail"))
+              .otherwise(lit("Unique tail line.\nshort tail"))))
+        .select(col("doc_id"),
+          TextFunctions.dedupLines(col("composite")).as("cleaned"))
+        .orderBy("doc_id")
+    }),
+
     // §3.4 /catalog title query-match modes (pg.py:362-394): ONE scan
     // evaluates StartsWith (case-insensitive), Words (token-set
     // containment) and Fuzzy (typo'd word) as predicate columns; the
@@ -3890,6 +3909,27 @@ object SparkEntry {
          |SELECT doc_id, fused, CAST(1 AS BIGINT) AS n_sources
          |FROM bm25 WHERE fused >= 0.0
          |ORDER BY fused DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q142: first occurrence per trimmed line value wins (blank lines
+    // always kept), original text and order preserved.
+    "q142_dedup_lines" ->
+      """WITH synth AS (SELECT doc_id,
+        |    text || chr(10) || 'A repeated line here.' || chr(10) ||
+        |    'A repeated line here.' || chr(10) ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN 'A repeated line here.' || chr(10) || 'short tail'
+        |      ELSE 'Unique tail line.' || chr(10) || 'short tail' END AS composite
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(composite, chr(10)) AS l FROM synth),
+        |lines AS (SELECT doc_id, l[i] AS line, trim(l[i]) AS t, i
+        |          FROM ls CROSS JOIN (SELECT unnest(range(1, 500)) AS i) ix
+        |          WHERE i <= len(l)),
+        |firsts AS (SELECT doc_id, line, i FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id, t ORDER BY i) AS rn
+        |    FROM lines)
+        |  WHERE t = '' OR rn = 1)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS cleaned
+        |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q131_catalog_title_match" ->
       s"""WITH t AS (SELECT doc_id, array_to_string(($Tok)[1:5], ' ') AS title

@@ -25,6 +25,10 @@ object Search {
       topK: Int = 20,
       onlyFaceted: Boolean = false,
       sortField: Option[String] = None,
+      // the proto's OrderBy.OrderType (`nodereader.proto:27-30`; DESC
+      // is the proto default for date sorts, ASC kept as this API's
+      // historical default for the title sort)
+      sortDesc: Boolean = false,
       // the reference's `with_duplicates` — same default and escape
       // hatch as FindRequest (`search_query.rs:219-224`)
       withDuplicates: Boolean = false,
@@ -79,7 +83,8 @@ object Search {
         Some(req.sortField match {
           case Some(f) => cut
             .join(docs.select(col(docId), col(f)), docId)
-            .orderBy(col(f).asc, col(docId).asc)
+            .orderBy(if (req.sortDesc) col(f).desc else col(f).asc,
+              col(docId).asc)
           case None => cut
         })
       }

@@ -436,6 +436,41 @@ object TextFunctions {
     *          keep per the Gopher thresholds (≤0.30 dup lines, ≤0.20
     *          dup line chars, ≤0.20/0.18/0.16 top-2/3/4-gram chars)
     */
+  /** Remove duplicate lines WITHIN a document — the transform pair of
+    * [[gopherRepetitionSignals]]'s detection (RefinedWeb applies
+    * line-level dedup as a cleaning step, not only a filter): every
+    * line whose trimmed form already appeared earlier in the document
+    * is dropped, first occurrences keep their original (untrimmed)
+    * text and order. Pure per-row array work in the scan stage — the
+    * cross-document boilerplate rule stays in
+    * [[graft.operators.Dedup.boilerplateParagraphs]]; this one needs
+    * no corpus state at all. Blank lines are structure, not content —
+    * they are never dropped. Null text propagates null.
+    */
+  def dedupLines(text: Column): Column = {
+    val out = dedupLinesNonNull(text)
+    when(text.isNull, lit(null).cast("string")).otherwise(out)
+  }
+
+  private def dedupLinesNonNull(text: Column): Column = {
+    // accumulate (seen-trimmed-lines, kept-lines); O(L²) membership
+    // over the row's OWN lines — line counts are document-local, and
+    // the alternative (explode + window) would shuffle the corpus for
+    // a per-row transform
+    val folded = aggregate(
+      split(text, "\n"),
+      struct(array().cast("array<string>").as("seen"),
+        array().cast("array<string>").as("kept")),
+      (acc, l) => {
+        val t = trim(l)
+        when(t =!= "" && array_contains(acc.getField("seen"), t), acc)
+          .otherwise(struct(
+            array_union(acc.getField("seen"), array(t)).as("seen"),
+            concat(acc.getField("kept"), array(l)).as("kept")))
+      })
+    concat_ws("\n", folded.getField("kept"))
+  }
+
   def gopherRepetitionSignals(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

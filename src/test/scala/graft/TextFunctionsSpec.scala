@@ -220,6 +220,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(scored("diverse") > scored("stopwordy"))
   }
 
+  test("dedupLines keeps first occurrences and blank lines, drops later duplicates, null-safe") {
+    val rows = Seq(
+      ("a", "keep me\ndup\n\ndup\n  dup  \nother\n\nkeep me"),
+      ("b", ""),
+      ("c", null))
+      .toDF("id", "text")
+    val got = rows.select(col("id"),
+        graft.functions.TextFunctions.dedupLines(col("text")).as("t"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    // trimmed-identical lines collapse to the FIRST (original text
+    // kept, so "dup" survives, "  dup  " does not); BOTH blank lines
+    // survive in place; order preserved → kept =
+    // [keep me, dup, "", other, ""]
+    assert(got("a").contains("keep me\ndup\n\nother\n"),
+      got("a").toString)
+    assert(got("b").contains(""))
+    assert(got("c").isEmpty)
+  }
+
   test("gopherRepetitionSignals: hand-computed duplicate-line and top-n-gram fractions") {
     // doc 1: 5 non-empty trimmed lines, "dup" twice → 1 duplicate of 5
     // lines (0.2); dup chars 3 of 2·3+5+7+20 = 38. Top 2-gram of the
