@@ -185,6 +185,41 @@ class EngineSpec extends SparkSpec {
         s"${(page1 ++ page2).toSeq} vs ${full.toSeq}")
   }
 
+  test("re-ingest on a live engine rebinds every serving handle (no stale file listings)") {
+    val r3 = graft.sources.IndexStore.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft-engine-re-").toString)
+    val e3 = new Engine(spark, r3)
+    def corpusOf(tag: String) = Seq(
+        (1L, s"alpha $tag first", "en", Seq.empty[String]),
+        (2L, s"beta $tag second", "en", Seq.empty[String]))
+      .toDF("doc_id", "text", "lang", "labels")
+    e3.ingestDocuments(corpusOf("old"))
+    assert(e3.find(Find.FindRequest(query = "old")).count() == 2)
+    // overwrite the corpus in place: the memoized table handles and the
+    // shared per-path plan cache must rebind — a stale file listing
+    // would throw FileNotFound or serve the old rows
+    e3.ingestDocuments(corpusOf("new"))
+    assert(e3.find(Find.FindRequest(query = "old")).count() == 0)
+    assert(e3.find(Find.FindRequest(query = "new")).count() == 2)
+    // same for a re-run vector ingest (new index, new meta)
+    def vecsOf(x: Float) = Seq(
+        (1L, Seq(x, 0.0f, 0.0f, 0.1f)), (2L, Seq(0.0f, x, 0.0f, 0.1f)))
+      .toDF("doc_id", "embedding")
+      .select(col("doc_id"), col("embedding"), lit("s").as("vectorset"))
+    e3.ingestVectors(vecsOf(1.0f), numCentroids = 1, m = 2)
+    assert(e3.find(Find.FindRequest(
+      queryVector = Some(Seq(1.0f, 0.0f, 0.0f, 0.0f)), topK = 1))
+      .collect().head.getLong(0) == 1L)
+    e3.ingestVectors(vecsOf(-1.0f), numCentroids = 1, m = 2)
+    // with negated vectors the nearest flips to doc 2
+    assert(e3.find(Find.FindRequest(
+      queryVector = Some(Seq(-1.0f, 0.0f, 0.0f, 0.0f)), topK = 1))
+      .collect().head.getLong(0) == 1L)
+    assert(e3.find(Find.FindRequest(
+      queryVector = Some(Seq(0.0f, -1.0f, 0.0f, 0.0f)), topK = 1))
+      .collect().head.getLong(0) == 2L)
+  }
+
   test("catalog: title match modes + facet rollup over the doc store") {
     val resp = engine.catalog("text",
       titleQuery = Some((Facets.CatalogMatch.Words, "prince fox")),
