@@ -207,14 +207,19 @@ final class Engine(
     */
   def corpus(vectorsetsWanted: Seq[String] = Nil): Find.Corpus = {
     val (hasVectors, allSets) = vectorMeta
-    val sets = if (vectorsetsWanted.nonEmpty) vectorsetsWanted else allSets
-    // the default set must be among the BOUND sets — otherwise an
-    // unnamed request would silently brute-force the default partition
-    // with cosine/unnormalized defaults, the exact degradation the
-    // default-resolution fix exists to prevent
-    defaultVectorset.foreach(d => require(sets.isEmpty || sets.contains(d),
-      s"defaultVectorset '$d' is not among the bound vectorsets " +
-        s"(${sets.mkString(", ")}) — bind it or name a set per request"))
+    // an explicit default naming a set that was never indexed is a
+    // config error — loud, never silently brute-forced
+    defaultVectorset.foreach(d => require(allSets.isEmpty || allSets.contains(d),
+      s"defaultVectorset '$d' is not an indexed vectorset " +
+        s"(have: ${allSets.mkString(", ")})"))
+    val sets0 = if (vectorsetsWanted.nonEmpty) vectorsetsWanted else allSets
+    // a wanted-subset that excludes the default still BINDS the default
+    // set's index: named requests use only their set, but an unnamed
+    // request must resolve the default's similarity/normalize config —
+    // a silent cosine fallback is the degradation this exists to
+    // prevent. Binding costs one memoized handle, not per-request work.
+    val sets = (sets0 ++
+      defaultVectorset.filter(d => sets0.nonEmpty && allSets.contains(d))).distinct
     Find.Corpus(docs, docId, textCol,
       vectors =
         if (hasVectors) Some(IndexStore.readParquetMemo(spark, p("raw_vectors")))

@@ -204,9 +204,11 @@ object Find {
     // An advanced query ALONE still produces a keyword list — the
     // reference intersects it with the text query as a Must clause, so
     // with an empty body the advanced tree IS the text match (uniform
-    // score, like phrase-only queries).
+    // score, like phrase-only queries). Gate on the PARSE RESULT, not
+    // the raw string: a noise query parses to None (lenient) and must
+    // behave as absent, never as an unfiltered full-corpus list.
     val keywordList: Option[DataFrame] =
-      if (parsed.isEmpty && terms.isEmpty && req.advancedQuery.isEmpty) None
+      if (parsed.isEmpty && terms.isEmpty && advanced.isEmpty) None
       else {
         val phrasePred = parsed.phrases
           .map(p => lower(col(corpus.text)).contains(p))
@@ -214,15 +216,8 @@ object Find {
         val exclPred = parsed.excluded
           .map(t => !array_contains(TextFunctions.tokens(col(corpus.text)), t))
           .foldLeft(lit(true))(_ && _)
-        val candidates0 = base.where(phrasePred && exclPred)
-        val candidates = advanced match {
-          case None => candidates0
-          case Some(aq) => candidates0
-            .withColumn("__advtoks", TextFunctions.tokens(col(corpus.text)))
-            .where(QueryParser.compileAdvanced(aq, col("__advtoks"),
-              col(corpus.text)))
-            .drop("__advtoks")
-        }
+        val candidates = applyAdvanced(
+          base.where(phrasePred && exclPred), corpus.text, advanced)
         // Is the candidate set the whole corpus? Then the posting path
         // needs no id restriction at all (pure pruned-scan lookup).
         val unrestricted = !hasRestriction && advanced.isEmpty &&
@@ -467,6 +462,8 @@ object Find {
     val parsed = QueryParser.parse(req.query)
     val terms = Synonyms.expand(parsed.terms, req.synonyms)
     require(terms.nonEmpty, "paragraph find needs keyword terms")
+    // parsed ONCE for both branches (lenient — noise behaves as absent)
+    val advanced = req.advancedQuery.flatMap(QueryParser.parseAdvanced)
     val base = req.filter match {
       case Some(f) => corpus.docs.where(FilterExpr.compile(f))
       case None => corpus.docs
@@ -607,22 +604,18 @@ object Find {
         // `search_query.rs:202-210` is the paragraph search): allowed
         // ids from the paragraph-text tables matching the tree — the
         // field table joins in exactly when field specs need it
-        lazy val advAllowed: Option[DataFrame] =
-          req.advancedQuery.flatMap(QueryParser.parseAdvanced).map { aq =>
-            val bodyTab = ix.paragraphs.select(col("paragraph_id"), col("p_text"))
-            val textTab =
-              if (!needField) bodyTab
-              else bodyTab.unionByName(ix.fieldParagraphs.getOrElse(
-                  throw new IllegalArgumentException(
-                    "advancedQuery with fields= needs the field_paragraphs " +
-                      "table — rebuild the index"))
-                .where(!(col("field_type") === "t" && col("field_id") === "body"))
-                .select(col("paragraph_id"), col("p_text")))
-            textTab.withColumn("__advtoks", TextFunctions.tokens(col("p_text")))
-              .where(QueryParser.compileAdvanced(aq, col("__advtoks"),
-                col("p_text")))
-              .select("paragraph_id")
-          }
+        lazy val advAllowed: Option[DataFrame] = advanced.map { aq =>
+          val bodyTab = ix.paragraphs.select(col("paragraph_id"), col("p_text"))
+          val textTab =
+            if (!needField) bodyTab
+            else bodyTab.unionByName(ix.fieldParagraphs.getOrElse(
+                throw new IllegalArgumentException(
+                  "advancedQuery with fields= needs the field_paragraphs " +
+                    "table — rebuild the index"))
+              .where(!(col("field_type") === "t" && col("field_id") === "body"))
+              .select(col("paragraph_id"), col("p_text")))
+          applyAdvanced(textTab, "p_text", Some(aq)).select("paragraph_id")
+        }
         def restrict(df: DataFrame): DataFrame = {
           // default search mode excludes ingest-marked repeated
           // paragraphs — a scan-stage predicate (the flag is
@@ -687,14 +680,7 @@ object Find {
               FilterExpr.Bindings(labelsCol = "p_labels")))
         }
         // advanced boolean query as a scan-stage predicate over p_text
-        val parDedup = req.advancedQuery.flatMap(QueryParser.parseAdvanced) match {
-          case None => parLabeled
-          case Some(aq) => parLabeled
-            .withColumn("__advtoks", TextFunctions.tokens(col("p_text")))
-            .where(QueryParser.compileAdvanced(aq, col("__advtoks"),
-              col("p_text")))
-            .drop("__advtoks")
-        }
+        val parDedup = applyAdvanced(parLabeled, "p_text", advanced)
         val hits = parDedup.where(excl)
           .withColumn("score",
             size(filter(TextFunctions.tokens(col("p_text")),
@@ -704,6 +690,22 @@ object Find {
           corpus.docId, req)
     }
   }
+
+  /** The ONE application of an advanced boolean tree to a text-bearing
+    * table: tokens staged once per row (never re-tokenized per leaf),
+    * predicate in the scan stage, staging column dropped. Shared by
+    * the doc-level candidates and both paragraph branches so the
+    * staging discipline cannot drift between them. */
+  private def applyAdvanced(df: DataFrame, textColName: String,
+      aq: Option[QueryParser.BoolQuery]): DataFrame =
+    aq match {
+      case None => df
+      case Some(q) => df
+        .withColumn("__advtoks", TextFunctions.tokens(col(textColName)))
+        .where(QueryParser.compileAdvanced(q, col("__advtoks"),
+          col(textColName)))
+        .drop("__advtoks")
+    }
 
   /** The paragraph-mode page cut: plain topK, or — with a
     * [[FindRequest.searchAfter]] cursor — the keyset page through the

@@ -63,6 +63,10 @@ object QueryParser {
     final case class And(l: BoolQuery, r: BoolQuery) extends BoolQuery
     final case class Or(l: BoolQuery, r: BoolQuery) extends BoolQuery
     final case class Not(q: BoolQuery) extends BoolQuery
+    /** A clause list with ONLY must-not clauses — in tantivy/Lucene a
+      * boolean query without a positive scorer matches NOTHING, not
+      * the complement; this marker compiles to false. */
+    case object MatchNone extends BoolQuery
   }
 
   /** Recursive-descent parse of the advanced-query grammar. Lenient
@@ -111,17 +115,18 @@ object QueryParser {
   /** A clause list (adjacency or OR between clauses): positives fold
     * with OR, top-level negations fold into AND NOT — the tantivy
     * boolean-clause model ([(Should p…), (MustNot n…)] matches
-    * (p₁∨p₂∨…) ∧ ¬(n₁∨n₂∨…); pure negation matches ¬(n∨…)). */
+    * (p₁∨p₂∨…) ∧ ¬(n₁∨n₂∨…)); a list with ONLY must-not clauses
+    * matches NOTHING (no positive scorer — Lucene/tantivy semantics),
+    * surfaced as [[BoolQuery.MatchNone]]. Stray/repeated OR keywords
+    * are user noise and skip leniently. */
   private def parseClauses(toks: List[String]): (Option[BoolQuery], List[String]) = {
     val pos = scala.collection.mutable.ListBuffer.empty[BoolQuery]
     val neg = scala.collection.mutable.ListBuffer.empty[BoolQuery]
     var rest = toks
     var continue = true
     while (continue) {
-      val afterOr = rest match {
-        case "OR" :: tail => tail // explicit OR ≡ adjacency (Should)
-        case _ => rest
-      }
+      // explicit OR ≡ adjacency (Should); repeated ORs are noise
+      val afterOr = rest.dropWhile(_ == "OR")
       if (afterOr.isEmpty || afterOr.head == ")") {
         rest = afterOr; continue = false
       } else {
@@ -141,7 +146,7 @@ object QueryParser {
     val q = (p, n) match {
       case (Some(a), Some(b)) => Some(BoolQuery.And(a, BoolQuery.Not(b)))
       case (Some(a), None) => Some(a)
-      case (None, Some(b)) => Some(BoolQuery.Not(b))
+      case (None, Some(_)) => Some(BoolQuery.MatchNone)
       case (None, None) => None
     }
     (q, rest)
@@ -202,6 +207,7 @@ object QueryParser {
       case BoolQuery.And(l, r) => go(l) && go(r)
       case BoolQuery.Or(l, r) => go(l) || go(r)
       case BoolQuery.Not(x) => !go(x)
+      case BoolQuery.MatchNone => org.apache.spark.sql.functions.lit(false)
     }
     go(q)
   }

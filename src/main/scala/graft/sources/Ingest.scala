@@ -428,14 +428,25 @@ object Ingest {
       .option("path", s"$outDir/sigbands")
       .saveAsTable(bucketedTableName("sigbands", outDir))
     // language-ID model: per-language char-trigram profiles trained
-    // from the labeled corpus ([[trainLangProfiles]])
-    langCol.foreach { lc =>
-      trainLangProfiles(docs, textCol, lc)
+    // from the labeled corpus ([[trainLangProfiles]]). CONDITIONAL
+    // outputs follow the overwrite-or-delete rule: a re-ingest that no
+    // longer produces an optional table must REMOVE the previous
+    // build's copy, or serving binds a model/table trained on deleted
+    // documents (the edge_resources staleness class).
+    def dropStale(sub: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/$sub")
+      val fs = p.getFileSystem(spark(docs).sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
+    langCol match {
+      case Some(lc) => trainLangProfiles(docs, textCol, lc)
         .write.mode("overwrite").parquet(s"$outDir/langprofiles")
+      case None => dropStale("langprofiles")
     }
     if (withVectors)
       tfidfVectors(docs, idCol, textCol, embeddingDim)
         .write.mode("overwrite").parquet(s"$outDir/vectors")
+    else dropStale("vectors")
     // provenance: the build parameters the serving side must match
     // (signature width is additionally self-describing — its columns —
     // and loudly validated in minHashLshFromSignatures; shingle size

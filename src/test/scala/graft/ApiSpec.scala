@@ -100,6 +100,16 @@ class ApiSpec extends SparkSpec {
     val fo = Search.search(docs, "doc_id", "text", "labels", None,
       SearchRequest(query = "spark", faceted = Seq("/s/p"), onlyFaceted = true))
     assert(fo.documents.isEmpty && fo.facets.nonEmpty)
+    // merge-side sort direction (OrderBy.OrderType): the cut page
+    // re-orders by the attribute DESC when asked
+    val asc = Search.search(docs, "doc_id", "text", "labels", None,
+        SearchRequest(query = "spark", sortField = Some("doc_id")))
+      .documents.get.collect().map(_.getLong(0)).toSeq
+    val desc = Search.search(docs, "doc_id", "text", "labels", None,
+        SearchRequest(query = "spark", sortField = Some("doc_id"),
+          sortDesc = true))
+      .documents.get.collect().map(_.getLong(0)).toSeq
+    assert(asc == asc.sorted && desc == asc.reverse, s"$asc vs $desc")
   }
 
   test("suggest: exact prefix first, fuzzy fill when empty, entity prefix list") {

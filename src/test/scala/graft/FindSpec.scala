@@ -54,12 +54,16 @@ class FindSpec extends SparkSpec {
     // a negated GROUP keeps its negation
     assert(QueryParser.parseAdvanced("batch -(merge OR scan)")
       .contains(And(Term("batch"), Not(Or(Term("merge"), Term("scan"))))))
-    // pure negation matches the complement
-    assert(QueryParser.parseAdvanced("NOT merge")
-      .contains(Not(Term("merge"))))
-    // lenient: empty / all-noise yields None, like parse_query_lenient
+    // must-not-ONLY matches NOTHING — a boolean query without a
+    // positive scorer is empty in tantivy/Lucene, not the complement
+    assert(QueryParser.parseAdvanced("NOT merge").contains(MatchNone))
+    // lenient: empty / all-noise yields None, like parse_query_lenient;
+    // stray repeated ORs are noise, not structural errors
     assert(QueryParser.parseAdvanced("").isEmpty)
     assert(QueryParser.parseAdvanced("  !!  ").isEmpty)
+    assert(QueryParser.parseAdvanced("a OR OR b")
+      .contains(Or(Term("a"), Term("b"))))
+    assert(QueryParser.parseAdvanced("OR OR a").contains(Term("a")))
     // structural breakage is a caller bug
     intercept[IllegalArgumentException] {
       QueryParser.parseAdvanced("(a AND b")
@@ -67,10 +71,11 @@ class FindSpec extends SparkSpec {
   }
 
   test("advanced query intersects the keyword list as a MUST clause") {
-    // all three docs match "a"? use distinctive terms: restrict the
-    // keyword search for 'novella OR philosophical' docs to NOT prince
+    // a positive clause plus an explicit NOT clause — the must-not
+    // conjoins (a bare "NOT prince" alone would match NOTHING: no
+    // positive scorer, pinned below)
     val hits = ids(FindRequest(query = "novella philosophical",
-      advancedQuery = Some("NOT prince")))
+      advancedQuery = Some("novel NOT prince")))
     assert(hits == Seq("zar"), hits.toString)
     // OR across two docs keeps both
     val both = ids(FindRequest(query = "novella philosophical",
@@ -92,6 +97,21 @@ class FindSpec extends SparkSpec {
     // and an advanced-only request works as a plain boolean retrieval
     val pureAdv = ids(FindRequest(advancedQuery = Some("planets OR nietzsche")))
     assert(pureAdv.toSet == Set("lp", "zar"), pureAdv.toString)
+    // a NOISE advanced query behaves as ABSENT (lenient parse → None),
+    // never as an unfiltered full-corpus list: alone it fails the
+    // no-retrieval-source require; with a vector it leaves the
+    // semantic list untouched (n_sources stays 1)
+    intercept[IllegalArgumentException] {
+      Find.find(corpus, FindRequest(advancedQuery = Some("!!")))
+    }
+    val noisy = Find.find(corpus, FindRequest(
+        queryVector = Some(Seq(0.5f, 0.5f, 0.5f)),
+        advancedQuery = Some("!!")))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(noisy.forall(_._2 == 1L), noisy.mkString(","))
+    // must-not-only matches nothing (tantivy: no positive scorer)
+    val none = ids(FindRequest(advancedQuery = Some("-prince")))
+    assert(none.isEmpty, none.toString)
   }
 
   test("keyword find ranks the matching document first") {
