@@ -1847,6 +1847,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.2 FilterOperator OR (nodereader.proto:333-336, default AND):
+    // the doc prefilter and the paragraph label formula combine as ONE
+    // either-passes clause (`search_query.rs:87-103` Should occurs) —
+    // a paragraph survives when its DOC is german OR its label is
+    // /p/lead; BM25 stats cover the union population
+    "q143_filter_operator_or" -> ((s, dir) => {
+      import graft.api.Find
+      val ix0 = graft.sources.IndexStore.tables(s, dir)
+      val labeled = ix0.paragraphs.withColumn("p_labels",
+        when(col("start") === 0, array(lit("/p/lead")))
+          .otherwise(array(lit("/p/body"))))
+      Find.findParagraphs(
+          Find.Corpus(load(s, dir, "documents"), "doc_id", "text",
+            index = Some(ix0.copy(paragraphs = labeled))),
+          Find.FindRequest(query = QueryTerms.mkString(" "),
+            paragraphBm25 = true, topK = 20,
+            filter = Some(FilterExpr.Eq("lang", "de")),
+            paragraphFilter = Some(FilterExpr.Facet("/p/lead")),
+            filterOperatorOr = true))
+        .withColumn("hits", concat_ws(",", col("hits")))
+        .orderBy(col("best_score").desc, col("doc_id").asc)
+    }),
+
     // §3.4 /catalog title query-match modes (pg.py:362-394): ONE scan
     // evaluates StartsWith (case-insensitive), Words (token-set
     // containment) and Fuzzy (typo'd word) as predicate columns; the
@@ -3930,6 +3953,24 @@ object SparkEntry {
         |  WHERE t = '' OR rn = 1)
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS cleaned
         |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q143: union population — lead paragraphs OR german docs'
+    // paragraphs — with stats over exactly that union.
+    "q143_filter_operator_or" ->
+      s"""WITH $ParCtes,
+         |langd AS (SELECT doc_id FROM documents WHERE lang = 'de'),
+         |allowed AS (SELECT p.paragraph_id, p.t, p.s, p.e FROM par p
+         |            LEFT JOIN langd l ON p.doc_id = l.doc_id
+         |            WHERE p.s = 0 OR l.doc_id IS NOT NULL),
+         |${parBm25Ctes("allowed")},
+         |hits AS (SELECT CAST(split_part(paragraph_id, '/', 1) AS BIGINT) AS doc_id,
+         |                paragraph_id, score
+         |         FROM bm25)
+         |SELECT doc_id, round(max(score), 6) AS best_score,
+         |  CAST(count(*) AS BIGINT) AS n_hits,
+         |  string_agg(paragraph_id, ',' ORDER BY score DESC, paragraph_id) AS hits
+         |FROM hits GROUP BY doc_id
+         |ORDER BY best_score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q131_catalog_title_match" ->
       s"""WITH t AS (SELECT doc_id, array_to_string(($Tok)[1:5], ' ') AS title

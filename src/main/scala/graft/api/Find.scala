@@ -114,7 +114,14 @@ object Find {
       // sub-search as a MUST clause — the reference's `advanced_query`
       // (`search_query.rs:202-210`; the synonym expander emits it,
       // `common.py:200-218`). Parsed by [[QueryParser.parseAdvanced]].
-      advancedQuery: Option[String] = None)
+      advancedQuery: Option[String] = None,
+      // the proto's FilterOperator (`nodereader.proto:333-336`, AND is
+      // the default = 0): how the DOC prefilter result combines with
+      // the paragraph filtering_formula in paragraph search
+      // (`search_query.rs:87-103` filter_query builds ONE boolean
+      // clause list with Should vs Must occurs). OR means a paragraph
+      // passes when its doc is allowed OR its labels match.
+      filterOperatorOr: Boolean = false)
 
   /** Keyset cursor through the hybrid find's FUSED order — the
     * reference's search_after token (`search/search/find.py:95-126,
@@ -616,22 +623,41 @@ object Find {
               .select(col("paragraph_id"), col("p_text")))
           applyAdvanced(textTab, "p_text", Some(aq)).select("paragraph_id")
         }
+        // OR-operator mode (`filter_query`'s Should occur): one pass
+        // with BOTH membership flags left-joined in, kept when either
+        // holds — the doc prefilter and the label formula become ONE
+        // boolean clause list instead of stacked intersections
+        val orMode = req.filterOperatorOr && req.filter.nonEmpty &&
+          labelAllowed.nonEmpty
         def restrict(df: DataFrame): DataFrame = {
           // default search mode excludes ingest-marked repeated
           // paragraphs — a scan-stage predicate (the flag is
           // denormalized onto both pair tables, like dl)
           val withDup = excludeRepeated(df, req.withDuplicates)
-          val withLabels = labelAllowed match {
-            case None => withDup
-            case Some(a) => withDup.join(a, Seq("paragraph_id"), "left_semi")
-          }
+          val withLabels =
+            if (orMode) withDup // OR path applies both clauses below
+            else labelAllowed match {
+              case None => withDup
+              case Some(a) => withDup.join(a, Seq("paragraph_id"), "left_semi")
+            }
           val withAdv = advAllowed match {
             case None => withLabels
             case Some(a) => withLabels.join(a, Seq("paragraph_id"), "left_semi")
           }
           val withField = fieldPred.map(withAdv.where).getOrElse(withAdv)
           val withDoc =
-            if (req.filter.isEmpty) withField
+            if (orMode)
+              withField
+                .join(base.select(
+                    col(corpus.docId).cast("string").as("__allowed_doc"),
+                    lit(true).as("__doc_ok")),
+                  idParts.getItem(0) === col("__allowed_doc"), "left")
+                .join(labelAllowed.get.withColumn("__lab_ok", lit(true)),
+                  Seq("paragraph_id"), "left")
+                .where(coalesce(col("__doc_ok"), lit(false)) ||
+                  coalesce(col("__lab_ok"), lit(false)))
+                .drop("__allowed_doc", "__doc_ok", "__lab_ok")
+            else if (req.filter.isEmpty) withField
             // no .distinct() on the build side: LEFT SEMI is
             // duplicate-insensitive and the doc ids are unique rows of
             // the doc table anyway — a distinct here is a 2-stage
@@ -654,30 +680,44 @@ object Find {
         pageCut(composeResources(hits, corpus.docId, "paragraph_id", "score"),
           corpus.docId, req)
       case None =>
+        // OR-operator mode: doc prefilter and label formula become ONE
+        // either-passes clause (filter_query's Should occur), so the
+        // doc restriction must NOT be pre-applied to the paragraph set
+        val orMode = req.filterOperatorOr && req.filter.nonEmpty &&
+          req.paragraphFilter.nonEmpty
         val par = fieldRestricted match {
           case Some(fp) => // field-filtered per-field paragraphs
-            if (req.filter.isEmpty) fp
+            if (req.filter.isEmpty || orMode) fp
             else Prefilter.semiJoin(fp, corpus.docId, base.select(corpus.docId))
           case None => corpus.index match {
             case Some(ix) => // at-rest paragraph table, prefilter as semi-join
-              if (req.filter.isEmpty) ix.paragraphs
+              if (req.filter.isEmpty || orMode) ix.paragraphs
               else Prefilter.semiJoin(ix.paragraphs, corpus.docId,
                 base.select(corpus.docId))
             case None =>
-              graft.sources.Ingest.splitParagraphs(base, corpus.docId, corpus.text)
+              graft.sources.Ingest.splitParagraphs(
+                if (orMode) corpus.docs else base, corpus.docId, corpus.text)
           }
         }
         val parDedup0 = excludeRepeated(par, req.withDuplicates)
         // paragraph-label filter as a scan-stage predicate (the table
-        // in hand IS the labeled paragraph table here)
+        // in hand IS the labeled paragraph table here); in OR mode the
+        // doc membership rides in as a left-join flag and EITHER
+        // clause keeps the row
         val parLabeled = req.paragraphFilter match {
           case None => parDedup0
           case Some(pf) =>
             require(parDedup0.columns.contains("p_labels"),
               "paragraphFilter needs a paragraph table with p_labels — " +
                 "attach paragraph labels at ingest")
-            parDedup0.where(FilterExpr.compile(pf,
-              FilterExpr.Bindings(labelsCol = "p_labels")))
+            val labelPred = FilterExpr.compile(pf,
+              FilterExpr.Bindings(labelsCol = "p_labels"))
+            if (!orMode) parDedup0.where(labelPred)
+            else parDedup0
+              .join(base.select(col(corpus.docId))
+                .withColumn("__doc_ok", lit(true)), Seq(corpus.docId), "left")
+              .where(coalesce(col("__doc_ok"), lit(false)) || labelPred)
+              .drop("__doc_ok")
         }
         // advanced boolean query as a scan-stage predicate over p_text
         val parDedup = applyAdvanced(parLabeled, "p_text", advanced)

@@ -361,5 +361,22 @@ class FindSpec extends SparkSpec {
         FindRequest(query = "needle", paragraphFilter = parExpr))
       .collect().flatMap(_.getSeq[String](3)).toSeq
     assert(hits == Seq("d1/t/body/0-20"), hits.toString)
+    // FilterOperator OR: a doc prefilter matching NOTHING still keeps
+    // the label-matching paragraphs (either clause passes); under the
+    // default AND it empties the result
+    val lc = Corpus(docs2.withColumn("lang",
+        org.apache.spark.sql.functions.lit("en")), "rid", "text",
+      index = Some(ix))
+    val orHits = Find.findParagraphs(lc,
+        FindRequest(query = "needle", paragraphFilter = parExpr,
+          filter = Some(FilterExpr.Eq("lang", "xx")),
+          filterOperatorOr = true))
+      .collect().flatMap(_.getSeq[String](3)).toSeq
+    assert(orHits == Seq("d1/t/body/0-20"), orHits.toString)
+    val andHits = Find.findParagraphs(lc,
+        FindRequest(query = "needle", paragraphFilter = parExpr,
+          filter = Some(FilterExpr.Eq("lang", "xx"))))
+      .collect()
+    assert(andHits.isEmpty, andHits.mkString(","))
   }
 }
