@@ -114,30 +114,48 @@ object Suggest {
       // a PARAGRAPH-label expression; needs the labeled paragraph
       // table to resolve ids
       paragraphFilter: Option[FilterExpr] = None,
-      paragraphs: Option[DataFrame] = None): SuggestResponse = {
+      paragraphs: Option[DataFrame] = None,
+      // the proto's FilterOperator on SuggestRequest
+      // (`nodereader.proto:454`, AND default): OR keeps a posting row
+      // when its doc is allowed OR its paragraph's labels match
+      filterOperatorOr: Boolean = false): SuggestResponse = {
     val allowed: Option[DataFrame] = filter.map(f =>
       docs.where(FilterExpr.compile(f, bindings))
         .select(col(docId).cast("string").as("__allowed_doc")))
     // default suggest semantics: ingest-marked repeated paragraphs stay
     // out of the dictionary (same contract as the at-rest par_termfreq)
     val base0 = Find.excludeRepeated(parPostings, withDuplicates = false)
-    val base = paragraphFilter match {
-      case None => base0
-      case Some(pf) =>
-        val par = paragraphs.getOrElse(throw new IllegalArgumentException(
-          "a paragraph_filter needs the labeled paragraph table"))
-        require(par.columns.contains("p_labels"),
-          "paragraph_filter needs a paragraph table with p_labels — " +
-            "attach paragraph labels at ingest")
-        base0.join(par.where(FilterExpr.compile(pf,
-            FilterExpr.Bindings(labelsCol = "p_labels")))
-          .select("paragraph_id"), Seq("paragraph_id"), "left_semi")
+    val parAllowed: Option[DataFrame] = paragraphFilter.map { pf =>
+      val par = paragraphs.getOrElse(throw new IllegalArgumentException(
+        "a paragraph_filter needs the labeled paragraph table"))
+      require(par.columns.contains("p_labels"),
+        "paragraph_filter needs a paragraph table with p_labels — " +
+          "attach paragraph labels at ingest")
+      par.where(FilterExpr.compile(pf,
+          FilterExpr.Bindings(labelsCol = "p_labels")))
+        .select("paragraph_id")
     }
-    val restricted = allowed match {
-      case None => base
-      case Some(a) => base.join(a,
-        split(col("paragraph_id"), "/").getItem(0) === col("__allowed_doc"),
-        "left_semi")
+    val docPrefix = split(col("paragraph_id"), "/").getItem(0)
+    val restricted = (allowed, parAllowed) match {
+      case (Some(a), Some(pa)) if filterOperatorOr =>
+        // one either-passes clause (filter_query's Should occurs)
+        base0.join(a.withColumn("__doc_ok", lit(true)),
+            docPrefix === col("__allowed_doc"), "left")
+          .join(pa.withColumn("__lab_ok", lit(true)),
+            Seq("paragraph_id"), "left")
+          .where(coalesce(col("__doc_ok"), lit(false)) ||
+            coalesce(col("__lab_ok"), lit(false)))
+          .drop("__allowed_doc", "__doc_ok", "__lab_ok")
+      case _ =>
+        val withPar = parAllowed match {
+          case None => base0
+          case Some(pa) => base0.join(pa, Seq("paragraph_id"), "left_semi")
+        }
+        allowed match {
+          case None => withPar
+          case Some(a) => withPar.join(a,
+            docPrefix === col("__allowed_doc"), "left_semi")
+        }
     }
     val dict = restricted.groupBy(col("term"))
       .agg(sum("tf").cast("long").as("freq"))

@@ -167,6 +167,21 @@ class ApiSpec extends SparkSpec {
       paragraphs = Some(pars))
     assert(sugg.terms.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       == Seq(("alpha", 1L))) // not 2 — the body row is filtered out
+    // FilterOperator OR: a doc prefilter matching nothing still keeps
+    // the label-matching rows (either clause passes)
+    val orSugg = Suggest.suggestFiltered(posts, sdocs, "doc_id",
+      filter = Some(FilterExpr.Eq("lang", "xx")), entities = None,
+      query = "al",
+      paragraphFilter = Some(FilterExpr.Facet("/p/lead")),
+      paragraphs = Some(pars), filterOperatorOr = true)
+    assert(orSugg.terms.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("alpha", 1L)))
+    val andSugg = Suggest.suggestFiltered(posts, sdocs, "doc_id",
+      filter = Some(FilterExpr.Eq("lang", "xx")), entities = None,
+      query = "al",
+      paragraphFilter = Some(FilterExpr.Facet("/p/lead")),
+      paragraphs = Some(pars))
+    assert(andSugg.terms.collect().isEmpty)
     // missing labels/table fail loudly
     intercept[IllegalArgumentException] {
       Suggest.suggestFiltered(posts, sdocs, "doc_id", None, None, "al",
