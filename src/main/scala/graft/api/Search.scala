@@ -36,7 +36,11 @@ object Search {
       // a PARAGRAPH-label expression applied to the paragraph list —
       // compiles against the paragraph table's `p_labels` column, the
       // same enforcement as FindRequest.paragraphFilter
-      paragraphFilter: Option[FilterExpr] = None)
+      paragraphFilter: Option[FilterExpr] = None,
+      // the proto's FilterOperator (`nodereader.proto:425`, AND
+      // default): OR keeps a paragraph when its doc passes the
+      // prefilter OR its labels match the formula
+      filterOperatorOr: Boolean = false)
 
   /** The multi-part response: independent lists + facet counts, each a
     * lazily-evaluated DataFrame (callers materialize what they need —
@@ -94,17 +98,26 @@ object Search {
       // the same default + escape hatch as the paragraph index search
       // (ONE shared definition — Find.excludeRepeated)
       else {
-        val labeled = req.paragraphFilter match {
-          case None => par
-          case Some(pf) =>
-            require(par.columns.contains("p_labels"),
-              "paragraphFilter needs a paragraph table with p_labels — " +
-                "attach paragraph labels at ingest")
-            par.where(FilterExpr.compile(pf,
-              FilterExpr.Bindings(labelsCol = "p_labels")))
+        val labelPred = req.paragraphFilter.map { pf =>
+          require(par.columns.contains("p_labels"),
+            "paragraphFilter needs a paragraph table with p_labels — " +
+              "attach paragraph labels at ingest")
+          FilterExpr.compile(pf, FilterExpr.Bindings(labelsCol = "p_labels"))
         }
-        Some(Find.excludeRepeated(labeled, req.withDuplicates)
-        .join(base.select(docId), docId) // prefilter
+        val orMode = req.filterOperatorOr && req.filter.nonEmpty &&
+          labelPred.nonEmpty
+        val restricted =
+          if (orMode) // either-passes clause (filter_query's Should)
+            Find.excludeRepeated(par, req.withDuplicates)
+              .join(base.select(col(docId)).withColumn("__doc_ok", lit(true)),
+                Seq(docId), "left")
+              .where(coalesce(col("__doc_ok"), lit(false)) || labelPred.get)
+              .drop("__doc_ok")
+          else
+            Find.excludeRepeated(
+              labelPred.map(par.where).getOrElse(par), req.withDuplicates)
+        Some((if (orMode) restricted
+          else restricted.join(base.select(docId), docId)) // prefilter
         .withColumn("score",
           size(filter(graft.functions.TextFunctions.tokens(col(ptext)),
             t => t.isInCollection(parsed.terms))).cast("double"))

@@ -167,6 +167,21 @@ class ApiSpec extends SparkSpec {
       paragraphs = Some(pars))
     assert(sugg.terms.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       == Seq(("alpha", 1L))) // not 2 — the body row is filtered out
+    // classic search honors the OR operator the same way
+    val orSearch = Search.search(sdocs, "doc_id", "text", "labels",
+      Some((pars, "paragraph_id", "p_text")),
+      SearchRequest(query = "alpha",
+        filter = Some(FilterExpr.Eq("lang", "xx")),
+        paragraphFilter = Some(FilterExpr.Facet("/p/lead")),
+        filterOperatorOr = true))
+    assert(orSearch.paragraphs.get.collect().map(_.getString(0)).toSeq
+      == Seq("1/t/body/0-2"))
+    val andSearch = Search.search(sdocs, "doc_id", "text", "labels",
+      Some((pars, "paragraph_id", "p_text")),
+      SearchRequest(query = "alpha",
+        filter = Some(FilterExpr.Eq("lang", "xx")),
+        paragraphFilter = Some(FilterExpr.Facet("/p/lead"))))
+    assert(andSearch.paragraphs.get.collect().isEmpty)
     // FilterOperator OR: a doc prefilter matching nothing still keeps
     // the label-matching rows (either clause passes)
     val orSugg = Suggest.suggestFiltered(posts, sdocs, "doc_id",
