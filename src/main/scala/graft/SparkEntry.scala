@@ -1870,6 +1870,22 @@ object SparkEntry {
         .orderBy(col("best_score").desc, col("doc_id").asc)
     }),
 
+    // training-data ops: corpus-RELEASE shingle overlap — the
+    // dataset-versioning dual of q125's vocabulary drift: how much
+    // verbatim n-gram content two snapshots share (Jaccard over
+    // distinct shingle sets), served from the at-rest bucketed shingle
+    // table split by source membership; output is ONE row
+    "q144_shingle_overlap" -> ((s, dir) => {
+      val sh = graft.sources.IndexStore.shingles(s, dir)
+      val docs = load(s, dir, "documents")
+      val oldRelease = Seq("src0", "src1", "src2", "src3", "src4")
+      def side(pred: org.apache.spark.sql.Column) =
+        sh.join(docs.where(pred).select("doc_id"), "doc_id")
+      graft.operators.CorpusStats.shingleOverlap(
+        side(col("source").isin(oldRelease: _*)),
+        side(!col("source").isin(oldRelease: _*)))
+    }),
+
     // §3.4 /catalog title query-match modes (pg.py:362-394): ONE scan
     // evaluates StartsWith (case-insensitive), Words (token-set
     // containment) and Fuzzy (typo'd word) as predicate columns; the
@@ -3971,6 +3987,31 @@ object SparkEntry {
          |  string_agg(paragraph_id, ',' ORDER BY score DESC, paragraph_id) AS hits
          |FROM hits GROUP BY doc_id
          |ORDER BY best_score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q144: distinct shingle sets of the two source halves, one
+    // full-outer region count — the engine compares xxhash64 shingles,
+    // the oracle the raw strings; counts agree exactly like q17's
+    // hashed-vs-string equivalence.
+    "q144_shingle_overlap" ->
+      s"""WITH ${shingleCtes("documents")},
+         |docside AS (SELECT doc_id,
+         |    CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+         |      THEN 'a' ELSE 'b' END AS side
+         |  FROM documents),
+         |sa AS (SELECT DISTINCT shingle FROM sh JOIN docside USING (doc_id)
+         |       WHERE side = 'a'),
+         |sb AS (SELECT DISTINCT shingle FROM sh JOIN docside USING (doc_id)
+         |       WHERE side = 'b'),
+         |j AS (SELECT
+         |    CASE WHEN sa.shingle IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+         |    CASE WHEN sb.shingle IS NOT NULL THEN 1 ELSE 0 END AS in_b
+         |  FROM sa FULL OUTER JOIN sb ON sa.shingle = sb.shingle)
+         |SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+         |  CAST(sum(in_b) AS BIGINT) AS n_b,
+         |  CAST(sum(in_a * in_b) AS BIGINT) AS n_common,
+         |  round(sum(in_a * in_b) /
+         |    CAST(sum(in_a) + sum(in_b) - sum(in_a * in_b) AS DOUBLE), 6) AS jaccard
+         |FROM j""".stripMargin,
 
     "q131_catalog_title_match" ->
       s"""WITH t AS (SELECT doc_id, array_to_string(($Tok)[1:5], ' ') AS title

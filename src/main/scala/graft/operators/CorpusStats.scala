@@ -429,6 +429,42 @@ object CorpusStats {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Corpus-release shingle overlap — the dataset-versioning dual of
+    * [[vocabularyDrift]]: how much VERBATIM n-gram content two corpus
+    * snapshots share (Jaccard over their distinct shingle sets), the
+    * release-to-release contamination/reuse report that decides
+    * whether a "new" crawl actually adds data. Membership granularity
+    * is the same hashed shingle the dedup family keys on, so the
+    * measurement agrees with what near-dup dedup would collapse.
+    *
+    * Scale shape: both sides aggregate to their DISTINCT shingle sets
+    * (hash aggs with map-side partials), then one full-outer join on
+    * the shingle key counts the three regions in a single pass — fed
+    * from the at-rest bucketed shingle tables
+    * ([[graft.sources.IndexStore.shingles]]), the join reuses the
+    * bucket layout, and nothing corpus-sized reaches the driver (the
+    * output is ONE row).
+    *
+    * @param a,b (id, shingle) posting tables (duplicates fine)
+    * @return one row (n_a, n_b, n_common, jaccard) — jaccard rounded
+    *         at 6
+    */
+  def shingleOverlap(a: DataFrame, b: DataFrame): DataFrame = {
+    val sa = a.select(col("shingle")).distinct()
+      .withColumn("__in_a", lit(1))
+    val sb = b.select(col("shingle")).distinct()
+      .withColumn("__in_b", lit(1))
+    sa.join(sb, Seq("shingle"), "full_outer")
+      .agg(
+        sum(coalesce(col("__in_a"), lit(0))).cast("long").as("n_a"),
+        sum(coalesce(col("__in_b"), lit(0))).cast("long").as("n_b"),
+        sum(when(col("__in_a").isNotNull && col("__in_b").isNotNull, 1)
+          .otherwise(0)).cast("long").as("n_common"))
+      .select(col("n_a"), col("n_b"), col("n_common"),
+        round(col("n_common") /
+          (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.4): per
     * language, rank documents by their LM score and split into equal
     * head/middle/tail thirds — the standard training-data layout where
