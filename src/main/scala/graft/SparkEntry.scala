@@ -1886,6 +1886,45 @@ object SparkEntry {
         side(!col("source").isin(oldRelease: _*)))
     }),
 
+    // §2.7 highlighting WIRED INTO the find hydration
+    // (find_merge.py:154-295 hydrate_and_rerank → paragraphs.py): the
+    // request opts in and the returned text carries <mark> spans over
+    // the parsed terms, the quoted phrase merged into ONE span — the
+    // q86 marking recipe applied by the endpoint itself. Keyword find
+    // with a phrase: the phrase predicate restricts the corpus, BM25
+    // stats follow the restriction (filter-then-score contract)
+    "q145_find_highlight" -> ((s, dir) => {
+      import graft.api.Find
+      val docs = load(s, dir, "documents")
+      Find.find(
+          Find.Corpus(docs, "doc_id", "text",
+            index = Some(graft.sources.IndexStore.tables(s, dir))),
+          Find.FindRequest(query = "\"spark query\" spark query",
+            topK = 10, highlight = true))
+        .select(col("doc_id"), col("fused"), col("text"))
+        .orderBy(col("fused").desc, col("doc_id").asc)
+    }),
+
+    // §3.4 FILTERED /suggest with a TYPO'D entity stem: the filtered
+    // entity side now runs the reference's relation-suggest matcher
+    // (compound suffix prefixes, fuzzy-prefix distance 1 —
+    // `nidx_relation/src/lib.rs:216-260`) after the provenance
+    // semi-join, so "rde" still completes to the allowed "red *"
+    // entities a plain prefix scan would miss; the paragraph
+    // dictionary falls back to its own fuzzy-prefix pass over the
+    // allowed docs' terms (exact prefix "rde" matches nothing)
+    "q146_suggest_filtered_fuzzy" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val parts = load(s, dir, "part")
+        .select(col("p_name"), (col("p_partkey") % 500).as("resource_id"))
+      graft.api.Suggest.suggestFilteredMerged(
+        graft.sources.IndexStore.parPostings(s, dir),
+        docs, "doc_id",
+        Some(FilterExpr.Eq("lang", "en")),
+        (parts, "p_name", Some("resource_id")),
+        "rde", 10)
+    }),
+
     // §3.4 /catalog title query-match modes (pg.py:362-394): ONE scan
     // evaluates StartsWith (case-insensitive), Words (token-set
     // containment) and Fuzzy (typo'd word) as predicate columns; the
@@ -3771,8 +3810,11 @@ object SparkEntry {
     // sources src6+ carry no groups); the paragraph dictionary is the
     // allowed docs' token counts (paragraph split preserves
     // multiplicity; repeated-window exclusion ≡ no-op under the
-    // IngestSpec no-organic-repeats invariant), entities are parts
-    // whose fixture resource (p_partkey % 500) is allowed.
+    // IngestSpec no-organic-repeats invariant). The ENTITY side runs
+    // the reference's relation-suggest matcher: the 1-char stem "r"
+    // is below MIN_SUGGEST_PREFIX_LENGTH=2 (`nidx_relation/src/
+    // lib.rs:60,225`), so no entity subquery is built and the entity
+    // list is EMPTY — the typo-tolerant filtered completion is q146.
     "q136_suggest_filtered" ->
       s"""WITH allowed AS (SELECT doc_id FROM documents
          |  WHERE lang = 'en' AND (source IN ('src0', 'src1', 'src2')
@@ -3782,14 +3824,8 @@ object SparkEntry {
          |tfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term),
          |terms AS (SELECT term AS suggestion, 'paragraph' AS source, freq
          |          FROM tfreq WHERE term LIKE 'r%'
-         |          ORDER BY freq DESC, term LIMIT 10),
-         |ents AS (SELECT suggestion, 'entity' AS source, CAST(0 AS BIGINT) AS freq FROM (
-         |  SELECT DISTINCT p_name AS suggestion FROM part
-         |  WHERE p_partkey % 500 IN (SELECT doc_id FROM allowed)
-         |    AND p_name LIKE 'r%'
-         |  ORDER BY suggestion LIMIT 10))
-         |SELECT suggestion, source, freq
-         |FROM (SELECT * FROM terms UNION ALL SELECT * FROM ents)
+         |          ORDER BY freq DESC, term LIMIT 10)
+         |SELECT suggestion, source, freq FROM terms
          |ORDER BY source, freq DESC, suggestion""".stripMargin,
 
     // q137: q112's per-doc LM score (same CTE chain, no page cut),
@@ -4012,6 +4048,64 @@ object SparkEntry {
          |  round(sum(in_a * in_b) /
          |    CAST(sum(in_a) + sum(in_b) - sum(in_a * in_b) AS DOUBLE), 6) AS jaccard
          |FROM j""".stripMargin,
+
+    // q145: the phrase predicate restricts the corpus (cand), BM25
+    // stats follow the restriction; the hydrated text is marked with
+    // the q86 recipe — terms individually, then adjacent phrase-token
+    // marks merged into one span (RE2-safe regexes, identical both
+    // engines)
+    "q145_find_highlight" ->
+      s"""WITH cand AS (SELECT doc_id FROM documents
+         |              WHERE contains(lower(text), 'spark query')),
+         |tok AS (SELECT d.doc_id, unnest($Tok) AS term FROM documents d
+         |        JOIN cand USING (doc_id)),
+         |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+         |       WHERE term IN $InQueryTerms GROUP BY doc_id, term),
+         |idf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |bm25 AS (
+         |  SELECT tf.doc_id,
+         |         round(sum(ln(1 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+         |               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 4) AS score
+         |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         |  GROUP BY tf.doc_id),
+         |top AS (SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT t.doc_id, t.score AS fused,
+         |  regexp_replace(
+         |    regexp_replace(d.text, '\\b(${QueryTerms.mkString("|")})\\b', '<mark>\\1</mark>', 'g'),
+         |    '<mark>(${QueryTerms.head})</mark>([^a-z0-9<]+)<mark>(${QueryTerms(1)})</mark>',
+         |    '<mark>\\1\\2\\3</mark>', 'g') AS text
+         |FROM top t JOIN documents d USING (doc_id)
+         |ORDER BY t.score DESC, t.doc_id""".stripMargin,
+
+    // q146: allowed docs = english; paragraph side = fuzzy-prefix
+    // fallback over the allowed dictionary (exact prefix 'rde' is
+    // empty — some prefix of the term within 1 edit of the stem,
+    // prefix lengths |q|±1 exhaustive); entity side = the reference's
+    // relation-suggest fuzzy-prefix over parts whose fixture resource
+    // (p_partkey % 500) is allowed — "rde" completes to "red *"
+    "q146_suggest_filtered_fuzzy" ->
+      s"""WITH allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+         |tok AS (SELECT d.doc_id, unnest($Tok) AS term FROM documents d
+         |        JOIN allowed a ON d.doc_id = a.doc_id),
+         |tfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term),
+         |terms AS (SELECT term AS suggestion, 'paragraph' AS source, freq
+         |          FROM tfreq
+         |          WHERE levenshtein(substring(term, 1, 2), 'rde') <= 1
+         |             OR levenshtein(substring(term, 1, 3), 'rde') <= 1
+         |             OR levenshtein(substring(term, 1, 4), 'rde') <= 1
+         |          ORDER BY freq DESC, term LIMIT 10),
+         |ents AS (SELECT suggestion, 'entity' AS source, CAST(0 AS BIGINT) AS freq FROM (
+         |  SELECT DISTINCT p_name AS suggestion FROM part
+         |  WHERE p_partkey % 500 IN (SELECT doc_id FROM allowed)
+         |    AND (levenshtein(substring(p_name, 1, 2), 'rde') <= 1
+         |      OR levenshtein(substring(p_name, 1, 3), 'rde') <= 1
+         |      OR levenshtein(substring(p_name, 1, 4), 'rde') <= 1)
+         |  ORDER BY suggestion LIMIT 10))
+         |SELECT suggestion, source, freq
+         |FROM (SELECT * FROM terms UNION ALL SELECT * FROM ents)
+         |ORDER BY source, freq DESC, suggestion""".stripMargin,
 
     "q131_catalog_title_match" ->
       s"""WITH t AS (SELECT doc_id, array_to_string(($Tok)[1:5], ' ') AS title

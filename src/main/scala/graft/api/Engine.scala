@@ -50,12 +50,21 @@ final class Engine(
     val docId: String = "doc_id",
     val textCol: String = "text",
     val labelsCol: String = "labels",
+    val securityCol: String = "security_groups",
     // the set an unnamed vector request searches (`config.rs:100-126`:
     // every kb has a default vectorset); None = the first indexed set
     // in name order
     val defaultVectorset: Option[String] = None) {
 
   private def p(sub: String) = s"$root/$sub"
+
+  /** The ONE set of column bindings every endpoint's doc-filter compile
+    * uses — an Engine constructed over non-default labels/security/text
+    * columns must bind them in find/suggest/graph exactly like in
+    * search/catalog, or Facet/Security leaves silently hit the wrong
+    * (possibly absent) columns. */
+  private val bindings = FilterExpr.Bindings(
+    labelsCol = labelsCol, textCol = textCol, securityCol = securityCol)
 
   // ------------------------------------------------------------------
   // ingest side
@@ -235,7 +244,8 @@ final class Engine(
       // graph-source retrieval (FindRequest.graphQuery) binds the
       // provenance table when the relation ingest recorded one
       graphEdges =
-        if (hasProvenance) Some(edgeTable(withProvenance = true)) else None)
+        if (hasProvenance) Some(edgeTable(withProvenance = true)) else None,
+      filterBindings = bindings)
   }
 
   /** `POST /kb/{kbid}/find` — hybrid retrieval (SURVEY §3.1). */
@@ -249,7 +259,7 @@ final class Engine(
   def search(req: Search.SearchRequest): Search.SearchResponse =
     Search.search(docs, docId, textCol, labelsCol,
       paragraphs = Some((index.paragraphs, "paragraph_id", "p_text")),
-      req = req, index = Some(index))
+      req = req, index = Some(index), bindings = bindings)
 
   /** `GET /kb/{kbid}/suggest` (SURVEY §3.4) — merged paragraph + entity
     * completion; `filter` applies the reference's field/security
@@ -270,7 +280,7 @@ final class Engine(
             "suggest needs the paragraph posting pair — run ingestDocuments")),
           docs, docId, Some(f),
           (graphNodesTable, "value", Some("resource_id")),
-          query, topK)
+          query, topK, bindings = bindings)
     }
   }
 
@@ -310,27 +320,42 @@ final class Engine(
   /** Compile a doc-table prefilter into the allowed-resource id set the
     * graph/suggest endpoints intersect with. */
   def allowedResources(f: FilterExpr): DataFrame =
-    docs.where(FilterExpr.compile(f)).select(docId)
+    docs.where(FilterExpr.compile(f, bindings)).select(docId)
+
+  /** A filtered graph query needs per-resource edge rows — the same
+    * contract GraphSearch.applyPrefilter enforces, raised HERE so a
+    * provenance-less corpus fails with the remedy spelled out rather
+    * than a raw path-not-found on `graph/edge_resources`. */
+  private def requireProvenanceFor(filter: Option[FilterExpr]): Unit =
+    require(filter.isEmpty || hasProvenance,
+      "a filtered graph query needs edge provenance — ingest relations " +
+        "with resourceCol so edge_resources is written")
 
   /** `POST /kb/{kbid}/graph` — path search (SURVEY §3.3); with `filter`
     * the prefilter pushes into the relation search exactly like the
     * reference (`query_planner.rs:154-166`). */
   def graph(q: GraphSearch.PathQuery, topK: Int = 50,
-      filter: Option[FilterExpr] = None): DataFrame =
+      filter: Option[FilterExpr] = None): DataFrame = {
+    requireProvenanceFor(filter)
     GraphSearch.search(edgeTable(filter.nonEmpty), q, topK,
       allowedResources = filter.map(allowedResources))
+  }
 
   /** `POST /kb/{kbid}/graph/nodes`. */
   def graphNodes(q: GraphSearch.PathQuery, topK: Int = 50,
-      filter: Option[FilterExpr] = None): DataFrame =
+      filter: Option[FilterExpr] = None): DataFrame = {
+    requireProvenanceFor(filter)
     GraphSearch.nodesSearch(edgeTable(filter.nonEmpty), q, topK,
       allowedResources = filter.map(allowedResources))
+  }
 
   /** `POST /kb/{kbid}/graph/relations`. */
   def graphRelations(q: GraphSearch.PathQuery, topK: Int = 50,
-      filter: Option[FilterExpr] = None): DataFrame =
+      filter: Option[FilterExpr] = None): DataFrame = {
+    requireProvenanceFor(filter)
     GraphSearch.relationsSearch(edgeTable(filter.nonEmpty), q, topK,
       allowedResources = filter.map(allowedResources))
+  }
 
   /** `/catalog` — faceted browsing over the doc store (SURVEY §3.5):
     * title query-match mode + optional filter + facet counts, the
@@ -341,7 +366,7 @@ final class Engine(
       filter: Option[FilterExpr] = None,
       facetPrefixes: Seq[String] = Nil,
       topK: Int = 20): Search.SearchResponse = {
-    val base0 = filter.map(f => docs.where(FilterExpr.compile(f)))
+    val base0 = filter.map(f => docs.where(FilterExpr.compile(f, bindings)))
       .getOrElse(docs)
     val base = titleQuery.map { case (m, q) =>
       base0.where(Facets.catalogMatch(col(titleCol), m, q))

@@ -57,7 +57,12 @@ object Find {
       // carry each edge's RESOURCE provenance — the reference converts
       // matched paths to text blocks via their provenance metadata
       // (`search/search/retrieval.py:172-184`)
-      graphEdges: Option[GraphSearch.EdgeTable] = None)
+      graphEdges: Option[GraphSearch.EdgeTable] = None,
+      // column bindings the request's DOC filter compiles against —
+      // a corpus whose labels/security/text live under non-default
+      // names binds them here so Facet/Security/Keyword leaves hit
+      // the right columns (the Engine facade threads its own)
+      filterBindings: FilterExpr.Bindings = FilterExpr.Bindings())
 
   /** The brute-vs-index branch point for a filtered semantic search —
     * the reference's matching-density cost model
@@ -79,6 +84,17 @@ object Find {
       queryVector: Option[Seq[Float]] = None,
       filter: Option[FilterExpr] = None,
       topK: Int = 20,
+      // DELIBERATE divergence from the reference DEFAULT (recorded per
+      // VERDICT r11 #8): the reference's HTTP layer defaults the
+      // semantic min_score to the vectorset's trained threshold, 0.7
+      // when none is stored (`search/search/query_parser/parsers/
+      // common.py:38`); this API-level default is include-all (-1.0)
+      // because the threshold is a property of the embedding MODEL
+      // (the reference stores it per vectorset at model onboarding),
+      // not of the engine — and these corpora's fixture vectors are
+      // not that model. Callers wanting reference-parity semantics
+      // pass their model's threshold (e.g. 0.7) explicitly; FindSpec
+      // ("semanticMinScore default") pins this decision.
       semanticMinScore: Double = -1.0,
       keywordMinScore: Double = 0.0,
       keywordWeight: Double = 1.0,
@@ -121,7 +137,14 @@ object Find {
       // (`search_query.rs:87-103` filter_query builds ONE boolean
       // clause list with Should vs Must occurs). OR means a paragraph
       // passes when its doc is allowed OR its labels match.
-      filterOperatorOr: Boolean = false)
+      filterOperatorOr: Boolean = false,
+      // opt-in hydration highlighting (`search/search/find_merge.py:
+      // 154-295` hydrate_and_rerank → `paragraphs.py` highlighting):
+      // the returned text carries `<mark>…</mark>` spans over the
+      // parsed query terms, with quoted phrases merged into ONE span
+      // ([[graft.functions.TextFunctions.highlightWithPhrases]] — the
+      // ematch threading q86 proves)
+      highlight: Boolean = false)
 
   /** Keyset cursor through the hybrid find's FUSED order — the
     * reference's search_after token (`search/search/find.py:95-126,
@@ -159,7 +182,7 @@ object Find {
 
     // 2. prefilter
     val filtered = req.filter match {
-      case Some(f) => corpus.docs.where(FilterExpr.compile(f))
+      case Some(f) => corpus.docs.where(FilterExpr.compile(f, corpus.filterBindings))
       case None => corpus.docs
     }
     // `fields=` restricts the DOC set structurally: the reference's
@@ -385,9 +408,20 @@ object Find {
       val docIdType = corpus.docs.schema(corpus.docId).dataType
       val matched = gt.edges.where(GraphSearch.compile(gq, gt))
         .where(col(pc).isNotNull)
-        .select(col(pc).cast(docIdType).as(corpus.docId)).distinct()
+        .select(col(pc).cast(docIdType).as(corpus.docId))
+        // a provenance id that fails the cast (null) or names a
+        // resource absent from the doc store must never reach fusion:
+        // it would consume a fused-ranking slot, survive the topK cut,
+        // then silently vanish in the inner hydration join — the page
+        // comes back short and searchAfter skips the lost positions.
+        // Restricted requests intersect allowedIds (doc-rooted already);
+        // unrestricted ones semi-join the doc table here.
+        .where(col(corpus.docId).isNotNull)
+        .distinct()
       val restricted =
-        if (!hasRestriction) matched
+        if (!hasRestriction)
+          matched.join(corpus.docs.select(corpus.docId),
+            Seq(corpus.docId), "left_semi")
         else matched.join(allowedIds, Seq(corpus.docId), "left_semi")
       restricted.withColumn("score", lit(1.0))
     }
@@ -427,10 +461,19 @@ object Find {
         else TopK.topK(fused, "fused", corpus.docId, req.topK)
     }
 
-    // 7. hydration
-    ranked
+    // 7. hydration (touches topK rows, never the corpus); highlight
+    // marks the parsed terms in the hydrated text with quoted phrases
+    // merged into single spans — the reference's ematch threading into
+    // the rendered text_block (`find_merge.py:154-295`)
+    val hydrated = ranked
       .join(corpus.docs.select(col(corpus.docId), col(corpus.text)), corpus.docId)
-      .orderBy(col("fused").desc, col(corpus.docId).asc)
+    val phraseToks = parsed.phrases
+      .map(_.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
+    val marked =
+      if (!req.highlight || (terms.isEmpty && phraseToks.isEmpty)) hydrated
+      else hydrated.withColumn(corpus.text,
+        TextFunctions.highlightWithPhrases(col(corpus.text), phraseToks, terms))
+    marked.orderBy(col("fused").desc, col(corpus.docId).asc)
   }
 
   /** The /ask PREQUERY composition (`chat/ask.py:763-781,1024+`): the
@@ -472,7 +515,7 @@ object Find {
     // parsed ONCE for both branches (lenient — noise behaves as absent)
     val advanced = req.advancedQuery.flatMap(QueryParser.parseAdvanced)
     val base = req.filter match {
-      case Some(f) => corpus.docs.where(FilterExpr.compile(f))
+      case Some(f) => corpus.docs.where(FilterExpr.compile(f, corpus.filterBindings))
       case None => corpus.docs
     }
     val excl = parsed.excluded
@@ -677,8 +720,8 @@ object Find {
           .withColumn("score", round(col("score"), 4))
           .withColumn(corpus.docId,
             split(col("paragraph_id"), "/").getItem(0).cast(docIdType))
-        pageCut(composeResources(hits, corpus.docId, "paragraph_id", "score"),
-          corpus.docId, req)
+        pageCut(composeResources(hits, corpus.docId, "paragraph_id", "score",
+            maxHits = Some(req.topK)), corpus.docId, req)
       case None =>
         // OR-operator mode: doc prefilter and label formula become ONE
         // either-passes clause (filter_query's Should occur), so the
@@ -726,8 +769,8 @@ object Find {
             size(filter(TextFunctions.tokens(col("p_text")),
               t => t.isInCollection(terms))).cast("double"))
           .where(col("score") > 0)
-        pageCut(composeResources(hits, corpus.docId, "paragraph_id", "score"),
-          corpus.docId, req)
+        pageCut(composeResources(hits, corpus.docId, "paragraph_id", "score",
+            maxHits = Some(req.topK)), corpus.docId, req)
     }
   }
 
@@ -765,21 +808,42 @@ object Find {
   /** Compose the find response tree: group scored text-block hits under
     * their resource, hits sorted by (score desc, id asc) inside each
     * group — `find_merge.py:296-325` compose_find_resources. One hash
-    * aggregation; group arrays are bounded by the top-k window, so the
-    * collect_list never grows past driver-safe sizes.
+    * aggregation over the full hit set (best_score/n_hits need every
+    * row); with `maxHits` set, each group's `hits` ARRAY is bounded to
+    * the response window BEFORE the aggregation buffers it: rows past
+    * the per-doc rank window still count into best_score/n_hits but
+    * never enter the collect_list (a null `when` branch is skipped by
+    * the aggregate), so the per-group buffer — and the sort_array over
+    * it — holds at most maxHits items however many paragraphs of one
+    * resource match. The rank window partitions on the same key the
+    * groupBy shuffles on, so both run off one exchange. The trailing
+    * orderBy feeds a `limit` at every call site (the paragraph-mode
+    * page cut), which Spark folds into TakeOrderedAndProject — no
+    * global sort materializes.
     */
   def composeResources(
       hits: DataFrame,
       docIdCol: String,
       itemIdCol: String,
-      scoreCol: String): DataFrame =
-    hits.groupBy(col(docIdCol))
+      scoreCol: String,
+      maxHits: Option[Int] = None): DataFrame = {
+    val inWindow = maxHits match {
+      case None => lit(true)
+      case Some(m) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(docIdCol))
+          .orderBy(col(scoreCol).desc, col(itemIdCol).asc)
+        row_number().over(w) <= m
+    }
+    hits.withColumn("__in_window", inWindow)
+      .groupBy(col(docIdCol))
       .agg(
         round(max(col(scoreCol)), 6).as("best_score"),
         count(lit(1)).as("n_hits"),
         transform(
-          sort_array(collect_list(struct(
-            (-col(scoreCol)).as("negscore"), col(itemIdCol).as("id")))),
+          sort_array(collect_list(when(col("__in_window"), struct(
+            (-col(scoreCol)).as("negscore"), col(itemIdCol).as("id"))))),
           s => s.getField("id")).as("hits"))
       .orderBy(col("best_score").desc, col(docIdCol).asc)
+  }
 }

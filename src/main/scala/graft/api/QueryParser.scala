@@ -185,8 +185,18 @@ object QueryParser {
         val p = t.drop(1).trim.toLowerCase
         (if (p.isEmpty) None else Some(BoolQuery.Phrase(p)), tail)
       case t :: tail if t != ")" && t != "AND" && t != "OR" =>
-        val clean = t.toLowerCase.replaceAll("[^a-z0-9]+", "")
-        (if (clean.isEmpty) None else Some(BoolQuery.Term(clean)), tail)
+        // a term with internal separators ("state-of-the-art") splits
+        // into the tokens the main tokenizer would emit (it splits on
+        // non-alphanumerics) and conjoins them — collapsing to one
+        // glued token would produce a term no tokenizer output can
+        // ever equal, silently matching nothing. Conjunction, not
+        // phrase: the compiled Phrase is substring containment of the
+        // space-joined form, which the separator-bearing original
+        // text does not contain.
+        val parts = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        val q = parts.map(p => BoolQuery.Term(p): BoolQuery)
+          .reduceOption(BoolQuery.And(_, _))
+        (q, tail)
       case rest => (None, rest)
     }
 

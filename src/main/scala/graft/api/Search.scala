@@ -60,9 +60,15 @@ object Search {
       docs: DataFrame, docId: String, textCol: String, labelsCol: String,
       paragraphs: Option[(DataFrame, String, String)], // (table, pid, ptext)
       req: SearchRequest,
-      index: Option[graft.sources.IndexStore.IndexTables] = None): SearchResponse = {
+      index: Option[graft.sources.IndexStore.IndexTables] = None,
+      // column bindings for the request's DOC filter — corpora whose
+      // labels/security/text live under non-default names (the Engine
+      // facade threads its own) bind them here so Facet/Security/
+      // Keyword leaves hit the right columns
+      bindings: FilterExpr.Bindings = FilterExpr.Bindings()): SearchResponse = {
     val parsed = QueryParser.parse(req.query)
-    val base = req.filter.map(f => docs.where(FilterExpr.compile(f))).getOrElse(docs)
+    val base = req.filter.map(f => docs.where(FilterExpr.compile(f, bindings)))
+      .getOrElse(docs)
 
     val facetDf =
       if (req.faceted.isEmpty) None

@@ -174,7 +174,14 @@ object Suggest {
               "its resource provenance column")
           case _ => nodes
         }
-        GraphOps.prefixSearch(filteredNodes, valueCol, query, topK)
+        // the entity side runs the reference's actual relation-suggest
+        // matcher — compound suffix prefixes, each a FUZZY-prefix node
+        // match at distance 1, stems under MIN_SUGGEST_PREFIX_LENGTH=2
+        // dropped (`nidx_relation/src/lib.rs:216-260`; the prefilter
+        // has already restricted the nodes by provenance, matching
+        // `shard_suggest.rs:131-160`'s order) — so a typo'd entity
+        // stem still completes under a filter
+        suggestEntitiesFuzzy(filteredNodes, valueCol, query, topK)
       })
   }
 

@@ -251,6 +251,30 @@ class ApiSpec extends SparkSpec {
     assert(none.terms.collect().isEmpty && none.entities.get.collect().isEmpty)
   }
 
+  test("filtered entity suggest is fuzzy-prefix: a typo'd stem completes after the provenance semi-join") {
+    import graft.operators.FilterExpr
+    val sdocs = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
+    val posts = Seq(("1/t/body/0-5", "zeta", 1L))
+      .toDF("paragraph_id", "term", "tf")
+    val nodes = Seq(("Anastasia", 1L), ("Anna", 2L), ("Bob", 1L))
+      .toDF("value", "resource_id")
+    // "Amn" is within 1 edit of the "An"/"Ann" prefixes — plain prefix
+    // search returns nothing for it; the relation-suggest matcher
+    // (fuzzy-prefix d=1, lib.rs:216-260) still completes, and the
+    // prefilter keeps only doc 1's provenance (Anna is doc 2's)
+    val resp = Suggest.suggestFiltered(posts, sdocs, "doc_id",
+      Some(FilterExpr.Eq("lang", "en")),
+      Some((nodes, "value", Some("resource_id"))), "Amn")
+    assert(resp.entities.get.collect().map(_.getString(0)).toSeq
+      == Seq("Anastasia"))
+    // a 1-char stem is below MIN_SUGGEST_PREFIX_LENGTH=2 — no entity
+    // subquery at all (lib.rs:60,225), empty not everything
+    val short = Suggest.suggestFiltered(posts, sdocs, "doc_id",
+      Some(FilterExpr.Eq("lang", "en")),
+      Some((nodes, "value", Some("resource_id"))), "A")
+    assert(short.entities.get.collect().isEmpty)
+  }
+
   test("graph: edge facet filter excludes generated relations") {
     import org.apache.spark.sql.functions.col
     val withFacets = Seq(

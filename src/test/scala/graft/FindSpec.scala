@@ -379,4 +379,101 @@ class FindSpec extends SparkSpec {
       .collect()
     assert(andHits.isEmpty, andHits.mkString(","))
   }
+
+  test("highlight=true marks terms in the hydrated text, phrase merged to one span") {
+    val rows = Find.find(corpus, FindRequest(
+        query = "\"little prince\" novella", highlight = true))
+      .select("rid", "text").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("lp"))
+    val marked = rows.head.getString(1)
+    // phrase tokens merge into ONE span; the loose term marks alone
+    assert(marked.contains("<mark>little prince</mark>"), marked)
+    assert(marked.contains("<mark>novella</mark>"), marked)
+    assert(!marked.contains("<mark>little</mark>"), marked)
+    // opt-in: the default request returns the raw text
+    val raw = Find.find(corpus, FindRequest(query = "\"little prince\" novella"))
+      .select("text").collect().head.getString(0)
+    assert(!raw.contains("<mark>"), raw)
+  }
+
+  test("semanticMinScore DEFAULT is include-all (-1.0) — recorded divergence from the reference's 0.7 facade default") {
+    // the reference HTTP layer defaults to the vectorset's trained
+    // threshold (0.7 absent one, common.py:38) — a MODEL property this
+    // engine does not assume; parity callers pass 0.7 explicitly (the
+    // "min_score 0.7" test above)
+    assert(FindRequest().semanticMinScore == -1.0)
+    val all = Find.find(corpus, FindRequest(
+        queryVector = Some(Seq(0.5f, 0.5f, 0.5f))))
+      .collect()
+    assert(all.length == 3, s"include-all default must keep every doc: ${all.length}")
+  }
+
+  test("graph-source provenance absent from the doc store never consumes fused slots") {
+    import graft.api.GraphSearch
+    import graft.api.GraphSearch.{EdgeTable, NodeMatch, PathQuery}
+    val edges = Seq(
+      ("n1", "REL", "x", "lp"),
+      ("n2", "REL", "x", "ghost")) // provenance id not in the doc store
+      .toDF("src", "rel", "dst", "resource_id")
+    val c = corpus.copy(graphEdges = Some(
+      EdgeTable(edges, "src", "rel", "dst", resourceCol = Some("resource_id"))))
+    val got = Find.find(c, FindRequest(
+        graphQuery = Some(PathQuery.Path(rel = Some("REL"))), topK = 2))
+      .collect()
+    // without the doc semi-join the orphan survives fusion + topK(2)
+    // and vanishes at hydration — a 1-row page; with it, lp fills the
+    // page alone and every returned row is hydrated
+    assert(got.map(_.getString(0)).toSeq == Seq("lp"), got.mkString(","))
+    assert(got.forall(!_.isNullAt(3)))
+    // a restricted request keeps the existing allowedIds intersection
+    val filtered = Find.find(c, FindRequest(
+        graphQuery = Some(PathQuery.Path(rel = Some("REL"))),
+        filter = Some(FilterExpr.Facet("/s/p/en")), topK = 2))
+      .collect().map(_.getString(0)).toSeq
+    assert(filtered == Seq("lp"), filtered.toString)
+  }
+
+  test("composeResources bounds each resource's hits array to the response window") {
+    import org.apache.spark.sql.functions.col
+    val hits = Seq(
+      ("d1", "d1/p0", 5.0), ("d1", "d1/p1", 4.0), ("d1", "d1/p2", 3.0),
+      ("d1", "d1/p3", 2.0), ("d2", "d2/p0", 1.0))
+      .toDF("rid", "pid", "score")
+    val unbounded = Find.composeResources(hits, "rid", "pid", "score")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getSeq[String](3)))
+    assert(unbounded.head == (("d1", 4L, Seq("d1/p0", "d1/p1", "d1/p2", "d1/p3"))))
+    val bounded = Find.composeResources(hits, "rid", "pid", "score",
+        maxHits = Some(2))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getSeq[String](3)))
+    // the array is cut to the window — best_score and n_hits still
+    // cover EVERY hit, and the kept ids are the top of the same order
+    assert(bounded.head == (("d1", 4L, Seq("d1/p0", "d1/p1"))))
+    assert(bounded(1) == (("d2", 1L, Seq("d2/p0"))))
+    // and findParagraphs threads its topK as the window: a doc with
+    // more matching paragraphs than topK returns a topK-sized array
+    val w = (1 to 120).map(i => if (i % 2 == 0) s"w$i" else "needle")
+      .mkString(" ")
+    val docs1 = Seq(("d1", w)).toDF("rid", "text")
+    val found = Find.findParagraphs(Corpus(docs1, "rid", "text"),
+        FindRequest(query = "needle", topK = 2)).collect()
+    assert(found.length == 1)
+    val (nHits, arr) = (found.head.getLong(2), found.head.getSeq[String](3))
+    assert(nHits > 2, s"fixture must overflow the window: $nHits")
+    assert(arr.length == 2, arr.toString)
+  }
+
+  test("advanced term with internal separators compiles to the tokenizer's conjunction") {
+    import graft.api.QueryParser.BoolQuery._
+    assert(QueryParser.parseAdvanced("state-of-the-art")
+      .contains(And(And(And(Term("state"), Term("of")), Term("the")),
+        Term("art"))))
+    // end-to-end: the clause matches a doc whose TOKENS contain the
+    // parts (the glued 'stateoftheart' token never exists)
+    val d = Seq(("a", "a state-of-the-art engine"), ("b", "plain art"))
+      .toDF("rid", "text")
+    val hit = Find.find(Corpus(d, "rid", "text"),
+        FindRequest(advancedQuery = Some("state-of-the-art")))
+      .collect().map(_.getString(0)).toSeq
+    assert(hit == Seq("a"), hit.toString)
+  }
 }
