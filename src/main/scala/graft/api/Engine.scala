@@ -35,16 +35,17 @@ import graft.sources.{Ingest, IndexStore}
   * Engine instance; construct one Engine per (session, root) and reuse
   * it across requests, like the reference's shard readers.
   *
-  * STREAMED corpora are served by binding
-  * [[graft.streaming.IncrementalIndex.segmentTables]] into a
-  * [[Find.Corpus]] directly (StreamingSpec does exactly this): LSM
-  * segments carry the index tables but not the document payloads — the
-  * source of truth lives upstream of the indexes, as in the
-  * reference's KV store (`docs/internal/KV.md`) — so a streamed
+  * STREAMED corpora are served by [[Engine.forStream]]: the same
+  * endpoint surface over LSM segments
+  * ([[graft.streaming.IncrementalIndex.segmentTables]] /
+  * segmentVectorTables / segmentEdges), handles memoized per segment
+  * WATERMARK. LSM segments carry the index tables but not the document
+  * payloads — the source of truth lives upstream of the indexes, as in
+  * the reference's KV store (`docs/internal/KV.md`) — so a streamed
   * serving root pairs the segment tables with the caller's doc store
   * rather than this facade's `docs/` directory.
   */
-final class Engine(
+class Engine(
     val spark: SparkSession,
     val root: String,
     val docId: String = "doc_id",
@@ -63,7 +64,7 @@ final class Engine(
     * columns must bind them in find/suggest/graph exactly like in
     * search/catalog, or Facet/Security leaves silently hit the wrong
     * (possibly absent) columns. */
-  private val bindings = FilterExpr.Bindings(
+  protected val bindings: FilterExpr.Bindings = FilterExpr.Bindings(
     labelsCol = labelsCol, textCol = textCol, securityCol = securityCol)
 
   // ------------------------------------------------------------------
@@ -137,7 +138,7 @@ final class Engine(
   // whether the relation ingest recorded edge provenance — one FS
   // probe per instance, not per request; invalidated by ingestRelations
   private var provenanceMemo: Option[Boolean] = None
-  private def hasProvenance: Boolean = synchronized {
+  protected def hasProvenance: Boolean = synchronized {
     provenanceMemo.getOrElse {
       val pth = new org.apache.hadoop.fs.Path(p("graph") + "/edge_resources")
       val b = pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -271,8 +272,7 @@ final class Engine(
     val ix = index
     filter match {
       case None =>
-        Suggest.suggestMerged(
-          IndexStore.readParquetMemo(spark, p("text") + "/par_termfreq"),
+        Suggest.suggestMerged(parTermFreq,
           graphNodesTable.select("value"), "value", query, topK)
       case Some(f) =>
         Suggest.suggestFilteredMerged(
@@ -284,12 +284,19 @@ final class Engine(
     }
   }
 
+  /** The corpus-wide `(term, freq)` suggest dictionary the unfiltered
+    * suggest serves — batch roots read the ingest-materialized
+    * `par_termfreq`; the streamed override rolls it up from the
+    * winner-filtered segment postings. */
+  protected def parTermFreq: DataFrame =
+    IndexStore.readParquetMemo(spark, p("text") + "/par_termfreq")
+
   /** Node values of the relation index with resource provenance —
     * the entity-suggest source (src and dst of every provenance row).
     * A corpus without relations (or whose relation ingest skipped
     * `resourceCol`) serves an empty node set: suggest then completes
     * from the paragraph dictionary alone, like a kb with no entities. */
-  private def graphNodesTable: DataFrame = {
+  protected def graphNodesTable: DataFrame = {
     if (!hasProvenance)
       spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(Seq(
@@ -379,4 +386,205 @@ final class Engine(
         else Some(Facets.facetCounts(base, labelsCol, facetPrefixes)
           .orderBy("facet")))
   }
+}
+
+object Engine {
+
+  /** Per-vectorset serving spec for a streamed root: the batch-trained
+    * IVF centroids + PQ codebook the segments encode against (the SAME
+    * model passed to the stream's
+    * [[graft.streaming.IncrementalIndex.SegmentVectorSpec]] — the
+    * reference reuses the vectorset config's quantization across
+    * segments, `nidx_vector/src/indexer.rs`), plus the set's
+    * similarity/normalization config (`config.rs:102-137`). */
+  final case class StreamVectorSpec(
+      centroids: Seq[(Int, Seq[Float])],
+      codebook: Seq[(Int, Seq[Float])],
+      m: Int,
+      similarity: graft.functions.VectorFunctions.Similarity =
+        graft.functions.VectorFunctions.Similarity.Cosine,
+      normalized: Boolean = false)
+
+  /** Serve a STREAMED (LSM-segment) corpus through the full Engine
+    * endpoint surface: find/findParagraphs/search/suggest/graph/catalog
+    * run over [[graft.streaming.IncrementalIndex.segmentTables]] /
+    * segmentVectorTables / segmentEdges with latest-wins across
+    * segments, exactly the tables the stream
+    * ([[graft.streaming.IncrementalIndex.startIndexSegments]]) and the
+    * compactor maintain. `docs` is the caller's doc store (segments
+    * carry indexes, not payloads — the reference's KV split); its rows
+    * must reflect the same latest-wins state the caller's pipeline
+    * maintains upstream.
+    *
+    * Handles are memoized per segment WATERMARK (the live-segment
+    * listing): each access compares one driver-side FS listing and
+    * rebinds exactly when the stream lands a segment or compaction
+    * folds the set — the streamed analog of the batch facade's
+    * re-ingest invalidation, with no explicit invalidate call to miss.
+    */
+  def forStream(
+      spark: SparkSession,
+      indexRoot: String,
+      docs: DataFrame,
+      docId: String = "rid",
+      textCol: String = "text",
+      seqCol: String = "seq",
+      labelsCol: String = "labels",
+      securityCol: String = "security_groups",
+      vectorSpecs: Map[String, StreamVectorSpec] = Map.empty,
+      defaultVectorset: Option[String] = None): Engine =
+    new StreamEngine(spark, indexRoot, docs, docId, textCol, seqCol,
+      labelsCol, securityCol, vectorSpecs, defaultVectorset)
+}
+
+/** [[Engine.forStream]]'s implementation: every batch-root table
+  * accessor overridden with its segment-served equivalent; the batch
+  * ingest methods are refused (a streamed root's segments are written
+  * by the stream, and a batch overwrite under it would corrupt the
+  * LSM layout). */
+private[api] final class StreamEngine(
+    spark0: SparkSession,
+    indexRoot: String,
+    docsDf: DataFrame,
+    docId0: String,
+    textCol0: String,
+    val seqCol: String,
+    labelsCol0: String,
+    securityCol0: String,
+    vectorSpecs: Map[String, Engine.StreamVectorSpec],
+    defaultVectorset0: Option[String])
+  extends Engine(spark0, indexRoot, docId0, textCol0, labelsCol0,
+    securityCol0, defaultVectorset0) {
+
+  import graft.streaming.IncrementalIndex
+
+  /** Everything bound for one segment watermark: rebuilding is a few
+    * driver-side plan constructions plus one count per vectorset (the
+    * nVectors the find cost model reads) — paid once per segment-set
+    * change, not per request. */
+  private final case class Served(
+      watermark: Seq[String],
+      tables: IndexStore.IndexTables,
+      vix: Map[String, IndexStore.VectorIndex],
+      rawAll: Option[DataFrame],
+      edges: Option[DataFrame],
+      termFreq: DataFrame)
+
+  private var servedMemo: Option[Served] = None
+
+  private def served: Served = synchronized {
+    val wm = IncrementalIndex.liveSegments(spark, indexRoot)
+    require(wm.nonEmpty, s"no live segments under $indexRoot — " +
+      "start the stream (IncrementalIndex.startIndexSegments) first")
+    servedMemo match {
+      case Some(s) if s.watermark == wm => s
+      case _ =>
+        val tables = IncrementalIndex.segmentTables(spark, indexRoot,
+          docId, seqCol)
+        val perSet = vectorSpecs.toSeq.sortBy(_._1).map { case (vs, spec) =>
+          val (codes, raw) =
+            IncrementalIndex.segmentVectorTables(spark, indexRoot,
+              docId, seqCol, vs)
+          val vix = IndexStore.VectorIndex(
+            spec.centroids, spec.codebook, spec.m,
+            nVectors = raw.count(),
+            codes = codes,
+            assignments = codes.select(col(docId), col("centroid_id")),
+            raw = raw.select(col(docId), col("embedding")),
+            similarity = spec.similarity, normalized = spec.normalized)
+          (vs, vix, raw)
+        }
+        val edges =
+          if (IncrementalIndex.segmentsCarry(spark, indexRoot, "edges"))
+            Some(IncrementalIndex.segmentEdges(spark, indexRoot, docId, seqCol))
+          else None
+        val s = Served(wm, tables,
+          perSet.map(t => t._1 -> t._2).toMap,
+          perSet.map(_._3).reduceOption(_ unionByName _),
+          edges,
+          IncrementalIndex.segmentTermFreq(spark, indexRoot, docId, seqCol))
+        servedMemo = Some(s)
+        s
+    }
+  }
+
+  override def docs: DataFrame = docsDf
+  override def index: IndexStore.IndexTables = served.tables
+  override def vectorsets: Seq[String] = vectorSpecs.keys.toSeq.sorted
+  override def vectorIndex(vs: String): IndexStore.VectorIndex =
+    served.vix.getOrElse(vs, throw new IllegalArgumentException(
+      s"vectorset '$vs' has no StreamVectorSpec on this streamed engine " +
+        s"(have: ${vectorsets.mkString(", ")})"))
+  override protected def hasProvenance: Boolean = served.edges.nonEmpty
+  override protected def parTermFreq: DataFrame = served.termFreq
+
+  /** Streamed relations are (docId, rel, dst) with the RESOURCE as the
+    * source node (`noderesources.proto:201-209` — IndexRelations ride
+    * the broker message, resource node as source), so every edge's
+    * provenance IS its source id: the provenance-bearing EdgeTable
+    * binds `docId` as resourceCol and filtered graph queries need no
+    * separate edge_resources table. */
+  override def edgeTable(withProvenance: Boolean = false): GraphSearch.EdgeTable = {
+    val e = served.edges.getOrElse(throw new IllegalArgumentException(
+      "this streamed root carries no relation edges — stream with " +
+        "relationsCol so segments write them"))
+    // node VALUES are strings whatever the doc id type (the node
+    // projections union src and dst into one value column); the
+    // untouched id rides along as the provenance column so the
+    // prefilter semi-join stays type-exact against the doc store
+    val typed = e.select(col(docId).cast("string").as("__src"),
+      col("rel"), col("dst"), col(docId).as("__resource"))
+    GraphSearch.EdgeTable(typed, "__src", "rel", "dst",
+      resourceCol = if (withProvenance) Some("__resource") else None)
+  }
+
+  override protected def graphNodesTable: DataFrame =
+    served.edges match {
+      case None => spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("resource_id",
+            org.apache.spark.sql.types.StringType))))
+      case Some(e) => e.select(
+        explode(array(col(docId).cast("string"), col("dst"))).as("value"),
+        col(docId).as("resource_id"))
+    }
+
+  override def corpus(vectorsetsWanted: Seq[String] = Nil): Find.Corpus = {
+    val s = served
+    defaultVectorset.foreach(d => require(s.vix.isEmpty || s.vix.contains(d),
+      s"defaultVectorset '$d' has no StreamVectorSpec " +
+        s"(have: ${vectorsets.mkString(", ")})"))
+    Find.Corpus(docs, docId, textCol,
+      vectors = s.rawAll,
+      vecId = docId,
+      vectorsetCol = s.rawAll.map(_ => "vectorset"),
+      index = Some(s.tables),
+      vectorIndexes = s.vix,
+      defaultVectorset = defaultVectorset
+        .orElse(vectorsets.headOption).getOrElse("default"),
+      graphEdges =
+        if (s.edges.nonEmpty) Some(edgeTable(withProvenance = true)) else None,
+      filterBindings = bindings)
+  }
+
+  private def refuseBatchIngest(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$what is a batch-root operation — this engine serves a streamed " +
+        "root whose segments are written by " +
+        "IncrementalIndex.startIndexSegments; a batch overwrite under " +
+        "it would corrupt the LSM layout")
+  override def ingestDocuments(docs: DataFrame, langCol: Option[String],
+      conversations: Option[DataFrame]): Unit =
+    refuseBatchIngest("ingestDocuments")
+  override def ingestVectors(vectors: DataFrame,
+      configs: Map[String, Ingest.VectorSetConfig],
+      numCentroids: Int, m: Int): Unit =
+    refuseBatchIngest("ingestVectors")
+  override def ingestRelations(edges: DataFrame, srcCol: String,
+      relCol: String, dstCol: String, facetsCol: Option[String],
+      typedCols: Seq[String], resourceCol: Option[String]): Unit =
+    refuseBatchIngest("ingestRelations")
 }

@@ -339,6 +339,26 @@ object IncrementalIndex {
     all.filterNot(p => subsumed(p.getName)).map(_.toString).sorted
   }
 
+  /** The live (unsubsumed) segment listing — the serving WATERMARK a
+    * streamed-root server keys its memoized handles on
+    * ([[graft.api.Engine.forStream]]): the listing changes exactly when
+    * the stream lands a new batch segment or compaction folds the set,
+    * so comparing it per request (one driver-side FS listing, no Spark
+    * job) rebinds handles precisely when the corpus state moved — the
+    * streamed analog of the batch facade's re-ingest invalidation. */
+  def liveSegments(spark: SparkSession, indexRoot: String): Seq[String] =
+    segmentDirs(spark, indexRoot)
+
+  /** Whether EVERY live segment carries the optional sub-table `sub`
+    * (e.g. "edges", "codes") — the bind-or-None probe a streamed
+    * serving root runs once per watermark, mirroring [[segmentTables]]'
+    * all-or-nothing contract for optional tables. */
+  def segmentsCarry(spark: SparkSession, indexRoot: String,
+      sub: String): Boolean = {
+    val dirs = segmentDirs(spark, indexRoot)
+    dirs.nonEmpty && dirs.forall(d => hasSub(spark, d, sub))
+  }
+
   /** Newest (id, seq) row per doc across segment manifests, TOMBSTONES
     * INCLUDED — compaction must keep them so a replayed older op
     * (at-least-once delivery) cannot resurrect a deleted doc.

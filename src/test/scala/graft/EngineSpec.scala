@@ -229,4 +229,117 @@ class EngineSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toMap
       .apply("/l/genre/fiction") == 2L)
   }
+
+  test("forStream: full endpoint surface over a streamed root; watermark rebind + post-compaction parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.IncrementalIndex
+    import graft.streaming.IncrementalIndex.SegmentVectorSpec
+    import StreamingSpec.Rel
+    val root = java.nio.file.Files.createTempDirectory("graft-engstream-")
+      .toString + "/index"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-engstream-ck-")
+      .toString
+    def vec(i: Long): Seq[Float] =
+      Seq.tabulate(4)(d => math.sin(i * 13 + d).toFloat)
+    // the per-KB ANN model trains ONCE in batch (indexer.rs reuse
+    // contract); every segment encodes against it and forStream serves
+    // with the same literals
+    val modelDir = java.nio.file.Files.createTempDirectory("graft-engstream-m-")
+      .toString
+    graft.sources.Ingest.buildVectorIndex(
+      Seq(1L -> vec(1), 2L -> vec(2), 3L -> vec(3)).toDF("rid", "embedding"),
+      "rid", "embedding", modelDir, numCentroids = 2, numCodewords = 4, m = 2)
+    val cents = spark.read.parquet(s"$modelDir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    val cb = spark.read.parquet(s"$modelDir/codebook")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+
+    val input = MemoryStream[(Long, Long, String, Boolean, Seq[Rel], Seq[Float])]
+    val updates = input.toDF()
+      .toDF("rid", "seq", "text", "deleted", "rels", "embedding")
+    val q = IncrementalIndex.startIndexSegments(updates, root, ckpt,
+      idCol = "rid", textCol = "text", relationsCol = Some("rels"),
+      vectors = Some(SegmentVectorSpec("embedding", cents, cb, m = 2)))
+    try {
+      input.addData(
+        (1L, 1L, "the little prince visits planets", false,
+          Seq(Rel("MENTIONS", "prince")), vec(1)),
+        (2L, 1L, "zarathustra speaks of the overman", false,
+          Seq(Rel("MENTIONS", "zarathustra")), vec(2)))
+      q.processAllAvailable()
+      val docs1 = Seq((1L, "the little prince visits planets", "en"),
+        (2L, "zarathustra speaks of the overman", "de"))
+        .toDF("rid", "text", "lang")
+      val e = Engine.forStream(spark, root, docs1,
+        vectorSpecs = Map("default" -> Engine.StreamVectorSpec(cents, cb, m = 2)))
+      // find: keyword, hybrid with the streamed vector pair, paragraphs
+      assert(e.find(Find.FindRequest(query = "prince"))
+        .collect().map(_.getLong(0)).toSeq == Seq(1L))
+      val hybrid = e.find(Find.FindRequest(query = "prince",
+          queryVector = Some(vec(1)))).collect()
+      assert(hybrid.head.getLong(0) == 1L &&
+        hybrid.head.getLong(2) == 2L, // keyword AND semantic evidence
+        hybrid.mkString(","))
+      assert(e.findParagraphs(Find.FindRequest(query = "prince",
+          paragraphBm25 = true))
+        .collect().map(_.getLong(0)).toSeq == Seq(1L))
+      // search + suggest (open and filtered) + graph (open and filtered)
+      assert(e.search(graft.api.Search.SearchRequest(query = "overman"))
+        .documents.get.collect().map(_.getLong(0)).toSeq == Seq(2L))
+      val sug = e.suggest("prin").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(sug.contains(("prince", "paragraph")) &&
+        sug.contains(("prince", "entity")), sug.mkString(","))
+      val de = e.suggest("za", filter = Some(FilterExpr.Eq("lang", "de")))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(de.contains(("zarathustra", "entity")), de.mkString(","))
+      assert(e.suggest("prin", filter = Some(FilterExpr.Eq("lang", "de")))
+        .collect().isEmpty)
+      val mentionsPrince = PathQuery.Path(dst = NodeMatch.Exact("prince"))
+      assert(e.graph(mentionsPrince).collect().length == 1)
+      assert(e.graph(mentionsPrince,
+        filter = Some(FilterExpr.Eq("lang", "de"))).collect().isEmpty)
+      assert(e.graphNodes(PathQuery.Path()).collect()
+        .map(_.getString(0)).toSet.contains("zarathustra"))
+      // batch ingest against a streamed root is refused loudly
+      intercept[UnsupportedOperationException] { e.ingestDocuments(docs1) }
+
+      // NEW SEGMENT: update doc 1, tombstone doc 2, add doc 3 — the
+      // SAME engine instance rebinds on the changed watermark
+      input.addData(
+        (1L, 2L, "the prince tames a fox", false,
+          Seq(Rel("MENTIONS", "fox")), vec(1)),
+        (2L, 2L, "gone", true, Seq.empty[Rel], vec(2)),
+        (3L, 2L, "database engines scan columns", false,
+          Seq(Rel("MENTIONS", "database")), vec(3)))
+      q.processAllAvailable()
+      assert(e.graph(PathQuery.Path(dst = NodeMatch.Exact("fox")))
+        .collect().length == 1, "new segment must be visible without rebind")
+      assert(e.graph(PathQuery.Path(dst = NodeMatch.Exact("zarathustra")))
+        .collect().isEmpty, "tombstoned doc's edges must vanish")
+
+      // a fresh engine over the updated doc store: tombstone enforced in
+      // keyword retrieval, then COMPACTION parity on every source
+      val docs2 = Seq((1L, "the prince tames a fox", "en"),
+        (3L, "database engines scan columns", "en"))
+        .toDF("rid", "text", "lang")
+      val e2 = Engine.forStream(spark, root, docs2,
+        vectorSpecs = Map("default" -> Engine.StreamVectorSpec(cents, cb, m = 2)))
+      assert(e2.find(Find.FindRequest(query = "overman")).collect().isEmpty,
+        "postings of a tombstoned doc must lose the winner join")
+      def snapshot() = (
+        e2.find(Find.FindRequest(query = "prince fox",
+            queryVector = Some(vec(1)))).collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq,
+        e2.suggest("prin").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq,
+        e2.graph(PathQuery.Path(dst = NodeMatch.Exact("fox"))).collect().length)
+      val before = snapshot()
+      assert(before._1.head._1 == 1L && before._3 == 1)
+      IncrementalIndex.compactSegments(spark, root)
+      assert(snapshot() == before,
+        "compaction must not change any endpoint's results")
+    } finally q.stop()
+  }
 }
