@@ -194,6 +194,85 @@ object ScaleStress {
     println(f"[stress] parpostings_build 1x $tP1%.2fs 10x $tP10%.2fs growth ${tP10 / tP1}%.1fx")
     println(f"[stress] suggest_filtered 1x $tF1%.2fs 10x $tF10%.2fs growth ${tF10 / tF1}%.1fx")
 
+    // ---- 3d. HYBRID find endpoint (keyword+ANN), filtered and not --
+    // (VERDICT r11 task 7: the serving path a real user hits first.)
+    // The keyword side serves the at-rest doc posting pair (the query
+    // terms live only in replica 0, so the term-pruned posting scan is
+    // the 100 TB story: request time must track the MATCHING rows, not
+    // the 10× table); the semantic side serves the at-rest IVF-PQ pair
+    // from section 2 (probe-pruned code scan + bounded rerank). The
+    // filtered variant adds the lang prefilter — same fraction at both
+    // scales (41% en), so the density cost model picks the index path
+    // in both runs and the measurement compares like against like.
+    import graft.api.Find
+    import graft.operators.FilterExpr
+    def buildDocPostings(d: DataFrame, dir: String): Unit = {
+      Ingest.termPostings(d, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/postings")
+      graft.functions.Bm25.docLengths(d, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/dl")
+    }
+    val (tDP1, _) = time(buildDocPostings(docs1, s"$out/dp1"))
+    val (tDP10, _) = time(buildDocPostings(docs10, s"$out/dp10"))
+    val (n1, n10) = (emb1.count(), emb10.count())
+    def hybridCorpus(tag: String, d: DataFrame, emb: DataFrame,
+        codes: DataFrame, cents: Seq[(Int, Seq[Float])],
+        cb: Seq[(Int, Seq[Float])], n: Long): Find.Corpus =
+      Find.Corpus(d, "doc_id", "text",
+        vectors = Some(emb), vecId = "vec_id",
+        index = Some(graft.sources.IndexStore.IndexTables(
+          postings = spark.read.parquet(s"$out/$tag/postings"),
+          docLengths = spark.read.parquet(s"$out/$tag/dl"),
+          paragraphs = spark.emptyDataFrame)),
+        vectorIndex = Some(graft.sources.IndexStore.VectorIndex(
+          cents, cb, m = 16, nVectors = n, codes = codes,
+          assignments = codes.select(col("vec_id"), col("centroid_id")),
+          raw = emb)),
+        annBruteThreshold = 1)
+    val hc1 = hybridCorpus("dp1", docs1, emb1, codes1, cents1, cb1, n1)
+    val hc10 = hybridCorpus("dp10", docs10, emb10, codes10, cents10, cb10, n10)
+    def hybridFind(c: Find.Corpus, filtered: Boolean): Long =
+      Find.find(c, Find.FindRequest(query = "spark query",
+          queryVector = Some(qv),
+          filter = if (filtered) Some(FilterExpr.Eq("lang", "en")) else None,
+          topK = 20))
+        .count()
+    val (tHF1, _) = med3(hybridFind(hc1, filtered = false))
+    val (tHF10, _) = med3(hybridFind(hc10, filtered = false))
+    println(f"[stress] docpostings_build 1x $tDP1%.2fs 10x $tDP10%.2fs growth ${tDP10 / tDP1}%.1fx")
+    println(f"[stress] hybrid_find 1x $tHF1%.2fs 10x $tHF10%.2fs growth ${tHF10 / tHF1}%.1fx")
+    val (tHG1, _) = med3(hybridFind(hc1, filtered = true))
+    val (tHG10, _) = med3(hybridFind(hc10, filtered = true))
+    println(f"[stress] hybrid_find_filtered 1x $tHG1%.2fs 10x $tHG10%.2fs growth ${tHG10 / tHG1}%.1fx")
+
+    // ---- 3e. findParagraphs BM25 (paragraph serving unit) ----------
+    // the paragraph posting PAIR from 3c plus its doclengths side; the
+    // request restriction story is the same scan-stage shape the plan
+    // pins assert — measured here at 10× paragraph rows
+    def buildParDl(d: DataFrame, dir: String): Unit =
+      graft.functions.Bm25.docLengths(
+          Ingest.splitParagraphs(d, "doc_id", "text"),
+          "paragraph_id", "p_text")
+        .write.mode("overwrite").parquet(dir)
+    val (tPD1, _) = time(buildParDl(docs1, s"$out/pdl1"))
+    val (tPD10, _) = time(buildParDl(docs10, s"$out/pdl10"))
+    def parFindBm25(ppDir: String, dlDir: String, d: DataFrame): Long =
+      Find.findParagraphs(
+          Find.Corpus(d, "doc_id", "text",
+            index = Some(graft.sources.IndexStore.IndexTables(
+              postings = spark.emptyDataFrame,
+              docLengths = spark.emptyDataFrame,
+              paragraphs = spark.emptyDataFrame,
+              parPostings = Some(spark.read.parquet(ppDir)),
+              parDocLengths = Some(spark.read.parquet(dlDir))))),
+          Find.FindRequest(query = "spark query", paragraphBm25 = true,
+            topK = 20))
+        .count()
+    val (tPF1, _) = med3(parFindBm25(s"$out/pp1", s"$out/pdl1", docs1))
+    val (tPF10, _) = med3(parFindBm25(s"$out/pp10", s"$out/pdl10", docs10))
+    println(f"[stress] pardoclengths_build 1x $tPD1%.2fs 10x $tPD10%.2fs growth ${tPD10 / tPD1}%.1fx")
+    println(f"[stress] findparagraphs_bm25 1x $tPF1%.2fs 10x $tPF10%.2fs growth ${tPF10 / tPF1}%.1fx")
+
     // ---- 4. suggest at 64 live segments, 10× segment rows ----------
     import spark.implicits._
     def segRoot(docsPerSeg: Int, tag: String): String = {
