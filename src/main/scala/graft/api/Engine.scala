@@ -266,23 +266,32 @@ class Engine(
     * completion; `filter` applies the reference's field/security
     * prefilter to BOTH sources (`shard_suggest.rs:131-160`). Entity
     * nodes are the relation index's node values with their resource
-    * provenance (requires [[ingestRelations]] with `resourceCol`). */
+    * provenance (requires [[ingestRelations]] with `resourceCol`).
+    * BOTH branches run the relation-suggest fuzzy-prefix entity
+    * matcher (the reference builds the relation request identically
+    * with or without a prefilter, `shard_suggest.rs:45-160`) — the
+    * same stem completes the same entities filtered or not. */
   def suggest(query: String, topK: Int = 10,
       filter: Option[FilterExpr] = None): DataFrame = {
     val ix = index
     filter match {
       case None =>
-        Suggest.suggestMerged(parTermFreq,
+        Suggest.suggestMergedFuzzy(parTermFreq,
           graphNodesTable.select("value"), "value", query, topK)
       case Some(f) =>
         Suggest.suggestFilteredMerged(
           ix.parPostings.getOrElse(throw new IllegalStateException(
-            "suggest needs the paragraph posting pair — run ingestDocuments")),
+            s"suggest needs the paragraph posting pair — $parPostingsRemedy")),
           docs, docId, Some(f),
           (graphNodesTable, "value", Some("resource_id")),
           query, topK, bindings = bindings)
     }
   }
+
+  /** The remedy named when the paragraph posting pair is missing —
+    * batch roots rebuild via ingest; the streamed override says
+    * recompact/re-stream instead (batch ingest is refused there). */
+  protected def parPostingsRemedy: String = "run ingestDocuments"
 
   /** The corpus-wide `(term, freq)` suggest dictionary the unfiltered
     * suggest serves — batch roots read the ingest-materialized
@@ -524,19 +533,32 @@ private[api] final class StreamEngine(
     * provenance IS its source id: the provenance-bearing EdgeTable
     * binds `docId` as resourceCol and filtered graph queries need no
     * separate edge_resources table. */
-  override def edgeTable(withProvenance: Boolean = false): GraphSearch.EdgeTable = {
-    val e = served.edges.getOrElse(throw new IllegalArgumentException(
+  override def edgeTable(withProvenance: Boolean = false): GraphSearch.EdgeTable =
+    edgeTableOf(served.edges.getOrElse(throw new IllegalArgumentException(
       "this streamed root carries no relation edges — stream with " +
-        "relationsCol so segments write them"))
-    // node VALUES are strings whatever the doc id type (the node
-    // projections union src and dst into one value column); the
-    // untouched id rides along as the provenance column so the
-    // prefilter semi-join stays type-exact against the doc store
+        "relationsCol so segments write them")), withProvenance)
+
+  /** Build the serving EdgeTable from a SNAPSHOT's edge frame — takes
+    * the frame, not a fresh `served` resolution, so a caller holding
+    * one watermark snapshot (corpus()) binds edges from the SAME
+    * segment set as its index tables; two independent `served` reads
+    * could straddle a segment landing mid-request and fuse keyword
+    * results over one watermark with graph candidates over another.
+    * Node VALUES are strings whatever the doc id type (the node
+    * projections union src and dst into one value column); the
+    * untouched id rides along as the provenance column so the
+    * prefilter semi-join stays type-exact against the doc store. */
+  private def edgeTableOf(e: DataFrame,
+      withProvenance: Boolean): GraphSearch.EdgeTable = {
     val typed = e.select(col(docId).cast("string").as("__src"),
       col("rel"), col("dst"), col(docId).as("__resource"))
     GraphSearch.EdgeTable(typed, "__src", "rel", "dst",
       resourceCol = if (withProvenance) Some("__resource") else None)
   }
+
+  override protected def parPostingsRemedy: String =
+    "recompact (or re-stream) the older segments so every live " +
+      "segment carries par_postings/par_doclengths"
 
   override protected def graphNodesTable: DataFrame =
     served.edges match {
@@ -565,8 +587,9 @@ private[api] final class StreamEngine(
       vectorIndexes = s.vix,
       defaultVectorset = defaultVectorset
         .orElse(vectorsets.headOption).getOrElse("default"),
-      graphEdges =
-        if (s.edges.nonEmpty) Some(edgeTable(withProvenance = true)) else None,
+      // from the SAME snapshot as the index tables — never a second
+      // `served` resolution that could land on a newer watermark
+      graphEdges = s.edges.map(e => edgeTableOf(e, withProvenance = true)),
       filterBindings = bindings)
   }
 

@@ -206,6 +206,28 @@ object Suggest {
       .orderBy(col("source").asc, col("freq").desc, col("suggestion").asc)
   }
 
+  /** [[suggestMerged]] with the ENDPOINT-FAITHFUL entity matcher: the
+    * reference's open /suggest builds the relation request identically
+    * with or without a prefilter (`shard_suggest.rs:45-160` — always
+    * the compound-stem FUZZY-prefix suggest), so the same stem must
+    * complete the same entities filtered or not; the Engine facade
+    * serves THIS form, while [[suggestMerged]]'s exact-prefix entity
+    * pass remains as the fast common-case operator. */
+  def suggestMergedFuzzy(
+      parTermFreq: DataFrame,
+      entities: DataFrame,
+      valueCol: String,
+      query: String,
+      topK: Int = 10): DataFrame = {
+    val resp = suggest(parTermFreq, "term", "freq", None, query, topK)
+    resp.terms.select(col("term").as("suggestion"),
+        lit("paragraph").as("source"), col("freq"))
+      .unionByName(suggestEntitiesFuzzy(entities, valueCol, query, topK)
+        .select(col("value").as("suggestion"), lit("entity").as("source"),
+          lit(0L).as("freq")))
+      .orderBy(col("source").asc, col("freq").desc, col("suggestion").asc)
+  }
+
   /** MERGED /suggest — the reference endpoint runs paragraph suggest
     * and entity prefix search in ONE call and returns both merged
     * (`nidx/src/searcher/shard_suggest.rs:45-160` builds the paragraph

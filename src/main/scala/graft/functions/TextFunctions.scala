@@ -132,11 +132,24 @@ object TextFunctions {
   /** Highlight query terms with <mark>…</mark> — analog of the find
     * endpoint's highlighting (`search/search/paragraphs.py`). Word
     * boundaries anchor the match so a term marks only whole tokens
-    * (the reference's ematch is token-level, not substring). Terms are
-    * regex-escaped by the caller being sane (alnum terms only here).
+    * (the reference's ematch is token-level, not substring), and the
+    * match is CASE-INSENSITIVE like retrieval itself (the tokenizer
+    * lowercases — a doc retrieved for "prince" must mark "Prince").
+    * Terms are regex-escaped here: the find endpoint feeds
+    * synonym-expanded terms, and a synonym like "c++" must degrade to
+    * marking nothing (its \b anchors cannot sit on non-word chars)
+    * rather than crash the request with a PatternSyntaxException.
+    * Both (?i) and the escapes are RE2-compatible, so the DuckDB
+    * oracles compute the identical marking.
     */
   def highlight(text: Column, terms: Seq[String]): Column =
-    regexp_replace(text, "\\b(" + terms.mkString("|") + ")\\b", "<mark>$1</mark>")
+    regexp_replace(text,
+      "(?i)\\b(" + terms.map(regexEscape).mkString("|") + ")\\b",
+      "<mark>$1</mark>")
+
+  /** RE2-safe escape of regex metacharacters in a literal term. */
+  private def regexEscape(t: String): String =
+    t.replaceAll("""([\\.\[\]{}()*+?^$|])""", """\\$1""")
 
   /** Highlight with EXACT-MATCH phrase spans: loose terms (plus the
     * phrase tokens) mark individually first, then each quoted phrase's
@@ -155,8 +168,13 @@ object TextFunctions {
       terms: Seq[String]): Column = {
     val termMarked = highlight(text, (terms ++ phrases.flatten).distinct)
     phrases.filter(_.nonEmpty).foldLeft(termMarked) { (t, p) =>
-      val pattern = p.map(tok => s"<mark>($tok)</mark>")
-        .mkString("([^a-z0-9<]+)")
+      // (?i) mirrors the term marking (the marked spans keep the
+      // original case, so the merge must match them case-blind); the
+      // separator class excludes letters of EITHER case — an
+      // intervening capitalized word ("spark THE query") is another
+      // token, never part of a phrase occurrence
+      val pattern = "(?i)" + p.map(tok => s"<mark>(${regexEscape(tok)})</mark>")
+        .mkString("([^a-zA-Z0-9<]+)")
       val repl = "<mark>" +
         (1 to 2 * p.size - 1).map(i => s"$$$i").mkString + "</mark>"
       regexp_replace(t, pattern, repl)

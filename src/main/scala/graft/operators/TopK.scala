@@ -144,6 +144,15 @@ object TopK {
   def suggestFuzzyPrefix(termFreq: DataFrame, termCol: String,
       freqCol: String, query: String, k: Int = 10, maxDist: Int = 1): DataFrame = {
     val q = query.toLowerCase
+    // a stem at or below the edit distance would match EVERY term (the
+    // empty prefix qualifies — levenshtein(t[1,1], q) ≤ dist holds for
+    // any first char), turning the fallback into the whole dictionary;
+    // the relation side gates the same regime behind
+    // MIN_SUGGEST_PREFIX_LENGTH (= dist + 1) and the paragraph
+    // fallback returns empty for it, never everything
+    if (q.length <= maxDist)
+      return termFreq.where(lit(false))
+        .orderBy(col(freqCol).desc, col(termCol).asc).limit(k)
     val lens = (q.length - maxDist to q.length + maxDist).filter(_ > 0).distinct
     val pred = lens.map(l =>
         levenshtein(substring(col(termCol), 1, l), lit(q)) <= maxDist)

@@ -273,6 +273,12 @@ class ApiSpec extends SparkSpec {
       Some(FilterExpr.Eq("lang", "en")),
       Some((nodes, "value", Some("resource_id"))), "A")
     assert(short.entities.get.collect().isEmpty)
+    // and the PARAGRAPH fuzzy fallback obeys the same regime: an
+    // at-or-below-distance stem with no exact-prefix hits returns
+    // EMPTY, never the whole dictionary (levenshtein(t[1,1], 'a') <= 1
+    // would otherwise admit every term — 'zeta' is not a completion
+    // of 'a')
+    assert(short.terms.collect().isEmpty, short.terms.collect().mkString(","))
   }
 
   test("graph: edge facet filter excludes generated relations") {

@@ -115,6 +115,15 @@ class EngineSpec extends SparkSpec {
     val dePrince = engine.suggest("pr",
         filter = Some(FilterExpr.Eq("lang", "de"))).collect()
     assert(dePrince.isEmpty, dePrince.mkString(","))
+    // the OPEN branch runs the same fuzzy-prefix entity matcher as the
+    // filtered one (shard_suggest builds the relation request
+    // identically either way): a typo'd stem completes unfiltered too,
+    // and a 1-char stem returns no entities instead of everything
+    val typo = engine.suggest("zer").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(typo.contains(("zarathustra", "entity")), typo.mkString(","))
+    assert(engine.suggest("z").collect()
+      .forall(_.getString(1) == "paragraph"))
   }
 
   test("graph: path/nodes/relations with and without a prefilter") {

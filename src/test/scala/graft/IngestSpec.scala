@@ -51,6 +51,26 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("bench corpus: no doc yields more than 20 paragraph windows (oracle invariant)") {
+    // findParagraphs bounds each resource's hits ARRAY to the response
+    // window (composeResources maxHits = topK, all 20 in the
+    // findParagraphs oracles) while the q68/q91/q102/q104/q105/q139/
+    // q143 oracles aggregate ALL of a doc's hits — parity is exact
+    // only while no fixture doc carries more matching windows than the
+    // window. Matching ⊆ all windows, so pin the per-doc window COUNT
+    // over every sf dir the harness reads; a corpus regen with longer
+    // docs must update those oracles with a per-doc rank cut.
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val pars = graft.sources.IndexStore.paragraphs(spark, s"/root/testdata/$sf")
+      val mx = pars.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).collect().head.getLong(0)
+      assert(mx <= 20,
+        s"$sf testdata now has a doc with $mx windows (> topK 20) — " +
+          "bound the findParagraphs oracles' hits with a per-doc rank cut")
+    }
+  }
+
   test("splitParagraphs marks repeated_in_field: first occurrence clean, later copies flagged") {
     val w = (1 to 20).map(i => s"w$i").mkString(" ")
     val d = Seq(

@@ -89,6 +89,32 @@ class TextFunctionsSpec extends SparkSpec {
     assert(two == "<mark>spark query</mark> <mark>spark query</mark>")
   }
 
+  test("highlight is case-insensitive like retrieval; regex metachars in terms degrade, never crash") {
+    // retrieval tokenizes through lower(), so a doc found for "prince"
+    // must mark "Prince" — the marking keeps the original case
+    val cased = Seq("The Little Prince visits planets").toDF("t")
+      .select(highlight(col("t"), Seq("little", "prince"))).as[String].head()
+    assert(cased == "The <mark>Little</mark> <mark>Prince</mark> visits planets")
+    // a synonym-expanded term like "c++" cannot sit on \b anchors —
+    // it marks nothing, but the request must not die on a
+    // PatternSyntaxException (dangling '+')
+    val meta = Seq("c++ and c here").toDF("t")
+      .select(highlight(col("t"), Seq("c++", "here"))).as[String].head()
+    assert(meta == "c++ and c <mark>here</mark>", meta)
+    // an intervening CAPITALIZED word is another token — never merged
+    // into a phrase span (the separator class excludes both cases)
+    val noMerge = Seq("spark THE query").toDF("t")
+      .select(highlightWithPhrases(col("t"),
+        Seq(Seq("spark", "query")), Nil)).as[String].head()
+    assert(noMerge == "<mark>spark</mark> THE <mark>query</mark>", noMerge)
+    // case-blind phrase merge: marked spans keep their case and still
+    // fuse into one span
+    val casedPhrase = Seq("Spark Query done").toDF("t")
+      .select(highlightWithPhrases(col("t"),
+        Seq(Seq("spark", "query")), Nil)).as[String].head()
+    assert(casedPhrase == "<mark>Spark Query</mark> done", casedPhrase)
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val fps = Seq("Hello  World", "hello world", "hello worlds").toDF("t")
       .select(fingerprint(col("t"))).as[String].collect()
