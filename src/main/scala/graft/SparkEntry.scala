@@ -1925,6 +1925,47 @@ object SparkEntry {
         "rde", 10)
     }),
 
+    // §3.2/§2.7 highlighting on the CLASSIC /search response: both the
+    // BM25 document list and the term-count paragraph list return
+    // marked text (the reference's /search results carry highlights
+    // like find's, `search/search/paragraphs.py`); unit-tagged union
+    // like q70
+    "q147_search_highlight" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val resp = graft.api.Search.search(docs, "doc_id", "text", "lang",
+        Some((graft.sources.IndexStore.paragraphs(s, dir),
+          "paragraph_id", "p_text")),
+        graft.api.Search.SearchRequest(query = QueryTerms.mkString(" "),
+          topK = 10, highlight = true),
+        index = Some(graft.sources.IndexStore.tables(s, dir)))
+      resp.documents.get
+        .select(lit("document").as("unit"), col("doc_id").cast("string").as("id"),
+          col("score"), col("text").as("marked"))
+        .unionByName(resp.paragraphs.get
+          .select(lit("paragraph").as("unit"), col("paragraph_id").as("id"),
+            col("score"), col("p_text").as("marked")))
+        .orderBy(col("unit"), col("score").desc, col("id"))
+    }),
+
+    // §2.7 per-hit TEXT-BLOCK hydration of the composed find tree —
+    // the reference's hydrate step (`find_merge.py:154-295`): each
+    // returned resource's hits become (id, marked text) pairs in the
+    // composed order, marking identical to the doc-level hydration
+    "q148_find_paragraphs_highlight" -> ((s, dir) => {
+      import graft.api.Find
+      val docs = load(s, dir, "documents")
+      Find.findParagraphs(
+          Find.Corpus(docs, "doc_id", "text",
+            index = Some(graft.sources.IndexStore.tables(s, dir))),
+          Find.FindRequest(query = QueryTerms.mkString(" "),
+            filter = Some(FilterExpr.Eq("lang", "en")), topK = 20,
+            paragraphBm25 = true, highlight = true))
+        .withColumn("hits", concat_ws(",",
+          transform(col("hits"),
+            h => concat(h.getField("id"), lit("="), h.getField("text")))))
+        .orderBy(col("best_score").desc, col("doc_id").asc)
+    }),
+
     // §3.4 /catalog title query-match modes (pg.py:362-394): ONE scan
     // evaluates StartsWith (case-insensitive), Words (token-set
     // containment) and Fuzzy (typo'd word) as predicate columns; the
@@ -4106,6 +4147,54 @@ object SparkEntry {
          |SELECT suggestion, source, freq
          |FROM (SELECT * FROM terms UNION ALL SELECT * FROM ents)
          |ORDER BY source, freq DESC, suggestion""".stripMargin,
+
+    // q147: q70's tagged-union shape with the q32 marking applied to
+    // both lists' text (no quoted phrase → term marking only; fixture
+    // text is lowercase so the engine's case-insensitive flag is
+    // value-neutral here)
+    "q147_search_highlight" ->
+      s"""WITH $Bm25Ctes,
+         |$ParCtes,
+         |doclist AS (SELECT 'document' AS unit, CAST(b.doc_id AS VARCHAR) AS id,
+         |              b.score,
+         |              regexp_replace(d.text, '\\b(${QueryTerms.mkString("|")})\\b',
+         |                '<mark>\\1</mark>', 'g') AS marked
+         |            FROM (SELECT doc_id, score FROM bm25
+         |                  ORDER BY score DESC, doc_id LIMIT 10) b
+         |            JOIN documents d USING (doc_id)),
+         |parlist AS (SELECT 'paragraph' AS unit, paragraph_id AS id,
+         |              CAST(len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) AS DOUBLE) AS score,
+         |              regexp_replace(array_to_string(t[s+1:e], ' '),
+         |                '\\b(${QueryTerms.mkString("|")})\\b', '<mark>\\1</mark>', 'g') AS marked
+         |            FROM par
+         |            WHERE len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) > 0
+         |            ORDER BY score DESC, paragraph_id LIMIT 10)
+         |SELECT unit, id, score, marked FROM doclist
+         |UNION ALL SELECT unit, id, score, marked FROM parlist
+         |ORDER BY unit, score DESC, id""".stripMargin,
+
+    // q148: q91's composed tree with each hit hydrated as
+    // paragraph_id=marked_text (the hydrate step's rendering); the
+    // per-doc aggregation is unbounded here like q91's — exact parity
+    // under the ≤20-windows fixture invariant IngestSpec pins
+    "q148_find_paragraphs_highlight" ->
+      s"""WITH $ParCtes,
+         |allowed AS (SELECT p.paragraph_id, p.t, p.s, p.e FROM par p
+         |            JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+         |${parBm25Ctes("allowed")},
+         |ptext AS (SELECT paragraph_id,
+         |            regexp_replace(array_to_string(t[s+1:e], ' '),
+         |              '\\b(${QueryTerms.mkString("|")})\\b', '<mark>\\1</mark>', 'g') AS marked
+         |          FROM allowed),
+         |hits AS (SELECT CAST(split_part(b.paragraph_id, '/', 1) AS BIGINT) AS doc_id,
+         |                b.paragraph_id, b.score, p.marked
+         |         FROM bm25 b JOIN ptext p USING (paragraph_id))
+         |SELECT doc_id, round(max(score), 6) AS best_score,
+         |  CAST(count(*) AS BIGINT) AS n_hits,
+         |  string_agg(paragraph_id || '=' || marked, ','
+         |    ORDER BY score DESC, paragraph_id) AS hits
+         |FROM hits GROUP BY doc_id
+         |ORDER BY best_score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q131_catalog_title_match" ->
       s"""WITH t AS (SELECT doc_id, array_to_string(($Tok)[1:5], ' ') AS title

@@ -159,6 +159,12 @@ object Find {
     * holds here). */
   final case class FindCursor(score: Double, id: Any, shown: Seq[Any] = Nil)
 
+  /** Quoted phrases as token groups for highlighting — the same
+    * tokenizer split the phrase predicate's containment relies on. */
+  private def phraseTokenGroups(parsed: QueryParser.ParsedQuery): Seq[Seq[String]] =
+    parsed.phrases.map(_.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+
   /** The ONE definition of the default repeated-paragraph exclusion
     * (`nidx_paragraph/src/search_query.rs:219-224`): rows marked
     * repeated_in_field at ingest stay out unless the request asks for
@@ -467,8 +473,7 @@ object Find {
     // the rendered text_block (`find_merge.py:154-295`)
     val hydrated = ranked
       .join(corpus.docs.select(col(corpus.docId), col(corpus.text)), corpus.docId)
-    val phraseToks = parsed.phrases
-      .map(_.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
+    val phraseToks = phraseTokenGroups(parsed)
     val marked =
       if (!req.highlight || (terms.isEmpty && phraseToks.isEmpty)) hydrated
       else hydrated.withColumn(corpus.text,
@@ -650,22 +655,25 @@ object Find {
               FilterExpr.Bindings(labelsCol = "p_labels")))
             .select("paragraph_id")
         }
+        // the paragraph TEXT table matching the searched posting pairs
+        // (body rows, plus the field rows exactly when field specs need
+        // them) — shared by the advanced-query predicate and the
+        // highlight hydration so the two can never read different rows
+        lazy val parTextTab: DataFrame = {
+          val bodyTab = ix.paragraphs.select(col("paragraph_id"), col("p_text"))
+          if (!needField) bodyTab
+          else bodyTab.unionByName(ix.fieldParagraphs.getOrElse(
+              throw new IllegalArgumentException(
+                "fields= with advancedQuery or highlight needs the " +
+                  "field_paragraphs table — rebuild the index"))
+            .where(!(col("field_type") === "t" && col("field_id") === "body"))
+            .select(col("paragraph_id"), col("p_text")))
+        }
         // advanced boolean query over the PARAGRAPH text (the cited
         // `search_query.rs:202-210` is the paragraph search): allowed
-        // ids from the paragraph-text tables matching the tree — the
-        // field table joins in exactly when field specs need it
-        lazy val advAllowed: Option[DataFrame] = advanced.map { aq =>
-          val bodyTab = ix.paragraphs.select(col("paragraph_id"), col("p_text"))
-          val textTab =
-            if (!needField) bodyTab
-            else bodyTab.unionByName(ix.fieldParagraphs.getOrElse(
-                throw new IllegalArgumentException(
-                  "advancedQuery with fields= needs the field_paragraphs " +
-                    "table — rebuild the index"))
-              .where(!(col("field_type") === "t" && col("field_id") === "body"))
-              .select(col("paragraph_id"), col("p_text")))
-          applyAdvanced(textTab, "p_text", Some(aq)).select("paragraph_id")
-        }
+        // ids from the paragraph-text tables matching the tree
+        lazy val advAllowed: Option[DataFrame] = advanced.map(aq =>
+          applyAdvanced(parTextTab, "p_text", Some(aq)).select("paragraph_id"))
         // OR-operator mode (`filter_query`'s Should occur): one pass
         // with BOTH membership flags left-joined in, kept when either
         // holds — the doc prefilter and the label formula become ONE
@@ -720,8 +728,14 @@ object Find {
           .withColumn("score", round(col("score"), 4))
           .withColumn(corpus.docId,
             split(col("paragraph_id"), "/").getItem(0).cast(docIdType))
-        pageCut(composeResources(hits, corpus.docId, "paragraph_id", "score",
-            maxHits = Some(req.topK)), corpus.docId, req)
+        val composed = pageCut(composeResources(hits, corpus.docId,
+          "paragraph_id", "score", maxHits = Some(req.topK)),
+          corpus.docId, req)
+        // per-hit text-block hydration (find_merge's hydrate step):
+        // hits become (id, marked text) structs on the CUT page only
+        if (!req.highlight) composed
+        else hydrateHits(composed, corpus.docId, parTextTab,
+          "paragraph_id", "p_text", terms, phraseTokenGroups(parsed))
       case None =>
         // OR-operator mode: doc prefilter and label formula become ONE
         // either-passes clause (filter_query's Should occur), so the
@@ -769,9 +783,52 @@ object Find {
             size(filter(TextFunctions.tokens(col("p_text")),
               t => t.isInCollection(terms))).cast("double"))
           .where(col("score") > 0)
-        pageCut(composeResources(hits, corpus.docId, "paragraph_id", "score",
-            maxHits = Some(req.topK)), corpus.docId, req)
+        val composed = pageCut(composeResources(hits, corpus.docId,
+          "paragraph_id", "score", maxHits = Some(req.topK)),
+          corpus.docId, req)
+        if (!req.highlight) composed
+        else hydrateHits(composed, corpus.docId,
+          parDedup.select(col("paragraph_id"), col("p_text")),
+          "paragraph_id", "p_text", terms, phraseTokenGroups(parsed))
     }
+  }
+
+  /** Hydrate a composed find response's hits with their (optionally
+    * highlighted) TEXT BLOCKS — the reference's hydrate step over the
+    * paragraph results (`find_merge.py:154-295` hydrate_and_rerank:
+    * each returned paragraph carries its rendered text with ematch
+    * spans). The hits id array becomes an array of (id, text) structs
+    * in the SAME (score desc, id asc) order; highlighting applies the
+    * identical marking as the doc-level hydration. Runs AFTER the page
+    * cut, so the explode + text join touch at most topK resources ×
+    * the per-resource window — response-sized, never corpus-sized.
+    */
+  def hydrateHits(
+      composed: DataFrame,
+      docIdCol: String,
+      paragraphs: DataFrame,
+      pidCol: String,
+      textColName: String,
+      highlightTerms: Seq[String] = Nil,
+      highlightPhrases: Seq[Seq[String]] = Nil): DataFrame = {
+    val exploded = composed.select(col(docIdCol), col("best_score"),
+      col("n_hits"), posexplode(col("hits")).as(Seq("__pos", "__hit")))
+    val texts = paragraphs.select(col(pidCol).as("__hit"),
+      col(textColName).as("__txt"))
+    val phrases = highlightPhrases.filter(_.nonEmpty)
+    val markedTxt =
+      if (highlightTerms.isEmpty && phrases.isEmpty) col("__txt")
+      else TextFunctions.highlightWithPhrases(col("__txt"), phrases,
+        highlightTerms)
+    exploded.join(texts, Seq("__hit"), "left")
+      .withColumn("__txt", markedTxt)
+      .groupBy(col(docIdCol), col("best_score"), col("n_hits"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("__pos"),
+          col("__hit").as("id"), col("__txt").as("text")))),
+        s => struct(s.getField("id").as("id"),
+          s.getField("text").as("text"))).as("hits"))
+      .orderBy(col("best_score").desc, col(docIdCol).asc)
   }
 
   /** The ONE application of an advanced boolean tree to a text-bearing

@@ -40,7 +40,14 @@ object Search {
       // the proto's FilterOperator (`nodereader.proto:425`, AND
       // default): OR keeps a paragraph when its doc passes the
       // prefilter OR its labels match the formula
-      filterOperatorOr: Boolean = false)
+      filterOperatorOr: Boolean = false,
+      // opt-in highlighting, same contract as FindRequest.highlight
+      // (`search/search/paragraphs.py` — the reference's /search
+      // results carry marked text too): the DOCUMENT list hydrates the
+      // text column with <mark> spans over the parsed terms (quoted
+      // phrases merged to one span), the PARAGRAPH list returns its
+      // text marked alongside (id, score)
+      highlight: Boolean = false)
 
   /** The multi-part response: independent lists + facet counts, each a
     * lazily-evaluated DataFrame (callers materialize what they need —
@@ -76,6 +83,13 @@ object Search {
 
     if (req.onlyFaceted) return SearchResponse(None, None, facetDf)
 
+    // phrase token groups for highlight (quoted phrases merge to one
+    // span, identical to the find hydration)
+    val phraseToks = parsed.phrases
+      .map(_.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
+    val doHighlight = req.highlight &&
+      (parsed.terms.nonEmpty || phraseToks.nonEmpty)
+
     val docList =
       if (parsed.terms.isEmpty) None
       else {
@@ -90,13 +104,28 @@ object Search {
           "score", docId, req.topK)
         // merge-side attribute sort of the ALREADY-CUT page: the
         // hydration join touches topK rows, never the corpus
-        Some(req.sortField match {
+        val page = req.sortField match {
           case Some(f) => cut
             .join(docs.select(col(docId), col(f)), docId)
             .orderBy(if (req.sortDesc) col(f).desc else col(f).asc,
               col(docId).asc)
           case None => cut
-        })
+        }
+        // highlight hydration joins the cut page only; the join breaks
+        // the sort, so the page order re-applies after marking
+        Some(
+          if (!doHighlight) page
+          else {
+            val marked = page
+              .join(docs.select(col(docId), col(textCol)), docId)
+              .withColumn(textCol, graft.functions.TextFunctions
+                .highlightWithPhrases(col(textCol), phraseToks, parsed.terms))
+            req.sortField match {
+              case Some(f) => marked.orderBy(
+                if (req.sortDesc) col(f).desc else col(f).asc, col(docId).asc)
+              case None => marked.orderBy(col("score").desc, col(docId).asc)
+            }
+          })
       }
 
     val parList = paragraphs.flatMap { case (par, pid, ptext) =>
@@ -122,15 +151,23 @@ object Search {
           else
             Find.excludeRepeated(
               labelPred.map(par.where).getOrElse(par), req.withDuplicates)
-        Some((if (orMode) restricted
+        val scored = (if (orMode) restricted
           else restricted.join(base.select(docId), docId)) // prefilter
-        .withColumn("score",
-          size(filter(graft.functions.TextFunctions.tokens(col(ptext)),
-            t => t.isInCollection(parsed.terms))).cast("double"))
-        .where(col("score") > 0)
-        .select(col(pid), col("score"))
-        .orderBy(col("score").desc, col(pid).asc)
-        .limit(req.topK))
+          .withColumn("score",
+            size(filter(graft.functions.TextFunctions.tokens(col(ptext)),
+              t => t.isInCollection(parsed.terms))).cast("double"))
+          .where(col("score") > 0)
+        // the raw text rides through the cut; marking runs on the
+        // topK page only, never the full hit set
+        val page = scored
+          .select(Seq(col(pid), col("score")) ++
+            (if (doHighlight) Seq(col(ptext)) else Nil): _*)
+          .orderBy(col("score").desc, col(pid).asc)
+          .limit(req.topK)
+        Some(
+          if (!doHighlight) page
+          else page.withColumn(ptext, graft.functions.TextFunctions
+            .highlightWithPhrases(col(ptext), phraseToks, parsed.terms)))
       }
     }
 

@@ -112,6 +112,36 @@ class ApiSpec extends SparkSpec {
     assert(asc == asc.sorted && desc == asc.reverse, s"$asc vs $desc")
   }
 
+  test("search highlight: document and paragraph lists return marked text") {
+    import org.apache.spark.sql.functions.lit
+    val pars = Seq(
+      ("1/t/body/0-5", "spark engine spark runs fast", 1L),
+      ("2/t/body/0-4", "query planner for spark", 2L))
+      .toDF("paragraph_id", "p_text", "doc_id")
+    val resp = Search.search(docs, "doc_id", "text", "labels",
+      Some((pars, "paragraph_id", "p_text")),
+      SearchRequest(query = "spark", highlight = true))
+    val docRows = resp.documents.get.collect()
+    // the hydrated text column carries the marks; order stays
+    // (score desc, id)
+    assert(docRows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(docRows.forall(_.getString(2).contains("<mark>spark</mark>")),
+      docRows.mkString(","))
+    val parRows = resp.paragraphs.get.collect()
+    assert(parRows.map(_.getString(0)).toSeq
+      == Seq("1/t/body/0-5", "2/t/body/0-4"))
+    assert(parRows.forall(_.getString(2).contains("<mark>spark</mark>")),
+      parRows.mkString(","))
+    // sortField still re-orders the marked page
+    val sorted = Search.search(docs, "doc_id", "text", "labels", None,
+        SearchRequest(query = "spark", highlight = true,
+          sortField = Some("doc_id"), sortDesc = true))
+      .documents.get.collect()
+    assert(sorted.map(_.getLong(0)).toSeq == Seq(2L, 1L))
+    assert(sorted.forall(_.getAs[String]("text").contains("<mark>spark</mark>")),
+      sorted.mkString(","))
+  }
+
   test("suggest: exact prefix first, fuzzy fill when empty, entity prefix list") {
     val tf = Seq(("spark", 10L), ("spars", 3L), ("scan", 5L)).toDF("term", "freq")
     val nodes = edges.select($"src".as("value"))

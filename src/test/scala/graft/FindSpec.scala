@@ -462,6 +462,27 @@ class FindSpec extends SparkSpec {
     assert(arr.length == 2, arr.toString)
   }
 
+  test("findParagraphs highlight hydrates each hit as (id, marked text) in composed order") {
+    val docs1 = Seq(("d1", "the needle hides here; a second needle too"))
+      .toDF("rid", "text")
+    val got = Find.findParagraphs(Corpus(docs1, "rid", "text"),
+        FindRequest(query = "needle", topK = 5, highlight = true))
+      .collect()
+    assert(got.length == 1)
+    val hits = got.head.getSeq[org.apache.spark.sql.Row](3)
+    assert(hits.nonEmpty)
+    // structs carry the id and the MARKED text, same order as the id
+    // array form (score desc, id asc)
+    assert(hits.forall(h => h.getString(1).contains("<mark>needle</mark>")),
+      hits.mkString(","))
+    assert(hits.map(_.getString(0)) == hits.map(_.getString(0)).sorted)
+    // default stays the id-array shape
+    val plain = Find.findParagraphs(Corpus(docs1, "rid", "text"),
+        FindRequest(query = "needle", topK = 5))
+      .collect().head.getSeq[String](3)
+    assert(plain.forall(_.startsWith("d1/")), plain.toString)
+  }
+
   test("advanced term with internal separators compiles to the tokenizer's conjunction") {
     import graft.api.QueryParser.BoolQuery._
     assert(QueryParser.parseAdvanced("state-of-the-art")
