@@ -647,6 +647,21 @@ object IncrementalIndex {
     val dirs = allDirs.filterNot(p => subsumedSet(p.getName))
       .map(_.toString).sorted
     if (dirs.size <= 1) return
+    foldDirs(spark, indexRoot, fs, dirs, idCol, seqCol, committedBatchId)
+  }
+
+  /** Fold ONE group of live segment dirs into a compacted segment —
+    * the commit discipline of [[compactSegments]] (staging dir, healed
+    * columns, carried-forward pruned subsumed manifest, rename-then-
+    * delete) applied to an arbitrary subset: latest-wins WITHIN the
+    * group is safe for any subset because a newer (id, seq) in a
+    * segment outside it still wins the serve-time semi-join — the same
+    * argument the reference makes for merging only seqs at or below
+    * the indexing watermark (`scheduler/merge_task.rs:36-49`). */
+  private def foldDirs(spark: SparkSession, indexRoot: String,
+      fs: org.apache.hadoop.fs.FileSystem, dirs: Seq[String],
+      idCol: String, seqCol: String,
+      committedBatchId: Option[Long]): Unit = {
     val out = s"$indexRoot/compacting"
     // a crashed run's leftover staging dir must be wiped WHOLESALE: the
     // conditionally-written tables below (positions/signatures/codes/…)
@@ -752,6 +767,135 @@ object IncrementalIndex {
     dirs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
     } finally winners.unpersist()
     ()
+  }
+
+  /** tantivy-style log-merge policy knobs — the reference's
+    * LogMergeSettings with its defaults (`nidx/src/settings.rs:228-255`):
+    * segments bucket by log2(records); a bucket folds when it holds at
+    * least `minSegments` (or contains a deletion-forced member);
+    * segments above `topBucketMaxRecords` never merge except forced;
+    * segments below `bottomBucketThreshold` share one bottom bucket. */
+  final case class LogMergeSettings(
+      minSegments: Int = 4,
+      topBucketMaxRecords: Long = 10000000L,
+      bottomBucketThreshold: Long = 10000L,
+      bucketSizeLog: Double = 1.0,
+      // the scheduler's deletion-pressure trigger (`settings.rs:220`
+      // max_deletions): a segment whose manifest carries more than
+      // this many tombstone rows FORCES its bucket to fold, so rows
+      // masked across segments get physically dropped
+      maxDeletions: Long = 500L)
+
+  /** Plan merge groups under the log-merge policy — the pure planning
+    * step of the reference's scheduler (`scheduler/log_merge.rs`
+    * plan_merges re-expressed): segments ordered by records DESC walk
+    * into dynamically-cut log2 buckets (each bucket spans
+    * `bucketSizeLog` doublings below the largest seen); a bucket with
+    * ≥ minSegments members — or any forced member — emits merge
+    * groups, splitting whenever a group's running record sum passes
+    * the top-bucket ceiling so one fold never exceeds it. Oversize
+    * segments fold alone only when forced (deletions must apply).
+    *
+    * @param segments (name, records, forced) — any order; sorted here
+    * @return groups of segment NAMES to fold, each independently
+    */
+  def planMerges(settings: LogMergeSettings,
+      segments: Seq[(String, Long, Boolean)]): Seq[Seq[String]] = {
+    val ordered = segments.sortBy { case (n, r, _) => (-r, n) }
+    val merges = scala.collection.mutable.ListBuffer.empty[Seq[String]]
+    val buckets = scala.collection.mutable.ListBuffer
+      .empty[Vector[(String, Long, Boolean)]]
+    var current = Vector.empty[(String, Long, Boolean)]
+    var currentMaxLog = Double.MaxValue
+    ordered.foreach { case seg @ (name, records, forced) =>
+      if (records > settings.topBucketMaxRecords) {
+        if (forced) merges += Seq(name)
+      } else {
+        val sizeLog = math.log(
+          math.max(records, settings.bottomBucketThreshold).toDouble) /
+          math.log(2.0)
+        if (sizeLog <= currentMaxLog - settings.bucketSizeLog) {
+          buckets += current
+          current = Vector.empty
+          currentMaxLog = sizeLog
+        }
+        current = current :+ seg
+      }
+    }
+    buckets += current
+    buckets.foreach { b =>
+      if (b.size >= settings.minSegments || b.exists(_._3)) {
+        var sum = 0L
+        var group = Vector.empty[String]
+        var forced = false
+        b.foreach { case (n, r, f) =>
+          forced |= f
+          sum += r
+          group = group :+ n
+          if (sum > settings.topBucketMaxRecords) {
+            if (group.size >= settings.minSegments || forced) merges += group
+            forced = false
+            sum = 0L
+            group = Vector.empty
+          }
+        }
+        if (group.size >= settings.minSegments || forced) merges += group
+      }
+    }
+    merges.toList
+  }
+
+  /** SIZE-TIERED compaction — the reference's scheduled merge
+    * (`scheduler/merge_task.rs` schedule_merges + the log-merge
+    * policy) instead of [[compactSegments]]' fold-everything: live
+    * segments are measured (manifest rows + tombstone rows, ONE
+    * multi-path scan grouped by source segment — no per-segment job),
+    * [[planMerges]] buckets them, and each planned group folds
+    * independently with the same crash-safe commit discipline. Big
+    * segments stop being re-written once they pass the top-bucket
+    * ceiling — compaction cost tracks the NEW data, not the corpus,
+    * which is what lets a streamed root run forever: fold-everything
+    * rewrites the whole corpus per cycle (O(corpus) each time), tiered
+    * folding rewrites each row O(log corpus) times total.
+    *
+    * @return the folded groups (segment names), for observability
+    */
+  def compactSegmentsTiered(spark: SparkSession, indexRoot: String,
+      idCol: String = "rid", seqCol: String = "seq",
+      settings: LogMergeSettings = LogMergeSettings(),
+      committedBatchId: Option[Long] = None): Seq[Seq[String]] = {
+    val fs = new org.apache.hadoop.fs.Path(indexRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (allDirs, subsumedSet) = listSegments(spark, indexRoot)
+    allDirs.filter(p => subsumedSet(p.getName))
+      .foreach(p => fs.delete(p, true))
+    val dirs = allDirs.filterNot(p => subsumedSet(p.getName))
+      .map(_.toString).sorted
+    if (dirs.size <= 1) return Nil
+    // per-segment stats in ONE job: rows + tombstones grouped by the
+    // source segment directory of each manifest file
+    val segOf = regexp_extract(input_file_name(), "(seg_[^/]+)/docs/", 1)
+    val stats = readSegSub(spark, dirs, "docs")
+      .select(segOf.as("__seg"), col("deleted"))
+      .groupBy("__seg")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("deleted"), 1L).otherwise(0L)).as("__tomb"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2) > settings.maxDeletions))
+      .toSeq
+    val plan = planMerges(settings, stats.map { case (n, r, f) => (n, r, f) })
+      // a single-segment group folds only to apply deletion pressure;
+      // this architecture applies tombstones at serve time via the
+      // winner semi-join, and a lone fold cannot drop rows masked by
+      // OTHER segments' newer rows — skip it, the policy's multi-
+      // segment groups do the physical pruning
+      .filter(_.size >= 2)
+    plan.foreach { group =>
+      val groupDirs = group.sorted.map(n => s"$indexRoot/$n")
+      foldDirs(spark, indexRoot, fs, groupDirs, idCol, seqCol,
+        committedBatchId)
+    }
+    plan
   }
 
   /** Per-user session state for [[streamingSessionCounts]]. */

@@ -854,6 +854,79 @@ class StreamingSpec extends SparkSpec {
     IncrementalIndex.compactSegments(spark, root)
     assert(results() == want, "post-compaction edge divergence")
   }
+
+  test("log-merge policy: size buckets, min-segment gate, oversize skip, ceiling split, deletion forcing") {
+    import graft.streaming.IncrementalIndex.{LogMergeSettings, planMerges}
+    val s = LogMergeSettings(minSegments = 3, topBucketMaxRecords = 1000,
+      bottomBucketThreshold = 4, bucketSizeLog = 1.0)
+    // same-size small segments fold together; the oversize one never
+    // merges unforced (tantivy's top-bucket ceiling)
+    assert(planMerges(s, Seq(("a", 10, false), ("b", 10, false),
+      ("c", 10, false), ("big", 5000, false))) == Seq(Seq("a", "b", "c")))
+    // below the min-segment gate nothing folds…
+    assert(planMerges(s, Seq(("a", 10, false), ("b", 10, false))).isEmpty)
+    // …unless a member carries deletion pressure (forced)
+    assert(planMerges(s, Seq(("a", 10, false), ("b", 10, true)))
+      == Seq(Seq("a", "b")))
+    // a >bucketSizeLog gap in log2(records) cuts a new bucket — sizes
+    // 512 and 8 never fold together
+    assert(planMerges(s, Seq(("s1", 8, false), ("s2", 8, false),
+      ("s3", 8, false), ("l1", 512, false), ("l2", 512, false),
+      ("l3", 512, false)))
+      == Seq(Seq("l1", "l2", "l3"), Seq("s1", "s2", "s3")))
+    // a group splits when its record sum passes the ceiling, so one
+    // fold never produces an over-ceiling segment
+    assert(planMerges(LogMergeSettings(minSegments = 2,
+        topBucketMaxRecords = 100, bottomBucketThreshold = 4),
+      Seq(("a", 60, false), ("b", 60, false), ("c", 60, false),
+        ("d", 60, false)))
+      == Seq(Seq("a", "b"), Seq("c", "d")))
+    // an oversize segment folds ALONE only when forced (deletions
+    // must apply — merge_task.rs's force path)
+    assert(planMerges(s, Seq(("big", 5000, true))) == Seq(Seq("big")))
+  }
+
+  test("tiered compaction folds only the small bucket; the big segment is never rewritten; serving unchanged") {
+    import graft.functions.Bm25
+    import graft.streaming.IncrementalIndex.LogMergeSettings
+    val root = Files.createTempDirectory("graft-tiered").toString + "/index"
+    // four 3-doc segments + one 100-doc segment above the ceiling
+    (0 until 4).foreach { b =>
+      val rows = (0 until 3).map(i =>
+        (s"r${b}_$i", b.toLong, s"spark query word${b}_$i", false))
+      IncrementalIndex.writeSegment(rows.toDF("rid", "seq", "value", "deleted"),
+        f"$root/seg_$b%09d", "rid", "value", "seq")
+    }
+    val bigRows = (0 until 100).map(i =>
+      (s"big_$i", 4L, s"spark corpus doc$i", false))
+    IncrementalIndex.writeSegment(bigRows.toDF("rid", "seq", "value", "deleted"),
+      f"$root/seg_$4%09d", "rid", "value", "seq")
+    def scores(): Map[String, Double] = {
+      val ix = IncrementalIndex.segmentTables(spark, root)
+      Bm25.scoreFromPostings(ix.postings, ix.docLengths, "rid", Seq("query"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    val before = scores()
+    val bigMtime = new java.io.File(s"$root/seg_000000004").lastModified()
+    val plan = IncrementalIndex.compactSegmentsTiered(spark, root,
+      settings = LogMergeSettings(minSegments = 3,
+        topBucketMaxRecords = 50, bottomBucketThreshold = 2))
+    // exactly the four small segments fold into one group
+    assert(plan == Seq((0 until 4).map(b => f"seg_$b%09d")),
+      plan.toString)
+    val segNames = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg_"))
+      .map(_.getName).sorted.toSeq
+    assert(segNames == Seq("seg_000000003c", "seg_000000004"), segNames)
+    // the over-ceiling segment was not rewritten (cost tracks NEW
+    // data, not the corpus — the policy's whole point)
+    assert(new java.io.File(s"$root/seg_000000004").lastModified() == bigMtime)
+    assert(scores() == before, "tiered fold must not change serving")
+    // a second pass finds nothing to do (one small-compacted + one big)
+    assert(IncrementalIndex.compactSegmentsTiered(spark, root,
+      settings = LogMergeSettings(minSegments = 3,
+        topBucketMaxRecords = 50, bottomBucketThreshold = 2)).isEmpty)
+  }
 }
 
 object StreamingSpec {
