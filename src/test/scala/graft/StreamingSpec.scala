@@ -869,10 +869,20 @@ class StreamingSpec extends SparkSpec {
     assert(planMerges(s, Seq(("a", 10, false), ("b", 10, true)))
       == Seq(Seq("a", "b")))
     // a >bucketSizeLog gap in log2(records) cuts a new bucket — sizes
-    // 512 and 8 never fold together
+    // 512 and 8 never fold together. Under the 1000 ceiling the l
+    // bucket's running sum passes the ceiling at its second member
+    // (1024 > 1000); the split cuts a 2-member group below
+    // minSegments=3, so the l group is DROPPED, not emitted
+    // (log_merge.rs:87-108 ceiling-split semantics)
     assert(planMerges(s, Seq(("s1", 8, false), ("s2", 8, false),
       ("s3", 8, false), ("l1", 512, false), ("l2", 512, false),
       ("l3", 512, false)))
+      == Seq(Seq("s1", "s2", "s3")))
+    // with the ceiling lifted past 3×512 both buckets fold, each to
+    // its own group — the sizes still never mix
+    assert(planMerges(s.copy(topBucketMaxRecords = 2000),
+      Seq(("s1", 8, false), ("s2", 8, false), ("s3", 8, false),
+        ("l1", 512, false), ("l2", 512, false), ("l3", 512, false)))
       == Seq(Seq("l1", "l2", "l3"), Seq("s1", "s2", "s3")))
     // a group splits when its record sum passes the ceiling, so one
     // fold never produces an over-ceiling segment
@@ -884,6 +894,51 @@ class StreamingSpec extends SparkSpec {
     // an oversize segment folds ALONE only when forced (deletions
     // must apply — merge_task.rs's force path)
     assert(planMerges(s, Seq(("big", 5000, true))) == Seq(Seq("big")))
+  }
+
+  test("log-merge policy: upstream test vectors (log_merge.rs #[cfg(test)])") {
+    import graft.streaming.IncrementalIndex.{LogMergeSettings, planMerges}
+    // test_log_merge_scheduling_forced_merge (log_merge.rs:119-147)
+    val forcedS = LogMergeSettings(minSegments = 3,
+      topBucketMaxRecords = 1000, bottomBucketThreshold = 5,
+      bucketSizeLog = 1.0)
+    assert(planMerges(forcedS,
+      Seq(("1", 50, false), ("2", 50, false))).isEmpty)
+    assert(planMerges(forcedS,
+      Seq(("1", 50, false), ("2", 50, true))).size == 1)
+    assert(planMerges(forcedS, Seq(("1", 2000, false))).isEmpty)
+    assert(planMerges(forcedS, Seq(("1", 2000, true))).size == 1)
+    // test_log_merge_scheduling_not_enough_segments_merge (:149-158)
+    // + test_log_merge_scheduling_same_size_segments (:160-178),
+    // both at the reference DEFAULT settings (settings.rs:228-255)
+    val defaults = LogMergeSettings(minSegments = 3)
+    assert(planMerges(defaults,
+      Seq(("1", 50, false), ("2", 50, false))).isEmpty)
+    assert(planMerges(defaults,
+      Seq(("1", 50, false), ("2", 50, false), ("3", 50, false)))
+      == Seq(Seq("1", "2", "3")))
+    // test_log_merge_scheduling_all_buckets (:180-228): dynamic bucket
+    // cuts, the over-ceiling 1001 skipped, the solo 500 below
+    // minSegments, the bottom bucket pooling everything ≤ threshold
+    val allS = LogMergeSettings(minSegments = 2,
+      topBucketMaxRecords = 1000, bottomBucketThreshold = 50,
+      bucketSizeLog = 1.0)
+    val jobs = planMerges(allS, Seq(
+      ("7", 1001, false), ("3", 1000, false), ("12", 501, false),
+      ("13", 500, false), ("11", 249, false), ("9", 125, false),
+      ("5", 124, false), ("4", 63, false), ("6", 62, false),
+      ("10", 51, false), ("1", 50, false), ("2", 10, false),
+      ("8", 20, false)))
+    assert(jobs == Seq(
+      Seq("3", "12"),              // top bucket (1000, 501) — ceiling-split emits at 1501
+      Seq("11", "9"),              // 249, 125
+      Seq("5", "4"),               // 124, 63
+      // bottom bucket (62, 51, 50, 20, 10). The reference keeps the
+      // caller's order (its vector lists 10 before 20, both clamped
+      // to the threshold); planMerges sorts canonically by records
+      // DESC, so 20 ("8") precedes 10 ("2") — same group membership
+      Seq("6", "10", "1", "8", "2")),
+      jobs.toString)
   }
 
   test("tiered compaction folds only the small bucket; the big segment is never rewritten; serving unchanged") {
@@ -900,7 +955,7 @@ class StreamingSpec extends SparkSpec {
     val bigRows = (0 until 100).map(i =>
       (s"big_$i", 4L, s"spark corpus doc$i", false))
     IncrementalIndex.writeSegment(bigRows.toDF("rid", "seq", "value", "deleted"),
-      f"$root/seg_$4%09d", "rid", "value", "seq")
+      f"$root/seg_${4}%09d", "rid", "value", "seq")
     def scores(): Map[String, Double] = {
       val ix = IncrementalIndex.segmentTables(spark, root)
       Bm25.scoreFromPostings(ix.postings, ix.docLengths, "rid", Seq("query"))
