@@ -441,7 +441,7 @@ object Engine {
       labelsCol: String = "labels",
       securityCol: String = "security_groups",
       vectorSpecs: Map[String, StreamVectorSpec] = Map.empty,
-      defaultVectorset: Option[String] = None): Engine =
+      defaultVectorset: Option[String] = None): StreamEngine =
     new StreamEngine(spark, indexRoot, docs, docId, textCol, seqCol,
       labelsCol, securityCol, vectorSpecs, defaultVectorset)
 }
@@ -450,8 +450,9 @@ object Engine {
   * accessor overridden with its segment-served equivalent; the batch
   * ingest methods are refused (a streamed root's segments are written
   * by the stream, and a batch overwrite under it would corrupt the
-  * LSM layout). */
-private[api] final class StreamEngine(
+  * LSM layout). Public so callers can reach the streamed-only
+  * maintenance surface ([[compact]]). */
+final class StreamEngine private[api] (
     spark0: SparkSession,
     indexRoot: String,
     docsDf: DataFrame,
@@ -481,7 +482,29 @@ private[api] final class StreamEngine(
 
   private var servedMemo: Option[Served] = None
 
-  private def served: Served = synchronized {
+  /** Per-request snapshot pin: a composed endpoint (suggest reads the
+    * index tables then the node projection; graph checks provenance
+    * then binds edges) must derive EVERY table from ONE watermark
+    * resolution — a segment landing or compaction between two `served`
+    * reads would serve one request from two different segment sets,
+    * the straddle corpus() already avoids by capturing a single
+    * snapshot. The endpoint overrides below pin the snapshot for the
+    * duration of the call; nested resolutions reuse the pin. */
+  private val pinnedServed = new ThreadLocal[Served]
+
+  private def withSnapshot[A](body: => A): A =
+    if (pinnedServed.get() != null) body
+    else {
+      pinnedServed.set(resolveServed())
+      try body finally pinnedServed.remove()
+    }
+
+  private def served: Served = {
+    val pinned = pinnedServed.get()
+    if (pinned != null) pinned else resolveServed()
+  }
+
+  private def resolveServed(): Served = synchronized {
     val wm = IncrementalIndex.liveSegments(spark, indexRoot)
     require(wm.nonEmpty, s"no live segments under $indexRoot — " +
       "start the stream (IncrementalIndex.startIndexSegments) first")
@@ -592,6 +615,48 @@ private[api] final class StreamEngine(
       graphEdges = s.edges.map(e => edgeTableOf(e, withProvenance = true)),
       filterBindings = bindings)
   }
+
+  // each composed endpoint runs under ONE pinned watermark snapshot —
+  // every table it touches resolves from the same segment set even if
+  // the stream lands a segment or a compaction folds mid-request
+  override def find(req: Find.FindRequest): DataFrame =
+    withSnapshot(super.find(req))
+  override def findParagraphs(req: Find.FindRequest): DataFrame =
+    withSnapshot(super.findParagraphs(req))
+  override def search(req: Search.SearchRequest): Search.SearchResponse =
+    withSnapshot(super.search(req))
+  override def suggest(query: String, topK: Int,
+      filter: Option[FilterExpr]): DataFrame =
+    withSnapshot(super.suggest(query, topK, filter))
+  override def graph(q: GraphSearch.PathQuery, topK: Int,
+      filter: Option[FilterExpr]): DataFrame =
+    withSnapshot(super.graph(q, topK, filter))
+  override def graphNodes(q: GraphSearch.PathQuery, topK: Int,
+      filter: Option[FilterExpr]): DataFrame =
+    withSnapshot(super.graphNodes(q, topK, filter))
+  override def graphRelations(q: GraphSearch.PathQuery, topK: Int,
+      filter: Option[FilterExpr]): DataFrame =
+    withSnapshot(super.graphRelations(q, topK, filter))
+
+  /** Streamed-only maintenance: ONE tiered compaction pass over the
+    * root — the manual trigger for callers not running
+    * [[graft.streaming.IncrementalIndex.AutoCompact]] on the stream
+    * (the reference exposes the same split: a scheduler loop plus
+    * on-demand merge jobs, `scheduler.rs` / `merge_task.rs`). The
+    * watermark memo rebinds on the next request automatically — the
+    * live-segment listing changes when groups fold.
+    *
+    * @param committedBatchId the stream checkpoint's commit watermark
+    *   ([[graft.streaming.IncrementalIndex.committedBatchId]]) if the
+    *   caller has it; `None` keeps every subsumed entry (safe default)
+    * @return the folded groups (segment names), for observability
+    */
+  def compact(
+      settings: IncrementalIndex.LogMergeSettings =
+        IncrementalIndex.LogMergeSettings(),
+      committedBatchId: Option[Long] = None): Seq[Seq[String]] =
+    IncrementalIndex.compactSegmentsTiered(spark, indexRoot, docId,
+      seqCol, settings, committedBatchId)
 
   private def refuseBatchIngest(what: String): Nothing =
     throw new UnsupportedOperationException(

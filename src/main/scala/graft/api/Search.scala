@@ -116,15 +116,23 @@ object Search {
         Some(
           if (!doHighlight) page
           else {
-            val marked = page
-              .join(docs.select(col(docId), col(textCol)), docId)
-              .withColumn(textCol, graft.functions.TextFunctions
-                .highlightWithPhrases(col(textCol), phraseToks, parsed.terms))
-            req.sortField match {
-              case Some(f) => marked.orderBy(
+            // the sort join may already have brought textCol onto the
+            // page (sortField == textCol) — a second join would leave
+            // two same-named columns and the withColumn below would
+            // fail on the ambiguous reference
+            val withText =
+              if (page.columns.contains(textCol)) page
+              else page.join(docs.select(col(docId), col(textCol)), docId)
+            // re-sort BEFORE marking so an attribute sort on the text
+            // column itself orders by the raw value, not the marked-up
+            // text (projection preserves the sort)
+            val ordered = req.sortField match {
+              case Some(f) => withText.orderBy(
                 if (req.sortDesc) col(f).desc else col(f).asc, col(docId).asc)
-              case None => marked.orderBy(col("score").desc, col(docId).asc)
+              case None => withText.orderBy(col("score").desc, col(docId).asc)
             }
+            ordered.withColumn(textCol, graft.functions.TextFunctions
+              .highlightWithPhrases(col(textCol), phraseToks, parsed.terms))
           })
       }
 

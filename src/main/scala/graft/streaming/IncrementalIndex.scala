@@ -148,6 +148,22 @@ object IncrementalIndex {
       codebook: Seq[(Int, Seq[Float])],
       m: Int)
 
+  /** Auto-compaction cadence for [[startIndexSegments]] — the streamed
+    * analog of the reference's scheduler loop (`nidx/src/scheduler.rs:
+    * 167-189` runs `schedule_merges` every 15 s against the ack
+    * floor): every `everyBatches` committed micro-batches the stream
+    * runs one tiered pass ([[compactSegmentsTiered]]) under
+    * `settings`, so a long-running root folds its small-segment tail
+    * automatically instead of accumulating segments until an operator
+    * remembers to compact. Cadence is in BATCHES, not seconds, because
+    * a micro-batch is this pipeline's unit of new data — an idle
+    * stream writes nothing and so (correctly) never compacts. */
+  final case class AutoCompact(
+      everyBatches: Int = 8,
+      settings: LogMergeSettings = LogMergeSettings()) {
+    require(everyBatches >= 1, "everyBatches must be >= 1")
+  }
+
   def startIndexSegments(
       updates: DataFrame,
       indexRoot: String,
@@ -159,7 +175,8 @@ object IncrementalIndex {
       vectorSets: Map[String, SegmentVectorSpec] = Map.empty,
       shingleSize: Int = 3,
       numHashes: Int = 8,
-      relationsCol: Option[String] = None): StreamingQuery = {
+      relationsCol: Option[String] = None,
+      autoCompact: Option[AutoCompact] = None): StreamingQuery = {
     // misconfiguration fails at stream START, not after every batch has
     // already written its text-index tables
     require(vectors.isEmpty || !vectorSets.contains("default"),
@@ -182,6 +199,18 @@ object IncrementalIndex {
         // deleted exactly like replays. A new stream needs a new root.
         writeSegment(batch, f"$indexRoot/seg_$bid%09d", idCol, textCol, seqCol,
           vectors, vectorSets, shingleSize, numHashes, relationsCol)
+        // the scheduler analog runs INSIDE foreachBatch, after the
+        // segment lands: batch `bid` has no commit file yet, so the
+        // live committedBatchId reading (≤ bid-1) keeps this batch's
+        // subsumed-manifest entry replayable — a crash between this
+        // fold and the batch commit replays bid into a segment the
+        // carried mask still covers
+        autoCompact.foreach { ac =>
+          if ((bid + 1) % ac.everyBatches == 0)
+            compactSegmentsTiered(batch.sparkSession, indexRoot, idCol,
+              seqCol, ac.settings,
+              committedBatchId(batch.sparkSession, checkpointPath))
+        }
       }
       .start()
   }
@@ -658,10 +687,20 @@ object IncrementalIndex {
     * segment outside it still wins the serve-time semi-join — the same
     * argument the reference makes for merging only seqs at or below
     * the indexing watermark (`scheduler/merge_task.rs:36-49`). */
+  /** @param globalDocs when set (the tiered path), the (id, seq,
+    *   deleted) union of ALL live segment manifests: serve-table
+    *   winners come from the global latest-wins instead of the
+    *   group's, and manifest rows DEAD under the global state — masked
+    *   by a newer winner anywhere, or tombstones with no surviving row
+    *   to mask — are physically dropped. Dropping a non-winner never
+    *   changes the serve-time winner join, and a purged tombstone's
+    *   replayable older rows stay masked by the carried subsumed
+    *   manifest, so the prune is safe under at-least-once replay. */
   private def foldDirs(spark: SparkSession, indexRoot: String,
       fs: org.apache.hadoop.fs.FileSystem, dirs: Seq[String],
       idCol: String, seqCol: String,
-      committedBatchId: Option[Long]): Unit = {
+      committedBatchId: Option[Long],
+      globalDocs: Option[DataFrame] = None): Unit = {
     val out = s"$indexRoot/compacting"
     // a crashed run's leftover staging dir must be wiped WHOLESALE: the
     // conditionally-written tables below (positions/signatures/codes/…)
@@ -671,7 +710,7 @@ object IncrementalIndex {
     // the cross-segment docs union + winner set feed every table family
     // below — compute each once, not once per family
     val docsUnion = readSegSub(spark, dirs, "docs")
-    val winners = mergeLatest(docsUnion, idCol, seqCol)
+    val winners = mergeLatest(globalDocs.getOrElse(docsUnion), idCol, seqCol)
       .select(col(idCol), col(seqCol)).cache()
     try {
     val tables = serveFrom(spark, dirs, idCol, seqCol, Some(winners))
@@ -699,7 +738,20 @@ object IncrementalIndex {
       if (!df.columns.contains("repeated_in_field")) df
       else df.withColumn("repeated_in_field",
         coalesce(col("repeated_in_field"), lit(false)))
-    val latest = latestDocRows(docsUnion, idCol, seqCol)
+    val latest = globalDocs match {
+      case None => latestDocRows(docsUnion, idCol, seqCol)
+      case Some(g) =>
+        // keep a group row only while the GLOBAL state needs it: it is
+        // the global latest for its id, and if a tombstone, some other
+        // row for the id still exists somewhere to be masked
+        val nid = g.groupBy(col(idCol)).agg(count(lit(1)).as("__nid"))
+        val keep = latestDocRows(g, idCol, seqCol)
+          .join(nid, Seq(idCol))
+          .where(!(col("deleted") && col("__nid") === 1))
+          .select(col(idCol), col(seqCol))
+        latestDocRows(docsUnion, idCol, seqCol)
+          .join(keep, Seq(idCol, seqCol), "left_semi")
+    }
     latest.write.mode("overwrite").parquet(s"$out/docs")
     healDl(tables.postings, tables.docLengths, Seq(idCol))
       .write.mode("overwrite").parquet(s"$out/postings")
@@ -781,9 +833,12 @@ object IncrementalIndex {
       bottomBucketThreshold: Long = 10000L,
       bucketSizeLog: Double = 1.0,
       // the scheduler's deletion-pressure trigger (`settings.rs:220`
-      // max_deletions): a segment whose manifest carries more than
-      // this many tombstone rows FORCES its bucket to fold, so rows
-      // masked across segments get physically dropped
+      // max_deletions counts the deletions a merge would APPLY to the
+      // segment): a segment carrying more than this many DEAD rows —
+      // rows masked by a newer global winner, or tombstones with
+      // nothing left to mask — FORCES its bucket to fold (an oversize
+      // segment folds ALONE, the `log_merge.rs:66-71` pressure path),
+      // so dead rows get physically dropped
       maxDeletions: Long = 500L)
 
   /** Plan merge groups under the log-merge policy — the pure planning
@@ -792,9 +847,13 @@ object IncrementalIndex {
     * into dynamically-cut log2 buckets (each bucket spans
     * `bucketSizeLog` doublings below the largest seen); a bucket with
     * ≥ minSegments members — or any forced member — emits merge
-    * groups, splitting whenever a group's running record sum passes
-    * the top-bucket ceiling so one fold never exceeds it. Oversize
-    * segments fold alone only when forced (deletions must apply).
+    * groups, splitting once a group's running record sum PASSES the
+    * top-bucket ceiling (the overflowing member joins before the cut,
+    * so an emitted group can end just past the ceiling, never grow
+    * further). A split remainder below minSegments is DISCARDED
+    * unless forced — those segments simply wait for more neighbors.
+    * Oversize segments fold alone only when forced (deletions must
+    * apply).
     *
     * @param segments (name, records, forced) — any order; sorted here
     * @return groups of segment NAMES to fold, each independently
@@ -848,15 +907,21 @@ object IncrementalIndex {
   /** SIZE-TIERED compaction — the reference's scheduled merge
     * (`scheduler/merge_task.rs` schedule_merges + the log-merge
     * policy) instead of [[compactSegments]]' fold-everything: live
-    * segments are measured (manifest rows + tombstone rows, ONE
-    * multi-path scan grouped by source segment — no per-segment job),
+    * segments are measured (manifest rows + DEAD rows, ONE manifest
+    * job grouped by source segment — no per-segment job),
     * [[planMerges]] buckets them, and each planned group folds
-    * independently with the same crash-safe commit discipline. Big
-    * segments stop being re-written once they pass the top-bucket
-    * ceiling — compaction cost tracks the NEW data, not the corpus,
-    * which is what lets a streamed root run forever: fold-everything
-    * rewrites the whole corpus per cycle (O(corpus) each time), tiered
-    * folding rewrites each row O(log corpus) times total.
+    * independently with the same crash-safe commit discipline, pruning
+    * against the global corpus state (masked rows and purgeable
+    * tombstones drop physically — the merge applying its deletion
+    * log). A segment whose dead rows pass `maxDeletions` forces its
+    * bucket; an OVERSIZE segment under that pressure folds alone
+    * (`log_merge.rs:66-71`), shedding its dead weight without ever
+    * merging with live neighbors. Big segments otherwise stop being
+    * re-written once they pass the top-bucket ceiling — compaction
+    * cost tracks the NEW data, not the corpus, which is what lets a
+    * streamed root run forever: fold-everything rewrites the whole
+    * corpus per cycle (O(corpus) each time), tiered folding rewrites
+    * each row O(log corpus) times total.
     *
     * @return the folded groups (segment names), for observability
     */
@@ -872,28 +937,45 @@ object IncrementalIndex {
     val dirs = allDirs.filterNot(p => subsumedSet(p.getName))
       .map(_.toString).sorted
     if (dirs.size <= 1) return Nil
-    // per-segment stats in ONE job: rows + tombstones grouped by the
-    // source segment directory of each manifest file
+    // per-segment stats in ONE job: rows + DEAD rows grouped by the
+    // source segment directory of each manifest file. A row is dead —
+    // the reference's "deletions applicable to the segment"
+    // (`settings.rs:220` max_deletions counts deletion-log entries the
+    // merge would apply) — when a newer global winner masks it, or it
+    // is a tombstone with nothing left to mask (no other row for its
+    // id in any live segment). The window shuffles the doc MANIFESTS
+    // (id, seq, deleted — never posting-sized), once per scheduler
+    // pass.
     val segOf = regexp_extract(input_file_name(), "(seg_[^/]+)/docs/", 1)
+    val w = Window.partitionBy(col(idCol))
     val stats = readSegSub(spark, dirs, "docs")
-      .select(segOf.as("__seg"), col("deleted"))
+      .select(segOf.as("__seg"), col(idCol), col(seqCol), col("deleted"))
+      .withColumn("__winseq", max(col(seqCol)).over(w))
+      .withColumn("__nid", count(lit(1)).over(w))
       .groupBy("__seg")
       .agg(count(lit(1)).as("__n"),
-        sum(when(col("deleted"), 1L).otherwise(0L)).as("__tomb"))
+        sum(when(col(seqCol) < col("__winseq") ||
+          (col("deleted") && col("__nid") === 1), 1L).otherwise(0L))
+          .as("__dead"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2) > settings.maxDeletions))
       .toSeq
     val plan = planMerges(settings, stats.map { case (n, r, f) => (n, r, f) })
-      // a single-segment group folds only to apply deletion pressure;
-      // this architecture applies tombstones at serve time via the
-      // winner semi-join, and a lone fold cannot drop rows masked by
-      // OTHER segments' newer rows — skip it, the policy's multi-
-      // segment groups do the physical pruning
-      .filter(_.size >= 2)
     plan.foreach { group =>
+      // every tiered fold prunes against the GLOBAL corpus state (the
+      // reference's merge applies the deletion log to what it folds,
+      // `scheduler/merge_task.rs`): rows masked by winners OUTSIDE the
+      // group drop too, and a deletion-forced lone group — the
+      // oversize-segment pressure fold of `log_merge.rs:66-71` —
+      // physically drops its dead rows even though nothing merges
+      // WITH it. Re-list per group: an earlier group's fold this pass
+      // renamed its inputs, and the keep-set must read live dirs only.
+      val liveNow = segmentDirs(spark, indexRoot)
+      val globalDocs = readSegSub(spark, liveNow, "docs")
+        .select(col(idCol), col(seqCol), col("deleted"))
       val groupDirs = group.sorted.map(n => s"$indexRoot/$n")
       foldDirs(spark, indexRoot, fs, groupDirs, idCol, seqCol,
-        committedBatchId)
+        committedBatchId, globalDocs = Some(globalDocs))
     }
     plan
   }

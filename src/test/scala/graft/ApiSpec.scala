@@ -140,6 +140,20 @@ class ApiSpec extends SparkSpec {
     assert(sorted.map(_.getLong(0)).toSeq == Seq(2L, 1L))
     assert(sorted.forall(_.getAs[String]("text").contains("<mark>spark</mark>")),
       sorted.mkString(","))
+    // sorting by the TEXT column itself while highlighting: the sort
+    // join already carries textCol, so no second hydration join (the
+    // duplicate-column ambiguity), and the order follows the RAW text,
+    // not the marked-up string
+    val byText = Search.search(docs, "doc_id", "text", "labels", None,
+        SearchRequest(query = "spark", highlight = true,
+          sortField = Some("text")))
+      .documents.get.collect()
+    assert(byText.map(_.getAs[String]("text")).toSeq
+      == byText.map(_.getAs[String]("text")).toSeq.sortBy(_
+        .replace("<mark>", "").replace("</mark>", "")),
+      byText.mkString(","))
+    assert(byText.forall(_.getAs[String]("text").contains("<mark>spark</mark>")),
+      byText.mkString(","))
   }
 
   test("suggest: exact prefix first, fuzzy fill when empty, entity prefix list") {

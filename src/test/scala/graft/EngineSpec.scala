@@ -351,4 +351,59 @@ class EngineSpec extends SparkSpec {
         "compaction must not change any endpoint's results")
     } finally q.stop()
   }
+
+  test("forStream: engine-triggered tiered compaction rebinds the watermark in place") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.IncrementalIndex
+    import graft.streaming.IncrementalIndex.LogMergeSettings
+    val root = java.nio.file.Files.createTempDirectory("graft-engcomp-")
+      .toString + "/index"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-engcomp-ck-")
+      .toString
+    val input = MemoryStream[(Long, Long, String, Boolean)]
+    val updates = input.toDF().toDF("rid", "seq", "text", "deleted")
+    val q = IncrementalIndex.startIndexSegments(updates, root, ckpt,
+      idCol = "rid", textCol = "text")
+    try {
+      input.addData((1L, 1L, "the little prince visits planets", false))
+      q.processAllAvailable()
+      input.addData((2L, 2L, "zarathustra speaks of the overman", false))
+      q.processAllAvailable()
+      input.addData((1L, 3L, "the prince tames a fox", false),
+        (3L, 3L, "database engines scan columns", false))
+      q.processAllAvailable()
+      val docs = Seq((1L, "the prince tames a fox"),
+        (2L, "zarathustra speaks of the overman"),
+        (3L, "database engines scan columns")).toDF("rid", "text")
+      val e = Engine.forStream(spark, root, docs)
+      def snapshot() = (
+        e.find(Find.FindRequest(query = "prince fox")).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+        e.suggest("zarat").collect().map(_.getString(0)).toSeq,
+        e.search(graft.api.Search.SearchRequest(query = "database"))
+          .documents.get.collect().map(_.getLong(0)).toSeq)
+      val before = snapshot()
+      assert(before._1.map(_._1) == Seq(1L) && before._2 == Seq("zarathustra")
+        && before._3 == Seq(3L), before.toString)
+      // the engine's own maintenance trigger folds the small tail...
+      val plan = e.compact(LogMergeSettings(minSegments = 2,
+        topBucketMaxRecords = 100000, bottomBucketThreshold = 2),
+        committedBatchId = IncrementalIndex.committedBatchId(spark, ckpt))
+      // group members come back in planMerges' records-DESC order;
+      // membership is what matters here
+      assert(plan.map(_.sorted) == Seq(Seq("seg_000000000",
+        "seg_000000001", "seg_000000002")), plan.toString)
+      val live = IncrementalIndex.liveSegments(spark, root)
+        .map(p => new org.apache.hadoop.fs.Path(p).getName)
+      assert(live == Seq("seg_000000002c"), live.toString)
+      // ...and the SAME engine instance serves identically from the
+      // folded set — the watermark memo rebinds with no explicit call
+      assert(snapshot() == before,
+        "engine-triggered compaction must not change any endpoint's results")
+      // nothing left to fold: the maintenance call is idempotent
+      assert(e.compact(LogMergeSettings(minSegments = 2,
+        topBucketMaxRecords = 100000, bottomBucketThreshold = 2)).isEmpty)
+    } finally q.stop()
+  }
 }

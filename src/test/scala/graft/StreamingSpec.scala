@@ -982,6 +982,99 @@ class StreamingSpec extends SparkSpec {
       settings = LogMergeSettings(minSegments = 3,
         topBucketMaxRecords = 50, bottomBucketThreshold = 2)).isEmpty)
   }
+
+  test("deletion-pressure lone fold: an oversize segment sheds its masked rows without merging; dead tombstones purge") {
+    import graft.functions.Bm25
+    import graft.streaming.IncrementalIndex.LogMergeSettings
+    val root = Files.createTempDirectory("graft-pressure").toString + "/index"
+    // one oversize segment (100 docs) + a later small segment
+    // tombstoning 40 of them — the dead weight lives in the BIG one
+    IncrementalIndex.writeSegment(
+      (0 until 100).map(i => (s"d_$i", 1L, s"spark corpus doc$i", false))
+        .toDF("rid", "seq", "value", "deleted"),
+      f"$root/seg_${0}%09d", "rid", "value", "seq")
+    IncrementalIndex.writeSegment(
+      (0 until 40).map(i => (s"d_$i", 2L, "", true))
+        .toDF("rid", "seq", "value", "deleted"),
+      f"$root/seg_${1}%09d", "rid", "value", "seq")
+    val s = LogMergeSettings(minSegments = 3, topBucketMaxRecords = 50,
+      bottomBucketThreshold = 2, maxDeletions = 30)
+    def served(): Set[String] = {
+      val ix = IncrementalIndex.segmentTables(spark, root)
+      Bm25.scoreFromPostings(ix.postings, ix.docLengths, "rid", Seq("corpus"))
+        .collect().map(_.getString(0)).toSet
+    }
+    val before = served()
+    assert(before == (40 until 100).map(i => s"d_$i").toSet)
+    // pass 1: the oversize segment's 40 masked rows (> maxDeletions)
+    // force a LONE fold — nothing merges with it, the dead rows drop
+    assert(IncrementalIndex.compactSegmentsTiered(spark, root, settings = s)
+      == Seq(Seq("seg_000000000")))
+    assert(spark.read.parquet(s"$root/seg_000000000c/docs").count() == 60,
+      "the pressure fold must physically drop the masked rows")
+    assert(served() == before, "pressure fold must not change serving")
+    // pass 2: with the masked rows gone the tombstones mask NOTHING —
+    // dead-tombstone pressure purges the tombstone segment entirely
+    assert(IncrementalIndex.compactSegmentsTiered(spark, root, settings = s)
+      == Seq(Seq("seg_000000001")))
+    assert(spark.read.parquet(s"$root/seg_000000001c/docs").count() == 0,
+      "a tombstone with nothing left to mask is itself dead")
+    assert(served() == before, "tombstone purge must not change serving")
+    // pass 3: nothing left under pressure
+    assert(IncrementalIndex.compactSegmentsTiered(spark, root,
+      settings = s).isEmpty)
+  }
+
+  test("auto-compaction: a long-running stream folds its segment tail on cadence; serving parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Bm25
+    import graft.streaming.IncrementalIndex.{AutoCompact, LogMergeSettings}
+    val root = Files.createTempDirectory("graft-autocomp").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft-autocompck").toString
+    val input = MemoryStream[(String, Long, String, Boolean)]
+    val updates = input.toDF().toDF("rid", "seq", "value", "deleted")
+    // every 2 committed batches one tiered pass runs; these settings
+    // fold any >=2 live small segments into one
+    val q = IncrementalIndex.startIndexSegments(updates, root, ckpt,
+      idCol = "rid", textCol = "value",
+      autoCompact = Some(AutoCompact(everyBatches = 2,
+        settings = LogMergeSettings(minSegments = 2,
+          topBucketMaxRecords = 100000, bottomBucketThreshold = 2))))
+    def live(): Seq[String] = IncrementalIndex.liveSegments(spark, root)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName).sorted
+    try {
+      input.addData(("r1", 1L, "spark engine", false),
+        ("r2", 1L, "query planner", false))
+      q.processAllAvailable() // bid 0 — no compaction yet (cadence 2)
+      assert(live() == Seq("seg_000000000"), live().toString)
+      input.addData(("r3", 2L, "columnar spark scan", false))
+      q.processAllAvailable() // bid 1 — pass #1 folds seg0+seg1
+      assert(live() == Seq("seg_000000001c"),
+        s"stream must fold automatically at the cadence: ${live()}")
+      input.addData(("r1", 3L, "spark query spark", false), // update
+        ("r2", 3L, "gone", true))                           // tombstone
+      q.processAllAvailable() // bid 2 — off-cadence, segment accumulates
+      assert(live() == Seq("seg_000000001c", "seg_000000002"), live().toString)
+      input.addData(("r4", 4L, "fast spark join", false))
+      q.processAllAvailable() // bid 3 — pass #2 folds everything again
+      assert(live() == Seq("seg_000000003c"),
+        s"the threshold crossing must fold without a manual call: ${live()}")
+      // serving parity: the auto-folded root scores like a batch-built
+      // index over the merged corpus state (r2 tombstoned, r1 updated)
+      val ix = IncrementalIndex.segmentTables(spark, root)
+      val got = Bm25.scoreFromPostings(ix.postings, ix.docLengths,
+          "rid", Seq("spark"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val merged = Seq(("r1", "spark query spark"),
+        ("r3", "columnar spark scan"), ("r4", "fast spark join"))
+        .toDF("rid", "value")
+      val expected = Bm25.score(merged, "rid", "value", Seq("spark"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == expected.keySet &&
+        got.forall { case (k, v) => math.abs(v - expected(k)) < 1e-9 },
+        s"auto-compacted serving diverged: $got vs $expected")
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
