@@ -75,6 +75,69 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Streamed-root fixture: an LSM segment root deterministically
+    * derived from the corpus dir's `documents` table, memoized per dir
+    * for the JVM — the streamed analog of [[graft.sources.IndexStore]].
+    * Three segments exercise the full latest-wins surface:
+    *  - seg 0 (seq 1): every doc, with docs hit by the later update
+    *    carrying a STALE text the serving must never surface;
+    *  - seg 1 (seq 2): the real text for `doc_id % 10 == 3` (updates
+    *    REPLACE the stale rows across segments);
+    *  - seg 2 (seq 3): tombstones for `doc_id % 17 == 5`.
+    * Served state therefore equals `documents WHERE doc_id % 17 <> 5`
+    * with the original text — the SQL the stream-family oracles filter
+    * by. Relations ride the segments (resource → lang/source), so the
+    * graph + entity-suggest endpoints serve from the same root.
+    */
+  private val streamRoots = scala.collection.mutable.Map[String, String]()
+  private def streamRootAtRest(s: SparkSession, dir: String): String =
+    synchronized {
+      streamRoots.getOrElseUpdate(dir, {
+        import graft.streaming.IncrementalIndex
+        val root = graft.sources.IndexStore.deleteOnExit(
+          java.nio.file.Files.createTempDirectory("graft-streamroot-")
+            .toString) + "/index"
+        val docs = load(s, dir, "documents")
+        val rels = array(
+          struct(lit("IN_LANG").as("rel"), col("lang").as("dst")),
+          struct(lit("FROM_SOURCE").as("rel"), col("source").as("dst")))
+        IncrementalIndex.writeSegment(
+          docs.select(col("doc_id"), lit(1L).as("seq"),
+            when(col("doc_id") % 10 === 3, lit("stale placeholder text"))
+              .otherwise(col("text")).as("text"),
+            lit(false).as("deleted"), rels.as("rels")),
+          f"$root/seg_${0}%09d", "doc_id", "text", "seq",
+          relationsCol = Some("rels"))
+        IncrementalIndex.writeSegment(
+          docs.where(col("doc_id") % 10 === 3)
+            .select(col("doc_id"), lit(2L).as("seq"), col("text"),
+              lit(false).as("deleted"), rels.as("rels")),
+          f"$root/seg_${1}%09d", "doc_id", "text", "seq",
+          relationsCol = Some("rels"))
+        IncrementalIndex.writeSegment(
+          docs.where(col("doc_id") % 17 === 5)
+            .select(col("doc_id"), lit(3L).as("seq"), lit("").as("text"),
+              lit(true).as("deleted"), rels.as("rels")),
+          f"$root/seg_${2}%09d", "doc_id", "text", "seq",
+          relationsCol = Some("rels"))
+        root
+      })
+    }
+
+  /** [[graft.api.Engine.forStream]] over [[streamRootAtRest]], with the
+    * doc store reflecting the served latest-wins state (segments carry
+    * indexes, not payloads — the caller owns the KV analog). */
+  private val streamEngines =
+    scala.collection.mutable.Map[String, graft.api.StreamEngine]()
+  private def streamEngine(s: SparkSession, dir: String): graft.api.StreamEngine =
+    synchronized {
+      val root = streamRootAtRest(s, dir)
+      streamEngines.getOrElseUpdate(dir,
+        graft.api.Engine.forStream(s, root,
+          load(s, dir, "documents").where(col("doc_id") % 17 =!= 5),
+          docId = "doc_id", textCol = "text"))
+    }
+
   /** Semantic list: cosine of every embedding against query vector
     * `qid`, ids mapped to doc ids (vec_id ≡ doc_id in the testdata).
     */
@@ -2177,7 +2240,37 @@ object SparkEntry {
           approx_count_distinct(col("source"), 0.02).as("nd_source"),
           percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("p50_chars"),
           percentile_approx(col("n_chars"), lit(0.9), lit(1000)).as("p90_chars"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // §2.9 STREAMED serving, oracle-backed (the Engine.forStream
+    // surface over an LSM root built from the corpus — updates
+    // replaced, tombstones enforced, all through the segment
+    // watermark): keyword find over the streamed posting union —
+    // the stale seg-0 text must never score, the tombstoned docs
+    // must never return
+    "q149_stream_find" -> ((s, dir) =>
+      streamEngine(s, dir)
+        .find(graft.api.Find.FindRequest(
+          query = QueryTerms.mkString(" "), topK = 20))
+        .select(col("doc_id"), col("fused"), col("n_sources"))
+        .orderBy(col("fused").desc, col("doc_id").asc)),
+
+    // §2.9 streamed /suggest: paragraph dictionary rolled up from the
+    // winner-filtered segment postings + fuzzy-prefix entity
+    // completion over the streamed relation nodes
+    "q150_stream_suggest" -> ((s, dir) =>
+      streamEngine(s, dir).suggest("sp", topK = 10)),
+
+    // §2.9 streamed /graph with a doc prefilter: edge provenance is
+    // the segment rows' resource id, the allowed set semi-joins it
+    // before the path match — tombstoned docs' edges are gone, the
+    // lang filter prunes the rest
+    "q151_stream_graph" -> ((s, dir) => {
+      import graft.api.GraphSearch.{NodeMatch, PathQuery}
+      streamEngine(s, dir).graph(
+        PathQuery.Path(dst = NodeMatch.Prefix("src")), topK = 100,
+        filter = Some(FilterExpr.Eq("lang", "en")))
+    })
   )
 
   // ---------------------------------------------------------------- //
@@ -4387,6 +4480,57 @@ object SparkEntry {
          |      ORDER BY score DESC, term) AS BIGINT) AS rank
          |  FROM scored)
          |SELECT doc_id, term, score, rank FROM ranked
-         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // The streamed family's served state: documents minus the
+    // tombstoned ids, original text (the stale seg-0 rows lose the
+    // winner join) — see streamRootAtRest.
+    "q149_stream_find" ->
+      s"""WITH sdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 5),
+         |tok AS (SELECT doc_id, unnest($Tok) AS term FROM sdocs),
+         |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+         |       WHERE term IN $InQueryTerms GROUP BY doc_id, term),
+         |idf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |bm25 AS (
+         |  SELECT tf.doc_id,
+         |         round(sum(ln(1 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+         |               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 4) AS fused
+         |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, fused, CAST(1 AS BIGINT) AS n_sources
+         |FROM bm25 WHERE fused >= 0.0
+         |ORDER BY fused DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q150_stream_suggest" ->
+      s"""WITH sdocs AS (SELECT doc_id, text, lang, source FROM documents
+         |               WHERE doc_id % 17 <> 5),
+         |tok AS (SELECT doc_id, unnest($Tok) AS term FROM sdocs),
+         |tfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term),
+         |terms AS (SELECT term AS suggestion, 'paragraph' AS source, freq
+         |          FROM tfreq WHERE term LIKE 'sp%'
+         |          ORDER BY freq DESC, term LIMIT 10),
+         |nodes AS (SELECT CAST(doc_id AS VARCHAR) AS value FROM sdocs
+         |          UNION SELECT lang FROM sdocs
+         |          UNION SELECT source FROM sdocs),
+         |ents AS (SELECT suggestion, 'entity' AS source, CAST(0 AS BIGINT) AS freq FROM (
+         |  SELECT DISTINCT value AS suggestion FROM nodes
+         |  WHERE levenshtein(substring(value, 1, 1), 'sp') <= 1
+         |     OR levenshtein(substring(value, 1, 2), 'sp') <= 1
+         |     OR levenshtein(substring(value, 1, 3), 'sp') <= 1
+         |  ORDER BY suggestion LIMIT 10))
+         |SELECT suggestion, source, freq
+         |FROM (SELECT * FROM terms UNION ALL SELECT * FROM ents)
+         |ORDER BY source, freq DESC, suggestion""".stripMargin,
+
+    "q151_stream_graph" ->
+      """WITH sdocs AS (SELECT doc_id, lang, source FROM documents
+        |               WHERE doc_id % 17 <> 5),
+        |e AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS src,
+        |    'FROM_SOURCE' AS rel, source AS dst
+        |  FROM sdocs WHERE lang = 'en' AND source LIKE 'src%')
+        |SELECT src AS source, rel AS relation, dst AS destination FROM e
+        |ORDER BY source, relation, destination LIMIT 100""".stripMargin
   )
 }
