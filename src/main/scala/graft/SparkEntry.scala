@@ -138,6 +138,80 @@ object SparkEntry {
           docId = "doc_id", textCol = "text"))
     }
 
+  /** Streamed VECTOR root: segments carrying IVF-PQ codes + raw
+    * vectors against a batch-trained per-KB model (the reference
+    * reuses the vectorset config's quantization across segments) —
+    * same three-segment latest-wins shape as [[streamRootAtRest]] but
+    * driven by the embeddings table: seg 0 writes a NEGATED stale
+    * vector for `doc_id % 10 == 3` (serving it would flip the cosine
+    * sign — the canary the oracle would catch), seg 1 the real ones,
+    * seg 2 tombstones for `doc_id % 17 == 5`. Returns (indexRoot,
+    * centroids, codebook). */
+  private val streamVecState = scala.collection.mutable.Map[String,
+    (String, Seq[(Int, Seq[Float])], Seq[(Int, Seq[Float])])]()
+  private def streamVecRootAtRest(s: SparkSession, dir: String):
+      (String, Seq[(Int, Seq[Float])], Seq[(Int, Seq[Float])]) =
+    synchronized {
+      streamVecState.getOrElseUpdate(dir, {
+        import graft.streaming.IncrementalIndex
+        import graft.streaming.IncrementalIndex.SegmentVectorSpec
+        val root = graft.sources.IndexStore.deleteOnExit(
+          java.nio.file.Files.createTempDirectory("graft-streamvec-")
+            .toString)
+        val emb = load(s, dir, "embeddings")
+        val docs = load(s, dir, "documents")
+        graft.sources.Ingest.buildVectorIndex(emb, "vec_id", "embedding",
+          s"$root/model", numCentroids = 8, numCodewords = 16, m = 8)
+        def readPairs(sub: String) = s.read.parquet(s"$root/model/$sub")
+          .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+          .sortBy(_._1).toSeq
+        val (cents, cb) = (readPairs("centroids"), readPairs("codebook"))
+        val spec = SegmentVectorSpec("embedding", cents, cb, m = 8)
+        val base = emb.join(docs, col("vec_id") === col("doc_id"))
+          .select(col("doc_id"), col("text"), col("embedding"))
+        val idxRoot = s"$root/index"
+        IncrementalIndex.writeSegment(
+          base.select(col("doc_id"), lit(1L).as("seq"), col("text"),
+            when(col("doc_id") % 10 === 3,
+                transform(col("embedding"), x => -x))
+              .otherwise(col("embedding")).as("embedding"),
+            lit(false).as("deleted")),
+          f"$idxRoot/seg_${0}%09d", "doc_id", "text", "seq",
+          vectors = Some(spec))
+        IncrementalIndex.writeSegment(
+          base.where(col("doc_id") % 10 === 3)
+            .select(col("doc_id"), lit(2L).as("seq"), col("text"),
+              col("embedding"), lit(false).as("deleted")),
+          f"$idxRoot/seg_${1}%09d", "doc_id", "text", "seq",
+          vectors = Some(spec))
+        IncrementalIndex.writeSegment(
+          base.where(col("doc_id") % 17 === 5)
+            .select(col("doc_id"), lit(3L).as("seq"), lit("").as("text"),
+              col("embedding"), lit(true).as("deleted")),
+          f"$idxRoot/seg_${2}%09d", "doc_id", "text", "seq",
+          vectors = Some(spec))
+        (idxRoot, cents, cb)
+      })
+    }
+
+  private val streamVecEngines =
+    scala.collection.mutable.Map[String, graft.api.StreamEngine]()
+  private def streamVecEngine(s: SparkSession, dir: String): graft.api.StreamEngine =
+    synchronized {
+      val (root, cents, cb) = streamVecRootAtRest(s, dir)
+      streamVecEngines.getOrElseUpdate(dir, {
+        val docs = load(s, dir, "documents")
+        val emb = load(s, dir, "embeddings")
+        graft.api.Engine.forStream(s, root,
+          docs.join(emb.select(col("vec_id")),
+              col("doc_id") === col("vec_id"), "left_semi")
+            .where(col("doc_id") % 17 =!= 5),
+          docId = "doc_id", textCol = "text",
+          vectorSpecs = Map("default" ->
+            graft.api.Engine.StreamVectorSpec(cents, cb, m = 8)))
+      })
+    }
+
   /** Semantic list: cosine of every embedding against query vector
     * `qid`, ids mapped to doc ids (vec_id ≡ doc_id in the testdata).
     */
@@ -2270,6 +2344,23 @@ object SparkEntry {
       streamEngine(s, dir).graph(
         PathQuery.Path(dst = NodeMatch.Prefix("src")), topK = 100,
         filter = Some(FilterExpr.Eq("lang", "en")))
+    }),
+
+    // §2.9 streamed vector ANN: IVF-PQ codes in every segment against
+    // the batch-trained per-KB model, served with latest-wins (the
+    // stale NEGATED seg-0 vectors must never score, tombstoned ids
+    // never return); full probes + full rerank make the result the
+    // exact cosine top-k the oracle computes
+    "q152_stream_ann" -> ((s, dir) => {
+      val e = streamVecEngine(s, dir)
+      val emb = load(s, dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0)
+      e.find(graft.api.Find.FindRequest(queryVector = Some(qv), topK = 20,
+          annNprobe = Some(e.vectorIndex("default").centroids.size),
+          annRerank = Some(e.vectorIndex("default").nVectors.toInt)))
+        .select(col("doc_id"), col("fused"), col("n_sources"), col("text"))
+        .orderBy(col("fused").desc, col("doc_id").asc)
     })
   )
 
@@ -4531,6 +4622,16 @@ object SparkEntry {
         |    'FROM_SOURCE' AS rel, source AS dst
         |  FROM sdocs WHERE lang = 'en' AND source LIKE 'src%')
         |SELECT src AS source, rel AS relation, dst AS destination FROM e
-        |ORDER BY source, relation, destination LIMIT 100""".stripMargin
+        |ORDER BY source, relation, destination LIMIT 100""".stripMargin,
+
+    "q152_stream_ann" ->
+      s"""WITH sdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 5),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |      WHERE vec_id % 17 <> 5),
+         |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         |scored AS (SELECT d.doc_id, round(${cosSql("e.v", "q.qv")}, 6) AS fused, d.text
+         |           FROM e CROSS JOIN q JOIN sdocs d ON d.doc_id = e.vec_id)
+         |SELECT doc_id, fused, CAST(1 AS BIGINT) AS n_sources, text
+         |FROM scored ORDER BY fused DESC, doc_id LIMIT 20""".stripMargin
   )
 }

@@ -307,7 +307,13 @@ object IncrementalIndex {
       // named-set query prunes its vectorset directory inside every
       // segment
       val sets = vectorSets ++ vectors.map("default" -> _)
-      if (sets.nonEmpty) {
+      // an all-tombstone batch has no vectors to encode — and a
+      // PARTITIONED write of an empty frame produces a directory with
+      // no schema-carrying files, which poisons every later read of
+      // the root. Skip the pair entirely: the serving union filters on
+      // per-segment `hasSub("codes")`, so an absent dir is the one
+      // empty representation every reader already handles.
+      if (sets.nonEmpty && !live.isEmpty) {
         import graft.operators.VectorSearch
         import batch.sparkSession.implicits._
         def forSet(vs: String, spec: SegmentVectorSpec) = {
@@ -781,10 +787,18 @@ object IncrementalIndex {
     if (dirs.exists(d => hasSub(spark, d, "codes"))) {
       val (codes, raw) = vectorTablesFrom(spark, dirs, idCol, seqCol,
         Some(winners))
-      codes.write.mode("overwrite").partitionBy("vectorset", "centroid_id")
-        .parquet(s"$out/codes")
-      raw.write.mode("overwrite").partitionBy("vectorset")
-        .parquet(s"$out/vectors")
+      // same empty-partitioned-write hazard as writeSegment: a fold
+      // whose vector rows are ALL dead (e.g. a pressure fold of a
+      // fully-masked segment) must emit NO codes dir, not a broken one
+      val codesC = codes.cache()
+      try {
+        if (!codesC.isEmpty) {
+          codesC.write.mode("overwrite").partitionBy("vectorset", "centroid_id")
+            .parquet(s"$out/codes")
+          raw.write.mode("overwrite").partitionBy("vectorset")
+            .parquet(s"$out/vectors")
+        }
+      } finally codesC.unpersist()
     }
     val names = dirs.map(d => new org.apache.hadoop.fs.Path(d).getName)
     // carry forward the inputs' subsumed entries, PRUNED: keep an entry

@@ -453,6 +453,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("segmented ANN: an all-tombstone batch writes NO vector pair and the root stays servable") {
+    import graft.streaming.IncrementalIndex.SegmentVectorSpec
+    val root = Files.createTempDirectory("graft-segvec-tomb").toString + "/index"
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(4)(d => math.cos(i * 13 + d).toFloat)
+    val batchDir = Files.createTempDirectory("graft-segvec-tombm").toString
+    graft.sources.Ingest.buildVectorIndex(
+      Seq(1L -> vec(1), 2L -> vec(2)).toDF("rid", "embedding"),
+      "rid", "embedding", batchDir, numCentroids = 2, numCodewords = 4, m = 2)
+    def pairs(sub: String) = spark.read.parquet(s"$batchDir/$sub")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    val spec = SegmentVectorSpec("embedding", pairs("centroids"),
+      pairs("codebook"), m = 2)
+    IncrementalIndex.writeSegment(
+      Seq((1L, 1L, "a", false, vec(1)), (2L, 1L, "b", false, vec(2)))
+        .toDF("rid", "seq", "text", "deleted", "embedding"),
+      f"$root/seg_${0}%09d", "rid", "text", "seq", vectors = Some(spec))
+    // the all-tombstone batch: zero live rows to encode — a partitioned
+    // write of the empty pair would leave a schema-less codes dir that
+    // poisons every later read; the segment must simply not carry one
+    IncrementalIndex.writeSegment(
+      Seq((2L, 2L, "gone", true, vec(2)))
+        .toDF("rid", "seq", "text", "deleted", "embedding"),
+      f"$root/seg_${1}%09d", "rid", "text", "seq", vectors = Some(spec))
+    assert(!new java.io.File(s"$root/seg_000000001/codes").exists(),
+      "an all-tombstone segment must not write a codes dir")
+    val (codes, raw) = IncrementalIndex.segmentVectorTables(spark, root)
+    assert(raw.select("rid").collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "the tombstone must still mask the dead doc's vectors")
+    assert(codes.select("rid").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("segmented ANN: per-vectorset segment codes serve each named set independently") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.VectorSearch
