@@ -95,6 +95,27 @@ class Engine(
     metaMemo = None
     provenanceMemo = None
     tablesMemo = None
+    // cached filter-population BM25 stats describe the OLD corpus —
+    // re-register after a re-ingest (cheap; serving with stale stats
+    // would silently break the filter-then-score contract)
+    filterStatsMemo = Map.empty
+  }
+
+  // precomputed per-filter BM25 population stats, threaded into every
+  // corpus() so prefiltered find/findParagraphs skip the per-request
+  // population aggregation (the one corpus-fraction-linear piece of a
+  // prefiltered request); cleared on re-ingest
+  private var filterStatsMemo: Map[FilterExpr, Find.CachedBm25Stats] = Map.empty
+
+  /** Precompute and register the BM25 population stats for a KNOWN hot
+    * filter (e.g. a language facet): every later find/findParagraphs
+    * whose filter equals it structurally — and whose other knobs are
+    * at defaults — serves from two literals instead of aggregating the
+    * filtered population per request. Cleared automatically when a
+    * re-ingest invalidates serving. */
+  def cacheFilterStats(filter: FilterExpr): Unit = {
+    val stats = Find.cachedStatsFor(corpus(), filter)
+    synchronized { filterStatsMemo += filter -> stats }
   }
 
   /** Index embeddings: one IVF-PQ index per named vectorset, each with
@@ -246,7 +267,8 @@ class Engine(
       // provenance table when the relation ingest recorded one
       graphEdges =
         if (hasProvenance) Some(edgeTable(withProvenance = true)) else None,
-      filterBindings = bindings)
+      filterBindings = bindings,
+      cachedFilterStats = filterStatsMemo)
   }
 
   /** `POST /kb/{kbid}/find` — hybrid retrieval (SURVEY §3.1). */
@@ -597,12 +619,27 @@ final class StreamEngine private[api] (
         col(docId).as("resource_id"))
     }
 
+  // streamed filter-stats cache: registration only records the
+  // filter; the stats compute lazily per WATERMARK (the corpus
+  // changes every segment landing/compaction, and serving stale
+  // population stats would silently break filter-then-score) — one
+  // aggregation per registered filter per watermark change, amortized
+  // across every request served from that segment set
+  private var registeredFilters: Set[FilterExpr] = Set.empty
+  private var statsWatermark: Seq[String] = Nil
+  private var streamFilterStats: Map[FilterExpr, Find.CachedBm25Stats] =
+    Map.empty
+  override def cacheFilterStats(filter: FilterExpr): Unit = synchronized {
+    registeredFilters += filter
+    statsWatermark = Nil // recompute (incl. the new entry) on next use
+  }
+
   override def corpus(vectorsetsWanted: Seq[String] = Nil): Find.Corpus = {
     val s = served
     defaultVectorset.foreach(d => require(s.vix.isEmpty || s.vix.contains(d),
       s"defaultVectorset '$d' has no StreamVectorSpec " +
         s"(have: ${vectorsets.mkString(", ")})"))
-    Find.Corpus(docs, docId, textCol,
+    val c0 = Find.Corpus(docs, docId, textCol,
       vectors = s.rawAll,
       vecId = docId,
       vectorsetCol = s.rawAll.map(_ => "vectorset"),
@@ -614,6 +651,15 @@ final class StreamEngine private[api] (
       // `served` resolution that could land on a newer watermark
       graphEdges = s.edges.map(e => edgeTableOf(e, withProvenance = true)),
       filterBindings = bindings)
+    if (registeredFilters.isEmpty) c0
+    else c0.copy(cachedFilterStats = synchronized {
+      if (statsWatermark != s.watermark) {
+        streamFilterStats = registeredFilters.iterator
+          .map(f => f -> Find.cachedStatsFor(c0, f)).toMap
+        statsWatermark = s.watermark
+      }
+      streamFilterStats
+    })
   }
 
   // each composed endpoint runs under ONE pinned watermark snapshot —

@@ -62,7 +62,49 @@ object Find {
       // a corpus whose labels/security/text live under non-default
       // names binds them here so Facet/Security/Keyword leaves hit
       // the right columns (the Engine facade threads its own)
-      filterBindings: FilterExpr.Bindings = FilterExpr.Bindings())
+      filterBindings: FilterExpr.Bindings = FilterExpr.Bindings(),
+      // precomputed BM25 population stats for KNOWN hot filters
+      // (exact structural match on the request's FilterExpr): serves
+      // the prefiltered keyword/paragraph score without the
+      // per-request population aggregation — the one deliberately
+      // corpus-fraction-linear piece of a prefiltered find. Build
+      // with [[Find.cachedStatsFor]]; stale entries mean stale
+      // scores, so rebuild when the corpus changes (the Engine facade
+      // invalidates handles on re-ingest for the same reason)
+      cachedFilterStats: Map[FilterExpr, CachedBm25Stats] = Map.empty)
+
+  /** The per-filter cache entry: doc-level stats for `find`'s keyword
+    * list, paragraph-level stats (repeated-excluded, body pair) for
+    * `findParagraphs`' BM25 mode. */
+  final case class CachedBm25Stats(
+      doc: Option[Bm25.CorpusStats] = None,
+      paragraph: Option[Bm25.CorpusStats] = None)
+
+  /** Compute [[CachedBm25Stats]] for one KNOWN filter over a corpus —
+    * two population aggregations paid ONCE (ingest/refresh time), so
+    * every later prefiltered request with exactly this filter skips
+    * them. The paragraph side replays the default serving
+    * restrictions (repeated-in-field excluded, body posting pair,
+    * doc-prefilter by id prefix) — the cache only applies on requests
+    * whose other knobs are at defaults, enforced at the serve-time
+    * lookup. */
+  def cachedStatsFor(corpus: Corpus, filter: FilterExpr): CachedBm25Stats = {
+    val ix = corpus.index.getOrElse(throw new IllegalArgumentException(
+      "cachedStatsFor needs a bound index"))
+    val allowed = corpus.docs
+      .where(FilterExpr.compile(filter, corpus.filterBindings))
+      .select(corpus.docId)
+    val doc = Bm25.corpusStats(ix.docLengths, corpus.docId, Some(allowed))
+    val par = ix.parDocLengths.map { pdl =>
+      val restricted = excludeRepeated(pdl, withDuplicates = false)
+        .join(allowed.select(col(corpus.docId).cast("string")
+            .as("__allowed_doc")),
+          split(col("paragraph_id"), "/").getItem(0) === col("__allowed_doc"),
+          "left_semi")
+      Bm25.corpusStats(restricted, "paragraph_id")
+    }
+    CachedBm25Stats(doc = Some(doc), paragraph = par)
+  }
 
   /** The brute-vs-index branch point for a filtered semantic search —
     * the reference's matching-density cost model
@@ -263,6 +305,18 @@ object Find {
             candidates.select(col(corpus.docId), lit(1.0).as("score"))
           else corpus.index match {
             case Some(ix) => // serve the at-rest posting index
+              // the cached-population fast path: applies only when the
+              // restriction IS exactly the registered filter (no
+              // fields/phrases/exclusions/advanced narrowing the
+              // population further) — otherwise stats must aggregate
+              // over the actual population per the filter-then-score
+              // contract
+              val cachedDoc =
+                if (req.fields.isEmpty && advanced.isEmpty &&
+                    parsed.phrases.isEmpty && parsed.excluded.isEmpty)
+                  req.filter.flatMap(corpus.cachedFilterStats.get)
+                    .flatMap(_.doc)
+                else None
               Bm25.scoreFromPostings(ix.postings, ix.docLengths,
                 corpus.docId, terms,
                 allowed =
@@ -273,7 +327,8 @@ object Find {
                   else if (parsed.phrases.isEmpty && parsed.excluded.isEmpty
                       && advanced.isEmpty)
                     Some(allowedIds)
-                  else Some(candidates.select(corpus.docId)))
+                  else Some(candidates.select(corpus.docId)),
+                cachedStats = cachedDoc)
             case None =>
               Bm25.score(candidates, corpus.docId, corpus.text, terms)
           }
@@ -723,8 +778,22 @@ object Find {
             Seq("paragraph_id"), "left_anti")
         }
         val docIdType = corpus.docs.schema(corpus.docId).dataType
+        // cached paragraph-population stats apply only when the
+        // restriction is EXACTLY the registered doc filter at default
+        // knobs — any extra narrowing (fields, labels, OR mode,
+        // phrases, exclusions, withDuplicates) changes the population
+        // and the stats must aggregate live
+        val cachedPar =
+          if (req.fields.isEmpty && advanced.isEmpty &&
+              req.paragraphFilter.isEmpty && !orMode &&
+              !req.withDuplicates && parsed.phrases.isEmpty &&
+              parsed.excluded.isEmpty)
+            req.filter.flatMap(corpus.cachedFilterStats.get)
+              .flatMap(_.paragraph)
+          else None
         val hits = Bm25.scoreFromPostings(restrict(post0), restrict(dls0),
-            "paragraph_id", terms, allowed = None)
+            "paragraph_id", terms, allowed = None,
+            cachedStats = cachedPar)
           .withColumn("score", round(col("score"), 4))
           .withColumn(corpus.docId,
             split(col("paragraph_id"), "/").getItem(0).cast(docIdType))

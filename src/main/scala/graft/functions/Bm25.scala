@@ -24,6 +24,33 @@ object Bm25 {
 
   case class Params(k1: Double = 1.2, b: Double = 0.75)
 
+  /** Precomputed population statistics — the (N, avgdl) pair the
+    * scorer otherwise aggregates from the (restricted) doclengths
+    * table per request. For a KNOWN filter population (a hot facet
+    * like `lang = en`), compute once at ingest with [[corpusStats]]
+    * and pass through [[scoreFromPostings]]'s `cachedStats`: the
+    * per-request population scan disappears — the one deliberately
+    * corpus-fraction-linear piece of a prefiltered find
+    * (filter-then-score stats) becomes two literals. */
+  final case class CorpusStats(nDocs: Long, avgdl: Double)
+
+  /** Aggregate [[CorpusStats]] for a (possibly restricted) doclengths
+    * population — the ingest-time companion of `cachedStats`. The
+    * caller owns the population definition: pass EXACTLY the frame the
+    * serving path would restrict to (e.g. repeated-excluded paragraph
+    * doclengths semi-joined to the filter's doc ids), or the cached
+    * scores silently drift from the filter-then-score contract. */
+  def corpusStats(docLengths: DataFrame, idCol: String,
+      allowed: Option[DataFrame] = None): CorpusStats = {
+    val dls = allowed match {
+      case Some(ids) => graft.operators.Prefilter.semiJoin(docLengths, idCol, ids)
+      case None => docLengths
+    }
+    val r = dls.agg(count(lit(1)).as("n"), avg(col("dl")).as("a"))
+      .collect().head
+    CorpusStats(r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+  }
+
   /** Token stream (docId, term) — one row per occurrence. */
   def tokenStream(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
@@ -90,7 +117,8 @@ object Bm25 {
       idCol: String,
       queryTerms: Seq[String],
       params: Params = Params(),
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None,
+      cachedStats: Option[CorpusStats] = None): DataFrame = {
     // `allowed` restricts the searchable corpus to a prefiltered id set
     // (the reference's PrefilterResult pushed into the index search).
     // Both the postings AND the stats tables are restricted, so scores
@@ -107,9 +135,16 @@ object Bm25 {
       case Some(ids) => graft.operators.Prefilter.semiJoin(docLengths, idCol, ids)
       case None => docLengths
     }
-    val stats = dls.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
+    // a cached (N, avgdl) replaces the population aggregation with two
+    // literals; with dl denormalized on the postings, the doclengths
+    // table then never enters the plan at all
+    val stats = cachedStats match {
+      case Some(cs) => postings.sparkSession.range(1)
+        .select(lit(cs.nDocs.toDouble).as("n_docs"), lit(cs.avgdl).as("avgdl"))
+      case None => dls.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+    }
     // postings written by the current ingest denormalize `dl` onto each
     // row (tantivy's per-posting fieldnorm) — then the per-row lengths
     // join vanishes and `docLengths` is read only for the (broadcast,

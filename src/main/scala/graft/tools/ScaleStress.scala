@@ -244,6 +244,28 @@ object ScaleStress {
     val (tHG1, _) = med3(hybridFind(hc1, filtered = true))
     val (tHG10, _) = med3(hybridFind(hc10, filtered = true))
     println(f"[stress] hybrid_find_filtered 1x $tHG1%.2fs 10x $tHG10%.2fs growth ${tHG10 / tHG1}%.1fx")
+    // the cached-stats escape hatch for the filtered tail, measured on
+    // KEYWORD-only prefiltered find (the hybrid rows above carry the
+    // semantic probe, which dominates and hides the stats agg): the
+    // hot filter's (N, avgdl) precomputed once, the request then
+    // skips the per-request population aggregation — one of the two
+    // allowed-population scans disappears from the plan
+    val hotF: FilterExpr = FilterExpr.Eq("lang", "en")
+    def cachedCorpus(c: Find.Corpus): Find.Corpus =
+      c.copy(cachedFilterStats = Map(hotF -> Find.CachedBm25Stats(
+        doc = Some(graft.functions.Bm25.corpusStats(
+          c.index.get.docLengths, "doc_id",
+          Some(c.docs.where(col("lang") === "en").select("doc_id")))))))
+    def kwFind(c: Find.Corpus): Long =
+      Find.find(c, Find.FindRequest(query = "spark query",
+          filter = Some(hotF), topK = 20))
+        .count()
+    val (tKF1, _) = med3(kwFind(hc1))
+    val (tKF10, _) = med3(kwFind(hc10))
+    println(f"[stress] kw_find_filtered 1x $tKF1%.2fs 10x $tKF10%.2fs growth ${tKF10 / tKF1}%.1fx")
+    val (tKC1, _) = med3(kwFind(cachedCorpus(hc1)))
+    val (tKC10, _) = med3(kwFind(cachedCorpus(hc10)))
+    println(f"[stress] kw_find_filtered_cachedstats 1x $tKC1%.2fs 10x $tKC10%.2fs growth ${tKC10 / tKC1}%.1fx")
 
     // ---- 3e. findParagraphs BM25 (paragraph serving unit) ----------
     // the paragraph posting PAIR from 3c plus its doclengths side; the

@@ -352,6 +352,22 @@ class EngineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cacheFilterStats: prefiltered find serves identical results from cached population stats") {
+    val f: FilterExpr = FilterExpr.Eq("lang", "en")
+    val req = Find.FindRequest(query = "prince fox", filter = Some(f))
+    val preq = req.copy(paragraphBm25 = true)
+    def snap() = (
+      engine.find(req).collect()
+        .map(r => (r.getLong(0), r.getAs[Double]("fused"))).toSeq,
+      engine.findParagraphs(preq).collect()
+        .map(r => (r.getLong(0), r.getAs[Double]("best_score"))).toSeq)
+    val before = snap()
+    assert(before._1.nonEmpty && before._2.nonEmpty)
+    engine.cacheFilterStats(f)
+    assert(snap() == before,
+      "cached population stats must not change any prefiltered score")
+  }
+
   test("forStream: engine-triggered tiered compaction rebinds the watermark in place") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -377,6 +393,18 @@ class EngineSpec extends SparkSpec {
         (2L, "zarathustra speaks of the overman"),
         (3L, "database engines scan columns")).toDF("rid", "text")
       val e = Engine.forStream(spark, root, docs)
+      // a registered hot filter rides across the compaction below: its
+      // population stats recompute at the new watermark, results stay
+      // identical to the unregistered engine's
+      val hotFilter: FilterExpr = FilterExpr.Keyword("the")
+      val hotReq = Find.FindRequest(query = "prince fox",
+        filter = Some(hotFilter))
+      val plainHot = e.find(hotReq).collect()
+        .map(r => (r.getLong(0), r.getAs[Double]("fused"))).toSeq
+      e.cacheFilterStats(hotFilter)
+      assert(e.find(hotReq).collect()
+        .map(r => (r.getLong(0), r.getAs[Double]("fused"))).toSeq == plainHot,
+        "streamed cached stats must not change prefiltered scores")
       def snapshot() = (
         e.find(Find.FindRequest(query = "prince fox")).collect()
           .map(r => (r.getLong(0), r.getDouble(1))).toSeq,
@@ -401,6 +429,10 @@ class EngineSpec extends SparkSpec {
       // folded set — the watermark memo rebinds with no explicit call
       assert(snapshot() == before,
         "engine-triggered compaction must not change any endpoint's results")
+      // the registered filter's stats recomputed at the NEW watermark
+      assert(e.find(hotReq).collect()
+        .map(r => (r.getLong(0), r.getAs[Double]("fused"))).toSeq == plainHot,
+        "cached stats must survive the watermark rebind unchanged")
       // nothing left to fold: the maintenance call is idempotent
       assert(e.compact(LogMergeSettings(minSegments = 2,
         topBucketMaxRecords = 100000, bottomBucketThreshold = 2)).isEmpty)

@@ -220,6 +220,56 @@ class FindSpec extends SparkSpec {
     assert(e.getMessage.contains("field filters need a bound index"))
   }
 
+  test("cached filter stats: prefiltered find/findParagraphs scores identical; guard knobs fall back to live stats") {
+    import graft.functions.Bm25
+    val dir = graft.sources.IndexStore.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft-cachedstats-").toString)
+    graft.sources.Ingest.buildIndex(docs, "rid", "text", dir,
+      withVectors = false)
+    val ix = graft.sources.IndexStore.IndexTables(
+      spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/doclengths"),
+      spark.read.parquet(s"$dir/paragraphs"),
+      parPostings = Some(spark.read.parquet(s"$dir/par_postings")),
+      parDocLengths = Some(spark.read.parquet(s"$dir/par_doclengths")),
+      fields = Some(spark.read.parquet(s"$dir/fields")),
+      fieldParagraphs = Some(spark.read.parquet(s"$dir/field_paragraphs")),
+      fieldParPostings = Some(spark.read.parquet(s"$dir/fieldpar_postings")),
+      fieldParDocLengths = Some(spark.read.parquet(s"$dir/fieldpar_doclengths")))
+    val f: FilterExpr = FilterExpr.Facet("/s/p/en")
+    val base = corpus.copy(index = Some(ix))
+    val cached = base.copy(
+      cachedFilterStats = Map(f -> Find.cachedStatsFor(base, f)))
+    val req = FindRequest(query = "prince database", filter = Some(f))
+    val preq = req.copy(paragraphBm25 = true)
+    def rows(c: Corpus, r: FindRequest) = Find.find(c, r).collect()
+      .map(x => (x.getString(0), x.getAs[Double]("fused"))).toSeq
+    def prows(c: Corpus, r: FindRequest) = Find.findParagraphs(c, r)
+      .collect().map(x => (x.getString(0), x.getAs[Double]("best_score"))).toSeq
+    // correctly-built cache: scores EXACTLY equal the live aggregation
+    assert(rows(cached, req) == rows(base, req), "doc-level cached stats diverged")
+    assert(prows(cached, preq) == prows(base, preq), "paragraph cached stats diverged")
+    // the fast path provably ENGAGES: a poisoned cache changes scores
+    val poisoned = base.copy(cachedFilterStats = Map(f -> Find.CachedBm25Stats(
+      doc = Some(Bm25.CorpusStats(1000000L, 1000.0)),
+      paragraph = Some(Bm25.CorpusStats(1000000L, 1000.0)))))
+    assert(rows(poisoned, req) != rows(base, req),
+      "the doc fast path never engaged — the poisoned stats were ignored")
+    assert(prows(poisoned, preq) != prows(base, preq),
+      "the paragraph fast path never engaged")
+    // ...and DISENGAGES when any other knob narrows the population:
+    // the poisoned entry must be ignored and live stats aggregate
+    val phraseReq = req.copy(query = "\"database engines\" prince")
+    assert(rows(poisoned, phraseReq) == rows(base, phraseReq),
+      "phrases narrow the population — cache must not apply")
+    val fieldsReq = preq.copy(fields = Seq("t"))
+    assert(prows(poisoned, fieldsReq) == prows(base, fieldsReq),
+      "fields= narrows the population — cache must not apply")
+    val dupReq = preq.copy(withDuplicates = true)
+    assert(prows(poisoned, dupReq) == prows(base, dupReq),
+      "withDuplicates changes the population — cache must not apply")
+  }
+
   test("rerank reorders the fused window by model overlap") {
     val rows = Find.find(corpus, FindRequest(
         query = "prince planets database", rerank = true))

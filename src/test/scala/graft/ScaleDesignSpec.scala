@@ -39,6 +39,33 @@ class ScaleDesignSpec extends SparkSpec {
     direct.foreach { case (k, v) => assert(math.abs(viaPostings(k) - v) < 1e-12) }
   }
 
+  test("cached filter stats remove the doclengths population scan from the prefiltered plan") {
+    import graft.api.Find
+    import graft.api.Find.{Corpus, FindRequest}
+    import graft.operators.FilterExpr
+    val dir = Files.createTempDirectory("graft-cstats").toString
+    Ingest.termPostings(docs, "doc_id", "text").write.parquet(s"$dir/postings")
+    Bm25.docLengths(docs, "doc_id", "text").write.parquet(s"$dir/dlpin")
+    val ix = graft.sources.IndexStore.IndexTables(
+      spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/dlpin"),
+      spark.emptyDataFrame)
+    val f: FilterExpr = FilterExpr.Eq("lang", "en")
+    val base = Corpus(docs, "doc_id", "text", index = Some(ix))
+    val req = FindRequest(query = "spark query", filter = Some(f))
+    // live stats: the filtered population aggregates from the
+    // doclengths table — its scan is in the plan (dl is denormalized
+    // on the postings, so doclengths appears ONLY for the stats agg)
+    assert(plan(Find.find(base, req)).contains("dlpin"),
+      "uncached prefiltered find must aggregate stats from doclengths")
+    // cached stats: the population scan disappears from the plan
+    // entirely — the corpus-fraction-linear piece is gone, not hidden
+    val cached = base.copy(cachedFilterStats =
+      Map(f -> Find.cachedStatsFor(base, f)))
+    assert(!plan(Find.find(cached, req)).contains("dlpin"),
+      "cached prefiltered find must not scan the doclengths table")
+  }
+
   test("partitioned table: facet filter prunes partitions at the scan") {
     val dir = Files.createTempDirectory("graft-part").toString + "/t"
     docs.write.partitionBy("lang").parquet(dir)
