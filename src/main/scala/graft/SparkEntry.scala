@@ -2361,7 +2361,52 @@ object SparkEntry {
           annRerank = Some(e.vectorIndex("default").nVectors.toInt)))
         .select(col("doc_id"), col("fused"), col("n_sources"), col("text"))
         .orderBy(col("fused").desc, col("doc_id").asc)
-    })
+    }),
+
+    // §2.9 streamed /search: BOTH response lists off the streamed
+    // segment tables — document BM25 from the winner-filtered posting
+    // union, paragraph keyword counts from the segment paragraph
+    // table (q70's shape through Engine.forStream). Stale seg-0 text
+    // must not score either list; tombstoned docs appear in neither
+    "q153_stream_search" -> ((s, dir) => {
+      val resp = streamEngine(s, dir).search(
+        graft.api.Search.SearchRequest(
+          query = QueryTerms.mkString(" "), topK = 10))
+      resp.documents.get
+        .select(lit("document").as("unit"),
+          col("doc_id").cast("string").as("id"), col("score"))
+        .unionByName(resp.paragraphs.get
+          .select(lit("paragraph").as("unit"),
+            col("paragraph_id").as("id"), col("score")))
+        .orderBy(col("unit"), col("score").desc, col("id"))
+    }),
+
+    // §2.9 streamed /catalog: title match + doc filter browse over the
+    // latest-wins doc store behind a streamed root — the PG-catalog
+    // analog served without touching the segments (catalog reads the
+    // doc store only, `common/catalog/pg.py`)
+    "q154_stream_catalog" -> ((s, dir) => {
+      import graft.operators.Facets.CatalogMatch
+      streamEngine(s, dir).catalog(
+          titleCol = "text",
+          titleQuery = Some((CatalogMatch.Contains, "query")),
+          filter = Some(FilterExpr.Eq("lang", "en")), topK = 20)
+        .documents.get
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.9 streamed paragraph-mode find with BM25: the reference's
+    // actual retrieval unit served from the cross-segment paragraph
+    // posting pair (winner semi-join per segment write, stats over the
+    // live population) — q91's family through Engine.forStream
+    "q155_stream_find_paragraphs" -> ((s, dir) =>
+      streamEngine(s, dir)
+        .findParagraphs(graft.api.Find.FindRequest(
+          query = QueryTerms.mkString(" "), topK = 20,
+          paragraphBm25 = true))
+        .withColumn("hits", concat_ws(",", col("hits")))
+        .orderBy(col("best_score").desc, col("doc_id").asc))
   )
 
   // ---------------------------------------------------------------- //
@@ -2549,10 +2594,11 @@ object SparkEntry {
       |  SELECT r.src, e.y FROM reach r JOIN edges e ON r.dst = e.x),
       |comp AS (SELECT src, min(dst) AS component FROM reach GROUP BY src)""".stripMargin
 
-  /** Paragraph-split CTE chain (20-token windows, reference id format) —
-    * must match [[graft.sources.Ingest.splitParagraphs]]. */
-  private val ParCtes =
-    s"""toksd AS (SELECT doc_id, $Tok AS t FROM documents),
+  /** Paragraph-split CTE chain (20-token windows, reference id format)
+    * over a source relation exposing (doc_id, text) — must match
+    * [[graft.sources.Ingest.splitParagraphs]]. */
+  private def parCtesFrom(src: String): String =
+    s"""toksd AS (SELECT doc_id, $Tok AS t FROM $src),
        |chunks AS (SELECT doc_id, t, i AS c
        |           FROM toksd CROSS JOIN (SELECT unnest(range(200)) AS i) ix
        |           WHERE len(t) > 0 AND i < ceil(len(t) / 20.0)),
@@ -2560,6 +2606,8 @@ object SparkEntry {
        |        CAST(doc_id AS VARCHAR) || '/t/body/' || CAST(c * 20 AS VARCHAR) || '-' ||
        |          CAST(least(len(t), c * 20 + 20) AS VARCHAR) AS paragraph_id
        |        FROM chunks)""".stripMargin
+
+  private val ParCtes = parCtesFrom("documents")
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
   private val LangCases = {
@@ -4632,6 +4680,58 @@ object SparkEntry {
          |scored AS (SELECT d.doc_id, round(${cosSql("e.v", "q.qv")}, 6) AS fused, d.text
          |           FROM e CROSS JOIN q JOIN sdocs d ON d.doc_id = e.vec_id)
          |SELECT doc_id, fused, CAST(1 AS BIGINT) AS n_sources, text
-         |FROM scored ORDER BY fused DESC, doc_id LIMIT 20""".stripMargin
+         |FROM scored ORDER BY fused DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q153: q70's two-list /search over the streamed population
+    // (latest-wins text, tombstoned docs gone) — BM25 stats and the
+    // paragraph split both over exactly the live corpus
+    "q153_stream_search" ->
+      s"""WITH sdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 5),
+         |tok AS (SELECT doc_id, unnest($Tok) AS term FROM sdocs),
+         |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+         |       WHERE term IN $InQueryTerms GROUP BY doc_id, term),
+         |idf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |bm25 AS (
+         |  SELECT tf.doc_id,
+         |         round(sum(ln(1 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+         |               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 4) AS score
+         |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         |  GROUP BY tf.doc_id),
+         |${parCtesFrom("sdocs")},
+         |doclist AS (SELECT 'document' AS unit, CAST(doc_id AS VARCHAR) AS id, score
+         |            FROM bm25 ORDER BY score DESC, doc_id LIMIT 10),
+         |parlist AS (SELECT 'paragraph' AS unit, paragraph_id AS id,
+         |              CAST(len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) AS DOUBLE) AS score
+         |            FROM par
+         |            WHERE len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) > 0
+         |            ORDER BY score DESC, paragraph_id LIMIT 10)
+         |SELECT unit, id, score FROM doclist
+         |UNION ALL SELECT unit, id, score FROM parlist
+         |ORDER BY unit, score DESC, id""".stripMargin,
+
+    // q154: catalog title-contains + lang filter over the latest-wins
+    // doc store (tombstoned docs excluded), first topK by id
+    "q154_stream_catalog" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 17 <> 5 AND lang = 'en'
+        |  AND position('query' IN text) > 0
+        |ORDER BY doc_id LIMIT 20""".stripMargin,
+
+    // q155: q91's composed paragraph-BM25 find tree, population = the
+    // streamed live corpus (no doc filter; stats over that corpus)
+    "q155_stream_find_paragraphs" ->
+      s"""WITH sdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 5),
+         |${parCtesFrom("sdocs")},
+         |${parBm25Ctes("par")},
+         |hits AS (SELECT CAST(split_part(paragraph_id, '/', 1) AS BIGINT) AS doc_id,
+         |                paragraph_id, score
+         |         FROM bm25)
+         |SELECT doc_id, round(max(score), 6) AS best_score,
+         |  CAST(count(*) AS BIGINT) AS n_hits,
+         |  string_agg(paragraph_id, ',' ORDER BY score DESC, paragraph_id) AS hits
+         |FROM hits GROUP BY doc_id
+         |ORDER BY best_score DESC, doc_id LIMIT 20""".stripMargin
   )
 }
