@@ -157,11 +157,26 @@ object IncrementalIndex {
     * automatically instead of accumulating segments until an operator
     * remembers to compact. Cadence is in BATCHES, not seconds, because
     * a micro-batch is this pipeline's unit of new data — an idle
-    * stream writes nothing and so (correctly) never compacts. */
+    * stream writes nothing and so (correctly) never compacts.
+    *
+    * `maxLiveSegments` is the STATE-WATCHING trigger the cadence alone
+    * lacks (the reference's scheduler reacts to the segment listing it
+    * reads each tick, not to a counter): when the live-segment count
+    * passes the bound right after a batch lands, a tiered pass runs
+    * immediately even mid-cadence — a burst of tiny batches can't
+    * stack segments toward the measured 64-segment serving penalty
+    * while the cadence counter idles. The count check is one driver FS
+    * listing per batch; the pass folds what the policy allows, so a
+    * root of few LARGE segments may legitimately stay above the bound
+    * (the bound triggers work, it does not guarantee a ceiling). */
   final case class AutoCompact(
       everyBatches: Int = 8,
-      settings: LogMergeSettings = LogMergeSettings()) {
+      settings: LogMergeSettings = LogMergeSettings(),
+      maxLiveSegments: Option[Int] = None) {
     require(everyBatches >= 1, "everyBatches must be >= 1")
+    require(maxLiveSegments.forall(_ >= 2),
+      "maxLiveSegments must be >= 2 — a bound of 1 would trigger a " +
+        "(no-op) pass after every batch")
   }
 
   def startIndexSegments(
@@ -206,7 +221,15 @@ object IncrementalIndex {
         // fold and the batch commit replays bid into a segment the
         // carried mask still covers
         autoCompact.foreach { ac =>
-          if ((bid + 1) % ac.everyBatches == 0)
+          val cadenceDue = (bid + 1) % ac.everyBatches == 0
+          // segment-pressure trigger: fires between cadence ticks when
+          // the listing (which includes the segment just written)
+          // passes the bound — checked only when cadence didn't
+          // already decide, so the common path stays one write + one
+          // modulo per batch
+          val pressureDue = !cadenceDue && ac.maxLiveSegments.exists(
+            _ < liveSegments(batch.sparkSession, indexRoot).size)
+          if (cadenceDue || pressureDue)
             compactSegmentsTiered(batch.sparkSession, indexRoot, idCol,
               seqCol, ac.settings,
               committedBatchId(batch.sparkSession, checkpointPath))

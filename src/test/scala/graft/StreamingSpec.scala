@@ -1107,6 +1107,37 @@ class StreamingSpec extends SparkSpec {
         s"auto-compacted serving diverged: $got vs $expected")
     } finally q.stop()
   }
+
+  test("auto-compaction: segment-count pressure folds mid-cadence") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.IncrementalIndex.{AutoCompact, LogMergeSettings}
+    val root = Files.createTempDirectory("graft-segpress").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft-segpressck").toString
+    val input = MemoryStream[(String, Long, String, Boolean)]
+    val updates = input.toDF().toDF("rid", "seq", "value", "deleted")
+    // cadence effectively never fires — only the listing bound can
+    // trigger; the settings fold any >=2 small live segments
+    val q = IncrementalIndex.startIndexSegments(updates, root, ckpt,
+      idCol = "rid", textCol = "value",
+      autoCompact = Some(AutoCompact(everyBatches = 100,
+        settings = LogMergeSettings(minSegments = 2,
+          topBucketMaxRecords = 100000, bottomBucketThreshold = 2),
+        maxLiveSegments = Some(2))))
+    def live(): Seq[String] = IncrementalIndex.liveSegments(spark, root)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName).sorted
+    try {
+      input.addData(("r1", 1L, "spark engine", false))
+      q.processAllAvailable() // 1 live <= 2: no pass
+      input.addData(("r2", 2L, "query planner", false))
+      q.processAllAvailable() // 2 live <= 2: still no pass
+      assert(live() == Seq("seg_000000000", "seg_000000001"),
+        s"under the bound nothing may fold: ${live()}")
+      input.addData(("r3", 3L, "columnar scan", false))
+      q.processAllAvailable() // 3 live > 2: pressure pass folds all
+      assert(live() == Seq("seg_000000002c"),
+        s"crossing maxLiveSegments must fold mid-cadence: ${live()}")
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
