@@ -4712,11 +4712,13 @@ object SparkEntry {
          |ORDER BY unit, score DESC, id""".stripMargin,
 
     // q154: catalog title-contains + lang filter over the latest-wins
-    // doc store (tombstoned docs excluded), first topK by id
+    // doc store (tombstoned docs excluded), first topK by id; Contains
+    // is case-INSENSITIVE by default (pg_trgm ILIKE semantics) so the
+    // oracle lowers the field like catalogMatch does
     "q154_stream_catalog" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id % 17 <> 5 AND lang = 'en'
-        |  AND position('query' IN text) > 0
+        |  AND position('query' IN lower(text)) > 0
         |ORDER BY doc_id LIMIT 20""".stripMargin,
 
     // q155: q91's composed paragraph-BM25 find tree, population = the

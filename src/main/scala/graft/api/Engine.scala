@@ -533,11 +533,17 @@ final class StreamEngine private[api] (
     servedMemo match {
       case Some(s) if s.watermark == wm => s
       case _ =>
-        val tables = IncrementalIndex.segmentTables(spark, indexRoot,
+        // EVERY table of the snapshot derives from the ONE `wm` listing
+        // (the `…At` accessors): a fold or segment landing between two
+        // internal re-listings would otherwise memoize a Served whose
+        // tables span two different segment sets — the cross-table
+        // straddle the per-request pin cannot repair once it's baked
+        // into the snapshot itself
+        val tables = IncrementalIndex.segmentTablesAt(spark, wm,
           docId, seqCol)
         val perSet = vectorSpecs.toSeq.sortBy(_._1).map { case (vs, spec) =>
           val (codes, raw) =
-            IncrementalIndex.segmentVectorTables(spark, indexRoot,
+            IncrementalIndex.segmentVectorTablesAt(spark, wm,
               docId, seqCol, vs)
           val vix = IndexStore.VectorIndex(
             spec.centroids, spec.codebook, spec.m,
@@ -549,14 +555,14 @@ final class StreamEngine private[api] (
           (vs, vix, raw)
         }
         val edges =
-          if (IncrementalIndex.segmentsCarry(spark, indexRoot, "edges"))
-            Some(IncrementalIndex.segmentEdges(spark, indexRoot, docId, seqCol))
+          if (IncrementalIndex.segmentsCarryAt(spark, wm, "edges"))
+            Some(IncrementalIndex.segmentEdgesAt(spark, wm, docId, seqCol))
           else None
         val s = Served(wm, tables,
           perSet.map(t => t._1 -> t._2).toMap,
           perSet.map(_._3).reduceOption(_ unionByName _),
           edges,
-          IncrementalIndex.segmentTermFreq(spark, indexRoot, docId, seqCol))
+          IncrementalIndex.segmentTermFreqAt(spark, wm, docId, seqCol))
         servedMemo = Some(s)
         s
     }
@@ -629,9 +635,18 @@ final class StreamEngine private[api] (
   private var statsWatermark: Seq[String] = Nil
   private var streamFilterStats: Map[FilterExpr, Find.CachedBm25Stats] =
     Map.empty
-  override def cacheFilterStats(filter: FilterExpr): Unit = synchronized {
-    registeredFilters += filter
-    statsWatermark = Nil // recompute (incl. the new entry) on next use
+  override def cacheFilterStats(filter: FilterExpr): Unit = {
+    // eager validation AT THE CALLER (analysis only, no job, no
+    // segments needed — registration legitimately precedes stream
+    // start): a filter that cannot compile against the doc store would
+    // otherwise throw inside the stats recompute of every later
+    // request — filtered or not — bricking the engine with no
+    // deregister API. The batch override fails at the caller too.
+    docs.where(FilterExpr.compile(filter, bindings)).queryExecution.analyzed
+    synchronized {
+      registeredFilters += filter
+      statsWatermark = Nil // recompute (incl. the new entry) on next use
+    }
   }
 
   override def corpus(vectorsetsWanted: Seq[String] = Nil): Find.Corpus = {

@@ -412,10 +412,14 @@ object IncrementalIndex {
     * serving root runs once per watermark, mirroring [[segmentTables]]'
     * all-or-nothing contract for optional tables. */
   def segmentsCarry(spark: SparkSession, indexRoot: String,
-      sub: String): Boolean = {
-    val dirs = segmentDirs(spark, indexRoot)
+      sub: String): Boolean =
+    segmentsCarryAt(spark, segmentDirs(spark, indexRoot), sub)
+
+  /** [[segmentsCarry]] over an explicit dir set (see
+    * [[segmentTablesAt]] for why snapshot servers pass dirs). */
+  def segmentsCarryAt(spark: SparkSession, dirs: Seq[String],
+      sub: String): Boolean =
     dirs.nonEmpty && dirs.forall(d => hasSub(spark, d, sub))
-  }
 
   /** Newest (id, seq) row per doc across segment manifests, TOMBSTONES
     * INCLUDED — compaction must keep them so a replayed older op
@@ -438,9 +442,20 @@ object IncrementalIndex {
     */
   def segmentTables(spark: SparkSession, indexRoot: String,
       idCol: String = "rid",
+      seqCol: String = "seq"): graft.sources.IndexStore.IndexTables =
+    segmentTablesAt(spark, segmentDirs(spark, indexRoot), idCol, seqCol)
+
+  /** [[segmentTables]] over an EXPLICIT segment-dir set — the
+    * one-watermark serving path: a server that already resolved
+    * [[liveSegments]] passes that listing to every `…At` accessor so
+    * ALL tables of one snapshot bind the SAME segment set (each
+    * root-taking accessor re-lists internally, and a fold landing
+    * between two listings would hand one request tables from two
+    * different watermarks). */
+  def segmentTablesAt(spark: SparkSession, dirs: Seq[String],
+      idCol: String = "rid",
       seqCol: String = "seq"): graft.sources.IndexStore.IndexTables = {
-    val dirs = segmentDirs(spark, indexRoot)
-    require(dirs.nonEmpty, s"no segments under $indexRoot")
+    require(dirs.nonEmpty, "no segment dirs given")
     serveFrom(spark, dirs, idCol, seqCol)
   }
 
@@ -550,11 +565,16 @@ object IncrementalIndex {
     * edges (written when the stream passes `relationsCol`).
     */
   def segmentEdges(spark: SparkSession, indexRoot: String,
+      idCol: String = "rid", seqCol: String = "seq"): DataFrame =
+    segmentEdgesAt(spark, segmentDirs(spark, indexRoot), idCol, seqCol)
+
+  /** [[segmentEdges]] over an explicit dir set (see
+    * [[segmentTablesAt]] for why snapshot servers pass dirs). */
+  def segmentEdgesAt(spark: SparkSession, dirs: Seq[String],
       idCol: String = "rid", seqCol: String = "seq"): DataFrame = {
-    val dirs = segmentDirs(spark, indexRoot)
-    require(dirs.nonEmpty, s"no segments under $indexRoot")
+    require(dirs.nonEmpty, "no segment dirs given")
     require(dirs.forall(d => hasSub(spark, d, "edges")),
-      s"some segments under $indexRoot lack relation edges — stream " +
+      s"some segments lack relation edges — stream " +
         "started without relationsCol; recompact from source")
     servedSub(spark, dirs, "edges", idCol, seqCol)
   }
@@ -577,8 +597,14 @@ object IncrementalIndex {
     * behavior, consistent with [[segmentTables]] binding None there).
     */
   def segmentTermFreq(spark: SparkSession, indexRoot: String,
+      idCol: String = "rid", seqCol: String = "seq"): DataFrame =
+    segmentTermFreqAt(spark, segmentDirs(spark, indexRoot), idCol, seqCol)
+
+  /** [[segmentTermFreq]] over an explicit dir set (see
+    * [[segmentTablesAt]] for why snapshot servers pass dirs). */
+  def segmentTermFreqAt(spark: SparkSession, dirs: Seq[String],
       idCol: String = "rid", seqCol: String = "seq"): DataFrame = {
-    val t = segmentTables(spark, indexRoot, idCol, seqCol)
+    val t = segmentTablesAt(spark, dirs, idCol, seqCol)
     val src = t.parPostings match {
       case Some(pp) => graft.api.Find.excludeRepeated(pp, withDuplicates = false)
       case None => t.postings
@@ -605,16 +631,24 @@ object IncrementalIndex {
   def segmentVectorTables(spark: SparkSession, indexRoot: String,
       idCol: String = "rid",
       seqCol: String = "seq",
+      vectorset: String = "default"): (DataFrame, DataFrame) =
+    segmentVectorTablesAt(spark, segmentDirs(spark, indexRoot), idCol,
+      seqCol, vectorset)
+
+  /** [[segmentVectorTables]] over an explicit dir set (see
+    * [[segmentTablesAt]] for why snapshot servers pass dirs). */
+  def segmentVectorTablesAt(spark: SparkSession, dirs: Seq[String],
+      idCol: String = "rid",
+      seqCol: String = "seq",
       vectorset: String = "default"): (DataFrame, DataFrame) = {
-    val dirs = segmentDirs(spark, indexRoot)
-    require(dirs.nonEmpty, s"no segments under $indexRoot")
+    require(dirs.nonEmpty, "no segment dirs given")
     // a set name no segment ever wrote is a CONFIG error, detected from
     // the vectorset= partition directories (no Spark job); an existing
     // set whose docs are all tombstoned legitimately serves empty
     require(dirs.exists(d =>
         hasSub(spark, d, s"codes/vectorset=$vectorset")),
-      s"vectorset '$vectorset' was never written by any segment under " +
-        s"$indexRoot — check the SegmentVectorSpec set names")
+      s"vectorset '$vectorset' was never written by any of the given " +
+        "segments — check the SegmentVectorSpec set names")
     val (codes, raw) = vectorTablesFrom(spark, dirs, idCol, seqCol)
     // vectorset selection = partition pruning inside every segment
     (codes.where(col("vectorset") === vectorset),
@@ -710,8 +744,9 @@ object IncrementalIndex {
 
   /** Fold ONE group of live segment dirs into a compacted segment —
     * the commit discipline of [[compactSegments]] (staging dir, healed
-    * columns, carried-forward pruned subsumed manifest, rename-then-
-    * delete) applied to an arbitrary subset: latest-wins WITHIN the
+    * columns, carried-forward pruned subsumed manifest, rename then
+    * GRACE-DEFERRED input deletion at the next pass) applied to an
+    * arbitrary subset: latest-wins WITHIN the
     * group is safe for any subset because a newer (id, seq) in a
     * segment outside it still wins the serve-time semi-join — the same
     * argument the reference makes for merging only seqs at or below
@@ -853,7 +888,18 @@ object IncrementalIndex {
     require(fs.rename(new org.apache.hadoop.fs.Path(out),
         new org.apache.hadoop.fs.Path(dst)),
       s"compaction commit rename failed: $out -> $dst")
-    dirs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    // GRACE-DEFERRED input deletion: the inputs stay on disk, masked by
+    // the manifest just committed (the live listing drops them at once,
+    // so no new request binds them) — the NEXT compaction pass's
+    // pending-delete retry removes them. Deleting here would pull the
+    // files out from under requests still scanning the PRE-fold
+    // watermark (the serving snapshot pin guarantees a consistent
+    // segment set per request, not that the set outlives a concurrent
+    // fold). The grace window is one compaction interval — a request
+    // outliving TWO passes can still lose its files; that bound is the
+    // deployment contract (the reference holds merged-away segments
+    // until open searchers release them, same idea with a time-shaped
+    // bound).
     } finally winners.unpersist()
     ()
   }
@@ -997,7 +1043,40 @@ object IncrementalIndex {
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2) > settings.maxDeletions))
       .toSeq
-    val plan = planMerges(settings, stats.map { case (n, r, f) => (n, r, f) })
+    // FULLY-PURGED segments (0 manifest rows — a previous pressure fold
+    // dropped everything) contribute no stats rows, so the planner
+    // would never see them: they'd linger forever, inflating the
+    // live-segment count (and AutoCompact's maxLiveSegments trigger)
+    // while serving nothing. They ride along with the first planned
+    // group (their carried subsumed manifest must survive the fold);
+    // with no fold this pass, one whose carried mask is DROPPABLE —
+    // every entry gone from disk and at-or-below the commit watermark
+    // (or a compacted name, which nothing can recreate) — deletes
+    // outright, and the rest wait for a pass that folds or a watermark
+    // that advances.
+    val statNames = stats.map(_._1).toSet
+    val emptyNames = dirs.map(d => new org.apache.hadoop.fs.Path(d).getName)
+      .filterNot(statNames)
+    val plan0 = planMerges(settings, stats)
+    val plan = (plan0, emptyNames) match {
+      case (_, Nil) => plan0
+      case (head :: tail, es) => (head ++ es) :: tail
+      case (Nil, es) =>
+        def droppable(entry: String): Boolean = {
+          val digits = entry.stripPrefix("seg_")
+          val batchId =
+            if (entry.startsWith("seg_") && digits.nonEmpty &&
+              digits.forall(_.isDigit)) Some(digits.toLong)
+            else None
+          !fs.exists(new org.apache.hadoop.fs.Path(s"$indexRoot/$entry")) &&
+            batchId.forall(bid => committedBatchId.exists(bid <= _))
+        }
+        es.foreach { n =>
+          val p = new org.apache.hadoop.fs.Path(s"$indexRoot/$n")
+          if (readSubsumed(fs, p).forall(droppable)) fs.delete(p, true)
+        }
+        Nil
+    }
     plan.foreach { group =>
       // every tiered fold prunes against the GLOBAL corpus state (the
       // reference's merge applies the deletion log to what it folds,

@@ -263,8 +263,13 @@ object ScaleStress {
     val (tKF1, _) = med3(kwFind(hc1))
     val (tKF10, _) = med3(kwFind(hc10))
     println(f"[stress] kw_find_filtered 1x $tKF1%.2fs 10x $tKF10%.2fs growth ${tKF10 / tKF1}%.1fx")
-    val (tKC1, _) = med3(kwFind(cachedCorpus(hc1)))
-    val (tKC10, _) = med3(kwFind(cachedCorpus(hc10)))
+    // hoisted OUT of the timed region: cachedCorpus runs the eager
+    // population aggregation the cache exists to amortize — timing it
+    // inside med3 would re-measure the very scan the row claims to skip
+    val cc1 = cachedCorpus(hc1)
+    val cc10 = cachedCorpus(hc10)
+    val (tKC1, _) = med3(kwFind(cc1))
+    val (tKC10, _) = med3(kwFind(cc10))
     println(f"[stress] kw_find_filtered_cachedstats 1x $tKC1%.2fs 10x $tKC10%.2fs growth ${tKC10 / tKC1}%.1fx")
 
     // ---- 3e. findParagraphs BM25 (paragraph serving unit) ----------

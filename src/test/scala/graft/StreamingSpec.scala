@@ -173,10 +173,10 @@ class StreamingSpec extends SparkSpec {
       val viaBatch = findOver(mergedDocs, batchIx)
       assert(viaSegments.sameElements(viaBatch),
         s"streamed index diverged from batch index:\n$viaSegments\n$viaBatch")
-      // two segments on disk → compaction folds to one, same results
+      // two segments live → compaction folds to one live segment (the
+      // folded inputs linger masked until the next pass's delete retry)
       IncrementalIndex.compactSegments(spark, root)
-      val segs = new java.io.File(root).listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("seg_"))
+      val segs = IncrementalIndex.liveSegments(spark, root)
       assert(segs.length == 1, segs.mkString(","))
       assert(scores() == before)
       // at-least-once replay of an op OLDER than a compacted tombstone
@@ -271,13 +271,19 @@ class StreamingSpec extends SparkSpec {
       IncrementalIndex.writeSegment(
         rows.toDF("rid", "seq", "value", "deleted"),
         f"$root/seg_$bid%09d", "rid", "value", "seq")
+    // the pruned manifest of the LIVE (covering) segments — folded
+    // inputs now linger on disk until the next pass's delete retry
+    // (grace-deferred deletion), and their stale manifests must not
+    // pollute the assertion on what the covering segment carries
     def subsumedOf(): Set[String] = {
       val dirs = new java.io.File(root).listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("seg_"))
-      dirs.flatMap { d =>
+      def entries(d: java.io.File): Seq[String] = {
         val f = new java.io.File(d, "subsumed.txt")
         if (f.exists()) scala.io.Source.fromFile(f).getLines().toSeq else Nil
-      }.toSet
+      }
+      val masked = dirs.flatMap(entries).toSet
+      dirs.filterNot(d => masked(d.getName)).flatMap(entries).toSet
     }
     seg(0L, ("r1", 1L, "spark a", false))
     seg(1L, ("r1", 2L, "spark b", false))
@@ -443,9 +449,13 @@ class StreamingSpec extends SparkSpec {
         "streamed segments must serve the batch index's exact results")
       // compaction folds codes + vectors; results unchanged
       IncrementalIndex.compactSegments(spark, root)
-      val segs = new java.io.File(root).listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("seg_"))
-      assert(segs.length == 1 && new java.io.File(segs.head, "codes").exists(),
+      val segs = IncrementalIndex.liveSegments(spark, root)
+      // liveSegments returns scheme-qualified paths (file:/…) — go
+      // through the URI for the java.io.File probe
+      assert(segs.length == 1 &&
+          new java.io.File(
+            new org.apache.hadoop.fs.Path(segs.head).toUri.getPath,
+            "codes").exists(),
         "compaction must fold the vector pair into the surviving segment")
       val (cCodes, cRaw) = IncrementalIndex.segmentVectorTables(spark, root)
       assert(search(cCodes, cRaw) == expected,
@@ -1001,18 +1011,24 @@ class StreamingSpec extends SparkSpec {
     // exactly the four small segments fold into one group
     assert(plan == Seq((0 until 4).map(b => f"seg_$b%09d")),
       plan.toString)
-    val segNames = new java.io.File(root).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("seg_"))
-      .map(_.getName).sorted.toSeq
+    val segNames = IncrementalIndex.liveSegments(spark, root)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName).sorted
     assert(segNames == Seq("seg_000000003c", "seg_000000004"), segNames)
     // the over-ceiling segment was not rewritten (cost tracks NEW
     // data, not the corpus — the policy's whole point)
     assert(new java.io.File(s"$root/seg_000000004").lastModified() == bigMtime)
     assert(scores() == before, "tiered fold must not change serving")
     // a second pass finds nothing to do (one small-compacted + one big)
+    // — and its start retries the grace-deferred input deletes, so the
+    // folded inputs leave the disk exactly one pass later
     assert(IncrementalIndex.compactSegmentsTiered(spark, root,
       settings = LogMergeSettings(minSegments = 3,
         topBucketMaxRecords = 50, bottomBucketThreshold = 2)).isEmpty)
+    val onDisk = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg_"))
+      .map(_.getName).sorted.toSeq
+    assert(onDisk == Seq("seg_000000003c", "seg_000000004"),
+      s"the next pass must delete the folded inputs: $onDisk")
   }
 
   test("deletion-pressure lone fold: an oversize segment sheds its masked rows without merging; dead tombstones purge") {
@@ -1052,9 +1068,27 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/seg_000000001c/docs").count() == 0,
       "a tombstone with nothing left to mask is itself dead")
     assert(served() == before, "tombstone purge must not change serving")
-    // pass 3: nothing left under pressure
+    // pass 3: nothing left under pressure — the fully-purged segment
+    // is NOT droppable yet (no commit watermark: its masked batch
+    // could still replay, so its manifest must stay)
     assert(IncrementalIndex.compactSegmentsTiered(spark, root,
       settings = s).isEmpty)
+    assert(IncrementalIndex.liveSegments(spark, root)
+      .exists(_.endsWith("seg_000000001c")),
+      "without a watermark the empty segment's mask must survive")
+    // pass 4: with the commit watermark past the masked batch, the
+    // 0-row segment serves nothing and masks nothing that can return —
+    // it deletes outright instead of lingering in the live listing
+    // (and inflating AutoCompact's maxLiveSegments trigger) forever
+    assert(IncrementalIndex.compactSegmentsTiered(spark, root,
+      settings = s, committedBatchId = Some(1L)).isEmpty)
+    val liveNames = IncrementalIndex.liveSegments(spark, root)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName)
+    assert(liveNames == Seq("seg_000000000c"),
+      s"the purged empty segment must drop from the live set: $liveNames")
+    assert(!new java.io.File(s"$root/seg_000000001c").exists(),
+      "the purged empty segment must leave the disk")
+    assert(served() == before, "empty-segment purge must not change serving")
   }
 
   test("auto-compaction: a long-running stream folds its segment tail on cadence; serving parity") {
