@@ -2406,7 +2406,36 @@ object SparkEntry {
           query = QueryTerms.mkString(" "), topK = 20,
           paragraphBm25 = true))
         .withColumn("hits", concat_ws(",", col("hits")))
-        .orderBy(col("best_score").desc, col("doc_id").asc))
+        .orderBy(col("best_score").desc, col("doc_id").asc)),
+
+    // §3.4 suggest FEATURE selection (SuggestOptions, `nucliadb_models/
+    // search.py:116-118`): a PARAGRAPH-only request runs only the
+    // term-dictionary completion, an ENTITIES-only request only the
+    // relation-node matcher — each mode's rows are exactly its side of
+    // the merged q150 response, and the unselected index is never
+    // touched
+    "q156_suggest_features" -> ((s, dir) => {
+      import graft.api.Suggest.Feature
+      val e = streamEngine(s, dir)
+      e.suggest("sp", topK = 10, features = Set(Feature.Paragraph))
+        .withColumn("mode", lit("par_only"))
+        .unionByName(
+          e.suggest("sp", topK = 10, features = Set(Feature.Entities))
+            .withColumn("mode", lit("ent_only")))
+        .orderBy(col("mode"), col("freq").desc, col("suggestion"))
+    }),
+
+    // §3.5 catalog SORT + OFFSET pagination (`pg.py:242-262`): page 2
+    // of the lang-filtered doc store ordered by size descending — the
+    // reference's created/modified/title ORDER BY + `LIMIT page_size
+    // OFFSET page_size * page_number`, id tiebreak for determinism
+    "q157_catalog_sort_page" -> ((s, dir) =>
+      streamEngine(s, dir).catalog(
+          titleCol = "text",
+          filter = Some(FilterExpr.Eq("lang", "en")), topK = 15,
+          sort = Some(("n_chars", false)), pageNumber = 1)
+        .documents.get
+        .select(col("doc_id"), col("n_chars")))
   )
 
   // ---------------------------------------------------------------- //
@@ -4734,6 +4763,39 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_hits,
          |  string_agg(paragraph_id, ',' ORDER BY score DESC, paragraph_id) AS hits
          |FROM hits GROUP BY doc_id
-         |ORDER BY best_score DESC, doc_id LIMIT 20""".stripMargin
+         |ORDER BY best_score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q156: q150's two response sides served separately via the
+    // feature selector — same population (streamed latest-wins), same
+    // per-side ordering and cut
+    "q156_suggest_features" ->
+      s"""WITH sdocs AS (SELECT doc_id, text, lang, source FROM documents
+         |               WHERE doc_id % 17 <> 5),
+         |tok AS (SELECT doc_id, unnest($Tok) AS term FROM sdocs),
+         |tfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term),
+         |terms AS (SELECT term AS suggestion, 'paragraph' AS source, freq,
+         |            'par_only' AS mode
+         |          FROM tfreq WHERE term LIKE 'sp%'
+         |          ORDER BY freq DESC, term LIMIT 10),
+         |nodes AS (SELECT CAST(doc_id AS VARCHAR) AS value FROM sdocs
+         |          UNION SELECT lang FROM sdocs
+         |          UNION SELECT source FROM sdocs),
+         |ents AS (SELECT suggestion, 'entity' AS source,
+         |           CAST(0 AS BIGINT) AS freq, 'ent_only' AS mode FROM (
+         |  SELECT DISTINCT value AS suggestion FROM nodes
+         |  WHERE levenshtein(substring(value, 1, 1), 'sp') <= 1
+         |     OR levenshtein(substring(value, 1, 2), 'sp') <= 1
+         |     OR levenshtein(substring(value, 1, 3), 'sp') <= 1
+         |  ORDER BY suggestion LIMIT 10))
+         |SELECT suggestion, source, freq, mode
+         |FROM (SELECT * FROM terms UNION ALL SELECT * FROM ents)
+         |ORDER BY mode, freq DESC, suggestion""".stripMargin,
+
+    // q157: the PG catalog's ORDER BY + LIMIT/OFFSET page over the
+    // streamed latest-wins doc store
+    "q157_catalog_sort_page" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id % 17 <> 5 AND lang = 'en'
+        |ORDER BY n_chars DESC, doc_id LIMIT 15 OFFSET 15""".stripMargin
   )
 }

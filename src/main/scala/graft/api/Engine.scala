@@ -294,9 +294,16 @@ class Engine(
     * with or without a prefilter, `shard_suggest.rs:45-160`) — the
     * same stem completes the same entities filtered or not. */
   def suggest(query: String, topK: Int = 10,
-      filter: Option[FilterExpr] = None): DataFrame = {
+      filter: Option[FilterExpr] = None,
+      features: Set[Suggest.Feature] = Suggest.Feature.All): DataFrame = {
     val ix = index
-    filter match {
+    // full-surface requests keep the exact merged code paths the
+    // oracle queries pin; single-feature requests run ONLY the
+    // selected sub-search (the reference appends one proto feature per
+    // option and the engine skips the other index entirely,
+    // `query_parser/parsers/suggest.py:58-63`) — feature selection
+    // must not cost the unselected side's jobs
+    if (features == Suggest.Feature.All) filter match {
       case None =>
         Suggest.suggestMergedFuzzy(parTermFreq,
           graphNodesTable.select("value"), "value", query, topK)
@@ -307,6 +314,40 @@ class Engine(
           docs, docId, Some(f),
           (graphNodesTable, "value", Some("resource_id")),
           query, topK, bindings = bindings)
+    }
+    else if (features.isEmpty) // featureless request: empty response,
+      // response-shaped (the engine ran no sub-search)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("suggestion",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("freq",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    else if (features == Set[Suggest.Feature](Suggest.Feature.Paragraph)) {
+      val terms = filter match {
+        case None =>
+          Suggest.suggest(parTermFreq, "term", "freq", None, query, topK).terms
+        case Some(f) =>
+          Suggest.suggestFiltered(
+            ix.parPostings.getOrElse(throw new IllegalStateException(
+              s"suggest needs the paragraph posting pair — $parPostingsRemedy")),
+            docs, docId, Some(f), None, query, topK, bindings = bindings).terms
+      }
+      terms.select(col("term").as("suggestion"),
+          lit("paragraph").as("source"), col("freq"))
+        .orderBy(col("freq").desc, col("suggestion").asc)
+    } else {
+      val allowed = filter.map(f =>
+        docs.where(FilterExpr.compile(f, bindings))
+          .select(col(docId).cast("string").as("__allowed_doc")))
+      Suggest.suggestEntitiesFiltered(graphNodesTable, "value",
+          Some("resource_id"), allowed, query, topK)
+        .select(col("value").as("suggestion"), lit("entity").as("source"),
+          lit(0L).as("freq"))
+        .orderBy(col("suggestion").asc)
     }
   }
 
@@ -396,21 +437,44 @@ class Engine(
   }
 
   /** `/catalog` — faceted browsing over the doc store (SURVEY §3.5):
-    * title query-match mode + optional filter + facet counts, the
-    * reference's PG-backed catalog shape (`common/catalog/pg.py`). */
+    * title query-match mode + optional filter + facet counts + sort +
+    * OFFSET pagination, the reference's PG-backed catalog shape
+    * (`common/catalog/pg.py`).
+    *
+    * @param sort (column, ascending) — the reference's
+    *   created/modified/title sort (`pg.py:242-258`, `ORDER BY field
+    *   dir`); the id rides as tiebreak so pages are deterministic
+    *   (PG leaves equal-key order arbitrary). None = id order (the
+    *   reference's no-sort order is PG-arbitrary; id order is the
+    *   deterministic analog).
+    * @param pageNumber OFFSET pagination exactly like the reference
+    *   (`pg.py:261-262`, `LIMIT page_size OFFSET page_size *
+    *   page_number`) — catalog is a browse surface with shallow pages
+    *   by contract; deep cursors belong to find's search_after */
   def catalog(
       titleCol: String,
       titleQuery: Option[(Facets.CatalogMatch, String)] = None,
       filter: Option[FilterExpr] = None,
       facetPrefixes: Seq[String] = Nil,
-      topK: Int = 20): Search.SearchResponse = {
+      topK: Int = 20,
+      sort: Option[(String, Boolean)] = None,
+      pageNumber: Int = 0): Search.SearchResponse = {
+    require(pageNumber >= 0, "pageNumber must be >= 0")
     val base0 = filter.map(f => docs.where(FilterExpr.compile(f, bindings)))
       .getOrElse(docs)
     val base = titleQuery.map { case (m, q) =>
       base0.where(Facets.catalogMatch(col(titleCol), m, q))
     }.getOrElse(base0)
+    val ordered = sort match {
+      case Some((f, asc)) =>
+        base.orderBy(if (asc) col(f).asc else col(f).desc, col(docId).asc)
+      case None => base.orderBy(col(docId).asc)
+    }
+    val page =
+      if (pageNumber == 0) ordered.limit(topK)
+      else ordered.offset(pageNumber * topK).limit(topK)
     Search.SearchResponse(
-      documents = Some(base.orderBy(col(docId).asc).limit(topK)),
+      documents = Some(page),
       paragraphs = None,
       facets =
         if (facetPrefixes.isEmpty) None
@@ -687,8 +751,9 @@ final class StreamEngine private[api] (
   override def search(req: Search.SearchRequest): Search.SearchResponse =
     withSnapshot(super.search(req))
   override def suggest(query: String, topK: Int,
-      filter: Option[FilterExpr]): DataFrame =
-    withSnapshot(super.suggest(query, topK, filter))
+      filter: Option[FilterExpr],
+      features: Set[Suggest.Feature]): DataFrame =
+    withSnapshot(super.suggest(query, topK, filter, features))
   override def graph(q: GraphSearch.PathQuery, topK: Int,
       filter: Option[FilterExpr]): DataFrame =
     withSnapshot(super.graph(q, topK, filter))

@@ -15,6 +15,20 @@ import graft.operators.{FilterExpr, GraphOps, TopK}
   */
 object Suggest {
 
+  /** The reference's SuggestOptions feature selector
+    * (`nucliadb_models/search.py:116-118`; `parse_suggest` appends one
+    * proto feature per selected option, `query_parser/parsers/
+    * suggest.py:58-63`): PARAGRAPH = term-dictionary completion,
+    * ENTITIES = relation-node completion. The endpoint default is
+    * both; a request selecting neither gets an empty response (the
+    * engine runs only the requested sub-searches). */
+  sealed trait Feature
+  object Feature {
+    case object Paragraph extends Feature
+    case object Entities extends Feature
+    val All: Set[Feature] = Set(Paragraph, Entities)
+  }
+
   final case class SuggestResponse(terms: DataFrame, entities: Option[DataFrame])
 
   def suggest(
@@ -166,23 +180,34 @@ object Suggest {
       else TopK.suggestFuzzyPrefix(dict, "term", "freq", lastTerm, topK)
     SuggestResponse(terms,
       entities.map { case (nodes, valueCol, resCol) =>
-        val filteredNodes = (allowed, resCol) match {
-          case (Some(a), Some(rc)) => nodes.join(a,
-            col(rc).cast("string") === col("__allowed_doc"), "left_semi")
-          case (Some(_), None) => throw new IllegalArgumentException(
-            "a filtered entity suggest needs the nodes table to declare " +
-              "its resource provenance column")
-          case _ => nodes
-        }
-        // the entity side runs the reference's actual relation-suggest
-        // matcher — compound suffix prefixes, each a FUZZY-prefix node
-        // match at distance 1, stems under MIN_SUGGEST_PREFIX_LENGTH=2
-        // dropped (`nidx_relation/src/lib.rs:216-260`; the prefilter
-        // has already restricted the nodes by provenance, matching
-        // `shard_suggest.rs:131-160`'s order) — so a typo'd entity
-        // stem still completes under a filter
-        suggestEntitiesFuzzy(filteredNodes, valueCol, query, topK)
+        suggestEntitiesFiltered(nodes, valueCol, resCol, allowed, query, topK)
       })
+  }
+
+  /** The entity side of [[suggestFiltered]] on its own — the
+    * provenance semi-join (when an allowed-doc set restricts) followed
+    * by the reference's actual relation-suggest matcher: compound
+    * suffix prefixes, each a FUZZY-prefix node match at distance 1,
+    * stems under MIN_SUGGEST_PREFIX_LENGTH=2 dropped
+    * (`nidx_relation/src/lib.rs:216-260`; the prefilter restricts the
+    * nodes BEFORE matching, `shard_suggest.rs:131-160`'s order). The
+    * ENTITIES-only feature selection serves this directly — the
+    * paragraph dictionary is never touched.
+    *
+    * @param allowed one-column frame of allowed doc ids named
+    *   `__allowed_doc` (string), as [[suggestFiltered]] builds it */
+  def suggestEntitiesFiltered(
+      nodes: DataFrame, valueCol: String, resourceCol: Option[String],
+      allowed: Option[DataFrame], query: String, topK: Int = 10): DataFrame = {
+    val filteredNodes = (allowed, resourceCol) match {
+      case (Some(a), Some(rc)) => nodes.join(a,
+        col(rc).cast("string") === col("__allowed_doc"), "left_semi")
+      case (Some(_), None) => throw new IllegalArgumentException(
+        "a filtered entity suggest needs the nodes table to declare " +
+          "its resource provenance column")
+      case _ => nodes
+    }
+    suggestEntitiesFuzzy(filteredNodes, valueCol, query, topK)
   }
 
   /** [[suggestFiltered]] merged into the single-response shape of

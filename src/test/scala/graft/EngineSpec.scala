@@ -126,6 +126,37 @@ class EngineSpec extends SparkSpec {
       .forall(_.getString(1) == "paragraph"))
   }
 
+  test("suggest: feature selection runs only the requested sub-search") {
+    import graft.api.Suggest.Feature
+    // each single-feature response is exactly its side of the merged one
+    val merged = engine.suggest("pr").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val parOnly = engine.suggest("pr", features = Set(Feature.Paragraph))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val entOnly = engine.suggest("pr", features = Set(Feature.Entities))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(parOnly.nonEmpty && parOnly.forall(_._2 == "paragraph"))
+    assert(entOnly.nonEmpty && entOnly.forall(_._2 == "entity"))
+    assert((parOnly ++ entOnly).toSet == merged.toSet,
+      s"feature split must partition the merged response: " +
+        s"${(parOnly ++ entOnly).toSet} vs ${merged.toSet}")
+    // the prefilter applies inside a single-feature request too:
+    // entity-only under lang=de keeps zarathustra, drops prince
+    val entDe = engine.suggest("za",
+        filter = Some(FilterExpr.Eq("lang", "de")),
+        features = Set(Feature.Entities)).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(entDe.contains(("zarathustra", "entity")) &&
+      entDe.forall(_._2 == "entity"), entDe.mkString(","))
+    assert(engine.suggest("pr",
+        filter = Some(FilterExpr.Eq("lang", "de")),
+        features = Set(Feature.Paragraph)).collect().isEmpty)
+    // featureless request: empty response in the response shape
+    val none = engine.suggest("pr", features = Set.empty)
+    assert(none.columns.toSeq == Seq("suggestion", "source", "freq"))
+    assert(none.collect().isEmpty)
+  }
+
   test("graph: path/nodes/relations with and without a prefilter") {
     val q = PathQuery.Path(src = NodeMatch.Exact("prince"))
     assert(engine.graph(q).collect().map(_.getString(2)).toSet
