@@ -2885,9 +2885,9 @@ object SparkEntry {
          |sr AS (SELECT doc_id, rank FROM (
          |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sem)
          |  WHERE rank <= 500),
-         |u AS (SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM kr
+         |u AS (SELECT doc_id, 1.0 / (59 + rank) AS contrib FROM kr
          |      UNION ALL
-         |      SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM sr)
+         |      SELECT doc_id, 1.0 / (59 + rank) AS contrib FROM sr)
          |SELECT doc_id, round(sum(contrib), 6) AS rrf, CAST(count(*) AS BIGINT) AS n_sources
          |FROM u GROUP BY doc_id
          |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
@@ -3031,8 +3031,8 @@ object SparkEntry {
          |sr AS (SELECT doc_id, rank FROM (
          |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sem)
          |  WHERE rank <= 500),
-         |u AS (SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM kr
-         |      UNION ALL SELECT doc_id, 1.0 / (60 + rank) FROM sr),
+         |u AS (SELECT doc_id, 1.0 / (59 + rank) AS contrib FROM kr
+         |      UNION ALL SELECT doc_id, 1.0 / (59 + rank) FROM sr),
          |fused AS (SELECT doc_id, round(sum(contrib), 6) AS fscore FROM u GROUP BY doc_id),
          |win AS (SELECT doc_id FROM fused ORDER BY fscore DESC, doc_id LIMIT 40),
          |scored AS (SELECT w.doc_id,
@@ -3598,9 +3598,9 @@ object SparkEntry {
          |br AS (SELECT doc_id, rank FROM (
          |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM p_bm25)
          |  WHERE rank <= 50),
-         |u AS (SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM ar
+         |u AS (SELECT doc_id, 1.0 / (59 + rank) AS contrib FROM ar
          |      UNION ALL
-         |      SELECT doc_id, 0.5 / (60 + rank) AS contrib FROM br)
+         |      SELECT doc_id, 0.5 / (59 + rank) AS contrib FROM br)
          |SELECT doc_id, round(sum(contrib), 6) AS prequery_score,
          |  CAST(count(*) AS BIGINT) AS n_sources
          |FROM u GROUP BY doc_id
@@ -3803,9 +3803,9 @@ object SparkEntry {
          |sr AS (SELECT doc_id, rank FROM (
          |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sem)
          |  WHERE rank <= 500),
-         |u AS (SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM kr
+         |u AS (SELECT doc_id, 1.0 / (59 + rank) AS contrib FROM kr
          |      UNION ALL
-         |      SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM sr)
+         |      SELECT doc_id, 1.0 / (59 + rank) AS contrib FROM sr)
          |SELECT doc_id, round(sum(contrib), 6) AS fused, CAST(count(*) AS BIGINT) AS n_sources
          |FROM u GROUP BY doc_id
          |ORDER BY fused DESC, doc_id LIMIT 20""".stripMargin,
@@ -4087,9 +4087,9 @@ object SparkEntry {
          |sr AS (SELECT doc_id, rank FROM (
          |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sem)
          |  WHERE rank <= 500),
-         |u AS (SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM kr
+         |u AS (SELECT doc_id, 1.0 / (59 + rank) AS contrib FROM kr
          |      UNION ALL
-         |      SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM sr)
+         |      SELECT doc_id, 1.0 / (59 + rank) AS contrib FROM sr)
          |SELECT doc_id, round(sum(contrib), 6) AS fused, CAST(count(*) AS BIGINT) AS n_sources
          |FROM u GROUP BY doc_id
          |ORDER BY fused DESC, doc_id LIMIT 10 OFFSET 10""".stripMargin,
@@ -4236,7 +4236,8 @@ object SparkEntry {
 
     // q140: the q134 fused CTEs plus the graph list — English docs at a
     // constant score, ranked by id (the deterministic order constant
-    // scores produce), contributing 1/(60+rank) like every source.
+    // scores produce), contributing 1/(60+rank-1) like every source
+    // (0-based reference rank).
     "q140_find_graph_source" ->
       s"""WITH $Bm25Ctes,
          |kr AS (SELECT doc_id, rank FROM (
@@ -4253,11 +4254,11 @@ object SparkEntry {
          |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rank
          |  FROM documents WHERE lang = 'en')
          |  WHERE rank <= 500),
-         |u AS (SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM kr
+         |u AS (SELECT doc_id, 1.0 / (59 + rank) AS contrib FROM kr
          |      UNION ALL
-         |      SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM sr
+         |      SELECT doc_id, 1.0 / (59 + rank) AS contrib FROM sr
          |      UNION ALL
-         |      SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM gr)
+         |      SELECT doc_id, 1.0 / (59 + rank) AS contrib FROM gr)
          |SELECT doc_id, round(sum(contrib), 6) AS fused, CAST(count(*) AS BIGINT) AS n_sources
          |FROM u GROUP BY doc_id
          |ORDER BY fused DESC, doc_id LIMIT 20""".stripMargin,

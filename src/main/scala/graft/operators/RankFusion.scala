@@ -51,15 +51,36 @@ object RankFusion {
       scoreCol: String,
       k: Int = DefaultK,
       window: Int = MaxWindow): DataFrame = {
-    val contributions = lists.map { case (_, df, w) =>
+    // rank is 0-BASED like the reference's enumerate (`rank_fusion.py:
+    // 161-165` — the top item contributes 1/(k+0), pinned by the
+    // upstream unit vectors); row_number() is 1-based, hence the -1
+    val contributions = lists.zipWithIndex.map { case ((_, df, w), i) =>
       ranked(df, idCol, scoreCol, window)
         .select(col(idCol),
-          (lit(w) / (lit(k.toDouble) + col("rank"))).as("contrib"))
+          col(scoreCol).cast("double").as("__orig"),
+          (lit(w) / (lit(k.toDouble) + col("rank") - lit(1))).as("contrib"),
+          lit(i).as("__list"))
     }
-    contributions.reduce(_ unionByName _)
+    // the reference SKIPS fusion when only one source has RESULTS
+    // (`rank_fusion.py:74-90` fuse() — presence is a property of the
+    // result sets, not the request): the surviving list keeps its
+    // ORIGINAL scores, unweighted. Presence is decided on the fused
+    // union itself (already ≤ lists×window rows) with one bounded
+    // constant-partition window — no extra driver action per request
+    val unioned = contributions.reduce(_ unionByName _)
+      .withColumn("__n_lists",
+        size(collect_set(col("__list")).over(
+          Window.partitionBy(TopK.constPartitionKey(col(idCol))))))
+    unioned
       .groupBy(idCol)
-      .agg(sum("contrib").as("rrf_score"),
+      .agg(sum("contrib").as("__rrf"),
+        max(col("__orig")).as("__orig_max"),
+        max(col("__n_lists")).as("__nl"),
         count(lit(1)).as("n_sources"))
+      .select(col(idCol),
+        when(col("__nl") === 1, col("__orig_max"))
+          .otherwise(col("__rrf")).as("rrf_score"),
+        col("n_sources"))
   }
 
   /** Weighted CombSum with per-list min-max normalization:
@@ -71,19 +92,35 @@ object RankFusion {
       idCol: String,
       scoreCol: String,
       window: Int = MaxWindow): DataFrame = {
-    val normalized = lists.map { case (_, df, w) =>
+    val normalized = lists.zipWithIndex.map { case ((_, df, w), i) =>
       val cut = TopK.topK(df, scoreCol, idCol, window)
       val win = Window.partitionBy(TopK.constPartitionKey(col(idCol)))
       val mn = min(col(scoreCol)).over(win)
       val mx = max(col(scoreCol)).over(win)
       cut.select(col(idCol),
+        col(scoreCol).cast("double").as("__orig"),
         when(mx === mn, lit(1.0))
           .otherwise((col(scoreCol) - mn) / (mx - mn))
-          .multiply(lit(w)).as("contrib"))
+          .multiply(lit(w)).as("contrib"),
+        lit(i).as("__list"))
     }
-    normalized.reduce(_ unionByName _)
+    // same single-nonempty-source skip as [[rrf]] — the base-class
+    // fuse() contract (`rank_fusion.py:74-90`) applies to both
+    // algorithms: one surviving list returns original unweighted
+    // scores, no normalization
+    val unioned = normalized.reduce(_ unionByName _)
+      .withColumn("__n_lists",
+        size(collect_set(col("__list")).over(
+          Window.partitionBy(TopK.constPartitionKey(col(idCol))))))
+    unioned
       .groupBy(idCol)
-      .agg(sum("contrib").as("fused_score"),
+      .agg(sum("contrib").as("__sum"),
+        max(col("__orig")).as("__orig_max"),
+        max(col("__n_lists")).as("__nl"),
         count(lit(1)).as("n_sources"))
+      .select(col(idCol),
+        when(col("__nl") === 1, col("__orig_max"))
+          .otherwise(col("__sum")).as("fused_score"),
+        col("n_sources"))
   }
 }

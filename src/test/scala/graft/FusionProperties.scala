@@ -34,8 +34,10 @@ object FusionProperties extends Properties("graft") {
     * must match): rank by (score desc, id asc), contribute w/(k+rank). */
   private def rrfModel(lists: Seq[(Seq[(Long, Double)], Double)], k: Int): Map[Long, (Double, Long)] = {
     val contribs = lists.flatMap { case (list, w) =>
+      // 0-based rank like the reference's enumerate: top item
+      // contributes w/(k+0) (rank_fusion.py:161-165)
       list.sortBy { case (id, s) => (-s, id) }.zipWithIndex
-        .map { case ((id, _), i) => id -> w / (k + i + 1) }
+        .map { case ((id, _), i) => id -> w / (k + i) }
     }
     contribs.groupBy(_._1).map { case (id, cs) =>
       id -> (cs.map(_._2).sum, cs.size.toLong)

@@ -7,21 +7,64 @@ class RankFusionSpec extends SparkSpec {
 
   private val kw = Seq((10L, 5.0), (20L, 3.0), (30L, 1.0)).toDF("id", "score")
   private val sem = Seq((20L, 0.9), (40L, 0.8)).toDF("id", "score")
+  private val empty = Seq.empty[(Long, Double)].toDF("id", "score")
 
-  test("rrf sums 1/(k+rank) per source, k=60") {
+  test("rrf sums 1/(k+rank) per source, 0-based rank, k=60") {
     val got = RankFusion.rrf(Seq(("kw", kw, 1.0), ("sem", sem, 1.0)), "id", "score")
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
-    assert(math.abs(got(10L)._1 - 1.0 / 61) < 1e-12)
-    assert(math.abs(got(20L)._1 - (1.0 / 62 + 1.0 / 61)) < 1e-12)
-    assert(math.abs(got(40L)._1 - 1.0 / 62) < 1e-12)
+    // rank is 0-based like the reference's enumerate (rank_fusion.py:
+    // 161-165): the top item of each list contributes 1/(60+0)
+    assert(math.abs(got(10L)._1 - 1.0 / 60) < 1e-12)
+    assert(math.abs(got(20L)._1 - (1.0 / 61 + 1.0 / 60)) < 1e-12)
+    assert(math.abs(got(40L)._1 - 1.0 / 61) < 1e-12)
     assert(got(20L)._2 == 2) // in both lists
   }
 
   test("rrf respects per-source weights") {
     val got = RankFusion.rrf(Seq(("kw", kw, 2.0), ("sem", sem, 0.5)), "id", "score")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(math.abs(got(10L) - 2.0 / 61) < 1e-12)
-    assert(math.abs(got(40L) - 0.5 / 62) < 1e-12)
+    assert(math.abs(got(10L) - 2.0 / 60) < 1e-12)
+    assert(math.abs(got(40L) - 0.5 / 61) < 1e-12)
+  }
+
+  // the reference's upstream unit vectors (tests/search/unit/
+  // test_rank_fusion.py test_reciprocal_rank_fusion_algorithm): the
+  // three-source mixed case pins 0-based contributions per list
+  test("rrf matches the upstream three-source test vectors") {
+    val k = Seq(("k-1", 1.0), ("k-2", 4.0), ("k-3", 3.0)).toDF("id", "score")
+    val s = Seq(("s-1", 0.2), ("s-2", 0.3), ("s-3", 0.6), ("s-4", 0.4))
+      .toDF("id", "score")
+    val g = Seq(("g-1", 1.0), ("g-2", 1.0)).toDF("id", "score")
+    val got = RankFusion.rrf(
+        Seq(("keyword", k, 1.0), ("semantic", s, 1.0), ("graph", g, 1.0)),
+        "id", "score", k = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val expected = Map(
+      "k-2" -> 1.0 / 20, "s-3" -> 1.0 / 20, "g-1" -> 1.0 / 20,
+      "k-3" -> 1.0 / 21, "s-4" -> 1.0 / 21, "g-2" -> 1.0 / 21,
+      "k-1" -> 1.0 / 22, "s-2" -> 1.0 / 22,
+      "s-1" -> 1.0 / 23)
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) =>
+      assert(math.abs(got(id) - e) < 1e-12, s"$id: ${got(id)} vs $e")
+    }
+  }
+
+  test("single non-empty source skips fusion and keeps original scores") {
+    // the reference's base fuse() (rank_fusion.py:74-90): presence is
+    // a property of the RESULT sets — a request shaped for two sources
+    // whose second list came back empty returns the survivor's
+    // original, unweighted scores (upstream vectors: 'only keyword
+    // results (we maintain original scores)')
+    val got = RankFusion.rrf(Seq(("kw", kw, 2.0), ("sem", empty, 1.0)),
+        "id", "score")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got == Map(10L -> (5.0, 1L), 20L -> (3.0, 1L), 30L -> (1.0, 1L)),
+      got.toString)
+    val gotW = RankFusion.weightedCombSum(
+        Seq(("kw", empty, 1.0), ("sem", sem, 3.0)), "id", "score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotW == Map(20L -> 0.9, 40L -> 0.8), gotW.toString)
   }
 
   test("weightedCombSum min-max normalizes each list") {
