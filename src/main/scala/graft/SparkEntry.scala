@@ -2435,7 +2435,83 @@ object SparkEntry {
           filter = Some(FilterExpr.Eq("lang", "en")), topK = 15,
           sort = Some(("n_chars", false)), pageNumber = 1)
         .documents.get
-        .select(col("doc_id"), col("n_chars")))
+        .select(col("doc_id"), col("n_chars"))),
+
+    // §3.4 RAW RETRIEVAL (`/retrieve`, `search/api/v1/retrieve.py`):
+    // find's retrieval core without hydration, RawQuery with
+    // independently-configured keyword + semantic sub-searches, and
+    // per-match SCORE PROVENANCE — current score with source/type plus
+    // the per-source index-score history. Note the surface's OWN
+    // fusion window default min(topK, 500) (`parsers/common.py:228`),
+    // NOT find's 500 — both lists cut to 20 before fusion here
+    "q158_retrieve_raw" -> ((s, dir) => {
+      import graft.api.{Find, Retrieve}
+      val emb = load(s, dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0)
+      Retrieve.retrieve(
+          Find.Corpus(load(s, dir, "documents"), "doc_id", "text", Some(emb),
+            index = Some(graft.sources.IndexStore.tables(s, dir))),
+          Retrieve.RetrievalRequest(
+            query = Retrieve.RawQuery(
+              keyword = Some(Retrieve.KeywordQuery(QueryTerms.mkString(" "))),
+              semantic = Some(Retrieve.SemanticQuery(qv, vectorset = "default"))),
+            topK = 20))
+    }),
+
+    // §3.4 /retrieve with the PREDICT RERANKER: fusion window widens
+    // to the reranker's min(2·topK, 200) (`parsers/retrieve.py:
+    // 143-150`), the fused top-window re-scores under the
+    // cross-encoder stand-in, and provenance reports
+    // source=reranker with the pre-rerank fused score preserved
+    "q159_retrieve_rerank" -> ((s, dir) => {
+      import graft.api.{Find, Retrieve}
+      val emb = load(s, dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0)
+      Retrieve.retrieve(
+          Find.Corpus(load(s, dir, "documents"), "doc_id", "text", Some(emb),
+            index = Some(graft.sources.IndexStore.tables(s, dir))),
+          Retrieve.RetrievalRequest(
+            query = Retrieve.RawQuery(
+              keyword = Some(Retrieve.KeywordQuery(QueryTerms.mkString(" "))),
+              semantic = Some(Retrieve.SemanticQuery(qv, vectorset = "default"))),
+            topK = 20,
+            reranker = Some(Retrieve.PredictReranker())))
+    }),
+
+    // §3.4 RESOURCE-SCOPED search (`/resource/{rid}/search`): BM25
+    // paragraph search restricted to ONE resource — the rid key filter
+    // evaluates on the paragraph id prefix in the posting scan, stats
+    // cover the resource's own paragraphs (filter-then-score), and the
+    // flat page hydrates highlighted text
+    "q160_resource_search" -> ((s, dir) => {
+      import graft.api.{Find, Search}
+      Search.resourceSearch(
+        Find.Corpus(load(s, dir, "documents"), "doc_id", "text",
+          index = Some(graft.sources.IndexStore.tables(s, dir))),
+        rid = 20L, query = QueryTerms.mkString(" "),
+        topK = 20, bm25 = true, highlight = true)
+    }),
+
+    // §3.4 PARAGRAPH-SET HYDRATION (`/hydrate`): two requested body
+    // paragraphs hydrate with text + positional neighbours (1 before /
+    // 2 after within the field), the neighbour paragraphs join the
+    // response text-only, the malformed and the unknown-resource ids
+    // skip silently, and resource titles ride along denormalized
+    "q161_hydrate_paragraphs" -> ((s, dir) => {
+      import graft.api.{Find, Hydrate}
+      Hydrate.paragraphs(
+          Find.Corpus(load(s, dir, "documents"), "doc_id", "text",
+            index = Some(graft.sources.IndexStore.tables(s, dir))),
+          Seq("15/t/body/0-20", "20/t/body/0-20",
+            "bogus", "999999/t/body/0-20"),
+          Hydrate.Hydration(
+            neighbours = Some(Hydrate.Neighbours(before = 1, after = 2)),
+            resourceTitle = true))
+        .withColumn("related_before", concat_ws(",", col("related_before")))
+        .withColumn("related_after", concat_ws(",", col("related_after")))
+    })
   )
 
   // ---------------------------------------------------------------- //
@@ -4797,6 +4873,128 @@ object SparkEntry {
     "q157_catalog_sort_page" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE doc_id % 17 <> 5 AND lang = 'en'
-        |ORDER BY n_chars DESC, doc_id LIMIT 15 OFFSET 15""".stripMargin
+        |ORDER BY n_chars DESC, doc_id LIMIT 15 OFFSET 15""".stripMargin,
+
+    // q158: /retrieve raw query — the surface's own fusion window
+    // min(topK, 500) = 20 cuts BOTH lists before RRF; history columns
+    // carry each id's index score where it appeared (null otherwise);
+    // both sources have results, so source=rank_fusion / type=rrf
+    "q158_retrieve_raw" ->
+      s"""WITH $Bm25Ctes,
+         |kr AS (SELECT doc_id, score, rank FROM (
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm25)
+         |  WHERE rank <= 20),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |sem AS (SELECT e.vec_id AS doc_id, round(${cosSql("e.v", "q.qv")}, 6) AS score
+         |        FROM e CROSS JOIN q),
+         |sr AS (SELECT doc_id, score, rank FROM (
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sem)
+         |  WHERE rank <= 20),
+         |u AS (SELECT doc_id, 1.0 / (59 + rank) AS contrib, score AS ks,
+         |             CAST(NULL AS DOUBLE) AS ss FROM kr
+         |      UNION ALL
+         |      SELECT doc_id, 1.0 / (59 + rank), CAST(NULL AS DOUBLE), score FROM sr),
+         |f AS (SELECT doc_id, round(sum(contrib), 6) AS score,
+         |             max(ks) AS keyword_score, max(ss) AS semantic_score,
+         |             CAST(count(*) AS BIGINT) AS n_sources
+         |      FROM u GROUP BY doc_id)
+         |SELECT doc_id, score, 'rank_fusion' AS score_source, 'rrf' AS score_type,
+         |  keyword_score, semantic_score, CAST(NULL AS DOUBLE) AS graph_score,
+         |  CAST(NULL AS DOUBLE) AS prerank_score, n_sources
+         |FROM f ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q159: /retrieve with the predict reranker — fusion window widens
+    // to min(2·topK, 200) = 40, the fused top-40 re-scores under the
+    // token-Jaccard cross-encoder stand-in (q45's formula), provenance
+    // flips to reranker and prerank_score preserves the fused value
+    "q159_retrieve_rerank" ->
+      s"""WITH $Bm25Ctes,
+         |kr AS (SELECT doc_id, score, rank FROM (
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm25)
+         |  WHERE rank <= 40),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |sem AS (SELECT e.vec_id AS doc_id, round(${cosSql("e.v", "q.qv")}, 6) AS score
+         |        FROM e CROSS JOIN q),
+         |sr AS (SELECT doc_id, score, rank FROM (
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sem)
+         |  WHERE rank <= 40),
+         |u AS (SELECT doc_id, 1.0 / (59 + rank) AS contrib, score AS ks,
+         |             CAST(NULL AS DOUBLE) AS ss FROM kr
+         |      UNION ALL
+         |      SELECT doc_id, 1.0 / (59 + rank), CAST(NULL AS DOUBLE), score FROM sr),
+         |f AS (SELECT doc_id, round(sum(contrib), 6) AS prerank_score,
+         |             max(ks) AS keyword_score, max(ss) AS semantic_score,
+         |             CAST(count(*) AS BIGINT) AS n_sources
+         |      FROM u GROUP BY doc_id),
+         |win AS (SELECT * FROM f ORDER BY prerank_score DESC, doc_id LIMIT 40),
+         |scored AS (SELECT w.*,
+         |             len(list_filter(list_distinct($Tok), x -> list_contains(${sqlList(QueryTerms)}, x))) AS inter,
+         |             len(list_distinct($Tok)) AS uniq
+         |           FROM win w JOIN documents d ON w.doc_id = d.doc_id)
+         |SELECT doc_id,
+         |  round(inter / CAST(${QueryTerms.size} + uniq - inter AS DOUBLE), 6) AS score,
+         |  'reranker' AS score_source, 'reranker' AS score_type,
+         |  keyword_score, semantic_score, CAST(NULL AS DOUBLE) AS graph_score,
+         |  prerank_score, n_sources
+         |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q160: resource-scoped BM25 paragraph search — the key filter
+    // restricts the population FIRST, so n/df/avgdl cover exactly doc
+    // 20's body paragraphs (the engine-wide filter-then-score
+    // contract); highlight marks the query terms on the hydrated page
+    "q160_resource_search" ->
+      s"""WITH ${parCtesFrom("(SELECT * FROM documents WHERE doc_id = 20) src20")},
+         |${parBm25Ctes("par")},
+         |top AS (SELECT paragraph_id, score FROM bm25
+         |        ORDER BY score DESC, paragraph_id LIMIT 20)
+         |SELECT t.paragraph_id, t.score,
+         |  regexp_replace(array_to_string(p.t[p.s+1:p.e], ' '),
+         |    '\\b(${QueryTerms.mkString("|")})\\b', '<mark>\\1</mark>', 'g') AS text
+         |FROM top t JOIN par p USING (paragraph_id)
+         |ORDER BY t.score DESC, t.paragraph_id""".stripMargin,
+
+    // q161: /hydrate — requested rows carry ordered neighbour-id lists
+    // (empty string when the window finds none; concat_ws('') parity),
+    // neighbour rows are text-only, requested-wins dedup, titles =
+    // the corpus's first-five-token title synthesis
+    "q161_hydrate_paragraphs" ->
+      s"""WITH ${parCtesFrom("(SELECT * FROM documents WHERE doc_id IN (15, 20)) srch")},
+         |ranked AS (SELECT doc_id, paragraph_id, s, e, t,
+         |             row_number() OVER (PARTITION BY doc_id ORDER BY s) AS rk
+         |           FROM par),
+         |req AS (SELECT * FROM ranked
+         |        WHERE paragraph_id IN ('15/t/body/0-20', '20/t/body/0-20')),
+         |nb AS (SELECT r.paragraph_id AS src, p.paragraph_id AS nb_id,
+         |              p.rk, r.rk AS r0, p.t, p.s, p.e, p.doc_id
+         |       FROM req r JOIN ranked p ON p.doc_id = r.doc_id
+         |            AND p.rk <> r.rk AND p.rk >= r.rk - 1 AND p.rk <= r.rk + 2),
+         |rel AS (SELECT src,
+         |          COALESCE(string_agg(CASE WHEN rk < r0 THEN nb_id END, ',' ORDER BY rk), '') AS related_before,
+         |          COALESCE(string_agg(CASE WHEN rk > r0 THEN nb_id END, ',' ORDER BY rk), '') AS related_after
+         |        FROM nb GROUP BY src),
+         |reqrows AS (SELECT r.paragraph_id,
+         |    CAST(r.doc_id AS VARCHAR) || '/t/body' AS field,
+         |    CAST(r.doc_id AS VARCHAR) AS rid,
+         |    array_to_string(r.t[r.s+1:r.e], ' ') AS text,
+         |    COALESCE(rel.related_before, '') AS related_before,
+         |    COALESCE(rel.related_after, '') AS related_after,
+         |    TRUE AS requested
+         |  FROM req r LEFT JOIN rel ON rel.src = r.paragraph_id),
+         |nbrows AS (SELECT DISTINCT nb_id AS paragraph_id,
+         |    CAST(doc_id AS VARCHAR) || '/t/body' AS field,
+         |    CAST(doc_id AS VARCHAR) AS rid,
+         |    array_to_string(t[s+1:e], ' ') AS text,
+         |    '' AS related_before, '' AS related_after, FALSE AS requested
+         |  FROM nb WHERE nb_id NOT IN (SELECT paragraph_id FROM req)),
+         |u AS (SELECT * FROM reqrows UNION ALL SELECT * FROM nbrows),
+         |titles AS (SELECT CAST(doc_id AS VARCHAR) AS rid,
+         |             array_to_string(($Tok)[1:5], ' ') AS title
+         |           FROM documents WHERE doc_id IN (15, 20))
+         |SELECT u.paragraph_id, u.field, u.rid, u.text,
+         |  u.related_before, u.related_after, u.requested, t.title
+         |FROM u JOIN titles t USING (rid)
+         |ORDER BY u.requested DESC, u.paragraph_id""".stripMargin
   )
 }

@@ -278,6 +278,30 @@ class Engine(
   def findParagraphs(req: Find.FindRequest): DataFrame =
     Find.findParagraphs(corpus(), req)
 
+  /** `POST /kb/{kbid}/retrieve` — raw retrieval over the same
+    * [[Find.retrievalLists]] core, no hydration, per-match score
+    * provenance (`search/api/v1/retrieve.py:77-139`). */
+  def retrieve(req: Retrieve.RetrievalRequest): DataFrame =
+    Retrieve.retrieve(corpus(), req)
+
+  /** `GET /kb/{kbid}/resource/{rid}/search` — paragraph search scoped
+    * to one resource (`search/api/v1/resource/search.py`). */
+  def resourceSearch(rid: Any, query: String, topK: Int = 20,
+      filter: Option[FilterExpr] = None,
+      fields: Seq[String] = Nil,
+      highlight: Boolean = false,
+      bm25: Boolean = false,
+      withDuplicates: Boolean = false): DataFrame =
+    Search.resourceSearch(corpus(), rid, query, topK, filter, fields,
+      highlight, bm25, withDuplicates)
+
+  /** `POST /kb/{kbid}/hydrate` — hydrate a paragraph-id set with
+    * optional positional-neighbour expansion
+    * (`search/api/v1/hydrate.py`). */
+  def hydrate(ids: Seq[String],
+      h: Hydrate.Hydration = Hydrate.Hydration()): DataFrame =
+    Hydrate.paragraphs(corpus(), ids, h)
+
   /** `GET /kb/{kbid}/search` — multi-list response (SURVEY §3.2). */
   def search(req: Search.SearchRequest): Search.SearchResponse =
     Search.search(docs, docId, textCol, labelsCol,
@@ -748,6 +772,15 @@ final class StreamEngine private[api] (
     withSnapshot(super.find(req))
   override def findParagraphs(req: Find.FindRequest): DataFrame =
     withSnapshot(super.findParagraphs(req))
+  override def retrieve(req: Retrieve.RetrievalRequest): DataFrame =
+    withSnapshot(super.retrieve(req))
+  override def resourceSearch(rid: Any, query: String, topK: Int,
+      filter: Option[FilterExpr], fields: Seq[String],
+      highlight: Boolean, bm25: Boolean, withDuplicates: Boolean): DataFrame =
+    withSnapshot(super.resourceSearch(rid, query, topK, filter, fields,
+      highlight, bm25, withDuplicates))
+  override def hydrate(ids: Seq[String], h: Hydrate.Hydration): DataFrame =
+    withSnapshot(super.hydrate(ids, h))
   override def search(req: Search.SearchRequest): Search.SearchResponse =
     withSnapshot(super.search(req))
   override def suggest(query: String, topK: Int,

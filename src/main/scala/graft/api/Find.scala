@@ -225,6 +225,22 @@ object Find {
     * text, ordered (score desc, id asc), limited to topK.
     */
   def find(corpus: Corpus, req: FindRequest): DataFrame = {
+    val (parsed, terms, lists) = retrievalLists(corpus, req)
+    findFromLists(corpus, req, parsed, terms, lists)
+  }
+
+  /** The retrieval core shared by [[find]] and [[Retrieve.retrieve]] —
+    * the reference's `text_block_search` (`search/search/retrieval.py:
+    * 45-79`, one function serving BOTH /find and /retrieve): parse the
+    * query, prefilter, and build the per-index scored lists (keyword
+    * BM25, semantic ANN, graph provenance), each named with its fusion
+    * weight. Consumers decide the response shape — [[find]] fuses,
+    * cuts and hydrates; [[Retrieve.retrieve]] fuses and reports score
+    * provenance without hydration.
+    */
+  private[api] def retrievalLists(
+      corpus: Corpus,
+      req: FindRequest): (QueryParser.ParsedQuery, Seq[String], Seq[(String, DataFrame, Double)]) = {
     val parsed = QueryParser.parse(req.query)
     val terms = Synonyms.expand(parsed.terms, req.synonyms)
 
@@ -487,11 +503,23 @@ object Find {
       restricted.withColumn("score", lit(1.0))
     }
 
-    // 5. fusion
     val lists = Seq(
       keywordList.map(("keyword", _, req.keywordWeight)),
       semanticList.map(("semantic", _, req.semanticWeight)),
       graphList.map(("graph", _, req.graphWeight))).flatten
+    (parsed, terms, lists)
+  }
+
+  /** Fusion + page cut + hydration over already-built retrieval lists
+    * — [[find]] steps 5-7, split out so the list-building core above
+    * stays shared with the raw-retrieval surface. */
+  private def findFromLists(
+      corpus: Corpus,
+      req: FindRequest,
+      parsed: QueryParser.ParsedQuery,
+      terms: Seq[String],
+      lists: Seq[(String, DataFrame, Double)]): DataFrame = {
+    // 5. fusion
     require(lists.nonEmpty,
       "find needs a keyword query, a query vector, or a graph query")
     val fused =

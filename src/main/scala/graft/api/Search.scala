@@ -1,9 +1,9 @@
 package graft.api
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Bm25
+import graft.functions.{Bm25, TextFunctions}
 import graft.operators.{Facets, FilterExpr, TopK}
 
 /** Classic `/search` endpoint analog (SURVEY §3.2): unlike find, the
@@ -180,5 +180,158 @@ object Search {
     }
 
     SearchResponse(docList, parList, facetDf)
+  }
+
+  /** `GET /kb/{kbid}/resource/{rid}/search` — paragraph search scoped
+    * to ONE resource (`search/api/v1/resource/search.py:59-123`):
+    * `paragraph_query_to_pb` AND-s a resource-id key filter into the
+    * field filter (`search/search/query.py:108-110`), label/date/field
+    * params ride the old-filter path, and the response is the flat
+    * merged paragraph list at min_score 0 ordered by SCORE — the
+    * endpoint's `sort`/`sort_order` params are accepted but never
+    * reach the proto (`query.py:52-53` unused in the builder) and the
+    * merge re-sorts by score regardless (`merge.py:560-571`), so this
+    * API doesn't take them.
+    *
+    * Scale shape: the rid restriction applies FIRST — an id-prefix
+    * predicate in the same codegen stage as the posting/paragraph scan
+    * (the id embeds its resource as `{rid}/{ftype}/{fid}/…` by
+    * construction) — so every later stage touches one resource's rows,
+    * never the corpus; the doc-level filter evaluates on the single
+    * resource row and prunes the whole request when it fails.
+    *
+    * @param bm25 score like the reference (tantivy BM25 over the
+    *             at-rest paragraph postings; stats follow the filtered
+    *             population per the engine-wide filter-then-score
+    *             contract) — default matched-term count, the same
+    *             duality as [[Find.findParagraphs]]
+    * @return (paragraph_id, score, text) ordered (score desc, id asc),
+    *         limited to topK; text carries `<mark>` spans when
+    *         `highlight`
+    */
+  def resourceSearch(
+      corpus: Find.Corpus,
+      rid: Any,
+      query: String,
+      topK: Int = 20,
+      filter: Option[FilterExpr] = None,
+      fields: Seq[String] = Nil,
+      highlight: Boolean = false,
+      bm25: Boolean = false,
+      withDuplicates: Boolean = false): DataFrame = {
+    val parsed = QueryParser.parse(query)
+    val terms = parsed.terms
+    require(terms.nonEmpty, "resource search needs keyword terms")
+    val ix = corpus.index.getOrElse(throw new IllegalArgumentException(
+      "resource search needs a bound index — run buildIndex/ingest"))
+
+    // the doc-level filter (labels / dates / security leaves) evaluates
+    // on the ONE resource row; a filtered-out or unknown rid yields an
+    // empty page through the semi-join below
+    val docAllowed = filter
+      .map(f => corpus.docs.where(FilterExpr.compile(f, corpus.filterBindings)))
+      .getOrElse(corpus.docs)
+      .where(col(corpus.docId) === lit(rid))
+      .select(col(corpus.docId).cast("string").as("__rid"))
+
+    // field specs + the key filter evaluate on the id's embedded
+    // segments — same predicate shape as findParagraphs' BM25 path
+    def part(i: Int) = split(col("paragraph_id"), "/").getItem(i)
+    val specs = OldFilters.fieldSpecs(fields)
+    val fieldPred: Option[Column] = specs.map {
+      case (ftype, Some(fid)) => part(1) === ftype && part(2) === fid
+      case (ftype, None) => part(1) === ftype
+    }.reduceOption(_ || _)
+    val ridPred = part(0) === lit(String.valueOf(rid))
+
+    // searched rows = body table rows (t/body) plus the non-body field
+    // rows, exactly when a spec can match them
+    val needBody = specs.isEmpty ||
+      specs.exists { case (t, id) => t == "t" && id.forall(_ == "body") }
+    val needField = specs.nonEmpty &&
+      !specs.forall { case (t, id) => t == "t" && id.contains("body") }
+
+    def restrict(df: DataFrame): DataFrame = {
+      val keyed = fieldPred.map(p => df.where(ridPred && p))
+        .getOrElse(df.where(ridPred))
+      Find.excludeRepeated(keyed, withDuplicates)
+        .join(docAllowed, part(0) === col("__rid"), "left_semi")
+    }
+
+    val scored =
+      if (bm25) {
+        val pairs =
+          (if (needBody) Seq((ix.parPostings.getOrElse(throw new
+              IllegalArgumentException("BM25 resource search needs the " +
+                "paragraph posting tables — rebuild the index")),
+            ix.parDocLengths.get)) else Nil) ++
+          (if (needField) Seq((ix.fieldParPostings.getOrElse(throw new
+              IllegalArgumentException("field-restricted BM25 resource " +
+                "search needs the field posting tables — rebuild the index")),
+            ix.fieldParDocLengths.get)) else Nil)
+        val (post0, dls0) = pairs.reduce[(DataFrame, DataFrame)] {
+          case ((p1, d1), (p2, d2)) => (p1.unionByName(p2), d1.unionByName(d2))
+        }
+        val post = restrict(post0)
+        val withoutExcl =
+          if (parsed.excluded.isEmpty) (post, restrict(dls0))
+          else {
+            val hasExcluded = post
+              .where(col("term").isInCollection(parsed.excluded))
+              .select("paragraph_id").distinct()
+            (post.join(hasExcluded, Seq("paragraph_id"), "left_anti"),
+              restrict(dls0).join(hasExcluded, Seq("paragraph_id"), "left_anti"))
+          }
+        Bm25.scoreFromPostings(withoutExcl._1, withoutExcl._2,
+            "paragraph_id", terms)
+          .withColumn("score", round(col("score"), 4))
+      } else {
+        val bodyTab = ix.paragraphs
+          .select(col("paragraph_id"), col("p_text"),
+            (if (ix.paragraphs.columns.contains("repeated_in_field"))
+               col("repeated_in_field")
+             else lit(null).cast("boolean").as("repeated_in_field")))
+        val parTab =
+          if (!needField) bodyTab
+          else bodyTab.unionByName(ix.fieldParagraphs.getOrElse(throw new
+              IllegalArgumentException("field-restricted resource search " +
+                "needs the field_paragraphs table — rebuild the index"))
+            .where(!(col("field_type") === "t" && col("field_id") === "body"))
+            .select(col("paragraph_id"), col("p_text"),
+              (if (ix.fieldParagraphs.get.columns.contains("repeated_in_field"))
+                 col("repeated_in_field")
+               else lit(null).cast("boolean").as("repeated_in_field"))))
+        val excl = parsed.excluded
+          .map(t => !array_contains(TextFunctions.tokens(col("p_text")), t))
+          .foldLeft(lit(true))(_ && _)
+        restrict(parTab).where(excl)
+          .withColumn("score",
+            size(org.apache.spark.sql.functions.filter(
+              TextFunctions.tokens(col("p_text")),
+              t => t.isInCollection(terms))).cast("double"))
+          .where(col("score") > 0)
+      }
+
+    // hydrate text on the CUT page only (BM25 rows carry no text);
+    // marking mirrors the /search paragraph list
+    val page = scored.select("paragraph_id", "score")
+      .orderBy(col("score").desc, col("paragraph_id").asc)
+      .limit(topK)
+    val parText = {
+      val bodyTab = ix.paragraphs.select(col("paragraph_id"), col("p_text"))
+      if (!needField) bodyTab
+      else bodyTab.unionByName(ix.fieldParagraphs.get
+        .where(!(col("field_type") === "t" && col("field_id") === "body"))
+        .select(col("paragraph_id"), col("p_text")))
+    }
+    val phraseToks = parsed.phrases
+      .map(_.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
+    val hydrated = page.join(parText, Seq("paragraph_id"), "left")
+      .withColumn("text",
+        if (highlight)
+          TextFunctions.highlightWithPhrases(col("p_text"), phraseToks, terms)
+        else col("p_text"))
+      .drop("p_text")
+    hydrated.orderBy(col("score").desc, col("paragraph_id").asc)
   }
 }

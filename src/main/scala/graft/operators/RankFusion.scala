@@ -50,7 +50,50 @@ object RankFusion {
       idCol: String,
       scoreCol: String,
       k: Int = DefaultK,
+      window: Int = MaxWindow): DataFrame =
+    rrfFused(lists, idCol, scoreCol, k, window)
+      .select(col(idCol),
+        when(col("__nl") === 1, col("__orig_max"))
+          .otherwise(col("__rrf")).as("rrf_score"),
+        col("n_sources"))
+
+  /** [[rrf]] plus score PROVENANCE — the raw-retrieval (/retrieve)
+    * response shape (`nucliadb_models/retrieval.py:154-240` Scores:
+    * current value + per-source history): one `score_<name>` column
+    * per input list holds the id's ORIGINAL index score there (null
+    * when the id didn't appear in that list), and `n_present_sources`
+    * is the GLOBAL count of lists with any results — the `fuse()`
+    * skip predicate (`rank_fusion.py:74-90`), letting the caller tell
+    * a fused score (source=rank_fusion) from a single-source
+    * passthrough (source=index). Fusion semantics identical to [[rrf]]
+    * (shared cut/rank/skip core).
+    */
+  def rrfWithScores(
+      lists: Seq[(String, DataFrame, Double)],
+      idCol: String,
+      scoreCol: String,
+      k: Int = DefaultK,
       window: Int = MaxWindow): DataFrame = {
+    val srcSel = lists.map { case (name, _, _) => col(s"score_$name") }
+    rrfFused(lists, idCol, scoreCol, k, window)
+      .select(Seq(col(idCol),
+        when(col("__nl") === 1, col("__orig_max"))
+          .otherwise(col("__rrf")).as("rrf_score"),
+        col("n_sources"),
+        col("__nl").cast("long").as("n_present_sources")) ++ srcSel: _*)
+  }
+
+  /** Shared RRF internals: cut + rank each list, union, and aggregate
+    * the fused score, the single-nonempty-source skip resolution
+    * inputs, and the per-source score pivots. */
+  private def rrfFused(
+      lists: Seq[(String, DataFrame, Double)],
+      idCol: String,
+      scoreCol: String,
+      k: Int,
+      window: Int): DataFrame = {
+    require(lists.map(_._1).distinct.size == lists.size,
+      "rank-fusion source names must be distinct")
     // rank is 0-BASED like the reference's enumerate (`rank_fusion.py:
     // 161-165` — the top item contributes 1/(k+0), pinned by the
     // upstream unit vectors); row_number() is 1-based, hence the -1
@@ -71,16 +114,15 @@ object RankFusion {
       .withColumn("__n_lists",
         size(collect_set(col("__list")).over(
           Window.partitionBy(TopK.constPartitionKey(col(idCol))))))
+    val srcAggs = lists.zipWithIndex.map { case ((name, _, _), i) =>
+      max(when(col("__list") === i, col("__orig"))).as(s"score_$name")
+    }
     unioned
       .groupBy(idCol)
       .agg(sum("contrib").as("__rrf"),
-        max(col("__orig")).as("__orig_max"),
-        max(col("__n_lists")).as("__nl"),
-        count(lit(1)).as("n_sources"))
-      .select(col(idCol),
-        when(col("__nl") === 1, col("__orig_max"))
-          .otherwise(col("__rrf")).as("rrf_score"),
-        col("n_sources"))
+        (Seq(max(col("__orig")).as("__orig_max"),
+          max(col("__n_lists")).as("__nl"),
+          count(lit(1)).as("n_sources")) ++ srcAggs): _*)
   }
 
   /** Weighted CombSum with per-list min-max normalization:
