@@ -2511,6 +2511,208 @@ object SparkEntry {
             resourceTitle = true))
         .withColumn("related_before", concat_ws(",", col("related_before")))
         .withColumn("related_after", concat_ws(",", col("related_after")))
+    }),
+
+    // §3.4 /augment RESOURCE props (`search/api/v1/augment.py`,
+    // `augmentor/resources.py`): two augment entries over overlapping
+    // rid sets — the per-rid prop-UNION merge (augmentor.py setdefault
+    // + extend) fills title+labels from one entry and summary/security/
+    // origin from the other; the unknown rid skips silently
+    "q162_augment_resources" -> ((s, dir) => {
+      import graft.api.{Augment, Find}
+      val docs = load(s, dir, "documents")
+        .withColumn("summary",
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 8)))
+        .withColumn("labels", array(
+          concat(lit("/l/lang/"), col("lang")),
+          concat(lit("/l/src/"), col("source"))))
+        .withColumn("security_groups", array(col("source")))
+      Augment.augment(
+          Find.Corpus(docs, "doc_id", "text"),
+          Augment.AugmentRequest(resources = Seq(
+            Augment.ResourceAugment(given = Seq("0", "97", "194", "999999"),
+              title = true, classificationLabels = true),
+            Augment.ResourceAugment(given = Seq("97", "291"),
+              summary = true, security = true, origin = true))),
+          bind = Augment.Bindings(summaryCol = Some("summary"),
+            originCol = Some("source")))
+        .resources
+        .select(col("rid"), col("title"), col("summary"),
+          array_join(col("labels"), "|").as("labels"),
+          array_join(col("security"), "|").as("security"), col("origin"))
+        .orderBy("rid")
+    }),
+
+    // §3.4 /augment FIELD props (`augmentor/fields.py:178-206`): field
+    // text + resource-grain classification labels + DETECTED entities
+    // (whole-token dictionary containment, the q92 values-in-text
+    // contract) over explicit field ids; the unknown-resource,
+    // unknown-field and malformed ids skip
+    "q163_augment_fields" -> ((s, dir) => {
+      import graft.api.{Augment, Find}
+      val docs = load(s, dir, "documents")
+        .withColumn("labels", array(
+          concat(lit("/l/lang/"), col("lang")),
+          concat(lit("/l/src/"), col("source"))))
+      val entities = s.createDataFrame(Seq(
+        Tuple1("spark"), Tuple1("scan"), Tuple1("key agg"), Tuple1("zebra")))
+        .toDF("value")
+      Augment.augment(
+          Find.Corpus(docs, "doc_id", "text"),
+          Augment.AugmentRequest(fields = Seq(
+            Augment.FieldAugment(
+              given = Seq("42/t/body", "42/a/title", "123/t/body",
+                "7/a/title", "999999/t/body", "bad"),
+              text = true, classificationLabels = true, entities = true))),
+          bind = Augment.Bindings(entityNodes = Some((entities, "value"))))
+        .fields
+        .select(col("rid"), col("field_type"), col("field_id"), col("text"),
+          array_join(col("labels"), "|").as("labels"),
+          array_join(col("entities"), "|").as("entities"))
+        .orderBy(col("rid").cast("int"), col("field_type"), col("field_id"))
+    }),
+
+    // §3.4 /augment CONVERSATION selectors (`augmentor/fields.py:
+    // 568-727`): one messages frame covering the selector surface —
+    // full conversation, first + centered window, answer-or-after from
+    // a QUESTION (first later ANSWER) and from a plain message (the
+    // 15-after expansion), and single-message text on a split id; a
+    // message selected twice dedups on its (conversation, split) key
+    "q164_augment_conversation" -> ((s, dir) => {
+      import graft.api.{Augment, Find}
+      val docs = load(s, dir, "documents")
+      val msgs = docs.where(col("doc_id") % 7 === 0)
+        .withColumn("__t", TextFunctions.tokens(col("text")))
+        .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("split"),
+          col("__t"))
+        .select(col("doc_id"), lit("chat").as("field_id"), col("split"),
+          when(col("split") === 0, "QUESTION")
+            .when(col("split") === 1, "ANSWER")
+            .otherwise("OTHER").as("mtype"),
+          concat_ws(" ", slice(col("__t"), col("split") * 5 + 1, lit(5)))
+            .as("mtext"))
+      Augment.augment(
+          Find.Corpus(docs, "doc_id", "text"),
+          Augment.AugmentRequest(fields = Seq(
+            Augment.FieldAugment(given = Seq("0/c/chat"),
+              fullConversation = true),
+            Augment.FieldAugment(given = Seq("7/c/chat/1"),
+              maxConversationMessages = Some(3)),
+            Augment.FieldAugment(given = Seq("14/c/chat/0"),
+              conversationAnswerOrAfter = true),
+            Augment.FieldAugment(given = Seq("21/c/chat/2"),
+              conversationAnswerOrAfter = true),
+            Augment.FieldAugment(given = Seq("28/c/chat/2"), text = true))),
+          conversations = Some(Augment.ConversationStore(msgs, "doc_id",
+            "field_id", "split", "mtext", mtypeCol = Some("mtype"))))
+        .messages
+        .orderBy(col("rid").cast("int"), col("split").cast("int"))
+    }),
+
+    // §3.4 /ask FULL-RESOURCE rag strategy (`chat/prompt.py:278-352`):
+    // the top-`count` resources of the page (first-appearance order)
+    // replace their hit paragraphs with whole-field blocks; the other
+    // resources' hits re-append in hit order (include_remaining)
+    "q165_ask_full_resource" -> ((s, dir) => {
+      import graft.api.{Find, PromptContext}
+      val ix = graft.sources.IndexStore.tables(s, dir)
+      val hits = ix.paragraphs.where(col("doc_id").isin(3, 5, 8))
+        .select(col("paragraph_id"), col("p_text").as("text"),
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("start"), col("doc_id"))) - 1).cast("long")
+            .as("order"))
+      PromptContext.build(
+        Find.Corpus(load(s, dir, "documents"), "doc_id", "text",
+          index = Some(ix)),
+        hits, PromptContext.FullResource(count = 2,
+          includeRemainingTextBlocks = true))
+    }),
+
+    // §3.4 /ask HIERARCHY rag strategy (`chat/prompt.py:960-1067`):
+    // each resource's hits fold into ONE composed block at the first
+    // hit's slot — DOCUMENT/SUMMARY headers + the extended (tail
+    // +5-token) paragraph texts in hit order; later hits drop
+    "q166_ask_hierarchy" -> ((s, dir) => {
+      import graft.api.{Find, PromptContext}
+      val ix = graft.sources.IndexStore.tables(s, dir)
+      val hits = ix.paragraphs.where(col("doc_id").isin(3, 5, 8))
+        .select(col("paragraph_id"), col("p_text").as("text"),
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("start"), col("doc_id"))) - 1).cast("long")
+            .as("order"))
+      PromptContext.build(
+        Find.Corpus(load(s, dir, "documents"), "doc_id", "text",
+          index = Some(ix)),
+        hits, PromptContext.Hierarchy(extraTokens = 5))
+    }),
+
+    // §3.4 /ask FIELD-EXTENSION rag strategy + the context CAP
+    // (`chat/prompt.py:577-625`, CappedPromptContext.cap:132-161): the
+    // a/title field of every hit resource prepends in rid order, the
+    // hits append after, and the 800-char cap drops whole tail blocks
+    // while removal stays over the limit then trims the boundary block
+    "q167_ask_field_extension" -> ((s, dir) => {
+      import graft.api.{Find, PromptContext}
+      val ix = graft.sources.IndexStore.tables(s, dir)
+      val hits = ix.paragraphs.where(col("doc_id").isin(3, 5, 8))
+        .select(col("paragraph_id"), col("p_text").as("text"),
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("start"), col("doc_id"))) - 1).cast("long")
+            .as("order"))
+      PromptContext.build(
+        Find.Corpus(load(s, dir, "documents"), "doc_id", "text",
+          index = Some(ix)),
+        hits, PromptContext.FieldExtension(fields = Seq("a/title")),
+        maxSize = Some(800L))
+    }),
+
+    // §3.4 /ask NEIGHBOURING-PARAGRAPHS rag strategy
+    // (`chat/prompt.py:672-767`): each hit enters first, then its
+    // ±1 positional field neighbours in rank order; a block already
+    // inserted never re-inserts (dict keep-first)
+    "q168_ask_neighbouring" -> ((s, dir) => {
+      import graft.api.{Find, PromptContext}
+      val ix = graft.sources.IndexStore.tables(s, dir)
+      val hits = ix.paragraphs
+        .where(col("doc_id").isin(3, 8) && col("start") === 20)
+        .select(col("paragraph_id"), col("p_text").as("text"),
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("doc_id"))) - 1).cast("long").as("order"))
+      PromptContext.build(
+        Find.Corpus(load(s, dir, "documents"), "doc_id", "text",
+          index = Some(ix)),
+        hits, PromptContext.Neighbouring(before = 1, after = 1))
+    }),
+
+    // §3.4 /ask CONVERSATIONAL rag strategy (`chat/prompt.py:803-958`):
+    // each conversation hit enters, then its field expands ONCE — the
+    // first message plus the deque window of 3 around the hit's split;
+    // message blocks key {rid}/c/{fid}/{ident}/0-{len} and a block
+    // already inserted (the hit itself) never re-inserts
+    "q169_ask_conversational" -> ((s, dir) => {
+      import graft.api.{Augment, Find, PromptContext}
+      val docs = load(s, dir, "documents")
+      val msgs = docs.where(col("doc_id") % 7 === 0)
+        .withColumn("__t", TextFunctions.tokens(col("text")))
+        .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("split"),
+          col("__t"))
+        .select(col("doc_id"), lit("chat").as("field_id"), col("split"),
+          concat_ws(" ", slice(col("__t"), col("split") * 5 + 1, lit(5)))
+            .as("mtext"))
+      val hits = msgs.where(
+          (col("doc_id") === 7 && col("split") === 1) ||
+            (col("doc_id") === 14 && col("split") === 2))
+        .select(
+          concat(col("doc_id"), lit("/c/chat/"), col("split"), lit("/0-"),
+            length(col("mtext"))).as("paragraph_id"),
+          col("mtext").as("text"),
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("doc_id"))) - 1).cast("long").as("order"))
+      PromptContext.build(
+        Find.Corpus(docs, "doc_id", "text"),
+        hits, PromptContext.Conversational(maxMessages = 3),
+        conversations = Some(Augment.ConversationStore(msgs, "doc_id",
+          "field_id", "split", "mtext")))
     })
   )
 
@@ -4995,6 +5197,259 @@ object SparkEntry {
          |SELECT u.paragraph_id, u.field, u.rid, u.text,
          |  u.related_before, u.related_after, u.requested, t.title
          |FROM u JOIN titles t USING (rid)
-         |ORDER BY u.requested DESC, u.paragraph_id""".stripMargin
+         |ORDER BY u.requested DESC, u.paragraph_id""".stripMargin,
+
+    // q162: per-entry prop projections FULL OUTER merged per rid (the
+    // augmentor's per-rid select-union); unknown rid 999999 drops out
+    "q162_augment_resources" ->
+      s"""WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS rid, lang, source,
+         |             $Tok AS t
+         |           FROM documents),
+         |e1 AS (SELECT rid, array_to_string(t[1:5], ' ') AS title,
+         |         '/l/lang/' || lang || '|' || '/l/src/' || source AS labels
+         |       FROM d WHERE rid IN ('0', '97', '194', '999999')),
+         |e2 AS (SELECT rid, array_to_string(t[1:8], ' ') AS summary,
+         |         source AS security, source AS origin
+         |       FROM d WHERE rid IN ('97', '291'))
+         |SELECT coalesce(e1.rid, e2.rid) AS rid, title, summary, labels,
+         |  security, origin
+         |FROM e1 FULL OUTER JOIN e2 ON e1.rid = e2.rid
+         |ORDER BY rid""".stripMargin,
+
+    // q163: field synthesis (t/body raw text, a/title first-5-token) ×
+    // whole-token dictionary containment; labels resource-grain
+    "q163_augment_fields" ->
+      s"""WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS rid, text, lang,
+         |             source, $Tok AS t
+         |           FROM documents),
+         |flds AS (
+         |  SELECT rid, 't' AS field_type, 'body' AS field_id, text AS f_text
+         |  FROM d WHERE rid IN ('42', '123')
+         |  UNION ALL
+         |  SELECT rid, 'a', 'title', array_to_string(t[1:5], ' ')
+         |  FROM d WHERE rid IN ('42', '7')),
+         |ents AS (SELECT f.rid, f.field_type, f.field_id,
+         |    array_to_string(list(e.v ORDER BY e.v), '|') AS entities
+         |  FROM flds f JOIN (VALUES ('spark'), ('scan'), ('key agg'),
+         |      ('zebra')) e(v)
+         |    ON position(' ' || e.v || ' ' IN ' ' || f.f_text || ' ') > 0
+         |  GROUP BY 1, 2, 3)
+         |SELECT f.rid, f.field_type, f.field_id, f.f_text AS text,
+         |  '/l/lang/' || d.lang || '|' || '/l/src/' || d.source AS labels,
+         |  e.entities
+         |FROM flds f JOIN d USING (rid)
+         |  LEFT JOIN ents e USING (rid, field_type, field_id)
+         |ORDER BY CAST(rid AS INT), field_type, field_id""".stripMargin,
+
+    // q164: the conversation selectors computed from the same message
+    // derivation as q130 — full, anchor-window (deque end = anchor +
+    // (n-1)/2 capped at the tail) + first, answer-or-after both ways,
+    // single message; DISTINCT is the (page,index)-keyed merge
+    "q164_augment_conversation" ->
+      s"""WITH toksd AS (SELECT doc_id, $Tok AS t FROM documents
+         |               WHERE doc_id % 7 = 0),
+         |msgs AS (SELECT CAST(doc_id AS VARCHAR) AS rid, 'chat' AS fid,
+         |    s.split,
+         |    CASE s.split WHEN 0 THEN 'QUESTION' WHEN 1 THEN 'ANSWER'
+         |      ELSE 'OTHER' END AS mtype,
+         |    coalesce(array_to_string(t[s.split * 5 + 1 : s.split * 5 + 5], ' '), '') AS mtext,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY s.split) AS rnk
+         |  FROM toksd CROSS JOIN (SELECT unnest(range(4)) AS split) s),
+         |f AS (SELECT rid, fid, split, mtext FROM msgs WHERE rid = '0'),
+         |w AS (SELECT m.rid, m.fid, m.split, m.mtext
+         |      FROM msgs m,
+         |        (SELECT rnk AS ar FROM msgs WHERE rid = '7' AND split = 1) a,
+         |        (SELECT max(rnk) AS mr FROM msgs WHERE rid = '7') x
+         |      WHERE m.rid = '7' AND m.rnk > least(a.ar + 1, x.mr) - 3
+         |        AND m.rnk <= least(a.ar + 1, x.mr)),
+         |wf AS (SELECT rid, fid, split, mtext FROM msgs
+         |       WHERE rid = '7' AND rnk = 1),
+         |a1 AS (SELECT rid, fid, split, mtext FROM (
+         |        SELECT *, row_number() OVER (ORDER BY split) AS rn
+         |        FROM msgs WHERE rid = '14' AND split > 0
+         |          AND mtype = 'ANSWER')
+         |       WHERE rn = 1),
+         |a2 AS (SELECT rid, fid, split, mtext FROM (
+         |        SELECT *, row_number() OVER (ORDER BY split) AS rn
+         |        FROM msgs WHERE rid = '21' AND split > 2)
+         |       WHERE rn <= 15),
+         |s1 AS (SELECT rid, fid, split, mtext FROM msgs
+         |       WHERE rid = '28' AND split = 2)
+         |SELECT DISTINCT rid, fid AS field_id, CAST(split AS VARCHAR) AS split,
+         |  mtext
+         |FROM (SELECT * FROM f UNION ALL SELECT * FROM w
+         |      UNION ALL SELECT * FROM wf UNION ALL SELECT * FROM a1
+         |      UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM s1)
+         |ORDER BY CAST(rid AS INT), CAST(split AS INT)""".stripMargin,
+
+    // q165: pre-inserted hits of the NON-kept resource stay in place;
+    // the top-2 resources' whole-field blocks (t/body then a/title)
+    // append at the end
+    "q165_ask_full_resource" ->
+      s"""WITH ${parCtesFrom("(SELECT * FROM documents WHERE doc_id IN (3, 5, 8)) srch")},
+         |hits AS (SELECT paragraph_id, doc_id, t, s, e,
+         |    array_to_string(t[s+1:e], ' ') AS text,
+         |    row_number() OVER (ORDER BY s, doc_id) - 1 AS ord
+         |  FROM par),
+         |kept AS (SELECT doc_id, row_number() OVER (ORDER BY m) - 1 AS rnk
+         |         FROM (SELECT doc_id, min(ord) AS m FROM hits GROUP BY doc_id)
+         |         ORDER BY m LIMIT 2),
+         |fb AS (
+         |  SELECT CAST(k.doc_id AS VARCHAR) || '/t/body' AS block_id,
+         |    d.text AS text, 1000000 + k.rnk * 10 AS seq
+         |  FROM kept k JOIN documents d USING (doc_id)
+         |  UNION ALL
+         |  SELECT CAST(k.doc_id AS VARCHAR) || '/a/title',
+         |    array_to_string(td.t[1:5], ' '), 1000000 + k.rnk * 10 + 1
+         |  FROM kept k JOIN toksd td USING (doc_id)),
+         |rem AS (SELECT paragraph_id AS block_id, text, ord AS seq
+         |        FROM hits
+         |        WHERE doc_id NOT IN (SELECT doc_id FROM kept)),
+         |u AS (SELECT * FROM fb UNION ALL SELECT * FROM rem)
+         |SELECT block_id, text,
+         |  CAST(row_number() OVER (ORDER BY seq, block_id) AS INT) AS pos
+         |FROM u ORDER BY pos""".stripMargin,
+
+    // q166: per-rid composed hierarchy block REWRITES the first hit's
+    // slot — title header + tail-extended (+5 tokens) hit texts in hit
+    // order, python-strip'd; the resource's other hits keep their
+    // pre-inserted plain blocks in place
+    "q166_ask_hierarchy" ->
+      s"""WITH ${parCtesFrom("(SELECT * FROM documents WHERE doc_id IN (3, 5, 8)) srch")},
+         |hits AS (SELECT paragraph_id, doc_id, t, s, e,
+         |    row_number() OVER (ORDER BY s, doc_id) - 1 AS ord
+         |  FROM par),
+         |exts AS (SELECT doc_id, ord, paragraph_id,
+         |    e'\\n EXTRACTED BLOCK: \\n ' ||
+         |      array_to_string(t[s+1:e+5], ' ') || e' \\n\\n ' AS part,
+         |    array_to_string(t[1:5], ' ') AS title
+         |  FROM hits),
+         |grp AS (SELECT doc_id,
+         |    string_agg(part, '' ORDER BY ord) AS twh,
+         |    min(ord) AS first_ord
+         |  FROM exts GROUP BY doc_id),
+         |firsts AS (SELECT e.paragraph_id AS block_id,
+         |    regexp_replace(regexp_replace(
+         |      'DOCUMENT: ' || e.title || e' \\n SUMMARY: ' ||
+         |        e' \\n RESOURCE CONTENT: ' || g.twh,
+         |      '^\\s+', ''), '\\s+$$', '') AS text,
+         |    g.first_ord AS seq
+         |  FROM exts e JOIN grp g
+         |    ON e.doc_id = g.doc_id AND e.ord = g.first_ord),
+         |plain AS (SELECT h.paragraph_id AS block_id,
+         |    array_to_string(h.t[h.s+1:h.e], ' ') AS text, h.ord AS seq
+         |  FROM hits h JOIN grp g ON h.doc_id = g.doc_id
+         |  WHERE h.ord <> g.first_ord)
+         |SELECT block_id, text,
+         |  CAST(row_number() OVER (ORDER BY seq) AS INT) AS pos
+         |FROM (SELECT * FROM firsts UNION ALL SELECT * FROM plain)
+         |ORDER BY pos""".stripMargin,
+
+    // q167: hits keep their relevance slots, a/title extension blocks
+    // append in rid order, then the 800-char cap — running sum P over
+    // insertion order: keep when P<=800, trim to (800-P_prev) at the
+    // boundary, drop the rest
+    "q167_ask_field_extension" ->
+      s"""WITH ${parCtesFrom("(SELECT * FROM documents WHERE doc_id IN (3, 5, 8)) srch")},
+         |hits AS (SELECT paragraph_id, doc_id, t, s, e,
+         |    array_to_string(t[s+1:e], ' ') AS text,
+         |    row_number() OVER (ORDER BY s, doc_id) - 1 AS ord
+         |  FROM par),
+         |rids AS (SELECT doc_id, row_number() OVER (ORDER BY m) - 1 AS rnk
+         |         FROM (SELECT doc_id, min(ord) AS m FROM hits GROUP BY doc_id)),
+         |fb AS (SELECT CAST(r.doc_id AS VARCHAR) || '/a/title' AS block_id,
+         |    array_to_string(td.t[1:5], ' ') AS text,
+         |    1000000 + r.rnk * 100 AS seq
+         |  FROM rids r JOIN toksd td USING (doc_id)),
+         |pb AS (SELECT paragraph_id AS block_id, text, ord AS seq
+         |       FROM hits),
+         |ordered AS (SELECT block_id, text,
+         |    row_number() OVER (ORDER BY seq, block_id) AS pos0
+         |  FROM (SELECT * FROM fb UNION ALL SELECT * FROM pb)),
+         |sums AS (SELECT block_id, text, pos0,
+         |    sum(len(text)) OVER (ORDER BY pos0) AS p,
+         |    sum(len(text)) OVER (ORDER BY pos0) - len(text) AS p0
+         |  FROM ordered)
+         |SELECT block_id,
+         |  CASE WHEN p <= 800 THEN text
+         |       ELSE substr(text, 1, CAST(800 - p0 AS INT)) END AS text,
+         |  CAST(row_number() OVER (ORDER BY pos0) AS INT) AS pos
+         |FROM sums WHERE p <= 800 OR p0 < 800
+         |ORDER BY pos""".stripMargin,
+
+    // q168: hits keep their relevance slots; their ±1 field neighbours
+    // append at the end in (hit, rank) walk order, skipping any id
+    // that is itself a hit; keep-first dedup among neighbours
+    "q168_ask_neighbouring" ->
+      s"""WITH ${parCtesFrom("(SELECT * FROM documents WHERE doc_id IN (3, 8)) srch")},
+         |ranked AS (SELECT doc_id, paragraph_id,
+         |    array_to_string(t[s+1:e], ' ') AS text, s,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY s) AS rk
+         |  FROM par),
+         |anchors AS (SELECT doc_id, rk AS ark,
+         |    row_number() OVER (ORDER BY doc_id) - 1 AS hit_idx
+         |  FROM ranked WHERE s = 20),
+         |selfs AS (SELECT r.paragraph_id AS block_id, r.text,
+         |    a.hit_idx AS seq
+         |  FROM ranked r JOIN anchors a
+         |    ON r.doc_id = a.doc_id AND r.rk = a.ark),
+         |nbs AS (SELECT r.paragraph_id AS block_id, r.text,
+         |    1000000 + a.hit_idx * 1000 + 1 + (r.rk - a.ark) + 1 AS seq
+         |  FROM ranked r JOIN anchors a
+         |    ON r.doc_id = a.doc_id AND r.rk <> a.ark
+         |      AND r.rk >= a.ark - 1 AND r.rk <= a.ark + 1
+         |  WHERE r.paragraph_id NOT IN (SELECT block_id FROM selfs)),
+         |dedup AS (SELECT block_id, min(seq) AS seq, min(text) AS text
+         |          FROM (SELECT * FROM selfs UNION ALL SELECT * FROM nbs)
+         |          WHERE len(text) > 0
+         |          GROUP BY block_id)
+         |SELECT block_id, text,
+         |  CAST(row_number() OVER (ORDER BY seq, block_id) AS INT) AS pos
+         |FROM dedup ORDER BY pos""".stripMargin,
+
+    // q169: hit blocks keep their relevance slots; each field's first
+    // message + the deque window of 3 ending (3-1)/2 past the hit's
+    // split append at the end; keep-first on block ids
+    "q169_ask_conversational" ->
+      s"""WITH toksd AS (SELECT doc_id, $Tok AS t FROM documents
+         |               WHERE doc_id % 7 = 0),
+         |msgs AS (SELECT CAST(doc_id AS VARCHAR) AS rid, s.split,
+         |    coalesce(array_to_string(t[s.split * 5 + 1 : s.split * 5 + 5], ' '), '') AS mtext,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY s.split) AS rnk
+         |  FROM toksd CROSS JOIN (SELECT unnest(range(4)) AS split) s),
+         |blocks AS (SELECT rid, split,
+         |    rid || '/c/chat/' || CAST(split AS VARCHAR) || '/0-' ||
+         |      CAST(len(mtext) AS VARCHAR) AS block_id,
+         |    mtext, rnk
+         |  FROM msgs),
+         |anchors AS (SELECT * FROM (VALUES ('7', 1, 0), ('14', 2, 1))
+         |            a(rid, asplit, hit_idx)),
+         |ar AS (SELECT b.rid, a.hit_idx, b.rnk AS arank
+         |       FROM blocks b JOIN anchors a
+         |         ON b.rid = a.rid AND b.split = a.asplit),
+         |mr AS (SELECT rid, max(rnk) AS max_rank FROM blocks GROUP BY rid),
+         |hitrows AS (SELECT b.block_id, b.mtext AS text,
+         |    a.hit_idx AS seq
+         |  FROM blocks b JOIN anchors a
+         |    ON b.rid = a.rid AND b.split = a.asplit),
+         |firsts AS (SELECT b.block_id, b.mtext AS text,
+         |    1000000 + a.hit_idx * 10000 + 1 AS seq
+         |  FROM blocks b JOIN anchors a ON b.rid = a.rid
+         |  WHERE b.rnk = 1),
+         |win AS (SELECT b.block_id, b.mtext AS text,
+         |    1000000 + r.hit_idx * 10000 + 100 + b.rnk AS seq
+         |  FROM blocks b
+         |  JOIN ar r ON b.rid = r.rid
+         |  JOIN mr m ON b.rid = m.rid
+         |  WHERE b.rnk > least(r.arank + 1, m.max_rank) - 3
+         |    AND b.rnk <= least(r.arank + 1, m.max_rank)),
+         |dedup AS (SELECT block_id, min(seq) AS seq,
+         |    arg_min(text, seq) AS text
+         |  FROM (SELECT * FROM hitrows UNION ALL SELECT * FROM firsts
+         |        UNION ALL SELECT * FROM win)
+         |  GROUP BY block_id)
+         |SELECT block_id, text,
+         |  CAST(row_number() OVER (ORDER BY seq, block_id) AS INT) AS pos
+         |FROM dedup ORDER BY pos""".stripMargin
   )
 }

@@ -80,6 +80,12 @@ class Engine(
       langCol: Option[String] = None,
       conversations: Option[DataFrame] = None): Unit = {
     docs.write.mode("overwrite").parquet(p("docs"))
+    // conversations persist at MESSAGE grain alongside the index: the
+    // /augment conversation selectors read whole messages (the
+    // reference reads maindb), which the split-chunked paragraph
+    // tables cannot reconstruct
+    conversations.foreach(_.write.mode("overwrite")
+      .parquet(p("conversations")))
     Ingest.buildIndex(spark.read.parquet(p("docs")), docId, textCol,
       p("text"), withVectors = false, langCol = langCol,
       conversations = conversations)
@@ -95,6 +101,7 @@ class Engine(
     metaMemo = None
     provenanceMemo = None
     tablesMemo = None
+    convMemo = None
     // cached filter-population BM25 stats describe the OLD corpus —
     // re-register after a re-ingest (cheap; serving with stale stats
     // would silently break the filter-then-score contract)
@@ -301,6 +308,54 @@ class Engine(
   def hydrate(ids: Seq[String],
       h: Hydrate.Hydration = Hydrate.Hydration()): DataFrame =
     Hydrate.paragraphs(corpus(), ids, h)
+
+  /** `POST /kb/{kbid}/augment` — typed per-id augmentation
+    * (`search/api/v1/augment.py`): resource props, field text/labels/
+    * entities, conversation selectors, paragraph neighbours.
+    * Entity detection binds this engine's relation-node values when
+    * relations are ingested ([[Augment.Bindings.entityNodes]] wins if
+    * the caller passes its own). */
+  def augment(req: Augment.AugmentRequest,
+      bind: Augment.Bindings = Augment.Bindings()): Augment.Augmented = {
+    val b =
+      if (bind.entityNodes.isDefined || !hasProvenance) bind
+      else bind.copy(entityNodes = Some((
+        graphNodesTable.select(col("value")).distinct(), "value")))
+    Augment.augment(corpus(), req, conversationStore, b)
+  }
+
+  /** The /ask prompt-context build over a find page
+    * (`search/search/chat/prompt.py`): RAG strategy + size cap.
+    * `hits` is a find/findParagraphs response carrying
+    * (paragraph_id, text, order). */
+  def promptContext(hits: DataFrame,
+      strategy: PromptContext.Strategy = PromptContext.Default,
+      maxSize: Option[Long] = None): DataFrame =
+    PromptContext.build(corpus(), hits, strategy, maxSize,
+      conversations = conversationStore)
+
+  // message-grain conversation store probe, one FS check per instance
+  // (invalidated by re-ingest like every other serving memo)
+  private var convMemo: Option[Option[Augment.ConversationStore]] = None
+  protected def conversationStore: Option[Augment.ConversationStore] =
+    synchronized {
+      convMemo.getOrElse {
+        val pth = new org.apache.hadoop.fs.Path(p("conversations"))
+        val exists = pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(pth)
+        val s =
+          if (!exists) None
+          else {
+            val df = spark.read.parquet(p("conversations"))
+            Some(Augment.ConversationStore(df, docId, "field_id", "split",
+              textCol,
+              mtypeCol = if (df.columns.contains("mtype")) Some("mtype")
+                else None))
+          }
+        convMemo = Some(s)
+        s
+      }
+    }
 
   /** `GET /kb/{kbid}/search` — multi-list response (SURVEY §3.2). */
   def search(req: Search.SearchRequest): Search.SearchResponse =
@@ -781,6 +836,13 @@ final class StreamEngine private[api] (
       highlight, bm25, withDuplicates))
   override def hydrate(ids: Seq[String], h: Hydrate.Hydration): DataFrame =
     withSnapshot(super.hydrate(ids, h))
+  override def augment(req: Augment.AugmentRequest,
+      bind: Augment.Bindings): Augment.Augmented =
+    withSnapshot(super.augment(req, bind))
+  override def promptContext(hits: DataFrame,
+      strategy: PromptContext.Strategy,
+      maxSize: Option[Long]): DataFrame =
+    withSnapshot(super.promptContext(hits, strategy, maxSize))
   override def search(req: Search.SearchRequest): Search.SearchResponse =
     withSnapshot(super.search(req))
   override def suggest(query: String, topK: Int,

@@ -911,4 +911,25 @@ class ScaleDesignSpec extends SparkSpec {
     assert(p.contains("code:binary"),
       s"the ADC stage must scan the binary code column:\n$p")
   }
+
+  test("augment: the request's rid set reaches the parquet doc scan as a typed In pushdown") {
+    import graft.api.{Augment, Find}
+    val dir = Files.createTempDirectory("graft-augpush").toString
+    docs.withColumn("labels", array(lit("/l/a")))
+      .write.parquet(s"$dir/docs")
+    val stored = spark.read.parquet(s"$dir/docs")
+    // doc_id is LONG; the string rids of the request must convert
+    // driver-side so the In pushes down — a cast on the column side
+    // would read the whole store at 100 TB
+    val res = Augment.augment(
+      Find.Corpus(stored, "doc_id", "text"),
+      Augment.AugmentRequest(resources = Seq(
+        Augment.ResourceAugment(given = Seq("1", "3", "zzz"),
+          title = true, classificationLabels = true)))).resources
+    assert(res.collect().map(_.getAs[String]("rid")).sorted.toSeq ==
+      Seq("1", "3"))
+    val p = plan(res)
+    assert(p.contains("PushedFilters: [In(doc_id"),
+      s"rid set must push into the doc scan:\n$p")
+  }
 }
