@@ -2704,7 +2704,7 @@ object SparkEntry {
             (col("doc_id") === 14 && col("split") === 2))
         .select(
           concat(col("doc_id"), lit("/c/chat/"), col("split"), lit("/0-"),
-            length(col("mtext"))).as("paragraph_id"),
+            size(TextFunctions.tokens(col("mtext")))).as("paragraph_id"),
           col("mtext").as("text"),
           (row_number().over(org.apache.spark.sql.expressions.Window
             .orderBy(col("doc_id"))) - 1).cast("long").as("order"))
@@ -3175,10 +3175,7 @@ object SparkEntry {
          |kb AS (SELECT doc_id, score FROM (
          |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM bm25)
          |  WHERE rn <= 500),
-         |kn AS (SELECT doc_id,
-         |         CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
-         |              ELSE (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ()) END
-         |         * 0.7 AS contrib FROM kb),
+         |kn AS (SELECT doc_id, score * 0.7 AS contrib FROM kb),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
          |sem AS (SELECT e.vec_id AS doc_id, round(${cosSql("e.v", "q.qv")}, 6) AS score
@@ -3186,10 +3183,7 @@ object SparkEntry {
          |sb AS (SELECT doc_id, score FROM (
          |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM sem)
          |  WHERE rn <= 500),
-         |sn AS (SELECT doc_id,
-         |         CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
-         |              ELSE (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ()) END
-         |         * 0.3 AS contrib FROM sb),
+         |sn AS (SELECT doc_id, score * 0.3 AS contrib FROM sb),
          |u AS (SELECT * FROM kn UNION ALL SELECT * FROM sn)
          |SELECT doc_id, round(sum(contrib), 6) AS fused, CAST(count(*) AS BIGINT) AS n_sources
          |FROM u GROUP BY doc_id
@@ -3865,20 +3859,21 @@ object SparkEntry {
         |GROUP BY p_name ORDER BY p_name""".stripMargin,
 
     // q93: two BM25 lists (main terms + prequery terms, shared corpus
-    // stats), each cut to its request topK=50, fused with per-query
-    // RRF weights 1.0 / 0.5.
+    // stats), each cut to its request topK=50, fused per
+    // compute_best_matches (ask.py:1002-1015): weights NORMALIZED by
+    // their total (1.0/1.5, 0.5/1.5), WeightedCombSum over raw scores
     "q93_ask_prequeries" ->
       s"""WITH $Bm25Ctes,
          |${bm25CtesFor(Seq("fast", "scan"), "p_")},
-         |ar AS (SELECT doc_id, rank FROM (
-         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm25)
+         |ar AS (SELECT doc_id, score FROM (
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm25)
          |  WHERE rank <= 50),
-         |br AS (SELECT doc_id, rank FROM (
-         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM p_bm25)
+         |br AS (SELECT doc_id, score FROM (
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM p_bm25)
          |  WHERE rank <= 50),
-         |u AS (SELECT doc_id, 1.0 / (59 + rank) AS contrib FROM ar
+         |u AS (SELECT doc_id, score * (1.0 / 1.5) AS contrib FROM ar
          |      UNION ALL
-         |      SELECT doc_id, 0.5 / (59 + rank) AS contrib FROM br)
+         |      SELECT doc_id, score * (0.5 / 1.5) AS contrib FROM br)
          |SELECT doc_id, round(sum(contrib), 6) AS prequery_score,
          |  CAST(count(*) AS BIGINT) AS n_sources
          |FROM u GROUP BY doc_id
@@ -5415,11 +5410,12 @@ object SparkEntry {
          |               WHERE doc_id % 7 = 0),
          |msgs AS (SELECT CAST(doc_id AS VARCHAR) AS rid, s.split,
          |    coalesce(array_to_string(t[s.split * 5 + 1 : s.split * 5 + 5], ' '), '') AS mtext,
+         |    coalesce(len(t[s.split * 5 + 1 : s.split * 5 + 5]), 0) AS ntok,
          |    row_number() OVER (PARTITION BY doc_id ORDER BY s.split) AS rnk
          |  FROM toksd CROSS JOIN (SELECT unnest(range(4)) AS split) s),
          |blocks AS (SELECT rid, split,
          |    rid || '/c/chat/' || CAST(split AS VARCHAR) || '/0-' ||
-         |      CAST(len(mtext) AS VARCHAR) AS block_id,
+         |      CAST(ntok AS VARCHAR) AS block_id,
          |    mtext, rnk
          |  FROM msgs),
          |anchors AS (SELECT * FROM (VALUES ('7', 1, 0), ('14', 2, 1))

@@ -331,8 +331,13 @@ object Augment {
             if (!present) wanted.withColumn("labels",
               lit(null).cast("array<string>"))
             else wanted.join(
-              corpus.docs.select(col(corpus.docId).cast("string").as("rid"),
-                col(b.labelsCol).cast("array<string>").as("labels")),
+              // the labels side prunes to the requested rids too — an
+              // unpruned projection would scan the whole doc store to
+              // serve a request-sized lookup
+              corpus.docs
+                .where(ridPredicate(corpus.docs.schema, corpus.docId, rids))
+                .select(col(corpus.docId).cast("string").as("rid"),
+                  col(b.labelsCol).cast("array<string>").as("labels")),
               Seq("rid"), "left")
           }
         val withEnts =
@@ -472,7 +477,10 @@ object Augment {
           .getOrElse(lit("OTHER")).as("mtype"))
       .withColumn("__rank", row_number().over(
         Window.partitionBy(col("rid"), col("fid"))
-          .orderBy(col("split").cast("int").asc_nulls_last,
+          // try_cast: non-numeric idents order after numeric ones (the
+          // splitConversationParagraphs convention) instead of
+          // throwing under ANSI cast
+          .orderBy(col("split").try_cast("int").asc_nulls_last,
             col("split").asc)))
 
     def keyDf(as: Seq[Anchor]): DataFrame =
@@ -528,20 +536,30 @@ object Augment {
         .select(msgCols: _*)
     }
 
+    // answer-or-after runs RANK-based over the same ordered view (not
+    // through [[ContextBuilder.conversationAnswerOrAfter]]'s int-cast
+    // contract): message idents are arbitrary strings in the reference
+    // (zero-padded or non-numeric splits must not silently drop), and
+    // `ranked`'s ordering already handles both
     val aoas = anchors.filter(_.selector == "aoa")
     if (aoas.nonEmpty) {
-      val hits = keyDf(aoas).select(col("rid"), col("fid"),
-        col("__anchor").as("split"))
-      val ctx = ContextBuilder.conversationAnswerOrAfter(
-        ranked.drop("__rank"), "rid", "fid", "split", "mtype", "mtext",
-        hits, expansion = MessageContextExpansion)
-      parts += ctx
-        .select(col("rid"), col("fid"),
-          col("ctx_split").cast("string").as("split"),
-          col("ctx_text").as("mtext"))
-        .join(ranked.select(col("rid"), col("fid"), col("split"),
-          col("__rank")), Seq("rid", "fid", "split"))
-        .select(msgCols: _*)
+      val hitRanks = ranked.join(keyDf(aoas), Seq("rid", "fid"))
+        .where(col("split") === col("__anchor"))
+        .select(col("rid"), col("fid"), col("__rank").as("__arank"),
+          col("mtype").as("__hit_type"))
+      val later = ranked.join(hitRanks, Seq("rid", "fid"))
+        .where(col("__rank") > col("__arank"))
+      val w = Window.partitionBy(col("rid"), col("fid"), col("__arank"))
+        .orderBy(col("__rank").asc)
+      val question = later
+        .where(col("__hit_type") === "QUESTION" && col("mtype") === "ANSWER")
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+      val after = later
+        .where(col("__hit_type") =!= "QUESTION")
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= MessageContextExpansion)
+      parts += question.unionByName(after).select(msgCols: _*)
     }
 
     parts.result().reduce(_ unionByName _)
@@ -578,15 +596,8 @@ object Augment {
           else Some(Hydrate.Neighbours(before, after))))
   }
 
-  private def emptyParagraphs(spark: SparkSession): DataFrame = {
-    import org.apache.spark.sql.types._
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(
-        StructField("paragraph_id", StringType),
-        StructField("field", StringType), StructField("rid", StringType),
-        StructField("text", StringType),
-        StructField("related_before", ArrayType(StringType)),
-        StructField("related_after", ArrayType(StringType)),
-        StructField("requested", BooleanType))))
-  }
+  // the canonical Hydrate schema — one definition, no drift between
+  // the empty and hydrated paragraph frames
+  private def emptyParagraphs(spark: SparkSession): DataFrame =
+    Hydrate.emptyResult(spark, Hydrate.Hydration())
 }

@@ -83,9 +83,16 @@ class Engine(
     // conversations persist at MESSAGE grain alongside the index: the
     // /augment conversation selectors read whole messages (the
     // reference reads maindb), which the split-chunked paragraph
-    // tables cannot reconstruct
-    conversations.foreach(_.write.mode("overwrite")
-      .parquet(p("conversations")))
+    // tables cannot reconstruct. A re-ingest WITHOUT conversations
+    // must also delete the previous store — serving the old corpus's
+    // messages against the new docs would be silently wrong
+    conversations match {
+      case Some(c) => c.write.mode("overwrite").parquet(p("conversations"))
+      case None =>
+        val pth = new org.apache.hadoop.fs.Path(p("conversations"))
+        val fs = pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(pth)) fs.delete(pth, true)
+    }
     Ingest.buildIndex(spark.read.parquet(p("docs")), docId, textCol,
       p("text"), withVectors = false, langCol = langCol,
       conversations = conversations)

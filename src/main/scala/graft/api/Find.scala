@@ -564,11 +564,14 @@ object Find {
     marked.orderBy(col("fused").desc, col(corpus.docId).asc)
   }
 
-  /** The /ask PREQUERY composition (`chat/ask.py:763-781,1024+`): the
-    * main request plus weighted auxiliary requests each run the full
-    * [[find]] pipeline, and their (already topK-bounded) result lists
-    * fuse with per-query RRF weights — the retrieval step /ask packs
-    * into its prompt context. Every list is driver-window-sized before
+  /** The /ask PREQUERY composition — `compute_best_matches`
+    * (`chat/ask.py:953-1021`): the main request plus weighted
+    * auxiliary requests each run the full [[find]] pipeline, the
+    * weights NORMALIZE by their total (main included,
+    * `ask.py:1002-1010`), and the (already topK-bounded) result lists
+    * fuse with [[graft.operators.RankFusion.weightedCombSum]] — raw
+    * score × normalized weight summed per match, the order /ask packs
+    * its prompt context in. Every list is driver-window-sized before
     * fusion, so the composition costs |requests| find plans plus one
     * bounded fusion aggregate.
     *
@@ -578,12 +581,15 @@ object Find {
       corpus: Corpus,
       main: (FindRequest, Double),
       prequeries: Seq[(FindRequest, Double)]): DataFrame = {
+    val total = (main +: prequeries).map(_._2).sum
     val lists = (main +: prequeries).zipWithIndex.map { case ((r, w), i) =>
-      (s"q$i", find(corpus, r).select(col(corpus.docId), col("fused").as("score")), w)
+      (s"q$i",
+        find(corpus, r).select(col(corpus.docId), col("fused").as("score")),
+        w / total)
     }
-    RankFusion.rrf(lists, corpus.docId, "score")
+    RankFusion.weightedCombSum(lists, corpus.docId, "score")
       .select(col(corpus.docId),
-        round(col("rrf_score"), 6).as("prequery_score"), col("n_sources"))
+        round(col("fused_score"), 6).as("prequery_score"), col("n_sources"))
   }
 
   /** Paragraph-mode find — the reference's actual retrieval unit

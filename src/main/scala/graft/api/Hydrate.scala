@@ -73,23 +73,6 @@ object Hydrate {
       parts.length >= 4 && parts.last.matches("\\d+-\\d+")
     })
 
-    // the at-rest paragraph rows of EVERY field (body + non-body),
-    // with the ORDERING GROUP = the id minus its span segment (field
-    // id, plus the split for conversation subfields — the reference
-    // orders within split_metadata[subfield], `paragraphs.py:90-92`)
-    val grpOf: Column => Column = c =>
-      array_join(slice(split(c, "/"), lit(1), size(split(c, "/")) - 1), "/")
-    val bodyTab = ix.paragraphs
-      .select(col("paragraph_id").as("__pid"), col("p_text").as("__txt"),
-        col("start").as("__start"))
-    val allPars = ix.fieldParagraphs match {
-      case None => bodyTab
-      case Some(fp) => bodyTab.unionByName(fp
-        .where(!(col("field_type") === "t" && col("field_id") === "body"))
-        .select(col("paragraph_id").as("__pid"), col("p_text").as("__txt"),
-          col("start").as("__start")))
-    }
-
     if (valid.isEmpty)
       return emptyResult(spark, h)
 
@@ -97,13 +80,7 @@ object Hydrate {
     // group keys of the requested ids, driver-derived (request-sized)
     val groups = valid.map(id => id.substring(0, id.lastIndexOf('/'))).distinct
 
-    val withGrp = allPars.withColumn("__grp", grpOf(col("__pid")))
-      // broadcast-able IN on the request's field groups: the scan
-      // prunes to the requested fields before any window runs
-      .where(col("__grp").isInCollection(groups))
-    val ranked = withGrp.withColumn("__rank",
-      row_number().over(Window.partitionBy(col("__grp"))
-        .orderBy(col("__start").asc, col("__pid").asc)))
+    val ranked = rankedFieldParagraphs(ix, groups)
 
     val req = ranked.join(reqIds, col("__pid") === col("__req_pid"))
       .select(col("__pid").as("__src"), col("__grp").as("__src_grp"),
@@ -189,7 +166,41 @@ object Hydrate {
     out.orderBy(col("requested").desc, col("paragraph_id").asc)
   }
 
-  private def emptyResult(
+  /** The at-rest paragraph rows of EVERY field (body + non-body),
+    * pruned to the requested ORDERING GROUPS and ranked in span order.
+    * The ordering group = the id minus its span segment (field id,
+    * plus the split for conversation subfields — the reference orders
+    * within split_metadata[subfield], `paragraphs.py:90-92`). Shared
+    * by the /hydrate neighbour expansion and the /ask neighbouring
+    * strategy so the grouping convention cannot drift between them.
+    * Returns (__pid, __txt, __grp, __rank); the request-sized group
+    * set prunes the scan (broadcast-able IN) before the window runs —
+    * partitions bounded by a field's paragraph count, never the
+    * corpus. */
+  private[api] def rankedFieldParagraphs(
+      ix: graft.sources.IndexStore.IndexTables,
+      groups: Seq[String]): DataFrame = {
+    val grpOf: Column => Column = c =>
+      array_join(slice(split(c, "/"), lit(1), size(split(c, "/")) - 1), "/")
+    val bodyTab = ix.paragraphs
+      .select(col("paragraph_id").as("__pid"), col("p_text").as("__txt"),
+        col("start").as("__start"))
+    val allPars = ix.fieldParagraphs match {
+      case None => bodyTab
+      case Some(fp) => bodyTab.unionByName(fp
+        .where(!(col("field_type") === "t" && col("field_id") === "body"))
+        .select(col("paragraph_id").as("__pid"), col("p_text").as("__txt"),
+          col("start").as("__start")))
+    }
+    allPars.withColumn("__grp", grpOf(col("__pid")))
+      .where(col("__grp").isInCollection(groups))
+      .withColumn("__rank",
+        row_number().over(Window.partitionBy(col("__grp"))
+          .orderBy(col("__start").asc, col("__pid").asc)))
+      .drop("__start")
+  }
+
+  private[api] def emptyResult(
       spark: org.apache.spark.sql.SparkSession, h: Hydration): DataFrame = {
     import org.apache.spark.sql.types._
     val base = StructType(Seq(

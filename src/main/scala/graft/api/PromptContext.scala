@@ -235,15 +235,20 @@ object PromptContext {
         .as("__summary"))
     // extended text: the stored span + extraTokens more (token grain —
     // the reference's extra CHARACTERS, in this store's span unit);
-    // only t/body spans extend (other fields keep their hit text)
+    // only t/body spans extend (other fields keep their hit text). The
+    // doc join is LEFT: a hit whose resource is missing from the doc
+    // store keeps its hit text and an empty title, like the
+    // reference's get_paragraph_text-on-missing-field ""
     val isBody = col("pid").like("%/t/body/%")
-    val ext = hitsDf.join(toks, Seq("rid"))
+    val ext = hitsDf.join(toks, Seq("rid"), "left")
       .withColumn("__ext",
-        when(isBody && col("s") >= 0,
+        when(isBody && col("s") >= 0 && col("__t").isNotNull,
           concat_ws(" ", slice(col("__t"), col("s") + 1,
             col("e") - col("s") + lit(s.extraTokens max 0))))
           .otherwise(col("text")))
-      .withColumn("__title", concat_ws(" ", slice(col("__t"), 1, 5)))
+      .withColumn("__title",
+        coalesce(concat_ws(" ", slice(col("__t"), 1, 5)), lit("")))
+      .withColumn("__summary", coalesce(col("__summary"), lit("")))
     // one composed block per resource, anchored at its FIRST hit; the
     // per-resource part list sorts by hit order explicitly (struct
     // array_sort — no reliance on window evaluation order)
@@ -324,27 +329,12 @@ object PromptContext {
     val ix = corpus.index.getOrElse(throw new IllegalArgumentException(
       "neighbouring strategy needs a bound index"))
     // the at-rest paragraph rows of the hit fields, ranked in span
-    // order (the Hydrate field-group recipe: request-sized group set →
+    // order — the SHARED /hydrate group recipe
+    // ([[Hydrate.rankedFieldParagraphs]]: request-sized group set →
     // broadcast-able IN prunes the scan before the window)
-    val grpOf: Column => Column = c =>
-      array_join(slice(split(c, "/"), lit(1), size(split(c, "/")) - 1), "/")
     val groups = page.map(t => t._1.substring(0,
       t._1.lastIndexOf('/') max 0)).filter(_.nonEmpty).distinct
-    val bodyTab = ix.paragraphs
-      .select(col("paragraph_id").as("__pid"), col("p_text").as("__txt"),
-        col("start").as("__start"))
-    val allPars = ix.fieldParagraphs match {
-      case None => bodyTab
-      case Some(fp) => bodyTab.unionByName(fp
-        .where(!(col("field_type") === "t" && col("field_id") === "body"))
-        .select(col("paragraph_id").as("__pid"), col("p_text").as("__txt"),
-          col("start").as("__start")))
-    }
-    val ranked = allPars.withColumn("__grp", grpOf(col("__pid")))
-      .where(col("__grp").isInCollection(groups))
-      .withColumn("__rank", row_number().over(
-        Window.partitionBy(col("__grp"))
-          .orderBy(col("__start").asc, col("__pid").asc)))
+    val ranked = Hydrate.rankedFieldParagraphs(ix, groups)
     val hitsDf = page.zipWithIndex.map { case ((pid, _, _), i) =>
       (pid, i.toLong)
     }.toDF("__hit_pid", "__hit_idx")
@@ -415,10 +405,19 @@ object PromptContext {
         col(cs.textCol).cast("string").as("mtext"))
       .withColumn("__rank", row_number().over(
         Window.partitionBy(col("rid"), col("fid"))
-          .orderBy(col("split").cast("int").asc_nulls_last,
+          // try_cast: non-numeric idents order after numeric ones
+          // instead of throwing under ANSI cast
+          .orderBy(col("split").try_cast("int").asc_nulls_last,
             col("split").asc)))
+    // message blocks key the WHOLE-message span `{rid}/c/{fid}/{split}
+    // /0-{len}` (prompt.py:858,880,914). The reference's len is
+    // CHARACTERS of its char-offset extracted text; this store's span
+    // unit is TOKENS, so the id uses the message's token count — the
+    // same unit as the at-rest conversation paragraph ids, so a hit
+    // covering the whole message dedups exactly like the reference's
     val msgBlock = concat(col("rid"), lit("/c/"), col("fid"), lit("/"),
-      col("split"), lit("/0-"), length(col("mtext")))
+      col("split"), lit("/0-"),
+      size(graft.functions.TextFunctions.tokens(col("mtext"))))
     val anchorsDf = cHits.map { case (r, f, m, i) => (r, f, m, i.toLong) }
       .toDF("rid", "fid", "__mident", "__hit_idx")
 

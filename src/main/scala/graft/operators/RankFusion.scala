@@ -125,32 +125,31 @@ object RankFusion {
           count(lit(1)).as("n_sources")) ++ srcAggs): _*)
   }
 
-  /** Weighted CombSum with per-list min-max normalization:
-    * score(d) = Σ_lists w_l · (s − min_l)/(max_l − min_l).
-    * Reference: `rank_fusion.py:188-254`.
+  /** Weighted CombSum over RAW scores:
+    * wCombSUM(d) = Σ_lists w_l · S_l(d) — the reference multiplies
+    * each list's score by its weight and sums, with NO per-list
+    * normalization (`rank_fusion.py:188-254` `score += item.score *
+    * weight`; upstream vector `test_rank_fusion.py` pins
+    * `0.3*2.0 + 6*0.5`). Comparing raw scores across heterogeneous
+    * lists is the documented caveat of the algorithm itself.
     */
   def weightedCombSum(
       lists: Seq[(String, DataFrame, Double)],
       idCol: String,
       scoreCol: String,
       window: Int = MaxWindow): DataFrame = {
-    val normalized = lists.zipWithIndex.map { case ((_, df, w), i) =>
+    val weighted = lists.zipWithIndex.map { case ((_, df, w), i) =>
       val cut = TopK.topK(df, scoreCol, idCol, window)
-      val win = Window.partitionBy(TopK.constPartitionKey(col(idCol)))
-      val mn = min(col(scoreCol)).over(win)
-      val mx = max(col(scoreCol)).over(win)
       cut.select(col(idCol),
         col(scoreCol).cast("double").as("__orig"),
-        when(mx === mn, lit(1.0))
-          .otherwise((col(scoreCol) - mn) / (mx - mn))
-          .multiply(lit(w)).as("contrib"),
+        (col(scoreCol).cast("double") * lit(w)).as("contrib"),
         lit(i).as("__list"))
     }
     // same single-nonempty-source skip as [[rrf]] — the base-class
     // fuse() contract (`rank_fusion.py:74-90`) applies to both
     // algorithms: one surviving list returns original unweighted
-    // scores, no normalization
-    val unioned = normalized.reduce(_ unionByName _)
+    // scores
+    val unioned = weighted.reduce(_ unionByName _)
       .withColumn("__n_lists",
         size(collect_set(col("__list")).over(
           Window.partitionBy(TopK.constPartitionKey(col(idCol))))))

@@ -210,7 +210,9 @@ object Ingest {
         (col("__par.end") - col("__par.start")).cast("long").as("n_tokens"),
         col("__par.p_text").as("p_text")),
       Seq(ridCol, "field_id"), "p_text",
-      Seq(col("split").cast("int").asc_nulls_last, col("split").asc,
+      // try_cast, not cast: under ANSI a non-numeric split id must
+      // take the documented string-order fallback, not throw
+      Seq(col("split").try_cast("int").asc_nulls_last, col("split").asc,
         col("start").asc))
 
   /** Posting/term-frequency table (term, docId, tf) — the analog of a

@@ -159,6 +159,31 @@ class AugmentSpec extends SparkSpec {
     assert(m.map(_._1).toSeq == Seq("0", "1", "2", "3", "4", "10"))
   }
 
+  test("answer-or-after is rank-based: zero-padded and non-numeric split idents resolve") {
+    val convs2 = Seq(
+      ("z", "chat", "00", "QUESTION", "q"),
+      ("z", "chat", "01", "OTHER", "noise"),
+      ("z", "chat", "02", "ANSWER", "ans"),
+      ("z", "intro", "first", "OTHER", "hello"),
+      ("z", "intro", "second", "OTHER", "world"))
+      .toDF("rid", "field_id", "split", "mtype", "mtext")
+    val st = ConversationStore(convs2, "rid", "field_id", "split", "mtext",
+      mtypeCol = Some("mtype"))
+    val m = Augment.augment(corpus, AugmentRequest(fields = Seq(
+        FieldAugment(given = Seq("z/c/chat/00"),
+          conversationAnswerOrAfter = true))),
+      Some(st)).messages.collect()
+    assert(m.map(r => (r.getAs[String]("split"),
+      r.getAs[String]("mtext"))).toSeq == Seq(("02", "ans")))
+    // fully non-numeric idents order lexicographically after numerics
+    // (the splitConversationParagraphs convention) and still expand
+    val m2 = Augment.augment(corpus, AugmentRequest(fields = Seq(
+        FieldAugment(given = Seq("z/c/intro/first"),
+          conversationAnswerOrAfter = true))),
+      Some(st)).messages.collect()
+    assert(m2.map(_.getAs[String]("mtext")).toSeq == Seq("world"))
+  }
+
   test("no conversation store: conversation selectors yield an empty messages frame") {
     val res = Augment.augment(corpus, AugmentRequest(fields = Seq(
       FieldAugment(given = Seq("a/c/chat"), fullConversation = true))))

@@ -469,4 +469,24 @@ class EngineSpec extends SparkSpec {
         topBucketMaxRecords = 100000, bottomBucketThreshold = 2)).isEmpty)
     } finally q.stop()
   }
+
+  test("augment: re-ingesting without conversations clears the persisted message store") {
+    val r4 = graft.sources.IndexStore.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft-engine-conv-").toString)
+    val e4 = new Engine(spark, r4)
+    val docs = Seq((1L, "alpha beta gamma", "en", Seq.empty[String]))
+      .toDF("doc_id", "text", "lang", "labels")
+    val convs = Seq((1L, "chat", "0", "hello there"))
+      .toDF("doc_id", "field_id", "split", "text")
+    e4.ingestDocuments(docs, conversations = Some(convs))
+    val req = graft.api.Augment.AugmentRequest(fields = Seq(
+      graft.api.Augment.FieldAugment(given = Seq("1/c/chat"),
+        fullConversation = true)))
+    assert(e4.augment(req).messages.count() == 1)
+    // re-ingest WITHOUT conversations: the old message store must not
+    // keep serving against the new corpus
+    e4.ingestDocuments(docs)
+    assert(e4.augment(req).messages.count() == 0,
+      "a conversation-less re-ingest must clear the persisted store")
+  }
 }

@@ -157,23 +157,25 @@ class PromptContextSpec extends SparkSpec {
     convs, "rid", "field_id", "split", "mtext")
 
   test("conversational: hits keep their slots; first message + deque window append at the end") {
+    // hit id = the at-rest whole-message TOKEN span ("sixty rows per
+    // tick" = 4 tokens) — the unit message block ids share
     val out = collectBlocks(PromptContext.build(corpus,
-      hitsDf(("a/c/chat/2/0-19", "sixty rows per tick"),
+      hitsDf(("a/c/chat/2/0-4", "sixty rows per tick"),
         ("b/t/body/0-20", bPar0)),
       Conversational(maxMessages = 3), conversations = Some(store)))
     // both hits first (relevance slots), then first message (split 0)
     // and the window ranks 2..4 → splits 1,2,3; the split-2 message
-    // collides with the hit id → keep-first (the hit's slot)
+    // block id EQUALS the hit id → keep-first (the hit's slot)
     assert(out.map(_._1).toSeq == Seq(
-      "a/c/chat/2/0-19", "b/t/body/0-20",
-      "a/c/chat/0/0-20", "a/c/chat/1/0-12", "a/c/chat/3/0-6"))
-    assert(out.count(_._1 == "a/c/chat/2/0-19") == 1)
+      "a/c/chat/2/0-4", "b/t/body/0-20",
+      "a/c/chat/0/0-5", "a/c/chat/1/0-3", "a/c/chat/3/0-1"))
+    assert(out.count(_._1 == "a/c/chat/2/0-4") == 1)
   }
 
   test("conversational full: the whole conversation expands once per field") {
     val out = collectBlocks(PromptContext.build(corpus,
-      hitsDf(("a/c/chat/1/0-12", "let me check"),
-        ("a/c/chat/3/0-6", "thanks")),
+      hitsDf(("a/c/chat/1/0-3", "let me check"),
+        ("a/c/chat/3/0-1", "thanks")),
       Conversational(full = true), conversations = Some(store)))
     // both hits enter; the SECOND c-hit of the same field does not
     // re-expand (analyzed_fields); all five messages present once
@@ -181,14 +183,26 @@ class PromptContextSpec extends SparkSpec {
     assert(ids.count(_.startsWith("a/c/chat/0/")) == 1)
     assert(ids.count(_.startsWith("a/c/chat/4/")) == 1)
     assert(ids.distinct.length == ids.length)
-    assert(ids.head == "a/c/chat/1/0-12")
+    assert(ids.head == "a/c/chat/1/0-3")
   }
 
   test("conversational without a store: hits only") {
     val out = collectBlocks(PromptContext.build(corpus,
-      hitsDf(("a/c/chat/2/0-19", "sixty rows per tick")),
+      hitsDf(("a/c/chat/2/0-4", "sixty rows per tick")),
       Conversational()))
-    assert(out.map(_._1).toSeq == Seq("a/c/chat/2/0-19"))
+    assert(out.map(_._1).toSeq == Seq("a/c/chat/2/0-4"))
+  }
+
+  test("hierarchy: a hit whose resource is missing from the doc store keeps its hit text") {
+    val out = collectBlocks(PromptContext.build(corpus,
+      hitsDf(("zzz/t/body/0-20", "orphan text"), ("a/t/body/0-20", aPar0)),
+      Hierarchy()))
+    assert(out.map(_._1).toSeq ==
+      Seq("zzz/t/body/0-20", "a/t/body/0-20"))
+    // the orphan's composed block falls back to its hit text and an
+    // empty DOCUMENT header
+    assert(out(0)._2.startsWith("DOCUMENT:  \n SUMMARY:"))
+    assert(out(0)._2.contains("orphan text"))
   }
 
   test("cap under the limit is a no-op; exact-fit boundary drops the block whose removal lands on the cap") {

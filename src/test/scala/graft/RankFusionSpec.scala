@@ -67,13 +67,26 @@ class RankFusionSpec extends SparkSpec {
     assert(gotW == Map(20L -> 0.9, 40L -> 0.8), gotW.toString)
   }
 
-  test("weightedCombSum min-max normalizes each list") {
-    val got = RankFusion.weightedCombSum(Seq(("kw", kw, 1.0), ("sem", sem, 1.0)), "id", "score")
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    // kw: 5→1.0, 3→0.5, 1→0.0 ; sem: 0.9→1.0, 0.8→0.0
-    assert(math.abs(got(10L) - 1.0) < 1e-12)
-    assert(math.abs(got(20L) - (0.5 + 1.0)) < 1e-12)
-    assert(math.abs(got(30L) - 0.0) < 1e-12)
-    assert(math.abs(got(40L) - 0.0) < 1e-12)
+  test("weightedCombSum multiplies RAW scores by the list weight (upstream multi-match vector)") {
+    import spark.implicits._
+    // test_rank_fusion.py test_weighted_comb_sum_rank_fusion: keyword
+    // w=2, semantic w=0.5, graph w=1.5 (the default_weight slot);
+    // expected raw-score sums like 0.3*2.0 + 6*0.5 — NO normalization
+    val kw3 = Seq(("r-1", 0.1), ("r-2", 0.5), ("r-4", 0.3)).toDF("id", "score")
+    val sem3 = Seq(("r-1", 2.0), ("r-3", 3.0), ("r-4", 6.0), ("r-5", 6.0))
+      .toDF("id", "score")
+    val graph3 = Seq(("r-1", 1.0), ("r-6", 1.0)).toDF("id", "score")
+    val got = RankFusion.weightedCombSum(
+        Seq(("keyword", kw3, 2.0), ("semantic", sem3, 0.5),
+          ("graph", graph3, 1.5)), "id", "score")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val expected = Map(
+      "r-4" -> (0.3 * 2.0 + 6 * 0.5), "r-5" -> 6 * 0.5,
+      "r-1" -> (0.1 * 2.0 + 2 * 0.5 + 1.0 * 1.5), "r-3" -> 3 * 0.5,
+      "r-6" -> 1.0 * 1.5, "r-2" -> 0.5 * 2.0)
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) =>
+      assert(math.abs(got(id) - e) < 1e-12, s"$id: ${got(id)} vs $e")
+    }
   }
 }
