@@ -2713,6 +2713,40 @@ object SparkEntry {
         hits, PromptContext.Conversational(maxMessages = 3),
         conversations = Some(Augment.ConversationStore(msgs, "doc_id",
           "field_id", "split", "mtext")))
+    }),
+
+    // §3.4 /ask METADATA-EXTENSION rag strategy (`chat/prompt.py:
+    // 355-566`): origin/labels/NER suffixes per pass order; blocks the
+    // passes touch POP and RE-APPEND (extended blocks move behind
+    // untouched ones, ordered by the LAST touching pass then original
+    // position); docs 3,5 carry labels, doc 8 only origin, NERs
+    // detected per field against the dictionary
+    "q170_ask_metadata_extension" -> ((s, dir) => {
+      import graft.api.{Find, PromptContext}
+      import graft.api.PromptContext.MetadataType._
+      val ix = graft.sources.IndexStore.tables(s, dir)
+      val docs = load(s, dir, "documents")
+        .withColumn("labels",
+          when(col("doc_id") % 2 === 1, array(
+            concat(lit("/l/lang/"), col("lang")),
+            concat(lit("/l/src/"), col("source"))))
+            .otherwise(array().cast("array<string>")))
+      val dict = s.createDataFrame(Seq(
+        ("spark", "term"), ("scan", "term"), ("key agg", "phrase"),
+        ("zebra", "animal"))).toDF("value", "family")
+      val hits = ix.paragraphs.where(col("doc_id").isin(3, 5, 8))
+        .select(col("paragraph_id"), col("p_text").as("text"),
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("start"), col("doc_id"))) - 1).cast("long")
+            .as("order"))
+      PromptContext.build(
+        Find.Corpus(docs, "doc_id", "text", index = Some(ix)),
+        hits, PromptContext.Default,
+        bind = PromptContext.Bindings(originCol = Some("source"),
+          entityNodes = Some(PromptContext.EntityNodes(dict, "value",
+            Some("family")))),
+        metadata = Some(PromptContext.MetadataExtension(
+          Set(Origin, ClassificationLabels, Ners))))
     })
   )
 
@@ -5446,6 +5480,56 @@ object SparkEntry {
          |  GROUP BY block_id)
          |SELECT block_id, text,
          |  CAST(row_number() OVER (ORDER BY seq, block_id) AS INT) AS pos
-         |FROM dedup ORDER BY pos""".stripMargin
+         |FROM dedup ORDER BY pos""".stripMargin,
+
+    // q170: suffixes concatenate in pass order (origin → labels →
+    // ners); seq = last-touching-pass × 1e8 + original position
+    "q170_ask_metadata_extension" ->
+      s"""WITH ${parCtesFrom("(SELECT * FROM documents WHERE doc_id IN (3, 5, 8)) srch")},
+         |hits AS (SELECT paragraph_id AS block_id,
+         |    CAST(doc_id AS VARCHAR) AS rid,
+         |    array_to_string(t[s+1:e], ' ') AS text,
+         |    row_number() OVER (ORDER BY s, doc_id) AS pos0
+         |  FROM par),
+         |d AS (SELECT CAST(doc_id AS VARCHAR) AS rid, doc_id, lang,
+         |        source, text
+         |      FROM documents WHERE doc_id IN (3, 5, 8)),
+         |org AS (SELECT rid,
+         |    e'\\n\\nDOCUMENT METADATA AT ORIGIN:\\nsource_id: ' || source ||
+         |      e'\\n' AS sfx1
+         |  FROM d),
+         |lab AS (SELECT rid,
+         |    e'\\n\\nDOCUMENT CLASSIFICATION LABELS:' ||
+         |      array_to_string(list_sort([
+         |        e'\\n - ' || lang || ' (/l/lang)',
+         |        e'\\n - ' || source || ' (/l/src)']), '') AS sfx2
+         |  FROM d WHERE doc_id % 2 = 1),
+         |ent AS (SELECT d.rid, v.family, v.val
+         |  FROM d JOIN (VALUES ('spark', 'term'), ('scan', 'term'),
+         |      ('key agg', 'phrase'), ('zebra', 'animal')) v(val, family)
+         |    ON position(' ' || v.val || ' ' IN ' ' || d.text || ' ') > 0),
+         |fam AS (SELECT rid, family,
+         |    e'\\n - ' || family || ':' ||
+         |      array_to_string(list_transform(list_sort(list(val)),
+         |        x -> e'\\n   - ' || x), '') AS fl
+         |  FROM ent GROUP BY rid, family),
+         |ner AS (SELECT rid,
+         |    e'\\n\\nDOCUMENT NAMED ENTITIES (NERs):' ||
+         |      array_to_string(list_sort(list(fl)), '') AS sfx3
+         |  FROM fam GROUP BY rid),
+         |ext AS (SELECT h.block_id,
+         |    h.text || coalesce(o.sfx1, '') || coalesce(l.sfx2, '') ||
+         |      coalesce(n.sfx3, '') AS text,
+         |    (CASE WHEN n.sfx3 IS NOT NULL THEN 3
+         |          WHEN l.sfx2 IS NOT NULL THEN 2
+         |          WHEN o.sfx1 IS NOT NULL THEN 1
+         |          ELSE 0 END) * 100000000 + h.pos0 AS seq
+         |  FROM hits h
+         |  LEFT JOIN org o ON h.rid = o.rid
+         |  LEFT JOIN lab l ON h.rid = l.rid
+         |  LEFT JOIN ner n ON h.rid = n.rid)
+         |SELECT block_id, text,
+         |  CAST(row_number() OVER (ORDER BY seq, block_id) AS INT) AS pos
+         |FROM ext ORDER BY pos""".stripMargin
   )
 }

@@ -337,9 +337,11 @@ class Engine(
     * (paragraph_id, text, order). */
   def promptContext(hits: DataFrame,
       strategy: PromptContext.Strategy = PromptContext.Default,
-      maxSize: Option[Long] = None): DataFrame =
-    PromptContext.build(corpus(), hits, strategy, maxSize,
-      conversations = conversationStore)
+      maxSize: Option[Long] = None,
+      bind: PromptContext.Bindings = PromptContext.Bindings(),
+      metadata: Option[PromptContext.MetadataExtension] = None): DataFrame =
+    PromptContext.build(corpus(), hits, strategy, maxSize, bind,
+      conversations = conversationStore, metadata = metadata)
 
   // message-grain conversation store probe, one FS check per instance
   // (invalidated by re-ingest like every other serving memo)
@@ -848,8 +850,10 @@ final class StreamEngine private[api] (
     withSnapshot(super.augment(req, bind))
   override def promptContext(hits: DataFrame,
       strategy: PromptContext.Strategy,
-      maxSize: Option[Long]): DataFrame =
-    withSnapshot(super.promptContext(hits, strategy, maxSize))
+      maxSize: Option[Long],
+      bind: PromptContext.Bindings,
+      metadata: Option[PromptContext.MetadataExtension]): DataFrame =
+    withSnapshot(super.promptContext(hits, strategy, maxSize, bind, metadata))
   override def search(req: Search.SearchRequest): Search.SearchResponse =
     withSnapshot(super.search(req))
   override def suggest(query: String, topK: Int,

@@ -93,18 +93,51 @@ object PromptContext {
   final case class Conversational(
       full: Boolean = false, maxMessages: Int = 15) extends Strategy
 
+  /** `MetadataExtensionStrategy` types
+    * (`nucliadb_models/search.py:1283-1299`). */
+  sealed trait MetadataType
+  object MetadataType {
+    case object Origin extends MetadataType
+    case object ClassificationLabels extends MetadataType
+    case object Ners extends MetadataType
+    case object Extra extends MetadataType
+  }
+
+  /** The metadata-extension strategy
+    * (`extend_prompt_context_with_metadata`, prompt.py:355-566) — the
+    * one strategy that COMPOSES with any other: applied after the main
+    * strategy and before the cap, it suffixes each block whose
+    * resource/field carries the selected metadata. */
+  final case class MetadataExtension(types: Set[MetadataType])
+
+  /** The dictionary field-entity detection matches against:
+    * `familyCol` groups the NERs rendering; absent, every entity
+    * renders under the single family "entity". */
+  final case class EntityNodes(
+      nodes: DataFrame, valueCol: String, familyCol: Option[String] = None)
+
+  /** Column bindings for props the [[Find.Corpus]] doesn't name. */
+  final case class Bindings(
+      summaryCol: Option[String] = None,
+      originCol: Option[String] = None,
+      extraCol: Option[String] = None,
+      entityNodes: Option[EntityNodes] = None)
+
   /** Build the context for a find page. `hits` must carry
     * (paragraph_id, text, order) — the find response's paragraphs and
     * their relevance order. Returns (block_id, text, pos) in insertion
-    * order after the [[cap]]. `summaryCol` feeds [[Hierarchy]]'s
-    * SUMMARY header when the corpus stores one. */
+    * order after the [[cap]]. `bind.summaryCol` feeds [[Hierarchy]]'s
+    * SUMMARY header; `metadata` composes the metadata-extension
+    * strategy over the main strategy's blocks (the endpoint's own
+    * composition, prompt.py:1244-1262 & 1301-1309). */
   def build(
       corpus: Find.Corpus,
       hits: DataFrame,
       strategy: Strategy = Default,
       maxSize: Option[Long] = None,
-      summaryCol: Option[String] = None,
-      conversations: Option[Augment.ConversationStore] = None): DataFrame = {
+      bind: Bindings = Bindings(),
+      conversations: Option[Augment.ConversationStore] = None,
+      metadata: Option[MetadataExtension] = None): DataFrame = {
     val spark = corpus.docs.sparkSession
     // the reference's ordered_paragraphs is an in-memory list; a find
     // page is ≤ the 500-block window by contract
@@ -119,13 +152,18 @@ object PromptContext {
     val blocks = strategy match {
       case Default => defaultBlocks(spark, page)
       case s: FullResource => fullResourceBlocks(spark, corpus, page, s)
-      case s: Hierarchy => hierarchyBlocks(spark, corpus, page, s, summaryCol)
+      case s: Hierarchy =>
+        hierarchyBlocks(spark, corpus, page, s, bind.summaryCol)
       case s: FieldExtension => fieldExtensionBlocks(spark, corpus, page, s)
       case s: Neighbouring => neighbouringBlocks(spark, corpus, page, s)
       case s: Conversational =>
         conversationalBlocks(spark, page, s, conversations)
     }
-    cap(blocks, maxSize)
+    val extended = metadata match {
+      case None => blocks
+      case Some(m) => metadataExtended(blocks, corpus, page, m, bind)
+    }
+    cap(extended, maxSize)
   }
 
   /** `_clean_paragraph_text` (prompt.py:1327-1333): strip + drop
@@ -468,6 +506,143 @@ object PromptContext {
       .agg(min(struct(col("__seq"), col("text"))).as("__m"))
       .select(col("block_id"), col("__m").getField("text").as("text"),
         col("__m").getField("__seq").as("__seq"))
+
+  /** `extend_prompt_context_with_metadata` (prompt.py:355-566): each
+    * selected type walks the context's blocks in their pre-extension
+    * order and, for blocks whose resource/field carries that metadata,
+    * POPS and RE-APPENDS the block with the suffix added — so a block
+    * extended by a later pass moves behind blocks only touched by
+    * earlier ones. Closed form: suffixes concatenate in the fixed pass
+    * order (origin → labels → ners → extra, the if-chain at
+    * prompt.py:374-393) and the new sequence is (index of the LAST
+    * pass that touched the block, original position).
+    *
+    * Rendering divergences, documented: origin/extra dump the ONE
+    * bound column as a single-key yaml line (the reference dumps its
+    * Origin/Extra models — same shape for a store with one set
+    * field); label lines sort (the reference iterates a Python set —
+    * unordered); NERs are DETECTED against the bound dictionary like
+    * q163, families sorted, where the reference reads stored per-field
+    * entities in dict-insertion order. */
+  private def metadataExtended(
+      blocks: DataFrame,
+      corpus: Find.Corpus,
+      page: Seq[(String, String, Long)],
+      m: MetadataExtension,
+      bind: Bindings): DataFrame = {
+    import MetadataType._
+    val rids = orderedRids(page)
+    if (rids.isEmpty) return blocks
+    val ordered = blocks
+      .withColumn("__pos0", row_number().over(
+        Window.partitionBy(graft.operators.TopK.constPartitionKey(
+          col("block_id"))).orderBy(col("__seq").asc, col("block_id").asc)))
+      .withColumn("__parts", split(col("block_id"), "/"))
+      // USER_CONTEXT-style unparseable ids skip extension entirely
+      // (parse_text_block_id ValueError, prompt.py:364-370)
+      .withColumn("__rid",
+        when(size(col("__parts")) >= 3, col("__parts").getItem(0)))
+      .withColumn("__ftype", col("__parts").getItem(1))
+      .withColumn("__fid", col("__parts").getItem(2))
+    val pruned = corpus.docs
+      .where(Augment.ridPredicate(corpus.docs.schema, corpus.docId, rids))
+
+    def docCol(name: String): Option[DataFrame] =
+      if (!corpus.docs.schema.fieldNames.contains(name)) None
+      else Some(pruned.select(col(corpus.docId).cast("string").as("__rid"),
+        col(name).as("__v")))
+
+    var out = ordered
+    // ORIGIN (prompt.py:407-436): yaml of the bound origin column
+    if (m.types.contains(Origin) && bind.originCol.isDefined)
+      out = docCol(bind.originCol.get) match {
+        case None => out
+        case Some(d) => out.join(
+          d.select(col("__rid"),
+            concat(lit("\n\nDOCUMENT METADATA AT ORIGIN:\nsource_id: "),
+              col("__v").cast("string"), lit("\n")).as("__sfx_origin")),
+          Seq("__rid"), "left")
+      }
+    if (!out.columns.contains("__sfx_origin"))
+      out = out.withColumn("__sfx_origin", lit(null).cast("string"))
+    // CLASSIFICATION LABELS (prompt.py:439-482): resource labels as
+    // " - {label} ({labelset})" lines, facet paths split leaf/parent
+    if (m.types.contains(ClassificationLabels)) {
+      val b = corpus.filterBindings
+      out = docCol(b.labelsCol) match {
+        case None => out
+        case Some(d) => out.join(
+          d.select(col("__rid"),
+            when(size(col("__v")) > 0,
+              concat(lit("\n\nDOCUMENT CLASSIFICATION LABELS:"),
+                array_join(sort_array(transform(col("__v"), l => {
+                  val leaf = element_at(split(l, "/"), -1)
+                  val parent = l.substr(lit(1),
+                    greatest(length(l) - length(leaf) - 1, lit(0))
+                      .cast("int"))
+                  concat(lit("\n - "), leaf, lit(" ("), parent, lit(")"))
+                })), ""))).as("__sfx_labels")),
+          Seq("__rid"), "left")
+      }
+    }
+    if (!out.columns.contains("__sfx_labels"))
+      out = out.withColumn("__sfx_labels", lit(null).cast("string"))
+    // NERS (prompt.py:485-532): detected per FIELD against the bound
+    // dictionary, grouped by family
+    if (m.types.contains(Ners) && bind.entityNodes.isDefined) {
+      val en = bind.entityNodes.get
+      val fieldsDf = fieldBlocks(corpus, rids)
+      val normText = concat(lit(" "),
+        trim(regexp_replace(lower(col("f_text")), "[^a-z0-9]+", " ")),
+        lit(" "))
+      val normValue = concat(lit(" "),
+        trim(regexp_replace(lower(col(en.valueCol)), "[^a-z0-9]+", " ")),
+        lit(" "))
+      val dict = en.nodes.select(col(en.valueCol).as("__entity"),
+        en.familyCol.map(c => col(c).cast("string"))
+          .getOrElse(lit("entity")).as("__family"),
+        normValue.as("__nv"))
+      val ners = fieldsDf
+        .where(col("f_text").isNotNull)
+        .select(col("rid").as("__rid"), col("field_type").as("__ftype"),
+          col("field_id").as("__fid"), normText.as("__nt"))
+        .join(broadcast(dict), col("__nt").contains(col("__nv")))
+        .groupBy(col("__rid"), col("__ftype"), col("__fid"), col("__family"))
+        .agg(concat(lit("\n - "), col("__family"), lit(":"),
+          array_join(transform(sort_array(collect_set(col("__entity"))),
+            t => concat(lit("\n   - "), t)), "")).as("__fam_line"))
+        .groupBy(col("__rid"), col("__ftype"), col("__fid"))
+        .agg(concat(lit("\n\nDOCUMENT NAMED ENTITIES (NERs):"),
+          array_join(sort_array(collect_list(col("__fam_line"))), ""))
+          .as("__sfx_ners"))
+      out = out.join(ners, Seq("__rid", "__ftype", "__fid"), "left")
+    }
+    if (!out.columns.contains("__sfx_ners"))
+      out = out.withColumn("__sfx_ners", lit(null).cast("string"))
+    // EXTRA (prompt.py:535-566)
+    if (m.types.contains(Extra) && bind.extraCol.isDefined)
+      out = docCol(bind.extraCol.get) match {
+        case None => out
+        case Some(d) => out.join(
+          d.select(col("__rid"),
+            concat(lit("\n\nDOCUMENT EXTRA METADATA:\n"),
+              col("__v").cast("string"), lit("\n")).as("__sfx_extra")),
+          Seq("__rid"), "left")
+      }
+    if (!out.columns.contains("__sfx_extra"))
+      out = out.withColumn("__sfx_extra", lit(null).cast("string"))
+
+    val passes = Seq(col("__sfx_origin"), col("__sfx_labels"),
+      col("__sfx_ners"), col("__sfx_extra"))
+    val lastIdx = passes.zipWithIndex.map { case (c, i) =>
+      when(c.isNotNull, lit(i + 1)).otherwise(lit(0))
+    }.reduce((a, b) => greatest(a, b))
+    out
+      .withColumn("text", concat(col("text") +:
+        passes.map(c => coalesce(c, lit(""))): _*))
+      .select(col("block_id"), col("text"),
+        (lastIdx.cast("long") * 100000000L + col("__pos0")).as("__seq"))
+  }
 
   /** `CappedPromptContext.cap` (prompt.py:132-161): walk blocks in
     * REVERSE insertion order while the total character size exceeds

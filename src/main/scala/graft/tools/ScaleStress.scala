@@ -300,6 +300,54 @@ object ScaleStress {
     println(f"[stress] pardoclengths_build 1x $tPD1%.2fs 10x $tPD10%.2fs growth ${tPD10 / tPD1}%.1fx")
     println(f"[stress] findparagraphs_bm25 1x $tPF1%.2fs 10x $tPF10%.2fs growth ${tPF10 / tPF1}%.1fx")
 
+    // ---- 3b. request-sized id surfaces: /hydrate and /augment -------
+    // both rest on the typed-In pushdown: a request-sized id set must
+    // prune the scan, so 10× data costs ~the same request
+    def buildPars(d: DataFrame, dir: String): Unit =
+      Ingest.splitParagraphs(d, "doc_id", "text")
+        .write.mode("overwrite").parquet(dir)
+    val (tPB1, _) = time(buildPars(docs1, s"$out/pars1"))
+    val (tPB10, _) = time(buildPars(docs10, s"$out/pars10"))
+    val hydrateIds = Seq("3/t/body/0-20", "3/t/body/20-40",
+      "8/t/body/0-20", "8/t/body/20-40", "21/t/body/0-20",
+      "34/t/body/0-20", "55/t/body/0-20", "89/t/body/0-20")
+    def hydrateCorpus(d: DataFrame, parsDir: String) =
+      Find.Corpus(d, "doc_id", "text",
+        index = Some(graft.sources.IndexStore.IndexTables(
+          postings = spark.emptyDataFrame,
+          docLengths = spark.emptyDataFrame,
+          paragraphs = spark.read.parquet(parsDir))))
+    def hydrateReq(d: DataFrame, parsDir: String): Long =
+      graft.api.Hydrate.paragraphs(hydrateCorpus(d, parsDir), hydrateIds,
+        graft.api.Hydrate.Hydration(
+          neighbours = Some(graft.api.Hydrate.Neighbours(2, 2)),
+          resourceTitle = true)).count()
+    val (tHy1, _) = med3(hydrateReq(docs1, s"$out/pars1"))
+    val (tHy10, _) = med3(hydrateReq(docs10, s"$out/pars10"))
+    println(f"[stress] pars_build 1x $tPB1%.2fs 10x $tPB10%.2fs growth ${tPB10 / tPB1}%.1fx")
+    println(f"[stress] hydrate_neighbours 1x $tHy1%.2fs 10x $tHy10%.2fs growth ${tHy10 / tHy1}%.1fx")
+
+    val entityDict = spark.createDataFrame(
+      Seq(Tuple1("spark"), Tuple1("scan"), Tuple1("key agg"))).toDF("value")
+    def augmentReq(d: DataFrame): Long = {
+      val res = graft.api.Augment.augment(
+        Find.Corpus(d, "doc_id", "text"),
+        graft.api.Augment.AugmentRequest(
+          resources = Seq(graft.api.Augment.ResourceAugment(
+            given = Seq("3", "8", "21", "34", "55", "89"),
+            title = true, origin = true)),
+          fields = Seq(graft.api.Augment.FieldAugment(
+            given = Seq("3/t/body", "8/t/body", "21/a/title",
+              "34/t/body"),
+            text = true, entities = true))),
+        bind = graft.api.Augment.Bindings(originCol = Some("lang"),
+          entityNodes = Some((entityDict, "value"))))
+      res.resources.count() + res.fields.count()
+    }
+    val (tAu1, _) = med3(augmentReq(docs1))
+    val (tAu10, _) = med3(augmentReq(docs10))
+    println(f"[stress] augment_res_fields 1x $tAu1%.2fs 10x $tAu10%.2fs growth ${tAu10 / tAu1}%.1fx")
+
     // ---- 4. suggest at 64 live segments, 10× segment rows ----------
     import spark.implicits._
     def segRoot(docsPerSeg: Int, tag: String): String = {

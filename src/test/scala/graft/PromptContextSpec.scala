@@ -193,6 +193,55 @@ class PromptContextSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == Seq("a/c/chat/2/0-4"))
   }
 
+  test("metadata extension suffixes blocks and moves extended blocks to the end (pop-reinsert order)") {
+    import graft.api.PromptContext.MetadataType._
+    val docsMeta = Seq(
+      ("a", aText, "srcA", Seq("/l/red", "/l/blue/dark")),
+      ("b", bText, null.asInstanceOf[String], Seq.empty[String]))
+      .toDF("rid", "text", "source", "labels")
+    val c = Corpus(docsMeta, "rid", "text")
+    val out = collectBlocks(PromptContext.build(c,
+      hitsDf(("a/t/body/0-20", aPar0), ("b/t/body/0-20", bPar0)),
+      Default,
+      bind = Bindings(originCol = Some("source")),
+      metadata = Some(MetadataExtension(Set(Origin, ClassificationLabels)))))
+    // b has neither origin nor labels → untouched, keeps slot 1 → now
+    // FIRST; a extended by both passes (labels last) → moves to end
+    assert(out.map(_._1).toSeq == Seq("b/t/body/0-20", "a/t/body/0-20"))
+    val aText2 = out(1)._2
+    assert(aText2.startsWith(aPar0))
+    val originAt = aText2.indexOf("\n\nDOCUMENT METADATA AT ORIGIN:\nsource_id: srcA\n")
+    val labelsAt = aText2.indexOf("\n\nDOCUMENT CLASSIFICATION LABELS:")
+    assert(originAt > 0 && labelsAt > originAt,
+      s"suffixes in pass order: $aText2")
+    // label lines sorted, leaf (parent) rendering
+    assert(aText2.contains("\n - dark (/l/blue)"))
+    assert(aText2.contains("\n - red (/l)"))
+    assert(aText2.indexOf(" - dark") < aText2.indexOf(" - red"))
+    assert(out(0)._2 == bPar0)
+  }
+
+  test("metadata extension NERs: per-field detected entities grouped by sorted families") {
+    import graft.api.PromptContext.MetadataType._
+    val docsMeta = Seq(("b", bText + " red widget and blue bolt", "x"))
+      .toDF("rid", "text", "source")
+    val c = Corpus(docsMeta, "rid", "text")
+    val dict = Seq(("red widget", "tool"), ("blue bolt", "part"),
+      ("green gear", "part")).toDF("value", "family")
+    val out = collectBlocks(PromptContext.build(c,
+      hitsDf(("b/t/body/0-20", bPar0)),
+      Default,
+      bind = Bindings(entityNodes = Some(EntityNodes(dict, "value",
+        Some("family")))),
+      metadata = Some(MetadataExtension(Set(Ners)))))
+    val t = out.head._2
+    assert(t.contains("\n\nDOCUMENT NAMED ENTITIES (NERs):"))
+    assert(t.contains("\n - part:\n   - blue bolt"))
+    assert(t.contains("\n - tool:\n   - red widget"))
+    assert(t.indexOf(" - part:") < t.indexOf(" - tool:"))
+    assert(!t.contains("green gear"))
+  }
+
   test("hierarchy: a hit whose resource is missing from the doc store keeps its hit text") {
     val out = collectBlocks(PromptContext.build(corpus,
       hitsDf(("zzz/t/body/0-20", "orphan text"), ("a/t/body/0-20", aPar0)),
