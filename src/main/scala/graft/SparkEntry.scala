@@ -2747,6 +2747,25 @@ object SparkEntry {
             Some("family")))),
         metadata = Some(PromptContext.MetadataExtension(
           Set(Origin, ClassificationLabels, Ners))))
+    }),
+
+    // §3.4 /ask GRAPH rag strategy (`search/search/graph_strategy.py`):
+    // query entities via per-word fuzzy-WORDS detection (the suggest
+    // methodology), one hop of entity-to-entity neighbour relations
+    // over the at-rest provenance edges (path cut 100, value-ordered),
+    // fixture-reranker triplet scoring with the 0.02 threshold, and
+    // relation-text blocks with the reference's faked
+    // {rid}/a/usermetadata/{n}-{n+1} paragraph ids
+    "q171_graph_rag_triplets" -> ((s, dir) => {
+      import graft.api.{GraphRag, GraphSearch}
+      GraphRag.retrieve(
+        GraphSearch.EdgeTable(
+          graft.sources.IndexStore.edgeResources(s, dir),
+          "src", "rel", "dst", relTypeCol = Some("rel_type"),
+          resourceCol = Some("resource_id")),
+        query = "p0",
+        GraphRag.Config(hops = 1, topK = 20,
+          relationTextAsParagraphs = true))
     })
   )
 
@@ -5530,6 +5549,60 @@ object SparkEntry {
          |  LEFT JOIN ner n ON h.rid = n.rid)
          |SELECT block_id, text,
          |  CAST(row_number() OVER (ORDER BY seq, block_id) AS INT) AS pos
-         |FROM ext ORDER BY pos""".stripMargin
+         |FROM ext ORDER BY pos""".stripMargin,
+
+    // q171: the per-occurrence provenance edges, per-word fuzzy entity
+    // detection (value-ordered top-50), the value-ordered 100-path hop
+    // cut, token-overlap triplet scoring (inter/(|q|+3-inter), the
+    // fixture reranker) with the 0.02 threshold, and faked paragraph
+    // ids counting triplets in sorted order
+    "q171_graph_rag_triplets" ->
+      s"""WITH er AS (SELECT DISTINCT
+         |    'S' || CAST(l_suppkey AS VARCHAR) AS src,
+         |    'R' || l_returnflag AS rel,
+         |    'P' || CAST(l_partkey AS VARCHAR) AS dst,
+         |    CASE WHEN l_linestatus = 'O' THEN 'ABOUT' ELSE 'ENTITY' END AS rtype,
+         |    CAST(l_orderkey AS VARCHAR) AS res
+         |  FROM lineitem),
+         |nodes AS (SELECT DISTINCT v FROM (
+         |  SELECT src AS v FROM er UNION SELECT dst FROM er)),
+         |q AS (SELECT v FROM nodes
+         |      WHERE levenshtein(lower(v), 'p0') <= 1
+         |      ORDER BY v LIMIT 50),
+         |und AS (SELECT src AS node, rel AS label, dst AS nbr,
+         |    TRUE AS outd, res, rtype FROM er
+         |  UNION ALL
+         |  SELECT dst, rel, src, FALSE, res, rtype FROM er),
+         |hop AS (SELECT * FROM (
+         |    SELECT u.*, row_number() OVER (ORDER BY node, label, nbr, res) AS rn
+         |    FROM und u JOIN q ON u.node = q.v
+         |    WHERE u.rtype = 'ENTITY')
+         |  WHERE rn <= 100),
+         |occ AS (SELECT CASE WHEN outd THEN node ELSE nbr END AS h,
+         |    label AS l, CASE WHEN outd THEN nbr ELSE node END AS tl,
+         |    res, rn
+         |  FROM hop),
+         |trip AS (SELECT h, l, tl, arg_min(res, rn) AS res0
+         |         FROM occ GROUP BY h, l, tl),
+         |scored AS (SELECT h, l, tl, res0,
+         |    round(CAST(((lower(h) = 'p0')::INT + (lower(l) = 'p0')::INT +
+         |        (lower(tl) = 'p0')::INT) AS DOUBLE)
+         |      / (1 + 3 - ((lower(h) = 'p0')::INT + (lower(l) = 'p0')::INT +
+         |        (lower(tl) = 'p0')::INT)), 6) AS score
+         |  FROM trip),
+         |kept AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (ORDER BY score DESC, h, l, tl) AS rk
+         |    FROM scored)
+         |  WHERE rk <= 20 AND score > 0.02),
+         |blocks AS (SELECT
+         |    res0 || '/a/usermetadata/' ||
+         |      CAST(row_number() OVER (ORDER BY h, l, tl) - 1 AS VARCHAR) ||
+         |      '-' ||
+         |      CAST(row_number() OVER (ORDER BY h, l, tl) AS VARCHAR)
+         |      AS paragraph_id,
+         |    res0 AS rid, score, '- ' || h || ' ' || l || ' ' || tl AS text
+         |  FROM kept)
+         |SELECT paragraph_id, rid, score, text FROM blocks
+         |ORDER BY score DESC, paragraph_id ASC LIMIT 20""".stripMargin
   )
 }

@@ -57,6 +57,14 @@ object GraphOps {
   def fuzzyMatch(c: Column, v: String, dist: Int): Column =
     levenshtein(lower(c), lit(v.toLowerCase)) <= dist
 
+  /** Fuzzy WORDS node match (`MatchLocation::Words` + fuzzy): the node
+    * matches when ANY word of its value is within edit distance `dist`
+    * of the query word — the /ask graph strategy's query-entity
+    * detection unit (`graph_strategy.py:479-487`). */
+  def fuzzyWordsMatch(c: Column, word: String, dist: Int = 1): Column =
+    exists(split(lower(c), "\\s+"),
+      w => levenshtein(w, lit(word.toLowerCase)) <= dist)
+
   /** Fuzzy PREFIX node match — tantivy's
     * `FuzzyTermQuery::new_prefix(term, d)` semantics
     * (`graph_query_parser.rs:536-537`): the node matches iff SOME
