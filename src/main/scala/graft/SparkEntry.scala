@@ -2763,7 +2763,7 @@ object SparkEntry {
           graft.sources.IndexStore.edgeResources(s, dir),
           "src", "rel", "dst", relTypeCol = Some("rel_type"),
           resourceCol = Some("resource_id")),
-        query = "p0",
+        query = "s0",
         GraphRag.Config(hops = 1, topK = 20,
           relationTextAsParagraphs = true))
     })
@@ -5567,28 +5567,30 @@ object SparkEntry {
          |nodes AS (SELECT DISTINCT v FROM (
          |  SELECT src AS v FROM er UNION SELECT dst FROM er)),
          |q AS (SELECT v FROM nodes
-         |      WHERE levenshtein(lower(v), 'p0') <= 1
+         |      WHERE levenshtein(lower(v), 's0') <= 1
          |      ORDER BY v LIMIT 50),
          |und AS (SELECT src AS node, rel AS label, dst AS nbr,
          |    TRUE AS outd, res, rtype FROM er
          |  UNION ALL
          |  SELECT dst, rel, src, FALSE, res, rtype FROM er),
          |hop AS (SELECT * FROM (
-         |    SELECT u.*, row_number() OVER (ORDER BY node, label, nbr, res) AS rn
-         |    FROM und u JOIN q ON u.node = q.v
-         |    WHERE u.rtype = 'ENTITY')
+         |    SELECT h, l, tl, res,
+         |      row_number() OVER (ORDER BY h, l, tl, res) AS rn
+         |    FROM (SELECT DISTINCT
+         |        CASE WHEN u.outd THEN u.node ELSE u.nbr END AS h,
+         |        u.label AS l,
+         |        CASE WHEN u.outd THEN u.nbr ELSE u.node END AS tl,
+         |        u.res
+         |      FROM und u JOIN q ON u.node = q.v
+         |      WHERE u.rtype = 'ENTITY'))
          |  WHERE rn <= 100),
-         |occ AS (SELECT CASE WHEN outd THEN node ELSE nbr END AS h,
-         |    label AS l, CASE WHEN outd THEN nbr ELSE node END AS tl,
-         |    res, rn
-         |  FROM hop),
          |trip AS (SELECT h, l, tl, arg_min(res, rn) AS res0
-         |         FROM occ GROUP BY h, l, tl),
+         |         FROM hop GROUP BY h, l, tl),
          |scored AS (SELECT h, l, tl, res0,
-         |    round(CAST(((lower(h) = 'p0')::INT + (lower(l) = 'p0')::INT +
-         |        (lower(tl) = 'p0')::INT) AS DOUBLE)
-         |      / (1 + 3 - ((lower(h) = 'p0')::INT + (lower(l) = 'p0')::INT +
-         |        (lower(tl) = 'p0')::INT)), 6) AS score
+         |    round(CAST(((lower(h) = 's0')::INT + (lower(l) = 's0')::INT +
+         |        (lower(tl) = 's0')::INT) AS DOUBLE)
+         |      / (1 + 3 - ((lower(h) = 's0')::INT + (lower(l) = 's0')::INT +
+         |        (lower(tl) = 's0')::INT)), 6) AS score
          |  FROM trip),
          |kept AS (SELECT * FROM (
          |    SELECT *, row_number() OVER (ORDER BY score DESC, h, l, tl) AS rk

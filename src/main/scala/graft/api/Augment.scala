@@ -364,13 +364,19 @@ object Augment {
         first(col("entities"), ignoreNulls = true).as("entities"))
   }
 
-  /** Whole-token entity detection over the requested field texts — the
-    * q92 values-in-text contract vectorized per field: an entity value
-    * matches when it appears space-bounded in the normalized text.
-    * The entity table is dictionary-scale and BROADCASTS against the
-    * request-sized field rows; output is the sorted match array. */
-  private def detectedEntities(
-      fields: DataFrame, nodes: DataFrame, valueCol: String): DataFrame = {
+  /** The ONE whole-token entity-detection join — the q92
+    * values-in-text contract vectorized per field: an entity value
+    * matches when it appears space-bounded in the normalized field
+    * text. The entity table is dictionary-scale and BROADCASTS against
+    * the request-sized field rows. Shared by /augment field entities
+    * and the /ask metadata-extension NER pass so the matching
+    * convention cannot drift between them. `fields` must carry
+    * (rid, field_type, field_id, f_text); returns one row per
+    * (field, matched entity) with the entity's family (`familyCol`,
+    * or the constant "entity"). */
+  private[api] def entityMatchRows(
+      fields: DataFrame, nodes: DataFrame, valueCol: String,
+      familyCol: Option[String] = None): DataFrame = {
     val normText = concat(lit(" "),
       trim(regexp_replace(lower(col("f_text")), "[^a-z0-9]+", " ")),
       lit(" "))
@@ -382,10 +388,19 @@ object Augment {
       .select(col("rid"), col("field_type"), col("field_id"),
         normText.as("__nt"))
       .join(broadcast(nodes.select(col(valueCol).as("__entity"),
+        familyCol.map(c => col(c).cast("string"))
+          .getOrElse(lit("entity")).as("__family"),
         normValue.as("__nv"))), col("__nt").contains(col("__nv")))
+      .select(col("rid"), col("field_type"), col("field_id"),
+        col("__entity"), col("__family"))
+  }
+
+  /** Sorted matched-value array per field ([[entityMatchRows]]). */
+  private def detectedEntities(
+      fields: DataFrame, nodes: DataFrame, valueCol: String): DataFrame =
+    entityMatchRows(fields, nodes, valueCol)
       .groupBy("rid", "field_type", "field_id")
       .agg(sort_array(collect_set(col("__entity"))).as("entities"))
-  }
 
   private def emptyFields(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._

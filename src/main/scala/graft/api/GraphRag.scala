@@ -72,10 +72,13 @@ object GraphRag {
       perHopPaths: Int = 100,
       entityTopK: Int = 50)
 
-  /** One surviving relation occurrence (driver-side, bounded). */
+  /** One surviving relation occurrence, direction-normalized
+    * (driver-side, bounded). */
   private final case class Rel(
-      ent: String, label: String, tail: String, out: Boolean,
-      resource: String, paragraph: Option[String])
+      head: String, label: String, tail: String,
+      resource: String, paragraph: Option[String]) {
+    def triplet: (String, String, String) = (head, label, tail)
+  }
 
   /** `fuzzy_search_entities` (graph_strategy.py:468-501): the query's
     * entities via the suggest methodology — per query word, a node
@@ -111,6 +114,13 @@ object GraphRag {
       scorer: Rerankers.Scorer = Rerankers.TokenOverlap): DataFrame = {
     val spark = t.edges.sparkSession
     import spark.implicits._
+    // mode A fakes `{rid}/a/usermetadata/...` ids from the RESOURCE
+    // provenance — without it the ids would be malformed; fail with
+    // the remedy instead (the requireProvenanceFor pattern)
+    require(!cfg.relationTextAsParagraphs || t.resourceCol.isDefined,
+      "relation_text_as_paragraphs needs edge resource provenance — " +
+        "bind EdgeTable.resourceCol (e.g. the relation index's " +
+        "edge_resources table)")
 
     // ONE undirected view over the provenance-bearing edge rows; every
     // hop prunes it with request-sized IN predicates
@@ -133,23 +143,34 @@ object GraphRag {
 
     var hop = 0
     var continue = frontier.nonEmpty
+    var scores = Map.empty[(String, String, String), Double]
     while (hop < cfg.hops && continue) {
       // the frontier's neighbour relations, excluding paths that touch
       // explored entities (frontier ∩ explored = ∅ by construction, so
       // only the far endpoint needs the check) and non-entity-to-entity
-      // relations when the edge table carries relation types
+      // relations when the edge table carries relation types. An edge
+      // whose BOTH endpoints are frontier entities matches in BOTH
+      // orientations of the undirected view, but it is ONE path in the
+      // reference's response — dedup on the direction-normalized
+      // occurrence identity before the per-hop cut
       val matched = und
         .where(col("node").isInCollection(frontier) &&
           (if (explored.isEmpty) lit(true)
            else !col("nbr").isInCollection(explored.toSeq)) &&
           (if (t.relTypeCol.isEmpty) lit(true)
            else col("rtype") === "ENTITY"))
-        .orderBy(col("node"), col("label"), col("nbr"), col("res"))
+        .select(
+          when(col("out"), col("node")).otherwise(col("nbr")).as("h"),
+          col("label"),
+          when(col("out"), col("nbr")).otherwise(col("node")).as("tl"),
+          col("res"), col("par"), col("node"), col("nbr"))
+        .dropDuplicates("h", "label", "tl", "res", "par")
+        .orderBy(col("h"), col("label"), col("tl"), col("res"))
         .limit(cfg.perHopPaths)
         .collect()
       val hopRels = matched.map(r => Rel(
-        r.getAs[String]("node"), r.getAs[String]("label"),
-        r.getAs[String]("nbr"), r.getAs[Boolean]("out"),
+        r.getAs[String]("h"), r.getAs[String]("label"),
+        r.getAs[String]("tl"),
         Option(r.getAs[String]("res")).getOrElse(""),
         Option(r.getAs[String]("par"))))
       // only_with_metadata (merge_relations_results): without
@@ -158,41 +179,40 @@ object GraphRag {
       rels = rels ++ (if (cfg.relationTextAsParagraphs) hopRels
         else hopRels.filter(_.paragraph.isDefined))
 
-      val discovered = hopRels.map(_.tail).distinct
+      // discovered = every endpoint of the hop's paths not yet walked
+      // (the reference's response NODES minus explored/frontier)
+      val discovered = matched
+        .flatMap(r => Seq(r.getAs[String]("node"), r.getAs[String]("nbr")))
+        .distinct
         .filterNot(explored.contains).filterNot(frontier.contains)
       explored = explored ++ frontier
       frontier = discovered.sorted
       continue = discovered.nonEmpty
 
       // re-rank the ACCUMULATED graph after every hop: score each
-      // unique direction-normalized triplet sentence, keep the top_k
-      // above the threshold, expand back to the original occurrences
+      // unique triplet sentence, keep the top_k above the threshold,
+      // expand back to the original occurrences
       if (rels.nonEmpty) {
-        val tripletOf = (r: Rel) =>
-          if (r.out) (r.ent, r.label, r.tail) else (r.tail, r.label, r.ent)
-        val unique = rels.map(tripletOf).distinct
-        val scores = scoreTriplets(spark, unique, queryTerms, scorer)
-        val kept = scores.toSeq
+        val allScores =
+          scoreTriplets(spark, rels.map(_.triplet).distinct, queryTerms,
+            scorer)
+        scores = allScores.toSeq
           .sortBy { case ((h, l, tl), s) => (-s, h, l, tl) }
           .take(cfg.topK)
           .filter(_._2 > cfg.scoreThreshold)
           .toMap
-        rels = rels.filter(r => kept.contains(tripletOf(r)))
+        rels = rels.filter(r => scores.contains(r.triplet))
       }
       hop += 1
     }
 
     if (rels.isEmpty) return emptyBlocks(spark)
-    val tripletOf = (r: Rel) =>
-      if (r.out) (r.ent, r.label, r.tail) else (r.tail, r.label, r.ent)
-    val scores = scoreTriplets(spark,
-      rels.map(tripletOf).distinct, queryTerms, scorer)
 
     if (cfg.relationTextAsParagraphs) {
       // one block per unique triplet, manual "- head rel tail" text;
       // paragraph-less triplets fake `{rid}/a/usermetadata/{n}-{n+1}`
       var fakeN = 0
-      val blocks = rels.groupBy(tripletOf).toSeq
+      val blocks = rels.groupBy(_.triplet).toSeq
         .sortBy { case ((h, l, tl), _) => (h, l, tl) }
         .map { case ((h, l, tl), occ) =>
           val score = scores((h, l, tl))
@@ -214,7 +234,7 @@ object GraphRag {
       // (start asc, end desc); a span ending at or before the running
       // max end merges into its container (max score)
       val withPid = rels.flatMap(r =>
-        r.paragraph.map(p => (p, scores(tripletOf(r)))))
+        r.paragraph.map(p => (p, scores(r.triplet))))
       val parsed = withPid.flatMap { case (pid, s) =>
         val parts = pid.split("/")
         val span = "^(\\d+)-(\\d+)$".r.findFirstMatchIn(parts.last)

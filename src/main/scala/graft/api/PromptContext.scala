@@ -591,22 +591,12 @@ object PromptContext {
     // dictionary, grouped by family
     if (m.types.contains(Ners) && bind.entityNodes.isDefined) {
       val en = bind.entityNodes.get
-      val fieldsDf = fieldBlocks(corpus, rids)
-      val normText = concat(lit(" "),
-        trim(regexp_replace(lower(col("f_text")), "[^a-z0-9]+", " ")),
-        lit(" "))
-      val normValue = concat(lit(" "),
-        trim(regexp_replace(lower(col(en.valueCol)), "[^a-z0-9]+", " ")),
-        lit(" "))
-      val dict = en.nodes.select(col(en.valueCol).as("__entity"),
-        en.familyCol.map(c => col(c).cast("string"))
-          .getOrElse(lit("entity")).as("__family"),
-        normValue.as("__nv"))
-      val ners = fieldsDf
-        .where(col("f_text").isNotNull)
+      // the SHARED whole-token detection join (Augment.entityMatchRows
+      // — one matching convention for /augment entities and this pass)
+      val ners = Augment.entityMatchRows(fieldBlocks(corpus, rids),
+          en.nodes, en.valueCol, en.familyCol)
         .select(col("rid").as("__rid"), col("field_type").as("__ftype"),
-          col("field_id").as("__fid"), normText.as("__nt"))
-        .join(broadcast(dict), col("__nt").contains(col("__nv")))
+          col("field_id").as("__fid"), col("__entity"), col("__family"))
         .groupBy(col("__rid"), col("__ftype"), col("__fid"), col("__family"))
         .agg(concat(lit("\n - "), col("__family"), lit(":"),
           array_join(transform(sort_array(collect_set(col("__entity"))),

@@ -62,7 +62,9 @@ object GraphOps {
     * of the query word — the /ask graph strategy's query-entity
     * detection unit (`graph_strategy.py:479-487`). */
   def fuzzyWordsMatch(c: Column, word: String, dist: Int = 1): Column =
-    exists(split(lower(c), "\\s+"),
+    // empty split tokens (padded/double whitespace) must not match —
+    // levenshtein("", w) = |w| would admit any ≤dist-char query word
+    exists(filter(split(lower(c), "\\s+"), w => w =!= ""),
       w => levenshtein(w, lit(word.toLowerCase)) <= dist)
 
   /** Fuzzy PREFIX node match — tantivy's

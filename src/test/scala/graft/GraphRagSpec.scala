@@ -122,6 +122,38 @@ class GraphRagSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("an edge whose BOTH endpoints are query entities is ONE path: provenance survives, no duplicate slot") {
+    // "parks detroit": both endpoints of the LIVED_IN edge enter the
+    // frontier; the undirected view matches it in both orientations,
+    // but it must dedup to one occurrence — so the single-occurrence
+    // pid rule keeps the edge's REAL paragraph provenance
+    val out = GraphRag.retrieve(t, "parks detroit", Config(hops = 1,
+      topK = 10, relationTextAsParagraphs = true),
+      paragraphCol = Some("par")).collect()
+    val byText = out.map(r => r.getAs[String]("text") ->
+      r.getAs[String]("paragraph_id")).toMap
+    assert(byText("- rosa parks LIVED_IN detroit") == "r1/t/body/0-20")
+  }
+
+  test("mode A without resource provenance fails fast with the remedy") {
+    val bare = EdgeTable(edges, "src", "rel", "dst")
+    val e = intercept[IllegalArgumentException] {
+      GraphRag.retrieve(bare, "rose", Config(relationTextAsParagraphs = true))
+    }
+    assert(e.getMessage.contains("resourceCol"))
+  }
+
+  test("fuzzy word match ignores empty split tokens (padded node values)") {
+    val padded = Seq((" xyz ", "REL", "wvu", "ENTITY", "r1", null))
+      .toDF("src", "rel", "dst", "rel_type", "res", "par")
+    val tp = EdgeTable(padded, "src", "rel", "dst",
+      relTypeCol = Some("rel_type"), resourceCol = Some("res"))
+    // a 1-char query word must NOT match " xyz " via its empty split
+    // token (levenshtein("", "q") = 1 would have admitted it)
+    val got = GraphRag.queryEntities(tp, "q").collect()
+    assert(got.isEmpty)
+  }
+
   test("no matching query entities: empty blocks with a stable schema") {
     val out = GraphRag.retrieve(t, "qqqqqq zzzzzz", Config(hops = 2))
     assert(out.count() == 0)
