@@ -30,15 +30,50 @@ object RankFusion {
     * rank ≤ window. */
   val MaxWindow = 500
 
-  /** Deterministic rank within one already-bounded list: score desc,
-    * id asc tiebreak. The constant partition key keeps the plan an
-    * explicit (bounded) single-partition window. */
-  private def ranked(df: DataFrame, idCol: String, scoreCol: String, window: Int): DataFrame =
-    TopK.topK(df, scoreCol, idCol, window)
+  /** Tag + union the window-cut lists, then compute PER-LIST rank,
+    * the global presence count, and the union in ONE single-partition
+    * window pass (the union is ≤ lists × window rows by construction):
+    *
+    *  - `rank`: deterministic rank WITHIN each list (score desc, id
+    *    asc tiebreak) — a global row_number ordered (list, score desc,
+    *    id) minus the count of earlier lists' rows (a range frame on
+    *    the list tag), so no per-list window/exchange is needed;
+    *  - `__n_lists`: how many lists have RESULTS — the reference's
+    *    fuse() skip predicate (`rank_fusion.py:74-90`: presence is a
+    *    property of the result sets, not the request).
+    *
+    * All three window specs share the constant partition key, so the
+    * whole pass is one exchange of the bounded union (r13 shipped one
+    * window PER list plus a presence window between union and
+    * aggregate — measured 1.5× on the hybrid find; this shape is one
+    * exchange cheaper than even the pre-presence plan, and keeps the
+    * per-list sub-search subtrees running in parallel inside the one
+    * action).
+    */
+  private def taggedRanked(
+      lists: Seq[(String, DataFrame, Double)],
+      idCol: String,
+      scoreCol: String,
+      window: Int): DataFrame = {
+    require(lists.map(_._1).distinct.size == lists.size,
+      "rank-fusion source names must be distinct")
+    val tagged = lists.zipWithIndex.map { case ((_, df, w), i) =>
+      TopK.topK(df, scoreCol, idCol, window)
+        .select(col(idCol),
+          col(scoreCol).cast("double").as("__orig"),
+          lit(w).as("__w"), lit(i).as("__list"))
+    }
+    val w0 = Window.partitionBy(TopK.constPartitionKey(col(idCol)))
+    val wOrd = w0.orderBy(col("__list").asc, col("__orig").desc,
+      col(idCol).asc)
+    val wPrior = w0.orderBy(col("__list"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    tagged.reduce(_ unionByName _)
       .withColumn("rank",
-        row_number().over(
-          Window.partitionBy(TopK.constPartitionKey(col(idCol)))
-            .orderBy(col(scoreCol).desc, col(idCol).asc)))
+        row_number().over(wOrd) - count(lit(1)).over(wPrior))
+      .withColumn("__n_lists",
+        size(collect_set(col("__list")).over(w0)))
+  }
 
   /** Reciprocal Rank Fusion: score(d) = Σ_lists w_l / (k + rank_l(d)).
     *
@@ -51,7 +86,15 @@ object RankFusion {
       scoreCol: String,
       k: Int = DefaultK,
       window: Int = MaxWindow): DataFrame =
-    rrfFused(lists, idCol, scoreCol, k, window)
+    // a single INPUT list is always the fuse() passthrough (empty
+    // stays empty, nonempty keeps original scores) — no window, no
+    // aggregate, just the cut
+    if (lists.size == 1)
+      TopK.topK(lists.head._2, scoreCol, idCol, window)
+        .select(col(idCol),
+          col(scoreCol).cast("double").as("rrf_score"),
+          lit(1L).as("n_sources"))
+    else rrfFused(lists, idCol, scoreCol, k, window)
       .select(col(idCol),
         when(col("__nl") === 1, col("__orig_max"))
           .otherwise(col("__rrf")).as("rrf_score"),
@@ -75,7 +118,16 @@ object RankFusion {
       k: Int = DefaultK,
       window: Int = MaxWindow): DataFrame = {
     val srcSel = lists.map { case (name, _, _) => col(s"score_$name") }
-    rrfFused(lists, idCol, scoreCol, k, window)
+    if (lists.size == 1)
+      // single-input passthrough, same shape: the one source's score
+      // is both the current score and its own history column
+      TopK.topK(lists.head._2, scoreCol, idCol, window)
+        .select(col(idCol),
+          col(scoreCol).cast("double").as("rrf_score"),
+          lit(1L).as("n_sources"),
+          lit(1L).as("n_present_sources"),
+          col(scoreCol).cast("double").as(s"score_${lists.head._1}"))
+    else rrfFused(lists, idCol, scoreCol, k, window)
       .select(Seq(col(idCol),
         when(col("__nl") === 1, col("__orig_max"))
           .otherwise(col("__rrf")).as("rrf_score"),
@@ -83,41 +135,27 @@ object RankFusion {
         col("__nl").cast("long").as("n_present_sources")) ++ srcSel: _*)
   }
 
-  /** Shared RRF internals: cut + rank each list, union, and aggregate
-    * the fused score, the single-nonempty-source skip resolution
-    * inputs, and the per-source score pivots. */
+  /** Shared RRF internals: one tagged-union window pass
+    * ([[taggedRanked]]), then aggregate the fused score, the
+    * single-nonempty-source skip resolution inputs, and the
+    * per-source score pivots. */
   private def rrfFused(
       lists: Seq[(String, DataFrame, Double)],
       idCol: String,
       scoreCol: String,
       k: Int,
       window: Int): DataFrame = {
-    require(lists.map(_._1).distinct.size == lists.size,
-      "rank-fusion source names must be distinct")
     // rank is 0-BASED like the reference's enumerate (`rank_fusion.py:
     // 161-165` — the top item contributes 1/(k+0), pinned by the
-    // upstream unit vectors); row_number() is 1-based, hence the -1
-    val contributions = lists.zipWithIndex.map { case ((_, df, w), i) =>
-      ranked(df, idCol, scoreCol, window)
-        .select(col(idCol),
-          col(scoreCol).cast("double").as("__orig"),
-          (lit(w) / (lit(k.toDouble) + col("rank") - lit(1))).as("contrib"),
-          lit(i).as("__list"))
-    }
-    // the reference SKIPS fusion when only one source has RESULTS
-    // (`rank_fusion.py:74-90` fuse() — presence is a property of the
-    // result sets, not the request): the surviving list keeps its
-    // ORIGINAL scores, unweighted. Presence is decided on the fused
-    // union itself (already ≤ lists×window rows) with one bounded
-    // constant-partition window — no extra driver action per request
-    val unioned = contributions.reduce(_ unionByName _)
-      .withColumn("__n_lists",
-        size(collect_set(col("__list")).over(
-          Window.partitionBy(TopK.constPartitionKey(col(idCol))))))
+    // upstream unit vectors); the within-list rank is 1-based, hence
+    // the -1
+    val ranked = taggedRanked(lists, idCol, scoreCol, window)
+      .withColumn("contrib",
+        col("__w") / (lit(k.toDouble) + col("rank") - lit(1)))
     val srcAggs = lists.zipWithIndex.map { case ((name, _, _), i) =>
       max(when(col("__list") === i, col("__orig"))).as(s"score_$name")
     }
-    unioned
+    ranked
       .groupBy(idCol)
       .agg(sum("contrib").as("__rrf"),
         (Seq(max(col("__orig")).as("__orig_max"),
@@ -138,22 +176,17 @@ object RankFusion {
       idCol: String,
       scoreCol: String,
       window: Int = MaxWindow): DataFrame = {
-    val weighted = lists.zipWithIndex.map { case ((_, df, w), i) =>
-      val cut = TopK.topK(df, scoreCol, idCol, window)
-      cut.select(col(idCol),
-        col(scoreCol).cast("double").as("__orig"),
-        (col(scoreCol).cast("double") * lit(w)).as("contrib"),
-        lit(i).as("__list"))
-    }
     // same single-nonempty-source skip as [[rrf]] — the base-class
     // fuse() contract (`rank_fusion.py:74-90`) applies to both
     // algorithms: one surviving list returns original unweighted
-    // scores
-    val unioned = weighted.reduce(_ unionByName _)
-      .withColumn("__n_lists",
-        size(collect_set(col("__list")).over(
-          Window.partitionBy(TopK.constPartitionKey(col(idCol))))))
-    unioned
+    // scores. Presence rides the shared tagged-union window pass.
+    if (lists.size == 1)
+      return TopK.topK(lists.head._2, scoreCol, idCol, window)
+        .select(col(idCol),
+          col(scoreCol).cast("double").as("fused_score"),
+          lit(1L).as("n_sources"))
+    taggedRanked(lists, idCol, scoreCol, window)
+      .withColumn("contrib", col("__orig") * col("__w"))
       .groupBy(idCol)
       .agg(sum("contrib").as("__sum"),
         max(col("__orig")).as("__orig_max"),
