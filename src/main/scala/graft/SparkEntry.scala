@@ -87,7 +87,11 @@ object SparkEntry {
     * Served state therefore equals `documents WHERE doc_id % 17 <> 5`
     * with the original text — the SQL the stream-family oracles filter
     * by. Relations ride the segments (resource → lang/source), so the
-    * graph + entity-suggest endpoints serve from the same root.
+    * graph + entity-suggest endpoints serve from the same root, and
+    * MESSAGE-GRAIN conversations ride them too (docs `% 7 == 0` carry
+    * a 4-message chat field built from the segment's own text — seg 0's
+    * stale text yields stale messages the seg-1 rewrite replaces), so
+    * /augment's conversation selectors serve from the same root.
     */
   private val streamRoots = scala.collection.mutable.Map[String, String]()
   private def streamRootAtRest(s: SparkSession, dir: String): String =
@@ -101,25 +105,42 @@ object SparkEntry {
         val rels = array(
           struct(lit("IN_LANG").as("rel"), col("lang").as("dst")),
           struct(lit("FROM_SOURCE").as("rel"), col("source").as("dst")))
+        // q164's conversation recipe over the SEGMENT's text: 4 messages
+        // of 5 tokens each on field "chat" for docs % 7 == 0
+        def msgsOf(textExpr: Column): Column = {
+          val toks = TextFunctions.tokens(textExpr)
+          val arr = transform(sequence(lit(0), lit(3)), i =>
+            struct(lit("chat").as("field_id"),
+              i.as("split"),
+              when(i === 0, "QUESTION").when(i === 1, "ANSWER")
+                .otherwise("OTHER").as("mtype"),
+              concat_ws(" ", slice(toks, i * 5 + 1, lit(5))).as("mtext")))
+          when(col("doc_id") % 7 === 0, arr).otherwise(slice(arr, 1, 0))
+        }
         IncrementalIndex.writeSegment(
           docs.select(col("doc_id"), lit(1L).as("seq"),
             when(col("doc_id") % 10 === 3, lit("stale placeholder text"))
               .otherwise(col("text")).as("text"),
-            lit(false).as("deleted"), rels.as("rels")),
+            lit(false).as("deleted"), rels.as("rels"),
+            msgsOf(when(col("doc_id") % 10 === 3,
+                lit("stale placeholder text")).otherwise(col("text")))
+              .as("msgs")),
           f"$root/seg_${0}%09d", "doc_id", "text", "seq",
-          relationsCol = Some("rels"))
+          relationsCol = Some("rels"), messagesCol = Some("msgs"))
         IncrementalIndex.writeSegment(
           docs.where(col("doc_id") % 10 === 3)
             .select(col("doc_id"), lit(2L).as("seq"), col("text"),
-              lit(false).as("deleted"), rels.as("rels")),
+              lit(false).as("deleted"), rels.as("rels"),
+              msgsOf(col("text")).as("msgs")),
           f"$root/seg_${1}%09d", "doc_id", "text", "seq",
-          relationsCol = Some("rels"))
+          relationsCol = Some("rels"), messagesCol = Some("msgs"))
         IncrementalIndex.writeSegment(
           docs.where(col("doc_id") % 17 === 5)
             .select(col("doc_id"), lit(3L).as("seq"), lit("").as("text"),
-              lit(true).as("deleted"), rels.as("rels")),
+              lit(true).as("deleted"), rels.as("rels"),
+              msgsOf(col("text")).as("msgs")),
           f"$root/seg_${2}%09d", "doc_id", "text", "seq",
-          relationsCol = Some("rels"))
+          relationsCol = Some("rels"), messagesCol = Some("msgs"))
         root
       })
     }
@@ -1138,7 +1159,11 @@ object SparkEntry {
           .select(col("vec_id").cast("long").as("rel_id"), col("embedding")),
         "rel_id", "embedding",
         emb.where(col("vec_id") === 0).select("embedding"), "embedding",
-        topK = 50, edgeMinScore = 0.3)
+        // 0.09 admits 3 labels at sf0.01 (top cosines 0.293/0.131/
+        // 0.094) — the r10-r13 threshold 0.3 excluded EVERY label, so
+        // the oracle was vacuously empty and the edge join/ranking path
+        // had no data-bearing correctness row (VERDICT r13)
+        topK = 50, edgeMinScore = 0.09)
     }),
 
     // §3.2 /search with merge-side attribute sort (merge.py:97-168):
@@ -2766,7 +2791,71 @@ object SparkEntry {
         query = "s0",
         GraphRag.Config(hops = 1, topK = 20,
           relationTextAsParagraphs = true))
-    })
+    }),
+
+    // §2.9 streamed /retrieve (round 14): the raw-retrieval surface
+    // over the LSM VECTOR root — keyword BM25 from the winner-filtered
+    // segment postings + semantic scoring over latest-wins segment
+    // vectors (the stale NEGATED seg-0 vectors must never score, the
+    // tombstoned ids never return), fused under the surface's own
+    // min(topK, 500) window with full score provenance; the whole
+    // request resolves under ONE pinned segment watermark
+    "q172_stream_retrieve" -> ((s, dir) => {
+      import graft.api.Retrieve
+      val e = streamVecEngine(s, dir)
+      val emb = load(s, dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0)
+      e.retrieve(Retrieve.RetrievalRequest(
+        query = Retrieve.RawQuery(
+          keyword = Some(Retrieve.KeywordQuery(QueryTerms.mkString(" "))),
+          semantic = Some(Retrieve.SemanticQuery(qv, vectorset = "default"))),
+        topK = 20))
+    }),
+
+    // §2.9 streamed /hydrate (round 14): paragraph-set hydration from
+    // the cross-segment paragraph table — the requested ids resolve
+    // against LATEST-WINS text (docs 13/23 carry stale seg-0
+    // placeholder text that seg 1 replaced; serving the stale chunks
+    // would flip every hydrated span), the TOMBSTONED resource's id
+    // (doc 5) skips silently like any unknown id, neighbours expand
+    // within the live field ordering, titles denormalize from the
+    // live doc store
+    "q173_stream_hydrate" -> ((s, dir) =>
+      streamEngine(s, dir)
+        .hydrate(Seq("13/t/body/0-20", "23/t/body/0-20",
+            "5/t/body/0-20", "bogus"),
+          graft.api.Hydrate.Hydration(
+            neighbours =
+              Some(graft.api.Hydrate.Neighbours(before = 1, after = 2)),
+            resourceTitle = true))
+        .withColumn("related_before", concat_ws(",", col("related_before")))
+        .withColumn("related_after", concat_ws(",", col("related_after")))),
+
+    // §2.9 streamed /augment CONVERSATIONS (round 14): the full
+    // selector surface over the MESSAGE-GRAIN segment table — the
+    // stale seg-0 messages of docs 63/133 (%10==3) must never serve
+    // (seg 1 rewrote the conversation), and the TOMBSTONED doc 56's
+    // selector must skip silently (its messages died with the doc);
+    // full conversation, centered deque window, answer-or-after for a
+    // QUESTION and for an OTHER anchor, and a single split message
+    "q174_stream_augment_conversation" -> ((s, dir) =>
+      streamEngine(s, dir)
+        .augment(graft.api.Augment.AugmentRequest(fields = Seq(
+          graft.api.Augment.FieldAugment(given = Seq("0/c/chat"),
+            fullConversation = true),
+          graft.api.Augment.FieldAugment(given = Seq("63/c/chat/1"),
+            maxConversationMessages = Some(3)),
+          graft.api.Augment.FieldAugment(given = Seq("14/c/chat/0"),
+            conversationAnswerOrAfter = true),
+          graft.api.Augment.FieldAugment(given = Seq("133/c/chat/2"),
+            conversationAnswerOrAfter = true),
+          graft.api.Augment.FieldAugment(given = Seq("28/c/chat/2"),
+            text = true),
+          graft.api.Augment.FieldAugment(given = Seq("56/c/chat/1"),
+            fullConversation = true))))
+        .messages
+        .orderBy(col("rid").cast("int"), col("split").cast("int")))
   )
 
   // ---------------------------------------------------------------- //
@@ -3776,7 +3865,7 @@ object SparkEntry {
          |                  round(${cosSql("e.v", "q.qv")}, 6) AS rel_score
          |           FROM e CROSS JOIN q
          |           WHERE e.vec_id BETWEEN 1 AND 20
-         |             AND round(${cosSql("e.v", "q.qv")}, 6) >= 0.3
+         |             AND round(${cosSql("e.v", "q.qv")}, 6) >= 0.09
          |           ORDER BY rel_score DESC, e.vec_id LIMIT 200),
          |ed AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS source,
          |              CAST(l_partkey % 20 + 1 AS BIGINT) AS relation,
@@ -5605,6 +5694,135 @@ object SparkEntry {
          |    res0 AS rid, score, '- ' || h || ' ' || l || ' ' || tl AS text
          |  FROM kept)
          |SELECT paragraph_id, rid, score, text FROM blocks
-         |ORDER BY score DESC, paragraph_id ASC LIMIT 20""".stripMargin
+         |ORDER BY score DESC, paragraph_id ASC LIMIT 20""".stripMargin,
+
+    // q172: q158's /retrieve provenance contract over the streamed
+    // vector root — population = the live (latest-wins, un-tombstoned)
+    // docs that carry vectors, BM25 stats over exactly that set,
+    // semantic scores the REAL embeddings (seg 1 replaced the negated
+    // seg-0 canaries), both lists cut to the surface's min(topK,500)
+    // window before RRF
+    "q172_stream_retrieve" ->
+      s"""WITH sdocs AS (SELECT d.doc_id, d.text FROM documents d
+         |  JOIN embeddings emb ON emb.vec_id = d.doc_id
+         |  WHERE d.doc_id % 17 <> 5),
+         |tok AS (SELECT doc_id, unnest($Tok) AS term FROM sdocs),
+         |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+         |       WHERE term IN $InQueryTerms GROUP BY doc_id, term),
+         |idf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |bm25 AS (
+         |  SELECT tf.doc_id,
+         |         round(sum(ln(1 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+         |               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 4) AS score
+         |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         |  GROUP BY tf.doc_id),
+         |kr AS (SELECT doc_id, score, rank FROM (
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm25)
+         |  WHERE rank <= 20),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |      WHERE vec_id % 17 <> 5),
+         |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         |sem AS (SELECT e.vec_id AS doc_id, round(${cosSql("e.v", "q.qv")}, 6) AS score
+         |        FROM e CROSS JOIN q),
+         |sr AS (SELECT doc_id, score, rank FROM (
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sem)
+         |  WHERE rank <= 20),
+         |u AS (SELECT doc_id, 1.0 / (59 + rank) AS contrib, score AS ks,
+         |             CAST(NULL AS DOUBLE) AS ss FROM kr
+         |      UNION ALL
+         |      SELECT doc_id, 1.0 / (59 + rank), CAST(NULL AS DOUBLE), score FROM sr),
+         |f AS (SELECT doc_id, round(sum(contrib), 6) AS score,
+         |             max(ks) AS keyword_score, max(ss) AS semantic_score,
+         |             CAST(count(*) AS BIGINT) AS n_sources
+         |      FROM u GROUP BY doc_id)
+         |SELECT doc_id, score, 'rank_fusion' AS score_source, 'rrf' AS score_type,
+         |  keyword_score, semantic_score, CAST(NULL AS DOUBLE) AS graph_score,
+         |  CAST(NULL AS DOUBLE) AS prerank_score, n_sources
+         |FROM f ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q173: q161's /hydrate contract over the streamed root — the live
+    // (latest-wins) text of docs 13/23, neighbour windows in the live
+    // field ordering, titles from the live doc store; the tombstoned
+    // doc-5 id and the malformed id produce NO rows (silent skip), so
+    // the oracle simply never mentions them
+    "q173_stream_hydrate" ->
+      s"""WITH ${parCtesFrom("(SELECT * FROM documents WHERE doc_id IN (13, 23)) srch")},
+         |ranked AS (SELECT doc_id, paragraph_id, s, e, t,
+         |             row_number() OVER (PARTITION BY doc_id ORDER BY s) AS rk
+         |           FROM par),
+         |req AS (SELECT * FROM ranked
+         |        WHERE paragraph_id IN ('13/t/body/0-20', '23/t/body/0-20')),
+         |nb AS (SELECT r.paragraph_id AS src, p.paragraph_id AS nb_id,
+         |              p.rk, r.rk AS r0, p.t, p.s, p.e, p.doc_id
+         |       FROM req r JOIN ranked p ON p.doc_id = r.doc_id
+         |            AND p.rk <> r.rk AND p.rk >= r.rk - 1 AND p.rk <= r.rk + 2),
+         |rel AS (SELECT src,
+         |          COALESCE(string_agg(CASE WHEN rk < r0 THEN nb_id END, ',' ORDER BY rk), '') AS related_before,
+         |          COALESCE(string_agg(CASE WHEN rk > r0 THEN nb_id END, ',' ORDER BY rk), '') AS related_after
+         |        FROM nb GROUP BY src),
+         |reqrows AS (SELECT r.paragraph_id,
+         |    CAST(r.doc_id AS VARCHAR) || '/t/body' AS field,
+         |    CAST(r.doc_id AS VARCHAR) AS rid,
+         |    array_to_string(r.t[r.s+1:r.e], ' ') AS text,
+         |    COALESCE(rel.related_before, '') AS related_before,
+         |    COALESCE(rel.related_after, '') AS related_after,
+         |    TRUE AS requested
+         |  FROM req r LEFT JOIN rel ON rel.src = r.paragraph_id),
+         |nbrows AS (SELECT DISTINCT nb_id AS paragraph_id,
+         |    CAST(doc_id AS VARCHAR) || '/t/body' AS field,
+         |    CAST(doc_id AS VARCHAR) AS rid,
+         |    array_to_string(t[s+1:e], ' ') AS text,
+         |    '' AS related_before, '' AS related_after, FALSE AS requested
+         |  FROM nb WHERE nb_id NOT IN (SELECT paragraph_id FROM req)),
+         |u AS (SELECT * FROM reqrows UNION ALL SELECT * FROM nbrows),
+         |titles AS (SELECT CAST(doc_id AS VARCHAR) AS rid,
+         |             array_to_string(($Tok)[1:5], ' ') AS title
+         |           FROM documents WHERE doc_id IN (13, 23))
+         |SELECT u.paragraph_id, u.field, u.rid, u.text,
+         |  u.related_before, u.related_after, u.requested, t.title
+         |FROM u JOIN titles t USING (rid)
+         |ORDER BY u.requested DESC, u.paragraph_id""".stripMargin,
+
+    // q174: q164's selector semantics over the streamed message store
+    // — population = live conversation docs (latest-wins messages ≡ the
+    // batch recipe over the ORIGINAL text; tombstoned doc 56 gone)
+    "q174_stream_augment_conversation" ->
+      s"""WITH toksd AS (SELECT doc_id, $Tok AS t FROM documents
+         |               WHERE doc_id % 7 = 0 AND doc_id % 17 <> 5),
+         |msgs AS (SELECT CAST(doc_id AS VARCHAR) AS rid, 'chat' AS fid,
+         |    s.split,
+         |    CASE s.split WHEN 0 THEN 'QUESTION' WHEN 1 THEN 'ANSWER'
+         |      ELSE 'OTHER' END AS mtype,
+         |    coalesce(array_to_string(t[s.split * 5 + 1 : s.split * 5 + 5], ' '), '') AS mtext,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY s.split) AS rnk
+         |  FROM toksd CROSS JOIN (SELECT unnest(range(4)) AS split) s),
+         |f AS (SELECT rid, fid, split, mtext FROM msgs WHERE rid = '0'),
+         |w AS (SELECT m.rid, m.fid, m.split, m.mtext
+         |      FROM msgs m,
+         |        (SELECT rnk AS ar FROM msgs WHERE rid = '63' AND split = 1) a,
+         |        (SELECT max(rnk) AS mr FROM msgs WHERE rid = '63') x
+         |      WHERE m.rid = '63' AND m.rnk > least(a.ar + 1, x.mr) - 3
+         |        AND m.rnk <= least(a.ar + 1, x.mr)),
+         |wf AS (SELECT rid, fid, split, mtext FROM msgs
+         |       WHERE rid = '63' AND rnk = 1),
+         |a1 AS (SELECT rid, fid, split, mtext FROM (
+         |        SELECT *, row_number() OVER (ORDER BY split) AS rn
+         |        FROM msgs WHERE rid = '14' AND split > 0
+         |          AND mtype = 'ANSWER')
+         |       WHERE rn = 1),
+         |a2 AS (SELECT rid, fid, split, mtext FROM (
+         |        SELECT *, row_number() OVER (ORDER BY split) AS rn
+         |        FROM msgs WHERE rid = '133' AND split > 2)
+         |       WHERE rn <= 15),
+         |s1 AS (SELECT rid, fid, split, mtext FROM msgs
+         |       WHERE rid = '28' AND split = 2)
+         |SELECT DISTINCT rid, fid AS field_id, CAST(split AS VARCHAR) AS split,
+         |  mtext
+         |FROM (SELECT * FROM f UNION ALL SELECT * FROM w
+         |      UNION ALL SELECT * FROM wf UNION ALL SELECT * FROM a1
+         |      UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM s1)
+         |ORDER BY CAST(rid AS INT), CAST(split AS INT)""".stripMargin
   )
 }

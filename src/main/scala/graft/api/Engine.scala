@@ -652,6 +652,7 @@ final class StreamEngine private[api] (
       vix: Map[String, IndexStore.VectorIndex],
       rawAll: Option[DataFrame],
       edges: Option[DataFrame],
+      messages: Option[DataFrame],
       termFreq: DataFrame)
 
   private var servedMemo: Option[Served] = None
@@ -710,10 +711,15 @@ final class StreamEngine private[api] (
           if (IncrementalIndex.segmentsCarryAt(spark, wm, "edges"))
             Some(IncrementalIndex.segmentEdgesAt(spark, wm, docId, seqCol))
           else None
+        val messages =
+          if (IncrementalIndex.segmentsCarryAt(spark, wm, "messages"))
+            Some(IncrementalIndex.segmentMessagesAt(spark, wm, docId, seqCol))
+          else None
         val s = Served(wm, tables,
           perSet.map(t => t._1 -> t._2).toMap,
           perSet.map(_._3).reduceOption(_ unionByName _),
           edges,
+          messages,
           IncrementalIndex.segmentTermFreqAt(spark, wm, docId, seqCol))
         servedMemo = Some(s)
         s
@@ -729,6 +735,16 @@ final class StreamEngine private[api] (
         s"(have: ${vectorsets.mkString(", ")})"))
   override protected def hasProvenance: Boolean = served.edges.nonEmpty
   override protected def parTermFreq: DataFrame = served.termFreq
+
+  /** Streamed conversation store: message-grain rows served from the
+    * snapshot's segments with latest-wins (round 14 — streams passing
+    * `messagesCol` to [[IncrementalIndex.writeSegment]] serve the
+    * /augment and /ask Conversational selectors over a live root; a
+    * root without the table keeps the batch-only bound: no store). */
+  override protected def conversationStore: Option[Augment.ConversationStore] =
+    served.messages.map(df =>
+      Augment.ConversationStore(df, docId, "field_id", "split", "mtext",
+        mtypeCol = Some("mtype")))
 
   /** Streamed relations are (docId, rel, dst) with the RESOURCE as the
     * source node (`noderesources.proto:201-209` — IndexRelations ride

@@ -256,7 +256,8 @@ object IncrementalIndex {
       vectorSets: Map[String, SegmentVectorSpec] = Map.empty,
       shingleSize: Int = 3,
       numHashes: Int = 8,
-      relationsCol: Option[String] = None): Unit = {
+      relationsCol: Option[String] = None,
+      messagesCol: Option[String] = None): Unit = {
     // reject conflicting specs BEFORE any table is written — a failing
     // batch must not pay the full text-index write on every retry
     require(vectors.isEmpty || !vectorSets.contains("default"),
@@ -323,6 +324,23 @@ object IncrementalIndex {
           .select(col(idCol), col(seqCol),
             col("__r.rel").as("rel"), col("__r.dst").as("dst"))
           .write.mode("overwrite").parquet(s"$segDir/edges")
+      }
+      // MESSAGE-GRAIN conversation rows — the /augment and /ask
+      // Conversational selectors read whole messages (the reference
+      // reads maindb, `augmentor/fields.py:300-310`; chunked paragraph
+      // tables cannot reconstruct them), so conversation-bearing
+      // streams carry the messages alongside the index. Each message
+      // is a struct (field_id, split, mtype, mtext); a doc update
+      // REPLACES its conversation (the rows lose the winner semi-join
+      // like its postings), a tombstone removes it
+      messagesCol.foreach { mc =>
+        live.select(col(idCol), col(seqCol), explode(col(mc)).as("__m"))
+          .select(col(idCol), col(seqCol),
+            col("__m.field_id").as("field_id"),
+            col("__m.split").as("split"),
+            col("__m.mtype").as("mtype"),
+            col("__m.mtext").as("mtext"))
+          .write.mode("overwrite").parquet(s"$segDir/messages")
       }
       // one codes/raw pair per named vectorset (the Option form is the
       // single default set), vectorset-tagged and partitioned
@@ -579,6 +597,22 @@ object IncrementalIndex {
     servedSub(spark, dirs, "edges", idCol, seqCol)
   }
 
+  /** Message-grain conversation rows served across segments with
+    * latest-wins — the /augment and /ask Conversational serving table
+    * for a STREAMED corpus: rows (id, seq, field_id, split, mtype,
+    * mtext) bind into [[graft.api.Augment.ConversationStore]].
+    * Requires every live segment to carry messages (written when the
+    * stream passes `messagesCol`).
+    */
+  def segmentMessagesAt(spark: SparkSession, dirs: Seq[String],
+      idCol: String = "rid", seqCol: String = "seq"): DataFrame = {
+    require(dirs.nonEmpty, "no segment dirs given")
+    require(dirs.forall(d => hasSub(spark, d, "messages")),
+      s"some segments lack conversation messages — stream " +
+        "started without messagesCol; recompact from source")
+    servedSub(spark, dirs, "messages", idCol, seqCol)
+  }
+
   /** The `(term, freq)` suggest dictionary of a streamed corpus —
     * rolled up AT QUERY TIME from the winner-filtered segment postings
     * (a per-segment materialized rollup would double-count superseded
@@ -728,19 +762,45 @@ object IncrementalIndex {
 
   def compactSegments(spark: SparkSession, indexRoot: String,
       idCol: String = "rid", seqCol: String = "seq",
-      committedBatchId: Option[Long] = None): Unit = {
+      committedBatchId: Option[Long] = None,
+      graceMaxAgeMs: Long = 0L): Unit = {
     val fs = new org.apache.hadoop.fs.Path(indexRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (allDirs, subsumedSet) = listSegments(spark, indexRoot)
-    // retry a crashed run's pending deletes: anything on disk that a
-    // manifest already marks subsumed is a stale folded input
-    allDirs.filter(p => subsumedSet(p.getName))
-      .foreach(p => fs.delete(p, true))
+    retrySubsumedDeletes(fs, allDirs, subsumedSet, graceMaxAgeMs)
     val dirs = allDirs.filterNot(p => subsumedSet(p.getName))
       .map(_.toString).sorted
     if (dirs.size <= 1) return
     foldDirs(spark, indexRoot, fs, dirs, idCol, seqCol, committedBatchId)
   }
+
+  /** Marker a fold commit stamps into each input dir: retries delete a
+    * masked input only once the marker is older than the grace TTL. */
+  private val SubsumedAtMarker = "_subsumed_at"
+
+  /** Grace-aware retry of folded-input deletes (the second half of the
+    * fold's GRACE-DEFERRED deletion, see [[foldDirs]]): a masked dir on
+    * disk deletes only when its `_subsumed_at` stamp is at least
+    * `graceMaxAgeMs` old — so a watermark-pinned request keeps its
+    * files for AT LEAST that long after the fold, however frequently
+    * compaction passes run (the r13 bound was one compaction INTERVAL,
+    * losable by a request outliving two passes on a hot stream). A
+    * masked dir without a stamp (a crash between the commit rename and
+    * the stamping, or a pre-upgrade root) is stamped now and deleted on
+    * a later pass — deferral errs toward keeping files. The default
+    * TTL 0 keeps the one-pass behavior: the stamp is in the past by the
+    * next pass, so inputs delete exactly like before.
+    */
+  private def retrySubsumedDeletes(fs: org.apache.hadoop.fs.FileSystem,
+      allDirs: Seq[org.apache.hadoop.fs.Path], subsumedSet: Set[String],
+      graceMaxAgeMs: Long): Unit =
+    allDirs.filter(p => subsumedSet(p.getName)).foreach { p =>
+      val marker = new org.apache.hadoop.fs.Path(p, SubsumedAtMarker)
+      if (!fs.exists(marker)) fs.create(marker).close()
+      else if (System.currentTimeMillis() -
+          fs.getFileStatus(marker).getModificationTime >= graceMaxAgeMs)
+        fs.delete(p, true)
+    }
 
   /** Fold ONE group of live segment dirs into a compacted segment —
     * the commit discipline of [[compactSegments]] (staging dir, healed
@@ -838,6 +898,9 @@ object IncrementalIndex {
     if (dirs.forall(d => hasSub(spark, d, "edges")))
       servedSub(spark, dirs, "edges", idCol, seqCol, Some(winners))
         .write.mode("overwrite").parquet(s"$out/edges")
+    if (dirs.forall(d => hasSub(spark, d, "messages")))
+      servedSub(spark, dirs, "messages", idCol, seqCol, Some(winners))
+        .write.mode("overwrite").parquet(s"$out/messages")
     // vector segments fold the same way: winning codes/raw rows move to
     // the compacted segment (codes keep the centroid partitioning).
     // Folds the ONCE-listed dirs, not a fresh listing — a segment the
@@ -890,16 +953,23 @@ object IncrementalIndex {
       s"compaction commit rename failed: $out -> $dst")
     // GRACE-DEFERRED input deletion: the inputs stay on disk, masked by
     // the manifest just committed (the live listing drops them at once,
-    // so no new request binds them) — the NEXT compaction pass's
+    // so no new request binds them) — a LATER compaction pass's
     // pending-delete retry removes them. Deleting here would pull the
     // files out from under requests still scanning the PRE-fold
     // watermark (the serving snapshot pin guarantees a consistent
     // segment set per request, not that the set outlives a concurrent
-    // fold). The grace window is one compaction interval — a request
-    // outliving TWO passes can still lose its files; that bound is the
-    // deployment contract (the reference holds merged-away segments
-    // until open searchers release them, same idea with a time-shaped
-    // bound).
+    // fold). Each input is stamped `_subsumed_at` NOW; the retry
+    // ([[retrySubsumedDeletes]]) deletes only stamps older than the
+    // grace TTL, so the file-retention window is max(one pass,
+    // graceMaxAgeMs) — a deployment sets the TTL to its slowest
+    // analytic request's bound and no request frequency of compaction
+    // can shorten it (the reference holds merged-away segments until
+    // open searchers release them, same idea with a time-shaped bound).
+    names.foreach { n =>
+      val marker = new org.apache.hadoop.fs.Path(
+        s"$indexRoot/$n/$SubsumedAtMarker")
+      fs.create(marker).close()
+    }
     } finally winners.unpersist()
     ()
   }
@@ -922,7 +992,13 @@ object IncrementalIndex {
       // nothing left to mask — FORCES its bucket to fold (an oversize
       // segment folds ALONE, the `log_merge.rs:66-71` pressure path),
       // so dead rows get physically dropped
-      maxDeletions: Long = 500L)
+      maxDeletions: Long = 500L,
+      // minimum age (ms) a FOLDED INPUT stays on disk after its fold
+      // commit before a retry may delete it — the serving contract for
+      // watermark-pinned requests that outlive compaction passes
+      // (0 = delete at the next pass, the pre-r14 behavior; set to the
+      // slowest expected request duration in deployment)
+      graceMaxAgeMs: Long = 0L)
 
   /** Plan merge groups under the log-merge policy — the pure planning
     * step of the reference's scheduler (`scheduler/log_merge.rs`
@@ -1015,8 +1091,7 @@ object IncrementalIndex {
     val fs = new org.apache.hadoop.fs.Path(indexRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (allDirs, subsumedSet) = listSegments(spark, indexRoot)
-    allDirs.filter(p => subsumedSet(p.getName))
-      .foreach(p => fs.delete(p, true))
+    retrySubsumedDeletes(fs, allDirs, subsumedSet, settings.graceMaxAgeMs)
     val dirs = allDirs.filterNot(p => subsumedSet(p.getName))
       .map(_.toString).sorted
     if (dirs.size <= 1) return Nil

@@ -309,6 +309,41 @@ class StreamingSpec extends SparkSpec {
       "replayed subsumed segment must stay masked after pruning")
   }
 
+  test("grace TTL: a watermark-pinned reader spanning TWO compaction passes keeps its files until the TTL elapses") {
+    import graft.streaming.IncrementalIndex.LogMergeSettings
+    val root = Files.createTempDirectory("graft-seggrace").toString + "/index"
+    def seg(bid: Long, rows: (String, Long, String, Boolean)*): Unit =
+      IncrementalIndex.writeSegment(
+        rows.toDF("rid", "seq", "value", "deleted"),
+        f"$root/seg_$bid%09d", "rid", "value", "seq")
+    seg(0L, ("r1", 1L, "spark engine", false))
+    seg(1L, ("r2", 2L, "spark query", false))
+    val ttl = LogMergeSettings(minSegments = 2, graceMaxAgeMs = 3600000L)
+    // a long analytic request pins the PRE-fold watermark
+    val pinned = IncrementalIndex.liveSegments(spark, root)
+    // pass 1 folds the pair; pass 2 is the retry that deleted the
+    // inputs under the r13 one-interval bound — with the TTL it must
+    // keep them (the fold stamps `_subsumed_at`, the retry compares age)
+    IncrementalIndex.compactSegmentsTiered(spark, root, "rid", "seq", ttl)
+    IncrementalIndex.compactSegmentsTiered(spark, root, "rid", "seq", ttl)
+    assert(pinned.forall(d => new java.io.File(d.stripPrefix("file:"))
+        .exists()),
+      s"two-pass-spanning reader lost its files: $pinned")
+    // the pinned reader still serves its snapshot intact
+    val tabs = IncrementalIndex.segmentTablesAt(spark, pinned, "rid", "seq")
+    assert(tabs.postings.select("rid").distinct().count() == 2,
+      "pinned snapshot unreadable after two passes")
+    // a pass with the TTL elapsed (0 ms) finally deletes the inputs
+    IncrementalIndex.compactSegmentsTiered(spark, root, "rid", "seq",
+      ttl.copy(graceMaxAgeMs = 0L))
+    assert(!new java.io.File(root, "seg_000000000").exists() &&
+      !new java.io.File(root, "seg_000000001").exists(),
+      "elapsed-TTL retry must delete the folded inputs")
+    // serving state unchanged throughout
+    val ix = IncrementalIndex.segmentTables(spark, root)
+    assert(ix.postings.select("rid").distinct().count() == 2)
+  }
+
   test("committedBatchId reads the stream checkpoint's commit watermark") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-ckpt").toString
@@ -897,6 +932,41 @@ class StreamingSpec extends SparkSpec {
     assert(results() == want, "post-compaction edge divergence")
   }
 
+  test("segmented conversation store: latest-wins messages, updates replace, tombstones remove, compaction preserves") {
+    val root = Files.createTempDirectory("graft-segmsgs").toString + "/index"
+    def seg(bid: Long,
+        rows: (String, Long, String, Boolean, Seq[StreamingSpec.Msg])*): Unit =
+      IncrementalIndex.writeSegment(
+        rows.toDF("rid", "seq", "value", "deleted", "msgs"),
+        f"$root/seg_$bid%09d", "rid", "value", "seq",
+        messagesCol = Some("msgs"))
+    def m(split: Int, mtype: String, text: String) =
+      StreamingSpec.Msg("chat", split, mtype, text)
+    seg(0L,
+      ("r1", 1L, "text one", false,
+        Seq(m(0, "QUESTION", "stale q"), m(1, "ANSWER", "stale a"))),
+      ("r2", 1L, "text two", false, Seq(m(0, "OTHER", "keep me"))))
+    seg(1L,
+      // r1's update REPLACES its conversation (the stale seg-0
+      // messages must lose the winner join); r2 is tombstoned — its
+      // messages die with the doc
+      ("r1", 2L, "text one v2", false,
+        Seq(m(0, "QUESTION", "real q"), m(1, "ANSWER", "real a"),
+          m(2, "OTHER", "real tail"))),
+      ("r2", 2L, "", true, Seq.empty[StreamingSpec.Msg]))
+    def served(): Set[(String, Int, String)] =
+      IncrementalIndex.segmentMessagesAt(spark,
+          IncrementalIndex.liveSegments(spark, root))
+        .select("rid", "split", "mtext")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+        .toSet
+    val want = Set(("r1", 0, "real q"), ("r1", 1, "real a"),
+      ("r1", 2, "real tail"))
+    assert(served() == want, s"streamed message serving diverged: ${served()}")
+    IncrementalIndex.compactSegments(spark, root)
+    assert(served() == want, "post-compaction message divergence")
+  }
+
   test("log-merge policy: size buckets, min-segment gate, oversize skip, ceiling split, deletion forcing") {
     import graft.streaming.IncrementalIndex.{LogMergeSettings, planMerges}
     val s = LogMergeSettings(minSegments = 3, topBucketMaxRecords = 1000,
@@ -1178,4 +1248,9 @@ object StreamingSpec {
   /** Message-carried relation (rel label, destination node) — the
     * streamed analog of IndexRelations rows. */
   final case class Rel(rel: String, dst: String)
+
+  /** Conversation message riding a segment write (field, split, type,
+    * text) — the streamed analog of the message-grain store. */
+  final case class Msg(field_id: String, split: Int, mtype: String,
+    mtext: String)
 }
