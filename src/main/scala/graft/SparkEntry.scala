@@ -2855,7 +2855,37 @@ object SparkEntry {
           graft.api.Augment.FieldAugment(given = Seq("56/c/chat/1"),
             fullConversation = true))))
         .messages
-        .orderBy(col("rid").cast("int"), col("split").cast("int")))
+        .orderBy(col("rid").cast("int"), col("split").cast("int"))),
+
+    // §2.9 streamed /ask CONVERSATIONAL prompt context (round 14): the
+    // q169 strategy over the ENGINE's own streamed message store — the
+    // hit blocks keep their relevance slots, each field expands once
+    // (first message + the deque window of 3 around the hit's split)
+    // from the LATEST-WINS messages (doc 63 is the stale-canary doc:
+    // serving seg-0's placeholder-text messages would flip every
+    // expanded block)
+    "q175_stream_prompt_context" -> ((s, dir) => {
+      import graft.api.PromptContext
+      val docs = load(s, dir, "documents")
+      val msgs = docs.where(col("doc_id").isin(14, 63))
+        .withColumn("__t", TextFunctions.tokens(col("text")))
+        .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("split"),
+          col("__t"))
+        .select(col("doc_id"), col("split"),
+          concat_ws(" ", slice(col("__t"), col("split") * 5 + 1, lit(5)))
+            .as("mtext"))
+      val hits = msgs.where(
+          (col("doc_id") === 14 && col("split") === 2) ||
+            (col("doc_id") === 63 && col("split") === 1))
+        .select(
+          concat(col("doc_id"), lit("/c/chat/"), col("split"), lit("/0-"),
+            size(TextFunctions.tokens(col("mtext")))).as("paragraph_id"),
+          col("mtext").as("text"),
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("doc_id"))) - 1).cast("long").as("order"))
+      streamEngine(s, dir).promptContext(hits,
+        PromptContext.Conversational(maxMessages = 3))
+    })
   )
 
   // ---------------------------------------------------------------- //
@@ -5823,6 +5853,52 @@ object SparkEntry {
          |FROM (SELECT * FROM f UNION ALL SELECT * FROM w
          |      UNION ALL SELECT * FROM wf UNION ALL SELECT * FROM a1
          |      UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM s1)
-         |ORDER BY CAST(rid AS INT), CAST(split AS INT)""".stripMargin
+         |ORDER BY CAST(rid AS INT), CAST(split AS INT)""".stripMargin,
+
+    // q175: q169's conversational expansion with the message store =
+    // the streamed latest-wins table (live population; anchors 14 then
+    // 63 in hit order)
+    "q175_stream_prompt_context" ->
+      s"""WITH toksd AS (SELECT doc_id, $Tok AS t FROM documents
+         |               WHERE doc_id % 7 = 0 AND doc_id % 17 <> 5),
+         |msgs AS (SELECT CAST(doc_id AS VARCHAR) AS rid, s.split,
+         |    coalesce(array_to_string(t[s.split * 5 + 1 : s.split * 5 + 5], ' '), '') AS mtext,
+         |    coalesce(len(t[s.split * 5 + 1 : s.split * 5 + 5]), 0) AS ntok,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY s.split) AS rnk
+         |  FROM toksd CROSS JOIN (SELECT unnest(range(4)) AS split) s),
+         |blocks AS (SELECT rid, split,
+         |    rid || '/c/chat/' || CAST(split AS VARCHAR) || '/0-' ||
+         |      CAST(ntok AS VARCHAR) AS block_id,
+         |    mtext, rnk
+         |  FROM msgs),
+         |anchors AS (SELECT * FROM (VALUES ('14', 2, 0), ('63', 1, 1))
+         |            a(rid, asplit, hit_idx)),
+         |ar AS (SELECT b.rid, a.hit_idx, b.rnk AS arank
+         |       FROM blocks b JOIN anchors a
+         |         ON b.rid = a.rid AND b.split = a.asplit),
+         |mr AS (SELECT rid, max(rnk) AS max_rank FROM blocks GROUP BY rid),
+         |hitrows AS (SELECT b.block_id, b.mtext AS text,
+         |    a.hit_idx AS seq
+         |  FROM blocks b JOIN anchors a
+         |    ON b.rid = a.rid AND b.split = a.asplit),
+         |firsts AS (SELECT b.block_id, b.mtext AS text,
+         |    1000000 + a.hit_idx * 10000 + 1 AS seq
+         |  FROM blocks b JOIN anchors a ON b.rid = a.rid
+         |  WHERE b.rnk = 1),
+         |win AS (SELECT b.block_id, b.mtext AS text,
+         |    1000000 + r.hit_idx * 10000 + 100 + b.rnk AS seq
+         |  FROM blocks b
+         |  JOIN ar r ON b.rid = r.rid
+         |  JOIN mr m ON b.rid = m.rid
+         |  WHERE b.rnk > least(r.arank + 1, m.max_rank) - 3
+         |    AND b.rnk <= least(r.arank + 1, m.max_rank)),
+         |dedup AS (SELECT block_id, min(seq) AS seq,
+         |    arg_min(text, seq) AS text
+         |  FROM (SELECT * FROM hitrows UNION ALL SELECT * FROM firsts
+         |        UNION ALL SELECT * FROM win)
+         |  GROUP BY block_id)
+         |SELECT block_id, text,
+         |  CAST(row_number() OVER (ORDER BY seq, block_id) AS INT) AS pos
+         |FROM dedup ORDER BY pos""".stripMargin
   )
 }
