@@ -2806,10 +2806,16 @@ object SparkEntry {
       val emb = load(s, dir, "embeddings")
       val qv = emb.where(col("vec_id") === 0)
         .select("embedding").collect().head.getSeq[Float](0)
+      // full probes + full rerank = the exact-oracle configuration
+      // (q152's pin): at sf >= 0.1 the streamed index crosses the
+      // brute threshold and the default nprobe=centroids/2 would
+      // diverge from the exact-cosine oracle
       e.retrieve(Retrieve.RetrievalRequest(
         query = Retrieve.RawQuery(
           keyword = Some(Retrieve.KeywordQuery(QueryTerms.mkString(" "))),
-          semantic = Some(Retrieve.SemanticQuery(qv, vectorset = "default"))),
+          semantic = Some(Retrieve.SemanticQuery(qv, vectorset = "default",
+            annNprobe = Some(e.vectorIndex("default").centroids.size),
+            annRerank = Some(e.vectorIndex("default").nVectors.toInt)))),
         topK = 20))
     }),
 

@@ -39,10 +39,16 @@ object Retrieve {
     * `parsers/retrieve.py:289-292`). A vector longer than the set's
     * dimension is matryoshka-cut to it (`parsers/retrieve.py:296-315`);
     * a shorter one is an invalid-query error. */
+  /** `annNprobe`/`annRerank` are this engine's at-rest IVF-PQ serving
+    * knobs (the same surface [[Find.FindRequest]] exposes — not part of
+    * the reference's request model): None = the cost-model defaults;
+    * full probes + full rerank = the exact-oracle configuration. */
   final case class SemanticQuery(
       query: Seq[Float],
       vectorset: String,
-      minScore: Double = -1.0)
+      minScore: Double = -1.0,
+      annNprobe: Option[Int] = None,
+      annRerank: Option[Int] = None)
 
   /** `retrieval.py:50-55` RawQuery — each sub-search independently
     * optional; at least one must be present. */
@@ -122,6 +128,8 @@ object Retrieve {
       topK = req.topK,
       keywordMinScore = kw.map(_.minScore).getOrElse(0.0),
       semanticMinScore = sem.map(_.minScore).getOrElse(-1.0),
+      annNprobe = sem.flatMap(_.annNprobe),
+      annRerank = sem.flatMap(_.annRerank),
       keywordWeight = req.rankFusion.keywordBoost,
       semanticWeight = req.rankFusion.semanticBoost,
       graphWeight = req.rankFusion.graphBoost,

@@ -87,13 +87,14 @@ object RankFusion {
       k: Int = DefaultK,
       window: Int = MaxWindow): DataFrame =
     // a single INPUT list is always the fuse() passthrough (empty
-    // stays empty, nonempty keeps original scores) — no window, no
-    // aggregate, just the cut
+    // stays empty, nonempty keeps original scores) — no window; the
+    // bounded groupBy keeps the operator's dedup-by-id contract (a
+    // duplicated id keeps its best score, like the fused aggregate)
     if (lists.size == 1)
       TopK.topK(lists.head._2, scoreCol, idCol, window)
-        .select(col(idCol),
-          col(scoreCol).cast("double").as("rrf_score"),
-          lit(1L).as("n_sources"))
+        .groupBy(col(idCol))
+        .agg(max(col(scoreCol)).cast("double").as("rrf_score"))
+        .withColumn("n_sources", lit(1L))
     else rrfFused(lists, idCol, scoreCol, k, window)
       .select(col(idCol),
         when(col("__nl") === 1, col("__orig_max"))
@@ -120,13 +121,15 @@ object RankFusion {
     val srcSel = lists.map { case (name, _, _) => col(s"score_$name") }
     if (lists.size == 1)
       // single-input passthrough, same shape: the one source's score
-      // is both the current score and its own history column
+      // is both the current score and its own history column (dedup
+      // by id like the fused aggregate)
       TopK.topK(lists.head._2, scoreCol, idCol, window)
-        .select(col(idCol),
-          col(scoreCol).cast("double").as("rrf_score"),
+        .groupBy(col(idCol))
+        .agg(max(col(scoreCol)).cast("double").as("rrf_score"))
+        .select(col(idCol), col("rrf_score"),
           lit(1L).as("n_sources"),
           lit(1L).as("n_present_sources"),
-          col(scoreCol).cast("double").as(s"score_${lists.head._1}"))
+          col("rrf_score").as(s"score_${lists.head._1}"))
     else rrfFused(lists, idCol, scoreCol, k, window)
       .select(Seq(col(idCol),
         when(col("__nl") === 1, col("__orig_max"))
@@ -182,9 +185,9 @@ object RankFusion {
     // scores. Presence rides the shared tagged-union window pass.
     if (lists.size == 1)
       return TopK.topK(lists.head._2, scoreCol, idCol, window)
-        .select(col(idCol),
-          col(scoreCol).cast("double").as("fused_score"),
-          lit(1L).as("n_sources"))
+        .groupBy(col(idCol))
+        .agg(max(col(scoreCol)).cast("double").as("fused_score"))
+        .withColumn("n_sources", lit(1L))
     taggedRanked(lists, idCol, scoreCol, window)
       .withColumn("contrib", col("__orig") * col("__w"))
       .groupBy(idCol)

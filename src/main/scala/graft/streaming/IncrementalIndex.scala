@@ -191,6 +191,7 @@ object IncrementalIndex {
       shingleSize: Int = 3,
       numHashes: Int = 8,
       relationsCol: Option[String] = None,
+      messagesCol: Option[String] = None,
       autoCompact: Option[AutoCompact] = None): StreamingQuery = {
     // misconfiguration fails at stream START, not after every batch has
     // already written its text-index tables
@@ -213,7 +214,8 @@ object IncrementalIndex {
         // its segments reuse already-subsumed names and are masked and
         // deleted exactly like replays. A new stream needs a new root.
         writeSegment(batch, f"$indexRoot/seg_$bid%09d", idCol, textCol, seqCol,
-          vectors, vectorSets, shingleSize, numHashes, relationsCol)
+          vectors, vectorSets, shingleSize, numHashes, relationsCol,
+          messagesCol)
         // the scheduler analog runs INSIDE foreachBatch, after the
         // segment lands: batch `bid` has no commit file yet, so the
         // live committedBatchId reading (≤ bid-1) keeps this batch's
@@ -889,18 +891,24 @@ object IncrementalIndex {
     }
     tables.parDocLengths.foreach(d => healRepeated(d).write.mode("overwrite")
       .parquet(s"$out/par_doclengths"))
-    if (dirs.forall(d => hasSub(spark, d, "positions")))
-      positionsFrom(spark, dirs, idCol, seqCol, Some(winners))
-        .write.mode("overwrite").parquet(s"$out/positions")
-    if (dirs.forall(d => hasSub(spark, d, "signatures")))
-      servedSub(spark, dirs, "signatures", idCol, seqCol, Some(winners))
-        .write.mode("overwrite").parquet(s"$out/signatures")
-    if (dirs.forall(d => hasSub(spark, d, "edges")))
-      servedSub(spark, dirs, "edges", idCol, seqCol, Some(winners))
-        .write.mode("overwrite").parquet(s"$out/edges")
-    if (dirs.forall(d => hasSub(spark, d, "messages")))
-      servedSub(spark, dirs, "messages", idCol, seqCol, Some(winners))
-        .write.mode("overwrite").parquet(s"$out/messages")
+    // optional tables fold from the SUBSET of inputs that carry them —
+    // never the forall gate: on a mixed root (segments from before the
+    // table existed) the forall would silently OMIT the table from the
+    // compacted output, destroying the newer segments' rows when the
+    // folded inputs delete (round-14 review). Folding the subset keeps
+    // exactly the winning rows that exist (a doc whose winner predates
+    // the table never had rows), and compaction thereby HEALS the root
+    // toward the all-carrying serving contract instead of erasing it.
+    def foldOptional(sub: String): Unit = {
+      val withSub = dirs.filter(d => hasSub(spark, d, sub))
+      if (withSub.nonEmpty)
+        servedSub(spark, withSub, sub, idCol, seqCol, Some(winners))
+          .write.mode("overwrite").parquet(s"$out/$sub")
+    }
+    foldOptional("positions")
+    foldOptional("signatures")
+    foldOptional("edges")
+    foldOptional("messages")
     // vector segments fold the same way: winning codes/raw rows move to
     // the compacted segment (codes keep the centroid partitioning).
     // Folds the ONCE-listed dirs, not a fresh listing — a segment the

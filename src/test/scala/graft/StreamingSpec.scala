@@ -967,6 +967,48 @@ class StreamingSpec extends SparkSpec {
     assert(served() == want, "post-compaction message divergence")
   }
 
+  test("startIndexSegments threads messagesCol: a LIVE stream's segments serve the conversation store end to end") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-livemsgs").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft-livemsgsck").toString
+    val input = MemoryStream[(String, Long, String, Boolean,
+      Seq[StreamingSpec.Msg])]
+    val updates = input.toDF().toDF("rid", "seq", "value", "deleted", "msgs")
+    val q = IncrementalIndex.startIndexSegments(updates, root, ckpt,
+      idCol = "rid", textCol = "value", messagesCol = Some("msgs"))
+    try {
+      input.addData(("r1", 1L, "spark chat", false,
+        Seq(StreamingSpec.Msg("chat", 0, "QUESTION", "stale hi"))))
+      q.processAllAvailable()
+      input.addData(("r1", 2L, "spark chat v2", false,
+        Seq(StreamingSpec.Msg("chat", 0, "QUESTION", "hello again"),
+          StreamingSpec.Msg("chat", 1, "ANSWER", "yo"))))
+      q.processAllAvailable()
+      val served = IncrementalIndex.segmentMessagesAt(spark,
+          IncrementalIndex.liveSegments(spark, root))
+        .select("rid", "split", "mtext")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+        .toSet
+      assert(served == Set(("r1", 0, "hello again"), ("r1", 1, "yo")),
+        s"live-stream message store wrong: $served")
+      // the Engine facade binds the store off the same root — the
+      // /augment conversation selectors serve a LIVE stream, which the
+      // round-14 review found unreachable before messagesCol was
+      // threaded through startIndexSegments
+      import graft.api.{Augment, Engine}
+      val eng = Engine.forStream(spark, root,
+        Seq(("r1", "spark chat v2")).toDF("rid", "value"),
+        docId = "rid", textCol = "value")
+      val msgs = eng.augment(Augment.AugmentRequest(fields = Seq(
+          Augment.FieldAugment(given = Seq("r1/c/chat"),
+            fullConversation = true))))
+        .messages.select("split", "mtext")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(msgs == Set(("0", "hello again"), ("1", "yo")),
+        s"streamed augment conversation wrong: $msgs")
+    } finally q.stop()
+  }
+
   test("log-merge policy: size buckets, min-segment gate, oversize skip, ceiling split, deletion forcing") {
     import graft.streaming.IncrementalIndex.{LogMergeSettings, planMerges}
     val s = LogMergeSettings(minSegments = 3, topBucketMaxRecords = 1000,
