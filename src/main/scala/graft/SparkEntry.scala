@@ -2644,6 +2644,7 @@ object SparkEntry {
       val hits = ix.paragraphs.where(col("doc_id").isin(3, 5, 8))
         .select(col("paragraph_id"), col("p_text").as("text"),
           (row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(TopK.constPartitionKey(col("paragraph_id")))
             .orderBy(col("start"), col("doc_id"))) - 1).cast("long")
             .as("order"))
       PromptContext.build(
@@ -2663,6 +2664,7 @@ object SparkEntry {
       val hits = ix.paragraphs.where(col("doc_id").isin(3, 5, 8))
         .select(col("paragraph_id"), col("p_text").as("text"),
           (row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(TopK.constPartitionKey(col("paragraph_id")))
             .orderBy(col("start"), col("doc_id"))) - 1).cast("long")
             .as("order"))
       PromptContext.build(
@@ -2682,6 +2684,7 @@ object SparkEntry {
       val hits = ix.paragraphs.where(col("doc_id").isin(3, 5, 8))
         .select(col("paragraph_id"), col("p_text").as("text"),
           (row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(TopK.constPartitionKey(col("paragraph_id")))
             .orderBy(col("start"), col("doc_id"))) - 1).cast("long")
             .as("order"))
       PromptContext.build(
@@ -2702,6 +2705,7 @@ object SparkEntry {
         .where(col("doc_id").isin(3, 8) && col("start") === 20)
         .select(col("paragraph_id"), col("p_text").as("text"),
           (row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(TopK.constPartitionKey(col("doc_id")))
             .orderBy(col("doc_id"))) - 1).cast("long").as("order"))
       PromptContext.build(
         Find.Corpus(load(s, dir, "documents"), "doc_id", "text",
@@ -2732,6 +2736,7 @@ object SparkEntry {
             size(TextFunctions.tokens(col("mtext")))).as("paragraph_id"),
           col("mtext").as("text"),
           (row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(TopK.constPartitionKey(col("doc_id")))
             .orderBy(col("doc_id"))) - 1).cast("long").as("order"))
       PromptContext.build(
         Find.Corpus(docs, "doc_id", "text"),
@@ -2762,6 +2767,7 @@ object SparkEntry {
       val hits = ix.paragraphs.where(col("doc_id").isin(3, 5, 8))
         .select(col("paragraph_id"), col("p_text").as("text"),
           (row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(TopK.constPartitionKey(col("paragraph_id")))
             .orderBy(col("start"), col("doc_id"))) - 1).cast("long")
             .as("order"))
       PromptContext.build(
@@ -2888,6 +2894,7 @@ object SparkEntry {
             size(TextFunctions.tokens(col("mtext")))).as("paragraph_id"),
           col("mtext").as("text"),
           (row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(TopK.constPartitionKey(col("doc_id")))
             .orderBy(col("doc_id"))) - 1).cast("long").as("order"))
       streamEngine(s, dir).promptContext(hits,
         PromptContext.Conversational(maxMessages = 3))

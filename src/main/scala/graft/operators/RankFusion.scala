@@ -68,11 +68,15 @@ object RankFusion {
       col(idCol).asc)
     val wPrior = w0.orderBy(col("__list"))
       .rangeBetween(Window.unboundedPreceding, -1)
+    // all three window columns in ONE projection: Catalyst extracts
+    // them into one stacked Window group over a single exchange of the
+    // union — two separate withColumns re-project the constant key
+    // under a fresh attribute and EnsureRequirements inserts a second
+    // (pointless) exchange between the window nodes
     tagged.reduce(_ unionByName _)
-      .withColumn("rank",
-        row_number().over(wOrd) - count(lit(1)).over(wPrior))
-      .withColumn("__n_lists",
-        size(collect_set(col("__list")).over(w0)))
+      .select(col("*"),
+        (row_number().over(wOrd) - count(lit(1)).over(wPrior)).as("rank"),
+        size(collect_set(col("__list")).over(w0)).as("__n_lists"))
   }
 
   /** Reciprocal Rank Fusion: score(d) = Σ_lists w_l / (k + rank_l(d)).

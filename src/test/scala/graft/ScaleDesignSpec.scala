@@ -102,6 +102,36 @@ class ScaleDesignSpec extends SparkSpec {
     assert(walked.sameElements(top45), "cursor walk must equal the global top-45")
   }
 
+  test("rank-fusion plan: ONE window pass over the tagged union (round-14 rebuild), every window partitioned") {
+    import graft.operators.RankFusion
+    val a = Seq((1L, 3.0), (2L, 2.0)).toDF("doc_id", "score")
+    val b = Seq((2L, 9.0), (3L, 1.0)).toDF("doc_id", "score")
+    val fused = RankFusion.rrf(
+      Seq(("keyword", a, 1.0), ("semantic", b, 1.0)), "doc_id", "score")
+    val p = plan(fused)
+    // all three window functions (per-list rank via global rn + prior
+    // count, presence collect_set) share ONE exchange of the tagged
+    // union — the r13 shape paid one window exchange per list PLUS a
+    // presence exchange between union and aggregate (measured 1.5x on
+    // the hybrid find). The constant partition key hashes as `_w0 =
+    // pmod(xxhash64(...))`, so the claim is: exactly one hash exchange
+    // on a window key, all Window nodes above the single union.
+    assert(p.linesIterator.count(_.contains("Union")) == 1,
+      s"expected one tagged union:\n$p")
+    val windowExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(_w0"))
+    assert(windowExchanges == 1,
+      s"fusion window pass needs exactly ONE exchange, got $windowExchanges:\n$p")
+    val unionLine = p.linesIterator.indexWhere(_.contains("Union"))
+    val firstWindow = p.linesIterator.indexWhere(_.contains("Window ["))
+    assert(firstWindow >= 0 && firstWindow < unionLine,
+      s"a per-list window survives below the union:\n$p")
+    // single-input-list calls skip fusion entirely: no window at all
+    val single = RankFusion.rrf(Seq(("keyword", a, 1.0)), "doc_id", "score")
+    assert(!plan(single).contains("Window ["),
+      "single-list passthrough must not plan a window")
+  }
+
   test("catalog page plan: TakeOrderedAndProject + no unpartitioned window") {
     val page = SparkEntry.queries("q48_catalog")(spark, "/root/testdata/sf0.001")
     val p = page.queryExecution.executedPlan
