@@ -78,15 +78,47 @@ object FusionProperties extends Properties("graft") {
       }
     }
 
+  /** Heavy ties + possibly-empty lists: the round-14 single-pass rank
+    * (global row_number minus a range-frame prior-lists count) must
+    * still produce per-list 0-based ranks under duplicated scores, and
+    * the single-nonempty-source skip must return the survivor's
+    * ORIGINAL scores (n_sources = 1), with both-empty → empty. */
+  private val tiedMaybeEmpty: Gen[List[(Long, Double)]] = for {
+    n <- Gen.choose(0, 8)
+    ids <- Gen.pick(n, 1L to 20L)
+    scores <- Gen.listOfN(n, Gen.oneOf(1.0, 2.0, 3.0))
+  } yield ids.toList.zip(scores)
+
+  property("rrf.tiesAndResultShapedSkip.matchReferenceModel") =
+    forAll(tiedMaybeEmpty, tiedMaybeEmpty) { (a, b) =>
+      import spark.implicits._
+      val got = RankFusion.rrf(
+          Seq(("a", a.toDF("id", "score"), 1.0),
+            ("b", b.toDF("id", "score"), 0.5)), "id", "score")
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      val present = Seq((a, 1.0), (b, 0.5)).filter(_._1.nonEmpty)
+      val want: Map[Long, (Double, Long)] =
+        if (present.size == 1)
+          // fuse() skip: survivor keeps original unweighted scores
+          present.head._1.map { case (id, s) => id -> (s, 1L) }.toMap
+        else rrfModel(present, RankFusion.DefaultK)
+      got.keySet == want.keySet && got.forall { case (id, (s, n)) =>
+        math.abs(s - want(id)._1) < 1e-12 && n == want(id)._2
+      }
+    }
+
   property("rrf.everyWindowIsPartitioned") =
     forAll(scoredList) { a =>
       import spark.implicits._
       val df = a.toDF("id", "score")
+      // string check: under AQE the executedPlan wrapper's typed
+      // collect{WindowExec} never descends, so the old form was
+      // vacuously true (round-14 finding); the printed tree shows the
+      // real window nodes and their extracted `_w0` partition key
       val plan = RankFusion.rrf(Seq(("a", df, 1.0), ("b", df, 0.5)), "id", "score")
-        .queryExecution.executedPlan
-      plan.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec
-      }.forall(_.nonEmpty)
+        .queryExecution.executedPlan.toString
+      plan.linesIterator.filter(_.contains("Window ["))
+        .forall(_.contains("windowspecdefinition(_w"))
     }
 
   /** Arbitrary filter trees compile to a Column and execute — the
