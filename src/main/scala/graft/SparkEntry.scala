@@ -2898,6 +2898,30 @@ object SparkEntry {
             .orderBy(col("doc_id"))) - 1).cast("long").as("order"))
       streamEngine(s, dir).promptContext(hits,
         PromptContext.Conversational(maxMessages = 3))
+    }),
+
+    // §3.4 /ask answer_json_schema prequeries (`chat/ask.py:1024-1105`
+    // calculate_prequeries_for_json_schema): a structured-answer
+    // request derives one prequery per schema property (query =
+    // `name: description`, weight 1.0, top_k 10) and fuses them with
+    // the main query under compute_best_matches — weights normalized
+    // by the total (4 × 1.0 here), WeightedCombSum over raw find
+    // scores
+    "q176_ask_json_schema_prequeries" -> ((s, dir) => {
+      import graft.api.Find
+      val corpus = Find.Corpus(load(s, dir, "documents"), "doc_id", "text",
+        index = Some(graft.sources.IndexStore.tables(s, dir)))
+      val pre = Find.jsonSchemaPrequeries(
+        """{"name": "corpus_report", "parameters": {"properties": {
+          |  "spark": {"type": "string", "description": "query engine"},
+          |  "scan": {"type": "string", "description": "table filter"},
+          |  "vector": {"type": "string"}
+          |}, "required": ["spark"]}}""".stripMargin)
+      Find.findWithPrequeries(corpus,
+          (Find.FindRequest(query = QueryTerms.mkString(" "), topK = 50), 1.0),
+          pre)
+        .orderBy(col("prequery_score").desc, col("doc_id").asc)
+        .limit(20)
     })
   )
 
@@ -5912,6 +5936,37 @@ object SparkEntry {
          |  GROUP BY block_id)
          |SELECT block_id, text,
          |  CAST(row_number() OVER (ORDER BY seq, block_id) AS INT) AS pos
-         |FROM dedup ORDER BY pos""".stripMargin
+         |FROM dedup ORDER BY pos""".stripMargin,
+
+    // q176: q93's normalized-weight CombSum over FOUR lists — the main
+    // query (top 50) plus one list per schema property (top 10 each:
+    // "spark: query engine" → [spark, query, engine], "scan: table
+    // filter" → [scan, table, filter], description-less "vector" →
+    // [vector]); every weight 1.0 → each contributes score/4
+    "q176_ask_json_schema_prequeries" ->
+      s"""WITH $Bm25Ctes,
+         |${bm25CtesFor(Seq("spark", "query", "engine"), "a_")},
+         |${bm25CtesFor(Seq("scan", "table", "filter"), "b_")},
+         |${bm25CtesFor(Seq("vector"), "c_")},
+         |mr AS (SELECT doc_id, score FROM (
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm25)
+         |  WHERE rank <= 50),
+         |ar AS (SELECT doc_id, score FROM (
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM a_bm25)
+         |  WHERE rank <= 10),
+         |br AS (SELECT doc_id, score FROM (
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM b_bm25)
+         |  WHERE rank <= 10),
+         |cr AS (SELECT doc_id, score FROM (
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM c_bm25)
+         |  WHERE rank <= 10),
+         |u AS (SELECT doc_id, score * 0.25 AS contrib FROM mr
+         |      UNION ALL SELECT doc_id, score * 0.25 FROM ar
+         |      UNION ALL SELECT doc_id, score * 0.25 FROM br
+         |      UNION ALL SELECT doc_id, score * 0.25 FROM cr)
+         |SELECT doc_id, round(sum(contrib), 6) AS prequery_score,
+         |  CAST(count(*) AS BIGINT) AS n_sources
+         |FROM u GROUP BY doc_id
+         |ORDER BY prequery_score DESC, doc_id LIMIT 20""".stripMargin
   )
 }

@@ -592,6 +592,49 @@ object Find {
         round(col("fused_score"), 6).as("prequery_score"), col("n_sources"))
   }
 
+  /** The answer-json-schema prequery derivation —
+    * `calculate_prequeries_for_json_schema` (`chat/ask.py:1024-1105`):
+    * a structured-answer request over a corpus too big to send to the
+    * model generates ONE prequery per property in the schema's
+    * `parameters.properties`, query text `name` or `name: description`,
+    * each at weight 1.0 and top_k 10 (the reference hard-codes both);
+    * the results feed [[findWithPrequeries]] with the main query. The
+    * `template` carries the per-request knobs the reference copies off
+    * the AskRequest (min_score, vectorset, filter — rephrase is
+    * Predict-side and not taken). Property ORDER is the schema's own
+    * (JSON object order, like the reference's dict). A schema without
+    * properties yields Nil (the reference returns None); more than 15
+    * properties is the reference's AnswerJsonSchemaTooLong validation
+    * error (`PreQueriesStrategy.queries` max_length = 15).
+    */
+  def jsonSchemaPrequeries(
+      schemaJson: String,
+      template: FindRequest = FindRequest()): Seq[(FindRequest, Double)] = {
+    import org.json4s._
+    val parsed =
+      try org.json4s.jackson.JsonMethods.parse(schemaJson)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"answer_json_schema is not valid JSON: ${e.getMessage}")
+      }
+    val props: Seq[(String, JValue)] =
+      parsed \ "parameters" \ "properties" match {
+        case JObject(fields) => fields
+        case _ => Nil
+      }
+    require(props.size <= 15,
+      "Answer JSON schema with too many properties generated too many " +
+        "prequeries (PreQueriesStrategy allows at most 15)")
+    props.map { case (name, defn) =>
+      val query = defn \ "description" match {
+        case JString(d) if d.nonEmpty => s"$name: $d"
+        case _ => name
+      }
+      (template.copy(query = query, topK = 10, highlight = false,
+        withDuplicates = false), 1.0)
+    }
+  }
+
   /** Paragraph-mode find — the reference's actual retrieval unit
     * (`/find` returns paragraphs grouped under resources,
     * `search/search/find_merge.py`): parse the query, prefilter docs,

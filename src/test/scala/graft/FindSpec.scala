@@ -547,4 +547,41 @@ class FindSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(hit == Seq("a"), hit.toString)
   }
+
+  test("jsonSchemaPrequeries: property order, description composition, bounds") {
+    import graft.api.Find
+    val pre = Find.jsonSchemaPrequeries(
+      """{"name": "b", "parameters": {"properties": {
+        |  "title": {"type": "string", "description": "the book title"},
+        |  "author": {"type": "string", "description": ""},
+        |  "isbn": {"type": "string"}
+        |}}}""".stripMargin)
+    // one prequery per property IN SCHEMA ORDER, query = name or
+    // "name: description" (empty description = name only), weight 1.0,
+    // top_k hard-coded 10 (ask.py:1068-1078)
+    assert(pre.map(_._1.query) ==
+      Seq("title: the book title", "author", "isbn"))
+    assert(pre.forall { case (r, w) => w == 1.0 && r.topK == 10 &&
+      !r.highlight && !r.withDuplicates })
+    // template knobs (the AskRequest carry-over) survive
+    val tpl = Find.FindRequest(semanticMinScore = 0.4,
+      vectorset = Some("mini"))
+    val withTpl = Find.jsonSchemaPrequeries(
+      """{"parameters": {"properties": {"x": {}}}}""", tpl)
+    assert(withTpl.head._1.vectorset.contains("mini") &&
+      withTpl.head._1.semanticMinScore == 0.4)
+    // no properties -> Nil (the reference returns None)
+    assert(Find.jsonSchemaPrequeries("""{"parameters": {}}""").isEmpty)
+    assert(Find.jsonSchemaPrequeries("""{}""").isEmpty)
+    // > 15 properties = the reference's AnswerJsonSchemaTooLong
+    val big = (1 to 16)
+      .map(i => "\"p" + i + "\": {\"type\": \"string\"}").mkString(",")
+    intercept[IllegalArgumentException] {
+      Find.jsonSchemaPrequeries(
+        "{\"parameters\": {\"properties\": {" + big + "}}}")
+    }
+    intercept[IllegalArgumentException] {
+      Find.jsonSchemaPrequeries("not json {")
+    }
+  }
 }
