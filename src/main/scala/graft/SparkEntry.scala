@@ -2922,7 +2922,22 @@ object SparkEntry {
           pre)
         .orderBy(col("prequery_score").desc, col("doc_id").asc)
         .limit(20)
-    })
+    }),
+
+    // §2.3 paragraph FUZZY FALLBACK (`nidx_paragraph/src/reader.rs:
+    // 96-118`): both query terms are typos matching NOTHING exactly,
+    // so the empty keyword page triggers the dictionary expansion —
+    // "sparkk" (lev 1 → spark), "quary" (last term, fuzzy PREFIX →
+    // query) — and the fallback page is the expanded-terms BM25 with
+    // the reference's 0.5 fuzzy boost (search_query.rs BoostQuery)
+    "q177_fuzzy_paragraph_fallback" -> ((s, dir) =>
+      graft.api.Find.findParagraphs(
+          graft.api.Find.Corpus(load(s, dir, "documents"), "doc_id", "text",
+            index = Some(graft.sources.IndexStore.tables(s, dir))),
+          graft.api.Find.FindRequest(query = "sparkk quary", topK = 20,
+            paragraphBm25 = true))
+        .withColumn("hits", concat_ws(",", col("hits")))
+        .orderBy(col("best_score").desc, col("doc_id").asc))
   )
 
   // ---------------------------------------------------------------- //
@@ -2942,7 +2957,8 @@ object SparkEntry {
     * (paragraph_id, t, s, e) — stats computed over exactly that
     * source (the filter-then-score contract). One definition serves
     * q90 and q91 so the scoring formula cannot drift between oracles. */
-  private def parBm25Ctes(src: String): String =
+  private def parBm25Ctes(src: String, scale: Double = 1.0): String = {
+    val s = if (scale == 1.0) "" else s" * $scale"
     s"""ptok AS (SELECT paragraph_id, unnest(t[s+1:e]) AS term FROM $src),
        |dl AS (SELECT paragraph_id, CAST(count(*) AS DOUBLE) AS dl FROM ptok GROUP BY 1),
        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
@@ -2952,9 +2968,10 @@ object SparkEntry {
        |bm25 AS (
        |  SELECT tf.paragraph_id,
        |         round(sum(ln(1 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
-       |               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 4) AS score
+       |               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)))$s, 4) AS score
        |  FROM tf JOIN idf USING (term) JOIN dl USING (paragraph_id) CROSS JOIN stats
        |  GROUP BY tf.paragraph_id)""".stripMargin
+  }
 
   /** Parameterized BM25 CTE block for a second scored list in the same
     * query (shares tok/dl/stats; CTE names prefixed with `p`). */
@@ -5967,6 +5984,23 @@ object SparkEntry {
          |SELECT doc_id, round(sum(contrib), 6) AS prequery_score,
          |  CAST(count(*) AS BIGINT) AS n_sources
          |FROM u GROUP BY doc_id
-         |ORDER BY prequery_score DESC, doc_id LIMIT 20""".stripMargin
+         |ORDER BY prequery_score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q177: "sparkk quary" matches nothing exactly; the dictionary
+    // expansion is exactly {spark, query} at this corpus (verified:
+    // lev-1 of "sparkk" + fuzzy-prefix of "quary" admit nothing else),
+    // so the fallback page is q155's BM25 tree with every score halved
+    // BEFORE the 4-decimal round
+    "q177_fuzzy_paragraph_fallback" ->
+      s"""WITH $ParCtes,
+         |${parBm25Ctes("par", scale = 0.5)},
+         |hits AS (SELECT CAST(split_part(paragraph_id, '/', 1) AS BIGINT) AS doc_id,
+         |                paragraph_id, score
+         |         FROM bm25)
+         |SELECT doc_id, round(max(score), 6) AS best_score,
+         |  CAST(count(*) AS BIGINT) AS n_hits,
+         |  string_agg(paragraph_id, ',' ORDER BY score DESC, paragraph_id) AS hits
+         |FROM hits GROUP BY doc_id
+         |ORDER BY best_score DESC, doc_id LIMIT 20""".stripMargin
   )
 }

@@ -651,6 +651,81 @@ object Find {
     require(terms.nonEmpty, "paragraph find needs keyword terms")
     // parsed ONCE for both branches (lenient — noise behaves as absent)
     val advanced = req.advancedQuery.flatMap(QueryParser.parseAdvanced)
+    val exact = findParagraphsScored(corpus, req, parsed, advanced, terms,
+      scale = 1.0)
+    // FUZZY FALLBACK (`nidx_paragraph/src/reader.rs:96-118`): when the
+    // exact keyword page is EMPTY, topK > 0, and min_score == 0, the
+    // request reruns with each term expanded to its dictionary matches
+    // and the page's scores carry the reference's 0.5 fuzzy boost
+    // (`search_query.rs` BoostQuery 0.5). The emptiness probe runs on
+    // the CUT page cached in the request arena — the non-empty common
+    // path's terminal action reuses the cache, and only the empty path
+    // pays the dictionary expansion scan (the same cost class as the
+    // suggest fallback).
+    if (req.topK <= 0 || req.keywordMinScore != 0.0) exact
+    else {
+      val page = graft.Caches.cache(exact)
+      if (!page.isEmpty) page
+      else {
+        val expanded = paragraphFuzzyTerms(corpus, terms)
+        if (expanded.isEmpty || expanded.toSet == terms.toSet) page
+        else findParagraphsScored(corpus, req, parsed, advanced, expanded,
+          scale = 0.5)
+      }
+    }
+  }
+
+  /** Fuzzy term expansion for the paragraph fallback — the tantivy
+    * automaton semantics over the at-rest term dictionary
+    * (`query_parser/fuzzy_parser.rs`): terms of ≥ MIN_FUZZY_LEN = 3
+    * chars match at levenshtein ≤ 1, shorter terms stay EXACT, and the
+    * LAST term additionally matches as a fuzzy PREFIX when ≥
+    * MIN_FUZZY_PREFIX_LEN = 4 chars (last_fuzzy_term_as_prefix — both
+    * the search and suggest parsers set it). One dictionary scan per
+    * fallback; the driver list is vocabulary-bounded like suggest's
+    * (deterministic order + a tantivy-style automaton cap). */
+  private def paragraphFuzzyTerms(
+      corpus: Corpus, terms: Seq[String]): Seq[String] = {
+    // the at-rest term dictionary when a usable posting table is bound
+    // (callers may bind partial IndexTables — e.g. a labeled paragraph
+    // table with placeholder postings — so gate on the column, not just
+    // presence); the inline tokenize otherwise
+    val dict = corpus.index match {
+      case Some(ix) if ix.parPostings.exists(_.columns.contains("term")) =>
+        ix.parPostings.get.select(col("term")).distinct()
+      case Some(ix) if ix.postings.columns.contains("term") =>
+        ix.postings.select(col("term")).distinct()
+      case _ => corpus.docs.select(
+        explode(TextFunctions.tokens(col(corpus.text))).as("term")).distinct()
+    }
+    fuzzyExpand(dict, terms)
+  }
+
+  /** The expansion itself over any `term`-column dictionary frame —
+    * shared with [[Search.search]]'s paragraph-list fallback. */
+  private[api] def fuzzyExpand(
+      dict: DataFrame, terms: Seq[String]): Seq[String] = {
+    val preds = terms.zipWithIndex.map { case (t, i) =>
+      val isLast = i == terms.size - 1
+      if (isLast && t.length >= 4) {
+        val lens = (t.length - 1 to t.length + 1).filter(_ > 0)
+        lens.map(l => levenshtein(substring(col("term"), 1, l), lit(t)) <= 1)
+          .reduce(_ || _)
+      } else if (t.length >= 3) levenshtein(col("term"), lit(t)) <= 1
+      else col("term") === t
+    }
+    dict.where(preds.reduce(_ || _))
+      .orderBy("term").limit(1024)
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  private def findParagraphsScored(
+      corpus: Corpus,
+      req: FindRequest,
+      parsed: QueryParser.ParsedQuery,
+      advanced: Option[QueryParser.BoolQuery],
+      terms: Seq[String],
+      scale: Double): DataFrame = {
     val base = req.filter match {
       case Some(f) => corpus.docs.where(FilterExpr.compile(f, corpus.filterBindings))
       case None => corpus.docs
@@ -871,7 +946,7 @@ object Find {
         val hits = Bm25.scoreFromPostings(restrict(post0), restrict(dls0),
             "paragraph_id", terms, allowed = None,
             cachedStats = cachedPar)
-          .withColumn("score", round(col("score"), 4))
+          .withColumn("score", round(col("score") * lit(scale), 4))
           .withColumn(corpus.docId,
             split(col("paragraph_id"), "/").getItem(0).cast(docIdType))
         val composed = pageCut(composeResources(hits, corpus.docId,
@@ -927,7 +1002,7 @@ object Find {
         val hits = parDedup.where(excl)
           .withColumn("score",
             size(filter(TextFunctions.tokens(col("p_text")),
-              t => t.isInCollection(terms))).cast("double"))
+              t => t.isInCollection(terms))).cast("double") * lit(scale))
           .where(col("score") > 0)
         val composed = pageCut(composeResources(hits, corpus.docId,
           "paragraph_id", "score", maxHits = Some(req.topK)),

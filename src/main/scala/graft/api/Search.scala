@@ -136,47 +136,76 @@ object Search {
           })
       }
 
-    val parList = paragraphs.flatMap { case (par, pid, ptext) =>
-      if (parsed.terms.isEmpty) None
-      // the same default + escape hatch as the paragraph index search
-      // (ONE shared definition — Find.excludeRepeated)
-      else {
-        val labelPred = req.paragraphFilter.map { pf =>
-          require(par.columns.contains("p_labels"),
-            "paragraphFilter needs a paragraph table with p_labels — " +
-              "attach paragraph labels at ingest")
-          FilterExpr.compile(pf, FilterExpr.Bindings(labelsCol = "p_labels"))
+    def parListFor(terms: Seq[String], scale: Double): Option[DataFrame] =
+      paragraphs.flatMap { case (par, pid, ptext) =>
+        if (terms.isEmpty) None
+        // the same default + escape hatch as the paragraph index search
+        // (ONE shared definition — Find.excludeRepeated)
+        else {
+          val labelPred = req.paragraphFilter.map { pf =>
+            require(par.columns.contains("p_labels"),
+              "paragraphFilter needs a paragraph table with p_labels — " +
+                "attach paragraph labels at ingest")
+            FilterExpr.compile(pf, FilterExpr.Bindings(labelsCol = "p_labels"))
+          }
+          val orMode = req.filterOperatorOr && req.filter.nonEmpty &&
+            labelPred.nonEmpty
+          val restricted =
+            if (orMode) // either-passes clause (filter_query's Should)
+              Find.excludeRepeated(par, req.withDuplicates)
+                .join(base.select(col(docId)).withColumn("__doc_ok", lit(true)),
+                  Seq(docId), "left")
+                .where(coalesce(col("__doc_ok"), lit(false)) || labelPred.get)
+                .drop("__doc_ok")
+            else
+              Find.excludeRepeated(
+                labelPred.map(par.where).getOrElse(par), req.withDuplicates)
+          val scored = (if (orMode) restricted
+            else restricted.join(base.select(docId), docId)) // prefilter
+            .withColumn("score",
+              size(filter(graft.functions.TextFunctions.tokens(col(ptext)),
+                t => t.isInCollection(terms))).cast("double") * lit(scale))
+            .where(col("score") > 0)
+          // the raw text rides through the cut; marking runs on the
+          // topK page only, never the full hit set
+          val page = scored
+            .select(Seq(col(pid), col("score")) ++
+              (if (doHighlight) Seq(col(ptext)) else Nil): _*)
+            .orderBy(col("score").desc, col(pid).asc)
+            .limit(req.topK)
+          Some(
+            if (!doHighlight) page
+            else page.withColumn(ptext, graft.functions.TextFunctions
+              .highlightWithPhrases(col(ptext), phraseToks, terms)))
         }
-        val orMode = req.filterOperatorOr && req.filter.nonEmpty &&
-          labelPred.nonEmpty
-        val restricted =
-          if (orMode) // either-passes clause (filter_query's Should)
-            Find.excludeRepeated(par, req.withDuplicates)
-              .join(base.select(col(docId)).withColumn("__doc_ok", lit(true)),
-                Seq(docId), "left")
-              .where(coalesce(col("__doc_ok"), lit(false)) || labelPred.get)
-              .drop("__doc_ok")
-          else
-            Find.excludeRepeated(
-              labelPred.map(par.where).getOrElse(par), req.withDuplicates)
-        val scored = (if (orMode) restricted
-          else restricted.join(base.select(docId), docId)) // prefilter
-          .withColumn("score",
-            size(filter(graft.functions.TextFunctions.tokens(col(ptext)),
-              t => t.isInCollection(parsed.terms))).cast("double"))
-          .where(col("score") > 0)
-        // the raw text rides through the cut; marking runs on the
-        // topK page only, never the full hit set
-        val page = scored
-          .select(Seq(col(pid), col("score")) ++
-            (if (doHighlight) Seq(col(ptext)) else Nil): _*)
-          .orderBy(col("score").desc, col(pid).asc)
-          .limit(req.topK)
-        Some(
-          if (!doHighlight) page
-          else page.withColumn(ptext, graft.functions.TextFunctions
-            .highlightWithPhrases(col(ptext), phraseToks, parsed.terms)))
       }
+
+    // the same FUZZY FALLBACK as [[Find.findParagraphs]] — /search's
+    // paragraph list is the same reference reader (`nidx_paragraph/src/
+    // reader.rs:96-118`): an empty exact page at topK > 0 reruns with
+    // the dictionary expansion at the 0.5 fuzzy boost
+    val parList = parListFor(parsed.terms, 1.0) match {
+      case None => None
+      case Some(p0) if req.topK <= 0 => Some(p0)
+      case Some(p0) =>
+        val page = graft.Caches.cache(p0)
+        if (!page.isEmpty) Some(page)
+        else {
+          val dict = index match {
+            case Some(ix) if ix.parPostings.exists(_.columns.contains("term")) =>
+              ix.parPostings.get.select(col("term")).distinct()
+            case Some(ix) if ix.postings.columns.contains("term") =>
+              ix.postings.select(col("term")).distinct()
+            case _ => paragraphs.map { case (par, _, ptext) =>
+              par.select(explode(graft.functions.TextFunctions
+                .tokens(col(ptext))).as("term")).distinct()
+            }.get // paragraphs is nonEmpty here (parListFor returned Some)
+          }
+          val expanded = Find.fuzzyExpand(dict, parsed.terms)
+          if (expanded.isEmpty || expanded.toSet == parsed.terms.toSet)
+            Some(page)
+          else parListFor(expanded, 0.5)
+        }
     }
 
     SearchResponse(docList, parList, facetDf)

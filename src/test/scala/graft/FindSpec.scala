@@ -584,4 +584,34 @@ class FindSpec extends SparkSpec {
       Find.jsonSchemaPrequeries("not json {")
     }
   }
+
+  test("paragraph fuzzy fallback: typo'd terms rerun at 0.5 boost; exact hits, nonzero min_score, and short terms never fall back") {
+    import graft.api.Find
+    val docs = Seq((1L, "spark engine runs"), (2L, "query planner spark"))
+      .toDF("doc_id", "text")
+    val corpus = Find.Corpus(docs, "doc_id", "text")
+    def bestScores(q: String, minScore: Double = 0.0): Seq[(Long, Double)] =
+      Find.findParagraphs(corpus,
+          Find.FindRequest(query = q, topK = 5,
+            keywordMinScore = minScore))
+        .select("doc_id", "best_score")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sortBy(_._1)
+    // typo: exact page empty -> lev-1 expansion (sparkk -> spark),
+    // scores carry the reference's 0.5 fuzzy boost
+    assert(bestScores("sparkk") == Seq((1L, 0.5), (2L, 0.5)),
+      s"fallback page wrong: ${bestScores("sparkk")}")
+    // exact hits never fall back (and never scale)
+    assert(bestScores("spark") == Seq((1L, 1.0), (2L, 1.0)))
+    // the reference gates the fallback on min_score == 0
+    // (reader.rs:120): a nonzero min_score returns the empty page
+    assert(bestScores("sparkk", minScore = 0.1).isEmpty,
+      "nonzero min_score must suppress the fuzzy fallback")
+    // a term under MIN_FUZZY_LEN stays EXACT in the expansion
+    // (fuzzy_parser.rs:35) - a 2-char typo matches nothing
+    assert(bestScores("zq").isEmpty, "short terms must not fuzzy")
+    // the LAST term expands as a fuzzy PREFIX at >= 4 chars
+    // (last_fuzzy_term_as_prefix): "quer" completes to "query"
+    assert(bestScores("quer") == Seq((2L, 0.5)),
+      s"fuzzy-prefix fallback wrong: ${bestScores("quer")}")
+  }
 }
