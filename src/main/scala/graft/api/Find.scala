@@ -657,23 +657,38 @@ object Find {
     // exact keyword page is EMPTY, topK > 0, and min_score == 0, the
     // request reruns with each term expanded to its dictionary matches
     // and the page's scores carry the reference's 0.5 fuzzy boost
-    // (`search_query.rs` BoostQuery 0.5). The emptiness probe runs on
-    // the CUT page cached in the request arena — the non-empty common
-    // path's terminal action reuses the cache, and only the empty path
-    // pays the dictionary expansion scan (the same cost class as the
-    // suggest fallback).
+    // (`search_query.rs` BoostQuery 0.5). The page is bounded (≤ topK
+    // resources by the cut), so the emptiness check COLLECTS it and the
+    // response becomes a LOCAL relation — the caller's terminal action
+    // is then driver-local and the request stays at ONE Spark job like
+    // the pre-fallback path (a cached isEmpty probe instead costs an
+    // extra job per request: measured +~70 ms at local[32], 1.2-1.3×
+    // on the cheap paragraph queries — the reference's own response is
+    // an in-memory page at exactly this point). Only the empty path
+    // pays the dictionary expansion scan (the suggest cost class).
     if (req.topK <= 0 || req.keywordMinScore != 0.0) exact
     else {
-      val page = graft.Caches.cache(exact)
-      if (!page.isEmpty) page
+      val exactRows = exact.collect()
+      if (exactRows.nonEmpty) localPage(exact, exactRows)
       else {
         val expanded = paragraphFuzzyTerms(corpus, terms)
-        if (expanded.isEmpty || expanded.toSet == terms.toSet) page
-        else findParagraphsScored(corpus, req, parsed, advanced, expanded,
-          scale = 0.5)
+        if (expanded.isEmpty || expanded.toSet == terms.toSet)
+          localPage(exact, exactRows)
+        else {
+          val fb = findParagraphsScored(corpus, req, parsed, advanced,
+            expanded, scale = 0.5)
+          localPage(fb, fb.collect())
+        }
       }
     }
   }
+
+  /** A collected response page as a LOCAL relation — same schema, rows
+    * in page order; bounded by the topK cut by construction. */
+  private[api] def localPage(
+      src: DataFrame, rows: Array[org.apache.spark.sql.Row]): DataFrame =
+    src.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), src.schema)
 
   /** Fuzzy term expansion for the paragraph fallback — the tantivy
     * automaton semantics over the at-rest term dictionary

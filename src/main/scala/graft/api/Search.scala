@@ -183,13 +183,16 @@ object Search {
     // the same FUZZY FALLBACK as [[Find.findParagraphs]] — /search's
     // paragraph list is the same reference reader (`nidx_paragraph/src/
     // reader.rs:96-118`): an empty exact page at topK > 0 reruns with
-    // the dictionary expansion at the 0.5 fuzzy boost
+    // the dictionary expansion at the 0.5 fuzzy boost. The page is
+    // bounded by the cut, so the emptiness check collects it and the
+    // list serves as a LOCAL relation (one Spark job, see
+    // findParagraphs' fallback note).
     val parList = parListFor(parsed.terms, 1.0) match {
       case None => None
       case Some(p0) if req.topK <= 0 => Some(p0)
       case Some(p0) =>
-        val page = graft.Caches.cache(p0)
-        if (!page.isEmpty) Some(page)
+        val rows = p0.collect()
+        if (rows.nonEmpty) Some(Find.localPage(p0, rows))
         else {
           val dict = index match {
             case Some(ix) if ix.parPostings.exists(_.columns.contains("term")) =>
@@ -203,8 +206,11 @@ object Search {
           }
           val expanded = Find.fuzzyExpand(dict, parsed.terms)
           if (expanded.isEmpty || expanded.toSet == parsed.terms.toSet)
-            Some(page)
-          else parListFor(expanded, 0.5)
+            Some(Find.localPage(p0, rows))
+          else parListFor(expanded, 0.5) match {
+            case Some(fb) => Some(Find.localPage(fb, fb.collect()))
+            case None => Some(Find.localPage(p0, rows))
+          }
         }
     }
 

@@ -815,7 +815,19 @@ class ScaleDesignSpec extends SparkSpec {
   }
 
   test("q68 find scans the materialized paragraph table, not a query-time split") {
-    val q68 = SparkEntry.queries("q68_find_paragraphs")(spark, "/root/testdata/sf0.001")
+    // q68's served response is a collected LOCAL page since the fuzzy
+    // fallback landed (round 14 — bounded by the cut, one Spark job);
+    // the scan pin needs the LAZY plan, so request the same hits with a
+    // nonzero min_score — the fallback gate returns the un-collected
+    // frame and every q68 hit scores far above 1e-12
+    import graft.api.Find
+    val q68 = Find.findParagraphs(
+      Find.Corpus(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "doc_id", "text",
+        index = Some(graft.sources.IndexStore.tables(spark, "/root/testdata/sf0.001"))),
+      Find.FindRequest(query = "spark query",
+        filter = Some(graft.operators.FilterExpr.Eq("lang", "en")),
+        topK = 20, keywordMinScore = 1e-12))
     q68.collect()
     val p = plan(q68)
     assert(p.contains("/paragraphs"),
