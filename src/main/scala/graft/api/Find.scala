@@ -666,7 +666,8 @@ object Find {
     // on the cheap paragraph queries — the reference's own response is
     // an in-memory page at exactly this point). Only the empty path
     // pays the dictionary expansion scan (the suggest cost class).
-    if (req.topK <= 0 || req.keywordMinScore != 0.0) exact
+    if (req.topK <= 0 || req.topK > MaxFallbackTopK ||
+        req.keywordMinScore != 0.0) exact
     else {
       val exactRows = exact.collect()
       if (exactRows.nonEmpty) localPage(exact, exactRows)
@@ -716,23 +717,68 @@ object Find {
     fuzzyExpand(dict, terms)
   }
 
-  /** The expansion itself over any `term`-column dictionary frame —
-    * shared with [[Search.search]]'s paragraph-list fallback. */
-  private[api] def fuzzyExpand(
-      dict: DataFrame, terms: Seq[String]): Seq[String] = {
+  /** The reference's own top_k validation bound (`search/api/v1/
+    * search.py` `le=200`): the fallback's eager page collect is only
+    * taken for requests inside it, so the collected local page is
+    * ≤ 200 resources by construction — a larger topK (this API leaves
+    * it unvalidated for batch consumers) keeps the distributed plan
+    * and skips the fallback, like a nonzero min_score does. */
+  private[api] val MaxFallbackTopK = 200
+
+  /** Per-query-term cap on dictionary expansions — the tantivy
+    * automaton evaluates each term's DFA independently, so the cap is
+    * per term (a global cap would let an alphabetically-early term's
+    * expansions starve a later one's); alphabetical within a term for
+    * determinism, truncation documented. */
+  private[api] val MaxExpansionsPerTerm = 1024
+
+  /** The expansion PLAN over any `term`-column dictionary frame — one
+    * filtered scan, then a per-query-term rank cap. Each fuzzy leaf
+    * carries a redundant `length(term)` conjunct (levenshtein ≤ 1
+    * implies a length difference ≤ 1; a fuzzy PREFIX of `t` must be at
+    * least `len(t)-1` long) so the scan skips the edit-distance
+    * evaluation on wrong-length terms — SURVEY §7.4's length-bucketing
+    * advice as a scan-stage prune — and the levenshtein itself is the
+    * THRESHOLD form (early-exits past distance 1 instead of filling
+    * the full DP matrix). Exposed for the plan pin in ScaleDesignSpec.
+    */
+  private[graft] def fuzzyExpandPlan(
+      dict: DataFrame, terms: Seq[String]): DataFrame = {
+    val lev1 = (a: Column, b: Column) => levenshtein(a, b, 1).between(0, 1)
     val preds = terms.zipWithIndex.map { case (t, i) =>
       val isLast = i == terms.size - 1
       if (isLast && t.length >= 4) {
         val lens = (t.length - 1 to t.length + 1).filter(_ > 0)
-        lens.map(l => levenshtein(substring(col("term"), 1, l), lit(t)) <= 1)
-          .reduce(_ || _)
-      } else if (t.length >= 3) levenshtein(col("term"), lit(t)) <= 1
+        length(col("term")) >= (t.length - 1) &&
+          lens.map(l => lev1(substring(col("term"), 1, l), lit(t)))
+            .reduce(_ || _)
+      } else if (t.length >= 3)
+        length(col("term")).between(t.length - 1, t.length + 1) &&
+          lev1(col("term"), lit(t))
       else col("term") === t
     }
+    // assign each match to its FIRST matching query term (a dict term
+    // matching two query terms still expands once) and cap PER term
+    val firstMatch = preds.zipWithIndex.foldRight(lit(-1): Column) {
+      case ((p, i), acc) => when(p, lit(i)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qt")).orderBy(col("term"))
     dict.where(preds.reduce(_ || _))
-      .orderBy("term").limit(1024)
-      .collect().map(_.getString(0)).toSeq
+      .withColumn("__qt", firstMatch)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= MaxExpansionsPerTerm)
+      .select("term")
   }
+
+  /** The expansion itself — shared with [[Search.search]]'s
+    * paragraph-list fallback. The collected list is bounded by
+    * `terms.size × MaxExpansionsPerTerm`. */
+  private[graft] def fuzzyExpand(
+      dict: DataFrame, terms: Seq[String]): Seq[String] =
+    fuzzyExpandPlan(dict, terms)
+      .orderBy("term")
+      .collect().map(_.getString(0)).toSeq
 
   private def findParagraphsScored(
       corpus: Corpus,

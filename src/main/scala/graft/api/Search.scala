@@ -189,7 +189,11 @@ object Search {
     // findParagraphs' fallback note).
     val parList = parListFor(parsed.terms, 1.0) match {
       case None => None
-      case Some(p0) if req.topK <= 0 => Some(p0)
+      // the reference validates top_k <= 200 (search.py le=200); above
+      // it this API keeps the distributed plan and skips the fallback,
+      // so the eager page collect stays request-bounded
+      case Some(p0) if req.topK <= 0 || req.topK > Find.MaxFallbackTopK =>
+        Some(p0)
       case Some(p0) =>
         val rows = p0.collect()
         if (rows.nonEmpty) Some(Find.localPage(p0, rows))

@@ -982,4 +982,37 @@ class ScaleDesignSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [In(doc_id"),
       s"rid set must push into the doc scan:\n$p")
   }
+
+  test("fuzzy fallback expansion: length conjunct prunes the dictionary scan, levenshtein is thresholded, cap is per term") {
+    import graft.api.Find
+    val dir = Files.createTempDirectory("graft-fuzzdict").toString
+    Seq("spark", "spars", "sparky", "query", "queries", "quer",
+      "zzzzz", "sp", "table").toDF("term").write.parquet(s"$dir/dict")
+    val dict = spark.read.parquet(s"$dir/dict")
+    val df = Find.fuzzyExpandPlan(dict, Seq("spark", "query"))
+    val p = plan(df)
+    // the redundant length(term) conjunct must sit in the scan-stage
+    // filter so wrong-length terms skip the edit-distance evaluation
+    // (SURVEY §7.4 length bucketing as a scan prune)
+    assert(p.contains("length(term"),
+      s"length conjunct missing from the dictionary scan filter:\n$p")
+    // the THRESHOLD levenshtein (early-exit past distance 1), not the
+    // full-matrix form
+    assert(p.linesIterator.exists(l =>
+        l.contains("levenshtein(") && l.contains(", Some(1))")),
+      s"expected thresholded levenshtein(..., Some(1)):\n$p")
+    // per-term rank cap rides a window (partitioned by the assigned
+    // query term — never a global unpartitioned window)
+    assert(p.contains("Window ["), s"per-term cap window missing:\n$p")
+    // semantics: lev<=1 matches for 'spark'; last term 'query' also
+    // fuzzy-prefix — 'queries' has prefix 'querie' at lev 1? (substring
+    // lengths 4..6 of 'queries': 'quer'(1ins? lev(quer,query)=1 yes))
+    val out = Find.fuzzyExpand(dict, Seq("spark", "query"))
+    assert(out.contains("spark") && out.contains("spars"))
+    assert(out.contains("query") && out.contains("quer"))
+    assert(out.contains("queries"), "fuzzy-prefix must admit 'queries'")
+    assert(!out.contains("zzzzz") && !out.contains("table"))
+    // a dict term matching both query terms expands ONCE
+    assert(out.distinct.size == out.size)
+  }
 }
