@@ -165,9 +165,13 @@ object RankFusion {
     ranked
       .groupBy(idCol)
       .agg(sum("contrib").as("__rrf"),
+        // n_sources counts the LISTS an id appears in (distinct tags,
+        // not rows): an id duplicated WITHIN one list must report the
+        // same n_sources through the fused path as through the
+        // single-list passthrough (which dedups by id and emits 1)
         (Seq(max(col("__orig")).as("__orig_max"),
           max(col("__n_lists")).as("__nl"),
-          count(lit(1)).as("n_sources")) ++ srcAggs): _*)
+          countDistinct(col("__list")).as("n_sources")) ++ srcAggs): _*)
   }
 
   /** Weighted CombSum over RAW scores:
@@ -198,7 +202,8 @@ object RankFusion {
       .agg(sum("contrib").as("__sum"),
         max(col("__orig")).as("__orig_max"),
         max(col("__n_lists")).as("__nl"),
-        count(lit(1)).as("n_sources"))
+        // distinct list tags, like [[rrf]] — see rrfFused's note
+        countDistinct(col("__list")).as("n_sources"))
       .select(col(idCol),
         when(col("__nl") === 1, col("__orig_max"))
           .otherwise(col("__sum")).as("fused_score"),

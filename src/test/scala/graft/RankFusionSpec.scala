@@ -89,4 +89,26 @@ class RankFusionSpec extends SparkSpec {
       assert(math.abs(got(id) - e) < 1e-12, s"$id: ${got(id)} vs $e")
     }
   }
+
+  test("n_sources counts DISTINCT lists: a duplicated id within one list reports the same through fused and single-list paths") {
+    import spark.implicits._
+    // id "a" appears TWICE in the keyword list; n_sources must count
+    // lists-with-the-id, not rows — the single-list passthrough dedups
+    // by id and reports 1, so the fused path must agree on the same
+    // duplicated input (ADVICE r14)
+    val dup = Seq(("a", 5.0), ("a", 3.0), ("b", 1.0)).toDF("id", "score")
+    val other = Seq(("b", 2.0)).toDF("id", "score")
+    val single = RankFusion.rrf(Seq(("kw", dup, 1.0)), "id", "score")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val fused = RankFusion.rrf(
+        Seq(("kw", dup, 1.0), ("sem", other, 1.0)), "id", "score")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(single("a") == 1L && fused("a") == 1L,
+      s"duplicated-id n_sources must be 1 on both paths: $single vs $fused")
+    assert(fused("b") == 2L)
+    val comb = RankFusion.weightedCombSum(
+        Seq(("kw", dup, 1.0), ("sem", other, 1.0)), "id", "score")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(comb("a") == 1L && comb("b") == 2L)
+  }
 }
