@@ -707,12 +707,17 @@ final class StreamEngine private[api] (
             similarity = spec.similarity, normalized = spec.normalized)
           (vs, vix, raw)
         }
+        // ANY-carry binding (round 15): a mixed root — a stream that
+        // gained relationsCol/messagesCol mid-life — serves the
+        // optional tables from the CARRYING subset (global winners keep
+        // it degrade-not-stale) instead of hiding them until a
+        // compaction pass heals the fold
         val edges =
-          if (IncrementalIndex.segmentsCarryAt(spark, wm, "edges"))
+          if (IncrementalIndex.segmentsCarryAnyAt(spark, wm, "edges"))
             Some(IncrementalIndex.segmentEdgesAt(spark, wm, docId, seqCol))
           else None
         val messages =
-          if (IncrementalIndex.segmentsCarryAt(spark, wm, "messages"))
+          if (IncrementalIndex.segmentsCarryAnyAt(spark, wm, "messages"))
             Some(IncrementalIndex.segmentMessagesAt(spark, wm, docId, seqCol))
           else None
         val s = Served(wm, tables,

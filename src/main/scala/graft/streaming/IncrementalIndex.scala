@@ -441,6 +441,15 @@ object IncrementalIndex {
       sub: String): Boolean =
     dirs.nonEmpty && dirs.forall(d => hasSub(spark, d, sub))
 
+  /** Whether ANY of the dirs carries the optional table `sub` — the
+    * binding predicate for tables served via the carrying-subset
+    * degrade ([[segmentEdgesAt]]/[[segmentMessagesAt]]): a mixed root
+    * (stream upgraded mid-life) serves the carrying segments instead
+    * of hiding the table until compaction heals it. */
+  def segmentsCarryAnyAt(spark: SparkSession, dirs: Seq[String],
+      sub: String): Boolean =
+    dirs.exists(d => hasSub(spark, d, sub))
+
   /** Newest (id, seq) row per doc across segment manifests, TOMBSTONES
     * INCLUDED — compaction must keep them so a replayed older op
     * (at-least-once delivery) cannot resurrect a deleted doc.
@@ -581,8 +590,9 @@ object IncrementalIndex {
     * graph serving table for a STREAMED corpus: rows (id, seq, rel,
     * dst) bind into [[graft.api.GraphSearch.EdgeTable]] with the doc
     * id as the source node, so the same PathQuery trees run over
-    * streamed and batch corpora. Requires every live segment to carry
-    * edges (written when the stream passes `relationsCol`).
+    * streamed and batch corpora. Serves the CARRYING subset of a
+    * mixed root (see [[servedOptionalSub]]); at least one live segment
+    * must carry edges (written when the stream passes `relationsCol`).
     */
   def segmentEdges(spark: SparkSession, indexRoot: String,
       idCol: String = "rid", seqCol: String = "seq"): DataFrame =
@@ -591,28 +601,47 @@ object IncrementalIndex {
   /** [[segmentEdges]] over an explicit dir set (see
     * [[segmentTablesAt]] for why snapshot servers pass dirs). */
   def segmentEdgesAt(spark: SparkSession, dirs: Seq[String],
-      idCol: String = "rid", seqCol: String = "seq"): DataFrame = {
-    require(dirs.nonEmpty, "no segment dirs given")
-    require(dirs.forall(d => hasSub(spark, d, "edges")),
-      s"some segments lack relation edges — stream " +
-        "started without relationsCol; recompact from source")
-    servedSub(spark, dirs, "edges", idCol, seqCol)
-  }
+      idCol: String = "rid", seqCol: String = "seq"): DataFrame =
+    servedOptionalSub(spark, dirs, "edges", idCol, seqCol,
+      "no live segment carries relation edges — stream with " +
+        "relationsCol so segments write them")
 
   /** Message-grain conversation rows served across segments with
     * latest-wins — the /augment and /ask Conversational serving table
     * for a STREAMED corpus: rows (id, seq, field_id, split, mtype,
     * mtext) bind into [[graft.api.Augment.ConversationStore]].
-    * Requires every live segment to carry messages (written when the
-    * stream passes `messagesCol`).
+    * Serves the CARRYING subset of a mixed root (see
+    * [[servedOptionalSub]]); at least one live segment must carry
+    * messages (written when the stream passes `messagesCol`).
     */
   def segmentMessagesAt(spark: SparkSession, dirs: Seq[String],
-      idCol: String = "rid", seqCol: String = "seq"): DataFrame = {
+      idCol: String = "rid", seqCol: String = "seq"): DataFrame =
+    servedOptionalSub(spark, dirs, "messages", idCol, seqCol,
+      "no live segment carries conversation messages — stream with " +
+        "messagesCol so segments write them")
+
+  /** Serve an OPTIONAL per-segment table from the CARRYING subset of a
+    * MIXED root (round 15 — the serve-time counterpart of the fold
+    * heal): a root whose older segments predate the table (a stream
+    * upgraded to pass relationsCol/messagesCol mid-life) reads the
+    * segments that have it, with the winner semi-join computed over
+    * ALL live segments' manifests — so a doc whose LATEST row lives in
+    * a non-carrying segment serves no rows from this table (degrade,
+    * never stale: its older carried rows lose the winner join), and
+    * compaction's carrying-subset fold heals the root toward
+    * all-carrying over time. At least one segment must carry the
+    * table — an all-missing root keeps the explicit error.
+    */
+  private def servedOptionalSub(spark: SparkSession, dirs: Seq[String],
+      sub: String, idCol: String, seqCol: String,
+      missingMsg: String): DataFrame = {
     require(dirs.nonEmpty, "no segment dirs given")
-    require(dirs.forall(d => hasSub(spark, d, "messages")),
-      s"some segments lack conversation messages — stream " +
-        "started without messagesCol; recompact from source")
-    servedSub(spark, dirs, "messages", idCol, seqCol)
+    val carrying = dirs.filter(d => hasSub(spark, d, sub))
+    require(carrying.nonEmpty, missingMsg)
+    servedSub(spark, carrying, sub, idCol, seqCol,
+      winners0 =
+        if (carrying.size == dirs.size) None // same listing, one read
+        else Some(winnersOf(spark, dirs, idCol, seqCol)))
   }
 
   /** The `(term, freq)` suggest dictionary of a streamed corpus —
@@ -792,16 +821,37 @@ object IncrementalIndex {
     * a later pass — deferral errs toward keeping files. The default
     * TTL 0 keeps the one-pass behavior: the stamp is in the past by the
     * next pass, so inputs delete exactly like before.
+    *
+    * ONE clock: the stamp written INTO the marker is the driver's
+    * `currentTimeMillis`, and the age check compares against the same
+    * driver clock — the filesystem's modification time (which an
+    * object store or NFS may skew against the driver) is only the
+    * fallback for pre-upgrade empty markers, where the skew allowance
+    * is at worst the FS-vs-driver offset once, not per pass.
     */
   private def retrySubsumedDeletes(fs: org.apache.hadoop.fs.FileSystem,
       allDirs: Seq[org.apache.hadoop.fs.Path], subsumedSet: Set[String],
       graceMaxAgeMs: Long): Unit =
     allDirs.filter(p => subsumedSet(p.getName)).foreach { p =>
       val marker = new org.apache.hadoop.fs.Path(p, SubsumedAtMarker)
-      if (!fs.exists(marker)) fs.create(marker).close()
-      else if (System.currentTimeMillis() -
-          fs.getFileStatus(marker).getModificationTime >= graceMaxAgeMs)
-        fs.delete(p, true)
+      if (!fs.exists(marker)) {
+        val out = fs.create(marker)
+        out.write(System.currentTimeMillis().toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+      } else {
+        val stampedAt = {
+          val in = fs.open(marker)
+          val body =
+            try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8).trim
+            finally in.close()
+          if (body.nonEmpty && body.forall(_.isDigit)) body.toLong
+          else fs.getFileStatus(marker).getModificationTime
+        }
+        if (System.currentTimeMillis() - stampedAt >= graceMaxAgeMs)
+          fs.delete(p, true)
+      }
     }
 
   /** Fold ONE group of live segment dirs into a compacted segment —

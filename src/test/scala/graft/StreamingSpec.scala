@@ -967,6 +967,77 @@ class StreamingSpec extends SparkSpec {
     assert(served() == want, "post-compaction message divergence")
   }
 
+  test("mixed root SERVES optional tables from the carrying subset before any compaction (degrade, never stale)") {
+    import graft.api.GraphSearch
+    import graft.api.GraphSearch.{EdgeTable, NodeMatch, PathQuery}
+    val root = Files.createTempDirectory("graft-mixserve").toString + "/index"
+    def m(split: Int, text: String) =
+      StreamingSpec.Msg("chat", split, "OTHER", text)
+    // seg 0: PRE-UPGRADE layout — no messages, no edges tables
+    IncrementalIndex.writeSegment(
+      Seq(("r1", 1L, "old text", false), ("r3", 1L, "three", false))
+        .toDF("rid", "seq", "value", "deleted"),
+      f"$root/seg_${0L}%09d", "rid", "value", "seq")
+    // seg 1: post-upgrade — carries BOTH optional tables; r1's update
+    // moves its winner here, r2 is new here
+    IncrementalIndex.writeSegment(
+      Seq(
+        ("r1", 2L, "new text", false, Seq(m(0, "r1 live")),
+          Seq(StreamingSpec.Rel("likes", "spark"))),
+        ("r2", 1L, "two", false, Seq(m(0, "r2 will go stale")),
+          Seq(StreamingSpec.Rel("likes", "stale-target"))))
+        .toDF("rid", "seq", "value", "deleted", "msgs", "relations"),
+      f"$root/seg_${1L}%09d", "rid", "value", "seq",
+      messagesCol = Some("msgs"), relationsCol = Some("relations"))
+    // seg 2: ANOTHER pre-upgrade-shaped segment updates r2 — its
+    // winner row now lives in a NON-carrying segment, so r2's seg-1
+    // messages/edges must stop serving (degrade, never stale)
+    IncrementalIndex.writeSegment(
+      Seq(("r2", 2L, "two v2", false))
+        .toDF("rid", "seq", "value", "deleted"),
+      f"$root/seg_${2L}%09d", "rid", "value", "seq")
+
+    def servedMsgs(): Set[(String, String)] =
+      IncrementalIndex.segmentMessagesAt(spark,
+          IncrementalIndex.liveSegments(spark, root))
+        .select("rid", "mtext")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    def servedEdges(): Set[(String, String)] =
+      IncrementalIndex.segmentEdgesAt(spark,
+          IncrementalIndex.liveSegments(spark, root))
+        .select("rid", "dst")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // BEFORE any compaction: the carrying subset serves; r2's stale
+    // carried rows lose the global winner join
+    assert(servedMsgs() == Set(("r1", "r1 live")),
+      s"mixed-root message serve diverged: ${servedMsgs()}")
+    assert(servedEdges() == Set(("r1", "spark")),
+      s"mixed-root edge serve diverged: ${servedEdges()}")
+    // the Engine facade binds both off the same mixed root
+    val eng = graft.api.Engine.forStream(spark, root,
+      Seq(("r1", "new text"), ("r2", "two v2"), ("r3", "three"))
+        .toDF("rid", "value"),
+      docId = "rid", textCol = "value")
+    val viaEngine = GraphSearch.search(eng.edgeTable(),
+        PathQuery.Path(dst = NodeMatch.Exact("spark")), topK = 10)
+      .collect().map(_.getString(0)).toSet
+    assert(viaEngine == Set("r1"), s"engine mixed-root graph: $viaEngine")
+    val msgs = eng.augment(graft.api.Augment.AugmentRequest(fields = Seq(
+        graft.api.Augment.FieldAugment(given = Seq("r1/c/chat"),
+          fullConversation = true),
+        graft.api.Augment.FieldAugment(given = Seq("r2/c/chat"),
+          fullConversation = true))))
+      .messages.select("rid", "mtext")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(msgs == Set(("r1", "r1 live")),
+      s"engine mixed-root conversation store: $msgs")
+    // compaction heals the fold toward all-carrying; the serve answers
+    // must not change
+    IncrementalIndex.compactSegments(spark, root)
+    assert(servedMsgs() == Set(("r1", "r1 live")), "post-compaction msgs")
+    assert(servedEdges() == Set(("r1", "spark")), "post-compaction edges")
+  }
+
   test("startIndexSegments threads messagesCol: a LIVE stream's segments serve the conversation store end to end") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("graft-livemsgs").toString + "/index"
