@@ -2328,18 +2328,44 @@ object SparkEntry {
 
     // corpus profiling with SKETCHES — the 100 TB first-pass profile:
     // HyperLogLog++ distinct counts and approximate percentiles give a
-    // bounded-memory, one-pass corpus shape. NO DuckDB oracle (sketch
-    // internals are engine-specific — documented ContractSpec
-    // exemption; driver records rows-only); accuracy vs exact is
-    // asserted in ScaleDesignSpec at rsd/tolerance bounds.
-    "q83_approx_profile" -> ((s, dir) =>
+    // bounded-memory, one-pass corpus shape. BANDED oracle (round 15,
+    // retiring the last rows-only exemption): sketch internals are
+    // engine-specific, so hash-equality on the raw estimates can never
+    // hold — instead the query emits the EXACT value whenever the
+    // sketch lands inside its documented error band, and the raw
+    // estimate otherwise. The oracle computes the exact values in
+    // DuckDB, so an out-of-band sketch surfaces as a hash mismatch:
+    // the comparison IS the accuracy assertion. Bands: HLL++ at rsd
+    // 0.02 within 3σ (6%, floor 2); percentile sketches within the
+    // exact [p−0.1, p+0.1] VALUE envelope (accuracy 1000 ⇒ rank error
+    // ≤ 1e-3 ≪ 0.1; the generous rank pad absorbs tie/discreteness
+    // jumps at small groups). The exact pass rides the same aggregate
+    // — at 100 TB the profile stays sketch-only; the exact conjuncts
+    // are the ORACLE configuration like q172's full probes.
+    "q83_approx_profile" -> ((s, dir) => {
+      def banded(a: Column, lo: Column, mid: Column, hi: Column): Column =
+        when(a.between(lo, hi), round(mid, 2)).otherwise(round(a, 2))
       load(s, dir, "documents")
         .groupBy("lang")
         .agg(
-          approx_count_distinct(col("source"), 0.02).as("nd_source"),
-          percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("p50_chars"),
-          percentile_approx(col("n_chars"), lit(0.9), lit(1000)).as("p90_chars"))
-        .orderBy("lang")),
+          approx_count_distinct(col("source"), 0.02).as("__nd_a"),
+          countDistinct(col("source")).as("__nd_e"),
+          percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("__p50_a"),
+          percentile_approx(col("n_chars"), lit(0.9), lit(1000)).as("__p90_a"),
+          expr("percentile(n_chars, array(0.4, 0.5, 0.6))").as("__p50_band"),
+          expr("percentile(n_chars, array(0.8, 0.9, 0.96))").as("__p90_band"))
+        .select(col("lang"),
+          when(abs(col("__nd_a") - col("__nd_e")) <=
+              greatest(col("__nd_e") * 0.06, lit(2)), col("__nd_e"))
+            .otherwise(col("__nd_a")).as("nd_source"),
+          banded(col("__p50_a"), col("__p50_band").getItem(0),
+            col("__p50_band").getItem(1), col("__p50_band").getItem(2))
+            .as("p50_chars"),
+          banded(col("__p90_a"), col("__p90_band").getItem(0),
+            col("__p90_band").getItem(1), col("__p90_band").getItem(2))
+            .as("p90_chars"))
+        .orderBy("lang")
+    }),
 
     // §2.9 STREAMED serving, oracle-backed (the Engine.forStream
     // surface over an LSM root built from the corpus — updates
@@ -4113,6 +4139,20 @@ object SparkEntry {
         |  round(avg(n_bpe), 4) AS tokens_per_doc,
         |  round(sum(n_chars) / CAST(sum(n_bpe) AS DOUBLE), 4) AS chars_per_token
         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q83's BANDED oracle: the Spark side emits the EXACT value only
+    // when its sketch lands inside the documented error band (and the
+    // raw estimate otherwise — a guaranteed mismatch), so comparing
+    // against DuckDB's exact aggregation IS the accuracy check. The
+    // exact definitions must agree across engines: count(DISTINCT) is
+    // exact on both; Spark's `percentile` and DuckDB's quantile_cont
+    // are both the R-7 linear interpolation at p·(n−1).
+    "q83_approx_profile" ->
+      s"""SELECT lang,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS nd_source,
+         |  round(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
+         |  round(quantile_cont(n_chars, 0.9), 2) AS p90_chars
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // q84 serves the at-rest IVF-PQ index with an exact rerank whose
     // candidate set reaches full recall on the test corpora (asserted

@@ -12,12 +12,14 @@ class ContractSpec extends AnyFunSuite {
     * the driver records a rows-only check for these (allowed by the
     * contract for non-SQL-expressible ops). Keep this set minimal.
     *
-    *  - q83_approx_profile: HLL++/percentile sketches have
-    *    engine-specific internals (DuckDB's approx functions produce
-    *    different estimates from Spark's by construction); accuracy vs
-    *    exact is asserted in ScaleDesignSpec within rsd/tolerance.
+    * EMPTY since round 15: q83_approx_profile (the last exemption —
+    * sketch estimates are engine-specific, so raw hash equality can
+    * never hold) now carries a BANDED oracle: the query emits the
+    * exact value only when its sketch is inside the documented error
+    * band, so the driver's hash comparison against DuckDB's exact
+    * aggregation asserts the band.
     */
-  private val oracleExempt = Set("q83_approx_profile")
+  private val oracleExempt = Set.empty[String]
 
   test("every query has an oracle and vice versa") {
     val q = SparkEntry.queries.keySet
