@@ -371,6 +371,84 @@ object ScaleStress {
     val (tS10, _) = med3(suggestAt(root10))
     println(f"[stress] suggest_64seg 1x $tS1%.2fs 10x $tS10%.2fs growth ${tS10 / tS1}%.1fx")
 
+    // ---- 5. STREAMED roots: /retrieve winner-join + message-table
+    // /augment at 10× data (VERDICT r14 "What's missing" #2). The root
+    // recipe mirrors SparkEntry's stream fixture: seg 0 = every doc
+    // (stale text for %10==3), seg 1 = the %10==3 rewrite, seg 2 =
+    // tombstones for %17==5; conversations (4 msgs × 5 tokens) ride
+    // docs %7==0. The claims under measurement: the per-request winner
+    // semi-join is manifest-sized (grows with data, but the REQUEST
+    // work stays postings-pruned), and the /augment selector path is
+    // typed-In pruned — request time must grow ≤~linear in segment
+    // rows, never super-linearly.
+    def buildStreamRoot(d: DataFrame, tag: String): String = {
+      val root = s"$out/stream_$tag/index"
+      def msgsOf(textExpr: org.apache.spark.sql.Column) = {
+        val toks = TextFunctions.tokens(textExpr)
+        val arr = transform(sequence(lit(0), lit(3)), i =>
+          struct(lit("chat").as("field_id"), i.as("split"),
+            when(i === 0, "QUESTION").when(i === 1, "ANSWER")
+              .otherwise("OTHER").as("mtype"),
+            concat_ws(" ", slice(toks, i * 5 + 1, lit(5))).as("mtext")))
+        when(col("doc_id") % 7 === 0, arr).otherwise(slice(arr, 1, 0))
+      }
+      IncrementalIndex.writeSegment(
+        d.select(col("doc_id"), lit(1L).as("seq"),
+          when(col("doc_id") % 10 === 3, lit("stale placeholder text"))
+            .otherwise(col("text")).as("text"),
+          lit(false).as("deleted"),
+          msgsOf(when(col("doc_id") % 10 === 3,
+              lit("stale placeholder text")).otherwise(col("text")))
+            .as("msgs")),
+        f"$root/seg_${0}%09d", "doc_id", "text", "seq",
+        messagesCol = Some("msgs"))
+      IncrementalIndex.writeSegment(
+        d.where(col("doc_id") % 10 === 3)
+          .select(col("doc_id"), lit(2L).as("seq"), col("text"),
+            lit(false).as("deleted"), msgsOf(col("text")).as("msgs")),
+        f"$root/seg_${1}%09d", "doc_id", "text", "seq",
+        messagesCol = Some("msgs"))
+      IncrementalIndex.writeSegment(
+        d.where(col("doc_id") % 17 === 5)
+          .select(col("doc_id"), lit(3L).as("seq"), lit("").as("text"),
+            lit(true).as("deleted"),
+            msgsOf(col("text")).as("msgs")),
+        f"$root/seg_${2}%09d", "doc_id", "text", "seq",
+        messagesCol = Some("msgs"))
+      root
+    }
+    import graft.api.{Augment, Engine, Retrieve}
+    val (tSR1, sroot1) = time(buildStreamRoot(docs1, "1x"))
+    val (tSR10, sroot10) = time(buildStreamRoot(docs10, "10x"))
+    println(f"[stress] stream_root_build 1x $tSR1%.2fs 10x $tSR10%.2fs growth ${tSR10 / tSR1}%.1fx")
+    def streamEngineOf(root: String, d: DataFrame) =
+      Engine.forStream(spark, root,
+        d.where(col("doc_id") % 17 =!= 5), docId = "doc_id",
+        textCol = "text")
+    val seng1 = streamEngineOf(sroot1, docs1)
+    val seng10 = streamEngineOf(sroot10, docs10)
+    def streamRetrieve(e: Engine): Long =
+      e.retrieve(Retrieve.RetrievalRequest(
+        query = Retrieve.RawQuery(
+          keyword = Some(Retrieve.KeywordQuery("spark query"))),
+        topK = 20)).count()
+    val (tSQ1, _) = med3(streamRetrieve(seng1))
+    val (tSQ10, _) = med3(streamRetrieve(seng10))
+    println(f"[stress] stream_retrieve_kw 1x $tSQ1%.2fs 10x $tSQ10%.2fs growth ${tSQ10 / tSQ1}%.1fx")
+    def streamAugment(e: Engine): Long =
+      e.augment(Augment.AugmentRequest(fields = Seq(
+          Augment.FieldAugment(given = Seq("0/c/chat"),
+            fullConversation = true),
+          Augment.FieldAugment(given = Seq("63/c/chat/1"),
+            maxConversationMessages = Some(3)),
+          Augment.FieldAugment(given = Seq("14/c/chat/0"),
+            conversationAnswerOrAfter = true),
+          Augment.FieldAugment(given = Seq("28/c/chat/2"), text = true))))
+        .messages.count()
+    val (tSA1, _) = med3(streamAugment(seng1))
+    val (tSA10, _) = med3(streamAugment(seng10))
+    println(f"[stress] stream_augment_conv 1x $tSA1%.2fs 10x $tSA10%.2fs growth ${tSA10 / tSA1}%.1fx")
+
     println("[stress] done")
     spark.stop()
   }
