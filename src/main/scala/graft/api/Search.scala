@@ -185,40 +185,65 @@ object Search {
     // reader.rs:96-118`): an empty exact page at topK > 0 reruns with
     // the dictionary expansion at the 0.5 fuzzy boost. The page is
     // bounded by the cut, so the emptiness check collects it and the
-    // list serves as a LOCAL relation (one Spark job, see
-    // findParagraphs' fallback note).
-    val parList = parListFor(parsed.terms, 1.0) match {
-      case None => None
+    // list serves as a LOCAL relation; the DOC page and facet counts
+    // ride the SAME collect as a tagged union (round 15) — one Spark
+    // job materializes the whole response with the three subtrees'
+    // stages running CONCURRENTLY, where collecting the paragraph page
+    // alone serialized the doc-list work into the caller's later
+    // action (the q104 lesson: within one action Spark runs
+    // independent subtrees in parallel; a second action doesn't).
+    parListFor(parsed.terms, 1.0) match {
+      case None => SearchResponse(docList, None, facetDf)
       // the reference validates top_k <= 200 (search.py le=200); above
-      // it this API keeps the distributed plan and skips the fallback,
+      // it this API keeps the distributed plans and skips the fallback,
       // so the eager page collect stays request-bounded
       case Some(p0) if req.topK <= 0 || req.topK > Find.MaxFallbackTopK =>
-        Some(p0)
+        SearchResponse(docList, Some(p0), facetDf)
       case Some(p0) =>
-        val rows = p0.collect()
-        if (rows.nonEmpty) Some(Find.localPage(p0, rows))
-        else {
-          val dict = index match {
-            case Some(ix) if ix.parPostings.exists(_.columns.contains("term")) =>
-              ix.parPostings.get.select(col("term")).distinct()
-            case Some(ix) if ix.postings.columns.contains("term") =>
-              ix.postings.select(col("term")).distinct()
-            case _ => paragraphs.map { case (par, _, ptext) =>
-              par.select(explode(graft.functions.TextFunctions
-                .tokens(col(ptext))).as("term")).distinct()
-            }.get // paragraphs is nonEmpty here (parListFor returned Some)
-          }
-          val expanded = Find.fuzzyExpand(dict, parsed.terms)
-          if (expanded.isEmpty || expanded.toSet == parsed.terms.toSet)
-            Some(Find.localPage(p0, rows))
-          else parListFor(expanded, 0.5) match {
-            case Some(fb) => Some(Find.localPage(fb, fb.collect()))
-            case None => Some(Find.localPage(p0, rows))
-          }
+        val sides: Seq[(String, DataFrame)] =
+          Seq("d" -> docList, "p" -> Some(p0), "f" -> facetDf)
+            .collect { case (t, Some(df)) => (t, df) }
+        // side-prefixed columns guarantee no name/type collision in
+        // the union; per-side row order survives the collect (union
+        // concatenates partitions, never reshuffles)
+        val unified = sides.map { case (t, df) =>
+          df.select(lit(t).as("__side") +:
+            df.columns.map(c => df(c).as(s"__${t}_$c")): _*)
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+        val all = unified.collect()
+        val sideIdx = unified.schema.fieldIndex("__side")
+        def localSide(t: String, orig: DataFrame): DataFrame = {
+          val idx = orig.columns.map(c =>
+            unified.schema.fieldIndex(s"__${t}_$c"))
+          val rows = all.filter(_.getString(sideIdx) == t).map(r =>
+            org.apache.spark.sql.Row.fromSeq(idx.map(i => r.get(i)).toSeq))
+          orig.sparkSession.createDataFrame(
+            java.util.Arrays.asList(rows: _*), orig.schema)
         }
+        val parLocal =
+          if (all.exists(_.getString(sideIdx) == "p")) localSide("p", p0)
+          else {
+            val dict = index match {
+              case Some(ix) if ix.parPostings.exists(_.columns.contains("term")) =>
+                ix.parPostings.get.select(col("term")).distinct()
+              case Some(ix) if ix.postings.columns.contains("term") =>
+                ix.postings.select(col("term")).distinct()
+              case _ => paragraphs.map { case (par, _, ptext) =>
+                par.select(explode(graft.functions.TextFunctions
+                  .tokens(col(ptext))).as("term")).distinct()
+              }.get // paragraphs is nonEmpty here (parListFor returned Some)
+            }
+            val expanded = Find.fuzzyExpand(dict, parsed.terms)
+            if (expanded.isEmpty || expanded.toSet == parsed.terms.toSet)
+              localSide("p", p0)
+            else parListFor(expanded, 0.5) match {
+              case Some(fb) => Find.localPage(fb, fb.collect())
+              case None => localSide("p", p0)
+            }
+          }
+        SearchResponse(docList.map(d => localSide("d", d)),
+          Some(parLocal), facetDf.map(f => localSide("f", f)))
     }
-
-    SearchResponse(docList, parList, facetDf)
   }
 
   /** `GET /kb/{kbid}/resource/{rid}/search` — paragraph search scoped

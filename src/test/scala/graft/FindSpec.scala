@@ -614,4 +614,33 @@ class FindSpec extends SparkSpec {
     assert(bestScores("quer") == Seq((2L, 0.5)),
       s"fuzzy-prefix fallback wrong: ${bestScores("quer")}")
   }
+
+  test("topK above the reference's 200 cap skips the fallback and keeps the distributed plan") {
+    import graft.api.{Find, Search}
+    val docs = Seq((1L, "spark engine runs"), (2L, "query planner spark"))
+      .toDF("doc_id", "text")
+    val corpus = Find.Corpus(docs, "doc_id", "text")
+    def page(topK: Int) = Find.findParagraphs(corpus,
+      Find.FindRequest(query = "sparkk", topK = topK))
+    // inside the bound: typo falls back (collected local page)
+    assert(page(200).count() == 2)
+    assert(page(200).queryExecution.logical.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    // above it: no fallback (empty exact page), plan stays distributed
+    assert(page(201).count() == 0)
+    assert(!page(201).queryExecution.logical.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    // /search's paragraph list follows the same gate
+    val respIn = Search.search(docs, "doc_id", "text", "text",
+      Some((graft.sources.Ingest.splitParagraphs(docs, "doc_id", "text"),
+        "paragraph_id", "p_text")),
+      Search.SearchRequest(query = "sparkk", topK = 200))
+    assert(respIn.paragraphs.get.count() == 2, "in-bound search must fall back")
+    val respOut = Search.search(docs, "doc_id", "text", "text",
+      Some((graft.sources.Ingest.splitParagraphs(docs, "doc_id", "text"),
+        "paragraph_id", "p_text")),
+      Search.SearchRequest(query = "sparkk", topK = 201))
+    assert(respOut.paragraphs.get.count() == 0,
+      "above-bound search must not fall back")
+  }
 }
