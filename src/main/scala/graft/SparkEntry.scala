@@ -2337,9 +2337,11 @@ object SparkEntry {
     // DuckDB, so an out-of-band sketch surfaces as a hash mismatch:
     // the comparison IS the accuracy assertion. Bands: HLL++ at rsd
     // 0.02 within 3σ (6%, floor 2); percentile sketches within the
-    // exact [p−0.1, p+0.1] VALUE envelope (accuracy 1000 ⇒ rank error
-    // ≤ 1e-3 ≪ 0.1; the generous rank pad absorbs tie/discreteness
-    // jumps at small groups). The exact pass rides the same aggregate
+    // exact [0.4, 0.6] envelope for p50 and the ASYMMETRIC [0.8, 0.96]
+    // for p90 (the hi pad stops short of 1.0 — a band reaching the
+    // max would admit any over-estimate; accuracy 1000 ⇒ rank error
+    // ≤ 1e-3, the generous pads absorb tie/discreteness jumps at
+    // small groups). The exact pass rides the same aggregate
     // — at 100 TB the profile stays sketch-only; the exact conjuncts
     // are the ORACLE configuration like q172's full probes.
     "q83_approx_profile" -> ((s, dir) => {

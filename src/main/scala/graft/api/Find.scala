@@ -757,18 +757,22 @@ object Find {
           lev1(col("term"), lit(t))
       else col("term") === t
     }
-    // assign each match to its FIRST matching query term (a dict term
-    // matching two query terms still expands once) and cap PER term
-    val firstMatch = preds.zipWithIndex.foldRight(lit(-1): Column) {
-      case ((p, i), acc) => when(p, lit(i)).otherwise(acc)
-    }
+    // a dict term matching several query terms counts under EACH
+    // term's cap (the tantivy DFAs evaluate independently — charging
+    // it only to the first matching term could evict it when that
+    // term's neighborhood alone overflows the cap, starving the later
+    // term's own match), then dedups; the exploded set is bounded by
+    // matches × terms
+    val matchIdxs = filter(
+      array(preds.zipWithIndex.map { case (p, i) => when(p, lit(i)) }: _*),
+      x => x.isNotNull)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__qt")).orderBy(col("term"))
     dict.where(preds.reduce(_ || _))
-      .withColumn("__qt", firstMatch)
+      .select(col("term"), explode(matchIdxs).as("__qt"))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= MaxExpansionsPerTerm)
-      .select("term")
+      .select("term").distinct()
   }
 
   /** The expansion itself — shared with [[Search.search]]'s

@@ -185,13 +185,15 @@ object Search {
     // reader.rs:96-118`): an empty exact page at topK > 0 reruns with
     // the dictionary expansion at the 0.5 fuzzy boost. The page is
     // bounded by the cut, so the emptiness check collects it and the
-    // list serves as a LOCAL relation; the DOC page and facet counts
-    // ride the SAME collect as a tagged union (round 15) — one Spark
-    // job materializes the whole response with the three subtrees'
-    // stages running CONCURRENTLY, where collecting the paragraph page
-    // alone serialized the doc-list work into the caller's later
-    // action (the q104 lesson: within one action Spark runs
-    // independent subtrees in parallel; a second action doesn't).
+    // list serves as a LOCAL relation; the DOC page rides the SAME
+    // collect as a tagged union (round 15) — one Spark job
+    // materializes both topK-bounded pages with the subtrees' stages
+    // running CONCURRENTLY, where collecting the paragraph page alone
+    // serialized the doc-list work into the caller's later action (the
+    // q104 lesson: within one action Spark runs independent subtrees
+    // in parallel; a second action doesn't). The facet frame does NOT
+    // ride along — its size is the label population's, not the
+    // request's, so it stays a lazy distributed plan.
     parListFor(parsed.terms, 1.0) match {
       case None => SearchResponse(docList, None, facetDf)
       // the reference validates top_k <= 200 (search.py le=200); above
@@ -200,21 +202,30 @@ object Search {
       case Some(p0) if req.topK <= 0 || req.topK > Find.MaxFallbackTopK =>
         SearchResponse(docList, Some(p0), facetDf)
       case Some(p0) =>
+        // only the two topK-BOUNDED pages ride the union — the facet
+        // frame stays a lazy distributed plan because its cardinality
+        // is the label population's, not the request's (collecting it
+        // per request would put an unbounded frame on the driver)
         val sides: Seq[(String, DataFrame)] =
-          Seq("d" -> docList, "p" -> Some(p0), "f" -> facetDf)
+          Seq("d" -> docList, "p" -> Some(p0))
             .collect { case (t, Some(df)) => (t, df) }
-        // side-prefixed columns guarantee no name/type collision in
-        // the union; per-side row order survives the collect (union
-        // concatenates partitions, never reshuffles)
+        // side+position-prefixed columns guarantee no name/type
+        // collision in the union, and the POSITIONAL rename (toDF)
+        // survives a side that carries duplicate column names (e.g. a
+        // sortField join that brings a second `score` on board — a
+        // by-name re-select would throw on the ambiguous reference);
+        // per-side row order survives the collect (union concatenates
+        // partitions, never reshuffles)
         val unified = sides.map { case (t, df) =>
-          df.select(lit(t).as("__side") +:
-            df.columns.map(c => df(c).as(s"__${t}_$c")): _*)
+          df.toDF(df.columns.zipWithIndex
+              .map { case (c, i) => s"__${t}_${i}_$c" }: _*)
+            .withColumn("__side", lit(t))
         }.reduce(_.unionByName(_, allowMissingColumns = true))
         val all = unified.collect()
         val sideIdx = unified.schema.fieldIndex("__side")
         def localSide(t: String, orig: DataFrame): DataFrame = {
-          val idx = orig.columns.map(c =>
-            unified.schema.fieldIndex(s"__${t}_$c"))
+          val idx = orig.columns.zipWithIndex.map { case (c, i) =>
+            unified.schema.fieldIndex(s"__${t}_${i}_$c") }
           val rows = all.filter(_.getString(sideIdx) == t).map(r =>
             org.apache.spark.sql.Row.fromSeq(idx.map(i => r.get(i)).toSeq))
           orig.sparkSession.createDataFrame(
@@ -242,7 +253,7 @@ object Search {
             }
           }
         SearchResponse(docList.map(d => localSide("d", d)),
-          Some(parLocal), facetDf.map(f => localSide("f", f)))
+          Some(parLocal), facetDf)
     }
   }
 

@@ -631,6 +631,17 @@ object IncrementalIndex {
     * compaction's carrying-subset fold heals the root toward
     * all-carrying over time. At least one segment must carry the
     * table — an all-missing root keeps the explicit error.
+    *
+    * DELIBERATE policy contrast with [[serveFrom]]'s paragraph pair
+    * (which binds par_postings only when EVERY segment carries it):
+    * the paragraph pair has a whole-corpus FALLBACK — the doc-level
+    * tables cover every document, so partially serving the pair would
+    * be strictly worse than falling back. Edges and messages have no
+    * alternative source: the choice is the carrying subset or hiding
+    * the feature entirely, and a mid-life-upgraded stream should serve
+    * the relations/conversations it HAS (r14 hid them until the first
+    * compaction pass). Readers needing the all-or-nothing signal check
+    * [[segmentsCarryAt]].
     */
   private def servedOptionalSub(spark: SparkSession, dirs: Seq[String],
       sub: String, idCol: String, seqCol: String,
@@ -846,7 +857,13 @@ object IncrementalIndex {
             try new String(in.readAllBytes(),
               java.nio.charset.StandardCharsets.UTF_8).trim
             finally in.close()
-          if (body.nonEmpty && body.forall(_.isDigit)) body.toLong
+          // Try guards a corrupted body (e.g. two interleaved stamps
+          // on a non-atomic store pass the all-digit check but
+          // overflow Long) — fall to the mtime instead of aborting
+          // the whole retry pass
+          if (body.nonEmpty && body.forall(_.isDigit))
+            scala.util.Try(body.toLong)
+              .getOrElse(fs.getFileStatus(marker).getModificationTime)
           else fs.getFileStatus(marker).getModificationTime
         }
         if (System.currentTimeMillis() - stampedAt >= graceMaxAgeMs)
