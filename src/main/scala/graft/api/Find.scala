@@ -714,7 +714,16 @@ object Find {
       case _ => corpus.docs.select(
         explode(TextFunctions.tokens(col(corpus.text))).as("term")).distinct()
     }
-    fuzzyExpand(dict, terms)
+    // the at-rest PAR deletion neighborhood, when ingest built it,
+    // turns the lev≤1 legs into variant-IN rowgroup lookups — the
+    // 100×-vocabulary shape; the dictionary scan remains only for the
+    // last term's fuzzy-PREFIX leg (prefix matching has no deletion-
+    // neighborhood equivalent)
+    corpus.index.flatMap(_.parDeletes) match {
+      case Some(del) if del.columns.contains("variant") =>
+        fuzzyExpandWithDeletes(del, dict, terms)
+      case _ => fuzzyExpand(dict, terms)
+    }
   }
 
   /** The reference's own top_k validation bound (`search/api/v1/
@@ -783,6 +792,48 @@ object Find {
     fuzzyExpandPlan(dict, terms)
       .orderBy("term")
       .collect().map(_.getString(0)).toSeq
+
+  /** [[fuzzyExpand]] against the at-rest deletion-neighborhood table
+    * (round 15 — SURVEY §7.4's SymSpell advice on the fallback path):
+    * every lev≤1 leg becomes a `variant IN (query's own ≤ |t|+1
+    * deletion variants)` equality lookup into the variant-sorted
+    * parquet (rowgroup-pruned — the q85 serving shape,
+    * [[graft.operators.TopK.symSpellMatchTerms]]), and short terms
+    * become an exact (variant = term = t) probe, so the per-fallback
+    * cost stops scaling with the VOCABULARY. Only the last term's
+    * fuzzy-PREFIX leg keeps the dictionary scan (a prefix match has no
+    * deletion-neighborhood equivalent — the variant sets of `spark`
+    * and its extension `sparkling` never intersect). Same caps, dedup,
+    * and output as [[fuzzyExpand]]; still ONE collect of the tagged
+    * union. */
+  private[graft] def fuzzyExpandWithDeletes(
+      deletes: DataFrame, dict: DataFrame,
+      terms: Seq[String]): Seq[String] = {
+    val frames = terms.zipWithIndex.map { case (t, i) =>
+      val isLast = i == terms.size - 1
+      if (isLast && t.length >= 4) {
+        val lens = (t.length - 1 to t.length + 1).filter(_ > 0)
+        dict.where(length(col("term")) >= (t.length - 1) &&
+            lens.map(l =>
+              levenshtein(substring(col("term"), 1, l), lit(t), 1)
+                .between(0, 1)).reduce(_ || _))
+          .select(col("term"), lit(i).as("__qt"))
+      } else if (t.length >= 3)
+        graft.operators.TopK.symSpellMatchTerms(deletes, t)
+          .select(col("term"), lit(i).as("__qt"))
+      else deletes
+        .where(col("variant") === t && col("term") === t)
+        .select(col("term"), lit(i).as("__qt")).distinct()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qt")).orderBy(col("term"))
+    frames.reduce(_ unionByName _)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= MaxExpansionsPerTerm)
+      .select("term").distinct()
+      .orderBy("term")
+      .collect().map(_.getString(0)).toSeq
+  }
 
   private def findParagraphsScored(
       corpus: Corpus,

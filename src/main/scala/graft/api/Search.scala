@@ -244,7 +244,11 @@ object Search {
                   .tokens(col(ptext))).as("term")).distinct()
               }.get // paragraphs is nonEmpty here (parListFor returned Some)
             }
-            val expanded = Find.fuzzyExpand(dict, parsed.terms)
+            val expanded = index.flatMap(_.parDeletes) match {
+              case Some(del) if del.columns.contains("variant") =>
+                Find.fuzzyExpandWithDeletes(del, dict, parsed.terms)
+              case _ => Find.fuzzyExpand(dict, parsed.terms)
+            }
             if (expanded.isEmpty || expanded.toSet == parsed.terms.toSet)
               localSide("p", p0)
             else parListFor(expanded, 0.5) match {

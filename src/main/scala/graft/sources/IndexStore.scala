@@ -44,7 +44,12 @@ object IndexStore {
       fields: Option[DataFrame] = None,
       fieldParagraphs: Option[DataFrame] = None,
       fieldParPostings: Option[DataFrame] = None,
-      fieldParDocLengths: Option[DataFrame] = None)
+      fieldParDocLengths: Option[DataFrame] = None,
+      // the PARAGRAPH dictionary's SymSpell deletion neighborhood
+      // (variant, term — round 15): when bound, the fuzzy fallback's
+      // lev≤1 legs run as variant-IN rowgroup lookups instead of a
+      // levenshtein scan of the dictionary
+      parDeletes: Option[DataFrame] = None)
 
   /** The at-rest ANN index ([[Ingest.buildVectorIndex]]'s output as the
     * serving side reads it): driver-scale centroid + codebook literals,
@@ -271,7 +276,8 @@ object IndexStore {
       fields = opt("fields"),
       fieldParagraphs = opt("field_paragraphs"),
       fieldParPostings = opt("fieldpar_postings"),
-      fieldParDocLengths = opt("fieldpar_doclengths"))
+      fieldParDocLengths = opt("fieldpar_doclengths"),
+      parDeletes = opt("par_deletes"))
   }
 
   /** The served vector index: centroid/codebook literals collected once

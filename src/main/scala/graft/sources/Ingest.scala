@@ -394,6 +394,24 @@ object Ingest {
       .repartitionByRange(col("variant"))
       .sortWithinPartitions("variant")
       .write.mode("overwrite").parquet(s"$outDir/deletes")
+    // the PARAGRAPH dictionary's deletion neighborhood (round 15): the
+    // fuzzy FALLBACK (`nidx_paragraph/src/reader.rs:96-118`) expands
+    // against the paragraph index's terms, so it needs the par-side
+    // table — same layout as `deletes`, letting the fallback's lev≤1
+    // legs run as variant-IN rowgroup lookups instead of a levenshtein
+    // scan of the whole dictionary (SURVEY §7.4's deletion-neighborhood
+    // advice applied to the fallback path). Derived from ALL paragraph
+    // posting terms — NOT par_termfreq: tantivy's FST holds every
+    // indexed term, repeated paragraphs included (repeated_in_field is
+    // a query-time facet filter, not an indexing exclusion), and the
+    // fallback expands against that FST.
+    spark(docs).read.parquet(s"$outDir/par_postings")
+      .select(col("term")).distinct()
+      .select(explode(TextFunctions.deleteVariants(col("term"))).as("variant"),
+        col("term"))
+      .repartitionByRange(col("variant"))
+      .sortWithinPartitions("variant")
+      .write.mode("overwrite").parquet(s"$outDir/par_deletes")
     // hashed-shingle postings: (id, xxhash64(shingle), set size) — the
     // n-gram Jaccard serving table ([[graft.operators.Dedup.ngramJaccardFromShingles]]);
     // like signatures, a pure per-document function valid for any

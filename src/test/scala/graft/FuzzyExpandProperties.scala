@@ -71,4 +71,23 @@ object FuzzyExpandProperties extends Properties("graft.fuzzyExpand") {
         got == want
       }
     }
+
+  property("deletes-routed expansion equals the dictionary-scan expansion") =
+    forAll(dictAndTerms) { case (dict, terms) =>
+      terms.isEmpty || {
+        import spark.implicits._
+        import org.apache.spark.sql.functions._
+        val dictDf = dict.toDF("term")
+        val deletes = dictDf.select(
+          explode(graft.functions.TextFunctions
+            .deleteVariants(col("term"))).as("variant"),
+          col("term"))
+        val viaScan = graft.api.Find.fuzzyExpand(dictDf, terms)
+        val viaDeletes = graft.api.Find.fuzzyExpandWithDeletes(
+          deletes, dictDf, terms)
+        if (viaScan != viaDeletes)
+          println(s"dict=$dict terms=$terms scan=$viaScan del=$viaDeletes")
+        viaScan == viaDeletes
+      }
+    }
 }

@@ -289,6 +289,26 @@ class IngestSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
     assert(bgAtRest == bgTok,
       s"at-rest bigram scoring must equal the one-pass form: $bgAtRest vs $bgTok")
+
+    // the PAR deletion neighborhood is written, binds through
+    // tablesAt, and the deletes-routed fallback expansion serves the
+    // same paragraphs as the fixture-less scan path (round 15):
+    // "sparkk" falls back to "spark" through the variant lookup
+    val ix = graft.sources.IndexStore.tablesAt(spark, out)
+    assert(ix.parDeletes.nonEmpty, "buildIndex must write par_deletes")
+    import graft.api.Find
+    val viaIndex = Find.findParagraphs(
+        Find.Corpus(corpus, "doc_id", "text", index = Some(ix)),
+        Find.FindRequest(query = "sparkk", topK = 5))
+      .select("doc_id", "best_score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val inline = Find.findParagraphs(
+        Find.Corpus(corpus, "doc_id", "text"),
+        Find.FindRequest(query = "sparkk", topK = 5))
+      .select("doc_id", "best_score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(viaIndex == inline && viaIndex.map(_._1) == Set(1L),
+      s"deletes-routed fallback diverged: $viaIndex vs $inline")
   }
 
   test("predict reranker rescales the fused window by model score") {
