@@ -449,6 +449,43 @@ object ScaleStress {
     val (tSA10, _) = med3(streamAugment(seng10))
     println(f"[stress] stream_augment_conv 1x $tSA1%.2fs 10x $tSA10%.2fs growth ${tSA10 / tSA1}%.1fx")
 
+    // ---- 6. fallback expansion: deletes-route vs dictionary scan ----
+    // (round 15) the fuzzy fallback's claim: with the at-rest par
+    // deletion neighborhood, expansion cost stops scaling with the
+    // VOCABULARY (variant-IN rowgroup lookup) where the levenshtein
+    // scan is dictionary-linear. The 10× corpus prefixes replica
+    // tokens, so its dictionary is ~10× — the scan must touch it all,
+    // the lookup must not.
+    import graft.api.Find
+    def buildParDeletes(ppDir: String, dir: String): Unit =
+      spark.read.parquet(ppDir).select(col("term")).distinct()
+        .select(explode(TextFunctions.deleteVariants(col("term")))
+          .as("variant"), col("term"))
+        .repartitionByRange(col("variant"))
+        .sortWithinPartitions("variant")
+        .write.mode("overwrite").parquet(dir)
+    val (tDB1, _) = time(buildParDeletes(s"$out/pp1", s"$out/pdel1"))
+    val (tDB10, _) = time(buildParDeletes(s"$out/pp10", s"$out/pdel10"))
+    println(f"[stress] pardeletes_build 1x $tDB1%.2fs 10x $tDB10%.2fs growth ${tDB10 / tDB1}%.1fx")
+    // a 3-char LAST term keeps both legs on the plain lev≤1 path (a
+    // ≥4-char last term takes the fuzzy-PREFIX leg, which scans the
+    // dictionary under BOTH routes — that leg's cost is bounded by the
+    // length conjunct, not the lookup)
+    val typoTerms = Seq("sparkk", "que")
+    def dictOf(ppDir: String) =
+      spark.read.parquet(ppDir).select(col("term")).distinct()
+    def expandScan(ppDir: String): Long =
+      Find.fuzzyExpand(dictOf(ppDir), typoTerms).size.toLong
+    def expandDeletes(delDir: String, ppDir: String): Long =
+      Find.fuzzyExpandWithDeletes(
+        spark.read.parquet(delDir), dictOf(ppDir), typoTerms).size.toLong
+    val (tES1, nES1) = med3(expandScan(s"$out/pp1"))
+    val (tES10, nES10) = med3(expandScan(s"$out/pp10"))
+    println(f"[stress] fallback_expand_scan 1x $tES1%.2fs ($nES1 terms) 10x $tES10%.2fs ($nES10 terms) growth ${tES10 / tES1}%.1fx")
+    val (tED1, nED1) = med3(expandDeletes(s"$out/pdel1", s"$out/pp1"))
+    val (tED10, nED10) = med3(expandDeletes(s"$out/pdel10", s"$out/pp10"))
+    println(f"[stress] fallback_expand_deletes 1x $tED1%.2fs ($nED1 terms) 10x $tED10%.2fs ($nED10 terms) growth ${tED10 / tED1}%.1fx")
+
     println("[stress] done")
     spark.stop()
   }
