@@ -2965,7 +2965,81 @@ object SparkEntry {
           graft.api.Find.FindRequest(query = "sparkk quary", topK = 20,
             paragraphBm25 = true))
         .withColumn("hits", concat_ws(",", col("hits")))
-        .orderBy(col("best_score").desc, col("doc_id").asc))
+        .orderBy(col("best_score").desc, col("doc_id").asc)),
+
+    // §2.5 /search index-side DATE sort (`get_sort_field_proto`,
+    // search/search/query.py:157-163 routes created/modified INTO the
+    // index; `nidx_text/src/reader.rs:415-431`, `nidx_paragraph/src/
+    // reader.rs:270-287`): the page is the topK query matches BY DATE
+    // — a different result set than the score page re-ordered — and
+    // the scores are the proto default 0.0 (convert_int_order carries
+    // only sort_value; `merge.py:126-139` re-sorts by the date). The
+    // corpus binds a deterministic per-doc created stamp; both lists
+    // ride the response
+    "q178_search_date_sort" -> ((s, dir) => {
+      import graft.api.Search
+      val docs = load(s, dir, "documents")
+        .withColumn("created", date_add(to_date(lit("2021-01-01")),
+          (col("doc_id") % 731).cast("int")))
+      val ix = graft.sources.IndexStore.tables(s, dir)
+      val resp = Search.search(docs, "doc_id", "text", "lang",
+        Some((ix.paragraphs, "paragraph_id", "p_text")),
+        Search.SearchRequest(query = QueryTerms.mkString(" "), topK = 10,
+          orderBy = Some(Search.OrderByDate("created", desc = true))),
+        index = Some(ix))
+      resp.documents.get
+        .select(lit("document").as("unit"),
+          col("doc_id").cast("string").as("id"), col("score"),
+          date_format(col("created"), "yyyy-MM-dd").as("created"))
+        .unionByName(resp.paragraphs.get
+          .select(lit("paragraph").as("unit"), col("paragraph_id").as("id"),
+            col("score"),
+            date_format(col("created"), "yyyy-MM-dd").as("created")))
+        .orderBy(col("unit"), col("created").desc, col("id"))
+    }),
+
+    // §2.5 the reference's EMPTY-query /search: AllQuery
+    // (`search_query.rs:100-104`) under the parser's created-DESC
+    // default sort (`query_parser/parsers/search.py:168-182`) — the
+    // "most recent matching resources" listing, with the doc filter
+    // applied and no scoring anywhere in the plan
+    "q179_search_recent_listing" -> ((s, dir) => {
+      import graft.api.Search
+      val docs = load(s, dir, "documents")
+        .withColumn("created", date_add(to_date(lit("2021-01-01")),
+          (col("doc_id") % 731).cast("int")))
+      val resp = Search.search(docs, "doc_id", "text", "lang", None,
+        Search.SearchRequest(query = "", topK = 15,
+          filter = Some(graft.operators.FilterExpr.Eq("lang", "en")),
+          orderBy = Some(Search.OrderByDate("created"))))
+      resp.documents.get
+        .select(col("doc_id"), col("score"),
+          date_format(col("created"), "yyyy-MM-dd").as("created"))
+        .orderBy(col("created").desc, col("doc_id").asc)
+    }),
+
+    // §2.5 /search offset pagination (models/search.py:509-515,
+    // 0 ≤ offset ≤ 1000): the parser inflates the index fetch to
+    // offset + top_k (parsers/search.py:96-97) and the merge skips the
+    // first offset rows in RESPONSE order (merge.py:135,351) — this is
+    // q70's response, rows 11–20 of both lists
+    "q180_search_offset_page" -> ((s, dir) => {
+      import graft.api.Search
+      val docs = load(s, dir, "documents")
+      val ix = graft.sources.IndexStore.tables(s, dir)
+      val resp = Search.search(docs, "doc_id", "text", "lang",
+        Some((ix.paragraphs, "paragraph_id", "p_text")),
+        Search.SearchRequest(query = QueryTerms.mkString(" "), topK = 10,
+          offset = 10),
+        index = Some(ix))
+      resp.documents.get
+        .select(lit("document").as("unit"),
+          col("doc_id").cast("string").as("id"), col("score"))
+        .unionByName(resp.paragraphs.get
+          .select(lit("paragraph").as("unit"),
+            col("paragraph_id").as("id"), col("score")))
+        .orderBy(col("unit"), col("score").desc, col("id"))
+    })
   )
 
   // ---------------------------------------------------------------- //
@@ -6043,6 +6117,50 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_hits,
          |  string_agg(paragraph_id, ',' ORDER BY score DESC, paragraph_id) AS hits
          |FROM hits GROUP BY doc_id
-         |ORDER BY best_score DESC, doc_id LIMIT 20""".stripMargin
+         |ORDER BY best_score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q178: each list is the topK MATCHES by the derived created date
+    // (desc), score pinned at the proto-default 0.0; bm25/par CTEs
+    // define the same match sets as the score-path oracles
+    "q178_search_date_sort" ->
+      s"""WITH $Bm25Ctes,
+         |$ParCtes,
+         |dates AS (SELECT doc_id,
+         |            DATE '2021-01-01' + CAST(doc_id % 731 AS INT) AS created
+         |          FROM documents),
+         |doclist AS (SELECT 'document' AS unit, CAST(doc_id AS VARCHAR) AS id,
+         |              0.0 AS score, created
+         |            FROM bm25 JOIN dates USING (doc_id)
+         |            ORDER BY created DESC, doc_id LIMIT 10),
+         |parlist AS (SELECT 'paragraph' AS unit, paragraph_id AS id,
+         |              0.0 AS score, created
+         |            FROM par JOIN dates USING (doc_id)
+         |            WHERE len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) > 0
+         |            ORDER BY created DESC, paragraph_id LIMIT 10)
+         |SELECT unit, id, score, strftime(created, '%Y-%m-%d') AS created FROM doclist
+         |UNION ALL SELECT unit, id, score, strftime(created, '%Y-%m-%d') AS created FROM parlist
+         |ORDER BY unit, created DESC, id""".stripMargin,
+
+    // q179: match-all listing — filter + date order + cut, no scoring
+    "q179_search_recent_listing" ->
+      s"""SELECT doc_id, 0.0 AS score,
+         |  strftime(DATE '2021-01-01' + CAST(doc_id % 731 AS INT), '%Y-%m-%d') AS created
+         |FROM documents WHERE lang = 'en'
+         |ORDER BY created DESC, doc_id ASC LIMIT 15""".stripMargin,
+
+    // q180: q70's lists offset by 10 — rows 11-20 in response order
+    "q180_search_offset_page" ->
+      s"""WITH $Bm25Ctes,
+         |$ParCtes,
+         |doclist AS (SELECT 'document' AS unit, CAST(doc_id AS VARCHAR) AS id, score
+         |            FROM bm25 ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10),
+         |parlist AS (SELECT 'paragraph' AS unit, paragraph_id AS id,
+         |              CAST(len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) AS DOUBLE) AS score
+         |            FROM par
+         |            WHERE len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) > 0
+         |            ORDER BY score DESC, paragraph_id LIMIT 10 OFFSET 10)
+         |SELECT unit, id, score FROM doclist
+         |UNION ALL SELECT unit, id, score FROM parlist
+         |ORDER BY unit, score DESC, id""".stripMargin
   )
 }

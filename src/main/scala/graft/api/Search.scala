@@ -13,6 +13,32 @@ import graft.operators.{Facets, FilterExpr, TopK}
   */
 object Search {
 
+  /** The proto's OrderBy routed INDEX-side: only the created/modified
+    * sorts reach the index (`get_sort_field_proto`, search/search/
+    * query.py:157-163 — SCORE and TITLE map to None) and there the
+    * page is SELECTED by the date fast field among the query matches
+    * (`nidx_text/src/reader.rs:208-223,415-431`, `nidx_paragraph/src/
+    * reader.rs:270-287` — `order_by_fast_field` replaces the score
+    * collector, so this is a DIFFERENT result set than cut-by-score-
+    * then-sort), the returned score is the proto default 0.0
+    * (`convert_int_order` sets only sort_value; the merge re-sorts by
+    * the date, `merge.py:126-139,340-351`), and an EMPTY query is the
+    * reference's match-all recency listing (`search_query.rs:100-104`
+    * AllQuery — the parser defaults an empty-query /search to created
+    * DESC, `query_parser/parsers/search.py:168-182`).
+    *
+    * `dateCol` is this API's binding for the reference's created/
+    * modified fast field (a resource-level stamp denormalized onto
+    * every paragraph at ingest — here served by a docId join, the same
+    * provenance); `desc` mirrors the proto OrderType default DESC.
+    *
+    * Scale shape: the date order replaces the score order inside the
+    * SAME TakeOrdered cut — matching rows flow through one
+    * topK-bounded heap per partition keyed by the date instead of the
+    * score, so the page never materializes more than topK rows per
+    * partition regardless of match count. */
+  final case class OrderByDate(dateCol: String, desc: Boolean = true)
+
   /** `sortField` is the merge-side sort option (`merge.py:97-168`
     * merge_documents_results): the page is cut by score FIRST, then
     * the cut page is re-ordered by the named document attribute (the
@@ -41,6 +67,19 @@ object Search {
       // default): OR keeps a paragraph when its doc passes the
       // prefilter OR its labels match the formula
       filterOperatorOr: Boolean = false,
+      // the proto's index-side OrderBy (created/modified date sorts —
+      // see [[OrderByDate]]); mutually exclusive with the merge-side
+      // `sortField` because the reference's single `sort` param routes
+      // to exactly one of the two
+      orderBy: Option[OrderByDate] = None,
+      // the reference's /search results offset (models/search.py:
+      // 509-515: "the number of results to skip, starting from the
+      // beginning in sort order", 0 ≤ offset ≤ 1000, keyword/fulltext
+      // only — this API has no semantic list): the parser inflates the
+      // index fetch to offset + top_k (parsers/search.py:96-97) and
+      // the merge skips the first offset rows of the response order
+      // (`raw_resource_list[offset:]`, merge.py:135,351)
+      offset: Int = 0,
       // opt-in highlighting, same contract as FindRequest.highlight
       // (`search/search/paragraphs.py` — the reference's /search
       // results carry marked text too): the DOCUMENT list hydrates the
@@ -58,6 +97,19 @@ object Search {
       paragraphs: Option[DataFrame],
       facets: Option[DataFrame])
 
+  /** Skip the first `offset` rows of `df` in `ord` order — the merge's
+    * `raw_list[offset:]` over a fetched page. The window runs on ONE
+    * partition, which is exactly right here: every caller passes a
+    * page already cut to ≤ offset + topK ≤ 1200 rows, never a corpus.
+    */
+  private def skipOffset(df: DataFrame, ord: Seq[Column], offset: Int): DataFrame =
+    if (offset <= 0) df
+    else {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn("__rn", row_number().over(Window.orderBy(ord: _*)))
+        .where(col("__rn") > offset).drop("__rn")
+    }
+
   /** `index` binds the at-rest index tables from ingest
     * ([[graft.sources.Ingest.buildIndex]]); when present the document
     * list serves the posting index (term predicate pushed into the
@@ -73,6 +125,16 @@ object Search {
       // facade threads its own) bind them here so Facet/Security/
       // Keyword leaves hit the right columns
       bindings: FilterExpr.Bindings = FilterExpr.Bindings()): SearchResponse = {
+    require(req.orderBy.isEmpty || req.sortField.isEmpty,
+      "orderBy (index-side date sort) and sortField (merge-side " +
+        "attribute sort) are the same reference `sort` param routed " +
+        "two ways — a request carries at most one")
+    require(req.offset >= 0 && req.offset <= 1000,
+      "offset must be in [0, 1000] (models/search.py:509-515)")
+    // the index fetch is offset + top_k (parsers/search.py:96-97); the
+    // skip happens on the fetched page, so every cut below stays
+    // bounded by fetchK ≤ 1200
+    val fetchK = req.offset + req.topK
     val parsed = QueryParser.parse(req.query)
     val base = req.filter.map(f => docs.where(FilterExpr.compile(f, bindings)))
       .getOrElse(docs)
@@ -91,7 +153,44 @@ object Search {
       (parsed.terms.nonEmpty || phraseToks.nonEmpty)
 
     val docList =
-      if (parsed.terms.isEmpty) None
+      if (parsed.terms.isEmpty && req.orderBy.isEmpty) None
+      else if (req.orderBy.isDefined) {
+        // index-side date order: the page is the topK matches BY DATE
+        // (see OrderByDate) — an empty query is the AllQuery match-all
+        // listing, a non-empty one keeps the same match set as the
+        // score path (any-term membership, the boolean query's Should)
+        val ob = req.orderBy.get
+        val dir = if (ob.desc) col(ob.dateCol).desc else col(ob.dateCol).asc
+        // score is the proto default on int-order responses
+        // (convert_int_order carries sort_value only)
+        val dated =
+          // match-all listing reads (docId, dateCol) straight off the
+          // filtered store — no join, one topK-by-date heap per scan
+          // partition
+          if (parsed.terms.isEmpty) base.select(col(docId), col(ob.dateCol))
+          else {
+            val scored = index match {
+              case Some(ix) => Bm25.scoreFromPostings(ix.postings,
+                ix.docLengths, docId, parsed.terms,
+                allowed = req.filter.map(_ => base.select(docId)))
+              case None => Bm25.score(base, docId, textCol, parsed.terms)
+            }
+            scored.select(col(docId))
+              .join(docs.select(col(docId), col(ob.dateCol)), docId :: Nil)
+          }
+        val page = skipOffset(
+          dated.orderBy(dir, col(docId).asc).limit(fetchK),
+          Seq(dir, col(docId).asc), req.offset)
+          .select(col(docId), lit(0.0).as("score"), col(ob.dateCol))
+        Some(
+          if (!doHighlight) page
+          else page // marked text hydrates the cut page only, like the
+            // score path; the join breaks the order so it re-applies
+            .join(docs.select(col(docId), col(textCol)), docId :: Nil)
+            .orderBy(dir, col(docId).asc)
+            .withColumn(textCol, graft.functions.TextFunctions
+              .highlightWithPhrases(col(textCol), phraseToks, parsed.terms)))
+      }
       else {
         val scored = index match {
           case Some(ix) => Bm25.scoreFromPostings(ix.postings, ix.docLengths,
@@ -99,9 +198,13 @@ object Search {
             allowed = req.filter.map(_ => base.select(docId)))
           case None => Bm25.score(base, docId, textCol, parsed.terms)
         }
-        val cut = TopK.topK(
-          scored.withColumn("score", round(col("score"), 4)),
-          "score", docId, req.topK)
+        // the offset skip happens in RESPONSE (score) order, BEFORE any
+        // merge-side attribute re-sort — merge.py:135's raw[offset:]
+        // position
+        val cut = skipOffset(
+          TopK.topK(scored.withColumn("score", round(col("score"), 4)),
+            "score", docId, fetchK),
+          Seq(col("score").desc, col(docId).asc), req.offset)
         // merge-side attribute sort of the ALREADY-CUT page: the
         // hydration join touches topK rows, never the corpus
         val page = req.sortField match {
@@ -138,7 +241,10 @@ object Search {
 
     def parListFor(terms: Seq[String], scale: Double): Option[DataFrame] =
       paragraphs.flatMap { case (par, pid, ptext) =>
-        if (terms.isEmpty) None
+        // an empty query is a list only under an index-side date order
+        // (the AllQuery match-all listing); the score path keeps the
+        // no-terms-no-list contract
+        if (terms.isEmpty && req.orderBy.isEmpty) None
         // the same default + escape hatch as the paragraph index search
         // (ONE shared definition — Find.excludeRepeated)
         else {
@@ -160,19 +266,39 @@ object Search {
             else
               Find.excludeRepeated(
                 labelPred.map(par.where).getOrElse(par), req.withDuplicates)
-          val scored = (if (orMode) restricted
-            else restricted.join(base.select(docId), docId)) // prefilter
-            .withColumn("score",
-              size(filter(graft.functions.TextFunctions.tokens(col(ptext)),
-                t => t.isInCollection(terms))).cast("double") * lit(scale))
-            .where(col("score") > 0)
+          val prefiltered =
+            if (orMode) restricted
+            else restricted.join(base.select(docId), docId) // prefilter
+          val scored =
+            if (terms.isEmpty) prefiltered.withColumn("score", lit(0.0))
+            else prefiltered
+              .withColumn("score",
+                size(filter(graft.functions.TextFunctions.tokens(col(ptext)),
+                  t => t.isInCollection(terms))).cast("double") * lit(scale))
+              .where(col("score") > 0)
           // the raw text rides through the cut; marking runs on the
           // topK page only, never the full hit set
-          val page = scored
-            .select(Seq(col(pid), col("score")) ++
-              (if (doHighlight) Seq(col(ptext)) else Nil): _*)
-            .orderBy(col("score").desc, col(pid).asc)
-            .limit(req.topK)
+          val page = req.orderBy match {
+            case Some(ob) =>
+              // date-ordered page (see OrderByDate): the paragraph's
+              // date is its resource's stamp, served by the docId join
+              // (the reference denormalizes the same resource date
+              // onto every paragraph document at ingest); score is the
+              // proto default on int-order responses
+              val dir =
+                if (ob.desc) col(ob.dateCol).desc else col(ob.dateCol).asc
+              scored
+                .join(docs.select(col(docId), col(ob.dateCol)), Seq(docId))
+                .select(Seq(col(pid), lit(0.0).as("score"), col(ob.dateCol)) ++
+                  (if (doHighlight) Seq(col(ptext)) else Nil): _*)
+                .orderBy(dir, col(pid).asc)
+                .limit(fetchK)
+            case None => scored
+              .select(Seq(col(pid), col("score")) ++
+                (if (doHighlight) Seq(col(ptext)) else Nil): _*)
+              .orderBy(col("score").desc, col(pid).asc)
+              .limit(fetchK)
+          }
           Some(
             if (!doHighlight) page
             else page.withColumn(ptext, graft.functions.TextFunctions
@@ -194,13 +320,29 @@ object Search {
     // in parallel; a second action doesn't). The facet frame does NOT
     // ride along — its size is the label population's, not the
     // request's, so it stays a lazy distributed plan.
+    // the paragraph offset skip runs on the FETCHED page (parListFor
+    // cuts at fetchK), mirroring merge.py:351's raw[offset:] — and the
+    // fallback decision below reads the PRE-skip page, because the
+    // reference refuzzes on the INDEX response's emptiness
+    // (reader.rs:127), not on a page emptied by the offset alone
+    val parSkip: DataFrame => DataFrame = paragraphs match {
+      case Some((_, pid, _)) =>
+        val ord = req.orderBy match {
+          case Some(ob) => Seq(
+            if (ob.desc) col(ob.dateCol).desc else col(ob.dateCol).asc,
+            col(pid).asc)
+          case None => Seq(col("score").desc, col(pid).asc)
+        }
+        df => skipOffset(df, ord, req.offset)
+      case None => identity
+    }
     parListFor(parsed.terms, 1.0) match {
       case None => SearchResponse(docList, None, facetDf)
       // the reference validates top_k <= 200 (search.py le=200); above
       // it this API keeps the distributed plans and skips the fallback,
       // so the eager page collect stays request-bounded
       case Some(p0) if req.topK <= 0 || req.topK > Find.MaxFallbackTopK =>
-        SearchResponse(docList, Some(p0), facetDf)
+        SearchResponse(docList, Some(parSkip(p0)), facetDf)
       case Some(p0) =>
         // only the two topK-BOUNDED pages ride the union — the facet
         // frame stays a lazy distributed plan because its cardinality
@@ -256,8 +398,11 @@ object Search {
               case None => localSide("p", p0)
             }
           }
+        // the doc side skipped in-plan (before the collect); the
+        // paragraph side skips HERE so the fallback trigger above read
+        // the pre-offset page
         SearchResponse(docList.map(d => localSide("d", d)),
-          Some(parLocal), facetDf)
+          Some(parSkip(parLocal)), facetDf)
     }
   }
 

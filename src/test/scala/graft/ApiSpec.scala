@@ -156,6 +156,96 @@ class ApiSpec extends SparkSpec {
       byText.mkString(","))
   }
 
+  test("search: index-side date order selects the page BY DATE at score 0.0") {
+    import org.apache.spark.sql.functions.{col, concat, lit, to_date}
+    // doc1 (best score for "spark", tf=2) carries the OLDEST date;
+    // doc3 is the newest overall but matches nothing
+    val dated = docs.withColumn("created",
+      to_date(concat(lit("2021-01-0"), col("doc_id").cast("string"))))
+    val resp = Search.search(dated, "doc_id", "text", "labels", None,
+      SearchRequest(query = "spark", topK = 1,
+        orderBy = Some(Search.OrderByDate("created"))))
+    val row = resp.documents.get.collect().head
+    // the newest MATCH — a different result set than the score page
+    // re-sorted (that would keep doc1), and never the non-match doc3
+    assert(row.getLong(0) == 2L && row.getDouble(1) == 0.0, row.toString)
+    val asc = Search.search(dated, "doc_id", "text", "labels", None,
+        SearchRequest(query = "spark", topK = 5,
+          orderBy = Some(Search.OrderByDate("created", desc = false))))
+      .documents.get.collect().map(_.getLong(0)).toSeq
+    assert(asc == Seq(1L, 2L), asc.toString) // asc flips; doc3 absent
+    // EMPTY query = the AllQuery match-all recency listing, with the
+    // doc filter applied (parsers/search.py empty-query default)
+    val listing = Search.search(dated, "doc_id", "text", "labels", None,
+        SearchRequest(query = "", topK = 5,
+          filter = Some(graft.operators.FilterExpr.Facet("/s/p/en")),
+          orderBy = Some(Search.OrderByDate("created"))))
+      .documents.get.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(listing == Seq((2L, 0.0), (1L, 0.0)), listing.toString)
+
+    val pars = Seq(
+      ("1/t/body/0-5", "spark engine spark runs fast", 1L),
+      ("2/t/body/0-4", "query planner for spark", 2L))
+      .toDF("paragraph_id", "p_text", "doc_id")
+    val presp = Search.search(dated, "doc_id", "text", "labels",
+      Some((pars, "paragraph_id", "p_text")),
+      SearchRequest(query = "spark", topK = 1,
+        orderBy = Some(Search.OrderByDate("created"))))
+    assert(presp.paragraphs.get.collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      == Seq(("2/t/body/0-4", 0.0)))
+    // the fuzzy fallback applies whatever the collector (reader.rs
+    // wraps do_search): a typo'd query still serves the date-ordered
+    // expanded page
+    val fb = Search.search(dated, "doc_id", "text", "labels",
+      Some((pars, "paragraph_id", "p_text")),
+      SearchRequest(query = "sparkk", topK = 1,
+        orderBy = Some(Search.OrderByDate("created"))))
+    assert(fb.paragraphs.get.collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      == Seq(("2/t/body/0-4", 0.0)))
+    // the reference's single sort param routes to exactly one side
+    intercept[IllegalArgumentException] {
+      Search.search(dated, "doc_id", "text", "labels", None,
+        SearchRequest(query = "spark", sortField = Some("doc_id"),
+          orderBy = Some(Search.OrderByDate("created"))))
+    }
+  }
+
+  test("search: offset skips rows in response order (models/search.py:509-515)") {
+    // score-order response is doc1 (tf=2) then doc2 — offset 1 serves
+    // the second row as a one-row page
+    val r = Search.search(docs, "doc_id", "text", "labels", None,
+      SearchRequest(query = "spark", topK = 1, offset = 1))
+    assert(r.documents.get.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // offset beyond the matches is an empty page, not an error
+    val beyond = Search.search(docs, "doc_id", "text", "labels", None,
+      SearchRequest(query = "spark", topK = 5, offset = 2))
+    assert(beyond.documents.get.collect().isEmpty)
+    val pars = Seq(
+      ("1/t/body/0-5", "spark engine spark runs fast", 1L),
+      ("2/t/body/0-4", "query planner for spark", 2L))
+      .toDF("paragraph_id", "p_text", "doc_id")
+    // the paragraph list skips in its own order...
+    val pr = Search.search(docs, "doc_id", "text", "labels",
+      Some((pars, "paragraph_id", "p_text")),
+      SearchRequest(query = "spark", topK = 5, offset = 1))
+    assert(pr.paragraphs.get.collect().map(_.getString(0)).toSeq
+      == Seq("2/t/body/0-4"))
+    // ...and the fuzzy fallback composes with it: the typo'd query
+    // expands first, THEN the offset skips the expanded page's head
+    val fbOff = Search.search(docs, "doc_id", "text", "labels",
+      Some((pars, "paragraph_id", "p_text")),
+      SearchRequest(query = "sparkk", topK = 5, offset = 1))
+    assert(fbOff.paragraphs.get.collect().map(_.getString(0)).toSeq
+      == Seq("2/t/body/0-4"))
+    // reference bound: 0 <= offset <= 1000
+    intercept[IllegalArgumentException] {
+      Search.search(docs, "doc_id", "text", "labels", None,
+        SearchRequest(query = "spark", offset = 1001))
+    }
+  }
+
   test("suggest: exact prefix first, fuzzy fill when empty, entity prefix list") {
     val tf = Seq(("spark", 10L), ("spars", 3L), ("scan", 5L)).toDF("term", "freq")
     val nodes = edges.select($"src".as("value"))
