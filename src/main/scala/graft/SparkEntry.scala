@@ -3039,6 +3039,78 @@ object SparkEntry {
           .select(lit("paragraph").as("unit"),
             col("paragraph_id").as("id"), col("score")))
         .orderBy(col("unit"), col("score").desc, col("id"))
+    }),
+
+    // §3.5 catalog `with_status` (parsers/catalog.py:150-157): the
+    // deprecated-but-served processing-status filter maps onto /n/s/
+    // status facets — PROCESSED admits BOTH the PROCESSED and ERROR
+    // facets (the parser's explicit bool_or: an errored resource still
+    // serves its processed data), every other status maps to PENDING.
+    // The corpus binds a deterministic per-doc status facet; the page
+    // is the same TakeOrdered browse shape as q48/q157. Scale shape:
+    // the status filter is one more label-array predicate at the scan
+    // (facet leaves compile to array_contains), no new joins
+    "q181_catalog_with_status" -> ((s, dir) => {
+      import graft.operators.Facets
+      val status = when(col("doc_id") % 11 === 0, lit("ERROR"))
+        .when(col("doc_id") % 3 === 0, lit("PENDING"))
+        .otherwise(lit("PROCESSED"))
+      val docs = Tables.documentsWithLabels(s, dir)
+        .withColumn("status", status)
+        .withColumn("labels",
+          array_union(col("labels"),
+            array(concat(lit("/n/s/"), col("status")))))
+      docs.where(FilterExpr.compile(
+          Facets.withStatusExpr(Facets.ProcessingStatus.Processed)))
+        .select(col("doc_id"), col("status"), col("n_chars"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+        .limit(15)
+    }),
+
+    // §2.3 find's RELATIONS feature (parsers/unit_retrieval.py:102-185
+    // + merge.py:426-477): the distance-1 neighbour subgraph of the
+    // query entities — OR of undirected exact entry paths AND NOT the
+    // deleted nodes — merged to per-entry DIRECTIONAL relation rows
+    // (origin-match = out, else destination-match = in; the
+    // reference's elif). S1 collects its parts as OUT rows, P50 its
+    // suppliers as IN rows, paths touching deleted P3 never appear.
+    // The window covers the whole subgraph here so the page is
+    // order-insensitive for the oracle (triplet-order ties); the page
+    // cut contract itself is q49/q127's. Scale shape: entry values are
+    // a request-sized IN at the scan, direction tagging is
+    // when/otherwise on the cut page — no joins anywhere
+    "q182_find_relations" -> ((s, dir) => {
+      import graft.api.GraphSearch
+      import graft.api.GraphSearch.{EdgeTable, EntryPoint}
+      val t = EdgeTable(graft.sources.IndexStore.edges(s, dir),
+        "src", "rel", "dst",
+        srcTypeCol = Some("src_type"), srcSubtypeCol = Some("src_subtype"),
+        dstTypeCol = Some("dst_type"), dstSubtypeCol = Some("dst_subtype"),
+        relTypeCol = Some("rel_type"))
+      GraphSearch.relationsSubgraph(t,
+          Seq(EntryPoint("S1"), EntryPoint("P50")),
+          deletedEntities = Map("part" -> Seq("P3")),
+          topK = 1000000)
+        .drop("resource_id")
+        .orderBy("entry_point", "direction", "entity", "relation_label",
+          "relation_type")
+    }),
+
+    // §3.1 `/find?search_configuration=` (find.py:208-226): a stored
+    // preset (here: the lang filter + page size) merges UNDER the
+    // request's set fields (the endpoint's exclude_unset dict union,
+    // request wins) — the caller sends only the query and gets the
+    // preset's filtered find. Same streamed corpus as q149; the preset
+    // filter restricts the BM25 stats population (filter-then-score)
+    "q183_find_search_configuration" -> ((s, dir) => {
+      import graft.api.Engine.{FindConfig, FindSearchConfiguration}
+      val e = streamEngine(s, dir)
+      e.setSearchConfiguration("en_bm25", FindSearchConfiguration(FindConfig(
+        filter = Some(FilterExpr.Eq("lang", "en")), topK = Some(12))))
+      e.findWithConfiguration("en_bm25",
+          FindConfig(query = Some(QueryTerms.mkString(" "))))
+        .select(col("doc_id"), col("fused"), col("n_sources"))
+        .orderBy(col("fused").desc, col("doc_id").asc)
     })
   )
 
@@ -6161,6 +6233,66 @@ object SparkEntry {
          |            ORDER BY score DESC, paragraph_id LIMIT 10 OFFSET 10)
          |SELECT unit, id, score FROM doclist
          |UNION ALL SELECT unit, id, score FROM parlist
-         |ORDER BY unit, score DESC, id""".stripMargin
+         |ORDER BY unit, score DESC, id""".stripMargin,
+
+    // q181: with_status=PROCESSED admits PROCESSED and ERROR statuses
+    // (parsers/catalog.py:151-156's bool_or), drops PENDING
+    "q181_catalog_with_status" ->
+      """WITH st AS (SELECT doc_id, n_chars,
+        |              CASE WHEN doc_id % 11 = 0 THEN 'ERROR'
+        |                   WHEN doc_id % 3 = 0 THEN 'PENDING'
+        |                   ELSE 'PROCESSED' END AS status
+        |            FROM documents)
+        |SELECT doc_id, status, n_chars FROM st
+        |WHERE status IN ('PROCESSED', 'ERROR')
+        |ORDER BY n_chars DESC, doc_id ASC LIMIT 15""".stripMargin,
+
+    // q182: distance-1 subgraph of entry points S1 and P50 with P3
+    // (subtype part) deleted — origin-match rows are OUT under the
+    // origin, destination-match rows IN under the destination
+    "q182_find_relations" ->
+      """WITH e AS (SELECT DISTINCT
+        |    'S' || CAST(l_suppkey AS VARCHAR) AS src,
+        |    'R' || l_returnflag AS rel,
+        |    'P' || CAST(l_partkey AS VARCHAR) AS dst,
+        |    'ENTITY' AS src_type, 'supplier' AS src_subtype,
+        |    'ENTITY' AS dst_type, 'part' AS dst_subtype,
+        |    CASE WHEN l_linestatus = 'O' THEN 'ABOUT' ELSE 'ENTITY' END AS rel_type
+        |  FROM lineitem),
+        |m AS (SELECT * FROM e
+        |  WHERE (src IN ('S1', 'P50') OR dst IN ('S1', 'P50'))
+        |    AND NOT ((src = 'P3' AND src_subtype = 'part')
+        |             OR (dst = 'P3' AND dst_subtype = 'part')))
+        |SELECT
+        |  CASE WHEN src IN ('S1', 'P50') THEN src ELSE dst END AS entry_point,
+        |  CASE WHEN src IN ('S1', 'P50') THEN 'out' ELSE 'in' END AS direction,
+        |  CASE WHEN src IN ('S1', 'P50') THEN dst ELSE src END AS entity,
+        |  CASE WHEN src IN ('S1', 'P50') THEN dst_type ELSE src_type END AS entity_type,
+        |  CASE WHEN src IN ('S1', 'P50') THEN dst_subtype ELSE src_subtype END AS entity_subtype,
+        |  rel AS relation_label, rel_type AS relation_type
+        |FROM m
+        |ORDER BY entry_point, direction, entity, relation_label, relation_type""".stripMargin,
+
+    // q183: q149's streamed keyword find under the preset's lang
+    // filter and page size — BM25 stats over the FILTERED winner
+    // population (filter-then-score)
+    "q183_find_search_configuration" ->
+      s"""WITH sdocs AS (SELECT doc_id, text FROM documents
+         |               WHERE doc_id % 17 <> 5 AND lang = 'en'),
+         |tok AS (SELECT doc_id, unnest($Tok) AS term FROM sdocs),
+         |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+         |       WHERE term IN $InQueryTerms GROUP BY doc_id, term),
+         |idf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |bm25 AS (
+         |  SELECT tf.doc_id,
+         |         round(sum(ln(1 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+         |               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 4) AS fused
+         |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, fused, CAST(1 AS BIGINT) AS n_sources
+         |FROM bm25 WHERE fused >= 0.0
+         |ORDER BY fused DESC, doc_id LIMIT 12""".stripMargin
   )
 }

@@ -288,6 +288,45 @@ class Engine(
   /** `POST /kb/{kbid}/find` — hybrid retrieval (SURVEY §3.1). */
   def find(req: Find.FindRequest): DataFrame = Find.find(corpus(), req)
 
+  // ------------------------------------------------------------------
+  // search configurations (stored request presets)
+  // ------------------------------------------------------------------
+
+  /** The KB's named search configurations (`nucliadb_models/
+    * configuration.py`; managed by the writer API, read at serve time).
+    * The reference persists them in its KV metadata store — storage
+    * plumbing of the Blob/KV class COVERAGE documents out of engine
+    * scope; this registry is the per-KB (per-Engine) serving view. */
+  private val searchConfigs =
+    scala.collection.mutable.Map[String, Engine.SearchConfiguration]()
+
+  def setSearchConfiguration(name: String,
+      cfg: Engine.SearchConfiguration): Unit =
+    synchronized { searchConfigs(name) = cfg }
+
+  def deleteSearchConfiguration(name: String): Unit =
+    synchronized { searchConfigs -= name }
+
+  /** `/find?search_configuration=name` (`search/api/v1/find.py:
+    * 208-226`): resolve the stored preset — unknown name and non-find
+    * kind are the endpoint's 400s — and run find on the merged
+    * request. The reference merges the two exclude_unset model dumps
+    * with the REQUEST winning (`find.py:221-223` dict union); this API
+    * mirrors the union by keeping both sides partial
+    * ([[Engine.FindConfig]]): effective = defaults, then the config's
+    * set fields, then the request's. */
+  def findWithConfiguration(name: String,
+      overrides: Engine.FindConfig = Engine.FindConfig()): DataFrame = {
+    val cfg = synchronized(searchConfigs.get(name)).getOrElse(
+      throw new IllegalArgumentException("Search configuration not found"))
+    val fc = cfg match {
+      case Engine.FindSearchConfiguration(c) => c
+      case _ => throw new IllegalArgumentException(
+        "This search configuration is not valid for `find`")
+    }
+    find(overrides.over(fc.over(Find.FindRequest())))
+  }
+
   /** `/find` in paragraph mode — the reference's actual retrieval unit. */
   def findParagraphs(req: Find.FindRequest): DataFrame =
     Find.findParagraphs(corpus(), req)
@@ -516,6 +555,26 @@ class Engine(
       allowedResources = filter.map(allowedResources))
   }
 
+  /** Find's RELATIONS feature (`features=[relations]`): the distance-1
+    * neighbour subgraph of the query's entry points — explicit
+    * `query_entities` or detected ones — merged into per-entry
+    * directional relation rows ([[GraphSearch.relationsSubgraph]];
+    * `parsers/find.py:169-201`, `merge.py:426-477`). A `filter`
+    * prefilters through resource provenance like every graph query;
+    * the deduped open-query edge copy carries no resource ids, so
+    * `resource_id` is null there (prefiltered requests serve it). */
+  def findRelations(
+      entryPoints: Seq[GraphSearch.EntryPoint],
+      deletedEntities: Map[String, Seq[String]] = Map.empty,
+      deletedGroups: Seq[String] = Nil,
+      topK: Int = 50,
+      filter: Option[FilterExpr] = None): DataFrame = {
+    requireProvenanceFor(filter)
+    GraphSearch.relationsSubgraph(edgeTable(filter.nonEmpty), entryPoints,
+      deletedEntities, deletedGroups, topK,
+      allowedResources = filter.map(allowedResources))
+  }
+
   /** `POST /kb/{kbid}/graph/relations`. */
   def graphRelations(q: GraphSearch.PathQuery, topK: Int = 50,
       filter: Option[FilterExpr] = None): DataFrame = {
@@ -538,7 +597,13 @@ class Engine(
     * @param pageNumber OFFSET pagination exactly like the reference
     *   (`pg.py:261-262`, `LIMIT page_size OFFSET page_size *
     *   page_number`) — catalog is a browse surface with shallow pages
-    *   by contract; deep cursors belong to find's search_after */
+    *   by contract; deep cursors belong to find's search_after
+    * @param withStatus the deprecated-but-served processing-status
+    *   filter ([[Facets.withStatusExpr]] — `parsers/catalog.py:150-157`
+    *   maps it onto `/n/s/...` status facets); it belongs to the
+    *   old-filter bag, so it ANDs with `filter` like the reference ANDs
+    *   it with the parsed old filters (`parse_old_filters` appends it
+    *   to the same bool_and) */
   def catalog(
       titleCol: String,
       titleQuery: Option[(Facets.CatalogMatch, String)] = None,
@@ -546,9 +611,16 @@ class Engine(
       facetPrefixes: Seq[String] = Nil,
       topK: Int = 20,
       sort: Option[(String, Boolean)] = None,
-      pageNumber: Int = 0): Search.SearchResponse = {
+      pageNumber: Int = 0,
+      withStatus: Option[Facets.ProcessingStatus] = None): Search.SearchResponse = {
     require(pageNumber >= 0, "pageNumber must be >= 0")
-    val base0 = filter.map(f => docs.where(FilterExpr.compile(f, bindings)))
+    val effFilter = (filter.toSeq ++
+      withStatus.map(Facets.withStatusExpr).toSeq) match {
+      case Nil => None
+      case Seq(one) => Some(one)
+      case both => Some(FilterExpr.And(both))
+    }
+    val base0 = effFilter.map(f => docs.where(FilterExpr.compile(f, bindings)))
       .getOrElse(docs)
     val base = titleQuery.map { case (m, q) =>
       base0.where(Facets.catalogMatch(col(titleCol), m, q))
@@ -572,6 +644,56 @@ class Engine(
 }
 
 object Engine {
+
+  /** A stored search preset's find side (`nucliadb_models/
+    * configuration.py:52` — FindConfig IS a FindRequest minus the
+    * `search_configuration` field itself): every field optional, a set
+    * field supplies the value for a request that left it unset. The
+    * merge contract is the endpoint's dict union of exclude_unset
+    * dumps (`find.py:221-223`, request wins); one representable
+    * divergence: a request cannot explicitly RESET an optional the
+    * config set (pydantic's explicit-null would; an Option-partial
+    * cannot distinguish unset from reset). */
+  final case class FindConfig(
+      query: Option[String] = None,
+      queryVector: Option[Seq[Float]] = None,
+      filter: Option[FilterExpr] = None,
+      topK: Option[Int] = None,
+      semanticMinScore: Option[Double] = None,
+      keywordMinScore: Option[Double] = None,
+      vectorset: Option[String] = None,
+      rerank: Option[Boolean] = None,
+      paragraphBm25: Option[Boolean] = None,
+      fields: Option[Seq[String]] = None,
+      withDuplicates: Option[Boolean] = None,
+      highlight: Option[Boolean] = None) {
+    /** Overlay this partial's SET fields onto `base`. */
+    def over(base: Find.FindRequest): Find.FindRequest = base.copy(
+      query = query.getOrElse(base.query),
+      queryVector = queryVector.orElse(base.queryVector),
+      filter = filter.orElse(base.filter),
+      topK = topK.getOrElse(base.topK),
+      semanticMinScore = semanticMinScore.getOrElse(base.semanticMinScore),
+      keywordMinScore = keywordMinScore.getOrElse(base.keywordMinScore),
+      vectorset = vectorset.orElse(base.vectorset),
+      rerank = rerank.getOrElse(base.rerank),
+      paragraphBm25 = paragraphBm25.getOrElse(base.paragraphBm25),
+      fields = fields.getOrElse(base.fields),
+      withDuplicates = withDuplicates.getOrElse(base.withDuplicates),
+      highlight = highlight.getOrElse(base.highlight))
+  }
+
+  /** The discriminated-kind preset union (`configuration.py:55-70`).
+    * The ask kind stores its RETRIEVAL portion (the ask pipeline's
+    * find request — our /ask surface composes over find, q93/q165+);
+    * its generative knobs (generative_model, prompts) are
+    * external-service parameters of the documented-out predict class.
+    * Kind mismatch at serve time is the endpoint's 400. */
+  sealed trait SearchConfiguration
+  final case class FindSearchConfiguration(config: FindConfig)
+      extends SearchConfiguration
+  final case class AskSearchConfiguration(config: FindConfig)
+      extends SearchConfiguration
 
   /** Per-vectorset serving spec for a streamed root: the batch-trained
     * IVF centroids + PQ codebook the segments encode against (the SAME

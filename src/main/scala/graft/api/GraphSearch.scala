@@ -56,11 +56,15 @@ object GraphSearch {
       label: Option[String] = None,
       relType: Option[String] = None)
 
-  /** Path query tree: triplet constraints composed with OR/NOT
-    * (the reference deliberately has no AND at the path level,
-    * `graph_query_parser.rs:66-81`). [[PathQuery.Path]] is the
-    * value-only form; [[PathQuery.TypedPath]] adds the node-type/
-    * subtype/relation-type dimensions of the typed data model. */
+  /** Path query tree: triplet constraints composed with OR/AND/NOT —
+    * the proto's full boolean algebra (`graph_query.proto` BoolOr/
+    * BoolAnd/BoolNot, parsed at `graph_query_parser.rs:666-690`; the
+    * expression-syntax sub-parser exposes only OR/NOT but the find
+    * RELATIONS feature composes entry points AND NOT deleted nodes
+    * through the proto, `parsers/unit_retrieval.py:178-185`).
+    * [[PathQuery.Path]] is the value-only form; [[PathQuery.TypedPath]]
+    * adds the node-type/subtype/relation-type dimensions of the typed
+    * data model. */
   sealed trait PathQuery
   object PathQuery {
     final case class Path(
@@ -74,6 +78,7 @@ object GraphSearch {
         dst: NodeSpec = NodeSpec(),
         undirected: Boolean = false) extends PathQuery
     final case class Or(ops: Seq[PathQuery]) extends PathQuery
+    final case class And(ops: Seq[PathQuery]) extends PathQuery
     final case class Not(op: PathQuery) extends PathQuery
   }
 
@@ -129,6 +134,7 @@ object GraphSearch {
 
   def compile(q: PathQuery, t: EdgeTable): Column = q match {
     case PathQuery.Or(ops) => ops.map(compile(_, t)).reduce(_ || _)
+    case PathQuery.And(ops) => ops.map(compile(_, t)).reduce(_ && _)
     case PathQuery.Not(op) => !compile(op, t)
     case PathQuery.Path(src, rel, dst, undirected) =>
       val relPred = rel.map(col(t.relCol) === _).getOrElse(lit(true))
@@ -201,6 +207,93 @@ object GraphSearch {
       .distinct()
       .orderBy("label")
       .limit(topK)
+
+  /** One query entry point for find's RELATIONS feature — the user's
+    * explicit `query_entities` entry (`parsers/find.py:188-197`: value
+    * exact, type/subtype optional) or a detected entity standing in
+    * for the external NER (`fetcher.get_detected_entities`). */
+  final case class EntryPoint(
+      value: String,
+      nodeType: Option[String] = None,
+      subtype: Option[String] = None)
+
+  /** Find's RELATIONS feature: the distance-1 neighbour subgraph of
+    * the query's entry points, as one DirectionalRelation row per
+    * matched path (`merge.py:426-477` merge_relations_results over the
+    * legacy relation query, `parsers/unit_retrieval.py:102-185`
+    * _apply_relation_query).
+    *
+    * Query shape (the reference's exact composition): OR of one
+    * undirected exact typed path per entry point, AND NOT the deleted
+    * nodes (one undirected (value, subtype) path each — the request
+    * groups them per subtype but the parser splits, there is no OR at
+    * node-value level), AND NOT the deleted subtype groups. The find
+    * prefilter reaches this sub-search like every other
+    * (`query_planner.rs:154-166`).
+    *
+    * Merge shape: a path whose ORIGIN is an entry point value is an
+    * OUT relation under that entry; otherwise a path whose destination
+    * is one is an IN relation under it — the reference's elif, so a
+    * path between two entry points lands only under its origin
+    * (`merge.py:450-475`). Entry points with no matching path
+    * contribute no rows (the reference serializes them as empty
+    * subgraphs — response-shaping, not retrieval). Typed output
+    * columns are null when the EdgeTable doesn't declare them.
+    *
+    * Scale shape: entry values are a request-sized IN predicate at the
+    * scan (no join); the page cut runs BEFORE the merge projection at
+    * the request's result window in deterministic triplet order (the
+    * reference cuts paths at result_per_page in the index,
+    * `reader.rs:114-136`); the direction tagging is a scan-stage
+    * when/otherwise over the cut page. */
+  def relationsSubgraph(
+      t: EdgeTable,
+      entryPoints: Seq[EntryPoint],
+      deletedEntities: Map[String, Seq[String]] = Map.empty,
+      deletedGroups: Seq[String] = Nil,
+      topK: Int = 50,
+      allowedResources: Option[DataFrame] = None): DataFrame = {
+    require(entryPoints.nonEmpty, "relations feature needs entry points " +
+      "(detected or explicit query_entities)")
+    def orOf(qs: Seq[PathQuery]): PathQuery =
+      if (qs.size == 1) qs.head else PathQuery.Or(qs)
+    val eps = orOf(entryPoints.map(ep => PathQuery.TypedPath(
+      src = NodeSpec(NodeMatch.Exact(ep.value), ep.nodeType, ep.subtype),
+      undirected = true)))
+    val deleted = deletedEntities.toSeq.sortBy(_._1).flatMap { case (st, vs) =>
+      vs.map(v => PathQuery.TypedPath(
+        src = NodeSpec(NodeMatch.Exact(v), subtype = Some(st)),
+        undirected = true))
+    }
+    val groups = deletedGroups.map(g => PathQuery.TypedPath(
+      src = NodeSpec(subtype = Some(g)), undirected = true))
+    val sub = Seq(Some(eps),
+      if (deleted.nonEmpty) Some(PathQuery.Not(orOf(deleted))) else None,
+      if (groups.nonEmpty) Some(PathQuery.Not(orOf(groups))) else None).flatten
+    val q = if (sub.size == 1) sub.head else PathQuery.And(sub)
+    val page = applyPrefilter(t, t.edges.where(compile(q, t)), allowedResources)
+      .orderBy(col(t.srcCol), col(t.relCol), col(t.dstCol))
+      .limit(topK)
+    val epVals = entryPoints.map(_.value)
+    def opt(c: Option[String]): Column =
+      c.map(col).getOrElse(lit(null).cast("string"))
+    val isOut = col(t.srcCol).isInCollection(epVals)
+    page
+      // belt over the query's own guarantee (entry matches are exact):
+      // a row tagging as neither direction never reaches the output
+      .where(isOut || col(t.dstCol).isInCollection(epVals))
+      .select(
+        when(isOut, col(t.srcCol)).otherwise(col(t.dstCol)).as("entry_point"),
+        when(isOut, lit("out")).otherwise(lit("in")).as("direction"),
+        when(isOut, col(t.dstCol)).otherwise(col(t.srcCol)).as("entity"),
+        when(isOut, opt(t.dstTypeCol)).otherwise(opt(t.srcTypeCol))
+          .as("entity_type"),
+        when(isOut, opt(t.dstSubtypeCol)).otherwise(opt(t.srcSubtypeCol))
+          .as("entity_subtype"),
+        col(t.relCol).as("relation_label"),
+        opt(t.relTypeCol).as("relation_type"),
+        opt(t.resourceCol).as("resource_id"))
+  }
 
   /** Over-request clamp for semantic node/edge matches — relation
     * labels carry multiple vectors (one per field occurrence), so the

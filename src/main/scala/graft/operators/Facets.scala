@@ -37,6 +37,35 @@ object Facets {
     case object Contains extends CatalogMatch
   }
 
+  /** The catalog's resource processing statuses
+    * (`nucliadb_models/metadata.py:108-114` ResourceProcessingStatus).
+    */
+  sealed trait ProcessingStatus
+  object ProcessingStatus {
+    case object Pending extends ProcessingStatus
+    case object Processed extends ProcessingStatus
+    case object Error extends ProcessingStatus
+    case object Empty extends ProcessingStatus
+    case object Blocked extends ProcessingStatus
+    case object Expired extends ProcessingStatus
+  }
+
+  /** The catalog's deprecated-but-served `with_status` filter as the
+    * reference parses it (`query_parser/parsers/catalog.py:150-157`):
+    * PROCESSED admits BOTH the PROCESSED and ERROR status facets (an
+    * errored resource still serves its processed data — the parser's
+    * explicit bool_or), and EVERY other requested status maps to the
+    * PENDING facet (the parser's single else branch: PENDING, ERROR,
+    * EMPTY, BLOCKED and EXPIRED all query `/n/s/PENDING`). The result
+    * is an ordinary facet expression, so it composes with the rest of
+    * the old-filter bag under AND and compiles to a scan-stage label
+    * predicate like any other Facet leaf. */
+  def withStatusExpr(status: ProcessingStatus): FilterExpr = status match {
+    case ProcessingStatus.Processed => FilterExpr.Or(Seq(
+      FilterExpr.Facet("/n/s/PROCESSED"), FilterExpr.Facet("/n/s/ERROR")))
+    case _ => FilterExpr.Facet("/n/s/PENDING")
+  }
+
   /** Compile one catalog query-match to a `Column` predicate over the
     * field — scan-stage only, composes with the catalog's filter/facet
     * predicates and page cut. */

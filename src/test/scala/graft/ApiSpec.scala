@@ -82,6 +82,50 @@ class ApiSpec extends SparkSpec {
     assert(paths(q).map(_._2).toSet == Set("BORN_IN", "IS_FRIEND"))
     val notQ = PathQuery.Not(PathQuery.Path(rel = Some("LIVE_IN")))
     assert(paths(notQ).map(_._2).toSet == Set("BORN_IN", "IS_FRIEND"))
+    // AND — the proto's bool_and (graph_query_parser.rs:666-690), the
+    // composition find's RELATIONS feature uses for entry AND NOT
+    // deleted (unit_retrieval.py:178-185)
+    val andQ = PathQuery.And(Seq(
+      PathQuery.Path(src = NodeMatch.Prefix("An")),
+      PathQuery.Not(PathQuery.Path(rel = Some("LIVE_IN")))))
+    assert(paths(andQ) == Seq(("Anna", "IS_FRIEND", "Anastasia")))
+  }
+
+  test("find relations: per-entry directional subgraph (merge.py:426-477)") {
+    import graft.api.GraphSearch.EntryPoint
+    def rows(eps: Seq[EntryPoint], t: EdgeTable = table,
+        del: Map[String, Seq[String]] = Map.empty) =
+      GraphSearch.relationsSubgraph(t, eps, deletedEntities = del)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(5)))
+        .toSeq.sorted
+    // origin-match takes precedence (the reference's elif): the
+    // Anna→Anastasia path lands ONLY under its origin Anna even though
+    // both endpoints are entry points
+    assert(rows(Seq(EntryPoint("Anna"), EntryPoint("Anastasia"))) == Seq(
+      ("Anastasia", "out", "Barcelona", "LIVE_IN"),
+      ("Anna", "out", "Anastasia", "IS_FRIEND"),
+      ("Anna", "out", "Berlin", "LIVE_IN")))
+    // a destination-side entry collects IN rows
+    assert(rows(Seq(EntryPoint("Barcelona"))) == Seq(
+      ("Barcelona", "in", "Anastasia", "LIVE_IN")))
+    // deleted nodes exclude every path touching them (undirected
+    // (value, subtype) match — needs the typed columns)
+    val typed = Seq(
+      ("Anna", "LIVE_IN", "Berlin", "e", "person", "e", "city"),
+      ("Anna", "IS_FRIEND", "Anastasia", "e", "person", "e", "person"))
+      .toDF("src", "rel", "dst", "st", "ss", "dt", "ds")
+    val tt = EdgeTable(typed, "src", "rel", "dst",
+      srcTypeCol = Some("st"), srcSubtypeCol = Some("ss"),
+      dstTypeCol = Some("dt"), dstSubtypeCol = Some("ds"))
+    assert(rows(Seq(EntryPoint("Anna")), tt,
+      del = Map("city" -> Seq("Berlin"))) == Seq(
+      ("Anna", "out", "Anastasia", "IS_FRIEND")))
+    // no entry points is a caller bug, not an empty response
+    intercept[IllegalArgumentException] {
+      GraphSearch.relationsSubgraph(table, Nil)
+    }
   }
 
   private val docs = Seq(

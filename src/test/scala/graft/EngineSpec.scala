@@ -270,6 +270,82 @@ class EngineSpec extends SparkSpec {
       .apply("/l/genre/fiction") == 2L)
   }
 
+  test("search configurations: stored preset merges under the request (find.py:208-226)") {
+    import graft.api.Engine.{AskSearchConfiguration, FindConfig, FindSearchConfiguration}
+    engine.setSearchConfiguration("preset", FindSearchConfiguration(
+      FindConfig(query = Some("prince fox"), topK = Some(1))))
+    // the caller sends nothing: the preset's query and page size serve
+    val viaCfg = engine.findWithConfiguration("preset")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val direct = engine.find(Find.FindRequest(query = "prince fox", topK = 1))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(viaCfg == direct && viaCfg.size == 1)
+    // the request's set fields WIN over the config's (the dict union)
+    assert(engine.findWithConfiguration("preset",
+      FindConfig(topK = Some(2))).count() == 2)
+    // unknown name and non-find kind are the endpoint's 400s
+    intercept[IllegalArgumentException] {
+      engine.findWithConfiguration("missing")
+    }
+    engine.setSearchConfiguration("askish", AskSearchConfiguration(FindConfig()))
+    intercept[IllegalArgumentException] {
+      engine.findWithConfiguration("askish")
+    }
+    engine.deleteSearchConfiguration("preset")
+    intercept[IllegalArgumentException] {
+      engine.findWithConfiguration("preset")
+    }
+  }
+
+  test("findRelations: entry-point subgraph through the facade, prefiltered") {
+    import graft.api.GraphSearch.EntryPoint
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(5))).toSeq.sorted
+    // open query: the deduped edge copy, prince's 1-hop OUT neighbours
+    assert(shape(engine.findRelations(Seq(EntryPoint("prince")))) == Seq(
+      ("prince", "out", "fox", "MEETS"),
+      ("prince", "out", "planet", "VISITS")))
+    // destination entry collects IN rows
+    assert(shape(engine.findRelations(Seq(EntryPoint("overman")))) == Seq(
+      ("overman", "in", "zarathustra", "SPEAKS_OF")))
+    // the find prefilter reaches the relation sub-search
+    // (query_planner.rs:154-166): philosophy docs exclude the
+    // prince-provenance edges entirely
+    assert(shape(engine.findRelations(Seq(EntryPoint("prince"),
+      EntryPoint("zarathustra")),
+      filter = Some(FilterExpr.Facet("/l/genre/philosophy")))) == Seq(
+      ("zarathustra", "out", "overman", "SPEAKS_OF")))
+  }
+
+  test("catalog: with_status maps onto /n/s facets (parsers/catalog.py:150-157)") {
+    import Facets.ProcessingStatus
+    val r4 = graft.sources.IndexStore.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft-engine-ws-").toString)
+    val e4 = new Engine(spark, r4)
+    e4.ingestDocuments(Seq(
+        (1L, "processed doc", "en", Seq("/n/s/PROCESSED", "/l/genre/a")),
+        (2L, "errored doc", "en", Seq("/n/s/ERROR")),
+        (3L, "pending doc", "en", Seq("/n/s/PENDING")))
+      .toDF("doc_id", "text", "lang", "labels"))
+    def ids(s: ProcessingStatus, f: Option[FilterExpr] = None): Set[Long] =
+      e4.catalog("text", withStatus = Some(s), filter = f)
+        .documents.get.collect().map(_.getLong(0)).toSet
+    // PROCESSED admits BOTH the PROCESSED and ERROR facets (the
+    // parser's explicit bool_or)
+    assert(ids(ProcessingStatus.Processed) == Set(1L, 2L))
+    // every other requested status is the parser's single else branch:
+    // the PENDING facet
+    assert(ids(ProcessingStatus.Pending) == Set(3L))
+    assert(ids(ProcessingStatus.Error) == Set(3L))
+    assert(ids(ProcessingStatus.Blocked) == Set(3L))
+    // with_status belongs to the old-filter bag: it ANDs with the
+    // request's other filters (parse_old_filters appends to one
+    // bool_and)
+    assert(ids(ProcessingStatus.Processed,
+      f = Some(FilterExpr.Facet("/l/genre/a"))) == Set(1L))
+  }
+
   test("forStream: full endpoint surface over a streamed root; watermark rebind + post-compaction parity") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -39,6 +39,28 @@ class ScaleDesignSpec extends SparkSpec {
     direct.foreach { case (k, v) => assert(math.abs(viaPostings(k) - v) < 1e-12) }
   }
 
+  test("find-relations subgraph: entry predicate pushes to the edge scan; no joins anywhere") {
+    import graft.api.GraphSearch
+    import graft.api.GraphSearch.{EdgeTable, EntryPoint}
+    val dir = Files.createTempDirectory("graft-relsub").toString
+    Seq(("S1", "R", "P5"), ("S2", "R", "P5"), ("S1", "Q", "P9"))
+      .toDF("src", "rel", "dst").write.parquet(s"$dir/edges")
+    val t = EdgeTable(spark.read.parquet(s"$dir/edges"), "src", "rel", "dst")
+    val out = GraphSearch.relationsSubgraph(t,
+      Seq(EntryPoint("S1"), EntryPoint("P5")), topK = 50)
+    val p = plan(out)
+    // the undirected exact entry matches are Or(EqualTo/In) over the
+    // src/dst columns — parquet row groups without any entry value
+    // skip entirely
+    assert(p.contains("PushedFilters: [Or(") &&
+      p.contains("src") && p.contains("dst"),
+      s"entry predicate must reach the scan:\n$p")
+    // entry values are a request-sized IN predicate and the direction
+    // tagging a when/otherwise — the whole subgraph is scan → cut →
+    // project, never a join
+    assert(!p.contains("Join"), s"no join expected:\n$p")
+  }
+
   test("cached filter stats remove the doclengths population scan from the prefiltered plan") {
     import graft.api.Find
     import graft.api.Find.{Corpus, FindRequest}
