@@ -603,7 +603,12 @@ class Engine(
     *   maps it onto `/n/s/...` status facets); it belongs to the
     *   old-filter bag, so it ANDs with `filter` like the reference ANDs
     *   it with the parsed old filters (`parse_old_filters` appends it
-    *   to the same bool_and) */
+    *   to the same bool_and)
+    * @param hidden the catalog's hidden tri-state
+    *   ([[Facets.hiddenExpr]] — `parsers/catalog.py:67-77`: Some(true)
+    *   = only hidden resources, Some(false) = exclude them, None =
+    *   nothing); ANDed onto whatever filter parsed, exactly the
+    *   reference's wrap */
   def catalog(
       titleCol: String,
       titleQuery: Option[(Facets.CatalogMatch, String)] = None,
@@ -612,10 +617,12 @@ class Engine(
       topK: Int = 20,
       sort: Option[(String, Boolean)] = None,
       pageNumber: Int = 0,
-      withStatus: Option[Facets.ProcessingStatus] = None): Search.SearchResponse = {
+      withStatus: Option[Facets.ProcessingStatus] = None,
+      hidden: Option[Boolean] = None): Search.SearchResponse = {
     require(pageNumber >= 0, "pageNumber must be >= 0")
     val effFilter = (filter.toSeq ++
-      withStatus.map(Facets.withStatusExpr).toSeq) match {
+      withStatus.map(Facets.withStatusExpr).toSeq ++
+      hidden.map(Facets.hiddenExpr).toSeq) match {
       case Nil => None
       case Seq(one) => Some(one)
       case both => Some(FilterExpr.And(both))

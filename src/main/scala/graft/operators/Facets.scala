@@ -66,6 +66,19 @@ object Facets {
     case _ => FilterExpr.Facet("/n/s/PENDING")
   }
 
+  /** The hidden-resource label (`nucliadb_models/labels.py:58`
+    * LABEL_HIDDEN). */
+  val LabelHidden = "/q/h"
+
+  /** The catalog's `hidden` tri-state (`parsers/catalog.py:67-77`):
+    * Some(true) lists ONLY hidden resources, Some(false) excludes
+    * them, None applies nothing — unlike search's show_hidden (a
+    * default-on exclusion), catalog exposes the hidden-only listing
+    * directly. */
+  def hiddenExpr(hidden: Boolean): FilterExpr =
+    if (hidden) FilterExpr.Facet(LabelHidden)
+    else FilterExpr.Not(FilterExpr.Facet(LabelHidden))
+
   /** Compile one catalog query-match to a `Column` predicate over the
     * field — scan-stage only, composes with the catalog's filter/facet
     * predicates and page cut. */

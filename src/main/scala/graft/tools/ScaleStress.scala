@@ -172,6 +172,21 @@ object ScaleStress {
     val (tG10, _) = med3(filteredGraph(s"$out/rel10"))
     println(f"[stress] graph_prefiltered 1x $tG1%.2fs 10x $tG10%.2fs growth ${tG10 / tG1}%.1fx")
 
+    // ---- 3b2. find RELATIONS subgraph (round-15 endpoint) ----------
+    // entry values live in replica 0, so the answer is identical at
+    // both scales; growth measures the pushed Or(In) entry predicate
+    // against a 10× deduped edge table — pruned scan, no joins
+    def relSubgraph(dir: String): Long = {
+      val t = EdgeTable(spark.read.parquet(s"$dir/edges"),
+        "src", "rel", "dst")
+      GraphSearch.relationsSubgraph(t,
+        Seq(GraphSearch.EntryPoint("S1"), GraphSearch.EntryPoint("P50")),
+        topK = 1000).count()
+    }
+    val (tRS1, _) = med3(relSubgraph(s"$out/rel1"))
+    val (tRS10, _) = med3(relSubgraph(s"$out/rel10"))
+    println(f"[stress] relations_subgraph 1x $tRS1%.2fs 10x $tRS10%.2fs growth ${tRS10 / tRS1}%.1fx")
+
     // ---- 3c. FILTERED suggest (round-11 endpoint) ------------------
     // paragraph posting pair built standalone (the suggest-relevant
     // slice of buildIndex) for both scales; the filter admits one

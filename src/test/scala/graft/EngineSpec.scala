@@ -325,7 +325,7 @@ class EngineSpec extends SparkSpec {
     val e4 = new Engine(spark, r4)
     e4.ingestDocuments(Seq(
         (1L, "processed doc", "en", Seq("/n/s/PROCESSED", "/l/genre/a")),
-        (2L, "errored doc", "en", Seq("/n/s/ERROR")),
+        (2L, "errored doc", "en", Seq("/n/s/ERROR", "/q/h")),
         (3L, "pending doc", "en", Seq("/n/s/PENDING")))
       .toDF("doc_id", "text", "lang", "labels"))
     def ids(s: ProcessingStatus, f: Option[FilterExpr] = None): Set[Long] =
@@ -344,6 +344,17 @@ class EngineSpec extends SparkSpec {
     // bool_and)
     assert(ids(ProcessingStatus.Processed,
       f = Some(FilterExpr.Facet("/l/genre/a"))) == Set(1L))
+    // the hidden tri-state (parsers/catalog.py:67-77): true = ONLY
+    // hidden, false = exclude, None = nothing; ANDs with with_status
+    def hids(h: Option[Boolean]) =
+      e4.catalog("text", hidden = h)
+        .documents.get.collect().map(_.getLong(0)).toSet
+    assert(hids(Some(true)) == Set(2L))
+    assert(hids(Some(false)) == Set(1L, 3L))
+    assert(hids(None) == Set(1L, 2L, 3L))
+    assert(e4.catalog("text", withStatus = Some(ProcessingStatus.Processed),
+        hidden = Some(false))
+      .documents.get.collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
   test("forStream: full endpoint surface over a streamed root; watermark rebind + post-compaction parity") {

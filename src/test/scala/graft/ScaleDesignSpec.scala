@@ -61,6 +61,27 @@ class ScaleDesignSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join expected:\n$p")
   }
 
+  test("date-ordered /search page: TakeOrdered cut, offset window only on the cut page") {
+    import graft.api.Search
+    val dated = docs.withColumn("created",
+      to_date(concat(lit("2021-01-0"), col("doc_id").cast("string"))))
+    val resp = Search.search(dated, "doc_id", "text", "lang", None,
+      Search.SearchRequest(query = "spark", topK = 2,
+        orderBy = Some(Search.OrderByDate("created")), offset = 1))
+    val p = plan(resp.documents.get)
+    // the date order replaces the score order inside the SAME
+    // topK-bounded heap cut — never a global sort of the match set
+    assert(p.contains("TakeOrderedAndProject"), s"expected heap cut:\n$p")
+    assert(!p.contains("Sort [") || p.indexOf("TakeOrdered") >= 0,
+      s"no global sort of the corpus:\n$p")
+    // the offset skip is a row_number window over the ALREADY-CUT page
+    // (≤ offset + topK ≤ 1200 rows) — the one place a single-partition
+    // window is the right plan; it must sit ABOVE the cut
+    assert(p.contains("row_number"), s"offset skip expected:\n$p")
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
+      s"offset window must run on the cut page, not the corpus:\n$p")
+  }
+
   test("cached filter stats remove the doclengths population scan from the prefiltered plan") {
     import graft.api.Find
     import graft.api.Find.{Corpus, FindRequest}
