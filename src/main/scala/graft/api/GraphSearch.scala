@@ -274,14 +274,23 @@ object GraphSearch {
     val page = applyPrefilter(t, t.edges.where(compile(q, t)), allowedResources)
       .orderBy(col(t.srcCol), col(t.relCol), col(t.dstCol))
       .limit(topK)
-    val epVals = entryPoints.map(_.value)
     def opt(c: Option[String]): Column =
       c.map(col).getOrElse(lit(null).cast("string"))
+    // membership is by entry VALUE alone, deliberately ignoring the
+    // entry's typed constraints: the reference keys its subgraphs by
+    // `entry_point.value` and attributes every path whose origin value
+    // matches ANY key (`merge.py:434-450` — `relations.entities[
+    // entry_point.value]`, `if origin.value in relations.entities`),
+    // so a path matched via one entry's typed query can land under a
+    // same-valued other entry — parity includes that edge case
+    val epVals = entryPoints.map(_.value)
     val isOut = col(t.srcCol).isInCollection(epVals)
+    val isIn = col(t.dstCol).isInCollection(epVals)
     page
-      // belt over the query's own guarantee (entry matches are exact):
-      // a row tagging as neither direction never reaches the output
-      .where(isOut || col(t.dstCol).isInCollection(epVals))
+      // belt over the query's own guarantee (every matched path has at
+      // least one entry endpoint): a row tagging as neither direction
+      // never reaches the output
+      .where(isOut || isIn)
       .select(
         when(isOut, col(t.srcCol)).otherwise(col(t.dstCol)).as("entry_point"),
         when(isOut, lit("out")).otherwise(lit("in")).as("direction"),

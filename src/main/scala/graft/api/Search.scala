@@ -98,15 +98,20 @@ object Search {
       facets: Option[DataFrame])
 
   /** Skip the first `offset` rows of `df` in `ord` order — the merge's
-    * `raw_list[offset:]` over a fetched page. The window runs on ONE
-    * partition, which is exactly right here: every caller passes a
-    * page already cut to ≤ offset + topK ≤ 1200 rows, never a corpus.
-    */
-  private def skipOffset(df: DataFrame, ord: Seq[Column], offset: Int): DataFrame =
+    * `raw_list[offset:]` over a fetched page. One-partition window by
+    * design, which is exactly right here: every caller passes a page
+    * already cut to ≤ offset + topK ≤ 1200 rows, never a corpus —
+    * pinned through [[TopK.constPartitionKey]] (the bounded-window
+    * idiom the rest of the codebase uses) so the spec is explicit
+    * instead of tripping the unpartitioned-window warning. */
+  private def skipOffset(df: DataFrame, keyCol: Column, ord: Seq[Column],
+      offset: Int): DataFrame =
     if (offset <= 0) df
     else {
       import org.apache.spark.sql.expressions.Window
-      df.withColumn("__rn", row_number().over(Window.orderBy(ord: _*)))
+      df.withColumn("__rn", row_number().over(
+          Window.partitionBy(TopK.constPartitionKey(keyCol))
+            .orderBy(ord: _*)))
         .where(col("__rn") > offset).drop("__rn")
     }
 
@@ -152,8 +157,16 @@ object Search {
     val doHighlight = req.highlight &&
       (parsed.terms.nonEmpty || phraseToks.nonEmpty)
 
+    // the AllQuery match-all listing triggers on a truly EMPTY query
+    // only (`search_query.rs:100-104` — the parser builds AllQuery for
+    // an empty search string): a phrase-only, stopword-only or
+    // excluded-only query parses to zero terms but is NOT empty, and
+    // must keep the score path's no-terms-no-list contract under an
+    // order too
+    val emptyQuery = req.query.trim.isEmpty
+
     val docList =
-      if (parsed.terms.isEmpty && req.orderBy.isEmpty) None
+      if (parsed.terms.isEmpty && !(req.orderBy.isDefined && emptyQuery)) None
       else if (req.orderBy.isDefined) {
         // index-side date order: the page is the topK matches BY DATE
         // (see OrderByDate) — an empty query is the AllQuery match-all
@@ -167,7 +180,7 @@ object Search {
           // match-all listing reads (docId, dateCol) straight off the
           // filtered store — no join, one topK-by-date heap per scan
           // partition
-          if (parsed.terms.isEmpty) base.select(col(docId), col(ob.dateCol))
+          if (emptyQuery) base.select(col(docId), col(ob.dateCol))
           else {
             val scored = index match {
               case Some(ix) => Bm25.scoreFromPostings(ix.postings,
@@ -175,21 +188,24 @@ object Search {
                 allowed = req.filter.map(_ => base.select(docId)))
               case None => Bm25.score(base, docId, textCol, parsed.terms)
             }
+            // ONE join serves the date (and, when highlighting, the
+            // text to mark) — the cut below bounds everything after
             scored.select(col(docId))
-              .join(docs.select(col(docId), col(ob.dateCol)), docId :: Nil)
+              .join(docs.select(Seq(col(docId), col(ob.dateCol)) ++
+                (if (doHighlight) Seq(col(textCol)) else Nil): _*),
+                docId :: Nil)
           }
         val page = skipOffset(
           dated.orderBy(dir, col(docId).asc).limit(fetchK),
-          Seq(dir, col(docId).asc), req.offset)
-          .select(col(docId), lit(0.0).as("score"), col(ob.dateCol))
+          col(docId), Seq(dir, col(docId).asc), req.offset)
         Some(
-          if (!doHighlight) page
-          else page // marked text hydrates the cut page only, like the
-            // score path; the join breaks the order so it re-applies
-            .join(docs.select(col(docId), col(textCol)), docId :: Nil)
-            .orderBy(dir, col(docId).asc)
-            .withColumn(textCol, graft.functions.TextFunctions
-              .highlightWithPhrases(col(textCol), phraseToks, parsed.terms)))
+          if (!doHighlight)
+            page.select(col(docId), lit(0.0).as("score"), col(ob.dateCol))
+          else page // marked text hydrates the cut page only
+            .select(col(docId), lit(0.0).as("score"), col(ob.dateCol),
+              graft.functions.TextFunctions
+                .highlightWithPhrases(col(textCol), phraseToks, parsed.terms)
+                .as(textCol)))
       }
       else {
         val scored = index match {
@@ -204,7 +220,7 @@ object Search {
         val cut = skipOffset(
           TopK.topK(scored.withColumn("score", round(col("score"), 4)),
             "score", docId, fetchK),
-          Seq(col("score").desc, col(docId).asc), req.offset)
+          col(docId), Seq(col("score").desc, col(docId).asc), req.offset)
         // merge-side attribute sort of the ALREADY-CUT page: the
         // hydration join touches topK rows, never the corpus
         val page = req.sortField match {
@@ -241,10 +257,12 @@ object Search {
 
     def parListFor(terms: Seq[String], scale: Double): Option[DataFrame] =
       paragraphs.flatMap { case (par, pid, ptext) =>
-        // an empty query is a list only under an index-side date order
-        // (the AllQuery match-all listing); the score path keeps the
-        // no-terms-no-list contract
-        if (terms.isEmpty && req.orderBy.isEmpty) None
+        // a TRULY empty query is a list only under an index-side date
+        // order (the AllQuery match-all listing); a zero-term but
+        // non-empty query (phrase-only, stopword-only, excluded-only)
+        // keeps the score path's no-terms-no-list contract whatever
+        // the collector
+        if (terms.isEmpty && !(req.orderBy.isDefined && emptyQuery)) None
         // the same default + escape hatch as the paragraph index search
         // (ONE shared definition — Find.excludeRepeated)
         else {
@@ -333,7 +351,7 @@ object Search {
             col(pid).asc)
           case None => Seq(col("score").desc, col(pid).asc)
         }
-        df => skipOffset(df, ord, req.offset)
+        df => skipOffset(df, col(pid), ord, req.offset)
       case None => identity
     }
     parListFor(parsed.terms, 1.0) match {

@@ -226,6 +226,16 @@ class ApiSpec extends SparkSpec {
           orderBy = Some(Search.OrderByDate("created"))))
       .documents.get.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(listing == Seq((2L, 0.0), (1L, 0.0)), listing.toString)
+    // but a zero-TERM non-empty query (phrase-only / stopword-only) is
+    // NOT the match-all listing — AllQuery only builds for a truly
+    // empty search string (search_query.rs:100-104); the no-terms
+    // contract holds under an order exactly like on the score path
+    for (q <- Seq("\"spark engine\"", "the")) {
+      val r = Search.search(dated, "doc_id", "text", "labels", None,
+        SearchRequest(query = q, topK = 5,
+          orderBy = Some(Search.OrderByDate("created"))))
+      assert(r.documents.isEmpty, s"query '$q' must not list the corpus")
+    }
 
     val pars = Seq(
       ("1/t/body/0-5", "spark engine spark runs fast", 1L),

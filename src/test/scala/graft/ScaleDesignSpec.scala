@@ -70,10 +70,12 @@ class ScaleDesignSpec extends SparkSpec {
         orderBy = Some(Search.OrderByDate("created")), offset = 1))
     val p = plan(resp.documents.get)
     // the date order replaces the score order inside the SAME
-    // topK-bounded heap cut — never a global sort of the match set
+    // topK-bounded heap cut — never a global sort of the match set:
+    // any Sort in the plan must sit ABOVE the cut (printed before it =
+    // consuming its ≤1200-row output), not between the cut and the scan
     assert(p.contains("TakeOrderedAndProject"), s"expected heap cut:\n$p")
-    assert(!p.contains("Sort [") || p.indexOf("TakeOrdered") >= 0,
-      s"no global sort of the corpus:\n$p")
+    assert(p.lastIndexOf("Sort [") < p.indexOf("TakeOrderedAndProject"),
+      s"every sort must run on the cut page, not the corpus:\n$p")
     // the offset skip is a row_number window over the ALREADY-CUT page
     // (≤ offset + topK ≤ 1200 rows) — the one place a single-partition
     // window is the right plan; it must sit ABOVE the cut
