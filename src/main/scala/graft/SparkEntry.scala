@@ -3111,6 +3111,31 @@ object SparkEntry {
           FindConfig(query = Some(QueryTerms.mkString(" "))))
         .select(col("doc_id"), col("fused"), col("n_sources"))
         .orderBy(col("fused").desc, col("doc_id").asc)
+    }),
+
+    // §2.5 /search min_score (query_parser/models.py:41 MinScore.bm25;
+    // nidx_text/reader.rs:295-307): both readers drop sub-threshold
+    // rows from the ALREADY-CUT page — the page shrinks, never
+    // refills. One request threshold serves both lists (here it
+    // prunes the BM25 doc page's tail; the term-count paragraph
+    // scores sit above it). A non-zero threshold also disables the
+    // fuzzy fallback (reader.rs:128's min_score == 0 trigger leg)
+    "q184_search_min_score" -> ((s, dir) => {
+      import graft.api.Search
+      val docs = load(s, dir, "documents")
+      val ix = graft.sources.IndexStore.tables(s, dir)
+      val resp = Search.search(docs, "doc_id", "text", "lang",
+        Some((ix.paragraphs, "paragraph_id", "p_text")),
+        Search.SearchRequest(query = QueryTerms.mkString(" "), topK = 10,
+          minScore = 0.9),
+        index = Some(ix))
+      resp.documents.get
+        .select(lit("document").as("unit"),
+          col("doc_id").cast("string").as("id"), col("score"))
+        .unionByName(resp.paragraphs.get
+          .select(lit("paragraph").as("unit"),
+            col("paragraph_id").as("id"), col("score")))
+        .orderBy(col("unit"), col("score").desc, col("id"))
     })
   )
 
@@ -6293,6 +6318,26 @@ object SparkEntry {
          |  GROUP BY tf.doc_id)
          |SELECT doc_id, fused, CAST(1 AS BIGINT) AS n_sources
          |FROM bm25 WHERE fused >= 0.0
-         |ORDER BY fused DESC, doc_id LIMIT 12""".stripMargin
+         |ORDER BY fused DESC, doc_id LIMIT 12""".stripMargin,
+
+    // q184: q70's lists with the post-cut min_score drop — cut the
+    // page first, then drop sub-threshold rows (the page shrinks)
+    "q184_search_min_score" ->
+      s"""WITH $Bm25Ctes,
+         |$ParCtes,
+         |doclist AS (SELECT * FROM (
+         |    SELECT 'document' AS unit, CAST(doc_id AS VARCHAR) AS id, score
+         |    FROM bm25 ORDER BY score DESC, doc_id LIMIT 10)
+         |  WHERE score >= 0.9),
+         |parlist AS (SELECT * FROM (
+         |    SELECT 'paragraph' AS unit, paragraph_id AS id,
+         |      CAST(len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) AS DOUBLE) AS score
+         |    FROM par
+         |    WHERE len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) > 0
+         |    ORDER BY score DESC, paragraph_id LIMIT 10)
+         |  WHERE score >= 0.9)
+         |SELECT unit, id, score FROM doclist
+         |UNION ALL SELECT unit, id, score FROM parlist
+         |ORDER BY unit, score DESC, id""".stripMargin
   )
 }

@@ -80,6 +80,17 @@ object Search {
       // the merge skips the first offset rows of the response order
       // (`raw_resource_list[offset:]`, merge.py:135,351)
       offset: Int = 0,
+      // the reference's `min_score.bm25` threshold (`query_parser/
+      // models.py:41` MinScore; request default 0): both index readers
+      // drop sub-threshold rows from the ALREADY-CUT page — the page
+      // SHRINKS, it never refills (`nidx_text/src/reader.rs:295-307`
+      // convert_bm25_order's `score < min_score → continue` over the
+      // top-docs stream; the paragraph reader threads the same value,
+      // `nidx_paragraph/src/reader.rs:125`). A non-zero threshold also
+      // disables the paragraph fuzzy fallback — the refuzz trigger
+      // requires min_score == 0 (`reader.rs:128`). Not applied to
+      // date-ordered pages (convert_int_order carries no score).
+      minScore: Double = 0.0,
       // opt-in highlighting, same contract as FindRequest.highlight
       // (`search/search/paragraphs.py` — the reference's /search
       // results carry marked text too): the DOCUMENT list hydrates the
@@ -217,9 +228,15 @@ object Search {
         // the offset skip happens in RESPONSE (score) order, BEFORE any
         // merge-side attribute re-sort — merge.py:135's raw[offset:]
         // position
+        // min_score drops sub-threshold rows from the CUT page (the
+        // reference's post-cut drop — identical to filter-then-cut on
+        // a score-ordered page, since sub-threshold rows are the tail);
+        // the offset skip runs on the dropped page like the merge does
+        // on the index's returned (already-thresholded) list
         val cut = skipOffset(
           TopK.topK(scored.withColumn("score", round(col("score"), 4)),
-            "score", docId, fetchK),
+            "score", docId, fetchK)
+            .where(col("score") >= req.minScore),
           col(docId), Seq(col("score").desc, col(docId).asc), req.offset)
         // merge-side attribute sort of the ALREADY-CUT page: the
         // hydration join touches topK rows, never the corpus
@@ -316,6 +333,10 @@ object Search {
                 (if (doHighlight) Seq(col(ptext)) else Nil): _*)
               .orderBy(col("score").desc, col(pid).asc)
               .limit(fetchK)
+              // the same post-cut min_score drop as the doc reader
+              // (the paragraph reader threads request.min_score into
+              // its response conversion, reader.rs:125,343)
+              .where(col("score") >= req.minScore)
           }
           Some(
             if (!doHighlight) page
@@ -358,8 +379,11 @@ object Search {
       case None => SearchResponse(docList, None, facetDf)
       // the reference validates top_k <= 200 (search.py le=200); above
       // it this API keeps the distributed plans and skips the fallback,
-      // so the eager page collect stays request-bounded
-      case Some(p0) if req.topK <= 0 || req.topK > Find.MaxFallbackTopK =>
+      // so the eager page collect stays request-bounded. A non-zero
+      // min_score also disables the refuzz — the trigger is
+      // empty ∧ topK > 0 ∧ min_score == 0 (reader.rs:128)
+      case Some(p0) if req.topK <= 0 || req.topK > Find.MaxFallbackTopK ||
+          req.minScore != 0.0 =>
         SearchResponse(docList, Some(parSkip(p0)), facetDf)
       case Some(p0) =>
         // only the two topK-BOUNDED pages ride the union — the facet

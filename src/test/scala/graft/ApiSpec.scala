@@ -300,6 +300,39 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("search: min_score drops sub-threshold rows post-cut and disables the fallback") {
+    val pars = Seq(
+      ("1/t/body/0-5", "spark engine spark runs fast", 1L),
+      ("2/t/body/0-4", "query planner for spark", 2L))
+      .toDF("paragraph_id", "p_text", "doc_id")
+    // paragraph scores: doc1 has 2 'spark' tokens, doc2 has 1 — the
+    // threshold keeps only the 2-hit paragraph; the page shrank, it
+    // did not refill
+    val r = Search.search(docs, "doc_id", "text", "labels",
+      Some((pars, "paragraph_id", "p_text")),
+      SearchRequest(query = "spark", topK = 5, minScore = 1.5))
+    assert(r.paragraphs.get.collect().map(_.getString(0)).toSeq
+      == Seq("1/t/body/0-5"))
+    // the doc list's bm25 page drops its tail the same way: with the
+    // threshold above every bm25 score the page is empty, not refilled
+    val hi = Search.search(docs, "doc_id", "text", "labels", None,
+      SearchRequest(query = "spark", topK = 5, minScore = 100.0))
+    assert(hi.documents.get.collect().isEmpty)
+    // a non-zero min_score disables the refuzz (reader.rs:128: the
+    // trigger is empty AND topK > 0 AND min_score == 0) — the typo'd
+    // query serves the empty exact page instead of expanding
+    val fb = Search.search(docs, "doc_id", "text", "labels",
+      Some((pars, "paragraph_id", "p_text")),
+      SearchRequest(query = "sparkk", topK = 5, minScore = 0.5))
+    assert(fb.paragraphs.get.collect().isEmpty)
+    // ...and with min_score 0 the same request refuzzes (the existing
+    // fallback contract, unchanged)
+    val fb0 = Search.search(docs, "doc_id", "text", "labels",
+      Some((pars, "paragraph_id", "p_text")),
+      SearchRequest(query = "sparkk", topK = 5))
+    assert(fb0.paragraphs.get.collect().nonEmpty)
+  }
+
   test("suggest: exact prefix first, fuzzy fill when empty, entity prefix list") {
     val tf = Seq(("spark", 10L), ("spars", 3L), ("scan", 5L)).toDF("term", "freq")
     val nodes = edges.select($"src".as("value"))
