@@ -405,11 +405,18 @@ class Engine(
       }
     }
 
-  /** `GET /kb/{kbid}/search` — multi-list response (SURVEY §3.2). */
+  /** `GET /kb/{kbid}/search` — multi-list response (SURVEY §3.2).
+    * A doc store carrying a `created` column (the conventional name,
+    * like the typed edge columns) binds the parser's default sort:
+    * an empty-query request with no explicit sort serves the
+    * created-DESC recency listing (`parsers/search.py:168-182`);
+    * without the column the default sort has nothing to order by and
+    * the empty-query request keeps returning empty lists. */
   def search(req: Search.SearchRequest): Search.SearchResponse =
     Search.search(docs, docId, textCol, labelsCol,
       paragraphs = Some((index.paragraphs, "paragraph_id", "p_text")),
-      req = req, index = Some(index), bindings = bindings)
+      req = req, index = Some(index), bindings = bindings,
+      createdCol = Some("created").filter(docs.columns.contains))
 
   /** `GET /kb/{kbid}/suggest` (SURVEY §3.4) — merged paragraph + entity
     * completion; `filter` applies the reference's field/security
@@ -512,16 +519,27 @@ class Engine(
 
   /** The graph [[GraphSearch.EdgeTable]] over the at-rest relation
     * index: the deduped src-sorted copy for open queries, the
-    * provenance table when a prefilter needs per-resource rows. */
-  def edgeTable(withProvenance: Boolean = false): GraphSearch.EdgeTable =
-    if (withProvenance)
-      GraphSearch.EdgeTable(
-        IndexStore.readParquetMemo(spark, p("graph") + "/edge_resources"),
-        "src", "rel", "dst", resourceCol = Some("resource_id"))
-    else
-      GraphSearch.EdgeTable(
-        IndexStore.readParquetMemo(spark, p("graph") + "/edges"),
-        "src", "rel", "dst")
+    * provenance table when a prefilter needs per-resource rows.
+    *
+    * The typed dimensions (node type/subtype, relation type —
+    * `nidx_relation/src/schema.rs:41-48`) bind BY CONVENTION when the
+    * ingest wrote them: [[ingestRelations]] passes `typedCols` through
+    * under the caller's names, and a corpus ingested with the
+    * conventional `src_type`/`src_subtype`/`dst_type`/`dst_subtype`/
+    * `rel_type` columns serves typed path constraints — and
+    * [[findRelations]] deletions, which compile to subtype-constrained
+    * paths — through this facade; other names need a hand-built
+    * [[GraphSearch.EdgeTable]]. */
+  def edgeTable(withProvenance: Boolean = false): GraphSearch.EdgeTable = {
+    val df = IndexStore.readParquetMemo(spark,
+      p("graph") + (if (withProvenance) "/edge_resources" else "/edges"))
+    def bound(c: String): Option[String] = Some(c).filter(df.columns.contains)
+    GraphSearch.EdgeTable(df, "src", "rel", "dst",
+      srcTypeCol = bound("src_type"), srcSubtypeCol = bound("src_subtype"),
+      dstTypeCol = bound("dst_type"), dstSubtypeCol = bound("dst_subtype"),
+      relTypeCol = bound("rel_type"),
+      resourceCol = if (withProvenance) Some("resource_id") else None)
+  }
 
   /** Compile a doc-table prefilter into the allowed-resource id set the
     * graph/suggest endpoints intersect with. */
@@ -570,7 +588,22 @@ class Engine(
       topK: Int = 50,
       filter: Option[FilterExpr] = None): DataFrame = {
     requireProvenanceFor(filter)
-    GraphSearch.relationsSubgraph(edgeTable(filter.nonEmpty), entryPoints,
+    val t = edgeTable(filter.nonEmpty)
+    // deletions compile to subtype-constrained typed paths
+    // (GraphSearch.relationsSubgraph — the reference groups deleted
+    // entities per subtype, parsers/unit_retrieval.py:178-185), so an
+    // edge table without subtype columns cannot evaluate them: reject
+    // UP FRONT with the remedy instead of letting the path compiler
+    // throw a bare column-missing error mid-plan (ADVICE r15)
+    require((deletedEntities.isEmpty && deletedGroups.isEmpty) ||
+        (t.srcSubtypeCol.isDefined && t.dstSubtypeCol.isDefined),
+      "deleted_entities/deleted_entity_groups need node subtype columns " +
+        "on the edge tables — ingest relations with typedCols named " +
+        "(src_type, src_subtype, dst_type, dst_subtype, rel_type), or " +
+        "call GraphSearch.relationsSubgraph with a typed EdgeTable " +
+        "(streamed roots carry untyped (resource, rel, dst) edges and " +
+        "cannot serve deletions)")
+    GraphSearch.relationsSubgraph(t, entryPoints,
       deletedEntities, deletedGroups, topK,
       allowedResources = filter.map(allowedResources))
   }

@@ -333,6 +333,74 @@ class ApiSpec extends SparkSpec {
     assert(fb0.paragraphs.get.collect().nonEmpty)
   }
 
+  test("search: empty query with no sort defaults to created DESC when createdCol binds") {
+    import org.apache.spark.sql.functions.{col, concat, lit, to_date}
+    val dated = docs.withColumn("created",
+      to_date(concat(lit("2021-01-0"), col("doc_id").cast("string"))))
+    // the parser's default sort (parsers/search.py:168-182): sort None
+    // + empty query → CREATED DESC — the recency listing without an
+    // explicit orderBy
+    val r = Search.search(dated, "doc_id", "text", "labels", None,
+      SearchRequest(query = "", topK = 2), createdCol = Some("created"))
+    assert(r.documents.get.collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+      == Seq((3L, 0.0), (2L, 0.0)))
+    // an explicit order wins over the default (sort is only defaulted
+    // when the request carries none)
+    val explicitAsc = Search.search(dated, "doc_id", "text", "labels", None,
+      SearchRequest(query = "", topK = 3,
+        orderBy = Some(Search.OrderByDate("created", desc = false))),
+      createdCol = Some("created"))
+    assert(explicitAsc.documents.get.collect().map(_.getLong(0)).toSeq
+      == Seq(1L, 2L, 3L))
+    // a NON-empty query keeps score order — the parser's other branch
+    // (SCORE DESC) is this API's existing default path
+    val scored = Search.search(dated, "doc_id", "text", "labels", None,
+      SearchRequest(query = "spark", topK = 2), createdCol = Some("created"))
+    assert(scored.documents.get.collect().map(_.getLong(0)).toSeq
+      == Seq(1L, 2L)) // tf order, not date order
+    // unbound createdCol: the corpus has no recency order to serve —
+    // the empty-query no-sort request keeps returning no lists
+    val unbound = Search.search(dated, "doc_id", "text", "labels", None,
+      SearchRequest(query = "", topK = 2))
+    assert(unbound.documents.isEmpty)
+    // a merge-side attribute sort counts as an explicit sort too: the
+    // default must not override it (and a zero-term query still serves
+    // no score page under it)
+    val attr = Search.search(dated, "doc_id", "text", "labels", None,
+      SearchRequest(query = "", topK = 2, sortField = Some("doc_id")),
+      createdCol = Some("created"))
+    assert(attr.documents.isEmpty)
+  }
+
+  test("search fallback union: localSideOf pins the positional schema correspondence") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val orig = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    // the union side exactly as search() builds it: side+position
+    // prefixes, then the __side tag
+    val pref = orig.toDF(orig.columns.zipWithIndex
+        .map { case (c, i) => s"__p_${i}_$c" }: _*)
+      .withColumn("__side", lit("p"))
+    val all = pref.collect()
+    val sideIdx = pref.schema.fieldIndex("__side")
+    // well-formed: round-trips rows and schema
+    val back = Search.localSideOf(pref.schema, all, sideIdx, "p", orig)
+    assert(back.schema == orig.schema)
+    assert(back.collect().toSeq == orig.collect().toSeq)
+    // a side whose columns were REORDERED since the union build fails
+    // loudly (the prefixed name no longer exists at that position)
+    intercept[IllegalArgumentException] {
+      Search.localSideOf(pref.schema, all, sideIdx, "p",
+        orig.select(col("name"), col("id")))
+    }
+    // same names and positions but a DIFFERENT datatype: the name
+    // lookup alone would mis-map — the correspondence assert catches it
+    intercept[IllegalArgumentException] {
+      Search.localSideOf(pref.schema, all, sideIdx, "p",
+        orig.select(col("id").cast("int").as("id"), col("name")))
+    }
+  }
+
   test("suggest: exact prefix first, fuzzy fill when empty, entity prefix list") {
     val tf = Seq(("spark", 10L), ("spars", 3L), ("scan", 5L)).toDF("term", "freq")
     val nodes = edges.select($"src".as("value"))

@@ -318,6 +318,65 @@ class EngineSpec extends SparkSpec {
       ("zarathustra", "out", "overman", "SPEAKS_OF")))
   }
 
+  test("findRelations: deletions through the facade bind typed edge tables or reject up front (ADVICE r15)") {
+    import graft.api.GraphSearch.EntryPoint
+    // the shared fixture ingested UNTYPED relations: a deletion request
+    // is rejected up front with the remedy, not a mid-plan column error
+    val rejected = intercept[IllegalArgumentException] {
+      engine.findRelations(Seq(EntryPoint("prince")),
+        deletedEntities = Map("animal" -> Seq("fox")))
+    }
+    assert(rejected.getMessage.contains("typedCols"), rejected.getMessage)
+    // a corpus ingested with the CONVENTIONAL typed column names serves
+    // deletions end-to-end through the same facade (edgeTable binds
+    // src_type/src_subtype/dst_type/dst_subtype/rel_type when present)
+    val rt = graft.sources.IndexStore.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft-engine-typed-").toString)
+    val et = new Engine(spark, rt)
+    et.ingestRelations(
+      Seq(
+        ("prince", "MEETS", "fox", "ENTITY", "person", "ENTITY", "animal", "ENTITY", 1L),
+        ("prince", "VISITS", "planet", "ENTITY", "person", "ENTITY", "place", "ENTITY", 1L),
+        ("prince", "MEETS", "rose", "ENTITY", "person", "ENTITY", "plant", "ENTITY", 4L))
+        .toDF("s", "r", "d", "src_type", "src_subtype",
+          "dst_type", "dst_subtype", "rel_type", "rid"),
+      "s", "r", "d",
+      typedCols = Seq("src_type", "src_subtype", "dst_type", "dst_subtype",
+        "rel_type"),
+      resourceCol = Some("rid"))
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(4), r.getString(5))).toSeq.sorted
+    // the typed output columns serve real values now, not nulls
+    assert(shape(et.findRelations(Seq(EntryPoint("prince")))) == Seq(
+      ("prince", "out", "fox", "animal", "MEETS"),
+      ("prince", "out", "planet", "place", "VISITS"),
+      ("prince", "out", "rose", "plant", "MEETS")))
+    // a deleted NODE (per-subtype, the parser's split) removes its
+    // paths only
+    assert(shape(et.findRelations(Seq(EntryPoint("prince")),
+      deletedEntities = Map("animal" -> Seq("fox")))) == Seq(
+      ("prince", "out", "planet", "place", "VISITS"),
+      ("prince", "out", "rose", "plant", "MEETS")))
+    // a deleted GROUP drops every path touching the subtype
+    assert(shape(et.findRelations(Seq(EntryPoint("prince")),
+      deletedGroups = Seq("plant")))
+      == Seq(
+        ("prince", "out", "fox", "animal", "MEETS"),
+        ("prince", "out", "planet", "place", "VISITS")))
+    // the provenance table carries the typed columns too: a filtered
+    // deletion request works end-to-end... the filter needs a doc
+    // store, so ingest one bound to the edge provenance ids
+    et.ingestDocuments(Seq(
+        (1L, "the little prince", "en", Seq("/l/genre/fiction")),
+        (4L, "the rose chapter", "en", Seq("/l/genre/poetry")))
+      .toDF("doc_id", "text", "lang", "labels"))
+    assert(shape(et.findRelations(Seq(EntryPoint("prince")),
+      deletedEntities = Map("animal" -> Seq("fox")),
+      filter = Some(FilterExpr.Facet("/l/genre/poetry")))) == Seq(
+      ("prince", "out", "rose", "plant", "MEETS")))
+  }
+
   test("catalog: with_status maps onto /n/s facets (parsers/catalog.py:150-157)") {
     import Facets.ProcessingStatus
     val r4 = graft.sources.IndexStore.deleteOnExit(
@@ -429,6 +488,20 @@ class EngineSpec extends SparkSpec {
         filter = Some(FilterExpr.Eq("lang", "de"))).collect().isEmpty)
       assert(e.graphNodes(PathQuery.Path()).collect()
         .map(_.getString(0)).toSet.contains("zarathustra"))
+      // find's RELATIONS feature over the streamed root: value-only
+      // entries serve (the resource node is the edge source); deletions
+      // compile to subtype-constrained paths the streamed
+      // (resource, rel, dst) edges can never evaluate — rejected UP
+      // FRONT with the remedy, not a mid-plan column error (ADVICE r15)
+      import graft.api.GraphSearch.EntryPoint
+      assert(e.findRelations(Seq(EntryPoint("prince"))).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+        == Seq(("prince", "in", "1")))
+      val rej = intercept[IllegalArgumentException] {
+        e.findRelations(Seq(EntryPoint("prince")),
+          deletedGroups = Seq("person"))
+      }
+      assert(rej.getMessage.contains("subtype"), rej.getMessage)
       // batch ingest against a streamed root is refused loudly
       intercept[UnsupportedOperationException] { e.ingestDocuments(docs1) }
 

@@ -216,4 +216,43 @@ class RetrieveSpec extends SparkSpec {
     val unmarked = Search.resourceSearch(resCorpus, "lp", "prince").collect()
     assert(unmarked.forall(!_.getAs[String]("text").contains("<mark>")))
   }
+
+  test("resource search: empty exact page refuzzes like the unscoped reader") {
+    // the reference serves /resource/{rid}/search through the SAME
+    // paragraph reader (resource/search.py builds a plain
+    // ParagraphSearchRequest; reader.rs:104-139 refuzzes an empty page
+    // at topK > 0, min_score 0) — a misspelled rid-scoped query reruns
+    // with the dictionary expansion at the 0.5 boost, the rid
+    // restriction riding the rerun
+    for (bm25 <- Seq(false, true)) {
+      val exact = Search.resourceSearch(resCorpus, "lp", "prince",
+        bm25 = bm25).collect()
+      val fuzzy = Search.resourceSearch(resCorpus, "lp", "prinse",
+        bm25 = bm25).collect()
+      assert(fuzzy.map(_.getAs[String]("paragraph_id")).toSeq
+        == exact.map(_.getAs[String]("paragraph_id")).toSeq,
+        s"bm25=$bm25: the expanded page must serve the exact page's rows")
+      // the reference's 0.5 fuzzy boost halves every score
+      val exactScores = exact.map(r => r.getAs[String]("paragraph_id") ->
+        r.getAs[Double]("score")).toMap
+      fuzzy.foreach { r =>
+        assert(math.abs(r.getAs[Double]("score") -
+          exactScores(r.getAs[String]("paragraph_id")) * 0.5) < 1e-3,
+          s"bm25=$bm25: fuzzy score must be the exact score at 0.5 boost")
+      }
+      // the rid restriction rides the rerun: the same typo against a
+      // resource whose text never carried the term stays empty
+      assert(Search.resourceSearch(resCorpus, "zar", "prinse",
+        bm25 = bm25).isEmpty, s"bm25=$bm25 fallback leaked beyond the rid")
+      // a topK above the reference's le=200 bound keeps the
+      // distributed plan and skips the fallback, like /search and find
+      assert(Search.resourceSearch(resCorpus, "lp", "prinse",
+        topK = 201, bm25 = bm25).isEmpty)
+    }
+    // highlight marks the EXPANDED term on the fallback page
+    val marked = Search.resourceSearch(resCorpus, "lp", "prinse",
+      highlight = true).collect()
+    assert(marked.nonEmpty &&
+      marked.forall(_.getAs[String]("text").contains("<mark>prince</mark>")))
+  }
 }
