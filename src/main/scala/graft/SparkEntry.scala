@@ -3136,6 +3136,124 @@ object SparkEntry {
           .select(lit("paragraph").as("unit"),
             col("paragraph_id").as("id"), col("score")))
         .orderBy(col("unit"), col("score").desc, col("id"))
+    }),
+
+    // §2.5 the min_score × offset COMPOSITION (VERDICT r15 task 4):
+    // the reference cuts the inflated fetch (offset + top_k) in score
+    // order at the index, drops sub-threshold rows from that
+    // already-cut page (the post-cut drop — never refills), THEN the
+    // merge skips the first offset rows of the thresholded response
+    // (merge.py:135 slices raw[offset:] over the already-thresholded
+    // list). SearchMatrixProperties pins the algebra on random pages;
+    // this pins it against the DuckDB oracle at sf scale
+    "q185_search_min_score_offset" -> ((s, dir) => {
+      import graft.api.Search
+      val docs = load(s, dir, "documents")
+      val ix = graft.sources.IndexStore.tables(s, dir)
+      val resp = Search.search(docs, "doc_id", "text", "lang",
+        Some((ix.paragraphs, "paragraph_id", "p_text")),
+        Search.SearchRequest(query = QueryTerms.mkString(" "), topK = 10,
+          offset = 5, minScore = 0.9),
+        index = Some(ix))
+      resp.documents.get
+        .select(lit("document").as("unit"),
+          col("doc_id").cast("string").as("id"), col("score"))
+        .unionByName(resp.paragraphs.get
+          .select(lit("paragraph").as("unit"),
+            col("paragraph_id").as("id"), col("score")))
+        .orderBy(col("unit"), col("score").desc, col("id"))
+    }),
+
+    // §2.5 min_score is IGNORED on date-ordered pages — the readers'
+    // int-order response conversion takes no threshold
+    // (`convert_int_order`, nidx_text/reader.rs:226: sort_value only,
+    // no score to compare) — while offset still slices the date page
+    // (rows 11-20 by created DESC). A threshold of 5.0 against the
+    // proto-default 0.0 scores would empty the page if wrongly applied;
+    // the oracle's full page pins the exclusion
+    "q186_search_date_offset" -> ((s, dir) => {
+      import graft.api.Search
+      val docs = load(s, dir, "documents")
+        .withColumn("created", date_add(to_date(lit("2021-01-01")),
+          (col("doc_id") % 731).cast("int")))
+      val ix = graft.sources.IndexStore.tables(s, dir)
+      val resp = Search.search(docs, "doc_id", "text", "lang",
+        Some((ix.paragraphs, "paragraph_id", "p_text")),
+        Search.SearchRequest(query = QueryTerms.mkString(" "), topK = 10,
+          offset = 10, minScore = 5.0,
+          orderBy = Some(Search.OrderByDate("created", desc = true))),
+        index = Some(ix))
+      resp.documents.get
+        .select(lit("document").as("unit"),
+          col("doc_id").cast("string").as("id"), col("score"),
+          date_format(col("created"), "yyyy-MM-dd").as("created"))
+        .unionByName(resp.paragraphs.get
+          .select(lit("paragraph").as("unit"), col("paragraph_id").as("id"),
+            col("score"),
+            date_format(col("created"), "yyyy-MM-dd").as("created")))
+        .orderBy(col("unit"), col("created").desc, col("id"))
+    }),
+
+    // §3.2 /resource/{rid}/search FUZZY FALLBACK (round 16): the
+    // reference serves the rid-scoped search through the SAME paragraph
+    // reader (resource/search.py builds a plain ParagraphSearchRequest;
+    // reader.rs:104-139 refuzzes an empty exact page at topK > 0,
+    // min_score 0) — q160's request with the misspelled query serves
+    // q160's rows at the 0.5 fuzzy boost, the rid restriction riding
+    // the rerun and the highlight marking the EXPANDED terms
+    "q187_resource_search_fuzzy" -> ((s, dir) => {
+      import graft.api.{Find, Search}
+      Search.resourceSearch(
+        Find.Corpus(load(s, dir, "documents"), "doc_id", "text",
+          index = Some(graft.sources.IndexStore.tables(s, dir))),
+        rid = 20L, query = "sparkk quary",
+        topK = 20, bm25 = true, highlight = true)
+    }),
+
+    // §2.5 the PARSER'S DEFAULT SORT (parsers/search.py:168-182
+    // _parse_sorting): an empty-query /search with NO explicit sort
+    // defaults to created DESC — the recency listing q179 pins under
+    // an explicit orderBy now serves with none, on BOTH lists, because
+    // the corpus binds its created column (`createdCol`). Scores stay
+    // the proto-default 0.0 (the date order rides the index)
+    "q188_search_default_recent" -> ((s, dir) => {
+      import graft.api.Search
+      val docs = load(s, dir, "documents")
+        .withColumn("created", date_add(to_date(lit("2021-01-01")),
+          (col("doc_id") % 731).cast("int")))
+      val ix = graft.sources.IndexStore.tables(s, dir)
+      val resp = Search.search(docs, "doc_id", "text", "lang",
+        Some((ix.paragraphs, "paragraph_id", "p_text")),
+        Search.SearchRequest(query = "", topK = 12),
+        index = Some(ix), createdCol = Some("created"))
+      resp.documents.get
+        .select(lit("document").as("unit"),
+          col("doc_id").cast("string").as("id"), col("score"),
+          date_format(col("created"), "yyyy-MM-dd").as("created"))
+        .unionByName(resp.paragraphs.get
+          .select(lit("paragraph").as("unit"), col("paragraph_id").as("id"),
+            col("score"),
+            date_format(col("created"), "yyyy-MM-dd").as("created")))
+        .orderBy(col("unit"), col("created").desc, col("id"))
+    }),
+
+    // §3.5 `GET /catalog/facets` (catalog.py:200-214 → pg.py:175-206):
+    // resource counts per facet PATH — every ancestor of every label
+    // counts ONCE per resource (extract_facets is a per-resource set:
+    // the two /s/p labels below contribute one /s and one /s/p per
+    // doc, not two), prefix filters are SQL LIKE + the SPLIT_PART
+    // depth gate ("/s" at depth 1 admits /s and /s/p, drops the
+    // 4-segment leaves; "/u/s" undepthed admits its whole subtree).
+    // Scale shape: the per-resource facet set builds ARRAY-side, so
+    // the dedup costs no exchange — one explode + one hash agg
+    "q189_catalog_facets" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").withColumn("labels",
+        array(concat(lit("/s/p/"), col("lang")),
+          lit("/s/p/all"),
+          concat(lit("/u/s/"), col("source"))))
+      graft.operators.Facets.catalogFacets(docs, "doc_id", "labels",
+          prefixes = Seq(("/s", Some(1)), ("/u/s", None)))
+        .orderBy("facet")
     })
   )
 
@@ -6338,6 +6456,106 @@ object SparkEntry {
          |  WHERE score >= 0.9)
          |SELECT unit, id, score FROM doclist
          |UNION ALL SELECT unit, id, score FROM parlist
-         |ORDER BY unit, score DESC, id""".stripMargin
+         |ORDER BY unit, score DESC, id""".stripMargin,
+
+    // q185: the reference's min_score × offset composition — cut the
+    // inflated fetch (offset + top_k = 15) in score order, drop
+    // sub-threshold rows from the CUT page (never refill), then skip
+    // the first 5 rows of the thresholded response order
+    "q185_search_min_score_offset" ->
+      s"""WITH $Bm25Ctes,
+         |$ParCtes,
+         |doccut AS (SELECT doc_id, score FROM bm25
+         |           ORDER BY score DESC, doc_id LIMIT 15),
+         |doclist AS (SELECT 'document' AS unit, CAST(doc_id AS VARCHAR) AS id, score
+         |            FROM doccut WHERE score >= 0.9
+         |            ORDER BY score DESC, doc_id OFFSET 5),
+         |parcut AS (SELECT paragraph_id,
+         |             CAST(len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) AS DOUBLE) AS score
+         |           FROM par
+         |           WHERE len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) > 0
+         |           ORDER BY score DESC, paragraph_id LIMIT 15),
+         |parlist AS (SELECT 'paragraph' AS unit, paragraph_id AS id, score
+         |            FROM parcut WHERE score >= 0.9
+         |            ORDER BY score DESC, paragraph_id OFFSET 5)
+         |SELECT unit, id, score FROM doclist
+         |UNION ALL SELECT unit, id, score FROM parlist
+         |ORDER BY unit, score DESC, id""".stripMargin,
+
+    // q186: rows 11-20 of each list BY DATE — min_score 5.0 is ignored
+    // on date-ordered pages (convert_int_order takes no threshold;
+    // the scores are the proto-default 0.0, so a wrongly-applied
+    // threshold would empty both lists)
+    "q186_search_date_offset" ->
+      s"""WITH $Bm25Ctes,
+         |$ParCtes,
+         |dates AS (SELECT doc_id,
+         |            DATE '2021-01-01' + CAST(doc_id % 731 AS INT) AS created
+         |          FROM documents),
+         |doclist AS (SELECT 'document' AS unit, CAST(doc_id AS VARCHAR) AS id,
+         |              0.0 AS score, created
+         |            FROM bm25 JOIN dates USING (doc_id)
+         |            ORDER BY created DESC, doc_id LIMIT 10 OFFSET 10),
+         |parlist AS (SELECT 'paragraph' AS unit, paragraph_id AS id,
+         |              0.0 AS score, created
+         |            FROM par JOIN dates USING (doc_id)
+         |            WHERE len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) > 0
+         |            ORDER BY created DESC, paragraph_id LIMIT 10 OFFSET 10)
+         |SELECT unit, id, score, strftime(created, '%Y-%m-%d') AS created FROM doclist
+         |UNION ALL SELECT unit, id, score, strftime(created, '%Y-%m-%d') AS created FROM parlist
+         |ORDER BY unit, created DESC, id""".stripMargin,
+
+    // q187: q160's rid-scoped BM25 page at the 0.5 fuzzy boost — the
+    // misspelled query expands to exactly (spark, query) in the
+    // corpus dictionary (the same expansion q177 pins), the stats
+    // population stays doc 20's paragraphs (restriction-then-score),
+    // and the highlight marks the EXPANDED terms
+    "q187_resource_search_fuzzy" ->
+      s"""WITH ${parCtesFrom("(SELECT * FROM documents WHERE doc_id = 20) src20")},
+         |${parBm25Ctes("par", scale = 0.5)},
+         |top AS (SELECT paragraph_id, score FROM bm25
+         |        ORDER BY score DESC, paragraph_id LIMIT 20)
+         |SELECT t.paragraph_id, t.score,
+         |  regexp_replace(array_to_string(p.t[p.s+1:p.e], ' '),
+         |    '\\b(${QueryTerms.mkString("|")})\\b', '<mark>\\1</mark>', 'g') AS text
+         |FROM top t JOIN par p USING (paragraph_id)
+         |ORDER BY t.score DESC, t.paragraph_id""".stripMargin,
+
+    // q188: the parser's DEFAULT sort — q179's recency listing with no
+    // explicit order in the request, on both lists, unfiltered
+    "q188_search_default_recent" ->
+      s"""WITH $ParCtes,
+         |dates AS (SELECT doc_id,
+         |            DATE '2021-01-01' + CAST(doc_id % 731 AS INT) AS created
+         |          FROM documents),
+         |doclist AS (SELECT 'document' AS unit, CAST(doc_id AS VARCHAR) AS id,
+         |              0.0 AS score, created
+         |            FROM dates ORDER BY created DESC, doc_id LIMIT 12),
+         |parlist AS (SELECT 'paragraph' AS unit, paragraph_id AS id,
+         |              0.0 AS score, created
+         |            FROM par JOIN dates USING (doc_id)
+         |            ORDER BY created DESC, paragraph_id LIMIT 12)
+         |SELECT unit, id, score, strftime(created, '%Y-%m-%d') AS created FROM doclist
+         |UNION ALL SELECT unit, id, score, strftime(created, '%Y-%m-%d') AS created FROM parlist
+         |ORDER BY unit, created DESC, id""".stripMargin,
+
+    // q189: resource counts per ancestor facet path, per-resource
+    // deduplicated (extract_facets is a set), LIKE prefixes with the
+    // SPLIT_PART depth gate — "/s" depth 1 keeps facets under 4
+    // slash-parts, "/u/s" keeps its whole subtree
+    "q189_catalog_facets" ->
+      """WITH lab AS (SELECT doc_id,
+        |              unnest(['/s/p/' || lang, '/s/p/all', '/u/s/' || source]) AS label
+        |            FROM documents),
+        |parts AS (SELECT doc_id, regexp_split_to_array(label, '/') AS p FROM lab),
+        |anc AS (SELECT DISTINCT doc_id, array_to_string(p[1:i], '/') AS facet
+        |        FROM parts CROSS JOIN (SELECT unnest(range(2, 11)) AS i) ix
+        |        WHERE i <= len(p)),
+        |flt AS (SELECT facet FROM anc
+        |        WHERE (facet LIKE '/s%'
+        |               AND len(regexp_split_to_array(facet, '/')) < 4)
+        |           OR facet LIKE '/u/s%')
+        |SELECT facet, CAST(count(*) AS BIGINT) AS n
+        |FROM flt GROUP BY facet ORDER BY facet""".stripMargin
   )
 }

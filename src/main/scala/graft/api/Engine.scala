@@ -681,6 +681,14 @@ class Engine(
         else Some(Facets.facetCounts(base, labelsCol, facetPrefixes)
           .orderBy("facet")))
   }
+
+  /** `GET /kb/{kbid}/catalog/facets` — resource counts per facet path
+    * over the whole doc store ([[Facets.catalogFacets]];
+    * `search/api/v1/catalog.py:200-214`). `prefixes` are the request's
+    * (prefix, depth) pairs — empty lists every facet. */
+  def catalogFacets(
+      prefixes: Seq[(String, Option[Int])] = Nil): DataFrame =
+    Facets.catalogFacets(docs, docId, labelsCol, prefixes)
 }
 
 object Engine {

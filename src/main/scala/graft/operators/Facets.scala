@@ -161,6 +161,59 @@ object Facets {
       .groupBy("facet").agg(count(lit(1)).as("n"))
   }
 
+  /** `GET /kb/{kbid}/catalog/facets` — how many RESOURCES carry each
+    * facet path (`search/api/v1/catalog.py:200-214` →
+    * `common/catalog/pg.py:175-206`): the reference stores one
+    * `(rid, facet)` row per resource per ANCESTOR PATH of each label
+    * (`extract_facets`, pg.py:484-493 — "/l/a/b" yields /l, /l/a,
+    * /l/a/b, deduplicated per resource as a set) and serves
+    * `SELECT facet, COUNT(*) ... GROUP BY facet` under optional prefix
+    * filters: each request prefix is a plain SQL `LIKE '{prefix}%'`
+    * (STRING prefix — "/l" matches "/li/x" too, parity includes that),
+    * optionally AND `SPLIT_PART(facet, '/', parts(prefix) + depth + 1)
+    * = ''` (pg.py:176-194) which admits facets at most `depth`
+    * segments below the prefix.
+    *
+    * Spark shape: the per-resource facet SET builds ARRAY-SIDE
+    * (`array_distinct` over the flattened per-label ancestor arrays),
+    * so the reference's per-resource dedup costs no exchange — the
+    * plan is one explode + one hash aggregation with map-side partial
+    * combine; shuffle size is |distinct facet paths|, independent of
+    * row count. The prefix filter sits between the explode and the
+    * aggregation in the same codegen stage.
+    *
+    * @param prefixes (prefix, depth) pairs, OR-joined; empty = every
+    *   facet (CatalogFacetsRequest.prefixes default)
+    * @return (facet, n) — n the resource count
+    */
+  def catalogFacets(df: DataFrame, ridCol: String, labelsCol: String,
+      prefixes: Seq[(String, Option[Int])] = Nil): DataFrame = {
+    def ancestors(l: org.apache.spark.sql.Column) =
+      transform(sequence(lit(2), size(split(l, "/"))),
+        d => array_join(slice(split(l, "/"), lit(1), d), "/"))
+    val facetsOf = array_distinct(flatten(
+      transform(col(labelsCol), l => ancestors(l))))
+    val exploded = df.select(explode(facetsOf).as("facet"))
+    val filtered = prefixes match {
+      case Nil => exploded
+      case ps => exploded.where(ps.map { case (p, d) =>
+        val like = col("facet").startsWith(p)
+        d match {
+          case None => like
+          case Some(depth) =>
+            // SPLIT_PART(facet, '/', n) = '' — true when the facet has
+            // fewer than n slash-parts (or an empty nth part; label
+            // paths have no empty inner segments, the disjunct is for
+            // exactness)
+            val n = p.split("/", -1).length + depth + 1
+            val parts = split(col("facet"), "/", -1)
+            like && (size(parts) < n || element_at(parts, n) === "")
+        }
+      }.reduce(_ || _))
+    }
+    filtered.groupBy("facet").agg(count(lit(1)).cast("long").as("n"))
+  }
+
   /** Per-table counters — the `/counters` endpoint analog
     * (`search/api/v1/knowledgebox.py:77-93`).
     */

@@ -363,6 +363,29 @@ object ScaleStress {
     val (tAu10, _) = med3(augmentReq(docs10))
     println(f"[stress] augment_res_fields 1x $tAu1%.2fs 10x $tAu10%.2fs growth ${tAu10 / tAu1}%.1fx")
 
+    // ---- 3f. /search single-collect union (round-15 shape) ---------
+    // the tagged-union response materializes the doc page AND the
+    // paragraph page in ONE Spark job (the subtrees' stages run
+    // concurrently; facets stay a lazy plan). Doc side: term-pruned
+    // posting scan (query terms live only in replica 0). Paragraph
+    // side: the inline token-count scan over the at-rest paragraph
+    // table — the corpus-linear leg under measurement here.
+    def searchUnion(tag: String, d: DataFrame, parsDir: String): Long = {
+      val ix = graft.sources.IndexStore.IndexTables(
+        postings = spark.read.parquet(s"$out/$tag/postings"),
+        docLengths = spark.read.parquet(s"$out/$tag/dl"),
+        paragraphs = spark.read.parquet(parsDir))
+      val resp = graft.api.Search.search(d, "doc_id", "text", "lang",
+        Some((spark.read.parquet(parsDir), "paragraph_id", "p_text")),
+        graft.api.Search.SearchRequest(query = "spark query", topK = 20),
+        index = Some(ix))
+      resp.documents.map(_.count()).getOrElse(0L) +
+        resp.paragraphs.map(_.count()).getOrElse(0L)
+    }
+    val (tSU1, _) = med3(searchUnion("dp1", docs1, s"$out/pars1"))
+    val (tSU10, _) = med3(searchUnion("dp10", docs10, s"$out/pars10"))
+    println(f"[stress] search_union_collect 1x $tSU1%.2fs 10x $tSU10%.2fs growth ${tSU10 / tSU1}%.1fx")
+
     // ---- 4. suggest at 64 live segments, 10× segment rows ----------
     import spark.implicits._
     def segRoot(docsPerSeg: Int, tag: String): String = {

@@ -401,6 +401,38 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("catalog/facets: per-resource ancestor sets, LIKE prefixes, SPLIT_PART depth gate") {
+    import graft.operators.Facets
+    val d = Seq(
+      (1L, Seq("/l/a/x", "/l/a/y")), // shared ancestors /l and /l/a
+      (2L, Seq("/l/b")),
+      (3L, Seq("/li/z")), // a STRING-prefix match for '/l%' (pg LIKE)
+      (4L, Seq("/m/c")))
+      .toDF("rid", "labels")
+    def counts(ps: Seq[(String, Option[Int])]) =
+      Facets.catalogFacets(d, "rid", "labels", ps).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // no prefixes: every ancestor path, deduplicated PER RESOURCE —
+    // doc 1's two /l/a labels contribute ONE /l and ONE /l/a
+    // (extract_facets returns a set, pg.py:484-493)
+    assert(counts(Nil) == Map(
+      "/l" -> 2L, "/l/a" -> 1L, "/l/a/x" -> 1L, "/l/a/y" -> 1L,
+      "/l/b" -> 1L, "/li" -> 1L, "/li/z" -> 1L, "/m" -> 1L, "/m/c" -> 1L))
+    // the reference's prefix filter is a plain SQL LIKE '{prefix}%' —
+    // a STRING prefix, so '/l' admits '/li' too (parity includes it)
+    assert(counts(Seq(("/l", None))).keySet
+      == Set("/l", "/l/a", "/l/a/x", "/l/a/y", "/l/b", "/li", "/li/z"))
+    // depth 0 under '/l': SPLIT_PART(facet, '/', 3) = '' keeps the
+    // 2-part facets only ('/l' and the LIKE-matched '/li')
+    assert(counts(Seq(("/l", Some(0)))).keySet == Set("/l", "/li"))
+    // depth 1 adds the 3-part children, still dropping the leaves
+    assert(counts(Seq(("/l", Some(1)))).keySet
+      == Set("/l", "/l/a", "/l/b", "/li", "/li/z"))
+    // prefixes OR-join, each with its own depth
+    assert(counts(Seq(("/l/a", Some(0)), ("/m", None))).keySet
+      == Set("/l/a", "/m", "/m/c"))
+  }
+
   test("suggest: exact prefix first, fuzzy fill when empty, entity prefix list") {
     val tf = Seq(("spark", 10L), ("spars", 3L), ("scan", 5L)).toDF("term", "freq")
     val nodes = edges.select($"src".as("value"))
