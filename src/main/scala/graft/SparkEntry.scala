@@ -3254,6 +3254,71 @@ object SparkEntry {
       graft.operators.Facets.catalogFacets(docs, "doc_id", "labels",
           prefixes = Seq(("/s", Some(1)), ("/u/s", None)))
         .orderBy("facet")
+    }),
+
+    // §3.2 /search SEMANTIC feature (round 16): the response model's
+    // `sentences` list (KnowledgeboxSearchResults.sentences) — /search
+    // defaults features to KEYWORD+FULLTEXT+SEMANTIC
+    // (api/v1/search.py:133-138) and the vector sub-search rides the
+    // SAME request. Two pinned composition quirks: the parser inflates
+    // retrieval.top_k by the offset for EVERY sub-query
+    // (parsers/search.py:96-97), but the merge never offset-SKIPS the
+    // sentences (merge_vectors_results slices documents[:top_k] with
+    // no offset, merge.py:233-250) — so with topK=10, offset=5 the
+    // keyword/fulltext lists serve rows 6-15 while the semantic list
+    // serves the top 15. Served by the shared cost-model scorer
+    // (Find.semanticListFor — one scorer for find and /search, like
+    // the reference's one nidx_vector reader)
+    "q190_search_semantic_sentences" -> ((s, dir) => {
+      import graft.api.{Find, Search}
+      val docs = load(s, dir, "documents")
+      val emb = load(s, dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 0).select("embedding")
+        .collect().head.getSeq[Float](0)
+      val ix = graft.sources.IndexStore.tables(s, dir)
+      val resp = Search.search(docs, "doc_id", "text", "lang",
+        Some((ix.paragraphs, "paragraph_id", "p_text")),
+        Search.SearchRequest(query = QueryTerms.mkString(" "), topK = 10,
+          offset = 5, queryVector = Some(qv)),
+        index = Some(ix),
+        semanticCorpus = Some(Find.Corpus(docs, "doc_id", "text",
+          vectors = Some(emb), vecId = "vec_id")))
+      resp.documents.get
+        .select(lit("document").as("unit"),
+          col("doc_id").cast("string").as("id"), col("score"))
+        .unionByName(resp.paragraphs.get
+          .select(lit("paragraph").as("unit"),
+            col("paragraph_id").as("id"), col("score")))
+        .unionByName(resp.sentences.get
+          .select(lit("sentence").as("unit"),
+            col("doc_id").cast("string").as("id"), col("score")))
+        .orderBy(col("unit"), col("score").desc, col("id"))
+    }),
+
+    // §3.2 /search with_synonyms (query_with_synonyms,
+    // parsers/common.py:174-219): each query term rewrites to
+    // `(term OR syn1 OR ...)` BEFORE retrieval — never at the index —
+    // so BOTH text lists score the expanded set ('spark' expands to
+    // {spark, batch}: the doc BM25 sums both terms' contributions over
+    // the same stats population, the paragraph counts match either).
+    // Same contract as find's q40; /search's parser additionally
+    // REJECTS synonyms + semantic (ApiSpec pins the validation)
+    "q191_search_synonyms" -> ((s, dir) => {
+      import graft.api.Search
+      val docs = load(s, dir, "documents")
+      val ix = graft.sources.IndexStore.tables(s, dir)
+      val resp = Search.search(docs, "doc_id", "text", "lang",
+        Some((ix.paragraphs, "paragraph_id", "p_text")),
+        Search.SearchRequest(query = "spark", topK = 10,
+          synonyms = Map("spark" -> Seq("batch"))),
+        index = Some(ix))
+      resp.documents.get
+        .select(lit("document").as("unit"),
+          col("doc_id").cast("string").as("id"), col("score"))
+        .unionByName(resp.paragraphs.get
+          .select(lit("paragraph").as("unit"),
+            col("paragraph_id").as("id"), col("score")))
+        .orderBy(col("unit"), col("score").desc, col("id"))
     })
   )
 
@@ -6556,6 +6621,57 @@ object SparkEntry {
         |               AND len(regexp_split_to_array(facet, '/')) < 4)
         |           OR facet LIKE '/u/s%')
         |SELECT facet, CAST(count(*) AS BIGINT) AS n
-        |FROM flt GROUP BY facet ORDER BY facet""".stripMargin
+        |FROM flt GROUP BY facet ORDER BY facet""".stripMargin,
+
+    // q190: the keyword/fulltext lists serve rows 6-15 (the offset
+    // skip), the SEMANTIC list serves the top 15 (fetch inflated to
+    // offset+topK, never skipped — merge_vectors_results takes no
+    // offset); cosine vs the vec_id=0 query, docs-restricted
+    "q190_search_semantic_sentences" ->
+      s"""WITH $Bm25Ctes,
+         |$ParCtes,
+         |doccut AS (SELECT doc_id, score FROM bm25
+         |           ORDER BY score DESC, doc_id LIMIT 15),
+         |doclist AS (SELECT 'document' AS unit, CAST(doc_id AS VARCHAR) AS id, score
+         |            FROM doccut ORDER BY score DESC, doc_id OFFSET 5),
+         |parcut AS (SELECT paragraph_id,
+         |             CAST(len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) AS DOUBLE) AS score
+         |           FROM par
+         |           WHERE len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) > 0
+         |           ORDER BY score DESC, paragraph_id LIMIT 15),
+         |parlist AS (SELECT 'paragraph' AS unit, paragraph_id AS id, score
+         |            FROM parcut ORDER BY score DESC, paragraph_id OFFSET 5),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |sentlist AS (SELECT 'sentence' AS unit, CAST(e.vec_id AS VARCHAR) AS id,
+         |               round(${cosSql("e.v", "q.qv")}, 6) AS score
+         |             FROM e CROSS JOIN q
+         |             JOIN documents d ON d.doc_id = e.vec_id
+         |             WHERE round(${cosSql("e.v", "q.qv")}, 6) >= 0.0
+         |             ORDER BY score DESC, e.vec_id LIMIT 15)
+         |SELECT unit, id, score FROM doclist
+         |UNION ALL SELECT unit, id, score FROM parlist
+         |UNION ALL SELECT unit, id, score FROM sentlist
+         |ORDER BY unit, score DESC, id""".stripMargin,
+
+    // q191: 'spark' expands to {spark, batch} — BM25 sums both terms'
+    // contributions (one stats population), the paragraph counts match
+    // either token
+    "q191_search_synonyms" ->
+      s"""WITH $TokCte,
+         |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |${bm25CtesFor(Seq("spark", "batch"), "s")},
+         |$ParCtes,
+         |doclist AS (SELECT 'document' AS unit, CAST(doc_id AS VARCHAR) AS id, score
+         |            FROM sbm25 ORDER BY score DESC, doc_id LIMIT 10),
+         |parlist AS (SELECT 'paragraph' AS unit, paragraph_id AS id,
+         |              CAST(len(list_filter(t[s+1:e], x -> list_contains(['spark', 'batch'], x))) AS DOUBLE) AS score
+         |            FROM par
+         |            WHERE len(list_filter(t[s+1:e], x -> list_contains(['spark', 'batch'], x))) > 0
+         |            ORDER BY score DESC, paragraph_id LIMIT 10)
+         |SELECT unit, id, score FROM doclist
+         |UNION ALL SELECT unit, id, score FROM parlist
+         |ORDER BY unit, score DESC, id""".stripMargin
   )
 }

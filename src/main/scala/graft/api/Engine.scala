@@ -416,7 +416,11 @@ class Engine(
     Search.search(docs, docId, textCol, labelsCol,
       paragraphs = Some((index.paragraphs, "paragraph_id", "p_text")),
       req = req, index = Some(index), bindings = bindings,
-      createdCol = Some("created").filter(docs.columns.contains))
+      createdCol = Some("created").filter(docs.columns.contains),
+      // the SEMANTIC feature serves this engine's vector store (the
+      // same per-set indexes + similarity configs find uses); engines
+      // without ingested vectors serve no sentences list
+      semanticCorpus = Some(corpus()))
 
   /** `GET /kb/{kbid}/suggest` (SURVEY §3.4) — merged paragraph + entity
     * completion; `filter` applies the reference's field/security
@@ -606,6 +610,30 @@ class Engine(
     GraphSearch.relationsSubgraph(t, entryPoints,
       deletedEntities, deletedGroups, topK,
       allowedResources = filter.map(allowedResources))
+  }
+
+  /** /search's RELATIONS feature — the SAME distance-1 subgraph merge
+    * as find's ([[findRelations]]; `merge.py:534-537` routes both
+    * surfaces to merge_relations_results), except the /search parser
+    * builds its RelationQuery from DETECTED entities only, with NO
+    * deletions (`parsers/search.py:158-163` _parse_relation_query —
+    * empty deleted_entity_groups/deleted_entities; /search has no
+    * query_entities param). The reference detects via the external
+    * Predict NER — fixture-isolated here like query embeddings:
+    * detection runs the engine's own entity matcher
+    * ([[GraphRag.queryEntities]], the suggest-methodology fuzzy word
+    * match over this corpus's relation nodes), or the caller passes
+    * explicit `entryPoints` to stand in for the external model's
+    * output. */
+  def searchRelations(query: String, topK: Int = 50,
+      filter: Option[FilterExpr] = None,
+      entryPoints: Option[Seq[GraphSearch.EntryPoint]] = None): DataFrame = {
+    val eps = entryPoints.getOrElse(
+      // bounded by queryEntities' own top-50 cut — a driver list by
+      // construction, like every graph frontier
+      GraphRag.queryEntities(edgeTable(), query).collect()
+        .map(r => GraphSearch.EntryPoint(r.getString(0))).toSeq)
+    findRelations(eps, topK = topK, filter = filter)
   }
 
   /** `POST /kb/{kbid}/graph/relations`. */

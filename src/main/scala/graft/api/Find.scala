@@ -372,101 +372,11 @@ object Find {
     // identical downstream semantics, since fusion never ranks more
     // than [[RankFusion.MaxWindow]] rows per list.
     val semanticList: Option[DataFrame] = for {
-      vecs0 <- corpus.vectors
+      _ <- corpus.vectors
       qv <- req.queryVector
-    } yield {
-      // an unnamed request searches the DEFAULT set; when the corpus
-      // binds its indexes per-vectorset only (the Engine facade shape),
-      // the default set's index — and with it the set's
-      // similarity/normalize config — must resolve through
-      // `defaultVectorset`, not silently fall back to brute cosine
-      val boundIndex = req.vectorset match {
-        case None => corpus.vectorIndex
-          .orElse(corpus.vectorIndexes.get(corpus.defaultVectorset))
-        case Some(vs) => corpus.vectorIndexes.get(vs)
-      }
-      // the SET'S index config decides scoring (`config.rs:102-137`,
-      // similarity_function at :163-168): dot-configured sets score
-      // with dot on BOTH branches (index and brute — the reference's
-      // brute fallback uses the same similarity_function), and a
-      // normalize-configured set normalizes the QUERY as well
-      // (`searcher.rs:246-249`); sets without a bound index keep the
-      // engine's historical cosine
-      val (sim, normalized) = boundIndex
-        .map(ix => (ix.similarity, ix.normalized))
-        .getOrElse((VectorFunctions.Similarity.Cosine, false))
-      val qvEff = if (normalized) VectorFunctions.normalizeLocal(qv) else qv
-      val bigEnough = boundIndex.exists(_.nVectors >= corpus.annBruteThreshold)
-      // density check only when a filter restricts the set — the count
-      // costs one scan of the filtered doc table, the same scan the
-      // brute branch would pay (the reference's matching_nodes count)
-      val denseEnough = bigEnough && (!hasRestriction ||
-        useAnnIndex(allowedIds.count(), boundIndex.get.nVectors,
-          corpus.annDensityThreshold))
-      if (denseEnough) {
-        val vix = boundIndex.get
-        val window = math.max(req.topK, RankFusion.MaxWindow)
-        val allowed = allowedIds.select(col(corpus.docId).as(corpus.vecId))
-        // the exact-rerank side keeps the brute path's docs restriction
-        // (vector ids absent from the doc table can never reach the
-        // response): the semi-join applies to the ≤rerank candidate
-        // rows, not the corpus — out-of-docs candidates waste rerank
-        // slots instead of surfacing and then vanishing at hydration.
-        // Raw vectors come from the INDEX's own table (vix.raw) — for a
-        // named vectorset that is the set's slice, matching the codes
-        val raw = Prefilter.semiJoin(vix.raw, corpus.vecId, allowed)
-        // filter pushdown INTO the index: restrict the code table to
-        // the allowed ids, so every ADC candidate is already allowed
-        // and no rerank slot is wasted on filtered-out docs
-        val codes =
-          if (!hasRestriction) vix.codes
-          else Prefilter.semiJoin(vix.codes, corpus.vecId, allowed)
-        VectorSearch.ivfPqSearchAtRest(
-            codes, raw, corpus.vecId, "code", corpus.vecCol,
-            vix.centroids, vix.codebook, vix.m, qvEff,
-            k = window,
-            nprobe = req.annNprobe.getOrElse(math.max(1, vix.centroids.size / 2)),
-            rerank = req.annRerank.getOrElse(2 * window),
-            minScore = req.semanticMinScore,
-            similarity = sim)
-          .select(col(corpus.vecId).as(corpus.docId), col("score"))
-      } else {
-        // vectorset selection = partition pruning on the vectorset
-        // column. On a multi-vectorset corpus a request WITHOUT a named
-        // set searches the DEFAULT set (`config.rs:100-126` — every KB
-        // has a default vectorset), never the union: the sets have
-        // different dimensions, so an unpruned scan would score
-        // truncated cosines and surface the same doc once per set.
-        val vecs = corpus.vectorsetCol match {
-          case Some(c) =>
-            val vs = req.vectorset.getOrElse(corpus.defaultVectorset)
-            val pruned = vecs0.where(col(c) === vs)
-            // a set name matching nothing in a non-empty corpus is a
-            // config error (wrong defaultVectorset / typo'd request) —
-            // fail loudly, never silently drop the semantic list. The
-            // probe is partition-pruned head(1); the second probe runs
-            // only on the failure path.
-            require(!pruned.isEmpty || vecs0.isEmpty,
-              s"vectorset '$vs' has no vectors in this corpus — check " +
-                "FindRequest.vectorset / Corpus.defaultVectorset")
-            pruned
-          case None => vecs0
-        }
-        val allowed = allowedIds.select(col(corpus.docId).as(corpus.vecId))
-        // a normalize-configured set normalizes the corpus side inline
-        // on the brute branch too (the at-rest branch reads the already-
-        // normalized raw table; here the source is the raw vectors)
-        val vecExpr =
-          if (!normalized) col(corpus.vecCol)
-          else transform(VectorFunctions.normalize(col(corpus.vecCol)),
-            _.cast("float"))
-        Prefilter.semiJoin(vecs, corpus.vecId, allowed)
-          .withColumn("score",
-            round(VectorFunctions.score(sim, vecExpr, typedlit(qvEff)), 6))
-          .where(col("score") >= req.semanticMinScore)
-          .select(col(corpus.vecId).as(corpus.docId), col("score"))
-      }
-    }
+    } yield semanticListFor(corpus, qv, req.vectorset, req.topK,
+      req.semanticMinScore, req.annNprobe, req.annRerank,
+      hasRestriction, allowedIds)
 
     // 4b. GRAPH list: matched paths with resource provenance become
     // retrieval candidates at a CONSTANT score — the reference's
@@ -508,6 +418,116 @@ object Find {
       semanticList.map(("semantic", _, req.semanticWeight)),
       graphList.map(("graph", _, req.graphWeight))).flatten
     (parsed, terms, lists)
+  }
+
+  /** The semantic retrieval list — the cost-model brute-vs-index
+    * duality behind find's fusion, split out (round 16) so classic
+    * /search's `sentences` list serves the SAME scorer (the reference
+    * routes both surfaces to the one nidx_vector reader). Returns
+    * (docId, score) rows with `score >= semanticMinScore`, UNCUT on
+    * the brute branch (callers cut at their own window — find at the
+    * fusion window, /search at the inflated fetch). `allowedIds` is
+    * the prefiltered doc-id projection (the full doc set when
+    * unrestricted — the docs semi-join applies either way, vector ids
+    * absent from the doc store never reach a response). */
+  private[api] def semanticListFor(
+      corpus: Corpus, qv: Seq[Float], vectorset: Option[String],
+      topK: Int, semanticMinScore: Double,
+      annNprobe: Option[Int], annRerank: Option[Int],
+      hasRestriction: Boolean, allowedIds: DataFrame): DataFrame = {
+    val vecs0 = corpus.vectors.getOrElse(throw new IllegalArgumentException(
+      "a semantic list needs Corpus.vectors"))
+    // an unnamed request searches the DEFAULT set; when the corpus
+    // binds its indexes per-vectorset only (the Engine facade shape),
+    // the default set's index — and with it the set's
+    // similarity/normalize config — must resolve through
+    // `defaultVectorset`, not silently fall back to brute cosine
+    val boundIndex = vectorset match {
+      case None => corpus.vectorIndex
+        .orElse(corpus.vectorIndexes.get(corpus.defaultVectorset))
+      case Some(vs) => corpus.vectorIndexes.get(vs)
+    }
+    // the SET'S index config decides scoring (`config.rs:102-137`,
+    // similarity_function at :163-168): dot-configured sets score
+    // with dot on BOTH branches (index and brute — the reference's
+    // brute fallback uses the same similarity_function), and a
+    // normalize-configured set normalizes the QUERY as well
+    // (`searcher.rs:246-249`); sets without a bound index keep the
+    // engine's historical cosine
+    val (sim, normalized) = boundIndex
+      .map(ix => (ix.similarity, ix.normalized))
+      .getOrElse((VectorFunctions.Similarity.Cosine, false))
+    val qvEff = if (normalized) VectorFunctions.normalizeLocal(qv) else qv
+    val bigEnough = boundIndex.exists(_.nVectors >= corpus.annBruteThreshold)
+    // density check only when a filter restricts the set — the count
+    // costs one scan of the filtered doc table, the same scan the
+    // brute branch would pay (the reference's matching_nodes count)
+    val denseEnough = bigEnough && (!hasRestriction ||
+      useAnnIndex(allowedIds.count(), boundIndex.get.nVectors,
+        corpus.annDensityThreshold))
+    if (denseEnough) {
+      val vix = boundIndex.get
+      val window = math.max(topK, RankFusion.MaxWindow)
+      val allowed = allowedIds.select(col(corpus.docId).as(corpus.vecId))
+      // the exact-rerank side keeps the brute path's docs restriction
+      // (vector ids absent from the doc table can never reach the
+      // response): the semi-join applies to the ≤rerank candidate
+      // rows, not the corpus — out-of-docs candidates waste rerank
+      // slots instead of surfacing and then vanishing at hydration.
+      // Raw vectors come from the INDEX's own table (vix.raw) — for a
+      // named vectorset that is the set's slice, matching the codes
+      val raw = Prefilter.semiJoin(vix.raw, corpus.vecId, allowed)
+      // filter pushdown INTO the index: restrict the code table to
+      // the allowed ids, so every ADC candidate is already allowed
+      // and no rerank slot is wasted on filtered-out docs
+      val codes =
+        if (!hasRestriction) vix.codes
+        else Prefilter.semiJoin(vix.codes, corpus.vecId, allowed)
+      VectorSearch.ivfPqSearchAtRest(
+          codes, raw, corpus.vecId, "code", corpus.vecCol,
+          vix.centroids, vix.codebook, vix.m, qvEff,
+          k = window,
+          nprobe = annNprobe.getOrElse(math.max(1, vix.centroids.size / 2)),
+          rerank = annRerank.getOrElse(2 * window),
+          minScore = semanticMinScore,
+          similarity = sim)
+        .select(col(corpus.vecId).as(corpus.docId), col("score"))
+    } else {
+      // vectorset selection = partition pruning on the vectorset
+      // column. On a multi-vectorset corpus a request WITHOUT a named
+      // set searches the DEFAULT set (`config.rs:100-126` — every KB
+      // has a default vectorset), never the union: the sets have
+      // different dimensions, so an unpruned scan would score
+      // truncated cosines and surface the same doc once per set.
+      val vecs = corpus.vectorsetCol match {
+        case Some(c) =>
+          val vs = vectorset.getOrElse(corpus.defaultVectorset)
+          val pruned = vecs0.where(col(c) === vs)
+          // a set name matching nothing in a non-empty corpus is a
+          // config error (wrong defaultVectorset / typo'd request) —
+          // fail loudly, never silently drop the semantic list. The
+          // probe is partition-pruned head(1); the second probe runs
+          // only on the failure path.
+          require(!pruned.isEmpty || vecs0.isEmpty,
+            s"vectorset '$vs' has no vectors in this corpus — check " +
+              "FindRequest.vectorset / Corpus.defaultVectorset")
+          pruned
+        case None => vecs0
+      }
+      val allowed = allowedIds.select(col(corpus.docId).as(corpus.vecId))
+      // a normalize-configured set normalizes the corpus side inline
+      // on the brute branch too (the at-rest branch reads the already-
+      // normalized raw table; here the source is the raw vectors)
+      val vecExpr =
+        if (!normalized) col(corpus.vecCol)
+        else transform(VectorFunctions.normalize(col(corpus.vecCol)),
+          _.cast("float"))
+      Prefilter.semiJoin(vecs, corpus.vecId, allowed)
+        .withColumn("score",
+          round(VectorFunctions.score(sim, vecExpr, typedlit(qvEff)), 6))
+        .where(col("score") >= semanticMinScore)
+        .select(col(corpus.vecId).as(corpus.docId), col("score"))
+    }
   }
 
   /** Fusion + page cut + hydration over already-built retrieval lists

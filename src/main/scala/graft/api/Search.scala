@@ -97,16 +97,48 @@ object Search {
       // text column with <mark> spans over the parsed terms (quoted
       // phrases merged to one span), the PARAGRAPH list returns its
       // text marked alongside (id, score)
-      highlight: Boolean = false)
+      highlight: Boolean = false,
+      // the SEMANTIC feature's query vector (/search's default
+      // features include SEMANTIC, `api/v1/search.py:133-138`; the
+      // reference fetches the embedding from Predict — this API takes
+      // it explicitly, the same fixture-vector bound as
+      // FindRequest.queryVector). None = feature not requested; the
+      // `sentences` list also needs the search() call to bind a
+      // semantic corpus
+      queryVector: Option[Seq[Float]] = None,
+      // named vectorset for the semantic list (None = the corpus's
+      // default set, `config.rs:100-126`)
+      vectorset: Option[String] = None,
+      // the request's `min_score.semantic` (`query_parser/models.py`
+      // MinScore.semantic): the vector index drops sub-threshold hits
+      // itself (`nidx_vector/src/searcher.rs`; the merge's belt
+      // re-check keeps score >= min_score, merge.py:244-250). The
+      // reference default resolves the embedding model's threshold
+      // from Predict — external, so this API defaults 0.0 like the
+      // engine's other semantic surfaces
+      minScoreSemantic: Double = 0.0,
+      // the reference's `with_synonyms` (`query_with_synonyms`,
+      // parsers/common.py:174-219): each query term rewrites to
+      // `(term OR syn1 OR syn2)` BEFORE retrieval — never applied to
+      // the index — so both text lists score the expanded set. A
+      // non-empty map IS the flag; the KB-level synonym store is
+      // request-carried like FindRequest.synonyms. Incompatible with
+      // the semantic feature (parser _validate_request,
+      // parsers/search.py:126-137)
+      synonyms: Map[String, Seq[String]] = Map.empty)
 
   /** The multi-part response: independent lists + facet counts, each a
     * lazily-evaluated DataFrame (callers materialize what they need —
     * the only_faceted fast path is simply not evaluating `documents`).
-    */
+    * `sentences` is the SEMANTIC list (the response model's
+    * `sentences` field, `nucliadb_models/search.py:289-298`
+    * KnowledgeboxSearchResults) — present when the request carried a
+    * query vector and the call bound a semantic corpus. */
   final case class SearchResponse(
       documents: Option[DataFrame],
       paragraphs: Option[DataFrame],
-      facets: Option[DataFrame])
+      facets: Option[DataFrame],
+      sentences: Option[DataFrame] = None)
 
   /** Skip the first `offset` rows of `df` in `ord` order — the merge's
     * `raw_list[offset:]` over a fetched page. One-partition window by
@@ -153,7 +185,14 @@ object Search {
       // facade threads its own) bind them here so Facet/Security/
       // Keyword leaves hit the right columns
       bindings: FilterExpr.Bindings = FilterExpr.Bindings(),
-      createdCol: Option[String] = None): SearchResponse = {
+      createdCol: Option[String] = None,
+      // binds the SEMANTIC feature's vector store (vectors + per-set
+      // indexes + similarity configs — the same [[Find.Corpus]] the
+      // hybrid find serves; only its vector side is read here). The
+      // sentences list serves the shared cost-model scorer
+      // ([[Find.semanticListFor]]) when the request carries a
+      // queryVector and this corpus binds vectors.
+      semanticCorpus: Option[Find.Corpus] = None): SearchResponse = {
     // the default-sort gate shares the match-all listing's emptiness
     // predicate (a truly empty search string — search_query.rs:100-104;
     // the parser's own check is len(query) == 0, parsers/search.py:169)
@@ -164,7 +203,7 @@ object Search {
       case _ => req
     }
     searchWith(docs, docId, textCol, labelsCol, paragraphs, effective,
-      index, bindings)
+      index, bindings, semanticCorpus)
   }
 
   private def searchWith(
@@ -172,7 +211,8 @@ object Search {
       paragraphs: Option[(DataFrame, String, String)],
       req: SearchRequest,
       index: Option[graft.sources.IndexStore.IndexTables],
-      bindings: FilterExpr.Bindings): SearchResponse = {
+      bindings: FilterExpr.Bindings,
+      semanticCorpus: Option[Find.Corpus]): SearchResponse = {
     require(req.orderBy.isEmpty || req.sortField.isEmpty,
       "orderBy (index-side date sort) and sortField (merge-side " +
         "attribute sort) are the same reference `sort` param routed " +
@@ -191,14 +231,50 @@ object Search {
       if (req.faceted.isEmpty) None
       else Some(Facets.facetCounts(base, labelsCol, req.faceted).orderBy("facet"))
 
+    // only_faceted skips every result list, the semantic one included
     if (req.onlyFaceted) return SearchResponse(None, None, facetDf)
+
+    // SEMANTIC (sentences) list — the response model's `sentences`
+    // field served by the shared cost-model scorer. Reference
+    // composition quirks, both pinned: the parser inflates
+    // retrieval.top_k by the offset for EVERY sub-query
+    // (`parsers/search.py:96-97` mutates _top_k before the feature
+    // parse) but the merge never offset-SKIPS the sentences
+    // (merge_vectors_results takes no offset and slices
+    // documents[:top_k], merge.py:233-250) — so the list is the top
+    // offset+topK hits; and the index-side date order routes TEXT
+    // queries only (`get_sort_field_proto` is applied inside
+    // _parse_text_query), so an orderBy never reaches this list.
+    // min_score.semantic drops at the index; the merge's belt keeps
+    // score >= min_score.
+    val sentences: Option[DataFrame] = for {
+      c <- semanticCorpus
+      if c.vectors.isDefined
+      qv <- req.queryVector
+    } yield Find.semanticListFor(c, qv, req.vectorset, fetchK,
+        req.minScoreSemantic, annNprobe = None, annRerank = None,
+        hasRestriction = req.filter.nonEmpty,
+        allowedIds = base.select(col(docId).as(c.docId)))
+      .orderBy(col("score").desc, col(c.docId).asc)
+      .limit(fetchK)
+
+    // synonym expansion rewrites the TEXT query only — a request also
+    // carrying the semantic feature is the parser's validation error
+    // (`_validate_request`, parsers/search.py:126-137; same message)
+    require(req.synonyms.isEmpty || req.query.trim.isEmpty ||
+        req.queryVector.isEmpty,
+      "Search with custom synonyms is only supported on paragraph and " +
+        "document search")
+    // the expanded term set scores BOTH text lists (parse_text_query
+    // runs once and fulltext copies keyword, parsers/search.py:105-112)
+    val qTerms = graft.operators.Synonyms.expand(parsed.terms, req.synonyms)
 
     // phrase token groups for highlight (quoted phrases merge to one
     // span, identical to the find hydration)
     val phraseToks = parsed.phrases
       .map(_.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
     val doHighlight = req.highlight &&
-      (parsed.terms.nonEmpty || phraseToks.nonEmpty)
+      (qTerms.nonEmpty || phraseToks.nonEmpty)
 
     // the AllQuery match-all listing triggers on a truly EMPTY query
     // only (`search_query.rs:100-104` — the parser builds AllQuery for
@@ -209,7 +285,7 @@ object Search {
     val emptyQuery = req.query.trim.isEmpty
 
     val docList =
-      if (parsed.terms.isEmpty && !(req.orderBy.isDefined && emptyQuery)) None
+      if (qTerms.isEmpty && !(req.orderBy.isDefined && emptyQuery)) None
       else if (req.orderBy.isDefined) {
         // index-side date order: the page is the topK matches BY DATE
         // (see OrderByDate) — an empty query is the AllQuery match-all
@@ -227,9 +303,9 @@ object Search {
           else {
             val scored = index match {
               case Some(ix) => Bm25.scoreFromPostings(ix.postings,
-                ix.docLengths, docId, parsed.terms,
+                ix.docLengths, docId, qTerms,
                 allowed = req.filter.map(_ => base.select(docId)))
-              case None => Bm25.score(base, docId, textCol, parsed.terms)
+              case None => Bm25.score(base, docId, textCol, qTerms)
             }
             // ONE join serves the date (and, when highlighting, the
             // text to mark) — the cut below bounds everything after
@@ -247,15 +323,15 @@ object Search {
           else page // marked text hydrates the cut page only
             .select(col(docId), lit(0.0).as("score"), col(ob.dateCol),
               graft.functions.TextFunctions
-                .highlightWithPhrases(col(textCol), phraseToks, parsed.terms)
+                .highlightWithPhrases(col(textCol), phraseToks, qTerms)
                 .as(textCol)))
       }
       else {
         val scored = index match {
           case Some(ix) => Bm25.scoreFromPostings(ix.postings, ix.docLengths,
-            docId, parsed.terms,
+            docId, qTerms,
             allowed = req.filter.map(_ => base.select(docId)))
-          case None => Bm25.score(base, docId, textCol, parsed.terms)
+          case None => Bm25.score(base, docId, textCol, qTerms)
         }
         // the offset skip happens in RESPONSE (score) order, BEFORE any
         // merge-side attribute re-sort — merge.py:135's raw[offset:]
@@ -300,7 +376,7 @@ object Search {
               case None => withText.orderBy(col("score").desc, col(docId).asc)
             }
             ordered.withColumn(textCol, graft.functions.TextFunctions
-              .highlightWithPhrases(col(textCol), phraseToks, parsed.terms))
+              .highlightWithPhrases(col(textCol), phraseToks, qTerms))
           })
       }
 
@@ -407,8 +483,8 @@ object Search {
         df => skipOffset(df, col(pid), ord, req.offset)
       case None => identity
     }
-    parListFor(parsed.terms, 1.0) match {
-      case None => SearchResponse(docList, None, facetDf)
+    parListFor(qTerms, 1.0) match {
+      case None => SearchResponse(docList, None, facetDf, sentences)
       // the reference validates top_k <= 200 (search.py le=200); above
       // it this API keeps the distributed plans and skips the fallback,
       // so the eager page collect stays request-bounded. A non-zero
@@ -416,14 +492,15 @@ object Search {
       // empty ∧ topK > 0 ∧ min_score == 0 (reader.rs:128)
       case Some(p0) if req.topK <= 0 || req.topK > Find.MaxFallbackTopK ||
           req.minScore != 0.0 =>
-        SearchResponse(docList, Some(parSkip(p0)), facetDf)
+        SearchResponse(docList, Some(parSkip(p0)), facetDf, sentences)
       case Some(p0) =>
-        // only the two topK-BOUNDED pages ride the union — the facet
-        // frame stays a lazy distributed plan because its cardinality
-        // is the label population's, not the request's (collecting it
-        // per request would put an unbounded frame on the driver)
+        // only the topK-BOUNDED pages ride the union (the semantic
+        // page is fetchK-bounded too) — the facet frame stays a lazy
+        // distributed plan because its cardinality is the label
+        // population's, not the request's (collecting it per request
+        // would put an unbounded frame on the driver)
         val sides: Seq[(String, DataFrame)] =
-          Seq("d" -> docList, "p" -> Some(p0))
+          Seq("d" -> docList, "p" -> Some(p0), "s" -> sentences)
             .collect { case (t, Some(df)) => (t, df) }
         // side+position-prefixed columns guarantee no name/type
         // collision in the union, and the POSITIONAL rename (toDF)
@@ -456,10 +533,10 @@ object Search {
             }
             val expanded = index.flatMap(_.parDeletes) match {
               case Some(del) if del.columns.contains("variant") =>
-                Find.fuzzyExpandWithDeletes(del, dict, parsed.terms)
-              case _ => Find.fuzzyExpand(dict, parsed.terms)
+                Find.fuzzyExpandWithDeletes(del, dict, qTerms)
+              case _ => Find.fuzzyExpand(dict, qTerms)
             }
-            if (expanded.isEmpty || expanded.toSet == parsed.terms.toSet)
+            if (expanded.isEmpty || expanded.toSet == qTerms.toSet)
               localSide("p", p0)
             else parListFor(expanded, 0.5) match {
               case Some(fb) => Find.localPage(fb, fb.collect())
@@ -468,9 +545,11 @@ object Search {
           }
         // the doc side skipped in-plan (before the collect); the
         // paragraph side skips HERE so the fallback trigger above read
-        // the pre-offset page
+        // the pre-offset page; the semantic side never skips (the
+        // merge quirk documented at the list build)
         SearchResponse(docList.map(d => localSide("d", d)),
-          Some(parSkip(parLocal)), facetDf)
+          Some(parSkip(parLocal)), facetDf,
+          sentences.map(s => localSide("s", s)))
     }
   }
 

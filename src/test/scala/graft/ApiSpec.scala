@@ -401,6 +401,103 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("search: SEMANTIC sentences list — shared scorer, offset inflates but never skips, min_score.semantic drops") {
+    import org.apache.spark.sql.functions.col
+    import graft.api.Find
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.8f, 0.6f)),
+      (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val c = Find.Corpus(docs, "doc_id", "text", vectors = Some(vecs))
+    def run(req: SearchRequest) = Search.search(
+      docs, "doc_id", "text", "labels", None, req,
+      semanticCorpus = Some(c))
+    def sent(r: Search.SearchResponse): Seq[(Long, Double)] =
+      r.sentences.map(_.collect()
+        .map(x => (x.getLong(0), x.getDouble(1))).toSeq).getOrElse(Nil)
+    // cosine vs (1,0): doc1 = 1.0, doc2 = 0.8, doc3 = 0.0
+    val base = run(SearchRequest(query = "spark", topK = 2,
+      queryVector = Some(Seq(1.0f, 0.0f))))
+    assert(sent(base) == Seq((1L, 1.0), (2L, 0.8)))
+    // min_score.semantic drops sub-threshold hits (index-side)
+    assert(sent(run(SearchRequest(query = "spark", topK = 3,
+      queryVector = Some(Seq(1.0f, 0.0f)), minScoreSemantic = 0.5)))
+      == Seq((1L, 1.0), (2L, 0.8)))
+    // the OFFSET quirk: the fetch inflates to offset+topK for every
+    // sub-query but the merge never skips the sentences
+    // (merge_vectors_results takes no offset) — with topK=1, offset=1
+    // the doc list serves row 2 while the semantic list serves the
+    // top 2
+    val off = run(SearchRequest(query = "spark", topK = 1, offset = 1,
+      queryVector = Some(Seq(1.0f, 0.0f))))
+    assert(off.documents.get.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(sent(off) == Seq((1L, 1.0), (2L, 0.8)))
+    // the request filter prefilters the vector search like every
+    // sub-search (docs 1-2 are /s/p/en, doc 3 /s/p/de)
+    assert(sent(run(SearchRequest(query = "spark", topK = 3,
+      queryVector = Some(Seq(0.0f, 1.0f)),
+      filter = Some(graft.operators.FilterExpr.Facet("/s/p/de")))))
+      == Seq((3L, 1.0)))
+    // no query vector / no semantic corpus / only_faceted → no list
+    assert(run(SearchRequest(query = "spark", topK = 2)).sentences.isEmpty)
+    assert(Search.search(docs, "doc_id", "text", "labels", None,
+      SearchRequest(query = "spark", topK = 2,
+        queryVector = Some(Seq(1.0f, 0.0f)))).sentences.isEmpty)
+    assert(run(SearchRequest(query = "spark", faceted = Seq("/s/p"),
+      onlyFaceted = true,
+      queryVector = Some(Seq(1.0f, 0.0f)))).sentences.isEmpty)
+    // the paragraph-fallback union path carries the semantic side too
+    // (typo'd query: paragraphs refuzz, sentences unchanged)
+    val pars = Seq(
+      ("1/t/body/0-5", "spark engine spark runs fast", 1L),
+      ("2/t/body/0-4", "query planner for spark", 2L))
+      .toDF("paragraph_id", "p_text", "doc_id")
+    val fb = Search.search(docs, "doc_id", "text", "labels",
+      Some((pars, "paragraph_id", "p_text")),
+      SearchRequest(query = "sparkk", topK = 2,
+        queryVector = Some(Seq(1.0f, 0.0f))),
+      semanticCorpus = Some(c))
+    assert(fb.paragraphs.get.collect().nonEmpty) // refuzzed
+    assert(sent(fb) == Seq((1L, 1.0), (2L, 0.8)))
+  }
+
+  test("search: with_synonyms expands both text lists; rejected with the semantic feature") {
+    val pars = Seq(
+      ("1/t/body/0-5", "spark engine spark runs fast", 1L),
+      ("2/t/body/0-4", "query planner for spark", 2L),
+      ("3/t/body/0-3", "langsamer tabellen scan", 3L))
+      .toDF("paragraph_id", "p_text", "doc_id")
+    // 'engine' expands to {engine, planner}: doc2/par2 (no 'engine')
+    // now match via the synonym — both lists carry them
+    val syn = Map("engine" -> Seq("planner"))
+    val r = Search.search(docs, "doc_id", "text", "labels",
+      Some((pars, "paragraph_id", "p_text")),
+      SearchRequest(query = "engine", topK = 5, synonyms = syn))
+    assert(r.documents.get.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(r.paragraphs.get.collect().map(_.getString(0)).toSet
+      == Set("1/t/body/0-5", "2/t/body/0-4"))
+    // without the synonyms, doc2 never matches 'engine'
+    val plain = Search.search(docs, "doc_id", "text", "labels",
+      Some((pars, "paragraph_id", "p_text")),
+      SearchRequest(query = "engine", topK = 5))
+    assert(plain.documents.get.collect().map(_.getLong(0)).toSet == Set(1L))
+    // the parser's validation: synonyms + the semantic feature is an
+    // InvalidQueryError ("only supported on paragraph and document
+    // search", parsers/search.py:126-137) — same message here
+    val e = intercept[IllegalArgumentException] {
+      Search.search(docs, "doc_id", "text", "labels", None,
+        SearchRequest(query = "engine", topK = 5, synonyms = syn,
+          queryVector = Some(Seq(1.0f, 0.0f))))
+    }
+    assert(e.getMessage.contains("only supported on paragraph and document"))
+    // ...but an EMPTY query with synonyms is fine (the reference gates
+    // on `self.item.query` being truthy)
+    Search.search(docs, "doc_id", "text", "labels", None,
+      SearchRequest(query = "", topK = 5, synonyms = syn,
+        queryVector = Some(Seq(1.0f, 0.0f))))
+  }
+
   test("catalog/facets: per-resource ancestor sets, LIKE prefixes, SPLIT_PART depth gate") {
     import graft.operators.Facets
     val d = Seq(

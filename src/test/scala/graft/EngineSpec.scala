@@ -377,6 +377,30 @@ class EngineSpec extends SparkSpec {
       ("prince", "out", "rose", "plant", "MEETS")))
   }
 
+  test("searchRelations: /search's RELATIONS feature = find's merge over detected entities, no deletions") {
+    import graft.api.GraphSearch.EntryPoint
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(5))).toSeq.sorted
+    // detection runs the engine's entity matcher over the relation
+    // nodes (the external Predict NER's stand-in): 'prince' and 'fox'
+    // are detected in the query, stopword-ish tokens match nothing
+    val detected = engine.searchRelations("the prince and the fox")
+    // the prince→fox path touches TWO entry points but lands only
+    // under its ORIGIN (the reference's elif, merge.py:450-475)
+    assert(shape(detected) == Seq(
+      ("prince", "out", "fox", "MEETS"),
+      ("prince", "out", "planet", "VISITS")))
+    // identical to find's RELATIONS merge with the same entry points
+    // and no deletions — one merge serves both surfaces
+    assert(shape(detected) == shape(engine.findRelations(
+      Seq(EntryPoint("fox"), EntryPoint("prince")))))
+    // explicit entry points stand in for the external detector's output
+    assert(shape(engine.searchRelations("ignored",
+      entryPoints = Some(Seq(EntryPoint("overman"))))) == Seq(
+      ("overman", "in", "zarathustra", "SPEAKS_OF")))
+  }
+
   test("catalog: with_status maps onto /n/s facets (parsers/catalog.py:150-157)") {
     import Facets.ProcessingStatus
     val r4 = graft.sources.IndexStore.deleteOnExit(

@@ -39,6 +39,25 @@ class ScaleDesignSpec extends SparkSpec {
     direct.foreach { case (k, v) => assert(math.abs(viaPostings(k) - v) < 1e-12) }
   }
 
+  test("catalog/facets: per-resource dedup builds array-side — one exchange, no join, no distinct") {
+    val d = docs.withColumn("labels",
+      array(concat(lit("/s/p/"), col("lang")), lit("/s/p/all")))
+    val q = graft.operators.Facets.catalogFacets(d, "doc_id", "labels",
+      Seq(("/s", Some(1))))
+    val p = plan(q)
+    // extract_facets' per-resource SET is array_distinct on the row —
+    // the plan carries exactly the facet groupBy's hash exchange and
+    // no (rid, facet) distinct exchange, no join
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1,
+      s"facet counting must shuffle exactly once (the facet hash agg):\n$p")
+    assert(!p.contains("Join"), s"no join anywhere in facet counting:\n$p")
+    // and the counts are the per-resource ones (both /s/p labels of a
+    // doc contribute ONE /s and ONE /s/p)
+    val m = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("/s") == 4L && m("/s/p") == 4L, m.toString)
+  }
+
   test("find-relations subgraph: entry predicate pushes to the edge scan; no joins anywhere") {
     import graft.api.GraphSearch
     import graft.api.GraphSearch.{EdgeTable, EntryPoint}
