@@ -3251,7 +3251,7 @@ object SparkEntry {
         array(concat(lit("/s/p/"), col("lang")),
           lit("/s/p/all"),
           concat(lit("/u/s/"), col("source"))))
-      graft.operators.Facets.catalogFacets(docs, "doc_id", "labels",
+      graft.operators.Facets.catalogFacets(docs, "labels",
           prefixes = Seq(("/s", Some(1)), ("/u/s", None)))
         .orderBy("facet")
     }),
@@ -6607,7 +6607,11 @@ object SparkEntry {
     // q189: resource counts per ancestor facet path, per-resource
     // deduplicated (extract_facets is a set), LIKE prefixes with the
     // SPLIT_PART depth gate — "/s" depth 1 keeps facets under 4
-    // slash-parts, "/u/s" keeps its whole subtree
+    // slash-parts, "/u/s" keeps its whole subtree.
+    // NOTE on the range(2, 11) ancestor cap: the ORACLE enumerates at
+    // most 10 slash-parts per label (the fixture tops out at 3; the
+    // engine derives ancestors array-side with no cap) — raise the
+    // bound with the corpus, like the shingle CTEs' range(1, 2000)
     "q189_catalog_facets" ->
       """WITH lab AS (SELECT doc_id,
         |              unnest(['/s/p/' || lang, '/s/p/all', '/u/s/' || source]) AS label

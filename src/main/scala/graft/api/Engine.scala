@@ -633,7 +633,20 @@ class Engine(
       // construction, like every graph frontier
       GraphRag.queryEntities(edgeTable(), query).collect()
         .map(r => GraphSearch.EntryPoint(r.getString(0))).toSeq)
-    findRelations(eps, topK = topK, filter = filter)
+    // NER detecting nothing is the COMMON case for arbitrary queries —
+    // the reference serves an empty relations section (the parser
+    // builds RelationQuery(entry_points=[]) and the merge iterates
+    // nothing), never an error; explicit empty entryPoints get the
+    // same empty response shape
+    if (eps.isEmpty) {
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq("entry_point", "direction", "entity", "entity_type",
+          "entity_subtype", "relation_label", "relation_type", "resource_id")
+          .map(StructField(_, StringType))))
+    }
+    else findRelations(eps, topK = topK, filter = filter)
   }
 
   /** `POST /kb/{kbid}/graph/relations`. */
@@ -716,7 +729,7 @@ class Engine(
     * (prefix, depth) pairs — empty lists every facet. */
   def catalogFacets(
       prefixes: Seq[(String, Option[Int])] = Nil): DataFrame =
-    Facets.catalogFacets(docs, docId, labelsCol, prefixes)
+    Facets.catalogFacets(docs, labelsCol, prefixes)
 }
 
 object Engine {

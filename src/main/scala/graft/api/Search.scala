@@ -219,6 +219,15 @@ object Search {
         "two ways — a request carries at most one")
     require(req.offset >= 0 && req.offset <= 1000,
       "offset must be in [0, 1000] (models/search.py:509-515)")
+    // synonym expansion rewrites the TEXT query only — a request also
+    // carrying the semantic feature is the parser's validation error
+    // (`_validate_request`, parsers/search.py:126-137; same message),
+    // raised BEFORE any work like the reference's (only_faceted
+    // included, and ahead of the semantic plan's eager probes)
+    require(req.synonyms.isEmpty || req.query.trim.isEmpty ||
+        req.queryVector.isEmpty,
+      "Search with custom synonyms is only supported on paragraph and " +
+        "document search")
     // the index fetch is offset + top_k (parsers/search.py:96-97); the
     // skip happens on the fetched page, so every cut below stays
     // bounded by fetchK ≤ 1200
@@ -258,15 +267,9 @@ object Search {
       .orderBy(col("score").desc, col(c.docId).asc)
       .limit(fetchK)
 
-    // synonym expansion rewrites the TEXT query only — a request also
-    // carrying the semantic feature is the parser's validation error
-    // (`_validate_request`, parsers/search.py:126-137; same message)
-    require(req.synonyms.isEmpty || req.query.trim.isEmpty ||
-        req.queryVector.isEmpty,
-      "Search with custom synonyms is only supported on paragraph and " +
-        "document search")
     // the expanded term set scores BOTH text lists (parse_text_query
-    // runs once and fulltext copies keyword, parsers/search.py:105-112)
+    // runs once and fulltext copies keyword, parsers/search.py:105-112;
+    // the synonyms × semantic validation ran up top)
     val qTerms = graft.operators.Synonyms.expand(parsed.terms, req.synonyms)
 
     // phrase token groups for highlight (quoted phrases merge to one

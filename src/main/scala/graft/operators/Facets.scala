@@ -142,6 +142,22 @@ object Facets {
     df.rollup(levelCols.map(col): _*)
       .agg(count(lit(1)).as("n"))
 
+  /** All ancestor paths of one `/a/b/c` label string — `/a`, `/a/b`,
+    * `/a/b/c` (the reference's `extract_facets` per-label loop,
+    * pg.py:484-493: `for part in parts[1:]`). A label with no '/'
+    * yields NO ancestors, exactly like the reference's empty
+    * `parts[1:]` — the guard matters because Spark's `sequence(2, 1)`
+    * would otherwise auto-step DOWN and fabricate a phantom facet for
+    * a slash-less or empty label. */
+  private def ancestorPaths(l: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val parts = split(l, "/")
+    when(size(parts) >= 2,
+        transform(sequence(lit(2), size(parts)),
+          d => array_join(slice(parts, lit(1), d), "/")))
+      .otherwise(array())
+  }
+
   /** Hierarchical PATH rollup over `/a/b/c` label strings: every label
     * contributes one count to each of its ancestors (`/a`, `/a/b`,
     * `/a/b/c`), so child counts roll into parent and grandparent in one
@@ -151,15 +167,10 @@ object Facets {
     * size is |distinct ancestor paths| after map-side partial
     * aggregation, independent of row count.
     */
-  def pathRollup(df: DataFrame, labelsCol: String): DataFrame = {
-    val parts = split(col("label"), "/")
-    val ancestors = transform(
-      sequence(lit(2), size(parts)),
-      d => array_join(slice(parts, lit(1), d), "/"))
+  def pathRollup(df: DataFrame, labelsCol: String): DataFrame =
     df.select(explode(col(labelsCol)).as("label"))
-      .select(explode(ancestors).as("facet"))
+      .select(explode(ancestorPaths(col("label"))).as("facet"))
       .groupBy("facet").agg(count(lit(1)).as("n"))
-  }
 
   /** `GET /kb/{kbid}/catalog/facets` — how many RESOURCES carry each
     * facet path (`search/api/v1/catalog.py:200-214` →
@@ -182,17 +193,19 @@ object Facets {
     * row count. The prefix filter sits between the explode and the
     * aggregation in the same codegen stage.
     *
+    * `df` must be the doc store — ONE ROW PER RESOURCE, the catalog
+    * contract (the reference's `catalog_facets` table keys one facet
+    * set per rid); the array-side dedup below is per ROW, so a
+    * pre-exploded or joined view would double-count.
+    *
     * @param prefixes (prefix, depth) pairs, OR-joined; empty = every
     *   facet (CatalogFacetsRequest.prefixes default)
     * @return (facet, n) — n the resource count
     */
-  def catalogFacets(df: DataFrame, ridCol: String, labelsCol: String,
+  def catalogFacets(df: DataFrame, labelsCol: String,
       prefixes: Seq[(String, Option[Int])] = Nil): DataFrame = {
-    def ancestors(l: org.apache.spark.sql.Column) =
-      transform(sequence(lit(2), size(split(l, "/"))),
-        d => array_join(slice(split(l, "/"), lit(1), d), "/"))
     val facetsOf = array_distinct(flatten(
-      transform(col(labelsCol), l => ancestors(l))))
+      transform(col(labelsCol), l => ancestorPaths(l))))
     val exploded = df.select(explode(facetsOf).as("facet"))
     val filtered = prefixes match {
       case Nil => exploded

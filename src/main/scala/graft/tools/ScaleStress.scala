@@ -371,12 +371,13 @@ object ScaleStress {
     // side: the inline token-count scan over the at-rest paragraph
     // table — the corpus-linear leg under measurement here.
     def searchUnion(tag: String, d: DataFrame, parsDir: String): Long = {
+      val pars = spark.read.parquet(parsDir)
       val ix = graft.sources.IndexStore.IndexTables(
         postings = spark.read.parquet(s"$out/$tag/postings"),
         docLengths = spark.read.parquet(s"$out/$tag/dl"),
-        paragraphs = spark.read.parquet(parsDir))
+        paragraphs = pars)
       val resp = graft.api.Search.search(d, "doc_id", "text", "lang",
-        Some((spark.read.parquet(parsDir), "paragraph_id", "p_text")),
+        Some((pars, "paragraph_id", "p_text")),
         graft.api.Search.SearchRequest(query = "spark query", topK = 20),
         index = Some(ix))
       resp.documents.map(_.count()).getOrElse(0L) +

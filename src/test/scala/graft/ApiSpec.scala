@@ -491,6 +491,15 @@ class ApiSpec extends SparkSpec {
           queryVector = Some(Seq(1.0f, 0.0f))))
     }
     assert(e.getMessage.contains("only supported on paragraph and document"))
+    // the validation runs BEFORE the only_faceted fast path — the
+    // reference's _validate_request raises for the request regardless
+    // of only_faceted
+    intercept[IllegalArgumentException] {
+      Search.search(docs, "doc_id", "text", "labels", None,
+        SearchRequest(query = "engine", topK = 5, synonyms = syn,
+          queryVector = Some(Seq(1.0f, 0.0f)),
+          faceted = Seq("/s/p"), onlyFaceted = true))
+    }
     // ...but an EMPTY query with synonyms is fine (the reference gates
     // on `self.item.query` being truthy)
     Search.search(docs, "doc_id", "text", "labels", None,
@@ -504,10 +513,12 @@ class ApiSpec extends SparkSpec {
       (1L, Seq("/l/a/x", "/l/a/y")), // shared ancestors /l and /l/a
       (2L, Seq("/l/b")),
       (3L, Seq("/li/z")), // a STRING-prefix match for '/l%' (pg LIKE)
-      (4L, Seq("/m/c")))
+      (4L, Seq("/m/c", "orphan", ""))) // slash-less + empty labels:
+      // extract_facets' `parts[1:]` is EMPTY for them — no facet, and
+      // in particular no phantom from sequence(2,1)'s descending step
       .toDF("rid", "labels")
     def counts(ps: Seq[(String, Option[Int])]) =
-      Facets.catalogFacets(d, "rid", "labels", ps).collect()
+      Facets.catalogFacets(d, "labels", ps).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
     // no prefixes: every ancestor path, deduplicated PER RESOURCE —
     // doc 1's two /l/a labels contribute ONE /l and ONE /l/a

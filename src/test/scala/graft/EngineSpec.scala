@@ -399,6 +399,15 @@ class EngineSpec extends SparkSpec {
     assert(shape(engine.searchRelations("ignored",
       entryPoints = Some(Seq(EntryPoint("overman"))))) == Seq(
       ("overman", "in", "zarathustra", "SPEAKS_OF")))
+    // NER detecting NOTHING is the common case for arbitrary queries:
+    // the reference serves an empty relations section, never an error
+    // (the parser builds RelationQuery(entry_points=[]) and the merge
+    // iterates nothing) — empty frame, response-shaped
+    val none = engine.searchRelations("how do i reset my password")
+    assert(none.collect().isEmpty)
+    assert(none.columns.toSeq == Seq("entry_point", "direction", "entity",
+      "entity_type", "entity_subtype", "relation_label", "relation_type",
+      "resource_id"))
   }
 
   test("catalog: with_status maps onto /n/s facets (parsers/catalog.py:150-157)") {

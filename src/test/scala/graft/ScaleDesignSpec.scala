@@ -42,7 +42,7 @@ class ScaleDesignSpec extends SparkSpec {
   test("catalog/facets: per-resource dedup builds array-side — one exchange, no join, no distinct") {
     val d = docs.withColumn("labels",
       array(concat(lit("/s/p/"), col("lang")), lit("/s/p/all")))
-    val q = graft.operators.Facets.catalogFacets(d, "doc_id", "labels",
+    val q = graft.operators.Facets.catalogFacets(d, "labels",
       Seq(("/s", Some(1))))
     val p = plan(q)
     // extract_facets' per-resource SET is array_distinct on the row —
