@@ -165,6 +165,25 @@ object Trainsets {
       .getOrElse(proj(paragraphs))
   }
 
+  /** IMAGE_CLASSIFICATION (`dataset.proto:83-90`) — faithfully EMPTY:
+    * the reference's generator is dead code ("image classifications
+    * are no longer supported, as the page selection annotations were
+    * removed from the API" — `train/generators/image_classifier.py:
+    * 43-53`, an unconditional empty yield), so the parity surface is
+    * the correctly-SHAPED empty item stream, not an image pipeline.
+    * Columns mirror the proto's ImageClassification (selections JSON,
+    * page_uri). This retires the "no image bytes in the sandbox"
+    * environment bound for this task — the reference ships none
+    * either; generic binary-column plumbing stays in
+    * [[graft.multimodal.Multimodal]]. */
+  def imageClassification(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("selections", StringType),
+        StructField("page_uri", StringType))))
+  }
+
   /** First `width` hex chars of md5(id · salt) — THE deterministic-
     * membership contract shared by the sampling/packing family (and
     * mirrored verbatim by each oracle's

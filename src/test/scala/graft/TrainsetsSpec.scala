@@ -430,4 +430,14 @@ class TrainsetsSpec extends SparkSpec {
     info(f"approx-vs-exact bucket agreement on sf0.001: $agree%.3f")
     assert(agree >= 0.9, f"approx boundaries diverged too far: $agree%.3f")
   }
+
+  test("imageClassification is the reference's faithfully-empty stream, response-shaped") {
+    // the reference generator is dead code (image_classifier.py:43-53:
+    // "no longer supported... page selection annotations were removed
+    // from the API", an unconditional empty yield) — parity is the
+    // SHAPE, not an image pipeline
+    val df = Trainsets.imageClassification(spark)
+    assert(df.collect().isEmpty)
+    assert(df.columns.toSeq == Seq("selections", "page_uri"))
+  }
 }
