@@ -3319,6 +3319,37 @@ object SparkEntry {
           .select(lit("paragraph").as("unit"),
             col("paragraph_id").as("id"), col("score")))
         .orderBy(col("unit"), col("score").desc, col("id"))
+    }),
+
+    // §2.9 streamed /search with the SEMANTIC list: the full
+    // three-list response (document BM25 + paragraph counts +
+    // sentences cosine) off ONE streamed LSM vector root — latest-wins
+    // vectors (seg-0's negated stale vector for doc_id%10==3 must
+    // never score; the oracle would catch the sign flip), tombstoned
+    // docs in no list. Exhaustive probe/rerank settings make the
+    // at-rest IVF-PQ path the exact oracle configuration (q152's
+    // discipline, through /search's new ANN knobs)
+    "q192_stream_search_semantic" -> ((s, dir) => {
+      import graft.api.Search
+      val e = streamVecEngine(s, dir)
+      val emb = load(s, dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0)
+      val resp = e.search(Search.SearchRequest(
+        query = QueryTerms.mkString(" "), topK = 10,
+        queryVector = Some(qv),
+        annNprobe = Some(e.vectorIndex("default").centroids.size),
+        annRerank = Some(e.vectorIndex("default").nVectors.toInt)))
+      resp.documents.get
+        .select(lit("document").as("unit"),
+          col("doc_id").cast("string").as("id"), col("score"))
+        .unionByName(resp.paragraphs.get
+          .select(lit("paragraph").as("unit"),
+            col("paragraph_id").as("id"), col("score")))
+        .unionByName(resp.sentences.get
+          .select(lit("sentence").as("unit"),
+            col("doc_id").cast("string").as("id"), col("score")))
+        .orderBy(col("unit"), col("score").desc, col("id"))
     })
   )
 
@@ -6651,7 +6682,6 @@ object SparkEntry {
          |               round(${cosSql("e.v", "q.qv")}, 6) AS score
          |             FROM e CROSS JOIN q
          |             JOIN documents d ON d.doc_id = e.vec_id
-         |             WHERE round(${cosSql("e.v", "q.qv")}, 6) >= 0.0
          |             ORDER BY score DESC, e.vec_id LIMIT 15)
          |SELECT unit, id, score FROM doclist
          |UNION ALL SELECT unit, id, score FROM parlist
@@ -6676,6 +6706,47 @@ object SparkEntry {
          |            ORDER BY score DESC, paragraph_id LIMIT 10)
          |SELECT unit, id, score FROM doclist
          |UNION ALL SELECT unit, id, score FROM parlist
+         |ORDER BY unit, score DESC, id""".stripMargin,
+
+    // q192: three lists over the streamed vector root's LIVE population
+    // (docs ∩ embeddings, tombstoned %17==5 gone, latest-wins REAL
+    // vectors — the seg-0 negated vector must never score)
+    "q192_stream_search_semantic" ->
+      s"""WITH ids AS (SELECT DISTINCT vec_id FROM embeddings),
+         |sdocs AS (SELECT d.doc_id, d.text FROM documents d
+         |          JOIN ids ON d.doc_id = ids.vec_id
+         |          WHERE d.doc_id % 17 <> 5),
+         |tok AS (SELECT doc_id, unnest($Tok) AS term FROM sdocs),
+         |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+         |       WHERE term IN $InQueryTerms GROUP BY doc_id, term),
+         |idf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |bm25 AS (
+         |  SELECT tf.doc_id,
+         |         round(sum(ln(1 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+         |               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 4) AS score
+         |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         |  GROUP BY tf.doc_id),
+         |${parCtesFrom("sdocs")},
+         |doclist AS (SELECT 'document' AS unit, CAST(doc_id AS VARCHAR) AS id, score
+         |            FROM bm25 ORDER BY score DESC, doc_id LIMIT 10),
+         |parlist AS (SELECT 'paragraph' AS unit, paragraph_id AS id,
+         |              CAST(len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) AS DOUBLE) AS score
+         |            FROM par
+         |            WHERE len(list_filter(t[s+1:e], x -> list_contains(${sqlList(QueryTerms)}, x))) > 0
+         |            ORDER BY score DESC, paragraph_id LIMIT 10),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |      WHERE vec_id % 17 <> 5),
+         |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         |sentlist AS (SELECT 'sentence' AS unit, CAST(e.vec_id AS VARCHAR) AS id,
+         |               round(${cosSql("e.v", "q.qv")}, 6) AS score
+         |             FROM e CROSS JOIN q
+         |             JOIN sdocs d ON d.doc_id = e.vec_id
+         |             ORDER BY score DESC, e.vec_id LIMIT 10)
+         |SELECT unit, id, score FROM doclist
+         |UNION ALL SELECT unit, id, score FROM parlist
+         |UNION ALL SELECT unit, id, score FROM sentlist
          |ORDER BY unit, score DESC, id""".stripMargin
   )
 }

@@ -112,11 +112,14 @@ object Search {
       // the request's `min_score.semantic` (`query_parser/models.py`
       // MinScore.semantic): the vector index drops sub-threshold hits
       // itself (`nidx_vector/src/searcher.rs`; the merge's belt
-      // re-check keeps score >= min_score, merge.py:244-250). The
-      // reference default resolves the embedding model's threshold
-      // from Predict — external, so this API defaults 0.0 like the
-      // engine's other semantic surfaces
-      minScoreSemantic: Double = 0.0,
+      // re-check keeps score >= min_score, merge.py:244-250). Default
+      // -1.0 = include-all — the SAME deliberate divergence as
+      // FindRequest.semanticMinScore (VERDICT r11 #8): the reference
+      // defaults to the embedding MODEL's trained threshold fetched
+      // from Predict (0.7 when none stored), a property of the model
+      // these fixture vectors are not; reference-parity callers pass
+      // their model's threshold explicitly
+      minScoreSemantic: Double = -1.0,
       // the reference's `with_synonyms` (`query_with_synonyms`,
       // parsers/common.py:174-219): each query term rewrites to
       // `(term OR syn1 OR syn2)` BEFORE retrieval — never applied to
@@ -125,7 +128,13 @@ object Search {
       // request-carried like FindRequest.synonyms. Incompatible with
       // the semantic feature (parser _validate_request,
       // parsers/search.py:126-137)
-      synonyms: Map[String, Seq[String]] = Map.empty)
+      synonyms: Map[String, Seq[String]] = Map.empty,
+      // engine ANN knobs for the semantic list — same contract as
+      // FindRequest.annNprobe/annRerank (None = the index defaults);
+      // exhaustive settings turn the at-rest probe into the exact
+      // oracle configuration, like q152's
+      annNprobe: Option[Int] = None,
+      annRerank: Option[Int] = None)
 
   /** The multi-part response: independent lists + facet counts, each a
     * lazily-evaluated DataFrame (callers materialize what they need —
@@ -261,7 +270,7 @@ object Search {
       if c.vectors.isDefined
       qv <- req.queryVector
     } yield Find.semanticListFor(c, qv, req.vectorset, fetchK,
-        req.minScoreSemantic, annNprobe = None, annRerank = None,
+        req.minScoreSemantic, req.annNprobe, req.annRerank,
         hasRestriction = req.filter.nonEmpty,
         allowedIds = base.select(col(docId).as(c.docId)))
       .orderBy(col("score").desc, col(c.docId).asc)
