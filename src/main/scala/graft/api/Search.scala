@@ -74,11 +74,14 @@ object Search {
       orderBy: Option[OrderByDate] = None,
       // the reference's /search results offset (models/search.py:
       // 509-515: "the number of results to skip, starting from the
-      // beginning in sort order", 0 ≤ offset ≤ 1000, keyword/fulltext
-      // only — this API has no semantic list): the parser inflates the
-      // index fetch to offset + top_k (parsers/search.py:96-97) and
-      // the merge skips the first offset rows of the response order
-      // (`raw_resource_list[offset:]`, merge.py:135,351)
+      // beginning in sort order", 0 ≤ offset ≤ 1000): the parser
+      // inflates the index fetch to offset + top_k
+      // (parsers/search.py:96-97) and the merge skips the first offset
+      // rows of the response order (`raw_resource_list[offset:]`,
+      // merge.py:135,351) — on the keyword/fulltext lists ONLY; the
+      // SEMANTIC list inherits the inflated fetch but is never skipped
+      // (merge_vectors_results takes no offset — see the sentences
+      // build)
       offset: Int = 0,
       // the reference's `min_score.bm25` threshold (`query_parser/
       // models.py:41` MinScore; request default 0): both index readers
