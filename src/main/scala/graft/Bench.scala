@@ -31,6 +31,68 @@ object Bench {
       .split(" ")(0).toDouble
     catch { case _: Exception => -1.0 }
 
+  /** Multi-core canary (round 17): rounds 15 and 16 both lost hours to
+    * phantom deviation sets from degraded-host windows that neither the
+    * load average nor a single-thread probe could see (NEXT.md's
+    * diagnosis: multi-core throughput/steal outside the guest's view).
+    * This measures it directly: a fixed ALU kernel runs once on ONE
+    * thread (t1) and then once per hardware thread concurrently (tn).
+    * On a healthy idle host the per-thread work is constant so
+    * tn ≈ t1; contention shows as tn/t1 rising while t1 stays flat —
+    * the exact signature of the r16 degradation. The ratio (not tn
+    * alone) is the signal, so the bound survives JIT/CPU-model
+    * differences. Runs before AND after the suite; a run is
+    * `degraded` when either ratio exceeds [[CanaryBound]], and a
+    * degraded run never SEEDS a new total-series best (per-query bests
+    * are minima, which inflated times cannot poison, so those still
+    * update).
+    */
+  private def canaryKernel(seed: Long, iters: Long): Long = {
+    var h = seed; var i = 0L
+    while (i < iters) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      h ^= h >>> 17
+      i += 1
+    }
+    h
+  }
+
+  /** Min-ratio trial of 3 (a one-off GC pause or timer tick must not
+    * flag a healthy run; sustained steal inflates every trial).
+    * Returns (t1 seconds, tn seconds, ratio) of the best trial. */
+  private def canary(): (Double, Double, Double) =
+    (1 to 3).map(_ => canaryOnce()).minBy(_._3)
+
+  /** (t1 seconds, tn seconds, ratio). */
+  private def canaryOnce(): (Double, Double, Double) = {
+    val threads = Runtime.getRuntime.availableProcessors()
+    val work = 300000000L // ~0.3 s single-thread on this class of host
+    var sink = canaryKernel(1, work / 4) // JIT warmup, untimed
+    val s1 = System.nanoTime()
+    sink ^= canaryKernel(2, work)
+    val t1 = (System.nanoTime() - s1) / 1e9
+    val acc = new java.util.concurrent.atomic.AtomicLong(sink)
+    val ts = (0 until threads).map { i =>
+      new Thread(() => { acc.addAndGet(canaryKernel(i + 3L, work)); () })
+    }
+    val sn = System.nanoTime()
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val tn = (System.nanoTime() - sn) / 1e9
+    if (acc.get == 42L) println("") // blackhole — never true in practice
+    (t1, tn, tn / t1)
+  }
+
+  /** Calibrated round 17 on the quiet host (the same class of window
+    * as r16's clean 48.94 s run): clean trials read 1.10–1.45
+    * (min-of-3 ≈ 1.10; the residue over 1.0 is all-core frequency vs
+    * single-core turbo plus ~6% ambient steal measured via
+    * /proc/stat), while a mildly contended window during calibration
+    * read 1.8–2.5 across ALL trials. The r16 degraded window showed
+    * 2–3.5× per-query inflation, which this kernel mirrors (steal
+    * hits every core equally), so 1.8 on the min-of-3 sits well above
+    * clean jitter and at the floor of the failure mode. */
+  private val CanaryBound = 1.8
+
   /** (name, seconds, ok). A throwing pass measures time-to-failure,
     * not query cost — it must never become the per-query number that
     * updates the recorded best (a ~10 ms analysis failure would
@@ -63,6 +125,15 @@ object Bench {
     }
 
   def main(args: Array[String]): Unit = {
+    // standalone host-health probe (calibration + quick degraded-window
+    // checks without paying a suite run): prints 5 canary trials
+    if (args.contains("canary-only")) {
+      (1 to 5).foreach { i =>
+        val (t1, tn, r) = canaryOnce()
+        println(f"[canary] trial $i t1=$t1%.3fs tn=$tn%.3fs ratio=$r%.2f load=${loadAvg()}%.2f")
+      }
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -76,6 +147,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val loadBefore = loadAvg()
+    val (c1Before, cnBefore, crBefore) = canary()
     var results = runSuite(spark, sfDir, warm = true)
     def total0 = results.map(_._2).sum
     var total = total0
@@ -129,16 +201,26 @@ object Bench {
     val deviations = perQueryDeviations(results)
     val failed = results.collect { case (k, _, false) => k }
 
+    // post-suite canary: degradation can begin mid-run (the r16 n192
+    // seed was born exactly that way), so either window flags the run
+    val (c1After, cnAfter, crAfter) = canary()
+    val degraded = crBefore > CanaryBound || crAfter > CanaryBound
+
     // a total that includes time-to-failure entries is artificially low
-    // — it must neither persist as the best nor be reported as one
+    // — it must neither persist as the best nor be reported as one.
+    // A DEGRADED run never seeds a fresh total series (that inflated
+    // seed becomes the gate's denominator until a quiet run ratchets
+    // it); it may still LOWER an existing best, since an improvement
+    // measured under contention is a fortiori real.
     val newBest =
       if (failed.isEmpty) math.min(total, prevBest.getOrElse(total))
       else prevBest.getOrElse(total)
+    val seedTotal = failed.isEmpty && (prevBest.isDefined || !degraded)
     try {
       val updated = recorded ++
         (results.collect { case (k, v, true) =>
           qKey(k) -> math.min(v, recorded.getOrElse(qKey(k), v))
-        } ++ (if (failed.isEmpty) Seq(totalKey -> newBest) else Nil))
+        } ++ (if (seedTotal) Seq(totalKey -> newBest) else Nil))
       java.nio.file.Files.writeString(bestPath,
         updated.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
@@ -148,7 +230,8 @@ object Bench {
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results.map(r => r._1 -> r._2))},"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"reran":$reran,"best_total":$newBest,"deviations":${jmap(deviations)},"failed":$failedJson}""")
+    val canaryJson = f"""{"t1_before":$c1Before%.3f,"tn_before":$cnBefore%.3f,"ratio_before":$crBefore%.2f,"t1_after":$c1After%.3f,"tn_after":$cnAfter%.3f,"ratio_after":$crAfter%.2f,"bound":$CanaryBound}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results.map(r => r._1 -> r._2))},"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"reran":$reran,"best_total":$newBest,"deviations":${jmap(deviations)},"failed":$failedJson,"canary":$canaryJson,"degraded":$degraded}""")
     spark.stop()
   }
 }

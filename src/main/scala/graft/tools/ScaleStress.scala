@@ -387,6 +387,41 @@ object ScaleStress {
     val (tSU10, _) = med3(searchUnion("dp10", docs10, s"$out/pars10"))
     println(f"[stress] search_union_collect 1x $tSU1%.2fs 10x $tSU10%.2fs growth ${tSU10 / tSU1}%.1fx")
 
+    // ---- 3g. GET /catalog/facets (round-16 endpoint) ----------------
+    // per-resource ancestor facet SETS built ARRAY-side (one explode +
+    // one map-side-combined hash agg, no join — plan-pinned in
+    // ScaleDesignSpec); the scan is corpus-linear by contract, the
+    // combine keeps the exchange facet-population-sized (constant
+    // across replicas here, like a real label taxonomy)
+    def catFacets(d: DataFrame): Long =
+      graft.operators.Facets.catalogFacets(
+          d.withColumn("labels",
+            array(concat(lit("/s/p/"), col("lang")), lit("/s/p/all"))),
+          "labels", prefixes = Seq(("/s", Some(1))))
+        .count()
+    val (tCF1, _) = med3(catFacets(docs1))
+    val (tCF10, _) = med3(catFacets(docs10))
+    println(f"[stress] catalog_facets 1x $tCF1%.2fs 10x $tCF10%.2fs growth ${tCF10 / tCF1}%.1fx")
+
+    // ---- 3h. /search RELATIONS: detect → subgraph (round 16) --------
+    // Engine.searchRelations' two legs composed: queryEntities (the
+    // fuzzy word match over edge endpoints — fuzzy can't push down, so
+    // this leg IS edge-linear, bounded by the top-50 driver frontier)
+    // then the q182 subgraph over the detected entries (row 3b2's
+    // pruned scan). Query words live in replica 0 only, so the
+    // frontier and answer are identical at both scales — growth
+    // measures the detect scan against a 10× edge table.
+    def searchRels(dir: String): Long = {
+      val t = EdgeTable(spark.read.parquet(s"$dir/edges"),
+        "src", "rel", "dst")
+      val eps = graft.api.GraphRag.queryEntities(t, "s1 p50")
+        .collect().map(r => GraphSearch.EntryPoint(r.getString(0)))
+      GraphSearch.relationsSubgraph(t, eps.toSeq, topK = 1000).count()
+    }
+    val (tSR1b, _) = med3(searchRels(s"$out/rel1"))
+    val (tSR10b, _) = med3(searchRels(s"$out/rel10"))
+    println(f"[stress] search_relations_detect 1x $tSR1b%.2fs 10x $tSR10b%.2fs growth ${tSR10b / tSR1b}%.1fx")
+
     // ---- 4. suggest at 64 live segments, 10× segment rows ----------
     import spark.implicits._
     def segRoot(docsPerSeg: Int, tag: String): String = {

@@ -462,6 +462,34 @@ class ApiSpec extends SparkSpec {
     assert(sent(fb) == Seq((1L, 1.0), (2L, 0.8)))
   }
 
+  test("search: a user vector never disables the semantic list — exact-match-only and empty queries included (should_disable_vector_search parity)") {
+    // the reference silently drops the SEMANTIC feature for
+    // exact-match-only ('"…"') or empty queries ONLY when no user
+    // vector is given (`should_disable_vector_search`,
+    // parsers/common.py:73-83); `has_user_vectors` short-circuits to
+    // never-disable. The no-vector leg needs the Predict-fetched
+    // embedding (the external carve-out, COVERAGE.md), so the
+    // user-vector leg is the only one this API can express — sentences
+    // serve iff a queryVector is given, consistent by construction.
+    // Pinned here so a future "optimize away the semantic side on
+    // degenerate queries" change fails loudly against the reference.
+    import graft.api.Find
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.8f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val c = Find.Corpus(docs, "doc_id", "text", vectors = Some(vecs))
+    def sent(q: String): Seq[Long] = Search.search(
+        docs, "doc_id", "text", "labels", None,
+        SearchRequest(query = q, topK = 2,
+          queryVector = Some(Seq(1.0f, 0.0f))),
+        semanticCorpus = Some(c))
+      .sentences.map(_.collect().map(_.getLong(0)).toSeq).getOrElse(Nil)
+    assert(sent("\"spark engine\"") == Seq(1L, 2L)) // exact-match-only
+    assert(sent("") == Seq(1L, 2L))                 // empty (AllQuery leg)
+    assert(sent("spark") == Seq(1L, 2L))            // plain, for contrast
+  }
+
   test("search: with_synonyms expands both text lists; rejected with the semantic feature") {
     val pars = Seq(
       ("1/t/body/0-5", "spark engine spark runs fast", 1L),

@@ -66,6 +66,23 @@ class FixtureInvariantsSpec extends SparkSpec {
     assert(thin == 0, "hydrate fixture docs need > 20 tokens (2 paragraphs)")
   }
 
+  test("each vec_id keys exactly one document (q190's oracle join contract)") {
+    // q190's oracle joins `documents d ON d.doc_id = e.vec_id` — the
+    // engine's sentence-id convention at this corpus shape (VERDICT
+    // r16 "What's wrong" #2). If testdata ever goes multi-vector-per-
+    // paragraph, the oracle needs the VectorId→paragraph mapping the
+    // reference's merge does (merge.py:251-260); this pin makes that
+    // change fail HERE with a named invariant instead of silently at
+    // the oracle.
+    val n = emb.count()
+    val distinctIds = emb.select("vec_id").distinct().count()
+    assert(n == distinctIds, s"vec_id not unique: $n rows, $distinctIds ids")
+    val orphans = emb.join(docs,
+        emb("vec_id") === docs("doc_id"), "left_anti").count()
+    assert(orphans == 0, s"$orphans vec_ids key no document — q190's " +
+      "oracle join would drop them")
+  }
+
   test("q81's relation-label vectors exist and the 0.09 threshold is non-vacuous (0.3 was not)") {
     import graft.functions.VectorFunctions
     val have = emb.where(col("vec_id").between(0, 20))
