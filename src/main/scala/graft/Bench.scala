@@ -87,42 +87,147 @@ object Bench {
     * (min-of-3 ≈ 1.10; the residue over 1.0 is all-core frequency vs
     * single-core turbo plus ~6% ambient steal measured via
     * /proc/stat), while a mildly contended window during calibration
-    * read 1.8–2.5 across ALL trials. The r16 degraded window showed
-    * 2–3.5× per-query inflation, which this kernel mirrors (steal
-    * hits every core equally), so 1.8 on the min-of-3 sits well above
-    * clean jitter and at the floor of the failure mode. */
+    * read 1.8–2.5 across ALL trials. CPU-steal degradation inflates
+    * every core equally, so 1.8 on the min-of-3 sits well above
+    * clean jitter and at the floor of that failure mode. */
   private val CanaryBound = 1.8
 
-  /** (name, seconds, ok). A throwing pass measures time-to-failure,
-    * not query cost — it must never become the per-query number that
-    * updates the recorded best (a ~10 ms analysis failure would
-    * otherwise poison the deviation gate into a permanent phantom
-    * regression once the query is fixed). The min is taken over the
-    * SUCCESSFUL passes; a query with no successful pass reports its
-    * time-to-failure with ok=false and never updates a best.
-    */
-  private def runSuite(spark: SparkSession, sfDir: String,
-      warm: Boolean): Seq[(String, Double, Boolean)] =
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      if (warm) {
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        Caches.releaseAll()
-      }
-      // two timed passes, report the min — shields the recorded number
-      // from one-off GC pauses / scheduler noise on a busy host
-      val passes = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        Caches.releaseAll() // per-request cache arena
-        (dt, ok)
-      }
-      val good = passes.filter(_._2).map(_._1)
-      if (good.nonEmpty) (name, good.min, true)
-      else (name, passes.map(_._1).min, false)
+  /** Page-fault-path probe (round 17, second canary leg). The round-17
+    * degraded window was caught IN THE ACT and root-caused: per-query
+    * times inflated 2× while the ALU canary read a clean 1.03–1.20 —
+    * CPU and steady-state DRAM were fine (an in-place copy measured
+    * 18 GB/s) but FIRST-TOUCH of freshly-mapped memory measured
+    * 0.01–0.3 GB/s vs the healthy multi-GB/s, i.e. the guest/host
+    * page-fault/zeroing path was degraded. Spark exercises exactly
+    * that path continuously (heap growth, shuffle/scan buffers, page
+    * cache), which is why queries inflate while ALU work doesn't.
+    * `allocateDirect` mmaps + zeroes fresh anonymous memory, so its
+    * timing is dominated by the fault path; one byte per 4 KiB page
+    * re-touches to keep the probe honest if the allocation ever stops
+    * zeroing eagerly. Returns GB/s; max-of-3 (healthy-biased, the
+    * mirror of the ratio's min-of-3 — a one-off stall must not flag a
+    * healthy run, sustained degradation keeps every trial low). */
+  private def faultProbeOnce(): Double = {
+    val bytes = 256 << 20
+    try {
+      val t0 = System.nanoTime()
+      val buf = java.nio.ByteBuffer.allocateDirect(bytes)
+      var p = 0
+      while (p < bytes) { buf.put(p, 1.toByte); p += 4096 }
+      val dt = (System.nanoTime() - t0) / 1e9
+      bytes / dt / 1e9
+    } catch {
+      // direct-memory exhaustion is a probe failure, not host
+      // degradation — report unknown rather than a false flag
+      case _: OutOfMemoryError => -1.0
+    } finally System.gc() // release the 256 MB before the next trial
+  }
+
+  private def faultProbe(): Double = {
+    val vals = (1 to 3).map(_ => faultProbeOnce()).filter(_ > 0)
+    if (vals.isEmpty) -1.0 else vals.max
+  }
+
+  /** Provisional floor, set from the caught window: degraded trials
+    * read 0.01–0.3 GB/s (max-of-3 ≤ 0.3) while even a mildly busy
+    * healthy host clears 1 GB/s with the fault path intact. Recalibrate
+    * upward toward ~2 once a clean-window reading exists (NEXT.md
+    * round-17 note). -1 (probe failure) never flags. */
+  private val FaultFloor = 0.7
+
+  /** Third canary leg (round 17): a fixed SYNTHETIC Spark job — pure
+    * compute (range → mod-key hash agg), no data files, and never
+    * touched by engine changes — timed min-of-2 after one warmup and
+    * ratcheted in bench_best.json like any query. Its inflation over
+    * its own best is a direct measurement of the host factor on
+    * Spark-SHAPED work (JVM alloc + shuffle + codegen), the quantity
+    * the ALU and fault legs only approximate: suite deviations that
+    * co-move with this ratio are the host's; deviations while this
+    * reads ~1× are a real regression. Keyed by the cpu count (its
+    * cost scales with local[n]). */
+  private def sparkCanary(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.sum
+    def job(): Unit = {
+      spark.range(100000000L)
+        .selectExpr("id % 1000 as k", "id")
+        .groupBy("k").agg(sum("id")).count()
+      ()
     }
+    job() // warmup (codegen compile)
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      job()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
+  /** Spark-canary inflation over its recorded best that flags a run
+    * degraded: 2× mirrors the per-query deviation gate. */
+  private val SparkCanaryBound = 2.0
+
+  /** One un-warmed timed synthetic job — the suite-INTERLEAVED sample
+    * (warmup happens once per JVM via [[sparkCanary]] before the
+    * suite). The round-17 windows proved endpoint sampling blind:
+    * one run's before/after canaries read clean while nine mid-run
+    * queries inflated 2–2.8× — the degradation came and went INSIDE
+    * the suite. Sampling every [[CanarySampleEvery]] queries costs
+    * ~12 s per full pass and gives every query a local host-factor
+    * reading, so each deviation carries its own adjudication. */
+  private def sparkCanaryOnce(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.sum
+    val t0 = System.nanoTime()
+    spark.range(100000000L)
+      .selectExpr("id % 1000 as k", "id")
+      .groupBy("k").agg(sum("id")).count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private val CanarySampleEvery = 16
+
+  /** Per-query results plus the interleaved canary samples.
+    * localCanarySec is the slower of the two samples ENCLOSING the
+    * query's block — conservative: a window that began anywhere in the
+    * block shows in at least one of them. */
+  private def runSuite(spark: SparkSession, sfDir: String,
+      warm: Boolean): (Seq[(String, Double, Boolean, Double)], Seq[Double]) = {
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // (name, seconds, ok): a throwing pass measures time-to-failure,
+    // not query cost — it must never become the per-query number that
+    // updates the recorded best (a ~10 ms analysis failure would
+    // otherwise poison the deviation gate into a permanent phantom
+    // regression once the query is fixed). The min is taken over the
+    // SUCCESSFUL passes; a query with no successful pass reports its
+    // time-to-failure with ok=false and never updates a best.
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((name, fn), i) =>
+        if (i % CanarySampleEvery == 0) samples += sparkCanaryOnce(spark)
+        if (warm) {
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          Caches.releaseAll()
+        }
+        // two timed passes, report the min — shields the recorded
+        // number from one-off GC pauses / scheduler noise
+        val passes = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
+          val dt = (System.nanoTime() - t0) / 1e9
+          Caches.releaseAll() // per-request cache arena
+          (dt, ok)
+        }
+        val good = passes.filter(_._2).map(_._1)
+        if (good.nonEmpty) (name, good.min, true)
+        else (name, passes.map(_._1).min, false)
+      }
+    samples += sparkCanaryOnce(spark)
+    val withLocal = timed.zipWithIndex.map { case ((name, t, ok), i) =>
+      val b = i / CanarySampleEvery
+      val local = math.max(samples(b), samples(math.min(b + 1, samples.length - 1)))
+      (name, t, ok, local)
+    }
+    (withLocal, samples.toSeq)
+  }
 
   def main(args: Array[String]): Unit = {
     // standalone host-health probe (calibration + quick degraded-window
@@ -130,8 +235,26 @@ object Bench {
     if (args.contains("canary-only")) {
       (1 to 5).foreach { i =>
         val (t1, tn, r) = canaryOnce()
-        println(f"[canary] trial $i t1=$t1%.3fs tn=$tn%.3fs ratio=$r%.2f load=${loadAvg()}%.2f")
+        val f = faultProbeOnce()
+        println(f"[canary] trial $i t1=$t1%.3fs tn=$tn%.3fs ratio=$r%.2f fault=$f%.2fGB/s load=${loadAvg()}%.2f")
       }
+      return
+    }
+    // host-probe: the spark-canary leg standalone (needs a session,
+    // ~1 min) — compare the printed seconds against bench_best.json's
+    // spark_canary_c{cpus} to find a clean window before a re-best run
+    if (args.contains("host-probe")) {
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      val s = SparkSession.builder().master(s"local[$cpus0]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      sparkCanary(s) // warmup + 2 (discarded — JIT/codegen settle)
+      (1 to 5).foreach { i =>
+        val t = sparkCanaryOnce(s)
+        println(f"[host-probe] trial $i spark=$t%.3fs load=${loadAvg()}%.2f")
+      }
+      s.stop()
       return
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -148,7 +271,10 @@ object Bench {
 
     val loadBefore = loadAvg()
     val (c1Before, cnBefore, crBefore) = canary()
-    var results = runSuite(spark, sfDir, warm = true)
+    val faultBefore = faultProbe()
+    val scBefore = sparkCanary(spark)
+    var (results, samples1) = runSuite(spark, sfDir, warm = true)
+    var allSamples = samples1
     def total0 = results.map(_._2).sum
     var total = total0
 
@@ -171,8 +297,8 @@ object Bench {
       } catch { case _: Exception => Map.empty[String, Double] }
     val prevBest = recorded.get(totalKey)
 
-    def perQueryDeviations(rs: Seq[(String, Double, Boolean)]): Seq[(String, Double)] =
-      rs.flatMap { case (name, t, ok) =>
+    def perQueryDeviations(rs: Seq[(String, Double, Boolean, Double)]): Seq[(String, Double)] =
+      rs.flatMap { case (name, t, ok, _) =>
         if (!ok) None
         else recorded.get(qKey(name)).filter(b => t > 2.0 * b && t - b > 0.05)
           .map(b => name -> t / b)
@@ -182,16 +308,22 @@ object Bench {
     if (prevBest.exists(b => total > 1.3 * b) ||
         perQueryDeviations(results).nonEmpty) {
       // likely host contention — rerun once, keep per-query minima
-      // (minima over SUCCESSFUL passes only; ok = succeeded in either run)
-      val second = runSuite(spark, sfDir, warm = false)
-        .map(r => r._1 -> (r._2, r._3)).toMap
-      results = results.map { case (k, v, ok) =>
+      // (minima over SUCCESSFUL passes only; ok = succeeded in either
+      // run). The local canary travels with whichever pass supplied
+      // the kept time, so a deviation's host factor describes the
+      // window its REPORTED number was actually measured in.
+      val (secondSeq, samples2) = runSuite(spark, sfDir, warm = false)
+      allSamples = allSamples ++ samples2
+      val second = secondSeq.map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      results = results.map { case (k, v, ok, lc) =>
         second.get(k) match {
-          case Some((v2, ok2)) if ok && ok2 => (k, math.min(v, v2), true)
-          case Some((v2, true)) if !ok => (k, v2, true)
-          case Some((_, false)) if ok => (k, v, true)
-          case Some((v2, _)) => (k, math.min(v, v2), false)
-          case None => (k, v, ok)
+          case Some((v2, ok2, lc2)) if ok && ok2 =>
+            if (v2 < v) (k, v2, true, lc2) else (k, v, true, lc)
+          case Some((v2, true, lc2)) if !ok => (k, v2, true, lc2)
+          case Some((_, false, _)) if ok => (k, v, true, lc)
+          case Some((v2, _, lc2)) =>
+            if (v2 < v) (k, v2, false, lc2) else (k, v, false, lc)
+          case None => (k, v, ok, lc)
         }
       }
       total = total0
@@ -199,12 +331,30 @@ object Bench {
     }
     // deviations that SURVIVE the rerun are candidate regressions
     val deviations = perQueryDeviations(results)
-    val failed = results.collect { case (k, _, false) => k }
+    val failed = results.collect { case (k, _, false, _) => k }
 
     // post-suite canary: degradation can begin mid-run (the r16 n192
     // seed was born exactly that way), so either window flags the run
     val (c1After, cnAfter, crAfter) = canary()
-    val degraded = crBefore > CanaryBound || crAfter > CanaryBound
+    val faultAfter = faultProbe()
+    val scAfter = sparkCanary(spark)
+    val scKey = s"spark_canary_c$cpus"
+    val scBest =
+      (recorded.get(scKey).toSeq ++ Seq(scBefore, scAfter) ++ allSamples).min
+    def scRatio(t: Double) = t / scBest
+    // each surviving deviation stamped with the host factor of the
+    // window its kept time was measured in — a factor well above 1 is
+    // the host's window, a factor ≈1 is a real regression. This is the
+    // per-deviation adjudication rounds 15–17 did by hand.
+    val localOf = results.map(r => r._1 -> r._4).toMap
+    val deviationHostFactors =
+      deviations.map { case (name, _) => name -> scRatio(localOf(name)) }
+    def faultBad(f: Double) = f > 0 && f < FaultFloor
+    val degraded = crBefore > CanaryBound || crAfter > CanaryBound ||
+      faultBad(faultBefore) || faultBad(faultAfter) ||
+      scRatio(allSamples.max) > SparkCanaryBound ||
+      scRatio(scBefore) > SparkCanaryBound ||
+      scRatio(scAfter) > SparkCanaryBound
 
     // a total that includes time-to-failure entries is artificially low
     // — it must neither persist as the best nor be reported as one.
@@ -218,9 +368,10 @@ object Bench {
     val seedTotal = failed.isEmpty && (prevBest.isDefined || !degraded)
     try {
       val updated = recorded ++
-        (results.collect { case (k, v, true) =>
+        (results.collect { case (k, v, true, _) =>
           qKey(k) -> math.min(v, recorded.getOrElse(qKey(k), v))
-        } ++ (if (seedTotal) Seq(totalKey -> newBest) else Nil))
+        } ++ Seq(scKey -> scBest) ++
+          (if (seedTotal) Seq(totalKey -> newBest) else Nil))
       java.nio.file.Files.writeString(bestPath,
         updated.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
@@ -230,8 +381,8 @@ object Bench {
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val canaryJson = f"""{"t1_before":$c1Before%.3f,"tn_before":$cnBefore%.3f,"ratio_before":$crBefore%.2f,"t1_after":$c1After%.3f,"tn_after":$cnAfter%.3f,"ratio_after":$crAfter%.2f,"bound":$CanaryBound}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results.map(r => r._1 -> r._2))},"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"reran":$reran,"best_total":$newBest,"deviations":${jmap(deviations)},"failed":$failedJson,"canary":$canaryJson,"degraded":$degraded}""")
+    val canaryJson = f"""{"t1_before":$c1Before%.3f,"tn_before":$cnBefore%.3f,"ratio_before":$crBefore%.2f,"t1_after":$c1After%.3f,"tn_after":$cnAfter%.3f,"ratio_after":$crAfter%.2f,"bound":$CanaryBound,"fault_gbps_before":$faultBefore%.2f,"fault_gbps_after":$faultAfter%.2f,"fault_floor":$FaultFloor,"spark_before":$scBefore%.3f,"spark_after":$scAfter%.3f,"spark_best":$scBest%.3f,"spark_bound":$SparkCanaryBound,"spark_samples_max":${allSamples.max}%.3f}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results.map(r => r._1 -> r._2))},"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"reran":$reran,"best_total":$newBest,"deviations":${jmap(deviations)},"deviation_host_factors":${jmap(deviationHostFactors)},"failed":$failedJson,"canary":$canaryJson,"degraded":$degraded}""")
     spark.stop()
   }
 }
