@@ -80,6 +80,28 @@ class ScaleDesignSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join expected:\n$p")
   }
 
+  test("search-relations entity detect: one edge scan, no join, heap-cut frontier") {
+    import graft.api.{GraphRag, GraphSearch}
+    import graft.api.GraphSearch.EdgeTable
+    val dir = Files.createTempDirectory("graft-reldetect").toString
+    Seq(("S1", "R", "P5"), ("S2", "R", "P5"), ("S1", "Q", "P9"))
+      .toDF("src", "rel", "dst").write.parquet(s"$dir/edges")
+    val t = EdgeTable(spark.read.parquet(s"$dir/edges"), "src", "rel", "dst")
+    val out = GraphRag.queryEntities(t, "s1 p5", topK = 50)
+    val p = plan(out)
+    // the detect leg is edge-LINEAR by construction (fuzzy admits no
+    // pushable predicate — DESIGN.md's scale-stress row) but must stay
+    // the cheapest linear shape: one scan feeding a codegen'd
+    // levenshtein filter, the distinct's hash exchange over MATCHED
+    // values only, and the top-50 frontier as a heap cut — never a
+    // join, never a global sort
+    assert(!p.contains("Join"), s"no join in entity detect:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"frontier must be a heap cut, not a global sort:\n$p")
+    assert(p.contains("levenshtein"),
+      s"fuzzy match must be an inline codegen predicate:\n$p")
+  }
+
   test("date-ordered /search page: TakeOrdered cut, offset window only on the cut page") {
     import graft.api.Search
     val dated = docs.withColumn("created",
