@@ -1,6 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+import BenchPolicy.QueryResult
+
 /** Bench main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line.
   *
@@ -23,6 +25,12 @@ import org.apache.spark.sql.SparkSession
   * (`{sfKey}/q/{name}` keys) alongside the total; queries still >2×
   * their best after the rerun are surfaced in `"deviations"` so a real
   * per-query regression cannot hide inside suite growth.
+  *
+  * This object only MEASURES (timers, probes, the Spark session, the
+  * best-file IO). Every verdict the JSON carries — deviation gate,
+  * local host-factor assignment, rerun merge, degraded flag, seed
+  * rules, the JSON line itself — is a pure function in [[BenchPolicy]],
+  * pinned by BenchPolicySpec (VERDICT r17 task 2).
   */
 object Bench {
 
@@ -41,11 +49,12 @@ object Bench {
     * tn ≈ t1; contention shows as tn/t1 rising while t1 stays flat —
     * the exact signature of the r16 degradation. The ratio (not tn
     * alone) is the signal, so the bound survives JIT/CPU-model
-    * differences. Runs before AND after the suite; a run is
-    * `degraded` when either ratio exceeds [[CanaryBound]], and a
-    * degraded run never SEEDS a new total-series best (per-query bests
-    * are minima, which inflated times cannot poison, so those still
-    * update).
+    * differences (calibration history at [[BenchPolicy.CanaryBound]]).
+    * Runs before AND after the suite; a run is `degraded` when either
+    * ratio exceeds the bound, and a degraded run never SEEDS a new
+    * best — total series or first-seen per-query (existing per-query
+    * bests are minima, which inflated times cannot poison, so those
+    * still ratchet).
     */
   private def canaryKernel(seed: Long, iters: Long): Long = {
     var h = seed; var i = 0L
@@ -82,16 +91,6 @@ object Bench {
     (t1, tn, tn / t1)
   }
 
-  /** Calibrated round 17 on the quiet host (the same class of window
-    * as r16's clean 48.94 s run): clean trials read 1.10–1.45
-    * (min-of-3 ≈ 1.10; the residue over 1.0 is all-core frequency vs
-    * single-core turbo plus ~6% ambient steal measured via
-    * /proc/stat), while a mildly contended window during calibration
-    * read 1.8–2.5 across ALL trials. CPU-steal degradation inflates
-    * every core equally, so 1.8 on the min-of-3 sits well above
-    * clean jitter and at the floor of that failure mode. */
-  private val CanaryBound = 1.8
-
   /** Page-fault-path probe (round 17, second canary leg). The round-17
     * degraded window was caught IN THE ACT and root-caused: per-query
     * times inflated 2× while the ALU canary read a clean 1.03–1.20 —
@@ -106,7 +105,8 @@ object Bench {
     * re-touches to keep the probe honest if the allocation ever stops
     * zeroing eagerly. Returns GB/s; max-of-3 (healthy-biased, the
     * mirror of the ratio's min-of-3 — a one-off stall must not flag a
-    * healthy run, sustained degradation keeps every trial low). */
+    * healthy run, sustained degradation keeps every trial low).
+    * Floor calibration history at [[BenchPolicy.FaultFloor]]. */
   private def faultProbeOnce(): Double = {
     val bytes = 256 << 20
     try {
@@ -128,13 +128,6 @@ object Bench {
     if (vals.isEmpty) -1.0 else vals.max
   }
 
-  /** Provisional floor, set from the caught window: degraded trials
-    * read 0.01–0.3 GB/s (max-of-3 ≤ 0.3) while even a mildly busy
-    * healthy host clears 1 GB/s with the fault path intact. Recalibrate
-    * upward toward ~2 once a clean-window reading exists (NEXT.md
-    * round-17 note). -1 (probe failure) never flags. */
-  private val FaultFloor = 0.7
-
   /** Third canary leg (round 17): a fixed SYNTHETIC Spark job — pure
     * compute (range → mod-key hash agg), no data files, and never
     * touched by engine changes — timed min-of-2 after one warmup and
@@ -144,52 +137,38 @@ object Bench {
     * the ALU and fault legs only approximate: suite deviations that
     * co-move with this ratio are the host's; deviations while this
     * reads ~1× are a real regression. Keyed by the cpu count (its
-    * cost scales with local[n]). */
+    * cost scales with local[n]). The leg only ADJUDICATES once a
+    * recorded best exists — see [[BenchPolicy.CanaryVerdict]].
+    *
+    * Warmup depth (round 18): TWO untimed runs + min-of-3. One warmup
+    * + min-of-2 left the fresh-JVM BEFORE reading measuring JIT, not
+    * the host — r17's round-end run read spark_before 0.615 (1.83× of
+    * best) and r18's 0.71 (2.11×) while host-probe trials in the same
+    * windows settled to 0.39–0.54 by the fourth execution; an
+    * endpoint leg that flags JVM warmth is a false degraded verdict
+    * on every cold start. Post-suite calls pay ~nothing (JVM warm,
+    * min unchanged). */
   private def sparkCanary(spark: SparkSession): Double = {
-    import org.apache.spark.sql.functions.sum
-    def job(): Unit = {
-      spark.range(100000000L)
-        .selectExpr("id % 1000 as k", "id")
-        .groupBy("k").agg(sum("id")).count()
-      ()
-    }
-    job() // warmup (codegen compile)
-    (1 to 2).map { _ =>
-      val t0 = System.nanoTime()
-      job()
-      (System.nanoTime() - t0) / 1e9
-    }.min
+    HostCanary.sparkJobOnce(spark) // warmup (codegen compile), untimed
+    HostCanary.sparkJobOnce(spark) // second warmup (JIT settle), untimed
+    (1 to 3).map(_ => HostCanary.sparkJobTimed(spark)).min
   }
 
-  /** Spark-canary inflation over its recorded best that flags a run
-    * degraded: 2× mirrors the per-query deviation gate. */
-  private val SparkCanaryBound = 2.0
+  private def sparkCanaryOnce(spark: SparkSession): Double =
+    HostCanary.sparkJobTimed(spark)
 
-  /** One un-warmed timed synthetic job — the suite-INTERLEAVED sample
-    * (warmup happens once per JVM via [[sparkCanary]] before the
-    * suite). The round-17 windows proved endpoint sampling blind:
-    * one run's before/after canaries read clean while nine mid-run
-    * queries inflated 2–2.8× — the degradation came and went INSIDE
-    * the suite. Sampling every [[CanarySampleEvery]] queries costs
-    * ~12 s per full pass and gives every query a local host-factor
-    * reading, so each deviation carries its own adjudication. */
-  private def sparkCanaryOnce(spark: SparkSession): Double = {
-    import org.apache.spark.sql.functions.sum
-    val t0 = System.nanoTime()
-    spark.range(100000000L)
-      .selectExpr("id % 1000 as k", "id")
-      .groupBy("k").agg(sum("id")).count()
-    (System.nanoTime() - t0) / 1e9
-  }
-
-  private val CanarySampleEvery = 16
-
-  /** Per-query results plus the interleaved canary samples.
-    * localCanarySec is the slower of the two samples ENCLOSING the
-    * query's block — conservative: a window that began anywhere in the
-    * block shows in at least one of them. */
+  /** Per-query results plus the interleaved canary samples. The
+    * suite-INTERLEAVED samples exist because round-17 windows proved
+    * endpoint sampling blind: one run's before/after canaries read
+    * clean while nine mid-run queries inflated 2–2.8× — the
+    * degradation came and went INSIDE the suite. Sampling every
+    * [[BenchPolicy.CanarySampleEvery]] queries costs ~12 s per full
+    * pass and gives every query a local host-factor reading
+    * ([[BenchPolicy.localCanaryOf]] — the slower of the two samples
+    * ENCLOSING its block), so each deviation carries its own
+    * adjudication. */
   private def runSuite(spark: SparkSession, sfDir: String,
-      warm: Boolean): (Seq[(String, Double, Boolean, Double)], Seq[Double]) = {
+      warm: Boolean): (Seq[QueryResult], Seq[Double]) = {
     val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
     // (name, seconds, ok): a throwing pass measures time-to-failure,
     // not query cost — it must never become the per-query number that
@@ -200,7 +179,8 @@ object Bench {
     // time-to-failure with ok=false and never updates a best.
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
       .map { case ((name, fn), i) =>
-        if (i % CanarySampleEvery == 0) samples += sparkCanaryOnce(spark)
+        if (i % BenchPolicy.CanarySampleEvery == 0)
+          samples += sparkCanaryOnce(spark)
         if (warm) {
           try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
           Caches.releaseAll()
@@ -221,10 +201,9 @@ object Bench {
         else (name, passes.map(_._1).min, false)
       }
     samples += sparkCanaryOnce(spark)
+    val sampleArr = samples.toIndexedSeq
     val withLocal = timed.zipWithIndex.map { case ((name, t, ok), i) =>
-      val b = i / CanarySampleEvery
-      val local = math.max(samples(b), samples(math.min(b + 1, samples.length - 1)))
-      (name, t, ok, local)
+      QueryResult(name, t, ok, BenchPolicy.localCanaryOf(sampleArr, i))
     }
     (withLocal, samples.toSeq)
   }
@@ -275,7 +254,7 @@ object Bench {
     val scBefore = sparkCanary(spark)
     var (results, samples1) = runSuite(spark, sfDir, warm = true)
     var allSamples = samples1
-    def total0 = results.map(_._2).sum
+    def total0 = results.map(_.sec).sum
     var total = total0
 
     // recorded bests for this sf dir: flat JSON of `{sfKey}/n{count}` →
@@ -297,12 +276,8 @@ object Bench {
       } catch { case _: Exception => Map.empty[String, Double] }
     val prevBest = recorded.get(totalKey)
 
-    def perQueryDeviations(rs: Seq[(String, Double, Boolean, Double)]): Seq[(String, Double)] =
-      rs.flatMap { case (name, t, ok, _) =>
-        if (!ok) None
-        else recorded.get(qKey(name)).filter(b => t > 2.0 * b && t - b > 0.05)
-          .map(b => name -> t / b)
-      }
+    def perQueryDeviations(rs: Seq[QueryResult]): Seq[(String, Double)] =
+      BenchPolicy.deviations(rs, n => recorded.get(qKey(n)))
 
     var reran = false
     if (prevBest.exists(b => total > 1.3 * b) ||
@@ -314,24 +289,14 @@ object Bench {
       // window its REPORTED number was actually measured in.
       val (secondSeq, samples2) = runSuite(spark, sfDir, warm = false)
       allSamples = allSamples ++ samples2
-      val second = secondSeq.map(r => r._1 -> (r._2, r._3, r._4)).toMap
-      results = results.map { case (k, v, ok, lc) =>
-        second.get(k) match {
-          case Some((v2, ok2, lc2)) if ok && ok2 =>
-            if (v2 < v) (k, v2, true, lc2) else (k, v, true, lc)
-          case Some((v2, true, lc2)) if !ok => (k, v2, true, lc2)
-          case Some((_, false, _)) if ok => (k, v, true, lc)
-          case Some((v2, _, lc2)) =>
-            if (v2 < v) (k, v2, false, lc2) else (k, v, false, lc)
-          case None => (k, v, ok, lc)
-        }
-      }
+      val second = secondSeq.map(r => r.name -> r).toMap
+      results = results.map(r => BenchPolicy.mergeRerun(r, second.get(r.name)))
       total = total0
       reran = true
     }
     // deviations that SURVIVE the rerun are candidate regressions
     val deviations = perQueryDeviations(results)
-    val failed = results.collect { case (k, _, false, _) => k }
+    val failed = results.collect { case r if !r.ok => r.name }
 
     // post-suite canary: degradation can begin mid-run (the r16 n192
     // seed was born exactly that way), so either window flags the run
@@ -339,50 +304,48 @@ object Bench {
     val faultAfter = faultProbe()
     val scAfter = sparkCanary(spark)
     val scKey = s"spark_canary_c$cpus"
-    val scBest =
-      (recorded.get(scKey).toSeq ++ Seq(scBefore, scAfter) ++ allSamples).min
-    def scRatio(t: Double) = t / scBest
+    val verdict = BenchPolicy.CanaryVerdict(
+      ratioBefore = crBefore, ratioAfter = crAfter,
+      faultBefore = faultBefore, faultAfter = faultAfter,
+      sparkReadings = Seq(scBefore, scAfter) ++ allSamples,
+      sparkRecorded = recorded.get(scKey))
     // each surviving deviation stamped with the host factor of the
     // window its kept time was measured in — a factor well above 1 is
-    // the host's window, a factor ≈1 is a real regression. This is the
-    // per-deviation adjudication rounds 15–17 did by hand.
-    val localOf = results.map(r => r._1 -> r._4).toMap
+    // the host's window, a factor ≈1 is a real regression (read
+    // against "spark_calibrated"). This is the per-deviation
+    // adjudication rounds 15–17 did by hand.
+    val localOf = results.map(r => r.name -> r.localCanary).toMap
     val deviationHostFactors =
-      deviations.map { case (name, _) => name -> scRatio(localOf(name)) }
-    def faultBad(f: Double) = f > 0 && f < FaultFloor
-    val degraded = crBefore > CanaryBound || crAfter > CanaryBound ||
-      faultBad(faultBefore) || faultBad(faultAfter) ||
-      scRatio(allSamples.max) > SparkCanaryBound ||
-      scRatio(scBefore) > SparkCanaryBound ||
-      scRatio(scAfter) > SparkCanaryBound
+      deviations.map { case (name, _) => name -> verdict.sparkRatio(localOf(name)) }
+    val degraded = verdict.degraded
 
-    // a total that includes time-to-failure entries is artificially low
-    // — it must neither persist as the best nor be reported as one.
-    // A DEGRADED run never seeds a fresh total series (that inflated
-    // seed becomes the gate's denominator until a quiet run ratchets
-    // it); it may still LOWER an existing best, since an improvement
-    // measured under contention is a fortiori real.
-    val newBest =
-      if (failed.isEmpty) math.min(total, prevBest.getOrElse(total))
-      else prevBest.getOrElse(total)
-    val seedTotal = failed.isEmpty && (prevBest.isDefined || !degraded)
+    val seedTotal = BenchPolicy.seedTotal(failed.nonEmpty, prevBest, degraded)
     try {
       val updated = recorded ++
-        (results.collect { case (k, v, true, _) =>
-          qKey(k) -> math.min(v, recorded.getOrElse(qKey(k), v))
-        } ++ Seq(scKey -> scBest) ++
-          (if (seedTotal) Seq(totalKey -> newBest) else Nil))
+        (results.collect {
+          case r if BenchPolicy.seedQuery(
+              recorded.contains(qKey(r.name)), r.ok, degraded) =>
+            qKey(r.name) -> math.min(r.sec, recorded.getOrElse(qKey(r.name), r.sec))
+        } ++ (if (verdict.seedSparkBest) Seq(scKey -> verdict.sparkBest) else Nil) ++
+          (if (seedTotal) Seq(totalKey -> BenchPolicy.newBestTotal(total, prevBest)) else Nil))
       java.nio.file.Files.writeString(bestPath,
         updated.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
     } catch { case _: Exception => () } // best-file is advisory only
 
     val loadAfter = loadAvg()
-    def jmap(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val canaryJson = f"""{"t1_before":$c1Before%.3f,"tn_before":$cnBefore%.3f,"ratio_before":$crBefore%.2f,"t1_after":$c1After%.3f,"tn_after":$cnAfter%.3f,"ratio_after":$crAfter%.2f,"bound":$CanaryBound,"fault_gbps_before":$faultBefore%.2f,"fault_gbps_after":$faultAfter%.2f,"fault_floor":$FaultFloor,"spark_before":$scBefore%.3f,"spark_after":$scAfter%.3f,"spark_best":$scBest%.3f,"spark_bound":$SparkCanaryBound,"spark_samples_max":${allSamples.max}%.3f}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results.map(r => r._1 -> r._2))},"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"reran":$reran,"best_total":$newBest,"deviations":${jmap(deviations)},"deviation_host_factors":${jmap(deviationHostFactors)},"failed":$failedJson,"canary":$canaryJson,"degraded":$degraded}""")
+    println(BenchPolicy.renderJson(BenchPolicy.RunSummary(
+      total = total, sfDir = sfDir,
+      loadBefore = loadBefore, loadAfter = loadAfter, reran = reran,
+      results = results, deviations = deviations,
+      deviationHostFactors = deviationHostFactors, failed = failed,
+      t1Before = c1Before, tnBefore = cnBefore,
+      t1After = c1After, tnAfter = cnAfter,
+      verdict = verdict,
+      sparkBefore = scBefore, sparkAfter = scAfter,
+      samplesMax = allSamples.max,
+      totalSeeded = seedTotal,
+      bestTotal = BenchPolicy.reportedBestTotal(seedTotal, total, prevBest))))
     spark.stop()
   }
 }
