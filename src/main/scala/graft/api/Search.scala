@@ -235,8 +235,11 @@ object Search {
     // carrying the semantic feature is the parser's validation error
     // (`_validate_request`, parsers/search.py:126-137; same message),
     // raised BEFORE any work like the reference's (only_faceted
-    // included, and ahead of the semantic plan's eager probes)
-    require(req.synonyms.isEmpty || req.query.trim.isEmpty ||
+    // included, and ahead of the semantic plan's eager probes). The
+    // query leg is PYTHON TRUTHINESS (`self.item.query`): a
+    // whitespace-only " " is truthy and rejects too — isEmpty, not
+    // trim.isEmpty (ADVICE r17)
+    require(req.synonyms.isEmpty || req.query.isEmpty ||
         req.queryVector.isEmpty,
       "Search with custom synonyms is only supported on paragraph and " +
         "document search")

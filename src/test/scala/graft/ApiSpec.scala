@@ -533,6 +533,16 @@ class ApiSpec extends SparkSpec {
     Search.search(docs, "doc_id", "text", "labels", None,
       SearchRequest(query = "", topK = 5, synonyms = syn,
         queryVector = Some(Seq(1.0f, 0.0f))))
+    // ...while a WHITESPACE-ONLY query still rejects: Python
+    // truthiness — " " is truthy in `self.item.query`, so the
+    // reference raises for it too (ADVICE r17: isEmpty, not
+    // trim.isEmpty)
+    val eWs = intercept[IllegalArgumentException] {
+      Search.search(docs, "doc_id", "text", "labels", None,
+        SearchRequest(query = " ", topK = 5, synonyms = syn,
+          queryVector = Some(Seq(1.0f, 0.0f))))
+    }
+    assert(eWs.getMessage.contains("only supported on paragraph and document"))
   }
 
   test("catalog/facets: per-resource ancestor sets, LIKE prefixes, SPLIT_PART depth gate") {
