@@ -91,12 +91,33 @@ object ScaleStress {
     println(s"[stress] corpora: docs ${docs1.count()} -> ${docs10.count()}, " +
       s"embeddings ${emb1.count()} -> ${emb10.count()}")
 
+    // ---- host-factor stamping (round 18, VERDICT r17 task 3) -------
+    // one synthetic spark-canary sample between stress rows (the same
+    // fixed job Bench interleaves): each row's printed factor is the
+    // slower of its two ENCLOSING samples over the ratcheted
+    // spark_canary_c32 best — a row measured inside a degraded-host
+    // window now says so itself, where the findparagraphs_bm25 1.7× /
+    // kw_find_cachedstats 1.5× readings were explained as
+    // "late-sequence harness pressure" by hand since r13. With no
+    // recorded best the factor is unknowable (see BenchPolicy's
+    // calibration rule) — raw seconds print instead.
+    graft.HostCanary.sparkJobOnce(spark) // codegen warmup, untimed
+    val scBest = graft.HostCanary.recordedBest(32)
+    var prevSample = graft.HostCanary.sparkJobTimed(spark)
+    def host(): String = {
+      val s = graft.HostCanary.sparkJobTimed(spark)
+      val enclosing = math.max(prevSample, s)
+      prevSample = s
+      scBest.map(b => f"host=${enclosing / b}%.2fx")
+        .getOrElse(f"host_raw=$enclosing%.3fs")
+    }
+
     // ---- 1. MinHash LSH near-dup (signature + band join + verify) --
     def lsh(d: DataFrame) = Dedup.minHashLsh(d, "doc_id", "text").count()
     val (tL1, nL1) = med3(lsh(docs1))
     val (tL10, nL10) = med3(lsh(docs10))
     println(f"[stress] lsh_near_dup 1x $tL1%.2fs ($nL1 pairs) 10x $tL10%.2fs " +
-      f"($nL10 pairs) growth ${tL10 / tL1}%.1fx")
+      f"($nL10 pairs) growth ${tL10 / tL1}%.1fx ${host()}")
 
     // ---- 2. at-rest IVF-PQ search ---------------------------------
     def buildVix(emb: DataFrame, dir: String) = {
@@ -118,8 +139,8 @@ object ScaleStress {
         .count()
     val (tA1, _) = med3(annSearch(codes1, emb1, cents1, cb1))
     val (tA10, _) = med3(annSearch(codes10, emb10, cents10, cb10))
-    println(f"[stress] ivfpq_build 1x $tB1%.2fs 10x $tB10%.2fs growth ${tB10 / tB1}%.1fx")
-    println(f"[stress] ivfpq_search 1x $tA1%.2fs 10x $tA10%.2fs growth ${tA10 / tA1}%.1fx")
+    println(f"[stress] ivfpq_build 1x $tB1%.2fs 10x $tB10%.2fs growth ${tB10 / tB1}%.1fx ${host()}")
+    println(f"[stress] ivfpq_search 1x $tA1%.2fs 10x $tA10%.2fs growth ${tA10 / tA1}%.1fx ${host()}")
 
     // ---- 3. relation-index hop ------------------------------------
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
@@ -151,8 +172,8 @@ object ScaleStress {
     }
     val (tH1, _) = med3(hop(s"$out/rel1"))
     val (tH10, _) = med3(hop(s"$out/rel10"))
-    println(f"[stress] relation_build 1x $tR1%.2fs 10x $tR10%.2fs growth ${tR10 / tR1}%.1fx")
-    println(f"[stress] relation_hop 1x $tH1%.2fs 10x $tH10%.2fs growth ${tH10 / tH1}%.1fx")
+    println(f"[stress] relation_build 1x $tR1%.2fs 10x $tR10%.2fs growth ${tR10 / tR1}%.1fx ${host()}")
+    println(f"[stress] relation_hop 1x $tH1%.2fs 10x $tH10%.2fs growth ${tH10 / tH1}%.1fx ${host()}")
 
     // ---- 3b. PREFILTERED graph path search (round-11 endpoint) -----
     // allowed ids stay 1×-sized in both runs (the prefilter is the
@@ -170,7 +191,7 @@ object ScaleStress {
     }
     val (tG1, _) = med3(filteredGraph(s"$out/rel1"))
     val (tG10, _) = med3(filteredGraph(s"$out/rel10"))
-    println(f"[stress] graph_prefiltered 1x $tG1%.2fs 10x $tG10%.2fs growth ${tG10 / tG1}%.1fx")
+    println(f"[stress] graph_prefiltered 1x $tG1%.2fs 10x $tG10%.2fs growth ${tG10 / tG1}%.1fx ${host()}")
 
     // ---- 3b2. find RELATIONS subgraph (round-15 endpoint) ----------
     // entry values live in replica 0, so the answer is identical at
@@ -185,7 +206,7 @@ object ScaleStress {
     }
     val (tRS1, _) = med3(relSubgraph(s"$out/rel1"))
     val (tRS10, _) = med3(relSubgraph(s"$out/rel10"))
-    println(f"[stress] relations_subgraph 1x $tRS1%.2fs 10x $tRS10%.2fs growth ${tRS10 / tRS1}%.1fx")
+    println(f"[stress] relations_subgraph 1x $tRS1%.2fs 10x $tRS10%.2fs growth ${tRS10 / tRS1}%.1fx ${host()}")
 
     // ---- 3c. FILTERED suggest (round-11 endpoint) ------------------
     // paragraph posting pair built standalone (the suggest-relevant
@@ -206,8 +227,8 @@ object ScaleStress {
         .terms.count()
     val (tF1, _) = med3(filteredSuggest(s"$out/pp1", docs1))
     val (tF10, _) = med3(filteredSuggest(s"$out/pp10", docs10))
-    println(f"[stress] parpostings_build 1x $tP1%.2fs 10x $tP10%.2fs growth ${tP10 / tP1}%.1fx")
-    println(f"[stress] suggest_filtered 1x $tF1%.2fs 10x $tF10%.2fs growth ${tF10 / tF1}%.1fx")
+    println(f"[stress] parpostings_build 1x $tP1%.2fs 10x $tP10%.2fs growth ${tP10 / tP1}%.1fx ${host()}")
+    println(f"[stress] suggest_filtered 1x $tF1%.2fs 10x $tF10%.2fs growth ${tF10 / tF1}%.1fx ${host()}")
 
     // ---- 3d. HYBRID find endpoint (keyword+ANN), filtered and not --
     // (VERDICT r11 task 7: the serving path a real user hits first.)
@@ -254,11 +275,11 @@ object ScaleStress {
         .count()
     val (tHF1, _) = med3(hybridFind(hc1, filtered = false))
     val (tHF10, _) = med3(hybridFind(hc10, filtered = false))
-    println(f"[stress] docpostings_build 1x $tDP1%.2fs 10x $tDP10%.2fs growth ${tDP10 / tDP1}%.1fx")
-    println(f"[stress] hybrid_find 1x $tHF1%.2fs 10x $tHF10%.2fs growth ${tHF10 / tHF1}%.1fx")
+    println(f"[stress] docpostings_build 1x $tDP1%.2fs 10x $tDP10%.2fs growth ${tDP10 / tDP1}%.1fx ${host()}")
+    println(f"[stress] hybrid_find 1x $tHF1%.2fs 10x $tHF10%.2fs growth ${tHF10 / tHF1}%.1fx ${host()}")
     val (tHG1, _) = med3(hybridFind(hc1, filtered = true))
     val (tHG10, _) = med3(hybridFind(hc10, filtered = true))
-    println(f"[stress] hybrid_find_filtered 1x $tHG1%.2fs 10x $tHG10%.2fs growth ${tHG10 / tHG1}%.1fx")
+    println(f"[stress] hybrid_find_filtered 1x $tHG1%.2fs 10x $tHG10%.2fs growth ${tHG10 / tHG1}%.1fx ${host()}")
     // the cached-stats escape hatch for the filtered tail, measured on
     // KEYWORD-only prefiltered find (the hybrid rows above carry the
     // semantic probe, which dominates and hides the stats agg): the
@@ -277,7 +298,7 @@ object ScaleStress {
         .count()
     val (tKF1, _) = med3(kwFind(hc1))
     val (tKF10, _) = med3(kwFind(hc10))
-    println(f"[stress] kw_find_filtered 1x $tKF1%.2fs 10x $tKF10%.2fs growth ${tKF10 / tKF1}%.1fx")
+    println(f"[stress] kw_find_filtered 1x $tKF1%.2fs 10x $tKF10%.2fs growth ${tKF10 / tKF1}%.1fx ${host()}")
     // hoisted OUT of the timed region: cachedCorpus runs the eager
     // population aggregation the cache exists to amortize — timing it
     // inside med3 would re-measure the very scan the row claims to skip
@@ -285,7 +306,7 @@ object ScaleStress {
     val cc10 = cachedCorpus(hc10)
     val (tKC1, _) = med3(kwFind(cc1))
     val (tKC10, _) = med3(kwFind(cc10))
-    println(f"[stress] kw_find_filtered_cachedstats 1x $tKC1%.2fs 10x $tKC10%.2fs growth ${tKC10 / tKC1}%.1fx")
+    println(f"[stress] kw_find_filtered_cachedstats 1x $tKC1%.2fs 10x $tKC10%.2fs growth ${tKC10 / tKC1}%.1fx ${host()}")
 
     // ---- 3e. findParagraphs BM25 (paragraph serving unit) ----------
     // the paragraph posting PAIR from 3c plus its doclengths side; the
@@ -312,8 +333,8 @@ object ScaleStress {
         .count()
     val (tPF1, _) = med3(parFindBm25(s"$out/pp1", s"$out/pdl1", docs1))
     val (tPF10, _) = med3(parFindBm25(s"$out/pp10", s"$out/pdl10", docs10))
-    println(f"[stress] pardoclengths_build 1x $tPD1%.2fs 10x $tPD10%.2fs growth ${tPD10 / tPD1}%.1fx")
-    println(f"[stress] findparagraphs_bm25 1x $tPF1%.2fs 10x $tPF10%.2fs growth ${tPF10 / tPF1}%.1fx")
+    println(f"[stress] pardoclengths_build 1x $tPD1%.2fs 10x $tPD10%.2fs growth ${tPD10 / tPD1}%.1fx ${host()}")
+    println(f"[stress] findparagraphs_bm25 1x $tPF1%.2fs 10x $tPF10%.2fs growth ${tPF10 / tPF1}%.1fx ${host()}")
 
     // ---- 3b. request-sized id surfaces: /hydrate and /augment -------
     // both rest on the typed-In pushdown: a request-sized id set must
@@ -339,8 +360,8 @@ object ScaleStress {
           resourceTitle = true)).count()
     val (tHy1, _) = med3(hydrateReq(docs1, s"$out/pars1"))
     val (tHy10, _) = med3(hydrateReq(docs10, s"$out/pars10"))
-    println(f"[stress] pars_build 1x $tPB1%.2fs 10x $tPB10%.2fs growth ${tPB10 / tPB1}%.1fx")
-    println(f"[stress] hydrate_neighbours 1x $tHy1%.2fs 10x $tHy10%.2fs growth ${tHy10 / tHy1}%.1fx")
+    println(f"[stress] pars_build 1x $tPB1%.2fs 10x $tPB10%.2fs growth ${tPB10 / tPB1}%.1fx ${host()}")
+    println(f"[stress] hydrate_neighbours 1x $tHy1%.2fs 10x $tHy10%.2fs growth ${tHy10 / tHy1}%.1fx ${host()}")
 
     val entityDict = spark.createDataFrame(
       Seq(Tuple1("spark"), Tuple1("scan"), Tuple1("key agg"))).toDF("value")
@@ -361,7 +382,7 @@ object ScaleStress {
     }
     val (tAu1, _) = med3(augmentReq(docs1))
     val (tAu10, _) = med3(augmentReq(docs10))
-    println(f"[stress] augment_res_fields 1x $tAu1%.2fs 10x $tAu10%.2fs growth ${tAu10 / tAu1}%.1fx")
+    println(f"[stress] augment_res_fields 1x $tAu1%.2fs 10x $tAu10%.2fs growth ${tAu10 / tAu1}%.1fx ${host()}")
 
     // ---- 3f. /search single-collect union (round-15 shape) ---------
     // the tagged-union response materializes the doc page AND the
@@ -385,7 +406,7 @@ object ScaleStress {
     }
     val (tSU1, _) = med3(searchUnion("dp1", docs1, s"$out/pars1"))
     val (tSU10, _) = med3(searchUnion("dp10", docs10, s"$out/pars10"))
-    println(f"[stress] search_union_collect 1x $tSU1%.2fs 10x $tSU10%.2fs growth ${tSU10 / tSU1}%.1fx")
+    println(f"[stress] search_union_collect 1x $tSU1%.2fs 10x $tSU10%.2fs growth ${tSU10 / tSU1}%.1fx ${host()}")
 
     // ---- 3g. GET /catalog/facets (round-16 endpoint) ----------------
     // per-resource ancestor facet SETS built ARRAY-side (one explode +
@@ -401,7 +422,30 @@ object ScaleStress {
         .count()
     val (tCF1, _) = med3(catFacets(docs1))
     val (tCF10, _) = med3(catFacets(docs10))
-    println(f"[stress] catalog_facets 1x $tCF1%.2fs 10x $tCF10%.2fs growth ${tCF10 / tCF1}%.1fx")
+    println(f"[stress] catalog_facets 1x $tCF1%.2fs 10x $tCF10%.2fs growth ${tCF10 / tCF1}%.1fx ${host()}")
+    // round 18 (VERDICT r17 task 4): the 1×→10× ratio is dominated by
+    // fixed job overhead at this base (~0.15 s), so it overstates the
+    // slope — measure instead of argue. A 100× leg (5M rows) makes the
+    // linear term dominate: if t(n) = overhead + b·n then
+    // (t100−t10)/(t10−t1) reads 10.0 for pure linear growth,
+    // overhead-free by construction. The replica build is NARROW
+    // (doc_id, lang only — catFacets reads nothing else; column
+    // pruning already makes the 1×/10× scans labels-only, plan-pinned
+    // in ScaleDesignSpec).
+    val rep100 = spark.range(100).select(col("id").cast("int").as("rep"))
+    spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "lang")
+      .crossJoin(rep100)
+      .select((col("doc_id") + col("rep").cast("long") * 1000000L)
+        .as("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$out/docs100narrow")
+    val docs100 = spark.read.parquet(s"$out/docs100narrow")
+    val (tCF100, _) = med3(catFacets(docs100))
+    val bPerRep = (tCF100 - tCF10) / 90.0
+    val overhead = tCF1 - bPerRep
+    println(f"[stress] catalog_facets_100x $tCF100%.2fs slope10to100 " +
+      f"${(tCF100 - tCF10) / math.max(tCF10 - tCF1, 1e-9)}%.1f " +
+      f"(linear=10.0) per_replica ${bPerRep * 1000}%.1fms " +
+      f"overhead_est ${overhead * 1000}%.0fms ${host()}")
 
     // ---- 3h. /search RELATIONS: detect → subgraph (round 16) --------
     // Engine.searchRelations' two legs composed: queryEntities (the
@@ -420,7 +464,7 @@ object ScaleStress {
     }
     val (tSR1b, _) = med3(searchRels(s"$out/rel1"))
     val (tSR10b, _) = med3(searchRels(s"$out/rel10"))
-    println(f"[stress] search_relations_detect 1x $tSR1b%.2fs 10x $tSR10b%.2fs growth ${tSR10b / tSR1b}%.1fx")
+    println(f"[stress] search_relations_detect 1x $tSR1b%.2fs 10x $tSR10b%.2fs growth ${tSR10b / tSR1b}%.1fx ${host()}")
 
     // ---- 4. suggest at 64 live segments, 10× segment rows ----------
     import spark.implicits._
@@ -443,7 +487,7 @@ object ScaleStress {
     val root10 = segRoot(50, "10x")
     val (tS1, _) = med3(suggestAt(root1))
     val (tS10, _) = med3(suggestAt(root10))
-    println(f"[stress] suggest_64seg 1x $tS1%.2fs 10x $tS10%.2fs growth ${tS10 / tS1}%.1fx")
+    println(f"[stress] suggest_64seg 1x $tS1%.2fs 10x $tS10%.2fs growth ${tS10 / tS1}%.1fx ${host()}")
 
     // ---- 5. STREAMED roots: /retrieve winner-join + message-table
     // /augment at 10× data (VERDICT r14 "What's missing" #2). The root
@@ -494,7 +538,7 @@ object ScaleStress {
     import graft.api.{Augment, Engine, Retrieve}
     val (tSR1, sroot1) = time(buildStreamRoot(docs1, "1x"))
     val (tSR10, sroot10) = time(buildStreamRoot(docs10, "10x"))
-    println(f"[stress] stream_root_build 1x $tSR1%.2fs 10x $tSR10%.2fs growth ${tSR10 / tSR1}%.1fx")
+    println(f"[stress] stream_root_build 1x $tSR1%.2fs 10x $tSR10%.2fs growth ${tSR10 / tSR1}%.1fx ${host()}")
     def streamEngineOf(root: String, d: DataFrame) =
       Engine.forStream(spark, root,
         d.where(col("doc_id") % 17 =!= 5), docId = "doc_id",
@@ -508,7 +552,7 @@ object ScaleStress {
         topK = 20)).count()
     val (tSQ1, _) = med3(streamRetrieve(seng1))
     val (tSQ10, _) = med3(streamRetrieve(seng10))
-    println(f"[stress] stream_retrieve_kw 1x $tSQ1%.2fs 10x $tSQ10%.2fs growth ${tSQ10 / tSQ1}%.1fx")
+    println(f"[stress] stream_retrieve_kw 1x $tSQ1%.2fs 10x $tSQ10%.2fs growth ${tSQ10 / tSQ1}%.1fx ${host()}")
     def streamAugment(e: Engine): Long =
       e.augment(Augment.AugmentRequest(fields = Seq(
           Augment.FieldAugment(given = Seq("0/c/chat"),
@@ -521,7 +565,7 @@ object ScaleStress {
         .messages.count()
     val (tSA1, _) = med3(streamAugment(seng1))
     val (tSA10, _) = med3(streamAugment(seng10))
-    println(f"[stress] stream_augment_conv 1x $tSA1%.2fs 10x $tSA10%.2fs growth ${tSA10 / tSA1}%.1fx")
+    println(f"[stress] stream_augment_conv 1x $tSA1%.2fs 10x $tSA10%.2fs growth ${tSA10 / tSA1}%.1fx ${host()}")
 
     // ---- 6. fallback expansion: deletes-route vs dictionary scan ----
     // (round 15) the fuzzy fallback's claim: with the at-rest par
@@ -540,7 +584,7 @@ object ScaleStress {
         .write.mode("overwrite").parquet(dir)
     val (tDB1, _) = time(buildParDeletes(s"$out/pp1", s"$out/pdel1"))
     val (tDB10, _) = time(buildParDeletes(s"$out/pp10", s"$out/pdel10"))
-    println(f"[stress] pardeletes_build 1x $tDB1%.2fs 10x $tDB10%.2fs growth ${tDB10 / tDB1}%.1fx")
+    println(f"[stress] pardeletes_build 1x $tDB1%.2fs 10x $tDB10%.2fs growth ${tDB10 / tDB1}%.1fx ${host()}")
     // a 3-char LAST term keeps both legs on the plain lev≤1 path (a
     // ≥4-char last term takes the fuzzy-PREFIX leg, which scans the
     // dictionary under BOTH routes — that leg's cost is bounded by the
@@ -555,10 +599,10 @@ object ScaleStress {
         spark.read.parquet(delDir), dictOf(ppDir), typoTerms).size.toLong
     val (tES1, nES1) = med3(expandScan(s"$out/pp1"))
     val (tES10, nES10) = med3(expandScan(s"$out/pp10"))
-    println(f"[stress] fallback_expand_scan 1x $tES1%.2fs ($nES1 terms) 10x $tES10%.2fs ($nES10 terms) growth ${tES10 / tES1}%.1fx")
+    println(f"[stress] fallback_expand_scan 1x $tES1%.2fs ($nES1 terms) 10x $tES10%.2fs ($nES10 terms) growth ${tES10 / tES1}%.1fx ${host()}")
     val (tED1, nED1) = med3(expandDeletes(s"$out/pdel1", s"$out/pp1"))
     val (tED10, nED10) = med3(expandDeletes(s"$out/pdel10", s"$out/pp10"))
-    println(f"[stress] fallback_expand_deletes 1x $tED1%.2fs ($nED1 terms) 10x $tED10%.2fs ($nED10 terms) growth ${tED10 / tED1}%.1fx")
+    println(f"[stress] fallback_expand_deletes 1x $tED1%.2fs ($nED1 terms) 10x $tED10%.2fs ($nED10 terms) growth ${tED10 / tED1}%.1fx ${host()}")
 
     println("[stress] done")
     spark.stop()
