@@ -94,6 +94,30 @@ object SparkEntry {
     * /augment's conversation selectors serve from the same root.
     */
   private val streamRoots = scala.collection.mutable.Map[String, String]()
+
+  /** At-rest per-facet count table for q193 (round 18): built ONCE per
+    * sf dir from q189's label recipe via
+    * [[graft.operators.Facets.catalogFacetCounts]], written parquet,
+    * read back — the serving side then touches only this table (the
+    * ingest-maintained escape hatch DESIGN.md's measured-linear
+    * catalog_facets slope graduated; ScaleDesignSpec pins the
+    * no-corpus-scan plan). */
+  private val facetCountRoots = scala.collection.mutable.Map[String, String]()
+  private def facetCountsAtRest(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val path = facetCountRoots.getOrElseUpdate(dir, {
+        val p = graft.sources.IndexStore.deleteOnExit(
+          java.nio.file.Files.createTempDirectory("graft-facetcounts-")
+            .toString) + "/counts"
+        val docs = load(s, dir, "documents").withColumn("labels",
+          array(concat(lit("/s/p/"), col("lang")), lit("/s/p/all"),
+            concat(lit("/u/s/"), col("source"))))
+        graft.operators.Facets.catalogFacetCounts(docs, "labels")
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+      s.read.parquet(path)
+    }
   private def streamRootAtRest(s: SparkSession, dir: String): String =
     synchronized {
       streamRoots.getOrElseUpdate(dir, {
@@ -3255,6 +3279,23 @@ object SparkEntry {
           prefixes = Seq(("/s", Some(1)), ("/u/s", None)))
         .orderBy("facet")
     }),
+
+    // §3.5 `GET /catalog/facets` served AT REST (round 18): the
+    // endpoint is full-corpus-linear BY CONTRACT (q189's shape; the
+    // ScaleStress 100× leg measured the incremental slope 8.8 vs
+    // 10.0-linear), so the 100 TB serving path filters an
+    // ingest-maintained (facet, n) table instead of re-aggregating the
+    // corpus — counts are additive over resources (the per-resource
+    // dedup folds array-side at build), request cost ∝ the label
+    // taxonomy. Same request and ORACLE as q189: the prefix/depth
+    // gates test only the facet value, so they commute with the count
+    // (equivalence pinned in CatalogFacetsProperties; the
+    // only-the-count-table plan pinned in ScaleDesignSpec)
+    "q193_catalog_facets_at_rest" -> ((s, dir) =>
+      graft.operators.Facets.catalogFacetsAtRest(
+          facetCountsAtRest(s, dir),
+          prefixes = Seq(("/s", Some(1)), ("/u/s", None)))
+        .orderBy("facet")),
 
     // §3.2 /search SEMANTIC feature (round 16): the response model's
     // `sentences` list (KnowledgeboxSearchResults.sentences) — /search
@@ -6644,6 +6685,25 @@ object SparkEntry {
     // engine derives ancestors array-side with no cap) — raise the
     // bound with the corpus, like the shingle CTEs' range(1, 2000)
     "q189_catalog_facets" ->
+      """WITH lab AS (SELECT doc_id,
+        |              unnest(['/s/p/' || lang, '/s/p/all', '/u/s/' || source]) AS label
+        |            FROM documents),
+        |parts AS (SELECT doc_id, regexp_split_to_array(label, '/') AS p FROM lab),
+        |anc AS (SELECT DISTINCT doc_id, array_to_string(p[1:i], '/') AS facet
+        |        FROM parts CROSS JOIN (SELECT unnest(range(2, 11)) AS i) ix
+        |        WHERE i <= len(p)),
+        |flt AS (SELECT facet FROM anc
+        |        WHERE (facet LIKE '/s%'
+        |               AND len(regexp_split_to_array(facet, '/')) < 4)
+        |           OR facet LIKE '/u/s%')
+        |SELECT facet, CAST(count(*) AS BIGINT) AS n
+        |FROM flt GROUP BY facet ORDER BY facet""".stripMargin,
+
+    // q193: the same endpoint served from the at-rest count table —
+    // the oracle is q189's (identical output is the claim: the prefix
+    // gates commute with the per-facet count because they test only
+    // the facet value, pg.py:176-194)
+    "q193_catalog_facets_at_rest" ->
       """WITH lab AS (SELECT doc_id,
         |              unnest(['/s/p/' || lang, '/s/p/all', '/u/s/' || source]) AS label
         |            FROM documents),

@@ -113,7 +113,14 @@ class Engine(
     // re-register after a re-ingest (cheap; serving with stale stats
     // would silently break the filter-then-score contract)
     filterStatsMemo = Map.empty
+    // the at-rest facet count table counted the OLD corpus too
+    facetCountsMemo = None
   }
+
+  // at-rest per-facet resource-count table (round 18): when
+  // registered, /catalog/facets filters this instead of aggregating
+  // the corpus; cleared on re-ingest
+  private var facetCountsMemo: Option[DataFrame] = None
 
   // precomputed per-filter BM25 population stats, threaded into every
   // corpus() so prefiltered find/findParagraphs skip the per-request
@@ -726,10 +733,36 @@ class Engine(
   /** `GET /kb/{kbid}/catalog/facets` — resource counts per facet path
     * over the whole doc store ([[Facets.catalogFacets]];
     * `search/api/v1/catalog.py:200-214`). `prefixes` are the request's
-    * (prefix, depth) pairs — empty lists every facet. */
+    * (prefix, depth) pairs — empty lists every facet.
+    *
+    * With [[cacheCatalogFacetCounts]] registered, requests serve from
+    * the at-rest count table instead of re-aggregating the corpus —
+    * identical output, cost ∝ |distinct facet paths| instead of rows
+    * (the round-18 measured-linear slope's escape hatch, DESIGN.md). */
   def catalogFacets(
       prefixes: Seq[(String, Option[Int])] = Nil): DataFrame =
-    Facets.catalogFacets(docs, labelsCol, prefixes)
+    facetCountsMemo match {
+      case Some(counts) => Facets.catalogFacetsAtRest(counts, prefixes)
+      case None => Facets.catalogFacets(docs, labelsCol, prefixes)
+    }
+
+  /** Build and register the at-rest per-facet count table (round 18):
+    * one aggregation over the doc store, written under the index root,
+    * after which every /catalog/facets request filters the small
+    * table (facet-population-sized — the label taxonomy, not the
+    * corpus). Counts are additive over resources, so an incremental
+    * deployment maintains the table by summing segment deltas; this
+    * facade rebuilds on explicit re-registration and DROPS the table
+    * on re-ingest (serving stale counts would silently miscount —
+    * same invalidation contract as the filter-stats cache). */
+  def cacheCatalogFacetCounts(): Unit = {
+    Facets.catalogFacetCounts(docs, labelsCol)
+      .write.mode("overwrite").parquet(p("catalog_facet_counts"))
+    synchronized {
+      facetCountsMemo =
+        Some(IndexStore.readParquetMemo(spark, p("catalog_facet_counts")))
+    }
+  }
 }
 
 object Engine {
@@ -1032,6 +1065,22 @@ final class StreamEngine private[api] (
       statsWatermark = Nil // recompute (incl. the new entry) on next use
     }
   }
+
+  /** A streamed root's corpus changes with every segment landing, so a
+    * materialized count table would silently serve stale counts —
+    * refused UP FRONT with the remedy (the r16 deletion-rejection
+    * precedent): counts are additive over resources, so a streaming
+    * deployment maintains the table at the SINK by summing per-segment
+    * deltas (`union → groupBy(facet).sum`); this facade keeps the
+    * corpus-aggregation path, which already serves the live
+    * latest-wins view. */
+  override def cacheCatalogFacetCounts(): Unit =
+    throw new UnsupportedOperationException(
+      "cacheCatalogFacetCounts on a streamed engine: the corpus changes " +
+        "per segment and a materialized count table would serve stale " +
+        "counts. Maintain the table at the stream sink instead (facet " +
+        "counts are additive over resources — sum per-segment deltas); " +
+        "catalogFacets here serves the live corpus-aggregation path.")
 
   override def corpus(vectorsetsWanted: Seq[String] = Nil): Find.Corpus = {
     val s = served

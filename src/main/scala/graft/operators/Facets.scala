@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Facet counting & hierarchical rollup.
@@ -207,9 +207,24 @@ object Facets {
     val facetsOf = array_distinct(flatten(
       transform(col(labelsCol), l => ancestorPaths(l))))
     val exploded = df.select(explode(facetsOf).as("facet"))
-    val filtered = prefixes match {
-      case Nil => exploded
-      case ps => exploded.where(ps.map { case (p, d) =>
+    val filtered = catalogPrefixGate(prefixes) match {
+      case None => exploded
+      case Some(gate) => exploded.where(gate)
+    }
+    filtered.groupBy("facet").agg(count(lit(1)).cast("long").as("n"))
+  }
+
+  /** The request's prefix/depth predicate over a `facet` column —
+    * pg.py:176-194's OR of `LIKE '{prefix}%'` [AND
+    * `SPLIT_PART(facet, '/', parts(prefix) + depth + 1) = ''`] legs.
+    * None = no prefixes = every facet. The predicate mentions ONLY the
+    * facet value, which is what makes the at-rest serving path below
+    * correct: it commutes with the per-facet count. */
+  private def catalogPrefixGate(
+      prefixes: Seq[(String, Option[Int])]): Option[Column] =
+    prefixes match {
+      case Nil => None
+      case ps => Some(ps.map { case (p, d) =>
         val like = col("facet").startsWith(p)
         d match {
           case None => like
@@ -224,7 +239,40 @@ object Facets {
         }
       }.reduce(_ || _))
     }
-    filtered.groupBy("facet").agg(count(lit(1)).cast("long").as("n"))
+
+  /** The full per-facet resource-count table — [[catalogFacets]] with
+    * no prefixes, named for its at-rest role (round 18): the endpoint
+    * is a full-corpus aggregation BY CONTRACT (pg.py:175-206 is a
+    * full-table GROUP BY), and the round-18 ScaleStress 100× leg
+    * measured its incremental cost linear (slope 8.8 vs 10.0 —
+    * DESIGN.md), so serving it at 100 TB wants this table maintained
+    * at INGEST instead of scanned per request. Counts are ADDITIVE
+    * over resources — the per-resource dedup already folded
+    * array-side inside each row — so count tables of disjoint
+    * resource sets (new segments, partitions, incremental batches)
+    * sum: `union → groupBy(facet).sum(n)` is the whole maintenance
+    * story. */
+  def catalogFacetCounts(df: DataFrame, labelsCol: String): DataFrame =
+    catalogFacets(df, labelsCol, Nil)
+
+  /** Serve `GET /catalog/facets` from the at-rest count table —
+    * output identical to [[catalogFacets]] on the corpus it was built
+    * from (CatalogFacetsProperties pins the equivalence on random
+    * label sets). Correct because the request's only degrees of
+    * freedom are the prefix/depth gates, and those test the FACET
+    * value alone (pg.py:176-194 — the WHERE clauses never mention the
+    * resource), so filtering the counted table equals counting the
+    * filtered rows. Request cost is |distinct facet paths| — the
+    * label taxonomy's size, independent of corpus rows — with the
+    * startsWith gate pushing into the parquet scan as a
+    * StringStartsWith filter. */
+  def catalogFacetsAtRest(counts: DataFrame,
+      prefixes: Seq[(String, Option[Int])] = Nil): DataFrame = {
+    val base = counts.select(col("facet"), col("n").cast("long").as("n"))
+    catalogPrefixGate(prefixes) match {
+      case None => base
+      case Some(gate) => base.where(gate)
+    }
   }
 
   /** Per-table counters — the `/counters` endpoint analog

@@ -79,4 +79,30 @@ object CatalogFacetsProperties extends Properties("graft.catalogFacets") {
           println(s"rows=$rows prefixes=$prefixes\ngot=$got\nwant=$want")
         got == want
     }
+
+  // round 18: the at-rest serving path — filtering the UNFILTERED
+  // count table must equal counting the filtered rows for EVERY
+  // prefix/depth request (the gates test only the facet value, so
+  // they commute with the per-facet count; this is the correctness
+  // claim q193 and Engine.cacheCatalogFacetCounts ride on)
+  property("at-rest count-table serving == corpus aggregation for every request") =
+    forAll(
+      Gen.choose(1, 6).flatMap(n => Gen.listOfN(n,
+        Gen.choose(0, 4).flatMap(m => Gen.listOfN(m, label)))),
+      Gen.choose(0, 3).flatMap(k => Gen.listOfN(k, prefix))) {
+      (rows, prefixes) =>
+        import spark.implicits._
+        val df = rows.zipWithIndex
+          .map { case (ls, i) => (i.toLong, ls) }.toDF("rid", "labels")
+        val counts = graft.operators.Facets.catalogFacetCounts(df, "labels")
+        val atRest = graft.operators.Facets
+          .catalogFacetsAtRest(counts, prefixes)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val direct = graft.operators.Facets
+          .catalogFacets(df, "labels", prefixes)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (atRest != direct)
+          println(s"rows=$rows prefixes=$prefixes\natRest=$atRest\ndirect=$direct")
+        atRest == direct
+    }
 }

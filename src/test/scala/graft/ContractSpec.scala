@@ -42,7 +42,7 @@ class ContractSpec extends AnyFunSuite {
     val ids = SparkEntry.queries.keySet.map(n =>
       n.drop(1).takeWhile(_.isDigit).toInt)
     assert(ids.size == SparkEntry.queries.size, "duplicate numeric query ids")
-    assert(SparkEntry.queries.size == 192)
+    assert(SparkEntry.queries.size == 193)
   }
 
   test("oracle SQL contains no tab or CR characters that could break the JSON dump") {

@@ -592,6 +592,48 @@ class EngineSpec extends SparkSpec {
       "cached population stats must not change any prefiltered score")
   }
 
+  test("cacheCatalogFacetCounts: at-rest serving identical, dropped on re-ingest, refused on streamed") {
+    val r5 = graft.sources.IndexStore.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft-engfc-").toString)
+    val e5 = new Engine(spark, r5)
+    e5.ingestDocuments(Seq(
+        (1L, "alpha", "en", Seq("/l/genre/fiction", "/s/p/en")),
+        (2L, "beta", "de", Seq("/l/genre/philosophy")),
+        (3L, "gamma", "en", Seq("/l/genre/tech", "/s/p/en")))
+      .toDF("doc_id", "text", "lang", "labels"), langCol = Some("lang"))
+    val prefixes = Seq(("/l", Some(1)), ("/s", None))
+    def snap() = e5.catalogFacets(prefixes).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val before = snap()
+    assert(before("/l/genre") == 3L && before("/s/p/en") == 2L, before.toString)
+    e5.cacheCatalogFacetCounts()
+    assert(snap() == before,
+      "at-rest serving must be indistinguishable from the corpus aggregation")
+    // the empty-prefix (every facet) request serves at rest too
+    assert(e5.catalogFacets(Nil).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .apply("/l/genre/tech") == 1L)
+    // re-ingest: the table counted the OLD corpus — memo must drop and
+    // the next request re-aggregate the new one
+    e5.ingestDocuments(Seq(
+        (1L, "alpha", "en", Seq("/l/genre/fiction")))
+      .toDF("doc_id", "text", "lang", "labels"), langCol = Some("lang"))
+    // the depth-1 "/l" gate admits /l and /l/genre only (4-part
+    // leaves excluded), and the /s subtree is gone from the corpus
+    val after = snap()
+    assert(after == Map("/l" -> 1L, "/l/genre" -> 1L), after.toString)
+    // a streamed engine refuses registration up front (its corpus
+    // changes per segment; a materialized table would serve stale
+    // counts) — the corpus-aggregation path keeps serving
+    val se = Engine.forStream(spark,
+      java.nio.file.Files.createTempDirectory("graft-engfcs-").toString,
+      Seq((1L, "alpha", 1L)).toDF("rid", "text", "seq"))
+    val ex = intercept[UnsupportedOperationException] {
+      se.cacheCatalogFacetCounts()
+    }
+    assert(ex.getMessage.contains("stream sink"))
+  }
+
   test("forStream: engine-triggered tiered compaction rebinds the watermark in place") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -58,6 +58,38 @@ class ScaleDesignSpec extends SparkSpec {
     assert(m("/s") == 4L && m("/s/p") == 4L, m.toString)
   }
 
+  test("catalog/facets AT REST: request touches only the count table — no corpus scan, no agg, prefix pushed") {
+    // round 18: the measured-linear endpoint's escape hatch — serving
+    // filters the ingest-maintained (facet, n) parquet; the corpus
+    // must be ABSENT from the request plan
+    val dir = Files.createTempDirectory("graft-facetcounts").toString
+    val d = docs.withColumn("labels",
+      array(concat(lit("/s/p/"), col("lang")), lit("/s/p/all")))
+    graft.operators.Facets.catalogFacetCounts(d, "labels")
+      .write.parquet(s"$dir/counts")
+    val counts = spark.read.parquet(s"$dir/counts")
+    val q = graft.operators.Facets.catalogFacetsAtRest(
+      counts, Seq(("/s", Some(1))))
+    val p = plan(q)
+    // one scan (the counts table), nothing corpus-shaped above it:
+    // no aggregation, no exchange, no explode
+    assert(p.linesIterator.count(_.toLowerCase.contains("scan parquet")) == 1,
+      s"the at-rest request must scan exactly the count table:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("Exchange") &&
+      !p.contains("Generate"),
+      s"no aggregation/exchange/explode in at-rest serving:\n$p")
+    // the LIKE-prefix leg reaches the parquet scan — facet-sorted
+    // row groups without the prefix skip entirely
+    assert(p.contains("StartsWith"),
+      s"the prefix gate must push into the count-table scan:\n$p")
+    // and the served rows equal the corpus aggregation's
+    val atRest = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = graft.operators.Facets.catalogFacets(d, "labels",
+        Seq(("/s", Some(1))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(atRest == direct, s"at-rest=$atRest direct=$direct")
+  }
+
   test("find-relations subgraph: entry predicate pushes to the edge scan; no joins anywhere") {
     import graft.api.GraphSearch
     import graft.api.GraphSearch.{EdgeTable, EntryPoint}
