@@ -268,12 +268,7 @@ object Bench {
     val sfKey = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
     def qKey(name: String) = s"$sfKey/q/$name"
     val totalKey = s"$sfKey/n${SparkEntry.queries.size}"
-    val recorded: Map[String, Double] =
-      try {
-        val txt = java.nio.file.Files.readString(bestPath)
-        """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Exception => Map.empty[String, Double] }
+    val recorded: Map[String, Double] = HostCanary.readBests(bestPath)
     val prevBest = recorded.get(totalKey)
 
     def perQueryDeviations(rs: Seq[QueryResult]): Seq[(String, Double)] =

@@ -119,8 +119,11 @@ class Engine(
 
   // at-rest per-facet resource-count table (round 18): when
   // registered, /catalog/facets filters this instead of aggregating
-  // the corpus; cleared on re-ingest
-  private var facetCountsMemo: Option[DataFrame] = None
+  // the corpus; cleared on re-ingest. @volatile: invalidateServing
+  // clears it under synchronized while catalogFacets reads it
+  // lock-free — a serving thread must never keep seeing the
+  // pre-re-ingest table
+  @volatile private var facetCountsMemo: Option[DataFrame] = None
 
   // precomputed per-filter BM25 population stats, threaded into every
   // corpus() so prefiltered find/findParagraphs skip the per-request
@@ -758,6 +761,10 @@ class Engine(
   def cacheCatalogFacetCounts(): Unit = {
     Facets.catalogFacetCounts(docs, labelsCol)
       .write.mode("overwrite").parquet(p("catalog_facet_counts"))
+    // the overwrite deleted the previous registration's part files —
+    // a memoized reader (this session's or another engine's over the
+    // same root) would keep listing them; drop it before re-memoizing
+    IndexStore.invalidatePrefix(spark, p("catalog_facet_counts"))
     synchronized {
       facetCountsMemo =
         Some(IndexStore.readParquetMemo(spark, p("catalog_facet_counts")))

@@ -36,17 +36,7 @@ import graft.streaming.IncrementalIndex
   */
 object ScaleStress {
 
-  private def time[A](f: => A): (Double, A) = {
-    val t0 = System.nanoTime()
-    val a = f
-    ((System.nanoTime() - t0) / 1e9, a)
-  }
-
-  /** Median-of-3 timing of an action returning a row count. */
-  private def med3(f: => Long): (Double, Long) = {
-    val runs = (1 to 3).map(_ => time(f))
-    (runs.map(_._1).sorted.apply(1), runs.head._2)
-  }
+  import Timing.{med3, timed}
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -94,30 +84,24 @@ object ScaleStress {
     // ---- host-factor stamping (round 18, VERDICT r17 task 3) -------
     // one synthetic spark-canary sample between stress rows (the same
     // fixed job Bench interleaves): each row's printed factor is the
-    // slower of its two ENCLOSING samples over the ratcheted
-    // spark_canary_c32 best — a row measured inside a degraded-host
-    // window now says so itself, where the findparagraphs_bm25 1.7× /
-    // kw_find_cachedstats 1.5× readings were explained as
-    // "late-sequence harness pressure" by hand since r13. With no
-    // recorded best the factor is unknowable (see BenchPolicy's
-    // calibration rule) — raw seconds print instead.
-    graft.HostCanary.sparkJobOnce(spark) // codegen warmup, untimed
-    val scBest = graft.HostCanary.recordedBest(32)
-    var prevSample = graft.HostCanary.sparkJobTimed(spark)
-    def host(): String = {
-      val s = graft.HostCanary.sparkJobTimed(spark)
-      val enclosing = math.max(prevSample, s)
-      prevSample = s
-      scBest.map(b => f"host=${enclosing / b}%.2fx")
-        .getOrElse(f"host_raw=$enclosing%.3fs")
-    }
+    // slower of its two samples BRACKETING the measurement, over the
+    // ratcheted spark_canary_c32 best — a row measured inside a
+    // degraded-host window says so itself, where the findparagraphs
+    // 1.7× / cachedstats 1.5× readings were explained as
+    // "late-sequence harness pressure" by hand since r13. Each row's
+    // mark is taken IMMEDIATELY after its measurements complete (a
+    // mark at print time would put both samples after the work and
+    // miss a window that closed in between). With no recorded best
+    // the factor is unknowable — raw seconds print instead.
+    val stamp = new graft.HostCanary.Stamper(spark, 32)
 
     // ---- 1. MinHash LSH near-dup (signature + band join + verify) --
     def lsh(d: DataFrame) = Dedup.minHashLsh(d, "doc_id", "text").count()
     val (tL1, nL1) = med3(lsh(docs1))
     val (tL10, nL10) = med3(lsh(docs10))
+    val hL = stamp.mark()
     println(f"[stress] lsh_near_dup 1x $tL1%.2fs ($nL1 pairs) 10x $tL10%.2fs " +
-      f"($nL10 pairs) growth ${tL10 / tL1}%.1fx ${host()}")
+      f"($nL10 pairs) growth ${tL10 / tL1}%.1fx $hL")
 
     // ---- 2. at-rest IVF-PQ search ---------------------------------
     def buildVix(emb: DataFrame, dir: String) = {
@@ -128,8 +112,9 @@ object ScaleStress {
         .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
       (spark.read.parquet(s"$dir/codes"), cents, cb)
     }
-    val (tB1, (codes1, cents1, cb1)) = time(buildVix(emb1, s"$out/vix1"))
-    val (tB10, (codes10, cents10, cb10)) = time(buildVix(emb10, s"$out/vix10"))
+    val (tB1, (codes1, cents1, cb1)) = timed(buildVix(emb1, s"$out/vix1"))
+    val (tB10, (codes10, cents10, cb10)) = timed(buildVix(emb10, s"$out/vix10"))
+    val hB = stamp.mark()
     val qv = emb1.where(col("vec_id") === 0).select("embedding")
       .collect().head.getSeq[Float](0)
     def annSearch(codes: DataFrame, raw: DataFrame,
@@ -139,8 +124,9 @@ object ScaleStress {
         .count()
     val (tA1, _) = med3(annSearch(codes1, emb1, cents1, cb1))
     val (tA10, _) = med3(annSearch(codes10, emb10, cents10, cb10))
-    println(f"[stress] ivfpq_build 1x $tB1%.2fs 10x $tB10%.2fs growth ${tB10 / tB1}%.1fx ${host()}")
-    println(f"[stress] ivfpq_search 1x $tA1%.2fs 10x $tA10%.2fs growth ${tA10 / tA1}%.1fx ${host()}")
+    val hA = stamp.mark()
+    println(f"[stress] ivfpq_build 1x $tB1%.2fs 10x $tB10%.2fs growth ${tB10 / tB1}%.1fx $hB")
+    println(f"[stress] ivfpq_search 1x $tA1%.2fs 10x $tA10%.2fs growth ${tA10 / tA1}%.1fx $hA")
 
     // ---- 3. relation-index hop ------------------------------------
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
@@ -155,10 +141,11 @@ object ScaleStress {
       (col("l_partkey") + col("rep") * 1000000L).as("l_partkey"),
       col("l_returnflag"),
       (col("l_orderkey") + col("rep") * 100000000L).as("l_orderkey"))
-    val (tR1, _) = time(Ingest.relationIndex(edgesOf(li), "src", "rel", "dst",
+    val (tR1, _) = timed(Ingest.relationIndex(edgesOf(li), "src", "rel", "dst",
       s"$out/rel1", resourceCol = Some("res")))
-    val (tR10, _) = time(Ingest.relationIndex(edgesOf(li10), "src", "rel", "dst",
+    val (tR10, _) = timed(Ingest.relationIndex(edgesOf(li10), "src", "rel", "dst",
       s"$out/rel10", resourceCol = Some("res")))
+    val hRB = stamp.mark()
     def hop(dir: String): Long = {
       import spark.implicits._
       val e = spark.read.parquet(s"$dir/edges")
@@ -172,8 +159,9 @@ object ScaleStress {
     }
     val (tH1, _) = med3(hop(s"$out/rel1"))
     val (tH10, _) = med3(hop(s"$out/rel10"))
-    println(f"[stress] relation_build 1x $tR1%.2fs 10x $tR10%.2fs growth ${tR10 / tR1}%.1fx ${host()}")
-    println(f"[stress] relation_hop 1x $tH1%.2fs 10x $tH10%.2fs growth ${tH10 / tH1}%.1fx ${host()}")
+    val hH = stamp.mark()
+    println(f"[stress] relation_build 1x $tR1%.2fs 10x $tR10%.2fs growth ${tR10 / tR1}%.1fx $hRB")
+    println(f"[stress] relation_hop 1x $tH1%.2fs 10x $tH10%.2fs growth ${tH10 / tH1}%.1fx $hH")
 
     // ---- 3b. PREFILTERED graph path search (round-11 endpoint) -----
     // allowed ids stay 1×-sized in both runs (the prefilter is the
@@ -191,7 +179,8 @@ object ScaleStress {
     }
     val (tG1, _) = med3(filteredGraph(s"$out/rel1"))
     val (tG10, _) = med3(filteredGraph(s"$out/rel10"))
-    println(f"[stress] graph_prefiltered 1x $tG1%.2fs 10x $tG10%.2fs growth ${tG10 / tG1}%.1fx ${host()}")
+    val hG = stamp.mark()
+    println(f"[stress] graph_prefiltered 1x $tG1%.2fs 10x $tG10%.2fs growth ${tG10 / tG1}%.1fx $hG")
 
     // ---- 3b2. find RELATIONS subgraph (round-15 endpoint) ----------
     // entry values live in replica 0, so the answer is identical at
@@ -206,7 +195,8 @@ object ScaleStress {
     }
     val (tRS1, _) = med3(relSubgraph(s"$out/rel1"))
     val (tRS10, _) = med3(relSubgraph(s"$out/rel10"))
-    println(f"[stress] relations_subgraph 1x $tRS1%.2fs 10x $tRS10%.2fs growth ${tRS10 / tRS1}%.1fx ${host()}")
+    val hRS = stamp.mark()
+    println(f"[stress] relations_subgraph 1x $tRS1%.2fs 10x $tRS10%.2fs growth ${tRS10 / tRS1}%.1fx $hRS")
 
     // ---- 3c. FILTERED suggest (round-11 endpoint) ------------------
     // paragraph posting pair built standalone (the suggest-relevant
@@ -217,8 +207,9 @@ object ScaleStress {
           Ingest.splitParagraphs(d, "doc_id", "text"),
           "paragraph_id", "p_text")
         .write.mode("overwrite").parquet(dir)
-    val (tP1, _) = time(buildParPostings(docs1, s"$out/pp1"))
-    val (tP10, _) = time(buildParPostings(docs10, s"$out/pp10"))
+    val (tP1, _) = timed(buildParPostings(docs1, s"$out/pp1"))
+    val (tP10, _) = timed(buildParPostings(docs10, s"$out/pp10"))
+    val hP = stamp.mark()
     def filteredSuggest(ppDir: String, d: DataFrame): Long =
       graft.api.Suggest.suggestFiltered(
           spark.read.parquet(ppDir), d, "doc_id",
@@ -227,8 +218,9 @@ object ScaleStress {
         .terms.count()
     val (tF1, _) = med3(filteredSuggest(s"$out/pp1", docs1))
     val (tF10, _) = med3(filteredSuggest(s"$out/pp10", docs10))
-    println(f"[stress] parpostings_build 1x $tP1%.2fs 10x $tP10%.2fs growth ${tP10 / tP1}%.1fx ${host()}")
-    println(f"[stress] suggest_filtered 1x $tF1%.2fs 10x $tF10%.2fs growth ${tF10 / tF1}%.1fx ${host()}")
+    val hF = stamp.mark()
+    println(f"[stress] parpostings_build 1x $tP1%.2fs 10x $tP10%.2fs growth ${tP10 / tP1}%.1fx $hP")
+    println(f"[stress] suggest_filtered 1x $tF1%.2fs 10x $tF10%.2fs growth ${tF10 / tF1}%.1fx $hF")
 
     // ---- 3d. HYBRID find endpoint (keyword+ANN), filtered and not --
     // (VERDICT r11 task 7: the serving path a real user hits first.)
@@ -248,8 +240,9 @@ object ScaleStress {
       graft.functions.Bm25.docLengths(d, "doc_id", "text")
         .write.mode("overwrite").parquet(s"$dir/dl")
     }
-    val (tDP1, _) = time(buildDocPostings(docs1, s"$out/dp1"))
-    val (tDP10, _) = time(buildDocPostings(docs10, s"$out/dp10"))
+    val (tDP1, _) = timed(buildDocPostings(docs1, s"$out/dp1"))
+    val (tDP10, _) = timed(buildDocPostings(docs10, s"$out/dp10"))
+    val hDP = stamp.mark()
     val (n1, n10) = (emb1.count(), emb10.count())
     def hybridCorpus(tag: String, d: DataFrame, emb: DataFrame,
         codes: DataFrame, cents: Seq[(Int, Seq[Float])],
@@ -275,11 +268,13 @@ object ScaleStress {
         .count()
     val (tHF1, _) = med3(hybridFind(hc1, filtered = false))
     val (tHF10, _) = med3(hybridFind(hc10, filtered = false))
-    println(f"[stress] docpostings_build 1x $tDP1%.2fs 10x $tDP10%.2fs growth ${tDP10 / tDP1}%.1fx ${host()}")
-    println(f"[stress] hybrid_find 1x $tHF1%.2fs 10x $tHF10%.2fs growth ${tHF10 / tHF1}%.1fx ${host()}")
+    val hHF = stamp.mark()
+    println(f"[stress] docpostings_build 1x $tDP1%.2fs 10x $tDP10%.2fs growth ${tDP10 / tDP1}%.1fx $hDP")
+    println(f"[stress] hybrid_find 1x $tHF1%.2fs 10x $tHF10%.2fs growth ${tHF10 / tHF1}%.1fx $hHF")
     val (tHG1, _) = med3(hybridFind(hc1, filtered = true))
     val (tHG10, _) = med3(hybridFind(hc10, filtered = true))
-    println(f"[stress] hybrid_find_filtered 1x $tHG1%.2fs 10x $tHG10%.2fs growth ${tHG10 / tHG1}%.1fx ${host()}")
+    val hHG = stamp.mark()
+    println(f"[stress] hybrid_find_filtered 1x $tHG1%.2fs 10x $tHG10%.2fs growth ${tHG10 / tHG1}%.1fx $hHG")
     // the cached-stats escape hatch for the filtered tail, measured on
     // KEYWORD-only prefiltered find (the hybrid rows above carry the
     // semantic probe, which dominates and hides the stats agg): the
@@ -298,7 +293,8 @@ object ScaleStress {
         .count()
     val (tKF1, _) = med3(kwFind(hc1))
     val (tKF10, _) = med3(kwFind(hc10))
-    println(f"[stress] kw_find_filtered 1x $tKF1%.2fs 10x $tKF10%.2fs growth ${tKF10 / tKF1}%.1fx ${host()}")
+    val hKF = stamp.mark()
+    println(f"[stress] kw_find_filtered 1x $tKF1%.2fs 10x $tKF10%.2fs growth ${tKF10 / tKF1}%.1fx $hKF")
     // hoisted OUT of the timed region: cachedCorpus runs the eager
     // population aggregation the cache exists to amortize — timing it
     // inside med3 would re-measure the very scan the row claims to skip
@@ -306,7 +302,8 @@ object ScaleStress {
     val cc10 = cachedCorpus(hc10)
     val (tKC1, _) = med3(kwFind(cc1))
     val (tKC10, _) = med3(kwFind(cc10))
-    println(f"[stress] kw_find_filtered_cachedstats 1x $tKC1%.2fs 10x $tKC10%.2fs growth ${tKC10 / tKC1}%.1fx ${host()}")
+    val hKC = stamp.mark()
+    println(f"[stress] kw_find_filtered_cachedstats 1x $tKC1%.2fs 10x $tKC10%.2fs growth ${tKC10 / tKC1}%.1fx $hKC")
 
     // ---- 3e. findParagraphs BM25 (paragraph serving unit) ----------
     // the paragraph posting PAIR from 3c plus its doclengths side; the
@@ -317,8 +314,9 @@ object ScaleStress {
           Ingest.splitParagraphs(d, "doc_id", "text"),
           "paragraph_id", "p_text")
         .write.mode("overwrite").parquet(dir)
-    val (tPD1, _) = time(buildParDl(docs1, s"$out/pdl1"))
-    val (tPD10, _) = time(buildParDl(docs10, s"$out/pdl10"))
+    val (tPD1, _) = timed(buildParDl(docs1, s"$out/pdl1"))
+    val (tPD10, _) = timed(buildParDl(docs10, s"$out/pdl10"))
+    val hPD = stamp.mark()
     def parFindBm25(ppDir: String, dlDir: String, d: DataFrame): Long =
       Find.findParagraphs(
           Find.Corpus(d, "doc_id", "text",
@@ -333,8 +331,9 @@ object ScaleStress {
         .count()
     val (tPF1, _) = med3(parFindBm25(s"$out/pp1", s"$out/pdl1", docs1))
     val (tPF10, _) = med3(parFindBm25(s"$out/pp10", s"$out/pdl10", docs10))
-    println(f"[stress] pardoclengths_build 1x $tPD1%.2fs 10x $tPD10%.2fs growth ${tPD10 / tPD1}%.1fx ${host()}")
-    println(f"[stress] findparagraphs_bm25 1x $tPF1%.2fs 10x $tPF10%.2fs growth ${tPF10 / tPF1}%.1fx ${host()}")
+    val hPF = stamp.mark()
+    println(f"[stress] pardoclengths_build 1x $tPD1%.2fs 10x $tPD10%.2fs growth ${tPD10 / tPD1}%.1fx $hPD")
+    println(f"[stress] findparagraphs_bm25 1x $tPF1%.2fs 10x $tPF10%.2fs growth ${tPF10 / tPF1}%.1fx $hPF")
 
     // ---- 3b. request-sized id surfaces: /hydrate and /augment -------
     // both rest on the typed-In pushdown: a request-sized id set must
@@ -342,8 +341,9 @@ object ScaleStress {
     def buildPars(d: DataFrame, dir: String): Unit =
       Ingest.splitParagraphs(d, "doc_id", "text")
         .write.mode("overwrite").parquet(dir)
-    val (tPB1, _) = time(buildPars(docs1, s"$out/pars1"))
-    val (tPB10, _) = time(buildPars(docs10, s"$out/pars10"))
+    val (tPB1, _) = timed(buildPars(docs1, s"$out/pars1"))
+    val (tPB10, _) = timed(buildPars(docs10, s"$out/pars10"))
+    val hPB = stamp.mark()
     val hydrateIds = Seq("3/t/body/0-20", "3/t/body/20-40",
       "8/t/body/0-20", "8/t/body/20-40", "21/t/body/0-20",
       "34/t/body/0-20", "55/t/body/0-20", "89/t/body/0-20")
@@ -360,8 +360,9 @@ object ScaleStress {
           resourceTitle = true)).count()
     val (tHy1, _) = med3(hydrateReq(docs1, s"$out/pars1"))
     val (tHy10, _) = med3(hydrateReq(docs10, s"$out/pars10"))
-    println(f"[stress] pars_build 1x $tPB1%.2fs 10x $tPB10%.2fs growth ${tPB10 / tPB1}%.1fx ${host()}")
-    println(f"[stress] hydrate_neighbours 1x $tHy1%.2fs 10x $tHy10%.2fs growth ${tHy10 / tHy1}%.1fx ${host()}")
+    val hHy = stamp.mark()
+    println(f"[stress] pars_build 1x $tPB1%.2fs 10x $tPB10%.2fs growth ${tPB10 / tPB1}%.1fx $hPB")
+    println(f"[stress] hydrate_neighbours 1x $tHy1%.2fs 10x $tHy10%.2fs growth ${tHy10 / tHy1}%.1fx $hHy")
 
     val entityDict = spark.createDataFrame(
       Seq(Tuple1("spark"), Tuple1("scan"), Tuple1("key agg"))).toDF("value")
@@ -382,7 +383,8 @@ object ScaleStress {
     }
     val (tAu1, _) = med3(augmentReq(docs1))
     val (tAu10, _) = med3(augmentReq(docs10))
-    println(f"[stress] augment_res_fields 1x $tAu1%.2fs 10x $tAu10%.2fs growth ${tAu10 / tAu1}%.1fx ${host()}")
+    val hAu = stamp.mark()
+    println(f"[stress] augment_res_fields 1x $tAu1%.2fs 10x $tAu10%.2fs growth ${tAu10 / tAu1}%.1fx $hAu")
 
     // ---- 3f. /search single-collect union (round-15 shape) ---------
     // the tagged-union response materializes the doc page AND the
@@ -406,7 +408,8 @@ object ScaleStress {
     }
     val (tSU1, _) = med3(searchUnion("dp1", docs1, s"$out/pars1"))
     val (tSU10, _) = med3(searchUnion("dp10", docs10, s"$out/pars10"))
-    println(f"[stress] search_union_collect 1x $tSU1%.2fs 10x $tSU10%.2fs growth ${tSU10 / tSU1}%.1fx ${host()}")
+    val hSU = stamp.mark()
+    println(f"[stress] search_union_collect 1x $tSU1%.2fs 10x $tSU10%.2fs growth ${tSU10 / tSU1}%.1fx $hSU")
 
     // ---- 3g. GET /catalog/facets (round-16 endpoint) ----------------
     // per-resource ancestor facet SETS built ARRAY-side (one explode +
@@ -422,7 +425,8 @@ object ScaleStress {
         .count()
     val (tCF1, _) = med3(catFacets(docs1))
     val (tCF10, _) = med3(catFacets(docs10))
-    println(f"[stress] catalog_facets 1x $tCF1%.2fs 10x $tCF10%.2fs growth ${tCF10 / tCF1}%.1fx ${host()}")
+    val hCF = stamp.mark()
+    println(f"[stress] catalog_facets 1x $tCF1%.2fs 10x $tCF10%.2fs growth ${tCF10 / tCF1}%.1fx $hCF")
     // round 18 (VERDICT r17 task 4): the 1×→10× ratio is dominated by
     // fixed job overhead at this base (~0.15 s), so it overstates the
     // slope — measure instead of argue. A 100× leg (5M rows) makes the
@@ -440,12 +444,13 @@ object ScaleStress {
       .write.mode("overwrite").parquet(s"$out/docs100narrow")
     val docs100 = spark.read.parquet(s"$out/docs100narrow")
     val (tCF100, _) = med3(catFacets(docs100))
+    val hCF100 = stamp.mark()
     val bPerRep = (tCF100 - tCF10) / 90.0
     val overhead = tCF1 - bPerRep
     println(f"[stress] catalog_facets_100x $tCF100%.2fs slope10to100 " +
       f"${(tCF100 - tCF10) / math.max(tCF10 - tCF1, 1e-9)}%.1f " +
       f"(linear=10.0) per_replica ${bPerRep * 1000}%.1fms " +
-      f"overhead_est ${overhead * 1000}%.0fms ${host()}")
+      f"overhead_est ${overhead * 1000}%.0fms $hCF100")
 
     // ---- 3h. /search RELATIONS: detect → subgraph (round 16) --------
     // Engine.searchRelations' two legs composed: queryEntities (the
@@ -464,7 +469,8 @@ object ScaleStress {
     }
     val (tSR1b, _) = med3(searchRels(s"$out/rel1"))
     val (tSR10b, _) = med3(searchRels(s"$out/rel10"))
-    println(f"[stress] search_relations_detect 1x $tSR1b%.2fs 10x $tSR10b%.2fs growth ${tSR10b / tSR1b}%.1fx ${host()}")
+    val hSRd = stamp.mark()
+    println(f"[stress] search_relations_detect 1x $tSR1b%.2fs 10x $tSR10b%.2fs growth ${tSR10b / tSR1b}%.1fx $hSRd")
 
     // ---- 4. suggest at 64 live segments, 10× segment rows ----------
     import spark.implicits._
@@ -487,7 +493,8 @@ object ScaleStress {
     val root10 = segRoot(50, "10x")
     val (tS1, _) = med3(suggestAt(root1))
     val (tS10, _) = med3(suggestAt(root10))
-    println(f"[stress] suggest_64seg 1x $tS1%.2fs 10x $tS10%.2fs growth ${tS10 / tS1}%.1fx ${host()}")
+    val hS = stamp.mark()
+    println(f"[stress] suggest_64seg 1x $tS1%.2fs 10x $tS10%.2fs growth ${tS10 / tS1}%.1fx $hS")
 
     // ---- 5. STREAMED roots: /retrieve winner-join + message-table
     // /augment at 10× data (VERDICT r14 "What's missing" #2). The root
@@ -536,9 +543,10 @@ object ScaleStress {
       root
     }
     import graft.api.{Augment, Engine, Retrieve}
-    val (tSR1, sroot1) = time(buildStreamRoot(docs1, "1x"))
-    val (tSR10, sroot10) = time(buildStreamRoot(docs10, "10x"))
-    println(f"[stress] stream_root_build 1x $tSR1%.2fs 10x $tSR10%.2fs growth ${tSR10 / tSR1}%.1fx ${host()}")
+    val (tSR1, sroot1) = timed(buildStreamRoot(docs1, "1x"))
+    val (tSR10, sroot10) = timed(buildStreamRoot(docs10, "10x"))
+    val hSRB = stamp.mark()
+    println(f"[stress] stream_root_build 1x $tSR1%.2fs 10x $tSR10%.2fs growth ${tSR10 / tSR1}%.1fx $hSRB")
     def streamEngineOf(root: String, d: DataFrame) =
       Engine.forStream(spark, root,
         d.where(col("doc_id") % 17 =!= 5), docId = "doc_id",
@@ -552,7 +560,8 @@ object ScaleStress {
         topK = 20)).count()
     val (tSQ1, _) = med3(streamRetrieve(seng1))
     val (tSQ10, _) = med3(streamRetrieve(seng10))
-    println(f"[stress] stream_retrieve_kw 1x $tSQ1%.2fs 10x $tSQ10%.2fs growth ${tSQ10 / tSQ1}%.1fx ${host()}")
+    val hSQ = stamp.mark()
+    println(f"[stress] stream_retrieve_kw 1x $tSQ1%.2fs 10x $tSQ10%.2fs growth ${tSQ10 / tSQ1}%.1fx $hSQ")
     def streamAugment(e: Engine): Long =
       e.augment(Augment.AugmentRequest(fields = Seq(
           Augment.FieldAugment(given = Seq("0/c/chat"),
@@ -565,7 +574,8 @@ object ScaleStress {
         .messages.count()
     val (tSA1, _) = med3(streamAugment(seng1))
     val (tSA10, _) = med3(streamAugment(seng10))
-    println(f"[stress] stream_augment_conv 1x $tSA1%.2fs 10x $tSA10%.2fs growth ${tSA10 / tSA1}%.1fx ${host()}")
+    val hSA = stamp.mark()
+    println(f"[stress] stream_augment_conv 1x $tSA1%.2fs 10x $tSA10%.2fs growth ${tSA10 / tSA1}%.1fx $hSA")
 
     // ---- 6. fallback expansion: deletes-route vs dictionary scan ----
     // (round 15) the fuzzy fallback's claim: with the at-rest par
@@ -582,9 +592,10 @@ object ScaleStress {
         .repartitionByRange(col("variant"))
         .sortWithinPartitions("variant")
         .write.mode("overwrite").parquet(dir)
-    val (tDB1, _) = time(buildParDeletes(s"$out/pp1", s"$out/pdel1"))
-    val (tDB10, _) = time(buildParDeletes(s"$out/pp10", s"$out/pdel10"))
-    println(f"[stress] pardeletes_build 1x $tDB1%.2fs 10x $tDB10%.2fs growth ${tDB10 / tDB1}%.1fx ${host()}")
+    val (tDB1, _) = timed(buildParDeletes(s"$out/pp1", s"$out/pdel1"))
+    val (tDB10, _) = timed(buildParDeletes(s"$out/pp10", s"$out/pdel10"))
+    val hDB = stamp.mark()
+    println(f"[stress] pardeletes_build 1x $tDB1%.2fs 10x $tDB10%.2fs growth ${tDB10 / tDB1}%.1fx $hDB")
     // a 3-char LAST term keeps both legs on the plain lev≤1 path (a
     // ≥4-char last term takes the fuzzy-PREFIX leg, which scans the
     // dictionary under BOTH routes — that leg's cost is bounded by the
@@ -599,10 +610,12 @@ object ScaleStress {
         spark.read.parquet(delDir), dictOf(ppDir), typoTerms).size.toLong
     val (tES1, nES1) = med3(expandScan(s"$out/pp1"))
     val (tES10, nES10) = med3(expandScan(s"$out/pp10"))
-    println(f"[stress] fallback_expand_scan 1x $tES1%.2fs ($nES1 terms) 10x $tES10%.2fs ($nES10 terms) growth ${tES10 / tES1}%.1fx ${host()}")
+    val hES = stamp.mark()
+    println(f"[stress] fallback_expand_scan 1x $tES1%.2fs ($nES1 terms) 10x $tES10%.2fs ($nES10 terms) growth ${tES10 / tES1}%.1fx $hES")
     val (tED1, nED1) = med3(expandDeletes(s"$out/pdel1", s"$out/pp1"))
     val (tED10, nED10) = med3(expandDeletes(s"$out/pdel10", s"$out/pp10"))
-    println(f"[stress] fallback_expand_deletes 1x $tED1%.2fs ($nED1 terms) 10x $tED10%.2fs ($nED10 terms) growth ${tED10 / tED1}%.1fx ${host()}")
+    val hED = stamp.mark()
+    println(f"[stress] fallback_expand_deletes 1x $tED1%.2fs ($nED1 terms) 10x $tED10%.2fs ($nED10 terms) growth ${tED10 / tED1}%.1fx $hED")
 
     println("[stress] done")
     spark.stop()

@@ -19,16 +19,7 @@ import org.apache.spark.sql.functions._
   */
 object StressDetect {
 
-  private def time[A](f: => A): (Double, A) = {
-    val t0 = System.nanoTime()
-    val a = f
-    ((System.nanoTime() - t0) / 1e9, a)
-  }
-
-  private def med3(f: => Long): (Double, Long) = {
-    val runs = (1 to 3).map(_ => time(f))
-    (runs.map(_._1).sorted.apply(1), runs.head._2)
-  }
+  import Timing.med3
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -43,16 +34,7 @@ object StressDetect {
     val out = graft.sources.IndexStore.deleteOnExit(
       java.nio.file.Files.createTempDirectory("graft-detect-").toString)
 
-    graft.HostCanary.sparkJobOnce(spark) // codegen warmup, untimed
-    val scBest = graft.HostCanary.recordedBest(32)
-    var prevSample = graft.HostCanary.sparkJobTimed(spark)
-    def host(): String = {
-      val s = graft.HostCanary.sparkJobTimed(spark)
-      val enclosing = math.max(prevSample, s)
-      prevSample = s
-      scBest.map(b => f"host=${enclosing / b}%.2fx")
-        .getOrElse(f"host_raw=$enclosing%.3fs")
-    }
+    val stamp = new graft.HostCanary.Stamper(spark, 32)
 
     // ScaleStress section-3 recipe: lineitem edges, replicas key-offset
     // so the 10× table is ten disjoint graph copies
@@ -73,7 +55,7 @@ object StressDetect {
       s"$out/rel1", resourceCol = Some("res"))
     graft.sources.Ingest.relationIndex(edgesOf(li10), "src", "rel", "dst",
       s"$out/rel10", resourceCol = Some("res"))
-    println(s"[detect] indexes built ${host()}")
+    println(s"[detect] indexes built ${stamp.mark()}")
 
     // ScaleStress section-3h: Engine.searchRelations' two legs — fuzzy
     // entity detect (edge-linear by contract) then the q182 subgraph
@@ -86,10 +68,10 @@ object StressDetect {
       GraphSearch.relationsSubgraph(t, eps.toSeq, topK = 1000).count()
     }
     val (t1, _) = med3(searchRels(s"$out/rel1"))
-    val h1 = host()
+    val h1 = stamp.mark()
     val (t10, _) = med3(searchRels(s"$out/rel10"))
     println(f"[detect] search_relations_detect 1x $t1%.2fs ($h1) " +
-      f"10x $t10%.2fs growth ${t10 / t1}%.1fx ${host()}")
+      f"10x $t10%.2fs growth ${t10 / t1}%.1fx ${stamp.mark()}")
     spark.stop()
   }
 }

@@ -609,6 +609,12 @@ class EngineSpec extends SparkSpec {
     e5.cacheCatalogFacetCounts()
     assert(snap() == before,
       "at-rest serving must be indistinguishable from the corpus aggregation")
+    // RE-registration: the overwrite deletes the previous part files —
+    // a stale memoized reader would list them and throw (or serve the
+    // old counts); the rebuild must invalidate before re-memoizing
+    e5.cacheCatalogFacetCounts()
+    assert(snap() == before,
+      "re-registration must serve from the rebuilt table, not stale file listings")
     // the empty-prefix (every facet) request serves at rest too
     assert(e5.catalogFacets(Nil).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
