@@ -48,7 +48,8 @@ object SparkEntry {
     * keyword-score contract). */
   private def keywordList(s: SparkSession, dir: String): DataFrame = {
     val ix = graft.sources.IndexStore.tables(s, dir)
-    Bm25.scoreFromPostings(ix.postings, ix.docLengths, "doc_id", QueryTerms)
+    Bm25.scoreFromPostings(ix.postings, ix.docLengths, "doc_id", QueryTerms,
+        cachedStats = ix.docStats, atRestDfCol = Some("df"))
       .withColumn("score", round(col("score"), 4))
   }
 
@@ -355,7 +356,9 @@ object SparkEntry {
       Bm25.searchFromPostings(
         graft.sources.IndexStore.postings(s, dir),
         graft.sources.IndexStore.docLengths(s, dir),
-        "doc_id", QueryTerms, 10)),
+        "doc_id", QueryTerms, 10,
+        cachedStats = graft.sources.IndexStore.tables(s, dir).docStats,
+        atRestDfCol = Some("df"))),
 
     // §2.2 FilterExpression over facets/keyword/numeric range
     "q10_filter_expr" -> ((s, dir) => {
@@ -564,7 +567,9 @@ object SparkEntry {
       Bm25.searchFromPostings(
           graft.sources.IndexStore.postings(s, dir),
           graft.sources.IndexStore.docLengths(s, dir),
-          "doc_id", QueryTerms, 5)
+          "doc_id", QueryTerms, 5,
+          cachedStats = graft.sources.IndexStore.tables(s, dir).docStats,
+          atRestDfCol = Some("df"))
         .join(docs.select("doc_id", "text"), "doc_id")
         .select(col("doc_id"),
           TextFunctions.highlight(col("text"), QueryTerms).as("marked"))
@@ -752,7 +757,9 @@ object SparkEntry {
       Bm25.scoreAllFromPostings(
           graft.sources.IndexStore.postings(s, dir),
           graft.sources.IndexStore.docLengths(s, dir),
-          "doc_id", QueryTerms)
+          "doc_id", QueryTerms,
+          cachedStats = graft.sources.IndexStore.tables(s, dir).docStats,
+          atRestDfCol = Some("df"))
         .withColumn("score", round(col("score"), 4))
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(10)),
@@ -1308,10 +1315,14 @@ object SparkEntry {
     // (tantivy BM25 over paragraph text, not the matched-term count of
     // q34): same pruned-scan shape as q09, retrieval unit = paragraph
     "q90_paragraph_bm25" -> ((s, dir) =>
+      // whole paragraph population (repeated included) → the all-rows
+      // df + par_all stats
       Bm25.searchFromPostings(
         graft.sources.IndexStore.parPostings(s, dir),
         graft.sources.IndexStore.parDocLengths(s, dir),
-        "paragraph_id", QueryTerms, 15)),
+        "paragraph_id", QueryTerms, 15,
+        cachedStats = graft.sources.IndexStore.tables(s, dir).parStatsAll,
+        atRestDfCol = Some("df"))),
 
     // §3.1 paragraph-mode find with BM25 scoring — the reference's
     // actual paragraph ranking (tantivy BM25) through the API: doc

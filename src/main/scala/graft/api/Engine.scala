@@ -971,7 +971,22 @@ final class StreamEngine private[api] (
           if (IncrementalIndex.segmentsCarryAnyAt(spark, wm, "messages"))
             Some(IncrementalIndex.segmentMessagesAt(spark, wm, docId, seqCol))
           else None
-        val s = Served(wm, tables,
+        // per-watermark BM25 population stats (round 18): the (N,
+        // avgdl) aggregations every unrestricted keyword request was
+        // paying live, computed ONCE per segment-set change like the
+        // per-set nVectors count above — the scorer then inlines them
+        // as literals (values identical: same count + avg over the
+        // same winner-filtered rows). df still aggregates live (a
+        // per-segment at-rest df cannot describe the cross-segment
+        // winner population).
+        val statTables = tables.copy(
+          docStats = Some(graft.functions.Bm25.corpusStats(
+            tables.docLengths, docId)),
+          parStatsXrep = tables.parDocLengths.map(pdl =>
+            graft.functions.Bm25.corpusStats(
+              Find.excludeRepeated(pdl, withDuplicates = false),
+              "paragraph_id")))
+        val s = Served(wm, statTables,
           perSet.map(t => t._1 -> t._2).toMap,
           perSet.map(_._3).reduceOption(_ unionByName _),
           edges,

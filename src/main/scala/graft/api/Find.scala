@@ -344,7 +344,13 @@ object Find {
                       && advanced.isEmpty)
                     Some(allowedIds)
                   else Some(candidates.select(corpus.docId)),
-                cachedStats = cachedDoc)
+                // round 18: an unrestricted request's population IS the
+                // ingest population, so the at-rest df column and the
+                // bound (N, avgdl) serve — zero statistic aggregations,
+                // one pruned posting scan
+                cachedStats =
+                  if (unrestricted) ix.docStats else cachedDoc,
+                atRestDfCol = if (unrestricted) Some("df") else None)
             case None =>
               Bm25.score(candidates, corpus.docId, corpus.text, terms)
           }
@@ -706,7 +712,7 @@ object Find {
 
   /** A collected response page as a LOCAL relation — same schema, rows
     * in page order; bounded by the topK cut by construction. */
-  private[api] def localPage(
+  private[graft] def localPage(
       src: DataFrame, rows: Array[org.apache.spark.sql.Row]): DataFrame =
     src.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), src.schema)
@@ -1071,17 +1077,27 @@ object Find {
         // knobs — any extra narrowing (fields, labels, OR mode,
         // phrases, exclusions, withDuplicates) changes the population
         // and the stats must aggregate live
+        val defaultKnobs = req.fields.isEmpty && advanced.isEmpty &&
+          req.paragraphFilter.isEmpty && !orMode &&
+          !req.withDuplicates && parsed.phrases.isEmpty &&
+          parsed.excluded.isEmpty
         val cachedPar =
-          if (req.fields.isEmpty && advanced.isEmpty &&
-              req.paragraphFilter.isEmpty && !orMode &&
-              !req.withDuplicates && parsed.phrases.isEmpty &&
-              parsed.excluded.isEmpty)
+          if (defaultKnobs)
             req.filter.flatMap(corpus.cachedFilterStats.get)
               .flatMap(_.paragraph)
           else None
+        // round 18: a default-knob UNFILTERED request restricts the
+        // posting pair by exactly the repeated-exclusion — the
+        // population the at-rest `df_xrep` column and `par_xrep` stats
+        // were counted over, so both serve and the request pays one
+        // pruned scan with zero statistic aggregations
+        val atRestDefault = defaultKnobs && req.filter.isEmpty
         val hits = Bm25.scoreFromPostings(restrict(post0), restrict(dls0),
             "paragraph_id", terms, allowed = None,
-            cachedStats = cachedPar)
+            cachedStats =
+              if (atRestDefault) corpus.index.flatMap(_.parStatsXrep)
+              else cachedPar,
+            atRestDfCol = if (atRestDefault) Some("df_xrep") else None)
           .withColumn("score", round(col("score") * lit(scale), 4))
           .withColumn(corpus.docId,
             split(col("paragraph_id"), "/").getItem(0).cast(docIdType))

@@ -322,7 +322,13 @@ object Search {
             val scored = index match {
               case Some(ix) => Bm25.scoreFromPostings(ix.postings,
                 ix.docLengths, docId, qTerms,
-                allowed = req.filter.map(_ => base.select(docId)))
+                allowed = req.filter.map(_ => base.select(docId)),
+                // unfiltered population = ingest population → at-rest
+                // df + stats serve (round 18)
+                cachedStats =
+                  if (req.filter.isEmpty) ix.docStats else None,
+                atRestDfCol =
+                  if (req.filter.isEmpty) Some("df") else None)
               case None => Bm25.score(base, docId, textCol, qTerms)
             }
             // ONE join serves the date (and, when highlighting, the
@@ -348,7 +354,11 @@ object Search {
         val scored = index match {
           case Some(ix) => Bm25.scoreFromPostings(ix.postings, ix.docLengths,
             docId, qTerms,
-            allowed = req.filter.map(_ => base.select(docId)))
+            allowed = req.filter.map(_ => base.select(docId)),
+            // unfiltered population = ingest population → at-rest
+            // df + stats serve (round 18)
+            cachedStats = if (req.filter.isEmpty) ix.docStats else None,
+            atRestDfCol = if (req.filter.isEmpty) Some("df") else None)
           case None => Bm25.score(base, docId, textCol, qTerms)
         }
         // the offset skip happens in RESPONSE (score) order, BEFORE any

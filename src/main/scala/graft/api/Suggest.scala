@@ -37,9 +37,14 @@ object Suggest {
       query: String,
       topK: Int = 10): SuggestResponse = {
     val lastTerm = query.toLowerCase.trim.split("\\s+").last
+    // the exact page COLLECTS once (≤ topK rows — the same localPage
+    // discipline as the find fallback, round 18): the emptiness check
+    // and the response share one execution instead of an isEmpty probe
+    // job plus a second run of the same plan in the terminal action
     val exact = TopK.suggestPrefix(termFreq, termCol, freqCol, lastTerm, topK)
+    val exactRows = exact.collect()
     val terms =
-      if (!exact.isEmpty) exact
+      if (exactRows.nonEmpty) Find.localPage(exact, exactRows)
       else TopK.suggestFuzzyPrefix(termFreq, termCol, freqCol, lastTerm, topK)
     SuggestResponse(terms,
       entities.map { case (nodes, valueCol) =>
@@ -136,6 +141,34 @@ object Suggest {
     val allowed: Option[DataFrame] = filter.map(f =>
       docs.where(FilterExpr.compile(f, bindings))
         .select(col(docId).cast("string").as("__allowed_doc")))
+    val dict = filteredDictionary(parPostings, allowed, paragraphFilter,
+      paragraphs, filterOperatorOr)
+    val lastTerm = query.toLowerCase.trim.split("\\s+").last
+    // collected page, like [[suggest]]: one execution serves the
+    // emptiness check and the response
+    val exact = TopK.suggestPrefix(dict, "term", "freq", lastTerm, topK)
+    val exactRows = exact.collect()
+    val terms =
+      if (exactRows.nonEmpty) Find.localPage(exact, exactRows)
+      else TopK.suggestFuzzyPrefix(dict, "term", "freq", lastTerm, topK)
+    SuggestResponse(terms,
+      entities.map { case (nodes, valueCol, resCol) =>
+        suggestEntitiesFiltered(nodes, valueCol, resCol, allowed, query, topK)
+      })
+  }
+
+  /** The RESTRICTED suggest dictionary — [[suggestFiltered]]'s rollup
+    * over the prefilter-restricted, repeated-excluded posting rows,
+    * split out (round 18) so the plan pin can read the LAZY shape (the
+    * response page is a collected local relation since the
+    * collected-page discipline landed). `allowed` is the one-column
+    * `__allowed_doc` (string) frame. */
+  private[graft] def filteredDictionary(
+      parPostings: DataFrame,
+      allowed: Option[DataFrame],
+      paragraphFilter: Option[FilterExpr] = None,
+      paragraphs: Option[DataFrame] = None,
+      filterOperatorOr: Boolean = false): DataFrame = {
     // default suggest semantics: ingest-marked repeated paragraphs stay
     // out of the dictionary (same contract as the at-rest par_termfreq)
     val base0 = Find.excludeRepeated(parPostings, withDuplicates = false)
@@ -171,17 +204,8 @@ object Suggest {
             docPrefix === col("__allowed_doc"), "left_semi")
         }
     }
-    val dict = restricted.groupBy(col("term"))
+    restricted.groupBy(col("term"))
       .agg(sum("tf").cast("long").as("freq"))
-    val lastTerm = query.toLowerCase.trim.split("\\s+").last
-    val exact = TopK.suggestPrefix(dict, "term", "freq", lastTerm, topK)
-    val terms =
-      if (!exact.isEmpty) exact
-      else TopK.suggestFuzzyPrefix(dict, "term", "freq", lastTerm, topK)
-    SuggestResponse(terms,
-      entities.map { case (nodes, valueCol, resCol) =>
-        suggestEntitiesFiltered(nodes, valueCol, resCol, allowed, query, topK)
-      })
   }
 
   /** The entity side of [[suggestFiltered]] on its own — the

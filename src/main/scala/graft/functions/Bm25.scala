@@ -118,7 +118,8 @@ object Bm25 {
       queryTerms: Seq[String],
       params: Params = Params(),
       allowed: Option[DataFrame] = None,
-      cachedStats: Option[CorpusStats] = None): DataFrame = {
+      cachedStats: Option[CorpusStats] = None,
+      atRestDfCol: Option[String] = None): DataFrame = {
     // `allowed` restricts the searchable corpus to a prefiltered id set
     // (the reference's PrefilterResult pushed into the index search).
     // Both the postings AND the stats tables are restricted, so scores
@@ -136,14 +137,15 @@ object Bm25 {
       case None => docLengths
     }
     // a cached (N, avgdl) replaces the population aggregation with two
-    // literals; with dl denormalized on the postings, the doclengths
-    // table then never enters the plan at all
+    // INLINE literals (round 18: the former 1-row crossJoin frame still
+    // cost a BroadcastExchange build job per request under AQE); with
+    // dl denormalized on the postings, the doclengths table then never
+    // enters the plan at all
     val stats = cachedStats match {
-      case Some(cs) => postings.sparkSession.range(1)
-        .select(lit(cs.nDocs.toDouble).as("n_docs"), lit(cs.avgdl).as("avgdl"))
-      case None => dls.agg(
+      case Some(_) => None
+      case None => Some(dls.agg(
         count(lit(1)).cast("double").as("n_docs"),
-        avg(col("dl")).as("avgdl"))
+        avg(col("dl")).as("avgdl")))
     }
     // postings written by the current ingest denormalize `dl` onto each
     // row (tantivy's per-posting fieldnorm) — then the per-row lengths
@@ -155,32 +157,52 @@ object Bm25 {
     // unionByName error), and a null would otherwise null the score
     // and drop the doc — raise instead, naming the remedy.
     val hasDl = postings.columns.contains("dl")
+    // at-rest df (round 18): ingest denormalizes each term's document
+    // frequency onto its posting rows (the tantivy term dictionary
+    // stores exactly this doc_freq), so an UNRESTRICTED request skips
+    // the per-request df aggregation — one pruned scan scores directly.
+    // Opt-in by the CALLER (it asserts the frame in hand is the exact
+    // population the stored df was counted over); never valid with an
+    // `allowed` restriction, which changes the population.
+    val atDf = atRestDfCol.filter(c =>
+      allowed.isEmpty && postings.columns.contains(c) &&
+        postings.columns.contains("dl")) // df and dl denormalize together
     val matched = postings.where(col("term").isInCollection(queryTerms))
     val restricted = allowed match {
       case Some(ids) => graft.operators.Prefilter.semiJoin(matched, idCol, ids)
       case None => matched
     }
-    val tf =
-      if (hasDl) restricted.select(col(idCol), col("term"),
-        col("tf").cast("double").as("tf"),
-        coalesce(col("dl"), raise_error(lit(
+    val baseCols = Seq(col(idCol), col("term"),
+      col("tf").cast("double").as("tf")) ++
+      (if (hasDl) Seq(coalesce(col("dl"), raise_error(lit(
           "posting row with NULL dl — this root mixes segments written " +
             "before the dl column existed; recompact from source"))
           .cast(restricted.schema("dl").dataType)).as("dl"))
-      else restricted.select(col(idCol), col("term"),
-        col("tf").cast("double").as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+       else Nil) ++
+      atDf.map(c => col(c).cast("double").as("df")).toSeq
+    val tf = restricted.select(baseCols: _*)
 
     val k1 = lit(params.k1)
     val b = lit(params.b)
+    // cached stats inline as literals — same doubles the aggregation
+    // would produce, zero plan nodes
+    val (nDocsCol, avgdlCol) = cachedStats match {
+      case Some(cs) => (lit(cs.nDocs.toDouble), lit(cs.avgdl))
+      case None => (col("n_docs"), col("avgdl"))
+    }
     val idf = log(lit(1.0) +
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      (nDocsCol - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfn = (col("tf") * (k1 + lit(1.0))) /
-      (col("tf") + k1 * (lit(1.0) - b + b * col("dl") / col("avgdl")))
+      (col("tf") + k1 * (lit(1.0) - b + b * col("dl") / avgdlCol))
 
-    (if (hasDl) tf.join(broadcast(df), "term")
-     else tf.join(broadcast(df), "term").join(dls, idCol))
-      .crossJoin(broadcast(stats))
+    val withDf = atDf match {
+      case Some(_) => tf
+      case None =>
+        val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+        if (hasDl) tf.join(broadcast(df), "term")
+        else tf.join(broadcast(df), "term").join(dls, idCol)
+    }
+    stats.fold(withDf)(st => withDf.crossJoin(broadcast(st)))
       .withColumn("term_score", idf * tfn)
       .groupBy(idCol)
       .agg(sum(col("term_score")).as("score"))
@@ -199,8 +221,11 @@ object Bm25 {
       idCol: String,
       queryTerms: Seq[String],
       k: Int,
-      params: Params = Params()): DataFrame =
-    scoreFromPostings(postings, docLengths, idCol, queryTerms, params)
+      params: Params = Params(),
+      cachedStats: Option[CorpusStats] = None,
+      atRestDfCol: Option[String] = None): DataFrame =
+    scoreFromPostings(postings, docLengths, idCol, queryTerms, params,
+        cachedStats = cachedStats, atRestDfCol = atRestDfCol)
       .withColumn("score", round(col("score"), 4))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
@@ -215,7 +240,9 @@ object Bm25 {
       idCol: String,
       queryTerms: Seq[String],
       params: Params = Params(),
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None,
+      cachedStats: Option[CorpusStats] = None,
+      atRestDfCol: Option[String] = None): DataFrame = {
     val matched = postings.where(col("term").isInCollection(queryTerms))
     val restricted = allowed match {
       case Some(ids) => graft.operators.Prefilter.semiJoin(matched, idCol, ids)
@@ -226,7 +253,8 @@ object Bm25 {
       .agg(countDistinct(col("term")).as("nt"))
       .where(col("nt") === queryTerms.distinct.size)
       .select(idCol)
-    scoreFromPostings(postings, docLengths, idCol, queryTerms, params, allowed)
+    scoreFromPostings(postings, docLengths, idCol, queryTerms, params, allowed,
+        cachedStats = cachedStats, atRestDfCol = atRestDfCol)
       .join(allMatched, Seq(idCol), "left_semi")
   }
 

@@ -189,8 +189,13 @@ object TopK {
     */
   def suggestWithFuzzyFallback(termFreq: DataFrame, termCol: String,
       freqCol: String, query: String, k: Int = 10): DataFrame = {
+    // collected page (round 18, the find-fallback discipline): the
+    // bounded exact page executes ONCE and serves both the emptiness
+    // check and the response — an isEmpty probe plus a terminal-action
+    // rerun of the same plan cost two jobs where one suffices
     val exact = suggestPrefix(termFreq, termCol, freqCol, query, k)
-    if (!exact.isEmpty) exact
+    val exactRows = exact.collect()
+    if (exactRows.nonEmpty) graft.api.Find.localPage(exact, exactRows)
     else termFreq
       .where(levenshtein(col(termCol), lit(query)) <= 1)
       .orderBy(col(freqCol).desc, col(termCol).asc)

@@ -49,7 +49,16 @@ object IndexStore {
       // (variant, term — round 15): when bound, the fuzzy fallback's
       // lev≤1 legs run as variant-IN rowgroup lookups instead of a
       // levenshtein scan of the dictionary
-      parDeletes: Option[DataFrame] = None)
+      parDeletes: Option[DataFrame] = None,
+      // at-rest corpus-level BM25 statistics (round 18,
+      // `bm25_stats`): (N, avgdl) per population, collected once at
+      // bind — unrestricted requests inline them as literals instead
+      // of aggregating the doclengths table per request. None for
+      // index dirs built before the table existed and for
+      // segment-served roots (their population changes per watermark)
+      docStats: Option[graft.functions.Bm25.CorpusStats] = None,
+      parStatsXrep: Option[graft.functions.Bm25.CorpusStats] = None,
+      parStatsAll: Option[graft.functions.Bm25.CorpusStats] = None)
 
   /** The at-rest ANN index ([[Ingest.buildVectorIndex]]'s output as the
     * serving side reads it): driver-scale centroid + codebook literals,
@@ -267,6 +276,15 @@ object IndexStore {
         Some(readParquet(spark, s"$dir/$sub"))
       else None
     }
+    // the tiny at-rest stats table collects ONCE at bind (driver-side,
+    // 3 rows — the same cost class as the centroid fetch), memoized
+    // with the tables handle
+    val stats: Map[String, graft.functions.Bm25.CorpusStats] =
+      opt("bm25_stats").map(_.collect().map(r =>
+          r.getString(0) -> graft.functions.Bm25.CorpusStats(
+            r.getDouble(1).toLong,
+            if (r.isNullAt(2)) 0.0 else r.getDouble(2))).toMap)
+        .getOrElse(Map.empty)
     IndexTables(
       postings = readParquet(spark, s"$dir/postings"),
       docLengths = readParquet(spark, s"$dir/doclengths"),
@@ -277,7 +295,10 @@ object IndexStore {
       fieldParagraphs = opt("field_paragraphs"),
       fieldParPostings = opt("fieldpar_postings"),
       fieldParDocLengths = opt("fieldpar_doclengths"),
-      parDeletes = opt("par_deletes"))
+      parDeletes = opt("par_deletes"),
+      docStats = stats.get("doc"),
+      parStatsXrep = stats.get("par_xrep"),
+      parStatsAll = stats.get("par_all"))
   }
 
   /** The served vector index: centroid/codebook literals collected once

@@ -230,12 +230,21 @@ object Ingest {
     // would re-shuffle the whole posting table on the id) and rides
     // through the one (term, id) aggregation shuffle: every row of a
     // group carries the same dl, so first() is deterministic.
+    // `df` (the term's document frequency — how many docs carry it) is
+    // denormalized too (round 18): the tantivy term DICTIONARY stores
+    // exactly this doc_freq, so unrestricted BM25 reads idf inputs off
+    // the posting row instead of re-aggregating them per request. The
+    // window repartitions by term, which also SORTS the written files
+    // by term — `term IN (...)` pushdown then prunes row groups via
+    // min/max stats instead of scanning every group.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     docs
       .withColumn("__toks", TextFunctions.tokens(col(textCol)))
       .select(col(idCol), size(col("__toks")).cast("long").as("dl"),
         explode(col("__toks")).as("term"))
       .groupBy("term", idCol)
       .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+      .withColumn("df", count(lit(1)).over(w))
   }
 
   /** Trainset export (`nucliadb/src/nucliadb/train/generators`,
@@ -314,8 +323,19 @@ object Ingest {
     def withRepeated(df: DataFrame, pars: DataFrame): DataFrame =
       df.join(pars.select(col("paragraph_id"), col("repeated_in_field")),
         "paragraph_id")
+    // the REPEATED-EXCLUDED document frequency (round 18): the default
+    // paragraph search mode serves the repeated-excluded population, so
+    // its at-rest idf input must count that population — a second
+    // per-term window over the same rows, null for terms appearing only
+    // in repeated rows (those rows are filtered out before scoring)
+    def withXrepDf(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+      df.withColumn("df_xrep",
+        sum(when(!coalesce(col("repeated_in_field"), lit(false)), 1L)
+          .otherwise(0L)).over(w))
+    }
     val fpars = spark(docs).read.parquet(s"$outDir/field_paragraphs")
-    withRepeated(termPostings(fpars, "paragraph_id", "p_text"), fpars)
+    withXrepDf(withRepeated(termPostings(fpars, "paragraph_id", "p_text"), fpars))
       .write.mode("overwrite").parquet(s"$outDir/fieldpar_postings")
     withRepeated(graft.functions.Bm25.docLengths(fpars, "paragraph_id", "p_text"),
         fpars)
@@ -333,11 +353,32 @@ object Ingest {
     // BM25-scored paragraph search serves these instead of scanning
     // paragraph text at query time
     val pars = spark(docs).read.parquet(s"$outDir/paragraphs")
-    withRepeated(termPostings(pars, "paragraph_id", "p_text"), pars)
+    withXrepDf(withRepeated(termPostings(pars, "paragraph_id", "p_text"), pars))
       .write.mode("overwrite").parquet(s"$outDir/par_postings")
     withRepeated(graft.functions.Bm25.docLengths(pars, "paragraph_id", "p_text"),
         pars)
       .write.mode("overwrite").parquet(s"$outDir/par_doclengths")
+    // corpus-level BM25 statistics at rest (round 18): the (N, avgdl)
+    // pairs every unrestricted request otherwise aggregates live — one
+    // row per population (doc table; default repeated-excluded
+    // paragraphs; all paragraphs), collected once at serving bind.
+    // Aggregation expressions are IDENTICAL to the query-time path
+    // (count + avg over long dl — exact, order-independent), so served
+    // scores are bit-identical to the live aggregation.
+    locally {
+      val dlsTab = spark(docs).read.parquet(s"$outDir/doclengths")
+      val pdls = spark(docs).read.parquet(s"$outDir/par_doclengths")
+      def statRow(name: String, dls: DataFrame) =
+        dls.agg(count(lit(1)).cast("double").as("n_docs"),
+            avg(col("dl")).as("avgdl"))
+          .select(lit(name).as("population"), col("n_docs"), col("avgdl"))
+      statRow("doc", dlsTab)
+        .unionByName(statRow("par_xrep",
+          pdls.where(!coalesce(col("repeated_in_field"), lit(false)))))
+        .unionByName(statRow("par_all", pdls))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/bm25_stats")
+    }
     // term-frequency dictionary: the suggest/fuzzy serving table — a
     // pure rollup of the postings (freq = total occurrences), the
     // tantivy-FST analog (`nidx_paragraph/src/fuzzy_query.rs:55-120`)

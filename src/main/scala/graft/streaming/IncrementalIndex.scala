@@ -273,7 +273,11 @@ object IncrementalIndex {
         .write.mode("overwrite").parquet(s"$segDir/docs")
       val live = latest.where(!col("deleted"))
       val seqOf = live.select(col(idCol), col(seqCol))
-      graft.sources.Ingest.termPostings(live, idCol, textCol)
+      // `df` is dropped: a PER-SEGMENT document frequency is not the
+      // served population's (latest-wins across segments), and the
+      // scorer's at-rest fast path keys on the column's presence —
+      // streamed roots must keep the live aggregation
+      graft.sources.Ingest.termPostings(live, idCol, textCol).drop("df")
         .join(seqOf, idCol)
         .write.mode("overwrite").parquet(s"$segDir/postings")
       graft.functions.Bm25.docLengths(live, idCol, textCol)
@@ -296,6 +300,7 @@ object IncrementalIndex {
         val parKeys = pars.select(col("paragraph_id"), col(idCol), col(seqCol),
           col("repeated_in_field"))
         graft.sources.Ingest.termPostings(pars, "paragraph_id", "p_text")
+          .drop("df") // per-segment df ≠ served population, as above
           .join(parKeys, "paragraph_id")
           .write.mode("overwrite").parquet(s"$segDir/par_postings")
         graft.functions.Bm25.docLengths(pars, "paragraph_id", "p_text")

@@ -1,0 +1,45 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump `.explain("formatted")` for named queries to
+  * `<outdir>/<query>_<tag>.txt` — the before/after plan evidence the
+  * optimization rounds commit under plans/rNN/.
+  *
+  * Usage: runMain graft.tools.ExplainDump <outdir> <tag> <names|all>
+  */
+object ExplainDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = Paths.get(args(0))
+    val tag = args(1)
+    val names =
+      if (args(2) == "all") graft.SparkEntry.queries.keys.toSeq.sorted
+      else args(2).split(",").toSeq
+    Files.createDirectories(outDir)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      try {
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.writeString(outDir.resolve(s"${name}_$tag.txt"), txt)
+        graft.Caches.releaseAll()
+        println(s"[explain] wrote ${name}_$tag.txt")
+      } catch {
+        case e: Throwable => println(s"[explain] $name FAILED: $e")
+      }
+    }
+    spark.stop()
+  }
+}

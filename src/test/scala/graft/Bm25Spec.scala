@@ -89,6 +89,39 @@ class Bm25Spec extends SparkSpec {
     assert(via.sameElements(direct))
   }
 
+  test("at-rest df + cached stats path equals the live-aggregation path") {
+    // round 18: termPostings denormalizes df; an unrestricted request
+    // reading it (plus inlined (N, avgdl) literals) must score
+    // bit-identically to the per-request aggregation
+    val stats = Bm25.corpusStats(dls, "doc_id")
+    val live = Bm25.scoreFromPostings(postings, dls, "doc_id",
+        Seq("spark", "query"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val atRest = Bm25.scoreFromPostings(postings, dls, "doc_id",
+        Seq("spark", "query"), cachedStats = Some(stats),
+        atRestDfCol = Some("df"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(atRest == live, s"at-rest $atRest vs live $live")
+    // the at-rest plan reads ONE posting subtree and aggregates nothing
+    // but the final per-doc sum: no broadcast join, no second scan
+    val plan = Bm25.scoreFromPostings(postings, dls, "doc_id",
+      Seq("spark", "query"), cachedStats = Some(stats),
+      atRestDfCol = Some("df")).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"at-rest BM25 plan still joins:\n$plan")
+    // an `allowed` restriction must IGNORE the at-rest column (its
+    // population is the unrestricted corpus)
+    val restricted = Bm25.scoreFromPostings(postings, dls, "doc_id",
+        Seq("spark", "query"), allowed = Some(Seq(1L, 3L).toDF("doc_id")),
+        atRestDfCol = Some("df"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val restrictedLive = Bm25.scoreFromPostings(postings, dls, "doc_id",
+        Seq("spark", "query"), allowed = Some(Seq(1L, 3L).toDF("doc_id")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(restricted == restrictedLive)
+  }
+
   test("a NULL dl posting row fails loudly instead of silently nulling the score") {
     // the shape a mixed-layout segment root produces: a multi-path
     // read schema-unions old (dl-less) and new postings, nulling dl

@@ -884,15 +884,16 @@ class ScaleDesignSpec extends SparkSpec {
     assert(!p91.contains("/paragraphs"),
       "q91 must not scan the paragraphs table — the doc prefilter " +
         s"joins the posting rows' id prefix directly:\n$p91")
-    // `dl` is denormalized onto the posting rows (tantivy's fieldnorm
-    // analog), so the lengths table feeds ONLY the 1-row stats
-    // aggregate — exactly one scan in the final plan (the AQE toString
-    // repeats every node in its "Initial Plan" section, so count only
-    // up to that marker)
+    // round 18: `dl` AND `df` are denormalized onto the posting rows
+    // (tantivy's fieldnorm + term-dictionary doc_freq analogs) and the
+    // (N, avgdl) stats inline as literals from the at-rest bm25_stats
+    // table — the unrestricted q90 plan reads NOTHING but the pruned
+    // posting scan: no doclengths scan, no df aggregation join
     val p90Final = p90.split("== Initial Plan ==").head
-    val dlScans90 = "par_doclengths".r.findAllIn(p90Final).size
-    assert(dlScans90 == 1,
-      s"q90 must scan par_doclengths exactly once (stats agg), got $dlScans90:\n$p90")
+    assert(!p90Final.contains("par_doclengths"),
+      s"q90 must not scan par_doclengths at all (stats are at rest):\n$p90")
+    assert(!p90Final.contains("BroadcastHashJoin"),
+      s"q90 must not join a df aggregate (df is at rest):\n$p90")
     // field-restricted BM25 (q102, fields=["a"]): the spec compiles to
     // an id-prefix predicate, so neither the fields table nor the
     // paragraphs table is touched, and the body posting pair — which
@@ -1044,8 +1045,19 @@ class ScaleDesignSpec extends SparkSpec {
       graft.sources.IndexStore.parPostings(spark, dir),
       docs, "doc_id", Some(FilterExpr.Eq("lang", "en")),
       entities = None, query = "sp")
-    resp.terms.collect()
-    val p = plan(resp.terms)
+    // the response page is a collected LOCAL relation since the
+    // collected-page discipline (round 18) — rows unchanged
+    assert(resp.terms.collect().nonEmpty)
+    // the pushdown pin reads the LAZY shape through the extracted
+    // dictionary seam (the same frame suggestFiltered pages from)
+    val allowed = docs.where(col("lang") === "en")
+      .select(col("doc_id").cast("string").as("__allowed_doc"))
+    val lazyPage = graft.operators.TopK.suggestPrefix(
+      graft.api.Suggest.filteredDictionary(
+        graft.sources.IndexStore.parPostings(spark, dir), Some(allowed)),
+      "term", "freq", "sp", 10)
+    lazyPage.collect()
+    val p = plan(lazyPage)
     // the stem's startsWith filters the GROUPING KEY, so Catalyst
     // pushes it through the aggregate into the posting scan — a
     // filtered suggest never aggregates non-matching terms
