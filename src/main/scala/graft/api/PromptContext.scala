@@ -186,8 +186,12 @@ object PromptContext {
     val schema = StructType(Seq(
       StructField("block_id", StringType), StructField("text", StringType),
       StructField("__seq", LongType)))
+    // a LOCAL relation (LocalTableScan), not parallelize: the page is
+    // already driver-resident (≤ the 500-block find window), and an
+    // RDD-backed frame turns every strategy's hit-block leg into its
+    // own scan stage (round 18 — the localPage discipline)
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 1),
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2, r._3)): _*),
       schema)
   }
 

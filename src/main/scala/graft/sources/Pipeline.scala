@@ -59,8 +59,13 @@ object Pipeline {
     val qualityPred = element_at(transform(array(toks), t =>
       size(t) >= minTokens &&
         round(TextFunctions.meanTokenLen(t), 4).between(mwlLo, mwlHi)), 1)
+    // survivors are carried as IDS from here on (round 18, guide §2.3
+    // "project before the exchange"): every downstream decision —
+    // cluster keep, contamination join, hash split — is a function of
+    // the id alone, so the near-dup window and the joins below shuffle
+    // one narrow column instead of full document rows
     val quality = docs.where(qualityPred)
-    val keepExact = quality.join(
+    val keepExact = quality.select(col(idCol)).join(
       Dedup.exactKeepList(docs, idCol, textCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
     // near-dup pairs from the at-rest signature table when the caller
@@ -75,6 +80,14 @@ object Pipeline {
     }
     val comp = Dedup.dedupClusters(pairs, "a", "b")
       .withColumnRenamed("node", idCol)
+    // NOTE (round 18): a component-side keeper selection (semi-join
+    // comp ∩ survivors → min per component → anti-join the losers)
+    // removes this window's corpus shuffle entirely, but re-executes
+    // the quality+exact-keep subtree as the semi-join's build and
+    // measured 40% SLOWER interleaved at sf0.1 (ProfileCurate:
+    // old 1.44 s vs 2.01 s min-of-5) — rejected with numbers. The
+    // ids-only projection above already shrinks this shuffle to one
+    // narrow column, which is the scalable part of the win.
     val keepNear = {
       import org.apache.spark.sql.expressions.Window
       keepExact.join(comp, Seq(idCol), "left")
