@@ -240,7 +240,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // scale-dependent knob, parameterised (round 18): the default 32
+      // keeps the driver's bench series comparable across rounds; a
+      // cluster deployment sizes it from data volume (or leans on
+      // AQE's advisoryPartitionSizeInBytes coalescing, which already
+      // runs here) instead of inheriting a local-mode constant
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
