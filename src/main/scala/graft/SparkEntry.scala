@@ -49,7 +49,7 @@ object SparkEntry {
   private def keywordList(s: SparkSession, dir: String): DataFrame = {
     val ix = graft.sources.IndexStore.tables(s, dir)
     Bm25.scoreFromPostings(ix.postings, ix.docLengths, "doc_id", QueryTerms,
-        cachedStats = ix.docStats, atRestDfCol = Some("df"))
+        cachedStats = ix.docStats(), atRestDfCol = Some("df"))
       .withColumn("score", round(col("score"), 4))
   }
 
@@ -357,7 +357,7 @@ object SparkEntry {
         graft.sources.IndexStore.postings(s, dir),
         graft.sources.IndexStore.docLengths(s, dir),
         "doc_id", QueryTerms, 10,
-        cachedStats = graft.sources.IndexStore.tables(s, dir).docStats,
+        cachedStats = graft.sources.IndexStore.tables(s, dir).docStats(),
         atRestDfCol = Some("df"))),
 
     // §2.2 FilterExpression over facets/keyword/numeric range
@@ -568,7 +568,7 @@ object SparkEntry {
           graft.sources.IndexStore.postings(s, dir),
           graft.sources.IndexStore.docLengths(s, dir),
           "doc_id", QueryTerms, 5,
-          cachedStats = graft.sources.IndexStore.tables(s, dir).docStats,
+          cachedStats = graft.sources.IndexStore.tables(s, dir).docStats(),
           atRestDfCol = Some("df"))
         .join(docs.select("doc_id", "text"), "doc_id")
         .select(col("doc_id"),
@@ -758,7 +758,7 @@ object SparkEntry {
           graft.sources.IndexStore.postings(s, dir),
           graft.sources.IndexStore.docLengths(s, dir),
           "doc_id", QueryTerms,
-          cachedStats = graft.sources.IndexStore.tables(s, dir).docStats,
+          cachedStats = graft.sources.IndexStore.tables(s, dir).docStats(),
           atRestDfCol = Some("df"))
         .withColumn("score", round(col("score"), 4))
         .orderBy(col("score").desc, col("doc_id").asc)
@@ -1321,7 +1321,7 @@ object SparkEntry {
         graft.sources.IndexStore.parPostings(s, dir),
         graft.sources.IndexStore.parDocLengths(s, dir),
         "paragraph_id", QueryTerms, 15,
-        cachedStats = graft.sources.IndexStore.tables(s, dir).parStatsAll,
+        cachedStats = graft.sources.IndexStore.tables(s, dir).parStatsAll(),
         atRestDfCol = Some("df"))),
 
     // §3.1 paragraph-mode find with BM25 scoring — the reference's

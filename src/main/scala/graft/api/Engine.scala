@@ -973,19 +973,23 @@ final class StreamEngine private[api] (
           else None
         // per-watermark BM25 population stats (round 18): the (N,
         // avgdl) aggregations every unrestricted keyword request was
-        // paying live, computed ONCE per segment-set change like the
-        // per-set nVectors count above — the scorer then inlines them
-        // as literals (values identical: same count + avg over the
-        // same winner-filtered rows). df still aggregates live (a
-        // per-segment at-rest df cannot describe the cross-segment
-        // winner population).
+        // paying live, computed at most ONCE per segment-set change —
+        // LAZILY (per the r18 review): the thunks memoize on first
+        // keyword use, so a segment landing never taxes requests that
+        // issue no keyword query (a vector-only workload pays
+        // nothing). Values identical to the live aggregation: same
+        // count + avg over the same winner-filtered rows. df still
+        // aggregates live (a per-segment at-rest df cannot describe
+        // the cross-segment winner population).
+        lazy val lazyDocStats = Some(graft.functions.Bm25.corpusStats(
+          tables.docLengths, docId))
+        lazy val lazyParStatsXrep = tables.parDocLengths.map(pdl =>
+          graft.functions.Bm25.corpusStats(
+            Find.excludeRepeated(pdl, withDuplicates = false),
+            "paragraph_id"))
         val statTables = tables.copy(
-          docStats = Some(graft.functions.Bm25.corpusStats(
-            tables.docLengths, docId)),
-          parStatsXrep = tables.parDocLengths.map(pdl =>
-            graft.functions.Bm25.corpusStats(
-              Find.excludeRepeated(pdl, withDuplicates = false),
-              "paragraph_id")))
+          docStats = () => lazyDocStats,
+          parStatsXrep = () => lazyParStatsXrep)
         val s = Served(wm, statTables,
           perSet.map(t => t._1 -> t._2).toMap,
           perSet.map(_._3).reduceOption(_ unionByName _),

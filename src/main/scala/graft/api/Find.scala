@@ -349,7 +349,7 @@ object Find {
                 // bound (N, avgdl) serve — zero statistic aggregations,
                 // one pruned posting scan
                 cachedStats =
-                  if (unrestricted) ix.docStats else cachedDoc,
+                  if (unrestricted) ix.docStats() else cachedDoc,
                 atRestDfCol = if (unrestricted) Some("df") else None)
             case None =>
               Bm25.score(candidates, corpus.docId, corpus.text, terms)
@@ -710,12 +710,12 @@ object Find {
     }
   }
 
-  /** A collected response page as a LOCAL relation — same schema, rows
-    * in page order; bounded by the topK cut by construction. */
+  /** A collected response page as a LOCAL relation — delegates to the
+    * operator-level helper (round 18: moved to [[TopK.localPage]] so
+    * the operators layer never depends back on api). */
   private[graft] def localPage(
       src: DataFrame, rows: Array[org.apache.spark.sql.Row]): DataFrame =
-    src.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), src.schema)
+    TopK.localPage(src, rows)
 
   /** Fuzzy term expansion for the paragraph fallback — the tantivy
     * automaton semantics over the at-rest term dictionary
@@ -1095,7 +1095,7 @@ object Find {
         val hits = Bm25.scoreFromPostings(restrict(post0), restrict(dls0),
             "paragraph_id", terms, allowed = None,
             cachedStats =
-              if (atRestDefault) corpus.index.flatMap(_.parStatsXrep)
+              if (atRestDefault) corpus.index.flatMap(_.parStatsXrep())
               else cachedPar,
             atRestDfCol = if (atRestDefault) Some("df_xrep") else None)
           .withColumn("score", round(col("score") * lit(scale), 4))

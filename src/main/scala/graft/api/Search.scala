@@ -326,7 +326,7 @@ object Search {
                 // unfiltered population = ingest population → at-rest
                 // df + stats serve (round 18)
                 cachedStats =
-                  if (req.filter.isEmpty) ix.docStats else None,
+                  if (req.filter.isEmpty) ix.docStats() else None,
                 atRestDfCol =
                   if (req.filter.isEmpty) Some("df") else None)
               case None => Bm25.score(base, docId, textCol, qTerms)
@@ -357,7 +357,7 @@ object Search {
             allowed = req.filter.map(_ => base.select(docId)),
             // unfiltered population = ingest population → at-rest
             // df + stats serve (round 18)
-            cachedStats = if (req.filter.isEmpty) ix.docStats else None,
+            cachedStats = if (req.filter.isEmpty) ix.docStats() else None,
             atRestDfCol = if (req.filter.isEmpty) Some("df") else None)
           case None => Bm25.score(base, docId, textCol, qTerms)
         }

@@ -37,15 +37,13 @@ object Suggest {
       query: String,
       topK: Int = 10): SuggestResponse = {
     val lastTerm = query.toLowerCase.trim.split("\\s+").last
-    // the exact page COLLECTS once (≤ topK rows — the same localPage
-    // discipline as the find fallback, round 18): the emptiness check
-    // and the response share one execution instead of an isEmpty probe
+    // the exact page COLLECTS once (≤ topK rows — the find-fallback
+    // collected-page discipline, round 18): the emptiness check and
+    // the response share one execution instead of an isEmpty probe
     // job plus a second run of the same plan in the terminal action
-    val exact = TopK.suggestPrefix(termFreq, termCol, freqCol, lastTerm, topK)
-    val exactRows = exact.collect()
-    val terms =
-      if (exactRows.nonEmpty) Find.localPage(exact, exactRows)
-      else TopK.suggestFuzzyPrefix(termFreq, termCol, freqCol, lastTerm, topK)
+    val terms = TopK.collectedPageOrElse(
+      TopK.suggestPrefix(termFreq, termCol, freqCol, lastTerm, topK))(
+      TopK.suggestFuzzyPrefix(termFreq, termCol, freqCol, lastTerm, topK))
     SuggestResponse(terms,
       entities.map { case (nodes, valueCol) =>
         GraphOps.prefixSearch(nodes, valueCol, query, topK)
@@ -146,11 +144,9 @@ object Suggest {
     val lastTerm = query.toLowerCase.trim.split("\\s+").last
     // collected page, like [[suggest]]: one execution serves the
     // emptiness check and the response
-    val exact = TopK.suggestPrefix(dict, "term", "freq", lastTerm, topK)
-    val exactRows = exact.collect()
-    val terms =
-      if (exactRows.nonEmpty) Find.localPage(exact, exactRows)
-      else TopK.suggestFuzzyPrefix(dict, "term", "freq", lastTerm, topK)
+    val terms = TopK.collectedPageOrElse(
+      TopK.suggestPrefix(dict, "term", "freq", lastTerm, topK))(
+      TopK.suggestFuzzyPrefix(dict, "term", "freq", lastTerm, topK))
     SuggestResponse(terms,
       entities.map { case (nodes, valueCol, resCol) =>
         suggestEntitiesFiltered(nodes, valueCol, resCol, allowed, query, topK)

@@ -18,6 +18,24 @@ object TopK {
   def topK(df: DataFrame, scoreCol: String, idCol: String, k: Int): DataFrame =
     df.orderBy(col(scoreCol).desc, col(idCol).asc).limit(k)
 
+  /** A collected response page as a LOCAL relation — same schema, rows
+    * in page order; bounded by the caller's top-k cut by construction.
+    * Lives here (not in the api layer) so operator-level fallbacks can
+    * use it without an operators→api dependency. */
+  def localPage(
+      src: DataFrame, rows: Array[org.apache.spark.sql.Row]): DataFrame =
+    src.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), src.schema)
+
+  /** The collected-page-or-fallback idiom (round 18): execute the
+    * BOUNDED exact page once; a nonempty page serves as a local
+    * relation (the emptiness check and the response share one
+    * execution), the empty page takes the fallback frame. */
+  def collectedPageOrElse(exact: DataFrame)(fallback: => DataFrame): DataFrame = {
+    val rows = exact.collect()
+    if (rows.nonEmpty) localPage(exact, rows) else fallback
+  }
+
   /** Constant-but-non-foldable partition key (always 0): pins a window
     * whose input is ALREADY bounded (by a prior top-k cut) to one
     * explicit partition. A literal key would be pruned by constant
@@ -188,17 +206,11 @@ object TopK {
     * branch, mirroring the reference's two-pass design.
     */
   def suggestWithFuzzyFallback(termFreq: DataFrame, termCol: String,
-      freqCol: String, query: String, k: Int = 10): DataFrame = {
-    // collected page (round 18, the find-fallback discipline): the
-    // bounded exact page executes ONCE and serves both the emptiness
-    // check and the response — an isEmpty probe plus a terminal-action
-    // rerun of the same plan cost two jobs where one suffices
-    val exact = suggestPrefix(termFreq, termCol, freqCol, query, k)
-    val exactRows = exact.collect()
-    if (exactRows.nonEmpty) graft.api.Find.localPage(exact, exactRows)
-    else termFreq
-      .where(levenshtein(col(termCol), lit(query)) <= 1)
-      .orderBy(col(freqCol).desc, col(termCol).asc)
-      .limit(k)
-  }
+      freqCol: String, query: String, k: Int = 10): DataFrame =
+    collectedPageOrElse(
+      suggestPrefix(termFreq, termCol, freqCol, query, k))(
+      termFreq
+        .where(levenshtein(col(termCol), lit(query)) <= 1)
+        .orderBy(col(freqCol).desc, col(termCol).asc)
+        .limit(k))
 }

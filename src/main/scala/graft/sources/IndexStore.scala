@@ -51,14 +51,18 @@ object IndexStore {
       // levenshtein scan of the dictionary
       parDeletes: Option[DataFrame] = None,
       // at-rest corpus-level BM25 statistics (round 18,
-      // `bm25_stats`): (N, avgdl) per population, collected once at
-      // bind — unrestricted requests inline them as literals instead
-      // of aggregating the doclengths table per request. None for
-      // index dirs built before the table existed and for
-      // segment-served roots (their population changes per watermark)
-      docStats: Option[graft.functions.Bm25.CorpusStats] = None,
-      parStatsXrep: Option[graft.functions.Bm25.CorpusStats] = None,
-      parStatsAll: Option[graft.functions.Bm25.CorpusStats] = None)
+      // `bm25_stats`): (N, avgdl) per population — unrestricted
+      // requests inline them as literals instead of aggregating the
+      // doclengths table per request. THUNKS, not values: a batch
+      // bind's thunk returns the 3-row table collected at bind
+      // (cheap), while a streamed root's thunk aggregates its
+      // winner-filtered population lazily — memoized per watermark,
+      // so a segment landing never taxes requests that issue no
+      // keyword query. `() => None` for index dirs built before the
+      // stats table existed.
+      docStats: () => Option[graft.functions.Bm25.CorpusStats] = () => None,
+      parStatsXrep: () => Option[graft.functions.Bm25.CorpusStats] = () => None,
+      parStatsAll: () => Option[graft.functions.Bm25.CorpusStats] = () => None)
 
   /** The at-rest ANN index ([[Ingest.buildVectorIndex]]'s output as the
     * serving side reads it): driver-scale centroid + codebook literals,
@@ -296,9 +300,9 @@ object IndexStore {
       fieldParPostings = opt("fieldpar_postings"),
       fieldParDocLengths = opt("fieldpar_doclengths"),
       parDeletes = opt("par_deletes"),
-      docStats = stats.get("doc"),
-      parStatsXrep = stats.get("par_xrep"),
-      parStatsAll = stats.get("par_all"))
+      docStats = () => stats.get("doc"),
+      parStatsXrep = () => stats.get("par_xrep"),
+      parStatsAll = () => stats.get("par_all"))
   }
 
   /** The served vector index: centroid/codebook literals collected once

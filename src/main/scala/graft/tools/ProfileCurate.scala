@@ -4,19 +4,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Interleaved A/B of the curate keeper-selection shapes (round 18):
-  * the corpus-window form (pre-r18) vs the component-side anti-join
-  * (r18) — same host, same JVM, alternating passes, so a flapping
-  * host window cannot masquerade as a code delta.
+  * the corpus-window form (`oldShape` — the shape Pipeline.curate
+  * SHIPS, plus an ids-only projection there) vs the component-side
+  * anti-join (`newShape` — tried this round and REJECTED on these
+  * numbers: old min 1.438 s vs new 2.007 s at sf0.1). Same host, same
+  * JVM, alternating passes, so a flapping host window cannot
+  * masquerade as a code delta.
   */
 object ProfileCurate {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.operators.Dedup
