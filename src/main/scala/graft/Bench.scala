@@ -167,9 +167,23 @@ object Bench {
     * ([[BenchPolicy.localCanaryOf]] — the slower of the two samples
     * ENCLOSING its block), so each deviation carries its own
     * adjudication. */
+  /** Suite-wide Spark-job counter (round 19, VERDICT r18 #6): one
+    * listener registered in main; [[runSuite]] snapshots deltas around
+    * each query's SECOND timed pass (fully warm — memo builds landed
+    * in the warmup) so the JSON carries the per-query job count, the
+    * deterministic structure evidence the scaling block lacks at an SF
+    * where wall-clock ratios measure scheduling. Listener events post
+    * async; a 50 ms settle brackets the counted window (off by a
+    * straggler at worst — ProfileJobs stays the precise tool). The
+    * sleeps sit OUTSIDE the timed region and never touch the reported
+    * seconds. */
+  private val jobCounter = new java.util.concurrent.atomic.AtomicInteger
+
   private def runSuite(spark: SparkSession, sfDir: String,
-      warm: Boolean): (Seq[QueryResult], Seq[Double]) = {
+      warm: Boolean, countJobs: Boolean = false)
+      : (Seq[QueryResult], Seq[Double], Map[String, Int]) = {
     val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val jobsOf = scala.collection.mutable.Map.empty[String, Int]
     // (name, seconds, ok): a throwing pass measures time-to-failure,
     // not query cost — it must never become the per-query number that
     // updates the recorded best (a ~10 ms analysis failure would
@@ -187,13 +201,16 @@ object Bench {
         }
         // two timed passes, report the min — shields the recorded
         // number from one-off GC pauses / scheduler noise
-        val passes = (1 to 2).map { _ =>
+        val passes = (1 to 2).map { pi =>
+          val counting = countJobs && pi == 2
+          if (counting) { Thread.sleep(50); jobCounter.set(0) }
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).count(); true }
             catch { case _: Throwable => false }
           val dt = (System.nanoTime() - t0) / 1e9
           Caches.releaseAll() // per-request cache arena
+          if (counting) { Thread.sleep(50); jobsOf(name) = jobCounter.get }
           (dt, ok)
         }
         val good = passes.filter(_._2).map(_._1)
@@ -205,7 +222,7 @@ object Bench {
     val withLocal = timed.zipWithIndex.map { case ((name, t, ok), i) =>
       QueryResult(name, t, ok, BenchPolicy.localCanaryOf(sampleArr, i))
     }
-    (withLocal, samples.toSeq)
+    (withLocal, samples.toSeq, jobsOf.toMap)
   }
 
   def main(args: Array[String]): Unit = {
@@ -253,12 +270,20 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCounter.incrementAndGet(); ()
+        }
+      })
 
     val loadBefore = loadAvg()
     val (c1Before, cnBefore, crBefore) = canary()
     val faultBefore = faultProbe()
     val scBefore = sparkCanary(spark)
-    var (results, samples1) = runSuite(spark, sfDir, warm = true)
+    var (results, samples1, jobs1) =
+      runSuite(spark, sfDir, warm = true, countJobs = true)
     var allSamples = samples1
     def total0 = results.map(_.sec).sum
     var total = total0
@@ -288,7 +313,7 @@ object Bench {
       // run). The local canary travels with whichever pass supplied
       // the kept time, so a deviation's host factor describes the
       // window its REPORTED number was actually measured in.
-      val (secondSeq, samples2) = runSuite(spark, sfDir, warm = false)
+      val (secondSeq, samples2, _) = runSuite(spark, sfDir, warm = false)
       allSamples = allSamples ++ samples2
       val second = secondSeq.map(r => r.name -> r).toMap
       results = results.map(r => BenchPolicy.mergeRerun(r, second.get(r.name)))
@@ -335,7 +360,7 @@ object Bench {
     } catch { case _: Exception => () } // best-file is advisory only
 
     val loadAfter = loadAvg()
-    println(BenchPolicy.renderJson(BenchPolicy.RunSummary(
+    val summary = BenchPolicy.RunSummary(
       total = total, sfDir = sfDir,
       loadBefore = loadBefore, loadAfter = loadAfter, reran = reran,
       results = results, deviations = deviations,
@@ -346,7 +371,20 @@ object Bench {
       sparkBefore = scBefore, sparkAfter = scAfter,
       samplesMax = allSamples.max,
       totalSeeded = seedTotal,
-      bestTotal = BenchPolicy.reportedBestTotal(seedTotal, total, prevBest))))
+      bestTotal = BenchPolicy.reportedBestTotal(seedTotal, total, prevBest),
+      jobs = jobs1.toSeq.sortBy(_._1))
+    val json = BenchPolicy.renderJson(summary)
+    // un-truncatable output (round 19, VERDICT r18 #4): the full line
+    // ALSO lands in bench_last.json (a captured-tail cut of stdout
+    // cost round 17 its whole round-over-round table), and a short
+    // summary line precedes it so a head capture stays parseable; the
+    // full line stays LAST — a tail capture keeps the end.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_LAST", "bench_last.json")), json)
+    catch { case _: Exception => () } // advisory copy only
+    println(BenchPolicy.renderSummaryJson(summary))
+    println(json)
     spark.stop()
   }
 }

@@ -141,7 +141,22 @@ object BenchPolicy {
       sparkCalibrated && sparkReadings.nonEmpty &&
         sparkRatio(sparkReadings.max) > SparkCanaryBound
 
-    def degraded: Boolean = degradedByAluOrFault || degradedBySpark
+    /** UNCALIBRATED blind spot closed (round 19, VERDICT r18 #5): a
+      * run at a NEW cpu-count key has no recorded best, so
+      * [[degradedBySpark]] cannot fire — the r18 8-core run seeded the
+      * n193 total ~1.7× inflated exactly this way while its own
+      * interleaved samples spanned 6.2× of the eventually-recorded
+      * best. The run's INTERNAL spread needs no calibration: max/min
+      * of the same fixed job within one run past the 2× bound means
+      * the window flapped mid-suite, whatever the absolute level.
+      * (When calibrated this is implied by [[degradedBySpark]]:
+      * max/min > 2 forces max > 2·min ≥ 2·sparkBest.) */
+    def degradedBySparkSpread: Boolean =
+      sparkReadings.size >= 2 && sparkReadings.min > 0 &&
+        sparkReadings.max / sparkReadings.min > SparkCanaryBound
+
+    def degraded: Boolean =
+      degradedByAluOrFault || degradedBySpark || degradedBySparkSpread
 
     /** The FIRST spark-canary best may only be recorded from a window
       * the other legs read clean — a best born inside a degraded
@@ -177,7 +192,11 @@ object BenchPolicy {
       prevBest: Option[Double]): Option[Double] =
     if (seeded) Some(newBestTotal(total, prevBest)) else prevBest
 
-  /** Everything the one-line bench JSON carries. */
+  /** Everything the one-line bench JSON carries. `jobs` (round 19,
+    * VERDICT r18 #6) is the per-query Spark-JOB count of one warm
+    * timed pass — the deterministic STRUCTURE evidence (pass/barrier
+    * count) that gives the driver's scaling block teeth at an SF where
+    * wall-clock ratios measure scheduling, not parallelism. */
   final case class RunSummary(
       total: Double, sfDir: String,
       loadBefore: Double, loadAfter: Double, reran: Boolean,
@@ -189,7 +208,19 @@ object BenchPolicy {
       t1After: Double, tnAfter: Double,
       verdict: CanaryVerdict,
       sparkBefore: Double, sparkAfter: Double, samplesMax: Double,
-      totalSeeded: Boolean, bestTotal: Option[Double])
+      totalSeeded: Boolean, bestTotal: Option[Double],
+      jobs: Seq[(String, Int)] = Nil)
+
+  /** A SHORT well-formed summary line printed BEFORE the full JSON
+    * (round 19, VERDICT r18 #4): round 17's stored bench tail cut the
+    * FRONT of the ~13 KB one-line JSON and the driver's round-over-
+    * round table silently degraded to `n_common: 0`. The full line
+    * prints LAST (a tail capture keeps the end) and is also written to
+    * `bench_last.json`; this line covers a HEAD capture. Metric name
+    * deliberately distinct ("total_summary") so no parser can mistake
+    * the queries-less summary for the full record. */
+  def renderSummaryJson(s: RunSummary): String =
+    s"""{"metric":"total_summary","value":${s.total},"unit":"sec","n_queries":${s.results.size},"sf":"${s.sfDir}","degraded":${s.verdict.degraded}}"""
 
   /** The single JSON line the driver parses. Format is part of the
     * driver contract: keys `metric`/`value`/`unit`/`queries`/`sf`
@@ -202,6 +233,8 @@ object BenchPolicy {
     val canaryJson =
       f"""{"t1_before":${s.t1Before}%.3f,"tn_before":${s.tnBefore}%.3f,"ratio_before":${v.ratioBefore}%.2f,"t1_after":${s.t1After}%.3f,"tn_after":${s.tnAfter}%.3f,"ratio_after":${v.ratioAfter}%.2f,"bound":$CanaryBound,"fault_gbps_before":${v.faultBefore}%.2f,"fault_gbps_after":${v.faultAfter}%.2f,"fault_floor":$FaultFloor,"spark_before":${s.sparkBefore}%.3f,"spark_after":${s.sparkAfter}%.3f,"spark_best":${v.sparkBest}%.3f,"spark_bound":$SparkCanaryBound,"spark_samples_max":${s.samplesMax}%.3f,"spark_calibrated":${v.sparkCalibrated}}"""
     val bestTotalJson = s.bestTotal.map(_.toString).getOrElse("null")
-    s"""{"metric":"total","value":${s.total},"unit":"sec","queries":${jmap(s.results.map(r => r.name -> r.sec))},"sf":"${s.sfDir}","load_before":${s.loadBefore},"load_after":${s.loadAfter},"reran":${s.reran},"best_total":$bestTotalJson,"total_seeded":${s.totalSeeded},"deviations":${jmap(s.deviations)},"deviation_host_factors":${jmap(s.deviationHostFactors)},"failed":$failedJson,"canary":$canaryJson,"degraded":${v.degraded}}"""
+    val jobsJson = s.jobs
+      .map { case (k, v0) => "\"" + k + "\":" + v0 }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${s.total},"unit":"sec","queries":${jmap(s.results.map(r => r.name -> r.sec))},"sf":"${s.sfDir}","load_before":${s.loadBefore},"load_after":${s.loadAfter},"reran":${s.reran},"best_total":$bestTotalJson,"total_seeded":${s.totalSeeded},"deviations":${jmap(s.deviations)},"deviation_host_factors":${jmap(s.deviationHostFactors)},"jobs":$jobsJson,"failed":$failedJson,"canary":$canaryJson,"degraded":${v.degraded}}"""
   }
 }

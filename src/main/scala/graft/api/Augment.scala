@@ -478,10 +478,22 @@ object Augment {
 
     import spark.implicits._
     val rids = anchors.map(_.rid).distinct
-    // ONE pruned, ranked view of the requested conversations; every
-    // selector below is a request-scoped join against it. Numeric
-    // splits order numerically, the splitConversationParagraphs
-    // convention
+    // ONE pruned, ranked view of the requested conversations — and
+    // (round 19, VERDICT r18 #2) ONE pass over it: the former
+    // per-selector joins each re-instantiated this window subtree
+    // (4-5 replicas + a maxRanks aggregation + per-selector
+    // row_numbers → 15-17 Spark jobs on the q164-class), where every
+    // selector is really just a rank predicate given three
+    // per-(anchor × conversation) aggregates. So: broadcast-join ALL
+    // anchors onto the ranked view once, compute those aggregates as
+    // window functions over the SAME (rid, fid)-clustered data (their
+    // partition keys are supersets of the ranked window's hash
+    // partitioning — no second exchange), and keep each row by its
+    // anchor's selector predicate. Guide §2.4: one shuffle answering
+    // several questions. Numeric splits order numerically, the
+    // splitConversationParagraphs convention. Assumes the store's
+    // (rid, field, split) message key is unique — the reference's
+    // (page, index) map key.
     val ranked = cs.df
       .where(ridPredicate(cs.df.schema, cs.ridCol, rids))
       .select(col(cs.ridCol).cast("string").as("rid"),
@@ -497,90 +509,63 @@ object Augment {
           // throwing under ANSI cast
           .orderBy(col("split").try_cast("int").asc_nulls_last,
             col("split").asc)))
+      // conversation length as a window aggregate over the SAME
+      // partition — replaces the former maxRanks groupBy exchange
+      .withColumn("__max_rank", max(col("__rank")).over(
+        Window.partitionBy(col("rid"), col("fid"))))
 
-    def keyDf(as: Seq[Anchor]): DataFrame =
-      as.map(a => (a.rid, a.fid, a.split.orNull, a.size))
-        .toDF("rid", "fid", "__anchor", "__size")
+    val anchorsDf = anchors
+      .map(a => (a.rid, a.fid, a.split.orNull, a.selector, a.size))
+      .toDF("rid", "fid", "__anchor", "__sel", "__size")
 
-    val parts = Seq.newBuilder[DataFrame]
-    val msgCols = Seq(col("rid"), col("fid"), col("split"), col("mtext"),
-      col("__rank"))
+    // per-(anchor × conversation) aggregates, ONE window layer each:
+    // the anchor's rank + message type, then (depending on it) the
+    // first later ANSWER's rank. Partitioning by the anchor identity
+    // keeps concurrent anchors of one conversation independent.
+    val wAnchor = Window.partitionBy(col("rid"), col("fid"),
+      col("__sel"), col("__anchor"), col("__size"))
+    val joined = ranked.join(broadcast(anchorsDf), Seq("rid", "fid"))
+      .withColumn("__arank",
+        max(when(col("split") === col("__anchor"), col("__rank")))
+          .over(wAnchor))
+      .withColumn("__atype",
+        max(when(col("split") === col("__anchor"), col("mtype")))
+          .over(wAnchor))
+    val resolved = joined.withColumn("__answer_rank",
+      min(when(col("mtype") === "ANSWER" && col("__rank") > col("__arank"),
+        col("__rank"))).over(wAnchor))
 
-    val fulls = anchors.filter(_.selector == "full")
-    if (fulls.nonEmpty)
-      parts += ranked.join(keyDf(fulls).select("rid", "fid").distinct(),
-        Seq("rid", "fid")).select(msgCols: _*)
-
-    val singles = anchors.filter(_.selector == "message")
-    if (singles.nonEmpty)
-      parts += ranked.join(keyDf(singles), Seq("rid", "fid"))
-        .where(col("split") === col("__anchor"))
-        .select(msgCols: _*)
-
-    val firsts = anchors.filter(_.selector == "first")
-    if (firsts.nonEmpty)
-      parts += ranked.where(col("__rank") === 1)
-        .join(keyDf(firsts).select("rid", "fid").distinct(),
-          Seq("rid", "fid"))
-        .select(msgCols: _*)
-
-    val windows = anchors.filter(_.selector == "window")
-    if (windows.nonEmpty) {
-      val keys = keyDf(windows)
-      val anchorRanks = ranked.join(keys,
-          Seq("rid", "fid"))
-        .where(col("split") === col("__anchor"))
-        .select(col("rid"), col("fid"), col("__anchor"), col("__size"),
-          col("__rank").as("__anchor_rank"))
-      val maxRanks = ranked.groupBy("rid", "fid")
-        .agg(max(col("__rank")).as("__max_rank"))
-      // deque semantics: the window ENDS (size-1)/2 past the anchor
-      // (capped at the conversation end; a missing anchor ends at the
-      // tail) and spans `size` messages back from there
-      val half = floor((col("__size") - 1) / 2.0).cast("int")
-      val bounds = keys.join(anchorRanks,
-          Seq("rid", "fid", "__anchor", "__size"), "left")
-        .join(maxRanks, Seq("rid", "fid"))
-        .select(col("rid"), col("fid"),
-          least(coalesce(col("__anchor_rank") + half, col("__max_rank")),
-            col("__max_rank")).cast("int").as("__end"),
-          col("__size"))
-      parts += ranked.join(bounds, Seq("rid", "fid"))
-        .where(col("__rank") > col("__end") - col("__size") &&
-          col("__rank") <= col("__end"))
-        .select(msgCols: _*)
-    }
-
-    // answer-or-after runs RANK-based over the same ordered view (not
+    // deque semantics for `window`: it ENDS (size-1)/2 past the anchor
+    // (capped at the conversation end; a missing anchor ends at the
+    // tail) and spans `size` messages back from there
+    val half = floor((col("__size") - 1) / 2.0).cast("int")
+    val winEnd = least(coalesce(col("__arank") + half, col("__max_rank")),
+      col("__max_rank"))
+    // answer-or-after, RANK-based over the same ordered view (not
     // through [[ContextBuilder.conversationAnswerOrAfter]]'s int-cast
     // contract): message idents are arbitrary strings in the reference
     // (zero-padded or non-numeric splits must not silently drop), and
-    // `ranked`'s ordering already handles both
-    val aoas = anchors.filter(_.selector == "aoa")
-    if (aoas.nonEmpty) {
-      val hitRanks = ranked.join(keyDf(aoas), Seq("rid", "fid"))
-        .where(col("split") === col("__anchor"))
-        .select(col("rid"), col("fid"), col("__rank").as("__arank"),
-          col("mtype").as("__hit_type"))
-      val later = ranked.join(hitRanks, Seq("rid", "fid"))
-        .where(col("__rank") > col("__arank"))
-      val w = Window.partitionBy(col("rid"), col("fid"), col("__arank"))
-        .orderBy(col("__rank").asc)
-      val question = later
-        .where(col("__hit_type") === "QUESTION" && col("mtype") === "ANSWER")
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1)
-      val after = later
-        .where(col("__hit_type") =!= "QUESTION")
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") <= MessageContextExpansion)
-      parts += question.unionByName(after).select(msgCols: _*)
-    }
+    // `ranked`'s ordering already handles both. QUESTION anchors keep
+    // exactly the first later ANSWER; others the next 15; a missing
+    // anchor (null __arank/__atype) keeps nothing — the former
+    // inner-join-on-hitRanks behavior.
+    val keep = when(col("__sel") === "full", lit(true))
+      .when(col("__sel") === "message", col("split") === col("__anchor"))
+      .when(col("__sel") === "first", col("__rank") === 1)
+      .when(col("__sel") === "window",
+        col("__rank") > winEnd - col("__size") && col("__rank") <= winEnd)
+      .when(col("__sel") === "aoa",
+        when(col("__atype") === "QUESTION",
+            col("__rank") === col("__answer_rank"))
+          .otherwise(col("__atype").isNotNull &&
+            col("__rank") > col("__arank") &&
+            col("__rank") <= col("__arank") + MessageContextExpansion))
+      .otherwise(lit(false))
 
-    parts.result().reduce(_ unionByName _)
-      .dropDuplicates("rid", "fid", "split")
+    resolved.where(coalesce(keep, lit(false)))
       .select(col("rid"), col("fid").as("field_id"), col("split"),
         col("mtext"))
+      .dropDuplicates("rid", "field_id", "split")
   }
 
   private def emptyMessages(spark: SparkSession): DataFrame = {

@@ -125,11 +125,12 @@ class Engine(
   // pre-re-ingest table
   @volatile private var facetCountsMemo: Option[DataFrame] = None
 
-  // precomputed per-filter BM25 population stats, threaded into every
-  // corpus() so prefiltered find/findParagraphs skip the per-request
-  // population aggregation (the one corpus-fraction-linear piece of a
-  // prefiltered request); cleared on re-ingest
-  private var filterStatsMemo: Map[FilterExpr, Find.CachedBm25Stats] = Map.empty
+  // precomputed per-restriction BM25 population stats, threaded into
+  // every corpus() so restricted find/findParagraphs skip the
+  // per-request population aggregation (the one corpus-fraction-linear
+  // piece of a restricted request); cleared on re-ingest
+  private var filterStatsMemo: Map[Find.RestrictionKey, Find.CachedBm25Stats] =
+    Map.empty
 
   /** Precompute and register the BM25 population stats for a KNOWN hot
     * filter (e.g. a language facet): every later find/findParagraphs
@@ -137,9 +138,21 @@ class Engine(
     * at defaults — serves from two literals instead of aggregating the
     * filtered population per request. Cleared automatically when a
     * re-ingest invalidates serving. */
-  def cacheFilterStats(filter: FilterExpr): Unit = {
-    val stats = Find.cachedStatsFor(corpus(), filter)
-    synchronized { filterStatsMemo += filter -> stats }
+  def cacheFilterStats(filter: FilterExpr): Unit =
+    cacheRestrictionStats(Find.RestrictionKey(filter = Some(filter)))
+
+  /** [[cacheFilterStats]] generalized to the request's FULL restriction
+    * surface (round 19, VERDICT r18 #1): a `fields=` spec, a paragraph
+    * label formula, and the OR operator are population restrictions
+    * exactly like the doc filter, so a KNOWN hot combination registers
+    * once and every later request whose restriction normalizes to the
+    * key serves its stats (and the semantic density-probe count) from
+    * the registration instead of re-aggregating per request. */
+  def cacheRestrictionStats(key0: Find.RestrictionKey): Unit = {
+    val key = Find.RestrictionKey.of(key0.filter, key0.fields,
+      key0.paragraphFilter, key0.filterOperatorOr)
+    val stats = Find.cachedStatsFor(corpus(), key)
+    synchronized { filterStatsMemo += key -> stats }
   }
 
   /** Index embeddings: one IVF-PQ index per named vectorset, each with
@@ -759,16 +772,12 @@ class Engine(
     * on re-ingest (serving stale counts would silently miscount —
     * same invalidation contract as the filter-stats cache). */
   def cacheCatalogFacetCounts(): Unit = {
-    Facets.catalogFacetCounts(docs, labelsCol)
-      .write.mode("overwrite").parquet(p("catalog_facet_counts"))
-    // the overwrite deleted the previous registration's part files —
-    // a memoized reader (this session's or another engine's over the
-    // same root) would keep listing them; drop it before re-memoizing
-    IndexStore.invalidatePrefix(spark, p("catalog_facet_counts"))
-    synchronized {
-      facetCountsMemo =
-        Some(IndexStore.readParquetMemo(spark, p("catalog_facet_counts")))
-    }
+    // persist-and-bind through the ONE shared step (round 19) — the
+    // overwrite deletes the previous registration's part files, and
+    // persistServingTable drops any memoized reader before re-binding
+    val bound = IndexStore.persistServingTable(spark,
+      Facets.catalogFacetCounts(docs, labelsCol), p("catalog_facet_counts"))
+    synchronized { facetCountsMemo = Some(bound) }
   }
 }
 
@@ -1074,20 +1083,25 @@ final class StreamEngine private[api] (
   // population stats would silently break filter-then-score) — one
   // aggregation per registered filter per watermark change, amortized
   // across every request served from that segment set
-  private var registeredFilters: Set[FilterExpr] = Set.empty
+  private var registeredFilters: Set[Find.RestrictionKey] = Set.empty
   private var statsWatermark: Seq[String] = Nil
-  private var streamFilterStats: Map[FilterExpr, Find.CachedBm25Stats] =
+  private var streamFilterStats: Map[Find.RestrictionKey, Find.CachedBm25Stats] =
     Map.empty
-  override def cacheFilterStats(filter: FilterExpr): Unit = {
+  override def cacheRestrictionStats(key0: Find.RestrictionKey): Unit = {
+    val key = Find.RestrictionKey.of(key0.filter, key0.fields,
+      key0.paragraphFilter, key0.filterOperatorOr)
     // eager validation AT THE CALLER (analysis only, no job, no
     // segments needed — registration legitimately precedes stream
     // start): a filter that cannot compile against the doc store would
     // otherwise throw inside the stats recompute of every later
     // request — filtered or not — bricking the engine with no
     // deregister API. The batch override fails at the caller too.
-    docs.where(FilterExpr.compile(filter, bindings)).queryExecution.analyzed
+    key.filter.foreach(f =>
+      docs.where(FilterExpr.compile(f, bindings)).queryExecution.analyzed)
+    key.paragraphFilter.foreach(pf => FilterExpr.compile(pf,
+      FilterExpr.Bindings(labelsCol = "p_labels")))
     synchronized {
-      registeredFilters += filter
+      registeredFilters += key
       statsWatermark = Nil // recompute (incl. the new entry) on next use
     }
   }
@@ -1129,7 +1143,7 @@ final class StreamEngine private[api] (
     else c0.copy(cachedFilterStats = synchronized {
       if (statsWatermark != s.watermark) {
         streamFilterStats = registeredFilters.iterator
-          .map(f => f -> Find.cachedStatsFor(c0, f)).toMap
+          .map(k => k -> Find.cachedStatsFor(c0, k)).toMap
         statsWatermark = s.watermark
       }
       streamFilterStats

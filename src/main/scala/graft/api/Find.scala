@@ -63,47 +63,236 @@ object Find {
       // names binds them here so Facet/Security/Keyword leaves hit
       // the right columns (the Engine facade threads its own)
       filterBindings: FilterExpr.Bindings = FilterExpr.Bindings(),
-      // precomputed BM25 population stats for KNOWN hot filters
-      // (exact structural match on the request's FilterExpr): serves
-      // the prefiltered keyword/paragraph score without the
+      // precomputed BM25 population stats for KNOWN hot restrictions
+      // (exact structural match on the request's restriction surface —
+      // doc filter, fields spec, paragraph filter, operator; round 19
+      // generalizes the round-14 filter-only key per VERDICT r18 #1):
+      // serves the restricted keyword/paragraph score without the
       // per-request population aggregation — the one deliberately
-      // corpus-fraction-linear piece of a prefiltered find. Build
+      // corpus-fraction-linear piece of a restricted find. Build
       // with [[Find.cachedStatsFor]]; stale entries mean stale
       // scores, so rebuild when the corpus changes (the Engine facade
       // invalidates handles on re-ingest for the same reason)
-      cachedFilterStats: Map[FilterExpr, CachedBm25Stats] = Map.empty)
+      cachedFilterStats: Map[RestrictionKey, CachedBm25Stats] = Map.empty)
 
-  /** The per-filter cache entry: doc-level stats for `find`'s keyword
-    * list, paragraph-level stats (repeated-excluded, body pair) for
-    * `findParagraphs`' BM25 mode. */
+  /** The registration key for [[Corpus.cachedFilterStats]]: a
+    * request's FULL restriction surface at default knobs. A cached
+    * entry serves a request iff the request's restriction normalizes
+    * to exactly this key AND nothing else narrows the population
+    * (no phrases/exclusions/advanced query/withDuplicates) — enforced
+    * at every serve-time lookup. Build via [[RestrictionKey.of]] so
+    * `filterOperatorOr` normalizes (OR without both operands is AND
+    * semantics) and equal restrictions can never miss on key shape. */
+  final case class RestrictionKey(
+      filter: Option[FilterExpr] = None,
+      fields: Seq[String] = Nil,
+      paragraphFilter: Option[FilterExpr] = None,
+      filterOperatorOr: Boolean = false)
+  object RestrictionKey {
+    def of(filter: Option[FilterExpr], fields: Seq[String],
+        paragraphFilter: Option[FilterExpr],
+        filterOperatorOr: Boolean): RestrictionKey =
+      RestrictionKey(filter, fields, paragraphFilter,
+        // OR only means OR when BOTH clauses exist — the same
+        // normalization findParagraphs' orMode gate applies
+        filterOperatorOr && filter.nonEmpty && paragraphFilter.nonEmpty)
+  }
+
+  /** The per-restriction cache entry: doc-level stats + allowed-doc
+    * count for `find`'s keyword list and density probe,
+    * paragraph-level stats (repeated-excluded, restriction-matched
+    * posting pair) for `findParagraphs`' BM25 mode. */
   final case class CachedBm25Stats(
       doc: Option[Bm25.CorpusStats] = None,
-      paragraph: Option[Bm25.CorpusStats] = None)
+      paragraph: Option[Bm25.CorpusStats] = None,
+      // |allowed doc ids| under the key's doc-level restriction — the
+      // semantic density probe's count ([[useAnnIndex]]) served
+      // without the per-request eager count job
+      nAllowed: Option[Long] = None)
 
   /** Compute [[CachedBm25Stats]] for one KNOWN filter over a corpus —
-    * two population aggregations paid ONCE (ingest/refresh time), so
-    * every later prefiltered request with exactly this filter skips
-    * them. The paragraph side replays the default serving
-    * restrictions (repeated-in-field excluded, body posting pair,
-    * doc-prefilter by id prefix) — the cache only applies on requests
-    * whose other knobs are at defaults, enforced at the serve-time
-    * lookup. */
-  def cachedStatsFor(corpus: Corpus, filter: FilterExpr): CachedBm25Stats = {
+    * the round-14 filter-only registration, kept as the facade's
+    * public entry ([[graft.api.Engine.cacheFilterStats]]). */
+  def cachedStatsFor(corpus: Corpus, filter: FilterExpr): CachedBm25Stats =
+    cachedStatsFor(corpus, RestrictionKey(filter = Some(filter)))
+
+  /** Compute [[CachedBm25Stats]] for one KNOWN restriction key — the
+    * population aggregations paid ONCE (ingest/registration time,
+    * guide §2.4: the shuffle answering a per-request question moves to
+    * ingest), so every later request whose restriction IS exactly this
+    * key skips them. Populations replay the serving paths through the
+    * SAME code: the doc side through [[docLevelBase]] (the frame
+    * `retrievalLists` restricts), the paragraph side through
+    * [[restrictedParPair]] (the frame `findParagraphs`' BM25 branch
+    * restricts at default knobs) — the cached numbers cannot drift
+    * from the live aggregation because both sides aggregate the same
+    * frame (Bm25Spec pins the bit-identity per key shape). */
+  def cachedStatsFor(corpus: Corpus, key0: RestrictionKey): CachedBm25Stats = {
+    val key = RestrictionKey.of(key0.filter, key0.fields,
+      key0.paragraphFilter, key0.filterOperatorOr)
     val ix = corpus.index.getOrElse(throw new IllegalArgumentException(
       "cachedStatsFor needs a bound index"))
-    val allowed = corpus.docs
-      .where(FilterExpr.compile(filter, corpus.filterBindings))
-      .select(corpus.docId)
-    val doc = Bm25.corpusStats(ix.docLengths, corpus.docId, Some(allowed))
-    val par = ix.parDocLengths.map { pdl =>
-      val restricted = excludeRepeated(pdl, withDuplicates = false)
-        .join(allowed.select(col(corpus.docId).cast("string")
-            .as("__allowed_doc")),
-          split(col("paragraph_id"), "/").getItem(0) === col("__allowed_doc"),
-          "left_semi")
-      Bm25.corpusStats(restricted, "paragraph_id")
+    // doc-level side: only keys a doc-level lookup can hit (the
+    // paragraph filter and OR operator are paragraph-mode semantics —
+    // retrievalLists never consults them)
+    val (doc, nAllowed) =
+      if (key.paragraphFilter.nonEmpty || key.filterOperatorOr) (None, None)
+      else {
+        val allowed = docLevelBase(corpus, key.filter, key.fields)
+          .select(corpus.docId)
+        (Some(Bm25.corpusStats(ix.docLengths, corpus.docId, Some(allowed))),
+          Some(allowed.count()))
+      }
+    // paragraph side: the default-knob restricted BM25 posting pair's
+    // doclengths population, when the corpus binds the pair
+    val par =
+      if (ix.parPostings.isEmpty || ix.parDocLengths.isEmpty) None
+      else Some(Bm25.corpusStats(
+        parSearchFrames(corpus, key, withDuplicates = false).dls,
+        "paragraph_id"))
+    CachedBm25Stats(doc = doc, paragraph = par, nAllowed = nAllowed)
+  }
+
+  /** The DOC-level searchable base for a (filter, fields) restriction —
+    * the prefilter compile plus the structural `fields=` semi-join
+    * (`query_planner.rs:293-378`, `old_filters.py:48-260`: a doc
+    * survives iff it carries at least one field matching a spec). ONE
+    * definition shared by [[retrievalLists]] and [[cachedStatsFor]] so
+    * registered stats aggregate exactly the population requests are
+    * served from. */
+  private[api] def docLevelBase(corpus: Corpus, filter: Option[FilterExpr],
+      fields: Seq[String]): DataFrame = {
+    val filtered = filter match {
+      case Some(f) => corpus.docs.where(FilterExpr.compile(f, corpus.filterBindings))
+      case None => corpus.docs
     }
-    CachedBm25Stats(doc = Some(doc), paragraph = par)
+    if (fields.isEmpty) filtered
+    else {
+      val ix = corpus.index.getOrElse(throw new IllegalArgumentException(
+        "field filters need a bound index"))
+      val fieldsTab = ix.fields.getOrElse(throw new IllegalArgumentException(
+        "field filters need the fields table — rebuild the index"))
+      val (fieldExpr, _) = OldFilters.parse(
+        OldFilters.Params(fields = fields))
+      filtered.join(
+        fieldsTab.where(FilterExpr.compile(fieldExpr.get))
+          .select(corpus.docId),
+        Seq(corpus.docId), "left_semi")
+    }
+  }
+
+  /** The restricted paragraph-BM25 search frames for a restriction key
+    * at default knobs: the searched posting/doclengths pair with the
+    * key's WHOLE restriction applied (field-spec predicate + pair
+    * selection, repeated exclusion, paragraph-label formula, doc
+    * prefilter, AND/OR operator), plus the raw pair union (the
+    * exclusion anti-join's source) and whether field pairs are in
+    * play. ONE definition shared by [[findParagraphsScored]]'s BM25
+    * branch and [[cachedStatsFor]] — the registered (N, avgdl) must
+    * aggregate exactly the population the serving path scores.
+    * Query-dependent narrowings (advanced query, exclusions) apply ON
+    * TOP at the serving site; a request carrying any of them never
+    * serves cached stats (enforced at the lookup). */
+  private[api] final case class ParSearchFrames(
+      post: DataFrame, dls: DataFrame, rawPost: DataFrame,
+      needField: Boolean)
+
+  private[api] def parSearchFrames(
+      corpus: Corpus, key: RestrictionKey,
+      withDuplicates: Boolean): ParSearchFrames = {
+    val ix = corpus.index.getOrElse(throw new IllegalArgumentException(
+      "paragraph BM25 needs a bound index"))
+    require(ix.parPostings.isDefined && ix.parDocLengths.isDefined,
+      "paragraph BM25 needs the paragraph posting pair — rebuild the index")
+    val idParts = split(col("paragraph_id"), "/")
+    // the spec syntax parses ONCE in OldFilters.fieldSpecs — the
+    // same pairs the structural path compiles against the fields
+    // table evaluate here against the id's embedded field segments
+    val specs = OldFilters.fieldSpecs(key.fields)
+    val fieldPred: Option[Column] = specs.map {
+      case (ftype, Some(fid)) =>
+        idParts.getItem(1) === ftype && idParts.getItem(2) === fid
+      case (ftype, None) => idParts.getItem(1) === ftype
+    }.reduceOption(_ || _)
+    // which posting pairs can a spec match? body rows are exactly
+    // t/body; everything else lives in the field pair
+    val needBody = specs.isEmpty ||
+      specs.exists { case (t, id) => t == "t" && id.forall(_ == "body") }
+    val needField = specs.nonEmpty &&
+      !specs.forall { case (t, id) => t == "t" && id.contains("body") }
+    require(!needField ||
+        (ix.fieldParPostings.isDefined && ix.fieldParDocLengths.isDefined),
+      "fields= with paragraphBm25 needs the field-paragraph posting " +
+        "pair — rebuild the index with the current buildIndex")
+    val pairs =
+      (if (needBody) Seq((ix.parPostings.get, ix.parDocLengths.get)) else Nil) ++
+      (if (needField) Seq((ix.fieldParPostings.get, ix.fieldParDocLengths.get))
+       else Nil)
+    val (post0, dls0) = pairs.reduce[(DataFrame, DataFrame)] {
+      case ((p1, d1), (p2, d2)) => (p1.unionByName(p2), d1.unionByName(d2))
+    }
+    // paragraph-label filter: the allowed paragraph ids come from
+    // the labeled paragraph table (one broadcastable semi-join on
+    // the posting pair — same shape as the doc prefilter); a filter
+    // against an unlabeled corpus is a caller bug, loud not silent.
+    // Labels live on the BODY paragraph table only, so a label
+    // filter combined with non-body fields= would silently empty
+    // the field rows — reject it loudly instead.
+    require(key.paragraphFilter.isEmpty || !needField,
+      "paragraphFilter needs labeled paragraphs, and the field " +
+        "paragraph tables carry no p_labels — restrict fields= to " +
+        "t/body or label the field paragraphs at ingest")
+    lazy val labelAllowed: Option[DataFrame] = key.paragraphFilter.map { pf =>
+      require(ix.paragraphs.columns.contains("p_labels"),
+        "paragraphFilter needs a paragraph table with p_labels — " +
+          "attach paragraph labels at ingest")
+      ix.paragraphs.where(FilterExpr.compile(pf,
+          FilterExpr.Bindings(labelsCol = "p_labels")))
+        .select("paragraph_id")
+    }
+    val base = key.filter match {
+      case Some(f) => corpus.docs.where(FilterExpr.compile(f, corpus.filterBindings))
+      case None => corpus.docs
+    }
+    // OR-operator mode (`filter_query`'s Should occur): one pass
+    // with BOTH membership flags left-joined in, kept when either
+    // holds — the doc prefilter and the label formula become ONE
+    // boolean clause list instead of stacked intersections
+    val orMode = key.filterOperatorOr && key.filter.nonEmpty &&
+      labelAllowed.nonEmpty
+    def restrict(df: DataFrame): DataFrame = {
+      // default search mode excludes ingest-marked repeated
+      // paragraphs — a scan-stage predicate (the flag is
+      // denormalized onto both pair tables, like dl)
+      val withDup = excludeRepeated(df, withDuplicates)
+      val withLabels =
+        if (orMode) withDup // OR path applies both clauses below
+        else labelAllowed match {
+          case None => withDup
+          case Some(a) => withDup.join(a, Seq("paragraph_id"), "left_semi")
+        }
+      val withField = fieldPred.map(withLabels.where).getOrElse(withLabels)
+      if (orMode)
+        withField
+          .join(base.select(
+              col(corpus.docId).cast("string").as("__allowed_doc"),
+              lit(true).as("__doc_ok")),
+            idParts.getItem(0) === col("__allowed_doc"), "left")
+          .join(labelAllowed.get.withColumn("__lab_ok", lit(true)),
+            Seq("paragraph_id"), "left")
+          .where(coalesce(col("__doc_ok"), lit(false)) ||
+            coalesce(col("__lab_ok"), lit(false)))
+          .drop("__allowed_doc", "__doc_ok", "__lab_ok")
+      else if (key.filter.isEmpty) withField
+      // no .distinct() on the build side: LEFT SEMI is
+      // duplicate-insensitive and the doc ids are unique rows of
+      // the doc table anyway — a distinct here is a 2-stage
+      // shuffle that would re-execute once per consumer
+      else withField.join(
+        base.select(col(corpus.docId).cast("string").as("__allowed_doc")),
+        idParts.getItem(0) === col("__allowed_doc"), "left_semi")
+    }
+    ParSearchFrames(restrict(post0), restrict(dls0), post0, needField)
   }
 
   /** The brute-vs-index branch point for a filtered semantic search —
@@ -244,35 +433,26 @@ object Find {
     val parsed = QueryParser.parse(req.query)
     val terms = Synonyms.expand(parsed.terms, req.synonyms)
 
-    // 2. prefilter
-    val filtered = req.filter match {
-      case Some(f) => corpus.docs.where(FilterExpr.compile(f, corpus.filterBindings))
-      case None => corpus.docs
-    }
-    // `fields=` restricts the DOC set structurally: the reference's
-    // prefilter applies field filters to every sub-search
-    // (`query_planner.rs:293-378`, `old_filters.py:48-260`), so a doc
-    // survives iff it carries at least one field matching a spec. The
-    // spec compiles against the at-rest fields table exactly like
-    // findParagraphs' structural path, and the semi-join folds into
-    // `base` so the keyword AND semantic lists both respect it.
-    val base =
-      if (req.fields.isEmpty) filtered
-      else {
-        val ix = corpus.index.getOrElse(throw new IllegalArgumentException(
-          "field filters need a bound index"))
-        val fieldsTab = ix.fields.getOrElse(throw new IllegalArgumentException(
-          "field filters need the fields table — rebuild the index"))
-        val (fieldExpr, _) = OldFilters.parse(
-          OldFilters.Params(fields = req.fields))
-        filtered.join(
-          fieldsTab.where(FilterExpr.compile(fieldExpr.get))
-            .select(corpus.docId),
-          Seq(corpus.docId), "left_semi")
-      }
+    // 2. prefilter + structural field restriction — ONE definition
+    // ([[docLevelBase]]) shared with the stats registration so a
+    // cached population can never drift from the served one
+    val base = docLevelBase(corpus, req.filter, req.fields)
     // every branch below must treat a field restriction exactly like a
     // doc filter — it narrows the searchable corpus the same way
     val hasRestriction = req.filter.nonEmpty || req.fields.nonEmpty
+    // the registered-restriction cache entry for THIS request's
+    // doc-level restriction (round 19, VERDICT r18 #1): applies only
+    // when nothing narrows the population beyond the key —
+    // phrases/exclusions/advanced all change it and force live
+    // aggregation (the filter-then-score contract)
+    val cachedRestriction: Option[CachedBm25Stats] =
+      if (hasRestriction && corpus.cachedFilterStats.nonEmpty &&
+          req.advancedQuery.isEmpty && parsed.phrases.isEmpty &&
+          parsed.excluded.isEmpty)
+        corpus.cachedFilterStats.get(
+          RestrictionKey.of(req.filter, req.fields, None,
+            filterOperatorOr = false))
+      else None
     // the allowed-doc id list — one narrow projection feeding the
     // density probe, the keyword allow-set, and the semantic semi-join.
     // On a restricted SEMANTIC request those are 2-3 consumers and the
@@ -322,17 +502,12 @@ object Find {
           else corpus.index match {
             case Some(ix) => // serve the at-rest posting index
               // the cached-population fast path: applies only when the
-              // restriction IS exactly the registered filter (no
-              // fields/phrases/exclusions/advanced narrowing the
-              // population further) — otherwise stats must aggregate
-              // over the actual population per the filter-then-score
-              // contract
-              val cachedDoc =
-                if (req.fields.isEmpty && advanced.isEmpty &&
-                    parsed.phrases.isEmpty && parsed.excluded.isEmpty)
-                  req.filter.flatMap(corpus.cachedFilterStats.get)
-                    .flatMap(_.doc)
-                else None
+              // restriction IS exactly a registered key (no
+              // phrases/exclusions/advanced narrowing the population
+              // further — the gate on cachedRestriction) — otherwise
+              // stats must aggregate over the actual population per
+              // the filter-then-score contract
+              val cachedDoc = cachedRestriction.flatMap(_.doc)
               Bm25.scoreFromPostings(ix.postings, ix.docLengths,
                 corpus.docId, terms,
                 allowed =
@@ -382,7 +557,10 @@ object Find {
       qv <- req.queryVector
     } yield semanticListFor(corpus, qv, req.vectorset, req.topK,
       req.semanticMinScore, req.annNprobe, req.annRerank,
-      hasRestriction, allowedIds)
+      hasRestriction, allowedIds,
+      // a registered restriction's allowed-doc count serves the
+      // density probe without the per-request eager count job
+      knownAllowedCount = cachedRestriction.flatMap(_.nAllowed))
 
     // 4b. GRAPH list: matched paths with resource provenance become
     // retrieval candidates at a CONSTANT score — the reference's
@@ -440,7 +618,11 @@ object Find {
       corpus: Corpus, qv: Seq[Float], vectorset: Option[String],
       topK: Int, semanticMinScore: Double,
       annNprobe: Option[Int], annRerank: Option[Int],
-      hasRestriction: Boolean, allowedIds: DataFrame): DataFrame = {
+      hasRestriction: Boolean, allowedIds: DataFrame,
+      // |allowedIds| when a registered restriction precomputed it —
+      // the density probe then decides without an eager count job
+      // (same integer: the registration counts the same frame)
+      knownAllowedCount: Option[Long] = None): DataFrame = {
     val vecs0 = corpus.vectors.getOrElse(throw new IllegalArgumentException(
       "a semantic list needs Corpus.vectors"))
     // an unnamed request searches the DEFAULT set; when the corpus
@@ -469,8 +651,8 @@ object Find {
     // costs one scan of the filtered doc table, the same scan the
     // brute branch would pay (the reference's matching_nodes count)
     val denseEnough = bigEnough && (!hasRestriction ||
-      useAnnIndex(allowedIds.count(), boundIndex.get.nVectors,
-        corpus.annDensityThreshold))
+      useAnnIndex(knownAllowedCount.getOrElse(allowedIds.count()),
+        boundIndex.get.nVectors, corpus.annDensityThreshold))
     if (denseEnough) {
       val vix = boundIndex.get
       val window = math.max(topK, RankFusion.MaxWindow)
@@ -962,55 +1144,21 @@ object Find {
         "pair — rebuild the index with the current buildIndex")
     bm25Index match {
       case Some(ix) =>
-        val idParts = split(col("paragraph_id"), "/")
-        // the spec syntax parses ONCE in OldFilters.fieldSpecs — the
-        // same pairs the structural path compiles against the fields
-        // table evaluate here against the id's embedded field segments
-        val specs = OldFilters.fieldSpecs(req.fields)
-        val fieldPred: Option[Column] = specs.map {
-          case (ftype, Some(fid)) =>
-            idParts.getItem(1) === ftype && idParts.getItem(2) === fid
-          case (ftype, None) => idParts.getItem(1) === ftype
-        }.reduceOption(_ || _)
-        // which posting pairs can a spec match? body rows are exactly
-        // t/body; everything else lives in the field pair
-        val needBody = specs.isEmpty ||
-          specs.exists { case (t, id) => t == "t" && id.forall(_ == "body") }
-        val needField = specs.nonEmpty &&
-          !specs.forall { case (t, id) => t == "t" && id.contains("body") }
-        val pairs =
-          (if (needBody) Seq((ix.parPostings.get, ix.parDocLengths.get)) else Nil) ++
-          (if (needField) Seq((ix.fieldParPostings.get, ix.fieldParDocLengths.get))
-           else Nil)
-        val (post0, dls0) = pairs.reduce[(DataFrame, DataFrame)] {
-          case ((p1, d1), (p2, d2)) => (p1.unionByName(p2), d1.unionByName(d2))
-        }
-        // paragraph-label filter: the allowed paragraph ids come from
-        // the labeled paragraph table (one broadcastable semi-join on
-        // the posting pair — same shape as the doc prefilter); a filter
-        // against an unlabeled corpus is a caller bug, loud not silent.
-        // Labels live on the BODY paragraph table only, so a label
-        // filter combined with non-body fields= would silently empty
-        // the field rows — reject it loudly instead.
-        require(req.paragraphFilter.isEmpty || !needField,
-          "paragraphFilter needs labeled paragraphs, and the field " +
-            "paragraph tables carry no p_labels — restrict fields= to " +
-            "t/body or label the field paragraphs at ingest")
-        lazy val labelAllowed: Option[DataFrame] = req.paragraphFilter.map { pf =>
-          require(ix.paragraphs.columns.contains("p_labels"),
-            "paragraphFilter needs a paragraph table with p_labels — " +
-              "attach paragraph labels at ingest")
-          ix.paragraphs.where(FilterExpr.compile(pf,
-              FilterExpr.Bindings(labelsCol = "p_labels")))
-            .select("paragraph_id")
-        }
+        // the request's restriction surface as a registration key —
+        // the SAME normalization the stats cache registers under, and
+        // the SAME shared builder ([[parSearchFrames]]) produces the
+        // restricted pair, so a registered population can never drift
+        // from the served one (round 19, VERDICT r18 #1)
+        val key = RestrictionKey.of(req.filter, req.fields,
+          req.paragraphFilter, req.filterOperatorOr)
+        val frames = parSearchFrames(corpus, key, req.withDuplicates)
         // the paragraph TEXT table matching the searched posting pairs
         // (body rows, plus the field rows exactly when field specs need
         // them) — shared by the advanced-query predicate and the
         // highlight hydration so the two can never read different rows
         lazy val parTextTab: DataFrame = {
           val bodyTab = ix.paragraphs.select(col("paragraph_id"), col("p_text"))
-          if (!needField) bodyTab
+          if (!frames.needField) bodyTab
           else bodyTab.unionByName(ix.fieldParagraphs.getOrElse(
               throw new IllegalArgumentException(
                 "fields= with advancedQuery or highlight needs the " +
@@ -1023,76 +1171,41 @@ object Find {
         // ids from the paragraph-text tables matching the tree
         lazy val advAllowed: Option[DataFrame] = advanced.map(aq =>
           applyAdvanced(parTextTab, "p_text", Some(aq)).select("paragraph_id"))
-        // OR-operator mode (`filter_query`'s Should occur): one pass
-        // with BOTH membership flags left-joined in, kept when either
-        // holds — the doc prefilter and the label formula become ONE
-        // boolean clause list instead of stacked intersections
-        val orMode = req.filterOperatorOr && req.filter.nonEmpty &&
-          labelAllowed.nonEmpty
-        def restrict(df: DataFrame): DataFrame = {
-          // default search mode excludes ingest-marked repeated
-          // paragraphs — a scan-stage predicate (the flag is
-          // denormalized onto both pair tables, like dl)
-          val withDup = excludeRepeated(df, req.withDuplicates)
-          val withLabels =
-            if (orMode) withDup // OR path applies both clauses below
-            else labelAllowed match {
-              case None => withDup
-              case Some(a) => withDup.join(a, Seq("paragraph_id"), "left_semi")
-            }
+        // query-dependent narrowings on top of the key restriction —
+        // the advanced-query semi-join and the exclusion anti-join.
+        // Every restriction stage is a set filter on the same rows, so
+        // applying these AFTER the key's filters yields exactly the
+        // rows the former inline order produced.
+        def extras(df: DataFrame): DataFrame = {
           val withAdv = advAllowed match {
-            case None => withLabels
-            case Some(a) => withLabels.join(a, Seq("paragraph_id"), "left_semi")
+            case None => df
+            case Some(a) => df.join(a, Seq("paragraph_id"), "left_semi")
           }
-          val withField = fieldPred.map(withAdv.where).getOrElse(withAdv)
-          val withDoc =
-            if (orMode)
-              withField
-                .join(base.select(
-                    col(corpus.docId).cast("string").as("__allowed_doc"),
-                    lit(true).as("__doc_ok")),
-                  idParts.getItem(0) === col("__allowed_doc"), "left")
-                .join(labelAllowed.get.withColumn("__lab_ok", lit(true)),
-                  Seq("paragraph_id"), "left")
-                .where(coalesce(col("__doc_ok"), lit(false)) ||
-                  coalesce(col("__lab_ok"), lit(false)))
-                .drop("__allowed_doc", "__doc_ok", "__lab_ok")
-            else if (req.filter.isEmpty) withField
-            // no .distinct() on the build side: LEFT SEMI is
-            // duplicate-insensitive and the doc ids are unique rows of
-            // the doc table anyway — a distinct here is a 2-stage
-            // shuffle that would re-execute once per consumer
-            else withField.join(
-              base.select(col(corpus.docId).cast("string").as("__allowed_doc")),
-              idParts.getItem(0) === col("__allowed_doc"), "left_semi")
-          if (parsed.excluded.isEmpty) withDoc
-          else withDoc.join(
-            post0.where(col("term").isInCollection(parsed.excluded))
+          if (parsed.excluded.isEmpty) withAdv
+          else withAdv.join(
+            frames.rawPost.where(col("term").isInCollection(parsed.excluded))
               .select("paragraph_id").distinct(),
             Seq("paragraph_id"), "left_anti")
         }
         val docIdType = corpus.docs.schema(corpus.docId).dataType
-        // cached paragraph-population stats apply only when the
-        // restriction is EXACTLY the registered doc filter at default
-        // knobs — any extra narrowing (fields, labels, OR mode,
-        // phrases, exclusions, withDuplicates) changes the population
-        // and the stats must aggregate live
-        val defaultKnobs = req.fields.isEmpty && advanced.isEmpty &&
-          req.paragraphFilter.isEmpty && !orMode &&
-          !req.withDuplicates && parsed.phrases.isEmpty &&
-          parsed.excluded.isEmpty
+        // cached restriction-population stats apply only when the
+        // restriction is EXACTLY a registered key at default knobs —
+        // any extra narrowing (advanced, phrases, exclusions,
+        // withDuplicates) changes the population and the stats must
+        // aggregate live
+        val defaultKnobs = advanced.isEmpty && !req.withDuplicates &&
+          parsed.phrases.isEmpty && parsed.excluded.isEmpty
         val cachedPar =
           if (defaultKnobs)
-            req.filter.flatMap(corpus.cachedFilterStats.get)
-              .flatMap(_.paragraph)
+            corpus.cachedFilterStats.get(key).flatMap(_.paragraph)
           else None
         // round 18: a default-knob UNFILTERED request restricts the
         // posting pair by exactly the repeated-exclusion — the
         // population the at-rest `df_xrep` column and `par_xrep` stats
         // were counted over, so both serve and the request pays one
         // pruned scan with zero statistic aggregations
-        val atRestDefault = defaultKnobs && req.filter.isEmpty
-        val hits = Bm25.scoreFromPostings(restrict(post0), restrict(dls0),
+        val atRestDefault = defaultKnobs && key == RestrictionKey()
+        val hits = Bm25.scoreFromPostings(extras(frames.post), extras(frames.dls),
             "paragraph_id", terms, allowed = None,
             cachedStats =
               if (atRestDefault) corpus.index.flatMap(_.parStatsXrep())

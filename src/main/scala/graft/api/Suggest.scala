@@ -31,6 +31,14 @@ object Suggest {
 
   final case class SuggestResponse(terms: DataFrame, entities: Option[DataFrame])
 
+  /** EAGER-COLLECTION CONTRACT (round 18, ADVICE r18 low): [[suggest]]
+    * and [[suggestFiltered]] execute the exact-prefix page AT CALL TIME
+    * (one bounded collect of ≤ topK rows — the collected-page
+    * discipline that removed the isEmpty-probe job), so `terms` is a
+    * local relation and execution failures surface at construction,
+    * not at the caller's terminal action. Memory is bounded by topK;
+    * callers building a response they never consume still pay the one
+    * page execution. */
   def suggest(
       termFreq: DataFrame, termCol: String, freqCol: String,
       entities: Option[(DataFrame, String)], // (nodes, valueCol)

@@ -179,7 +179,15 @@ object Bm25 {
             "before the dl column existed; recompact from source"))
           .cast(restricted.schema("dl").dataType)).as("dl"))
        else Nil) ++
-      atDf.map(c => col(c).cast("double").as("df")).toSeq
+      // ADVICE r18 (medium): guard the at-rest df like dl above — a
+      // root mixing pre-r18 posting files (no df column) with new ones
+      // schema-unions to a NULLABLE df, and a null idf would silently
+      // null the term's contribution (wrong scores / dropped docs)
+      // instead of failing loudly
+      atDf.map(c => coalesce(col(c), raise_error(lit(
+          "posting row with NULL df — this root mixes segments written " +
+            "before the at-rest df column existed; recompact from source"))
+          .cast(restricted.schema(c).dataType)).cast("double").as("df")).toSeq
     val tf = restricted.select(baseCols: _*)
 
     val k1 = lit(params.k1)

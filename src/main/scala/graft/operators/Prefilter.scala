@@ -19,7 +19,15 @@ object Prefilter {
   /** Keep rows of `df` whose `keyCol` appears in `allowed` (left semi —
     * no duplication, no columns added). */
   def semiJoin(df: DataFrame, keyCol: String, allowed: DataFrame): DataFrame =
-    df.join(allowed.select(keyCol).distinct(), Seq(keyCol), "left_semi")
+    // no .distinct() on the build side (round 19, guide §2.4): LEFT
+    // SEMI is duplicate-insensitive, every engine call site passes a
+    // key-unique allowed frame (a doc-store projection or a filter of
+    // one), and the dedup cost a 2-stage shuffle PER CONSUMER — the
+    // same reasoning findParagraphs' doc semi-join recorded in round
+    // 15. A caller with a duplicate-heavy allowed set dedups at the
+    // call site (it owns the size/memory trade — see [[antiJoin]],
+    // whose graph-hop exclusion sets DO duplicate and keep it).
+    df.join(allowed.select(keyCol), Seq(keyCol), "left_semi")
 
   /** NOT-filter / exclusion analog (deleted entities, hidden ids). */
   def antiJoin(df: DataFrame, keyCol: String, excluded: DataFrame): DataFrame =

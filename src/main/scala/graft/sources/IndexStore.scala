@@ -149,6 +149,20 @@ object IndexStore {
     c.synchronized { c.dfs.getOrElseUpdate(path, spark.read.parquet(path)) }
   }
 
+  /** Write a small at-rest serving table and bind it through the
+    * shared plan memo — the ONE persist-and-serve step (round 19,
+    * VERDICT r18 #8) behind every ingest-maintained count table:
+    * [[graft.api.Engine.cacheCatalogFacetCounts]] (under the index
+    * root, re-ingest-invalidated) and the bench fixture memos
+    * (temp-dir, per-JVM). The overwrite deletes any prior part files,
+    * so a memoized reader of the path must drop before re-binding. */
+  private[graft] def persistServingTable(spark: SparkSession, df: DataFrame,
+      path: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    invalidatePrefix(spark, path)
+    readParquetMemo(spark, path)
+  }
+
   private val built = scala.collection.mutable.Map[String, String]()
   private val builtVec = scala.collection.mutable.Map[String, String]()
   private val builtVecSets = scala.collection.mutable.Map[String, String]()

@@ -326,8 +326,11 @@ object Ingest {
     // the REPEATED-EXCLUDED document frequency (round 18): the default
     // paragraph search mode serves the repeated-excluded population, so
     // its at-rest idf input must count that population — a second
-    // per-term window over the same rows, null for terms appearing only
-    // in repeated rows (those rows are filtered out before scoring)
+    // per-term window over the same rows, ZERO (not null — the sum's
+    // otherwise(0L) always yields a value over a non-empty partition)
+    // for terms appearing only in repeated rows; harmless because those
+    // rows are filtered out before scoring ever reads the column
+    // (ADVICE r18 low)
     def withXrepDf(df: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
       df.withColumn("df_xrep",

@@ -283,7 +283,8 @@ object ScaleStress {
     // allowed-population scans disappears from the plan
     val hotF: FilterExpr = FilterExpr.Eq("lang", "en")
     def cachedCorpus(c: Find.Corpus): Find.Corpus =
-      c.copy(cachedFilterStats = Map(hotF -> Find.CachedBm25Stats(
+      c.copy(cachedFilterStats = Map(
+        Find.RestrictionKey(filter = Some(hotF)) -> Find.CachedBm25Stats(
         doc = Some(graft.functions.Bm25.corpusStats(
           c.index.get.docLengths, "doc_id",
           Some(c.docs.where(col("lang") === "en").select("doc_id")))))))

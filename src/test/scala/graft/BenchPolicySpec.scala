@@ -132,6 +132,29 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(verdict(readings = Seq(1.4), recorded = None, fBefore = 0.1).degraded)
   }
 
+  test("uncalibrated run with a flapping window flags on its own spread " +
+      "(the r18 c8 seeding refused)") {
+    // VERDICT r18 #5: the r18 8-core run ran at a NEW cpu-count key
+    // (uncalibrated — degradedBySpark can't fire), its ALU/fault legs
+    // read clean, and its interleaved samples spanned 6.2× of the
+    // eventually-recorded 0.277 best — yet it escaped the degraded
+    // flag and seeded the n193 total ~1.7× inflated. The run's OWN
+    // max/min spread needs no calibration: past the 2× bound the
+    // window flapped mid-suite whatever the absolute level.
+    val v = verdict(readings = Seq(0.30, 1.72, 0.45, 0.28), recorded = None)
+    assert(!v.sparkCalibrated && !v.degradedBySpark)
+    assert(v.degradedBySparkSpread && v.degraded)
+    // ...so the fresh total/query seeds are refused
+    assert(!seedTotal(anyFailed = false, prevBest = None, degraded = v.degraded))
+    assert(!seedQuery(alreadyRecorded = false, ok = true, degraded = v.degraded))
+    // a genuinely steady uncalibrated run still passes (spread ~1×)
+    val steady = verdict(readings = Seq(1.40, 1.45, 1.42), recorded = None)
+    assert(!steady.degradedBySparkSpread && !steady.degraded)
+    // a -1 probe failure must not poison the ratio (min > 0 guard)
+    val failed = verdict(readings = Seq(-1.0, 0.35, 0.36), recorded = None)
+    assert(!failed.degradedBySparkSpread)
+  }
+
   test("first spark-canary best only seeds from a window the other legs read clean") {
     val cleanFirst = verdict(recorded = None)
     assert(cleanFirst.seedSparkBest)
@@ -206,12 +229,18 @@ class BenchPolicySpec extends AnyFunSuite {
       t1Before = 0.56, tnBefore = 0.67, t1After = 0.55, tnAfter = 0.66,
       verdict = v, sparkBefore = 0.35, sparkAfter = 0.36,
       samplesMax = 1.473,
-      totalSeeded = false, bestTotal = None)
+      totalSeeded = false, bestTotal = None,
+      jobs = Seq("q01" -> 2, "q02" -> 5))
     val json = renderJson(s)
     assert(json ==
-      """{"metric":"total","value":52.5,"unit":"sec","queries":{"q01":0.5,"q02":1.2},"sf":"/root/testdata/sf0.1","load_before":0.52,"load_after":1.4,"reran":true,"best_total":null,"total_seeded":false,"deviations":{"q02":2.4},"deviation_host_factors":{"q02":4.38},"failed":[],"canary":{"t1_before":0.560,"tn_before":0.670,"ratio_before":1.20,"t1_after":0.550,"tn_after":0.660,"ratio_after":1.20,"bound":1.8,"fault_gbps_before":2.00,"fault_gbps_after":2.00,"fault_floor":1.0,"spark_before":0.350,"spark_after":0.360,"spark_best":0.336,"spark_bound":2.0,"spark_samples_max":1.473,"spark_calibrated":true},"degraded":true}""")
+      """{"metric":"total","value":52.5,"unit":"sec","queries":{"q01":0.5,"q02":1.2},"sf":"/root/testdata/sf0.1","load_before":0.52,"load_after":1.4,"reran":true,"best_total":null,"total_seeded":false,"deviations":{"q02":2.4},"deviation_host_factors":{"q02":4.38},"jobs":{"q01":2,"q02":5},"failed":[],"canary":{"t1_before":0.560,"tn_before":0.670,"ratio_before":1.20,"t1_after":0.550,"tn_after":0.660,"ratio_after":1.20,"bound":1.8,"fault_gbps_before":2.00,"fault_gbps_after":2.00,"fault_floor":1.0,"spark_before":0.350,"spark_after":0.360,"spark_best":0.336,"spark_bound":2.0,"spark_samples_max":1.473,"spark_calibrated":true},"degraded":true}""")
     // single line, driver-parseable
     assert(!json.contains("\n"))
+    // the head-capture summary line (VERDICT r18 #4): well-formed,
+    // queries-less, and under a DISTINCT metric name so no parser can
+    // mistake it for the full record
+    assert(renderSummaryJson(s) ==
+      """{"metric":"total_summary","value":52.5,"unit":"sec","n_queries":2,"sf":"/root/testdata/sf0.1","degraded":true}""")
   }
 
   test("renderJson: clean seeded run reports its best_total and total_seeded") {

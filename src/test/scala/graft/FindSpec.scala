@@ -239,7 +239,7 @@ class FindSpec extends SparkSpec {
     val f: FilterExpr = FilterExpr.Facet("/s/p/en")
     val base = corpus.copy(index = Some(ix))
     val cached = base.copy(
-      cachedFilterStats = Map(f -> Find.cachedStatsFor(base, f)))
+      cachedFilterStats = Map(Find.RestrictionKey(filter = Some(f)) -> Find.cachedStatsFor(base, f)))
     val req = FindRequest(query = "prince database", filter = Some(f))
     val preq = req.copy(paragraphBm25 = true)
     def rows(c: Corpus, r: FindRequest) = Find.find(c, r).collect()
@@ -250,7 +250,7 @@ class FindSpec extends SparkSpec {
     assert(rows(cached, req) == rows(base, req), "doc-level cached stats diverged")
     assert(prows(cached, preq) == prows(base, preq), "paragraph cached stats diverged")
     // the fast path provably ENGAGES: a poisoned cache changes scores
-    val poisoned = base.copy(cachedFilterStats = Map(f -> Find.CachedBm25Stats(
+    val poisoned = base.copy(cachedFilterStats = Map(Find.RestrictionKey(filter = Some(f)) -> Find.CachedBm25Stats(
       doc = Some(Bm25.CorpusStats(1000000L, 1000.0)),
       paragraph = Some(Bm25.CorpusStats(1000000L, 1000.0)))))
     assert(rows(poisoned, req) != rows(base, req),

@@ -179,7 +179,7 @@ class ScaleDesignSpec extends SparkSpec {
     // cached stats: the population scan disappears from the plan
     // entirely — the corpus-fraction-linear piece is gone, not hidden
     val cached = base.copy(cachedFilterStats =
-      Map(f -> Find.cachedStatsFor(base, f)))
+      Map(Find.RestrictionKey(filter = Some(f)) -> Find.cachedStatsFor(base, f)))
     assert(!plan(Find.find(cached, req)).contains("dlpin"),
       "cached prefiltered find must not scan the doclengths table")
   }
