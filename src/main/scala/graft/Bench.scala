@@ -383,7 +383,11 @@ object Bench {
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_LAST", "bench_last.json")), json)
     catch { case _: Exception => () } // advisory copy only
-    println(BenchPolicy.renderSummaryJson(summary))
+    // the summary line is PREFIXED so no line-anchored parser (e.g.
+    // grep '^\[info\] \{') can ever pick the queries-less summary over
+    // the full record — the full JSON stays the only line-leading
+    // brace line, and stays LAST
+    println("[bench-summary] " + BenchPolicy.renderSummaryJson(summary))
     println(json)
     spark.stop()
   }

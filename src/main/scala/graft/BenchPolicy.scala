@@ -114,10 +114,21 @@ object BenchPolicy {
 
     private def faultBad(f: Double): Boolean = f > 0 && f < FaultFloor
 
-    /** Best = min over the recorded best and this run's readings
-      * (minima: an inflated reading cannot poison it; a lower reading
-      * measured under contention is a fortiori real). */
-    val sparkBest: Double = (sparkRecorded.toSeq ++ sparkReadings).min
+    /** Probe-failure readings (encoded non-positive) drop out of every
+      * ratio: a -1 in the pool would otherwise poison [[sparkBest]]
+      * (negative denominator silently disables [[degradedBySpark]])
+      * and the spread guard below (round-19 review finding). */
+    private val positiveReadings = sparkReadings.filter(_ > 0)
+
+    /** Best = min over the recorded best and this run's (valid)
+      * readings (minima: an inflated reading cannot poison it; a lower
+      * reading measured under contention is a fortiori real). Falls
+      * back to the raw pool only when NOTHING valid exists (a
+      * timed-job reading is always positive in practice). */
+    val sparkBest: Double = {
+      val pool = sparkRecorded.toSeq ++ positiveReadings
+      if (pool.nonEmpty) pool.min else sparkReadings.min
+    }
 
     /** The spark leg only ADJUDICATES once a recorded best exists:
       * without one the denominator is the run's own minimum, so a
@@ -152,8 +163,8 @@ object BenchPolicy {
       * (When calibrated this is implied by [[degradedBySpark]]:
       * max/min > 2 forces max > 2·min ≥ 2·sparkBest.) */
     def degradedBySparkSpread: Boolean =
-      sparkReadings.size >= 2 && sparkReadings.min > 0 &&
-        sparkReadings.max / sparkReadings.min > SparkCanaryBound
+      positiveReadings.size >= 2 &&
+        positiveReadings.max / positiveReadings.min > SparkCanaryBound
 
     def degraded: Boolean =
       degradedByAluOrFault || degradedBySpark || degradedBySparkSpread

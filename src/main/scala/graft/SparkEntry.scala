@@ -118,13 +118,20 @@ object SparkEntry {
     * labeled paragraph copy), so entries from different corpus shapes
     * can never collide. */
   private val restrictionStats = scala.collection.mutable
-    .Map[(String, String), graft.api.Find.CachedBm25Stats]()
+    .Map[(String, String, graft.api.Find.RestrictionKey),
+      graft.api.Find.CachedBm25Stats]()
   private def restrictionStatsAtRest(dir: String, tag: String,
       corpus: => graft.api.Find.Corpus,
-      key: graft.api.Find.RestrictionKey): graft.api.Find.CachedBm25Stats =
+      key: graft.api.Find.RestrictionKey,
+      docSide: Boolean = true,
+      parSide: Boolean = true): graft.api.Find.CachedBm25Stats =
     synchronized {
-      restrictionStats.getOrElseUpdate((dir, tag),
-        graft.api.Find.cachedStatsFor(corpus, key))
+      // the KEY is part of the memo key (round-19 review): a tag/key
+      // copy-paste mismatch must miss, never silently serve another
+      // restriction's population stats
+      restrictionStats.getOrElseUpdate((dir, tag, key),
+        graft.api.Find.cachedStatsFor(corpus, key,
+          docSide = docSide, parSide = parSide))
     }
 
   /** At-rest count tables for the plain label-facet family (round 19,
@@ -148,22 +155,15 @@ object SparkEntry {
     graft.sources.IndexStore.readParquetMemo(s, path)
   }
 
-  private val facetCountRoots = scala.collection.mutable.Map[String, String]()
   private def facetCountsAtRest(s: SparkSession, dir: String): DataFrame =
-    synchronized {
-      val path = facetCountRoots.getOrElseUpdate(dir, {
-        val p = graft.sources.IndexStore.deleteOnExit(
-          java.nio.file.Files.createTempDirectory("graft-facetcounts-")
-            .toString) + "/counts"
-        val docs = load(s, dir, "documents").withColumn("labels",
-          array(concat(lit("/s/p/"), col("lang")), lit("/s/p/all"),
-            concat(lit("/u/s/"), col("source"))))
-        graft.sources.IndexStore.persistServingTable(s,
-          graft.operators.Facets.catalogFacetCounts(docs, "labels"), p)
-        p
-      })
-      graft.sources.IndexStore.readParquetMemo(s, path)
-    }
+    // same build-persist-bind lifecycle as every other count table
+    // (round-19 review: one memo, one persist step — no parallel map)
+    labelCountsAtRest(s, dir, "catalogfacets", {
+      val docs = load(s, dir, "documents").withColumn("labels",
+        array(concat(lit("/s/p/"), col("lang")), lit("/s/p/all"),
+          concat(lit("/u/s/"), col("source"))))
+      graft.operators.Facets.catalogFacetCounts(docs, "labels")
+    })
   private def streamRootAtRest(s: SparkSession, dir: String): String =
     synchronized {
       streamRoots.getOrElseUpdate(dir, {
@@ -1532,7 +1532,8 @@ object SparkEntry {
         index = Some(graft.sources.IndexStore.tables(s, dir)))
       Find.findParagraphs(
           corpus0.copy(cachedFilterStats =
-            Map(key -> restrictionStatsAtRest(dir, "fields_a", corpus0, key))),
+            Map(key -> restrictionStatsAtRest(dir, "fields_a", corpus0, key,
+              docSide = false))),
           Find.FindRequest(query = QueryTerms.mkString(" "),
             fields = Seq("a"), paragraphBm25 = true, topK = 20))
         .withColumn("hits", concat_ws(",", col("hits")))
@@ -1628,7 +1629,8 @@ object SparkEntry {
         annBruteThreshold = 1)
       Find.find(
           corpus0.copy(cachedFilterStats =
-            Map(key -> restrictionStatsAtRest(dir, "fields_c", corpus0, key))),
+            Map(key -> restrictionStatsAtRest(dir, "fields_c", corpus0, key,
+              parSide = false))),
           Find.FindRequest(query = QueryTerms.mkString(" "),
             queryVector = Some(qv),
             fields = Seq("c"), topK = 20))
@@ -2054,7 +2056,8 @@ object SparkEntry {
         index = Some(ix0.copy(paragraphs = labeled)))
       Find.findParagraphs(
           corpus0.copy(cachedFilterStats =
-            Map(key -> restrictionStatsAtRest(dir, "plead", corpus0, key))),
+            Map(key -> restrictionStatsAtRest(dir, "plead", corpus0, key,
+              docSide = false))),
           Find.FindRequest(query = QueryTerms.mkString(" "),
             paragraphBm25 = true, topK = 20,
             paragraphFilter = Some(FilterExpr.Facet("/p/lead"))))
@@ -2154,7 +2157,8 @@ object SparkEntry {
         index = Some(ix0.copy(paragraphs = labeled)))
       Find.findParagraphs(
           corpus0.copy(cachedFilterStats =
-            Map(key -> restrictionStatsAtRest(dir, "de_or_plead", corpus0, key))),
+            Map(key -> restrictionStatsAtRest(dir, "de_or_plead", corpus0, key,
+              docSide = false))),
           Find.FindRequest(query = QueryTerms.mkString(" "),
             paragraphBm25 = true, topK = 20,
             filter = Some(FilterExpr.Eq("lang", "de")),

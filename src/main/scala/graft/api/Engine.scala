@@ -1092,14 +1092,37 @@ final class StreamEngine private[api] (
       key0.paragraphFilter, key0.filterOperatorOr)
     // eager validation AT THE CALLER (analysis only, no job, no
     // segments needed — registration legitimately precedes stream
-    // start): a filter that cannot compile against the doc store would
+    // start): a key the streamed serving cannot compute would
     // otherwise throw inside the stats recompute of every later
     // request — filtered or not — bricking the engine with no
     // deregister API. The batch override fails at the caller too.
+    // Streamed segment roots never write a fields table (serveFrom
+    // binds only the posting/doclength/paragraph trio), so a fields
+    // key is refused UP FRONT with the remedy (the r16
+    // refusal precedent, like cacheCatalogFacetCounts); a
+    // paragraph-label key needs segment paragraphs that carry
+    // p_labels (a per-root layout property — constant across folds).
+    require(key.fields.isEmpty,
+      "cacheRestrictionStats with a fields key on a streamed engine: " +
+        "segment roots write no fields table, so the restricted " +
+        "population cannot be computed. Serve field restrictions " +
+        "from a batch-ingested corpus, or extend the segment writer " +
+        "with the fields synthesis first.")
+    key.paragraphFilter.foreach { pf =>
+      // layout check when the root already has segments (p_labels is
+      // a per-root layout property, constant across folds); a
+      // PRE-START registration defers it — parSearchFrames' own
+      // require then names the same remedy at first use
+      if (IncrementalIndex.liveSegments(spark, indexRoot).nonEmpty)
+        require(index.paragraphs.columns.contains("p_labels"),
+          "cacheRestrictionStats with a paragraphFilter key: this " +
+            "root's segment paragraphs carry no p_labels — attach " +
+            "paragraph labels at the stream sink first")
+      FilterExpr.compile(pf, FilterExpr.Bindings(labelsCol = "p_labels"))
+      ()
+    }
     key.filter.foreach(f =>
       docs.where(FilterExpr.compile(f, bindings)).queryExecution.analyzed)
-    key.paragraphFilter.foreach(pf => FilterExpr.compile(pf,
-      FilterExpr.Bindings(labelsCol = "p_labels")))
     synchronized {
       registeredFilters += key
       statsWatermark = Nil // recompute (incl. the new entry) on next use

@@ -127,7 +127,12 @@ object Find {
     * restricts at default knobs) — the cached numbers cannot drift
     * from the live aggregation because both sides aggregate the same
     * frame (Bm25Spec pins the bit-identity per key shape). */
-  def cachedStatsFor(corpus: Corpus, key0: RestrictionKey): CachedBm25Stats = {
+  def cachedStatsFor(corpus: Corpus, key0: RestrictionKey,
+      // which sides to aggregate (round-19 review: a registration for
+      // a doc-only surface — or a paragraph-only one — should not pay
+      // the other side's population aggregations; both by default,
+      // since a facade registration may serve either surface)
+      docSide: Boolean = true, parSide: Boolean = true): CachedBm25Stats = {
     val key = RestrictionKey.of(key0.filter, key0.fields,
       key0.paragraphFilter, key0.filterOperatorOr)
     val ix = corpus.index.getOrElse(throw new IllegalArgumentException(
@@ -136,7 +141,8 @@ object Find {
     // paragraph filter and OR operator are paragraph-mode semantics —
     // retrievalLists never consults them)
     val (doc, nAllowed) =
-      if (key.paragraphFilter.nonEmpty || key.filterOperatorOr) (None, None)
+      if (!docSide || key.paragraphFilter.nonEmpty || key.filterOperatorOr)
+        (None, None)
       else {
         val allowed = docLevelBase(corpus, key.filter, key.fields)
           .select(corpus.docId)
@@ -146,7 +152,7 @@ object Find {
     // paragraph side: the default-knob restricted BM25 posting pair's
     // doclengths population, when the corpus binds the pair
     val par =
-      if (ix.parPostings.isEmpty || ix.parDocLengths.isEmpty) None
+      if (!parSide || ix.parPostings.isEmpty || ix.parDocLengths.isEmpty) None
       else Some(Bm25.corpusStats(
         parSearchFrames(corpus, key, withDuplicates = false).dls,
         "paragraph_id"))
@@ -160,7 +166,7 @@ object Find {
     * definition shared by [[retrievalLists]] and [[cachedStatsFor]] so
     * registered stats aggregate exactly the population requests are
     * served from. */
-  private[api] def docLevelBase(corpus: Corpus, filter: Option[FilterExpr],
+  private[graft] def docLevelBase(corpus: Corpus, filter: Option[FilterExpr],
       fields: Seq[String]): DataFrame = {
     val filtered = filter match {
       case Some(f) => corpus.docs.where(FilterExpr.compile(f, corpus.filterBindings))

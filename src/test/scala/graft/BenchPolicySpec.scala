@@ -150,9 +150,15 @@ class BenchPolicySpec extends AnyFunSuite {
     // a genuinely steady uncalibrated run still passes (spread ~1×)
     val steady = verdict(readings = Seq(1.40, 1.45, 1.42), recorded = None)
     assert(!steady.degradedBySparkSpread && !steady.degraded)
-    // a -1 probe failure must not poison the ratio (min > 0 guard)
-    val failed = verdict(readings = Seq(-1.0, 0.35, 0.36), recorded = None)
-    assert(!failed.degradedBySparkSpread)
+    // a -1 probe failure drops OUT of the pool instead of disabling
+    // the guard (round-19 review): steady positives stay clean, and a
+    // real flap still flags with a failed probe in the mix
+    val failedSteady = verdict(readings = Seq(-1.0, 0.35, 0.36), recorded = None)
+    assert(!failedSteady.degradedBySparkSpread)
+    val failedFlap = verdict(readings = Seq(-1.0, 0.30, 1.72), recorded = None)
+    assert(failedFlap.degradedBySparkSpread && failedFlap.degraded)
+    // ...and a -1 cannot poison sparkBest's denominator either
+    assert(failedFlap.sparkBest > 0)
   }
 
   test("first spark-canary best only seeds from a window the other legs read clean") {

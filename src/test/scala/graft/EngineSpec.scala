@@ -638,6 +638,16 @@ class EngineSpec extends SparkSpec {
       se.cacheCatalogFacetCounts()
     }
     assert(ex.getMessage.contains("stream sink"))
+    // ...and a restriction-stats key the streamed serving cannot
+    // compute is refused AT REGISTRATION too (round-19 review):
+    // segment roots write no fields table, so accepting a fields key
+    // would brick every later request inside the per-watermark stats
+    // recompute (no deregister API)
+    val fx = intercept[IllegalArgumentException] {
+      se.cacheRestrictionStats(
+        graft.api.Find.RestrictionKey(fields = Seq("a")))
+    }
+    assert(fx.getMessage.contains("no fields table"), fx.getMessage)
   }
 
   test("forStream: engine-triggered tiered compaction rebinds the watermark in place") {

@@ -270,6 +270,88 @@ class FindSpec extends SparkSpec {
       "withDuplicates changes the population — cache must not apply")
   }
 
+  test("restriction-key stats (round 19): fields / label / OR keys serve " +
+      "cached populations identically, and each fast path provably engages") {
+    import graft.functions.Bm25
+    import org.apache.spark.sql.functions.{array, col, lit, when}
+    val dir = graft.sources.IndexStore.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft-restrictkey-").toString)
+    graft.sources.Ingest.buildIndex(docs, "rid", "text", dir,
+      withVectors = false)
+    val labeled = spark.read.parquet(s"$dir/paragraphs")
+      .withColumn("p_labels",
+        when(col("start") === 0, array(lit("/p/lead")))
+          .otherwise(array(lit("/p/body"))))
+    val ix = graft.sources.IndexStore.IndexTables(
+      spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/doclengths"),
+      labeled,
+      parPostings = Some(spark.read.parquet(s"$dir/par_postings")),
+      parDocLengths = Some(spark.read.parquet(s"$dir/par_doclengths")),
+      fields = Some(spark.read.parquet(s"$dir/fields")),
+      fieldParagraphs = Some(spark.read.parquet(s"$dir/field_paragraphs")),
+      fieldParPostings = Some(spark.read.parquet(s"$dir/fieldpar_postings")),
+      fieldParDocLengths = Some(spark.read.parquet(s"$dir/fieldpar_doclengths")))
+    val base = corpus.copy(index = Some(ix))
+    def rows(c: Corpus, r: FindRequest) = Find.find(c, r).collect()
+      .map(x => (x.getString(0), x.getAs[Double]("fused"))).toSeq
+    def prows(c: Corpus, r: FindRequest) = Find.findParagraphs(c, r)
+      .collect().map(x => (x.getString(0), x.getAs[Double]("best_score"))).toSeq
+    def cachedWith(key: Find.RestrictionKey) =
+      base.copy(cachedFilterStats = Map(key -> Find.cachedStatsFor(base, key)))
+    def poisonedWith(key: Find.RestrictionKey) =
+      base.copy(cachedFilterStats = Map(key -> Find.CachedBm25Stats(
+        doc = Some(Bm25.CorpusStats(1000000L, 1000.0)),
+        paragraph = Some(Bm25.CorpusStats(1000000L, 1000.0)))))
+
+    // FIELDS key: doc-level find AND paragraph-BM25 find (q102/q104)
+    val fk = Find.RestrictionKey(fields = Seq("a"))
+    val fReq = FindRequest(query = "prince database", fields = Seq("a"))
+    val fPReq = fReq.copy(paragraphBm25 = true)
+    assert(rows(cachedWith(fk), fReq) == rows(base, fReq),
+      "fields-key doc stats diverged")
+    assert(prows(cachedWith(fk), fPReq) == prows(base, fPReq),
+      "fields-key paragraph stats diverged")
+    assert(rows(poisonedWith(fk), fReq) != rows(base, fReq),
+      "fields-key doc fast path never engaged")
+    assert(prows(poisonedWith(fk), fPReq) != prows(base, fPReq),
+      "fields-key paragraph fast path never engaged")
+
+    // PARAGRAPH-LABEL key (q139)
+    val lk = Find.RestrictionKey(
+      paragraphFilter = Some(FilterExpr.Facet("/p/lead")))
+    val lReq = FindRequest(query = "prince database", paragraphBm25 = true,
+      paragraphFilter = Some(FilterExpr.Facet("/p/lead")))
+    assert(prows(cachedWith(lk), lReq) == prows(base, lReq),
+      "label-key stats diverged")
+    assert(prows(poisonedWith(lk), lReq) != prows(base, lReq),
+      "label-key fast path never engaged")
+
+    // FILTER×LABEL OR key (q143) — and its normalization: registering
+    // with the un-normalized constructor must still hit
+    val ok = Find.RestrictionKey(
+      filter = Some(FilterExpr.Facet("/s/p/de")),
+      paragraphFilter = Some(FilterExpr.Facet("/p/lead")),
+      filterOperatorOr = true)
+    val oReq = FindRequest(query = "prince database novel",
+      paragraphBm25 = true,
+      filter = Some(FilterExpr.Facet("/s/p/de")),
+      paragraphFilter = Some(FilterExpr.Facet("/p/lead")),
+      filterOperatorOr = true)
+    assert(prows(cachedWith(ok), oReq) == prows(base, oReq),
+      "OR-key stats diverged")
+    assert(prows(poisonedWith(ok), oReq) != prows(base, oReq),
+      "OR-key fast path never engaged")
+
+    // the density-probe count rides the registration: a poisoned
+    // nAllowed flips the brute-vs-index branch input — pin that the
+    // REGISTERED count equals the live count instead (same integer)
+    val fkStats = Find.cachedStatsFor(base, fk)
+    assert(fkStats.nAllowed.contains(
+        Find.docLevelBase(base, None, Seq("a")).select("rid").count()),
+      "registered nAllowed must equal the live density-probe count")
+  }
+
   test("rerank reorders the fused window by model overlap") {
     val rows = Find.find(corpus, FindRequest(
         query = "prince planets database", rerank = true))
