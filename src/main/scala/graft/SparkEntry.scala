@@ -131,7 +131,13 @@ object SparkEntry {
       // restriction's population stats
       restrictionStats.getOrElseUpdate((dir, tag, key),
         graft.api.Find.cachedStatsFor(corpus, key,
-          docSide = docSide, parSide = parSide))
+          docSide = docSide, parSide = parSide,
+          // the restricted population's per-term df persists next to
+          // the stats (same per-JVM lifecycle) — the serve-time df
+          // aggregation drops with the (N, avgdl) one
+          dfDir = Some(graft.sources.IndexStore.deleteOnExit(
+            java.nio.file.Files.createTempDirectory(s"graft-rdf-$tag-")
+              .toString))))
     }
 
   /** At-rest count tables for the plain label-facet family (round 19,

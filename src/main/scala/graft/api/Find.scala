@@ -108,7 +108,15 @@ object Find {
       // |allowed doc ids| under the key's doc-level restriction — the
       // semantic density probe's count ([[useAnnIndex]]) served
       // without the per-request eager count job
-      nAllowed: Option[Long] = None)
+      nAllowed: Option[Long] = None,
+      // registered (term, df) tables per side (VERDICT r18 #1's
+      // "optionally per-term df"): when [[cachedStatsFor]] was given a
+      // persist dir, the restricted population's document frequencies
+      // live at rest and the per-request df aggregation — which
+      // re-instantiates the whole restricted posting subtree — becomes
+      // a pruned dictionary scan ([[Bm25.scoreFromPostings]] cachedDf)
+      docDf: Option[DataFrame] = None,
+      parDf: Option[DataFrame] = None)
 
   /** Compute [[CachedBm25Stats]] for one KNOWN filter over a corpus —
     * the round-14 filter-only registration, kept as the facade's
@@ -132,31 +140,55 @@ object Find {
       // a doc-only surface — or a paragraph-only one — should not pay
       // the other side's population aggregations; both by default,
       // since a facade registration may serve either surface)
-      docSide: Boolean = true, parSide: Boolean = true): CachedBm25Stats = {
+      docSide: Boolean = true, parSide: Boolean = true,
+      // when set, ALSO materialize the restricted population's
+      // per-term document frequencies under this directory
+      // (doc_df/par_df parquet, term-clustered) and bind them into the
+      // returned entry — the ingest-time trade taken one step further:
+      // the per-request df aggregation disappears too, not just the
+      // (N, avgdl) pair. Callers own the directory lifecycle (the
+      // fixture memos use per-JVM temp dirs; a production ingest
+      // writes next to the index).
+      dfDir: Option[String] = None): CachedBm25Stats = {
     val key = RestrictionKey.of(key0.filter, key0.fields,
       key0.paragraphFilter, key0.filterOperatorOr)
     val ix = corpus.index.getOrElse(throw new IllegalArgumentException(
       "cachedStatsFor needs a bound index"))
+    val spark = corpus.docs.sparkSession
+    def persistDf(frame: DataFrame, sub: String): DataFrame =
+      graft.sources.IndexStore.persistServingTable(spark,
+        frame.groupBy("term").agg(count(lit(1)).as("df"))
+          // term-clustered files so the serve-time `term IN` prunes
+          // row groups (the termPostings write discipline)
+          .repartition(col("term")).sortWithinPartitions("term"),
+        s"${dfDir.get}/$sub")
     // doc-level side: only keys a doc-level lookup can hit (the
     // paragraph filter and OR operator are paragraph-mode semantics —
     // retrievalLists never consults them)
-    val (doc, nAllowed) =
+    val (doc, nAllowed, docDf) =
       if (!docSide || key.paragraphFilter.nonEmpty || key.filterOperatorOr)
-        (None, None)
+        (None, None, None)
       else {
         val allowed = docLevelBase(corpus, key.filter, key.fields)
           .select(corpus.docId)
         (Some(Bm25.corpusStats(ix.docLengths, corpus.docId, Some(allowed))),
-          Some(allowed.count()))
+          Some(allowed.count()),
+          dfDir.map(_ => persistDf(
+            graft.operators.Prefilter.semiJoin(ix.postings, corpus.docId,
+              allowed), "doc_df")))
       }
     // paragraph side: the default-knob restricted BM25 posting pair's
     // doclengths population, when the corpus binds the pair
-    val par =
-      if (!parSide || ix.parPostings.isEmpty || ix.parDocLengths.isEmpty) None
-      else Some(Bm25.corpusStats(
-        parSearchFrames(corpus, key, withDuplicates = false).dls,
-        "paragraph_id"))
-    CachedBm25Stats(doc = doc, paragraph = par, nAllowed = nAllowed)
+    val (par, parDf) =
+      if (!parSide || ix.parPostings.isEmpty || ix.parDocLengths.isEmpty)
+        (None, None)
+      else {
+        val frames = parSearchFrames(corpus, key, withDuplicates = false)
+        (Some(Bm25.corpusStats(frames.dls, "paragraph_id")),
+          dfDir.map(_ => persistDf(frames.post, "par_df")))
+      }
+    CachedBm25Stats(doc = doc, paragraph = par, nAllowed = nAllowed,
+      docDf = docDf, parDf = parDf)
   }
 
   /** The DOC-level searchable base for a (filter, fields) restriction —
@@ -531,7 +563,10 @@ object Find {
                 // one pruned posting scan
                 cachedStats =
                   if (unrestricted) ix.docStats() else cachedDoc,
-                atRestDfCol = if (unrestricted) Some("df") else None)
+                atRestDfCol = if (unrestricted) Some("df") else None,
+                // a registered restriction with an at-rest df table
+                // (round 19) drops the per-request df aggregation too
+                cachedDf = cachedRestriction.flatMap(_.docDf))
             case None =>
               Bm25.score(candidates, corpus.docId, corpus.text, terms)
           }
@@ -1201,10 +1236,9 @@ object Find {
         // aggregate live
         val defaultKnobs = advanced.isEmpty && !req.withDuplicates &&
           parsed.phrases.isEmpty && parsed.excluded.isEmpty
-        val cachedPar =
-          if (defaultKnobs)
-            corpus.cachedFilterStats.get(key).flatMap(_.paragraph)
-          else None
+        val cachedEntry =
+          if (defaultKnobs) corpus.cachedFilterStats.get(key) else None
+        val cachedPar = cachedEntry.flatMap(_.paragraph)
         // round 18: a default-knob UNFILTERED request restricts the
         // posting pair by exactly the repeated-exclusion — the
         // population the at-rest `df_xrep` column and `par_xrep` stats
@@ -1216,7 +1250,9 @@ object Find {
             cachedStats =
               if (atRestDefault) corpus.index.flatMap(_.parStatsXrep())
               else cachedPar,
-            atRestDfCol = if (atRestDefault) Some("df_xrep") else None)
+            atRestDfCol = if (atRestDefault) Some("df_xrep") else None,
+            // a registered restriction's at-rest df table (round 19)
+            cachedDf = cachedEntry.flatMap(_.parDf))
           .withColumn("score", round(col("score") * lit(scale), 4))
           .withColumn(corpus.docId,
             split(col("paragraph_id"), "/").getItem(0).cast(docIdType))

@@ -119,7 +119,18 @@ object Bm25 {
       params: Params = Params(),
       allowed: Option[DataFrame] = None,
       cachedStats: Option[CorpusStats] = None,
-      atRestDfCol: Option[String] = None): DataFrame = {
+      atRestDfCol: Option[String] = None,
+      // a registered (term, df) table for THIS restricted population
+      // (round 19, VERDICT r18 #1 "optionally per-term df"): when set,
+      // the per-request df aggregation — which re-instantiates the
+      // whole restricted posting subtree a second time — becomes one
+      // pruned scan of the small dictionary joined broadcast. The
+      // CALLER asserts the table was counted over exactly the
+      // restricted population in hand (the registration builds it
+      // from the same shared frames). Takes precedence over
+      // `atRestDfCol`; only meaningful with `cachedStats` (else the
+      // doclengths side still aggregates).
+      cachedDf: Option[DataFrame] = None): DataFrame = {
     // `allowed` restricts the searchable corpus to a prefiltered id set
     // (the reference's PrefilterResult pushed into the index search).
     // Both the postings AND the stats tables are restricted, so scores
@@ -165,7 +176,8 @@ object Bm25 {
     // population the stored df was counted over); never valid with an
     // `allowed` restriction, which changes the population.
     val atDf = atRestDfCol.filter(c =>
-      allowed.isEmpty && postings.columns.contains(c) &&
+      cachedDf.isEmpty && // a registered restricted df table wins
+        allowed.isEmpty && postings.columns.contains(c) &&
         postings.columns.contains("dl")) // df and dl denormalize together
     val matched = postings.where(col("term").isInCollection(queryTerms))
     val restricted = allowed match {
@@ -203,9 +215,18 @@ object Bm25 {
     val tfn = (col("tf") * (k1 + lit(1.0))) /
       (col("tf") + k1 * (lit(1.0) - b + b * col("dl") / avgdlCol))
 
-    val withDf = atDf match {
-      case Some(_) => tf
-      case None =>
+    val withDf = (cachedDf, atDf) match {
+      case (Some(dfTab), _) =>
+        // registered restricted df: pruned dictionary scan, broadcast
+        // — every term with a surviving tf row has an entry (the
+        // table was counted over the same restricted rows), so the
+        // inner join drops nothing
+        val pruned = dfTab.where(col("term").isInCollection(queryTerms))
+          .select(col("term"), col("df").cast("double").as("df"))
+        if (hasDl) tf.join(broadcast(pruned), "term")
+        else tf.join(broadcast(pruned), "term").join(dls, idCol)
+      case (None, Some(_)) => tf
+      case (None, None) =>
         val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
         if (hasDl) tf.join(broadcast(df), "term")
         else tf.join(broadcast(df), "term").join(dls, idCol)
@@ -250,7 +271,8 @@ object Bm25 {
       params: Params = Params(),
       allowed: Option[DataFrame] = None,
       cachedStats: Option[CorpusStats] = None,
-      atRestDfCol: Option[String] = None): DataFrame = {
+      atRestDfCol: Option[String] = None,
+      cachedDf: Option[DataFrame] = None): DataFrame = {
     val matched = postings.where(col("term").isInCollection(queryTerms))
     val restricted = allowed match {
       case Some(ids) => graft.operators.Prefilter.semiJoin(matched, idCol, ids)
@@ -262,7 +284,8 @@ object Bm25 {
       .where(col("nt") === queryTerms.distinct.size)
       .select(idCol)
     scoreFromPostings(postings, docLengths, idCol, queryTerms, params, allowed,
-        cachedStats = cachedStats, atRestDfCol = atRestDfCol)
+        cachedStats = cachedStats, atRestDfCol = atRestDfCol,
+        cachedDf = cachedDf)
       .join(allMatched, Seq(idCol), "left_semi")
   }
 

@@ -298,11 +298,25 @@ class FindSpec extends SparkSpec {
     def prows(c: Corpus, r: FindRequest) = Find.findParagraphs(c, r)
       .collect().map(x => (x.getString(0), x.getAs[Double]("best_score"))).toSeq
     def cachedWith(key: Find.RestrictionKey) =
-      base.copy(cachedFilterStats = Map(key -> Find.cachedStatsFor(base, key)))
+      base.copy(cachedFilterStats = Map(key -> Find.cachedStatsFor(base, key,
+        // with the at-rest df tables too (round 19) — the equality
+        // asserts below then cover stats AND df serving
+        dfDir = Some(graft.sources.IndexStore.deleteOnExit(
+          java.nio.file.Files.createTempDirectory("graft-rk-df-")
+            .toString)))))
     def poisonedWith(key: Find.RestrictionKey) =
       base.copy(cachedFilterStats = Map(key -> Find.CachedBm25Stats(
         doc = Some(Bm25.CorpusStats(1000000L, 1000.0)),
         paragraph = Some(Bm25.CorpusStats(1000000L, 1000.0)))))
+    // fake df table under REAL stats: proves the df fast path itself
+    // engages (a wrong df must change scores)
+    def dfPoisonedWith(key: Find.RestrictionKey) = {
+      val fake = Seq(("prince", 999999L), ("database", 999999L),
+        ("novel", 999999L)).toDF("term", "df")
+      base.copy(cachedFilterStats = Map(key ->
+        Find.cachedStatsFor(base, key)
+          .copy(docDf = Some(fake), parDf = Some(fake))))
+    }
 
     // FIELDS key: doc-level find AND paragraph-BM25 find (q102/q104)
     val fk = Find.RestrictionKey(fields = Seq("a"))
@@ -316,6 +330,10 @@ class FindSpec extends SparkSpec {
       "fields-key doc fast path never engaged")
     assert(prows(poisonedWith(fk), fPReq) != prows(base, fPReq),
       "fields-key paragraph fast path never engaged")
+    assert(rows(dfPoisonedWith(fk), fReq) != rows(base, fReq),
+      "fields-key doc DF table never engaged")
+    assert(prows(dfPoisonedWith(fk), fPReq) != prows(base, fPReq),
+      "fields-key paragraph DF table never engaged")
 
     // PARAGRAPH-LABEL key (q139)
     val lk = Find.RestrictionKey(
